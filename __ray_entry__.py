@@ -1,44 +1,683 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init`` / ``ray.shutdown`` happens here or in the library.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry exercises one engine operator family from
+SURVEY.md §2 over the driver testdata; matching ``oracle_sql()``
+entries give the DuckDB-equivalent SQL (same column names, float
+aggregates rounded identically on both sides). Non-SQL-expressible
+ops (sketches, LSH, drift, transcript pipelines over synthesized
+input) have no oracle entry and get the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _transcript_turns(sf_dir: str) -> int:
+    return max(int(6_000_000 * _sf_of(sf_dir)), 1000)
+
+
+def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    # python round() picks the same nearest-double as DuckDB's round;
+    # pc.round can land one ulp away, which breaks value-hash compares
+    i = t.column_names.index(col)
+    vals = [None if v is None else round(v, digits)
+            for v in t[col].to_pylist()]
+    return t.set_column(i, col, pa.array(vals, pa.float64()))
+
+
+def _collect(ds, empty_schema: pa.Schema = None) -> pa.Table:
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+              for b in ds.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return empty_schema.empty_table() if empty_schema is not None \
+            else pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full transcript validation report at sf0.001 scale."""
+    from json_schema_ray.pipelines.flagship import run_flagship
+
+    out = run_flagship(n_turns=6000, violation_rate=0.01, with_stats=False)
+    return out["report"].to_pandas()
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+    t = grouped_aggregate(ds, ["l_returnflag", "l_linestatus"],
+                          [("l_quantity", "sum"),
+                           ("l_extendedprice", "sum"), (None, "count")])
+    t = t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_base_price", "count_order"])
+    return _round_col(t, "sum_base_price", 2)
+
+
+def q_high_value_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], 400000.0))
+
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                        ("o_totalprice", pa.float64())])
+    return _collect(ds.map_batches(flt, batch_format="pyarrow",
+                                   zero_copy_batch=True), schema)
+
+
+def q_orders_by_segment(sf_dir: str):
+    from json_schema_ray.engine.relational import (
+        broadcast_hash_join, grouped_aggregate)
+
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_hash_join(orders, customer, "o_custkey", "c_custkey")
+    t = grouped_aggregate(joined, ["c_mktsegment"],
+                          [("o_totalprice", "sum"), (None, "count")])
+    t = t.rename_columns(["c_mktsegment", "total_price", "n_orders"])
+    return _round_col(t, "total_price", 2)
+
+
+def q_orders_missing_customer(sf_dir: str):
+    from json_schema_ray.engine.keys import referential_violations
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    bad = referential_violations(orders, "o_custkey", customer, "c_custkey")
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64())])
+    return _collect(bad, schema)
+
+
+def q_duplicate_lineitem_keys(sf_dir: str):
+    from json_schema_ray.engine.keys import duplicate_keys
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    dups = duplicate_keys(ds, ["l_orderkey", "l_linenumber"])
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_linenumber", pa.int32()),
+                        ("cnt", pa.int64())])
+    return _collect(dups, schema)
+
+
+def q_top10_orders(sf_dir: str):
+    from json_schema_ray.engine.relational import top_k
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    t = top_k(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
+    return t.select(["o_orderkey", "o_totalprice"])
+
+
+def q_events_by_type(sf_dir: str):
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    t = grouped_aggregate(ds, ["event_type"],
+                          [("value", "sum"), (None, "count")])
+    t = t.rename_columns(["event_type", "total_value", "cnt"])
+    return _round_col(t, "total_value", 2)
+
+
+def q_distinct_users(sf_dir: str):
+    from json_schema_ray.engine.relational import exact_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return pa.table({"n_users": pa.array(
+        [exact_distinct_count(ds, "user_id")], pa.int64())})
+
+
+def q_stats_orders_totalprice(sf_dir: str):
+    from json_schema_ray.engine.stats import column_stats
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    stats = column_stats(ds).to_pylist()[0]
+    return pa.table({
+        "min_price": pa.array([round(stats["num_min"], 2)], pa.float64()),
+        "max_price": pa.array([round(stats["num_max"], 2)], pa.float64()),
+        "avg_price": pa.array([round(stats["num_mean"], 2)], pa.float64()),
+        "cnt": pa.array([stats["count"]], pa.int64()),
+    })
+
+
+def q_null_stats_documents(sf_dir: str):
+    from json_schema_ray.engine.stats import column_stats
+
+    ds = _read(sf_dir, "documents")
+    stats = column_stats(ds)
+    return stats.select(["column", "count", "null_count"]) \
+        .rename_columns(["column", "cnt", "nulls"])
+
+
+DOCUMENTS_SCHEMA = {
+    "type": ["object"],
+    "required": ["doc_id", "text", "lang", "source"],
+    "properties": {
+        "doc_id": {"type": ["integer"], "minimum": 0},
+        "text": {"type": ["string"], "maxLength": 400},
+        "lang": {"type": ["string"], "enum": ["en", "de", "es", "fr"]},
+        "source": {"type": ["string"], "pattern": "^src[0-9]$"},
+        "n_chars": {"type": ["integer"], "maximum": 500},
+    },
+}
+
+
+def q_validate_documents(sf_dir: str):
+    from json_schema_ray.engine.validate import compile_plan_for, violations_dataset
+
+    ds = _read(sf_dir, "documents")
+    arrow_schema = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+    plan = compile_plan_for(DOCUMENTS_SCHEMA, arrow_schema,
+                            key_columns=["doc_id"])
+    v = violations_dataset(ds, plan)
+    schema = pa.schema([("doc_id", pa.int64()), ("path", pa.string()),
+                        ("error_type", pa.string())])
+    out = _collect(v, plan.violation_schema())
+    return out.select(["doc_id", "path", "error_type"])
+
+
+EVENTS_PROPS_SCHEMA = {
+    "type": ["object"],
+    "properties": {
+        "props": {
+            "type": ["object"],
+            "required": ["k"],
+            "properties": {"k": {"type": ["integer"], "maximum": 50}},
+        },
+    },
+}
+
+
+def q_validate_events_props(sf_dir: str):
+    from json_schema_ray.engine.validate import compile_plan_for, violations_dataset
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    arrow_schema = pa.schema([("event_id", pa.int64()),
+                              ("props", pa.string())])
+    plan = compile_plan_for(EVENTS_PROPS_SCHEMA, arrow_schema,
+                            key_columns=["event_id"],
+                            json_columns={"props"})
+    v = violations_dataset(ds, plan)
+    out = _collect(v, plan.violation_schema())
+    return out.select(["event_id", "path", "error_type"])
+
+
+def q_docs_token_counts(sf_dir: str):
+    from json_schema_ray.engine.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_counts(ds)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("n_tokens", pa.int64())])
+    return _collect(out, schema).select(["doc_id", "n_tokens"])
+
+
+def q_dedup_docs_content_key(sf_dir: str):
+    from json_schema_ray.engine.dedup import exact_dedup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    groups = exact_dedup_groups(ds, ["lang", "n_chars"], "doc_id")
+    schema = pa.schema([("lang", pa.string()), ("n_chars", pa.int64()),
+                        ("keep_id", pa.int64()), ("n_copies", pa.int64())])
+    return _collect(groups, schema)
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      filters=[("vec_id", "=", 0)])
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def q_knn_top10(sf_dir: str):
+    from json_schema_ray.engine.similarity import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings")
+    q = _query_vector(sf_dir)
+    t = knn_bruteforce(ds, q, k=10, exclude_ids={0})
+    scores = [round(v, 4) for v in t["score"].to_pylist()]
+    return pa.table({"vec_id": t["vec_id"],
+                     "score": pa.array(scores, pa.float64())})
+
+
+def q_embedding_dims(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        ln = pc.list_value_length(b["embedding"])
+        return pa.table({
+            "min_dim": pa.array([pc.min(ln).as_py()], pa.int64()),
+            "max_dim": pa.array([pc.max(ln).as_py()], pa.int64()),
+            "cnt": pa.array([b.num_rows], pa.int64()),
+        })
+
+    parts = _collect(ds.map_batches(dims, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    return pa.table({
+        "min_dim": pa.array([pc.min(parts["min_dim"]).as_py()], pa.int64()),
+        "max_dim": pa.array([pc.max(parts["max_dim"]).as_py()], pa.int64()),
+        "cnt": pa.array([pc.sum(parts["cnt"]).as_py()], pa.int64()),
+    })
+
+
+def q_lang_histogram(sf_dir: str):
+    from json_schema_ray.engine.drift import categorical_histogram
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    hist = categorical_histogram(ds, "lang")
+    langs = sorted(hist)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "cnt": pa.array([hist[l] for l in langs], pa.int64()),
+    })
+
+
+def q_user_sessions(sf_dir: str):
+    from json_schema_ray.engine.window import sessionize_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sessionize_counts(ds, gap_seconds=1800.0)
+    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                        ("n_sessions", pa.int64())])
+    return _collect(out, schema)
+
+
+def q_daily_event_volume(sf_dir: str):
+    from json_schema_ray.engine.window import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = tumbling_window_counts(ds, window_seconds=86400)
+    t = t.rename_columns(["window_start_us", "value_sum", "n_events"])
+    return _round_col(t, "value_sum", 2)
+
+
+# ---- rows-only queries (no SQL equivalent) ----
+
+def q_transcript_validation(sf_dir: str):
+    from json_schema_ray.pipelines.flagship import run_flagship
+
+    out = run_flagship(n_turns=_transcript_turns(sf_dir),
+                       violation_rate=0.01, with_stats=False)
+    return out["report"].to_pandas()
+
+
+def q_transcript_verdicts(sf_dir: str):
+    import ray
+
+    from json_schema_ray.engine.validate import compile_plan_for, verdict_counts
+    from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, VALIDATION_SCHEMA)
+
+    path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+    counts = verdict_counts(ray.data.read_parquet(files), plan)
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in sorted(counts.items())})
+
+
+def q_transcript_stats(sf_dir: str):
+    import ray
+
+    from json_schema_ray.engine.stats import column_stats
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
+    ds = ray.data.read_parquet(path)
+    return column_stats(ds)
+
+
+def q_minhash_near_dups(sf_dir: str):
+    from json_schema_ray.engine.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
+
+
+def q_simhash_docs(sf_dir: str):
+    from json_schema_ray.engine.dedup import simhash_signatures
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()), ("simhash", pa.uint64())])
+    t = _collect(simhash_signatures(ds, "doc_id"), schema)
+    return t.sort_by("doc_id")
+
+
+def q_lang_id_accuracy(sf_dir: str):
+    from json_schema_ray.engine.relational import grouped_aggregate
+    from json_schema_ray.engine.text import language_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = language_id(ds)
+    t = grouped_aggregate(pred, ["lang", "lang_pred"], [(None, "count")])
+    return t.rename_columns(["lang", "lang_pred", "cnt"]).sort_by([
+        ("lang", "ascending"), ("lang_pred", "ascending")])
+
+
+def q_doc_quality(sf_dir: str):
+    from json_schema_ray.engine.text import quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = quality_scores(ds)
+    t = _collect(out.select_columns(
+        ["doc_id", "n_tokens", "quality_score"]))
+    return t.sort_by("doc_id")
+
+
+def q_knn_lsh_top10(sf_dir: str):
+    from json_schema_ray.engine.similarity import knn_lsh
+
+    ds = _read(sf_dir, "embeddings")
+    q = _query_vector(sf_dir)
+    t = knn_lsh(ds, q, k=10)
+    return pa.table({"vec_id": t["vec_id"],
+                     "score": pa.array([round(v, 4) for v in
+                                        t["score"].to_pylist()],
+                                       pa.float64())})
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from json_schema_ray.engine.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings")
+    t = embedding_near_dup_pairs(ds, threshold=0.9)
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"],
+        "cosine": pa.array([round(v, 4) for v in t["cosine"].to_pylist()],
+                           pa.float64()),
+    })
+
+
+def q_doc_fingerprints(sf_dir: str):
+    from json_schema_ray.engine.text import fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = _collect(fingerprints(ds))
+    return t.select(["doc_id", "fingerprint"]).sort_by("doc_id")
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray
+
+    from json_schema_ray.engine.multimodal import (
+        deterministic_fake_image_features, extract_features)
+
+    # payloads synthesized deterministically from document text bytes
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    payload = pa.table({
+        "doc_id": docs["doc_id"],
+        "payload": pa.array([t.encode("utf-8") for t in
+                             docs["text"].to_pylist()], pa.binary()),
+    })
+    ds = ray.data.from_arrow(payload)
+    out = extract_features(ds, decode_fn=deterministic_fake_image_features)
+    t = _collect(out)
+    feats = t["features"].to_pylist()
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "feat_sum": pa.array([round(sum(f), 6) for f in feats], pa.float64()),
+    }).sort_by("doc_id")
+
+
+def q_drift_roles(sf_dir: str):
+    import ray
+
+    from json_schema_ray.engine.drift import ReferenceProfile
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    n = _transcript_turns(sf_dir)
+    ref_path = transcripts_path(n, seed=42, violation_rate=0.0)
+    new_path = transcripts_path(n, seed=43, violation_rate=0.01)
+    ref = ReferenceProfile.build(ray.data.read_parquet(ref_path),
+                                 categorical=["role"],
+                                 numeric_or_text=["text"])
+    report = ref.compare(ray.data.read_parquet(new_path))
+    vals = pa.array([round(v, 3) for v in report["value"].to_pylist()],
+                    pa.float64())
+    return pa.table({"column": report["column"],
+                     "metric": report["metric"], "value": vals})
+
+
+def q_resumable_validation(sf_dir: str):
+    import shutil
+    import tempfile
+
+    from json_schema_ray.engine.manifest import run_resumable_validation
+    from json_schema_ray.engine.validate import compile_plan_for
+    from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, VALIDATION_SCHEMA)
+
+    path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+    out_dir = tempfile.mkdtemp(prefix="jsr_resume_")
+    try:
+        first = run_resumable_validation(files[:2], out_dir, plan)
+        second = run_resumable_validation(files, out_dir, plan)
+        return pa.table({
+            "run": pa.array([1, 2], pa.int64()),
+            "fragments": pa.array([first["fragments"],
+                                   second["fragments"]], pa.int64()),
+            "skipped": pa.array([first["skipped"], second["skipped"]],
+                                pa.int64()),
+            "violations": pa.array([first["violations"],
+                                    second["violations"]], pa.int64()),
+        })
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation / shuffle operators
+        "pricing_summary": q_pricing_summary,
+        "high_value_orders": q_high_value_orders,
+        "orders_by_segment": q_orders_by_segment,
+        "orders_missing_customer": q_orders_missing_customer,
+        "duplicate_lineitem_keys": q_duplicate_lineitem_keys,
+        "top10_orders": q_top10_orders,
+        "events_by_type": q_events_by_type,
+        "distinct_users": q_distinct_users,
+        "stats_orders_totalprice": q_stats_orders_totalprice,
+        "null_stats_documents": q_null_stats_documents,
+        # schema validation engine
+        "validate_documents": q_validate_documents,
+        "validate_events_props": q_validate_events_props,
+        # text / dedup / embedding operators
+        "docs_token_counts": q_docs_token_counts,
+        "dedup_docs_content_key": q_dedup_docs_content_key,
+        "knn_top10": q_knn_top10,
+        "embedding_dims": q_embedding_dims,
+        "lang_histogram": q_lang_histogram,
+        "user_sessions": q_user_sessions,
+        "daily_event_volume": q_daily_event_volume,
+        # rows-only pipelines (no SQL equivalent)
+        "transcript_validation": q_transcript_validation,
+        "transcript_verdicts": q_transcript_verdicts,
+        "transcript_stats": q_transcript_stats,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_docs": q_simhash_docs,
+        "lang_id_accuracy": q_lang_id_accuracy,
+        "doc_quality": q_doc_quality,
+        "knn_lsh_top10": q_knn_lsh_top10,
+        "embedding_near_dups": q_embedding_near_dups,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "drift_roles": q_drift_roles,
+        "resumable_validation": q_resumable_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "high_value_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 400000
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orders_missing_customer": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        """,
+        "duplicate_lineitem_keys": """
+            SELECT l_orderkey, l_linenumber, count(*) AS cnt
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+            HAVING count(*) > 1
+        """,
+        "top10_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type, round(sum(value), 2) AS total_value,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "stats_orders_totalprice": """
+            SELECT round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   count(*) AS cnt
+            FROM orders
+        """,
+        "null_stats_documents": """
+            SELECT 'doc_id' AS column, count(*) AS cnt,
+                   count(*) - count(doc_id) AS nulls FROM documents
+            UNION ALL SELECT 'lang', count(*), count(*) - count(lang) FROM documents
+            UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars) FROM documents
+            UNION ALL SELECT 'source', count(*), count(*) - count(source) FROM documents
+            UNION ALL SELECT 'text', count(*), count(*) - count(text) FROM documents
+        """,
+        "validate_documents": """
+            SELECT doc_id, '#/lang' AS path, 'invalid_type' AS error_type
+              FROM documents
+             WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'es', 'fr')
+            UNION ALL
+            SELECT doc_id, '#/text', 'max_length_failed' FROM documents
+             WHERE length(text) > 400
+            UNION ALL
+            SELECT doc_id, '#/n_chars', 'max_failed' FROM documents
+             WHERE n_chars > 500
+            UNION ALL
+            SELECT doc_id, '#/source', 'pattern_failed' FROM documents
+             WHERE source IS NOT NULL
+               AND NOT regexp_matches(source, '^src[0-9]$')
+        """,
+        "validate_events_props": """
+            SELECT event_id, '#/props/k' AS path, 'max_failed' AS error_type
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        "docs_token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\S+')) AS n_tokens
+            FROM documents
+        """,
+        "dedup_docs_content_key": """
+            SELECT lang, n_chars, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY lang, n_chars
+        """,
+        "knn_top10": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ) AS DOUBLE), 4) AS score
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embedding_dims": """
+            SELECT min(len(embedding)) AS min_dim,
+                   max(len(embedding)) AS max_dim,
+                   count(*) AS cnt
+            FROM embeddings
+        """,
+        "lang_histogram": """
+            SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch(ts - lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)) AS gap
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "daily_event_volume": """
+            SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                        * 86400000000 AS BIGINT) AS window_start_us,
+                   round(sum(value), 2) AS value_sum,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+    }

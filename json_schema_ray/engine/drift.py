@@ -1,0 +1,151 @@
+"""Distribution-drift checks against a stored reference profile.
+
+Categorical columns (role/tool/event_type...) -> per-block value
+counts pre-aggregated in ``map_batches``, merged in a tiny
+``groupby(value).sum`` shuffle; numeric/text-length distributions ->
+per-block TDigest partials merged driver-side. PSI and KS statistics
+are computed on the driver from the merged summaries (they are
+O(bins), never O(rows)).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import TDigest
+
+
+def categorical_histogram(ds, column: str) -> Dict[str, int]:
+    """value -> count, computed with per-block pre-aggregation."""
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([column]), [column])
+        t = g.aggregate([([], "count_all")])
+        return t.rename_columns([column, "cnt"])
+
+    partial = ds.map_batches(pre_agg, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out: Dict[str, int] = {}
+    for batch in partial.groupby(column).sum("cnt") \
+            .iter_batches(batch_format="pyarrow"):
+        batch = batch.rename_columns([column, "cnt"])
+        for v, c in zip(batch[column].to_pylist(), batch["cnt"].to_pylist()):
+            out[str(v)] = int(c)
+    return out
+
+
+def length_digest(ds, column: str, compression: int = 100) -> TDigest:
+    """Merged t-digest of utf8 lengths (or numeric values) of a column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = pc.utf8_length(col).combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            vals = col.combine_chunks().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+        td = TDigest(compression)
+        td.add(vals)
+        return pa.table({"blob": pa.array([td.serialize()], pa.binary())})
+
+    merged: Optional[TDigest] = None
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for blob in batch["blob"].to_pylist():
+            td = TDigest.deserialize(blob)
+            merged = td if merged is None else merged.merge(td)
+    return merged if merged is not None else TDigest(compression)
+
+
+def psi(expected: Dict[str, int], actual: Dict[str, int],
+        epsilon: float = 1e-6) -> float:
+    """Population Stability Index over categorical histograms."""
+    keys = set(expected) | set(actual)
+    e_total = max(sum(expected.values()), 1)
+    a_total = max(sum(actual.values()), 1)
+    out = 0.0
+    for k in keys:
+        e = max(expected.get(k, 0) / e_total, epsilon)
+        a = max(actual.get(k, 0) / a_total, epsilon)
+        out += (a - e) * np.log(a / e)
+    return float(out)
+
+
+def ks_statistic(d1: TDigest, d2: TDigest, n_points: int = 256) -> float:
+    """Approximate two-sample KS statistic from two t-digests by
+    comparing their quantile functions on a shared value grid."""
+    if len(d1.means) == 0 or len(d2.means) == 0:
+        return 0.0
+    lo = min(float(d1.means.min()), float(d2.means.min()))
+    hi = max(float(d1.means.max()), float(d2.means.max()))
+    if hi <= lo:
+        return 0.0
+    grid = np.linspace(lo, hi, n_points)
+    cdf1 = _digest_cdf(d1, grid)
+    cdf2 = _digest_cdf(d2, grid)
+    return float(np.max(np.abs(cdf1 - cdf2)))
+
+
+def _digest_cdf(d: TDigest, grid: np.ndarray) -> np.ndarray:
+    d._compress()
+    order = np.argsort(d.means)
+    means = d.means[order]
+    weights = d.weights[order]
+    cw = np.cumsum(weights) - 0.5 * weights
+    total = weights.sum()
+    return np.interp(grid, means, cw / total, left=0.0, right=1.0)
+
+
+class ReferenceProfile:
+    """Stored profile: categorical histograms + numeric digests.
+    Serializable to JSON so jobs can compare against a checked-in
+    baseline profile."""
+
+    def __init__(self, histograms: Dict[str, Dict[str, int]] = None,
+                 digests: Dict[str, TDigest] = None):
+        self.histograms = histograms or {}
+        self.digests = digests or {}
+
+    @classmethod
+    def build(cls, ds, categorical: List[str],
+              numeric_or_text: List[str]) -> "ReferenceProfile":
+        return cls(
+            histograms={c: categorical_histogram(ds, c) for c in categorical},
+            digests={c: length_digest(ds, c) for c in numeric_or_text},
+        )
+
+    def compare(self, ds) -> pa.Table:
+        """Drift report vs a new dataset: PSI per categorical column,
+        KS per numeric/text column."""
+        rows = []
+        for col, hist in self.histograms.items():
+            actual = categorical_histogram(ds, col)
+            rows.append({"column": col, "metric": "psi",
+                         "value": psi(hist, actual)})
+        for col, digest in self.digests.items():
+            actual = length_digest(ds, col)
+            rows.append({"column": col, "metric": "ks",
+                         "value": ks_statistic(digest, actual)})
+        return pa.Table.from_pylist(rows)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "histograms": self.histograms,
+            "digests": {k: v.serialize().hex() for k, v in self.digests.items()},
+        })
+
+    @classmethod
+    def from_json(cls, blob: str) -> "ReferenceProfile":
+        data = json.loads(blob)
+        return cls(
+            histograms=data["histograms"],
+            digests={k: TDigest.deserialize(bytes.fromhex(v))
+                     for k, v in data["digests"].items()},
+        )

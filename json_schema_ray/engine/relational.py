@@ -1,0 +1,130 @@
+"""Relational building blocks tuned for the 100TB shape.
+
+- ``pre_aggregate``: the combiner pattern — reduce each block with
+  ``pyarrow.TableGroupBy`` BEFORE the hash shuffle so the exchange
+  moves one partial row per (block, group) instead of every row.
+- ``broadcast_hash_join``: dimension-sized right side collected once,
+  shipped through the object store via ``ray.put``, probed per batch
+  — no shuffle of the big side.
+- ``top_k``: per-block partial top-k inside ``map_batches`` (k rows
+  per block survive), then a driver-side merge of the partials.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pre_aggregate(ds, keys: List[str],
+                  aggs: Sequence[Tuple[str, str]]):
+    """groupby(keys) with per-block partial aggregation.
+
+    ``aggs`` is a list of (column, fn) with fn in
+    {sum, min, max, count}. Returns a Dataset of partially-reduced
+    rows; follow with ``.groupby(keys)`` + the matching re-aggregation
+    via :func:`final_aggregate`.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        needed = list(dict.fromkeys(
+            keys + [c for c, _ in aggs if c and c in batch.column_names]))
+        g = pa.TableGroupBy(batch.select(needed), keys)
+        spec = [(([], "count_all") if fn == "count" else (col, fn))
+                for col, fn in aggs]
+        t = g.aggregate(spec)
+        # normalize output: keys first, then one column per agg with a
+        # stable "<col>_<fn>" name
+        arrays = [t[k] for k in keys]
+        names = list(keys)
+        for col, fn in aggs:
+            src = "count_all" if fn == "count" else f"{col}_{fn}"
+            arrays.append(t[src])
+            names.append(f"{col or 'rows'}_{fn}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def grouped_aggregate(ds, keys: List[str],
+                      aggs: Sequence[Tuple[str, str]]) -> "pa.Table":
+    """Full pre-agg -> shuffle -> re-agg pipeline, materialized
+    (results are group-sized, small by construction)."""
+    partial = pre_aggregate(ds, keys, aggs)
+    gb = partial.groupby(keys)
+    # re-aggregate: sum of partial sums/counts, min of mins, max of maxs
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg_objs = []
+    for col, fn in aggs:
+        src = f"{col or 'rows'}_{fn}"
+        if fn in ("sum", "count"):
+            agg_objs.append(Sum(src, alias_name=src))
+        elif fn == "min":
+            agg_objs.append(Min(src, alias_name=src))
+        elif fn == "max":
+            agg_objs.append(Max(src, alias_name=src))
+    result = gb.aggregate(*agg_objs)
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+              for b in result.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
+def broadcast_hash_join(ds, right_table: pa.Table, left_on: str,
+                        right_on: str, how: str = "inner"):
+    """Join a big Dataset against a small in-memory Arrow table by
+    broadcasting the small side (ray.put once, probe per batch)."""
+    import ray
+
+    right_handle = ray.put(right_table)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        right = ray.get(right_handle)
+        return batch.join(right, keys=[left_on], right_keys=[right_on],
+                          join_type=("inner" if how == "inner"
+                                     else "left outer"))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def top_k(ds, columns: List[str], descending, k: int) -> pa.Table:
+    """Global top-k via per-block partial top-k + driver merge."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(columns)
+    sort_keys = [(c, "descending" if d else "ascending")
+                 for c, d in zip(columns, descending)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)[:k]
+        return batch.take(idx)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    merged = pa.concat_tables([t for t in tables if t.num_rows],
+                              promote_options="default")
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)[:k]
+    return merged.take(idx)
+
+
+def exact_distinct_count(ds, column: str) -> int:
+    """Exact COUNT(DISTINCT col): per-block distinct -> hash shuffle
+    of distinct values only -> count groups."""
+
+    def per_block_unique(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch[column].combine_chunks())
+        return pa.table({column: u})
+
+    uniq = ds.map_batches(per_block_unique, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return uniq.groupby(column).count().count()

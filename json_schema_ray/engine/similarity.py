@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- Brute-force cosine top-k: the query matrix is broadcast once
+  (``ray.put``); each batch does one numpy matmul and keeps only its
+  local top-k, so the driver merges ``k x n_blocks`` candidates.
+- LSH-bucketed variant (random hyperplane signatures) as the scale
+  path: per-batch signatures, groupby bucket, search only the
+  query's bucket(s).
+- Embedding-cosine near-duplicate detection reuses the bucketing.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, dim) float32 matrix from a list<float> column, zero-copy
+    from the flattened values buffer when possible."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0] if len(offsets) > 1 else 0
+    return flat.reshape(-1, int(dim)) if dim else flat.reshape(len(arr), 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(ds, query: np.ndarray, k: int = 10,
+                   id_column: str = "vec_id",
+                   embedding_column: str = "embedding",
+                   exclude_ids: Optional[set] = None) -> pa.Table:
+    """Exact cosine top-k: per-batch matmul + partial top-k, driver
+    merge. Returns (id, score) sorted by score desc, id asc."""
+    import ray
+
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    q_handle = ray.put(q)
+    excl = exclude_ids or set()
+    excl_handle = ray.put(excl)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_handle)
+        ex = ray.get(excl_handle)
+        m = _normalize(_batch_matrix(batch[embedding_column])
+                       .astype(np.float64))
+        scores = (m @ qv.T).ravel()
+        ids = np.asarray(batch[id_column].to_pylist())
+        if ex:
+            keep = ~np.isin(ids, list(ex))
+            scores, ids = scores[keep], ids[keep]
+        if len(scores) > k:
+            top = np.argpartition(-scores, k)[:k]
+            scores, ids = scores[top], ids[top]
+        return pa.table({
+            id_column: pa.array(ids.tolist(), pa.int64()),
+            "score": pa.array(scores.tolist(), pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    rows = parts.take_all()
+    rows.sort(key=lambda r: (-r["score"], r[id_column]))
+    rows = rows[:k]
+    return pa.table({
+        id_column: pa.array([r[id_column] for r in rows], pa.int64()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+    })
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures: sign pattern of dot products with
+    ``n_planes`` fixed random vectors -> integer bucket."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def buckets(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes.T) > 0
+        return signs.astype(np.int64) @ self.weights
+
+
+class LSHBucketer:
+    def __init__(self, dim: int, id_column: str = "vec_id",
+                 embedding_column: str = "embedding",
+                 n_planes: int = 12, seed: int = 42):
+        self.lsh = HyperplaneLSH(dim, n_planes, seed)
+        self.id_column = id_column
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch[self.embedding_column]).astype(np.float64)
+        b = self.lsh.buckets(_normalize(m))
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+
+def knn_lsh(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
+            id_column: str = "vec_id", embedding_column: str = "embedding",
+            n_planes: int = 8, seed: int = 42,
+            concurrency: Optional[int] = None) -> pa.Table:
+    """Approximate top-k: restrict the brute-force search to vectors
+    whose LSH bucket matches the query's (plus 1-bit neighbors)."""
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    dim = dim or q.shape[1]
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+    q_bucket = int(lsh.buckets(_normalize(q))[0])
+    near = {q_bucket} | {q_bucket ^ (1 << i) for i in range(n_planes)}
+
+    bucketed = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs=dict(dim=dim, id_column=id_column,
+                                   embedding_column=embedding_column,
+                                   n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or 4)
+
+    def in_near(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["bucket"],
+                        value_set=pa.array(list(near), pa.int64()))
+        return batch.filter(pc.fill_null(mask, False))
+
+    candidates = bucketed.map_batches(in_near, batch_format="pyarrow")
+    return knn_bruteforce(candidates, query, k=k, id_column=id_column,
+                          embedding_column=embedding_column)
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95,
+                             id_column: str = "vec_id",
+                             embedding_column: str = "embedding",
+                             dim: Optional[int] = None,
+                             n_planes: int = 10, seed: int = 42) -> pa.Table:
+    """Near-duplicate vector pairs: LSH-bucket, then exact cosine
+    inside each bucket only. Returns (id_a, id_b, cosine) sorted."""
+    first = ds.take(1)
+    if not first:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    dim = dim or len(first[0][embedding_column])
+
+    bucketed = ds.map_batches(
+        LSHBucketer,
+        fn_constructor_kwargs=dict(dim=dim, id_column=id_column,
+                                   embedding_column=embedding_column,
+                                   n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_column].to_pylist())
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        m = _normalize(_batch_matrix(group[embedding_column])
+                       .astype(np.float64))
+        sims = m @ m.T
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        iu = np.triu_indices(n, k=1)
+        hits = sims[iu] >= threshold
+        for ai, bi, c in zip(iu[0][hits], iu[1][hits], sims[iu][hits]):
+            a, b = int(ids[ai]), int(ids[bi])
+            if a > b:
+                a, b = b, a
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(float(c))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pyarrow")
+    rows = pairs.take_all()
+    seen = {}
+    for r in rows:
+        seen[(r["id_a"], r["id_b"])] = r["cosine"]
+    keys = sorted(seen)
+    return pa.table({
+        "id_a": pa.array([k[0] for k in keys], pa.int64()),
+        "id_b": pa.array([k[1] for k in keys], pa.int64()),
+        "cosine": pa.array([seen[k] for k in keys], pa.float64()),
+    })

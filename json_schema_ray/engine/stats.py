@@ -1,0 +1,180 @@
+"""Per-column profiling stats.
+
+Scale shape: each input block is reduced to ONE partial row per
+column inside ``map_batches`` (count, nulls, numeric moments, string
+lengths, an HLL register blob). The shuffle that follows moves only
+``n_columns x n_blocks`` tiny rows — never data — and the merge is a
+small ``groupby("column").map_groups``. This is the engine analogue
+of the north-star's "null fraction / distinct counts via HyperLogLog
+sketches merged in a groupby-aggregate shuffle".
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import HyperLogLog, TDigest, hash_ints, hash_strings
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("cnt", pa.int64()),
+    ("nulls", pa.int64()),
+    ("num_min", pa.float64()),
+    ("num_max", pa.float64()),
+    ("num_sum", pa.float64()),
+    ("num_sum_sq", pa.float64()),
+    ("len_sum", pa.int64()),
+    ("len_min", pa.int64()),
+    ("len_max", pa.int64()),
+    ("hll", pa.binary()),
+    ("tdigest", pa.binary()),
+])
+
+
+def _column_partial(name: str, col: pa.ChunkedArray, hll_p: int,
+                    with_tdigest: bool) -> dict:
+    n = len(col)
+    nulls = col.null_count
+    out = {
+        "column": name, "cnt": n, "nulls": nulls,
+        "num_min": None, "num_max": None,
+        "num_sum": None, "num_sum_sq": None,
+        "len_sum": None, "len_min": None, "len_max": None,
+        "hll": None, "tdigest": None,
+    }
+    hll = HyperLogLog(hll_p)
+    t = col.type
+    valid = col.drop_null()
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        if len(valid):
+            vals = valid.combine_chunks().to_numpy(zero_copy_only=False)
+            out["num_min"] = float(np.min(vals))
+            out["num_max"] = float(np.max(vals))
+            out["num_sum"] = float(np.sum(vals))
+            out["num_sum_sq"] = float(np.sum(vals.astype(np.float64) ** 2))
+            if pa.types.is_integer(t):
+                hll.add_hashed(hash_ints(vals.astype(np.int64)))
+            else:
+                hll.add_hashed(hash_ints(vals.view(np.int64)))
+            if with_tdigest:
+                td = TDigest()
+                td.add(vals.astype(np.float64))
+                out["tdigest"] = td.serialize()
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        if len(valid):
+            lens = pc.utf8_length(valid)
+            out["len_sum"] = int(pc.sum(lens).as_py())
+            out["len_min"] = int(pc.min(lens).as_py())
+            out["len_max"] = int(pc.max(lens).as_py())
+            hll.add_hashed(hash_strings(valid.to_pylist()))
+            if with_tdigest:
+                td = TDigest()
+                td.add(lens.combine_chunks().to_numpy(zero_copy_only=False)
+                       .astype(np.float64))
+                out["tdigest"] = td.serialize()
+    elif pa.types.is_timestamp(t):
+        if len(valid):
+            vals = pc.cast(valid, pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            out["num_min"] = float(np.min(vals))
+            out["num_max"] = float(np.max(vals))
+            hll.add_hashed(hash_ints(vals))
+    else:
+        if len(valid):
+            hll.add_hashed(hash_strings(valid.to_pylist()))
+    out["hll"] = hll.serialize()
+    return out
+
+
+def column_stats(
+    ds,
+    columns: Optional[List[str]] = None,
+    hll_p: int = 12,
+    with_tdigest: bool = False,
+):
+    """One result row per column: count, null_count, null_fraction,
+    min/max/mean (numeric), length stats (string), approx_distinct.
+
+    Returns a small ``pyarrow.Table`` (n_columns rows) materialized on
+    the driver — the merged result is tiny by construction.
+    """
+    cols = columns
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names = cols or batch.column_names
+        rows = [_column_partial(n, batch[n], hll_p, with_tdigest)
+                for n in names]
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+    part_ds = ds.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # merge: the partial table is tiny; fold it on the driver.
+    merged: dict = {}
+    for batch in part_ds.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            _merge_partial(merged, row)
+
+    out_rows = []
+    for name, m in merged.items():
+        cnt, nulls = m["cnt"], m["nulls"]
+        non_null = cnt - nulls
+        row = {
+            "column": name,
+            "count": cnt,
+            "null_count": nulls,
+            "null_fraction": (nulls / cnt) if cnt else 0.0,
+            "approx_distinct": int(round(m["hll"].estimate())) if m["hll"] else 0,
+            "num_min": m["num_min"],
+            "num_max": m["num_max"],
+            "num_mean": (m["num_sum"] / non_null)
+            if (m["num_sum"] is not None and non_null) else None,
+            "len_min": m["len_min"],
+            "len_max": m["len_max"],
+            "len_mean": (m["len_sum"] / non_null)
+            if (m["len_sum"] is not None and non_null) else None,
+        }
+        if m["tdigest"] is not None:
+            row["p50"] = m["tdigest"].quantile(0.5)
+            row["p95"] = m["tdigest"].quantile(0.95)
+            row["p99"] = m["tdigest"].quantile(0.99)
+        out_rows.append(row)
+    out_rows.sort(key=lambda r: r["column"])
+    return pa.Table.from_pylist(out_rows)
+
+
+def _opt(f, a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return f(a, b)
+
+
+def _merge_partial(merged: dict, row: dict) -> None:
+    name = row["column"]
+    m = merged.setdefault(name, {
+        "cnt": 0, "nulls": 0, "num_min": None, "num_max": None,
+        "num_sum": None, "num_sum_sq": None,
+        "len_sum": None, "len_min": None, "len_max": None,
+        "hll": None, "tdigest": None,
+    })
+    m["cnt"] += row["cnt"]
+    m["nulls"] += row["nulls"]
+    m["num_min"] = _opt(min, m["num_min"], row["num_min"])
+    m["num_max"] = _opt(max, m["num_max"], row["num_max"])
+    m["num_sum"] = _opt(lambda a, b: a + b, m["num_sum"], row["num_sum"])
+    m["num_sum_sq"] = _opt(lambda a, b: a + b, m["num_sum_sq"], row["num_sum_sq"])
+    m["len_sum"] = _opt(lambda a, b: a + b, m["len_sum"], row["len_sum"])
+    m["len_min"] = _opt(min, m["len_min"], row["len_min"])
+    m["len_max"] = _opt(max, m["len_max"], row["len_max"])
+    if row["hll"] is not None:
+        h = HyperLogLog.deserialize(row["hll"])
+        m["hll"] = h if m["hll"] is None else m["hll"].merge(h)
+    if row["tdigest"] is not None:
+        td = TDigest.deserialize(row["tdigest"])
+        m["tdigest"] = td if m["tdigest"] is None else m["tdigest"].merge(td)

