@@ -126,19 +126,29 @@ class MinHashBander:
         self.n_bands = n_bands
         self.rows_per_band = n_perm // n_bands
 
+    def _band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """Mix each band's rows into one uint64 with splitmix rounds
+        (pure numpy — no string round-trips)."""
+        from ..state.sketches import hash_ints
+
+        m = sig.reshape(self.n_bands, self.rows_per_band)
+        acc = np.full(self.n_bands, 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(self.rows_per_band):
+            acc = hash_ints(acc ^ m[:, j])
+        return acc
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, bands, hashes = [], [], []
+        band_range = list(range(self.n_bands))
         for doc_id, text in zip(batch[self.id_column].to_pylist(),
                                 batch[self.text_column].to_pylist()):
             if text is None:
                 continue
             sig = self.hasher.signature(text)
-            for b in range(self.n_bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                bh = int(hash_strings(["-".join(map(str, chunk))])[0])
-                ids.append(doc_id)
-                bands.append(b)
-                hashes.append(bh)
+            bh = self._band_hashes(sig)
+            ids.extend([doc_id] * self.n_bands)
+            bands.extend(band_range)
+            hashes.extend(bh.tolist())
         return pa.table({
             "band": pa.array(bands, pa.int32()),
             "band_hash": pa.array(hashes, pa.uint64()),
@@ -169,24 +179,51 @@ def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                                    n_perm=n_perm, n_bands=n_bands,
                                    seed=seed, shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency or 4)
+        concurrency=concurrency or (1, 4))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_column].to_pylist())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64())})
-        pairs = list(itertools.combinations(ids, 2))
-        return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
-        })
+    # Find collided buckets via an aggregate (no per-group python),
+    # then pull ONLY their members. Collided buckets are sparse by
+    # assumption — near-duplicates are the exception, not the rule —
+    # so the member pull and driver-side pairing stay small even when
+    # the corpus is huge.
+    import ray
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    # dedupe pairs that collided in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(
-        ["id_a", "id_b"])
+    bands = bands.materialize()
+    counts = bands.groupby(["band", "band_hash"]).count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["count()"], 1))
+
+    hot = _collect(counts.map_batches(hot_only, batch_format="pyarrow"))
+    if hot is None:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    hot_keys = set(zip(hot["band"].to_pylist(), hot["band_hash"].to_pylist()))
+    hot_handle = ray.put(hot_keys)
+
+    def members(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_handle)
+        mask = [(b, h) in keys for b, h in
+                zip(batch["band"].to_pylist(), batch["band_hash"].to_pylist())]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    mem = _collect(bands.map_batches(members, batch_format="pyarrow"))
+    buckets: dict = {}
+    if mem is not None:
+        for b, h, i in zip(mem["band"].to_pylist(),
+                           mem["band_hash"].to_pylist(),
+                           mem[id_column].to_pylist()):
+            buckets.setdefault((b, h), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            pairs.add((a, b))
+    out = sorted(pairs)
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array([p[0] for p in out], pa.int64()),
+        "id_b": pa.array([p[1] for p in out], pa.int64()),
+    }))
 
 
 def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
@@ -277,7 +314,7 @@ def simhash_signatures(ds, id_column: str, text_column: str = "text",
         fn_constructor_kwargs=dict(id_column=id_column,
                                    text_column=text_column),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency or 4)
+        concurrency=concurrency or (1, 4))
 
 
 def simhash_candidates(ds, id_column: str, text_column: str = "text",
@@ -300,20 +337,45 @@ def simhash_candidates(ds, id_column: str, text_column: str = "text",
             id_column: pa.array(ids),
         })
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    import ray
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_column].to_pylist())
-        pairs = list(itertools.combinations(ids, 2)) if len(ids) > 1 else []
-        return pa.table({
-            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
-        })
+    exploded = sigs.map_batches(explode, batch_format="pyarrow") \
+        .materialize()
+    counts = exploded.groupby(["quarter", "value"]).count()
 
-    pairs = exploded.groupby(["quarter", "value"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).count().select_columns(
-        ["id_a", "id_b"])
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["count()"], 1))
+
+    hot = _collect(counts.map_batches(hot_only, batch_format="pyarrow"))
+    if hot is None:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64())}))
+    hot_keys = set(zip(hot["quarter"].to_pylist(), hot["value"].to_pylist()))
+    hot_handle = ray.put(hot_keys)
+
+    def members(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_handle)
+        mask = [(q, v) in keys for q, v in
+                zip(batch["quarter"].to_pylist(), batch["value"].to_pylist())]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    mem = _collect(exploded.map_batches(members, batch_format="pyarrow"))
+    buckets: dict = {}
+    if mem is not None:
+        for q, v, i in zip(mem["quarter"].to_pylist(),
+                           mem["value"].to_pylist(),
+                           mem[id_column].to_pylist()):
+            buckets.setdefault((q, v), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            pairs.add((a, b))
+    out = sorted(pairs)
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array([p[0] for p in out], pa.int64()),
+        "id_b": pa.array([p[1] for p in out], pa.int64()),
+    }))
 
 
 def _collect(ds) -> Optional[pa.Table]:

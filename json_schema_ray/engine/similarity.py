@@ -123,7 +123,7 @@ def knn_lsh(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
                                    embedding_column=embedding_column,
                                    n_planes=n_planes, seed=seed),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency or 4)
+        concurrency=concurrency or (1, 4))
 
     def in_near(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch["bucket"],
@@ -154,7 +154,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         fn_constructor_kwargs=dict(dim=dim, id_column=id_column,
                                    embedding_column=embedding_column,
                                    n_planes=n_planes, seed=seed),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=4)
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_column].to_pylist())

@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.sketches import HyperLogLog, TDigest, hash_ints, hash_strings
+from ..state.sketches import (
+    HyperLogLog, TDigest, hash_ints, hash_string_array, hash_strings)
 
 _PARTIAL_SCHEMA = pa.schema([
     ("column", pa.string()),
@@ -70,7 +71,7 @@ def _column_partial(name: str, col: pa.ChunkedArray, hll_p: int,
             out["len_sum"] = int(pc.sum(lens).as_py())
             out["len_min"] = int(pc.min(lens).as_py())
             out["len_max"] = int(pc.max(lens).as_py())
-            hll.add_hashed(hash_strings(valid.to_pylist()))
+            hll.add_hashed(hash_string_array(valid))
             if with_tdigest:
                 td = TDigest()
                 td.add(lens.combine_chunks().to_numpy(zero_copy_only=False)
@@ -85,7 +86,7 @@ def _column_partial(name: str, col: pa.ChunkedArray, hll_p: int,
             hll.add_hashed(hash_ints(vals))
     else:
         if len(valid):
-            hll.add_hashed(hash_strings(valid.to_pylist()))
+            hll.add_hashed(hash_strings([str(v) for v in valid.to_pylist()]))
     out["hll"] = hll.serialize()
     return out
 
@@ -119,6 +120,10 @@ def column_stats(
         for row in batch.to_pylist():
             _merge_partial(merged, row)
 
+    return _finalize_stats(merged)
+
+
+def _finalize_stats(merged: dict) -> pa.Table:
     out_rows = []
     for name, m in merged.items():
         cnt, nulls = m["cnt"], m["nulls"]

@@ -81,7 +81,7 @@ def language_id(ds, column: str = "text", out: str = "lang_pred",
     return ds.map_batches(LanguageId, fn_constructor_kwargs={
         "column": column, "out": out},
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency or 4)
+        concurrency=concurrency or (1, 4))
 
 
 _STOPWORDS = set(
@@ -150,7 +150,7 @@ def quality_scores(ds, column: str = "text",
     return ds.map_batches(QualityScore,
                           fn_constructor_kwargs={"column": column},
                           batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=concurrency or 4)
+                          concurrency=concurrency or (1, 4))
 
 
 def _rolling_hashes(text: str, window: int, base: int = 257,

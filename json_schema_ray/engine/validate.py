@@ -68,6 +68,162 @@ def verdicts_dataset(ds, plan: TablePlan):
                           zero_copy_batch=True)
 
 
+def validation_scan_summary(ds, plan: TablePlan,
+                            hll_p: int = 12) -> dict:
+    """ONE fused scan computing verdict counts, violation-row counts
+    and per-column stats partials per batch — the shape a 100TB job
+    wants: a single pass over the data, one small partial per block,
+    driver-side merge. Returns ``{"total_rows", "valid_rows",
+    "invalid_rows", "violation_rows", "stats": pa.Table}``.
+    """
+    import pyarrow.compute as _pc
+
+    from .stats import _PARTIAL_SCHEMA, _column_partial, _merge_partial
+    from .table_validator import validate_batch, verdict_mask
+
+    counter_fields = [("total_rows", pa.int64()),
+                      ("valid_rows", pa.int64()),
+                      ("violation_rows", pa.int64())]
+    out_schema = pa.schema(
+        list(_PARTIAL_SCHEMA) + [pa.field(n, t) for n, t in counter_fields])
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ok = verdict_mask(batch, plan)
+        viol = validate_batch(batch, plan)
+        rows = [_column_partial(n, batch[n], hll_p, False)
+                for n in batch.column_names]
+        for r in rows:
+            r["total_rows"] = None
+            r["valid_rows"] = None
+            r["violation_rows"] = None
+        rows.append({
+            **{f.name: None for f in _PARTIAL_SCHEMA},
+            "column": None,
+            "total_rows": len(ok),
+            "valid_rows": int(ok.sum()),
+            "violation_rows": viol.num_rows,
+        })
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    parts = ds.map_batches(batch_fn, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged: dict = {}
+    totals = {"total_rows": 0, "valid_rows": 0, "violation_rows": 0}
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            if row["column"] is None:
+                for k in totals:
+                    totals[k] += row[k]
+            else:
+                _merge_partial(merged, row)
+
+    from .stats import _finalize_stats
+
+    return {
+        **totals,
+        "invalid_rows": totals["total_rows"] - totals["valid_rows"],
+        "stats": _finalize_stats(merged),
+    }
+
+
+def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
+                         group_key: str = "conv_id",
+                         order_key: str = "turn_idx",
+                         ts_key: str = "ts",
+                         presorted: bool = True) -> dict:
+    """THE single-scan job: keyword verdicts + violation-row counts +
+    per-column stats partials + per-conversation ordering checks, all
+    computed in one ``map_batches`` over (pre)sorted input. Every
+    block emits one small partial; the driver merges counters, stats
+    sketches, interior ordering violations and the edge-conversation
+    stitch set. This is the shape a 10^12-turn job runs: one pass,
+    no second scan, nothing row-sized crosses the wire.
+    """
+    from .keys import ordering_batch_parts, stitch_edge_groups
+    from .stats import _PARTIAL_SCHEMA, _column_partial, _finalize_stats, _merge_partial
+    from .table_validator import validate_batch, verdict_mask
+
+    has_ts = ts_key in [f for f in (ds.schema().names or [])]
+    if not presorted:
+        ds = ds.sort([group_key, order_key])
+
+    extra_fields = [
+        ("total_rows", pa.int64()), ("valid_rows", pa.int64()),
+        ("violation_rows", pa.int64()),
+        ("ord_duplicate_turn", pa.int64()), ("ord_turn_gap", pa.int64()),
+        ("ord_ts_out_of_order", pa.int64()),
+        ("edge_gid", pa.string()), ("edge_turn", pa.int64()),
+        ("edge_ts", pa.int64()),
+    ]
+    out_schema = pa.schema(
+        list(_PARTIAL_SCHEMA) + [pa.field(n, t) for n, t in extra_fields])
+    blank = {f.name: None for f in out_schema}
+
+    def batch_fn(batch: pa.Table) -> pa.Table:
+        ok = verdict_mask(batch, plan)
+        viol = validate_batch(batch, plan)
+        rows = []
+        for name in batch.column_names:
+            r = dict(blank)
+            r.update(_column_partial(name, batch[name], hll_p, False))
+            rows.append(r)
+        counter = dict(blank)
+        counter.update(total_rows=len(ok), valid_rows=int(ok.sum()),
+                       violation_rows=viol.num_rows,
+                       ord_duplicate_turn=0, ord_turn_gap=0,
+                       ord_ts_out_of_order=0)
+        if batch.num_rows:
+            ord_rows, edge_mask, conv, turns, ts = ordering_batch_parts(
+                batch, group_key, order_key, ts_key if has_ts else None)
+            # ordering violations reduce to per-type COUNTS here — at
+            # scale the full rows are written per-partition (see
+            # violations_dataset / manifest), never driver-collected
+            for _, etype, _ in ord_rows:
+                counter["ord_" + etype] += 1
+            import numpy as _np
+
+            eidx = _np.nonzero(edge_mask)[0]
+            gids = conv.take(pa.array(eidx)).to_pylist()
+            for i, gid in zip(eidx, gids):
+                r = dict(blank)
+                r.update(edge_gid=gid, edge_turn=int(turns[i]),
+                         edge_ts=int(ts[i]) if ts is not None else 0)
+                rows.append(r)
+        rows.append(counter)
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    parts = ds.map_batches(batch_fn, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    merged: dict = {}
+    totals = {"total_rows": 0, "valid_rows": 0, "violation_rows": 0}
+    ord_counts = {"duplicate_turn": 0, "turn_gap": 0, "ts_out_of_order": 0}
+    edge: dict = {}
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            if row["column"] is not None:
+                _merge_partial(merged, row)
+            elif row["total_rows"] is not None:
+                for k in totals:
+                    totals[k] += row[k]
+                for k in ord_counts:
+                    ord_counts[k] += row["ord_" + k] or 0
+            elif row["edge_gid"] is not None:
+                edge.setdefault(row["edge_gid"], []).append(
+                    (row["edge_turn"], row["edge_ts"]))
+    edge_rows: list = []
+    stitch_edge_groups(edge, has_ts, edge_rows)
+    for _, etype, _ in edge_rows:
+        ord_counts[etype] += 1
+
+    return {
+        **totals,
+        "invalid_rows": totals["total_rows"] - totals["valid_rows"],
+        "ordering_violation_counts": ord_counts,
+        "stats": _finalize_stats(merged),
+    }
+
+
 def verdict_counts(ds, plan: TablePlan) -> dict:
     """Aggregate pass/fail counts without materializing rows."""
 

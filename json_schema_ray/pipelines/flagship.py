@@ -38,7 +38,8 @@ def transcripts_path(n_turns: int, seed: int = 42,
                      violation_rate: float = 0.01,
                      n_files: int = 8) -> str:
     """Deterministic synthetic transcript corpus, cached under /tmp."""
-    path = f"/tmp/json_schema_ray/transcripts_n{n_turns}_s{seed}_v{violation_rate}"
+    path = (f"/tmp/json_schema_ray/transcripts_n{n_turns}_s{seed}"
+            f"_v{violation_rate}_f{n_files}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         write_transcripts(path, n_turns, seed=seed,

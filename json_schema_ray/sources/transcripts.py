@@ -66,40 +66,61 @@ def generate_transcripts(
     :func:`injected_violations`.
     """
     rng = np.random.default_rng(seed)
-    rows_conv, rows_idx, rows_role, rows_text, rows_tool, rows_ts = \
-        [], [], [], [], [], []
-
     base_us = int(datetime(2026, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
-    conv = 0
-    total = 0
-    while total < n_turns:
-        # Zipf-ish turn counts: mostly short, occasionally very long
-        n = int(min(1 + rng.zipf(1.7), 200))
-        cid = f"conv-{conv:08d}"
-        t0 = base_us + conv * 60_000_000
-        for i in range(n):
-            role = ROLES[i % 4]
-            nw = int(rng.integers(1, 60))
-            words = [_WORDS[int(w)] for w in rng.integers(0, len(_WORDS), nw)]
-            if i % 7 == 0:
-                words.append(_UNICODE_WORDS[i % len(_UNICODE_WORDS)])
-            rows_conv.append(cid)
-            rows_idx.append(i)
-            rows_role.append(role)
-            rows_text.append(" ".join(words))
-            rows_tool.append(f"tool-{int(rng.integers(0, 20))}" if role == "tool" else None)
-            rows_ts.append(t0 + i * 1_000_000)
-        conv += 1
-        total += n
 
-    table = pa.table({
-        "conv_id": pa.array(rows_conv, pa.string()),
-        "turn_idx": pa.array(rows_idx, pa.int32()),
-        "role": pa.array(rows_role, pa.string()),
-        "text": pa.array(rows_text, pa.string()),
-        "tool": pa.array(rows_tool, pa.string()),
-        "ts": pa.array(rows_ts, pa.timestamp("us")),
-    })
+    # Zipf-ish turn counts: mostly short, occasionally very long
+    # (hot conversations exercise skew handling)
+    sizes = np.minimum(1 + rng.zipf(1.7, size=n_turns), 200).astype(np.int64)
+    cum = np.cumsum(sizes)
+    n_convs = int(np.searchsorted(cum, n_turns) + 1)
+    sizes = sizes[:n_convs]
+    total = int(sizes.sum())
+
+    conv_idx = np.repeat(np.arange(n_convs), sizes)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    turn_idx = np.arange(total) - np.repeat(starts, sizes)
+
+    conv_names = np.array([f"conv-{c:08d}" for c in range(n_convs)],
+                          dtype=object)
+    roles = np.array(ROLES, dtype=object)[turn_idx % 4]
+
+    # text: a deterministic pool of distinct seeded sentences (varied
+    # lengths, periodic multi-byte markers to pin codepoint lengths)
+    pool_size = min(max(total // 4, 256), 50_000)
+    prng = np.random.default_rng(seed * 1_000_003)
+    nws = prng.integers(1, 60, size=pool_size)
+    flat = prng.integers(0, len(_WORDS), size=int(nws.sum()))
+    word_arr = np.array(_WORDS, dtype=object)[flat]
+    bounds = np.concatenate([[0], np.cumsum(nws)])
+    pool = []
+    for p in range(pool_size):
+        words = word_arr[bounds[p]:bounds[p + 1]].tolist()
+        if p % 7 == 0:
+            words.append(_UNICODE_WORDS[p % len(_UNICODE_WORDS)])
+        pool.append(" ".join(words))
+    pool = np.array(pool, dtype=object)
+    texts = pool[rng.integers(0, pool_size, size=total)]
+
+    tool_names = np.array([f"tool-{k}" for k in range(20)], dtype=object)
+    tools = np.where(roles == "tool",
+                     tool_names[rng.integers(0, 20, size=total)], None)
+
+    ts = (base_us + conv_idx * 60_000_000 + turn_idx * 1_000_000)
+
+    # build in slices: a single string array over ~2GB of text would
+    # overflow int32 offsets
+    step = 4_000_000
+    cols = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+            "tool": [], "ts": []}
+    for s in range(0, total, step):
+        e = min(s + step, total)
+        cols["conv_id"].append(pa.array(conv_names[conv_idx[s:e]], pa.string()))
+        cols["turn_idx"].append(pa.array(turn_idx[s:e], pa.int32()))
+        cols["role"].append(pa.array(roles[s:e], pa.string()))
+        cols["text"].append(pa.array(texts[s:e], pa.string()))
+        cols["tool"].append(pa.array(tools[s:e].tolist(), pa.string()))
+        cols["ts"].append(pa.array(ts[s:e], pa.timestamp("us")))
+    table = pa.table({k: pa.chunked_array(v) for k, v in cols.items()})
 
     if violation_rate > 0:
         table = _inject_violations(table, violation_rate, seed)
@@ -122,30 +143,55 @@ def _inject_violations(table: pa.Table, rate: float, seed: int) -> pa.Table:
     n = table.num_rows
     n_bad = max(1, int(n * rate))
     idxs = np.sort(rng.choice(n, size=n_bad, replace=False))
+    kinds = np.array([_INJECTIONS[j % len(_INJECTIONS)]
+                      for j in range(n_bad)], dtype=object)
 
-    cols = {name: table[name].to_pylist() for name in table.column_names}
-    for j, i in enumerate(idxs):
-        kind = _INJECTIONS[j % len(_INJECTIONS)]
-        i = int(i)
-        if kind == "bad_role":
-            cols["role"][i] = "narrator"
-        elif kind == "empty_text":
-            cols["text"][i] = ""
-        elif kind == "long_text":
-            cols["text"][i] = "x" * 4321
-        elif kind == "negative_turn":
-            cols["turn_idx"][i] = -1
-        elif kind == "null_text":
-            cols["text"][i] = None
-        elif kind == "bad_tool":
-            cols["tool"][i] = "BadTool!"
-        elif kind == "bad_conv_id":
-            cols["conv_id"][i] = "conversation-%d" % i
-    out = pa.table({
-        name: pa.array(cols[name], type=table.schema.field(name).type)
-        for name in table.column_names
-    })
-    return out
+    # vectorized scatter via pc.replace_with_mask — no python
+    # round-trips of the full columns
+    import pyarrow.compute as pc
+
+    replacements = {
+        "bad_role": ("role", lambda at: ["narrator"] * len(at)),
+        "empty_text": ("text", lambda at: [""] * len(at)),
+        "long_text": ("text", lambda at: ["x" * 4321] * len(at)),
+        "null_text": ("text", lambda at: [None] * len(at)),
+        "negative_turn": ("turn_idx", lambda at: [-1] * len(at)),
+        "bad_tool": ("tool", lambda at: ["BadTool!"] * len(at)),
+        "bad_conv_id": ("conv_id",
+                        lambda at: [f"conversation-{i}" for i in at]),
+    }
+    # per column: collect (position, value) pairs across kinds
+    per_col: dict = {}
+    for kind, (name, make) in replacements.items():
+        at = idxs[kinds == kind]
+        if len(at) == 0:
+            continue
+        vals = make(at)
+        per_col.setdefault(name, []).extend(zip(at.tolist(), vals))
+
+    arrays = {name: table[name] for name in table.column_names}
+    for name, pairs in per_col.items():
+        pairs.sort(key=lambda p: p[0])
+        positions = np.array([p[0] for p in pairs], dtype=np.int64)
+        values = np.array([p[1] for p in pairs], dtype=object)
+        col_type = table.schema.field(name).type
+        # chunk-aware scatter (a combined >2GB string array would
+        # overflow int32 offsets)
+        new_chunks = []
+        offset = 0
+        for chunk in table[name].chunks:
+            m = len(chunk)
+            sel = (positions >= offset) & (positions < offset + m)
+            if sel.any():
+                mask = np.zeros(m, dtype=bool)
+                mask[positions[sel] - offset] = True
+                chunk = pc.replace_with_mask(
+                    chunk, pa.array(mask),
+                    pa.array(values[sel].tolist(), type=col_type))
+            new_chunks.append(chunk)
+            offset += m
+        arrays[name] = pa.chunked_array(new_chunks)
+    return pa.table(arrays)
 
 
 def injected_violations(n_turns: int, seed: int = 42,

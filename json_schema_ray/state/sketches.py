@@ -69,22 +69,44 @@ class HyperLogLog:
 
 
 def hash_strings(values) -> np.ndarray:
-    """Deterministic 64-bit hashes for a sequence of python values.
-
-    Uses FNV-1a over utf-8 bytes, vectorized per value (values are
-    typically a batch column's pylist). For numeric numpy arrays use
-    :func:`hash_ints` instead.
+    """Deterministic 64-bit hashes for a sequence of python strings
+    (or an Arrow string array). Vectorized through polars' native
+    hash kernel when available (fixed seeds => deterministic across
+    workers and runs); blake2b loop as the fallback. For numeric
+    numpy arrays use :func:`hash_ints` instead.
     """
-    import hashlib
+    try:
+        import polars as pl
 
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        if v is None:
-            out[i] = 0
-        else:
-            d = hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest()
-            out[i] = np.frombuffer(d, dtype=np.uint64)[0]
-    return out
+        s = pl.Series("v", values, dtype=pl.Utf8)
+        return s.hash(seed=42).fill_null(0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        import hashlib
+
+        out = np.empty(len(values), dtype=np.uint64)
+        for i, v in enumerate(values):
+            if v is None:
+                out[i] = 0
+            else:
+                d = hashlib.blake2b(str(v).encode("utf-8"),
+                                    digest_size=8).digest()
+                out[i] = np.frombuffer(d, dtype=np.uint64)[0]
+        return out
+
+
+def hash_string_array(col) -> np.ndarray:
+    """Hash an Arrow string array/chunked-array without a pylist
+    round-trip (polars converts zero-copy)."""
+    try:
+        import polars as pl
+        import pyarrow as pa
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col)
+        return s.hash(seed=42).fill_null(0).to_numpy().astype(np.uint64)
+    except ImportError:  # pragma: no cover
+        return hash_strings(col.to_pylist())
 
 
 def hash_ints(values: np.ndarray) -> np.ndarray:

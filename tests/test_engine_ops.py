@@ -1,0 +1,273 @@
+"""Engine operator tests: stats/sketches, keyed checks, dedup,
+similarity, text, windows, drift, resumable runs."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ray():
+    import ray
+
+    return ray
+
+
+def test_column_stats_documents():
+    from json_schema_ray.engine.stats import column_stats
+
+    ds = _ray().data.read_parquet(f"{SF}/documents.parquet")
+    t = column_stats(ds, with_tdigest=True).to_pylist()
+    by_col = {r["column"]: r for r in t}
+    assert by_col["doc_id"]["count"] == 500
+    assert by_col["doc_id"]["null_count"] == 0
+    # exact distinct is 500; HLL should be within 5%
+    assert abs(by_col["doc_id"]["approx_distinct"] - 500) <= 25
+    assert by_col["n_chars"]["num_min"] >= 0
+    assert by_col["text"]["len_mean"] > 0
+    assert "p50" in by_col["n_chars"]
+
+
+def test_hll_accuracy_and_merge():
+    from json_schema_ray.state.sketches import HyperLogLog, hash_ints
+
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add_hashed(hash_ints(np.arange(0, 60_000, dtype=np.int64)))
+    b.add_hashed(hash_ints(np.arange(30_000, 100_000, dtype=np.int64)))
+    m = HyperLogLog.deserialize(a.merge(b).serialize())
+    assert abs(m.estimate() - 100_000) / 100_000 < 0.05
+
+
+def test_tdigest_quantiles():
+    from json_schema_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(50, 10, 100_000)
+    parts = [TDigest() for _ in range(16)]
+    for i, p in enumerate(parts):
+        p.add(data[i::16])
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    for q in (0.5, 0.95):
+        assert abs(merged.quantile(q) - np.quantile(data, q)) < 0.5
+
+
+def test_duplicate_keys_and_ordering():
+    from json_schema_ray.engine.keys import (
+        duplicate_keys, turn_ordering_violations)
+    from json_schema_ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(2000)
+    dup = t.slice(5, 3)
+    ds = _ray().data.from_arrow(pa.concat_tables([t, dup])).repartition(4)
+    dups = duplicate_keys(ds, ["conv_id", "turn_idx"]).take_all()
+    assert len(dups) == 3
+    assert all(d["cnt"] == 2 for d in dups)
+
+    ord_v = turn_ordering_violations(ds).take_all()
+    assert {v["error_type"] for v in ord_v} == {"duplicate_turn"}
+
+
+def test_referential_violations():
+    from json_schema_ray.engine.keys import referential_violations
+
+    orders = _ray().data.from_arrow(pa.table({
+        "o_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "cust": pa.array([10, 20, 99, None], pa.int64()),
+    }))
+    cust = _ray().data.from_arrow(pa.table({
+        "c_id": pa.array([10, 20, 30], pa.int64())}))
+    bad = referential_violations(orders, "cust", cust, "c_id").take_all()
+    assert [r["o_id"] for r in bad] == [3]
+
+
+def test_exact_dedup():
+    from json_schema_ray.engine.dedup import exact_dedup
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a", "b", "a", "c", "b"], pa.string()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(2)
+    survivors = exact_dedup(ds, ["text"], "id").take_all()
+    assert sorted(r["id"] for r in survivors) == [1, 2, 4]
+
+
+def test_minhash_finds_near_duplicates():
+    from json_schema_ray.engine.dedup import minhash_dedup_pairs
+
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    nearly_words = list(words)
+    nearly_words[30] = "changed"  # one word differs -> high Jaccard
+    nearly = " ".join(nearly_words)
+    different = " ".join(f"other{i}" for i in range(60))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, nearly, different], pa.string()),
+    })
+    ds = _ray().data.from_arrow(t)
+    pairs = minhash_dedup_pairs(ds, "doc_id", threshold=0.5)
+    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
+                                  pairs["id_b"].to_pylist())}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_close_for_similar_docs():
+    from json_schema_ray.engine.dedup import SimHasher
+
+    h = SimHasher("id")
+    a = h.signature("the quick brown fox jumps over the lazy dog " * 5)
+    b = h.signature("the quick brown fox jumps over the sleepy dog " * 5)
+    c = h.signature("completely different content about spark engines")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_knn_bruteforce_matches_numpy():
+    from json_schema_ray.engine.similarity import knn_bruteforce
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = _ray().data.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+    res = knn_bruteforce(ds, q, k=5, exclude_ids={0})
+
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    scores = mn @ qn
+    keep = ids != 0
+    order = sorted(zip(-scores[keep], ids[keep]))[:5]
+    expected = [int(i) for _, i in order]
+    assert res["vec_id"].to_pylist() == expected
+
+
+def test_knn_lsh_mostly_agrees_with_bruteforce():
+    from json_schema_ray.engine.similarity import knn_bruteforce, knn_lsh
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    q = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    ds = _ray().data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = set(knn_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+    approx = set(knn_lsh(_ray().data.read_parquet(
+        f"{SF}/embeddings.parquet"), q, k=10)["vec_id"].to_pylist())
+    # approximate: expect meaningful overlap, not exactness
+    assert len(exact & approx) >= 3
+
+
+def test_token_counts_and_quality():
+    from json_schema_ray.engine.text import quality_scores, token_counts
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["one two  three", ""], pa.string())})
+    ds = _ray().data.from_arrow(t)
+    rows = token_counts(ds).take_all()
+    assert [r["n_tokens"] for r in rows] == [3, 0]
+
+    rows = quality_scores(_ray().data.from_arrow(t)).take_all()
+    assert 0 <= rows[0]["quality_score"] <= 1
+
+
+def test_fingerprints_stable_and_discriminative():
+    from json_schema_ray.engine.text import fingerprint_batch
+
+    t = pa.table({"text": pa.array(
+        ["some repeated content here " * 4,
+         "some repeated content here " * 4,
+         "totally different words entirely " * 4], pa.string())})
+    fp = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_sessionize_counts():
+    from json_schema_ray.engine.window import sessionize_counts
+
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([base, base + 10_000_000,
+                        base + 10_000_000_000, base], pa.timestamp("us")),
+    })
+    ds = _ray().data.from_arrow(t)
+    rows = {r["user_id"]: r for r in
+            sessionize_counts(ds, gap_seconds=1800.0).take_all()}
+    assert rows[1]["n_sessions"] == 2  # 10000s gap > 1800s
+    assert rows[2]["n_sessions"] == 1
+
+
+def test_drift_profile_roundtrip_and_psi():
+    from json_schema_ray.engine.drift import ReferenceProfile, psi
+
+    assert psi({"a": 50, "b": 50}, {"a": 50, "b": 50}) < 1e-9
+    assert psi({"a": 90, "b": 10}, {"a": 10, "b": 90}) > 1.0
+
+    ds = _ray().data.read_parquet(f"{SF}/documents.parquet")
+    prof = ReferenceProfile.build(ds, categorical=["lang"],
+                                  numeric_or_text=["text"])
+    rt = ReferenceProfile.from_json(prof.to_json())
+    report = rt.compare(
+        _ray().data.read_parquet(f"{SF}/documents.parquet")).to_pylist()
+    by_metric = {r["metric"]: r["value"] for r in report}
+    assert by_metric["psi"] < 1e-6
+    assert by_metric["ks"] < 0.05
+
+
+def test_resumable_run_skips_done_fragments(tmp_path):
+    from json_schema_ray.engine.manifest import run_resumable_validation
+    from json_schema_ray.engine.validate import compile_plan_for
+    from json_schema_ray.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, VALIDATION_SCHEMA, write_transcripts)
+
+    data_dir = str(tmp_path / "in")
+    write_transcripts(data_dir, 3000, violation_rate=0.01, n_files=4)
+    files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+    out = str(tmp_path / "out")
+
+    first = run_resumable_validation(files[:2], out, plan)
+    assert first["fragments"] == 2 and first["skipped"] == 0
+    second = run_resumable_validation(files, out, plan)
+    assert second["fragments"] == 2 and second["skipped"] == 2
+    third = run_resumable_validation(files, out, plan)
+    assert third["fragments"] == 0 and third["skipped"] == 4
+    # one violations file per fragment, no duplicates on resume
+    assert len(os.listdir(os.path.join(out, "violations"))) == 4
+
+
+def test_multimodal_feature_stage():
+    from json_schema_ray.engine.multimodal import (
+        deterministic_fake_image_features, extract_features)
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([b"abc", None], pa.binary()),
+    })
+    ds = _ray().data.from_arrow(t)
+    rows = extract_features(
+        ds, decode_fn=deterministic_fake_image_features).take_all()
+    assert rows[0]["features"] is not None
+    assert len(rows[0]["features"]) == 16
+    assert rows[1]["features"] is None
+    # stub without decode_fn raises NotImplementedError per contract
+    from json_schema_ray.engine.multimodal import FeatureExtractor
+
+    fe = FeatureExtractor()
+    with pytest.raises(NotImplementedError):
+        fe(t)

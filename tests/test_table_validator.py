@@ -235,3 +235,25 @@ def test_ray_violations_dataset(tmp_path):
     assert counts["invalid_rows"] > 0
     assert counts["total_rows"] == ds.count()
     assert counts["valid_rows"] + counts["invalid_rows"] == counts["total_rows"]
+
+
+def test_full_validation_pass_matches_separate_stages(ray_session, tmp_path):
+    import ray
+
+    from json_schema_ray.engine.validate import (
+        compile_plan_for, full_validation_pass, verdict_counts)
+    from json_schema_ray.sources.transcripts import write_transcripts
+
+    path = str(tmp_path / "tr")
+    write_transcripts(path, 4000, violation_rate=0.01, n_files=4)
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+    summary = full_validation_pass(
+        ray.data.read_parquet(path), plan, presorted=True)
+    counts = verdict_counts(ray.data.read_parquet(path), plan)
+    assert summary["total_rows"] == counts["total_rows"]
+    assert summary["valid_rows"] == counts["valid_rows"]
+    assert summary["violation_rows"] >= summary["invalid_rows"]
+    stats = {r["column"]: r for r in summary["stats"].to_pylist()}
+    assert stats["conv_id"]["count"] == counts["total_rows"]
+    assert sum(summary["ordering_violation_counts"].values()) > 0
