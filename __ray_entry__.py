@@ -263,6 +263,41 @@ def q_dedup_docs_content_key(sf_dir: str):
     return _collect(groups, schema)
 
 
+
+
+EMBEDDINGS_SCHEMA = {
+    "type": ["object"],
+    "required": ["vec_id", "embedding"],
+    "properties": {
+        "vec_id": {"type": ["integer"], "minimum": 0},
+        "embedding": {
+            "type": ["array"], "minItems": 64, "maxItems": 64,
+            "items": {"type": ["number"], "minimum": -0.4, "maximum": 0.4},
+        },
+        "label": {"type": ["integer"], "minimum": 0},
+    },
+}
+
+
+def q_validate_embeddings(sf_dir: str):
+    """List-column validation: items element range checks lowered to
+    flatten/segment Arrow kernels. Returns per-vector element
+    violation counts (only vectors with any out-of-range element)."""
+    from json_schema_ray.engine.validate import compile_plan_for, violations_dataset
+
+    ds = _read(sf_dir, "embeddings")
+    arrow_schema = pq.read_schema(os.path.join(sf_dir, "embeddings.parquet"))
+    plan = compile_plan_for(EMBEDDINGS_SCHEMA, arrow_schema,
+                            key_columns=["vec_id"])
+    v = violations_dataset(ds, plan)
+    out = _collect(v, plan.violation_schema())
+    t = out.select(["vec_id"])
+    import pyarrow.compute as _pc
+
+    g = pa.TableGroupBy(t, ["vec_id"]).aggregate([([], "count_all")])
+    return g.rename_columns(["vec_id", "n_bad_elements"]).sort_by("vec_id")
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       filters=[("vec_id", "=", 0)])
@@ -530,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # schema validation engine
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
+        "validate_embeddings": q_validate_embeddings,
         # text / dedup / embedding operators
         "docs_token_counts": q_docs_token_counts,
         "dedup_docs_content_key": q_dedup_docs_content_key,
@@ -632,6 +668,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, '#/props/k' AS path, 'max_failed' AS error_type
             FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        "validate_embeddings": """
+            SELECT vec_id,
+                   len(list_filter(embedding,
+                       x -> x < -0.4 OR x > 0.4)) AS n_bad_elements
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x < -0.4 OR x > 0.4)) > 0
+            ORDER BY vec_id
         """,
         "docs_token_counts": """
             SELECT doc_id,

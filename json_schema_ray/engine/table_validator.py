@@ -97,16 +97,25 @@ class CompiledCheck:
     ``mask_fn(col) -> BooleanArray`` where True/null = pass/skip and
     False = violation. ``msg_fn(value) -> str`` renders the reference
     message for a failing cell (called only on failing rows).
+
+    ``rank`` is a (major, child, minor) triple reproducing the
+    reference's error ordering: combinator children report inline
+    before their summary (validator.rb:155-180), plain keywords sort
+    by the keyword-application order.
     """
 
     kind: str
     error_type: str
     mask_fn: Callable[[pa.ChunkedArray], pa.ChunkedArray]
     msg_fn: Callable[[Any], str]
-    rank: int = 0
+    rank: tuple = ()
+    # inline child checks (allOf): evaluated for messages only; the
+    # combinator's own mask already covers the verdict
+    inline_children: Optional[List["CompiledCheck"]] = None
 
     def __post_init__(self):
-        self.rank = RANK[self.kind]
+        if not self.rank:
+            self.rank = (RANK[self.kind], 0, 0)
 
 
 @dataclass
@@ -114,6 +123,16 @@ class ColumnPlan:
     column: str
     schema_pointer: str
     checks: List[CompiledCheck] = field(default_factory=list)
+    # list columns: per-element checks (items list form,
+    # validator.rb:290-297) applied to the flattened values and
+    # segment-reduced back to rows
+    element_checks: List[CompiledCheck] = field(default_factory=list)
+    element_pointer: str = ""
+    # items type excludes null -> null elements fail the type check
+    element_null_fails: bool = False
+    element_type_msg: Optional[Callable[[Any], str]] = None
+    # uniqueItems on a primitive list column (validator.rb:539-548)
+    unique_items: bool = False
     # non-null cells must be validated by the row interpreter
     # (residual keywords with no columnar lowering)
     fallback_schema: Optional[Schema] = None
@@ -175,10 +194,18 @@ def _find_parent(schema: Schema) -> Optional[str]:
     return v._find_parent(schema)
 
 
-def _uses_only_vectorizable(prop: Schema) -> bool:
-    if prop.all_of or prop.any_of or prop.one_of or prop.not_ is not None:
-        return False
-    if prop.items is not None or prop.unique_items:
+def _uses_only_vectorizable(prop: Schema, allow_list_keywords: bool = False) -> bool:
+    for sub in list(prop.all_of) + list(prop.any_of) + list(prop.one_of) \
+            + ([prop.not_] if prop.not_ is not None else []):
+        if not isinstance(sub, Schema) or not _uses_only_vectorizable(sub):
+            return False
+    if prop.all_of and configuration().all_of_sub_errors:
+        return False  # sub_errors mode needs the interpreter's nesting
+    if prop.items is not None:
+        if not (allow_list_keywords and isinstance(prop.items, Schema)
+                and _uses_only_vectorizable(prop.items)):
+            return False
+    if prop.unique_items and not allow_list_keywords:
         return False
     if prop.properties or prop.pattern_properties or prop.dependencies:
         return False
@@ -207,11 +234,28 @@ def compile_table_plan(
         col_type = table_arrow_schema.field(name).type
         cp = ColumnPlan(column=name, schema_pointer=prop.pointer)
         cp.null_ok = "null" in (prop.type or [])
+        is_list_col = (pa.types.is_list(col_type)
+                       or pa.types.is_large_list(col_type)
+                       or pa.types.is_fixed_size_list(col_type))
         if name in json_columns:
             cp.json_cell = True
             cp.fallback_schema = prop
-        elif _uses_only_vectorizable(prop):
+        elif _uses_only_vectorizable(prop, allow_list_keywords=is_list_col):
             cp.checks = _compile_property_checks(prop, col_type)
+            if is_list_col and isinstance(prop.items, Schema):
+                elem_type = col_type.value_type
+                cp.element_checks = _compile_property_checks(
+                    prop.items, elem_type)
+                cp.element_pointer = prop.items.pointer
+                etypes = prop.items.type or []
+                if etypes and "null" not in etypes:
+                    cp.element_null_fails = True
+                    parent = _find_parent(prop.items)
+                    cp.element_type_msg = (
+                        lambda v, _p=parent, _t=list(etypes):
+                        f"For '{_p}', {ruby_inspect(v)} is not {to_list(_t)}.")
+            if is_list_col and prop.unique_items:
+                cp.unique_items = True
         else:
             cp.fallback_schema = prop
         plans.append(cp)
@@ -239,11 +283,106 @@ def compile_table_plan(
     )
 
 
+def _subschema_mask_fn(sub: Schema, col_type: pa.DataType):
+    """Combined pass/fail mask of a whole subschema over a column
+    (nulls treated as pass — the outer combinator skips nulls)."""
+    sub_checks = _compile_property_checks(sub, col_type)
+
+    def mask(col, _checks=sub_checks):
+        out = None
+        for c in _checks:
+            m = pc.fill_null(c.mask_fn(col), True)
+            out = m if out is None else pc.and_(out, m)
+        if out is None:
+            return pc.if_else(pc.is_valid(col), True, True)
+        return out
+
+    return mask, sub_checks
+
+
+def _compile_combinators(prop: Schema, col_type: pa.DataType) -> List[CompiledCheck]:
+    """Lower allOf/anyOf/oneOf/not to Arrow mask combinations
+    (validator.rb:155-199, 431-468): allOf = AND (child errors emitted
+    inline before the summary, mirroring the non-sub_errors path),
+    anyOf = OR, oneOf = exactly-one, not = inversion with inner
+    errors discarded."""
+    checks: List[CompiledCheck] = []
+
+    if prop.all_of:
+        child_fns = [_subschema_mask_fn(s, col_type) for s in prop.all_of]
+        inline: List[CompiledCheck] = []
+        for i, (_, sub_checks) in enumerate(child_fns):
+            for c in sub_checks:
+                inline.append(CompiledCheck(
+                    c.kind, c.error_type, c.mask_fn, c.msg_fn,
+                    rank=(RANK["all_of"], i, c.rank[0])))
+
+        def all_of_mask(col, _fns=[f for f, _ in child_fns]):
+            out = None
+            for f in _fns:
+                m = f(col)
+                out = m if out is None else pc.and_(out, m)
+            return _skip_nulls(col, out)
+
+        checks.append(CompiledCheck(
+            "all_of", "all_of_failed", all_of_mask,
+            lambda v: 'Not all subschemas of "allOf" matched.',
+            rank=(RANK["all_of"], len(child_fns), 0),
+            inline_children=inline))
+
+    if prop.any_of:
+        child_fns = [_subschema_mask_fn(s, col_type)[0] for s in prop.any_of]
+
+        def any_of_mask(col, _fns=child_fns):
+            out = None
+            for f in _fns:
+                m = f(col)
+                out = m if out is None else pc.or_(out, m)
+            return _skip_nulls(col, out)
+
+        checks.append(CompiledCheck(
+            "any_of", "any_of_failed", any_of_mask,
+            lambda v: 'No subschema in "anyOf" matched.'))
+
+    if prop.one_of:
+        child_fns = [_subschema_mask_fn(s, col_type)[0] for s in prop.one_of]
+
+        def match_count(col, _fns=child_fns):
+            total = None
+            for f in _fns:
+                m = pc.cast(f(col), pa.int32())
+                total = m if total is None else pc.add(total, m)
+            return total
+
+        checks.append(CompiledCheck(
+            "one_of", "one_of_failed",
+            lambda col, _mc=match_count: _skip_nulls(
+                col, pc.greater_equal(_mc(col), 1)),
+            lambda v: 'No subschema in "oneOf" matched.'))
+        checks.append(CompiledCheck(
+            "one_of", "one_of_failed",
+            lambda col, _mc=match_count: _skip_nulls(
+                col, pc.less_equal(_mc(col), 1)),
+            lambda v: 'More than one subschema in "oneOf" matched.',
+            rank=(RANK["one_of"], 0, 1)))
+
+    if prop.not_ is not None:
+        not_fn = _subschema_mask_fn(prop.not_, col_type)[0]
+        checks.append(CompiledCheck(
+            "not", "not_failed",
+            lambda col, _f=not_fn: _skip_nulls(col, pc.invert(_f(col))),
+            lambda v: 'Matched "not" subschema.'))
+
+    return checks
+
+
 def _compile_property_checks(prop: Schema, col_type: pa.DataType) -> List[CompiledCheck]:
     checks: List[CompiledCheck] = []
     type_tags = _arrow_type_tags(col_type)
     is_stringish = "string" in type_tags
     is_numeric = "number" in type_tags
+
+    checks.extend(_compile_combinators(prop, col_type))
 
     # --- type (validator.rb:527-537); static per batch ---
     if prop.type:
@@ -496,6 +635,53 @@ def _python_value_mask(col, fn) -> pa.Array:
 
 
 # ---------------------------------------------------------------------------
+# list-column element kernels
+# ---------------------------------------------------------------------------
+
+def _flatten_with_parents(col):
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(arr)
+    parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    # position of each element within its list
+    pos = np.arange(len(parents)) - np.searchsorted(parents, parents)
+    return arr, flat, parents, pos
+
+
+def _element_failures(col, cp: ColumnPlan):
+    """Yields (check_or_None, fail_indices_into_flat) — None identifies
+    the null-element type failure."""
+    _, flat, parents, pos = _flatten_with_parents(col)
+    out = []
+    if cp.element_null_fails and flat.null_count:
+        null_idx = np.nonzero(pc.is_null(flat).to_numpy(zero_copy_only=False))[0]
+        out.append((None, null_idx))
+    for check in cp.element_checks:
+        inline = list(check.inline_children or []) + [check]
+        for c in inline:
+            mask = c.mask_fn(flat)
+            fail = pc.fill_null(pc.invert(mask), False)
+            if isinstance(fail, pa.ChunkedArray):
+                fail = fail.combine_chunks()
+            idxs = np.nonzero(fail.to_numpy(zero_copy_only=False))[0]
+            if len(idxs):
+                out.append((c, idxs))
+    return flat, parents, pos, out
+
+
+def _unique_fail_rows(col) -> np.ndarray:
+    """Row indices whose list contains duplicate elements (deep
+    equality is only needed for nested lists, which stay on the
+    fallback path; primitive elements compare by value)."""
+    import pandas as pd
+
+    arr, flat, parents, _ = _flatten_with_parents(col)
+    vals = flat.to_pandas()
+    df = pd.DataFrame({"p": parents, "v": vals})
+    dup = df.duplicated(keep="first")
+    return np.unique(parents[dup.to_numpy()])
+
+
+# ---------------------------------------------------------------------------
 # batch kernels
 # ---------------------------------------------------------------------------
 
@@ -527,6 +713,12 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
             # null = skip = pass
             m = pc.fill_null(mask, True).to_numpy(zero_copy_only=False)
             ok &= m
+        if cp.element_checks or cp.element_null_fails:
+            _, parents, _, failures = _element_failures(col, cp)
+            for _, idxs in failures:
+                ok[np.unique(parents[idxs])] = False
+        if cp.unique_items:
+            ok[_unique_fail_rows(col)] = False
     return ok
 
 
@@ -566,7 +758,12 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
         if cp.fallback_schema is not None:
             _fallback_violations(col, cp, prop_idx, path_prefix, rows)
             continue
+        all_checks: List[CompiledCheck] = []
         for check in cp.checks:
+            if check.inline_children:
+                all_checks.extend(check.inline_children)
+            all_checks.append(check)
+        for check in all_checks:
             mask = check.mask_fn(col)
             fail = pc.fill_null(pc.invert(mask), False)
             if isinstance(fail, pa.ChunkedArray):
@@ -584,6 +781,34 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
                     check.msg_fn(val), json.dumps(val, default=str),
                 ))
 
+        # list element checks (items list form, validator.rb:290-297)
+        if cp.element_checks or cp.element_null_fails:
+            flat, parents, pos, failures = _element_failures(col, cp)
+            for check, idxs in failures:
+                vals = flat.take(pa.array(idxs)).to_pylist()
+                for i, val in zip(idxs, vals):
+                    row_i, p = int(parents[i]), int(pos[i])
+                    if check is None:
+                        rows.append((
+                            row_i, prop_idx, (RANK["items"], p, RANK["type"]),
+                            f"{path_prefix}/{p}", cp.element_pointer,
+                            "invalid_type", cp.element_type_msg(val),
+                            json.dumps(val, default=str)))
+                    else:
+                        rows.append((
+                            row_i, prop_idx, (RANK["items"], p, check.rank[0]),
+                            f"{path_prefix}/{p}", cp.element_pointer,
+                            check.error_type, check.msg_fn(val),
+                            json.dumps(val, default=str)))
+        if cp.unique_items:
+            for row_i in _unique_fail_rows(col):
+                data = col[int(row_i)].as_py()
+                rows.append((
+                    int(row_i), prop_idx, (RANK["unique_items"], 0, 0),
+                    path_prefix, cp.schema_pointer, "unique_items_failed",
+                    "Duplicate items are not allowed.",
+                    json.dumps(data, default=str)))
+
     # required (validator.rb:507-518): null cell or missing column
     req_pointer = plan.schema.pointer
     n_props = len(plan.columns)
@@ -595,7 +820,7 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
             idxs = range(n)
         for i in idxs:
             rows.append((
-                int(i), n_props, RANK["required"], "#",
+                int(i), n_props, (RANK["required"], 0, 0), "#",
                 req_pointer, "required_failed",
                 f'"{name}" wasn\'t supplied.', json.dumps([name]),
             ))
@@ -611,7 +836,7 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
                        + " permitted key" + ("." if len(extra) == 1 else "s."))
             for i in range(n):
                 rows.append((
-                    int(i), -1, RANK["additional_properties"], "#",
+                    int(i), -1, (RANK["additional_properties"], 0, 0), "#",
                     req_pointer, "invalid_keys", message, "null",
                 ))
 
@@ -640,7 +865,7 @@ def _fallback_violations(col, cp: ColumnPlan, prop_idx: int,
                 val = json.loads(val)
             except (ValueError, TypeError):
                 rows.append((
-                    i, prop_idx, RANK["type"], path_prefix,
+                    i, prop_idx, (RANK["type"], 0, 0), path_prefix,
                     cp.schema_pointer, "invalid_json",
                     f"{ruby_to_s(raw)} is not parsable JSON.",
                     json.dumps(raw, default=str),
@@ -652,7 +877,7 @@ def _fallback_violations(col, cp: ColumnPlan, prop_idx: int,
                 sub = "/".join(str(p) for p in e.path[1:])
                 path = path_prefix + ("/" + sub if sub else "")
                 rows.append((
-                    i, prop_idx, RANK.get(_type_to_kind(e.type), 5), path,
+                    i, prop_idx, (RANK.get(_type_to_kind(e.type), 5), 0, 0), path,
                     e.schema.pointer if e.schema else cp.schema_pointer,
                     e.type, e.message, json.dumps(e.data, default=str),
                 ))

@@ -257,3 +257,81 @@ def test_full_validation_pass_matches_separate_stages(ray_session, tmp_path):
     stats = {r["column"]: r for r in summary["stats"].to_pylist()}
     assert stats["conv_id"]["count"] == counts["total_rows"]
     assert sum(summary["ordering_violation_counts"].values()) > 0
+
+
+def test_vectorized_combinators_match_interpreter():
+    """allOf/anyOf/oneOf/not lowered to Arrow masks (no fallback)."""
+    table = pa.table({
+        "contrived": pa.array(["ab", "foo", "zzz", "aaa", "", None,
+                               "abcdef", "x" * 40], pa.string()),
+        "n": pa.array([1, 5, 10, 15, 20, 3, None, 7], pa.int64()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "contrived": {
+                "allOf": [{"maxLength": 30}, {"minLength": 3}],
+                "anyOf": [{"minLength": 3}, {"minLength": 5}],
+                "oneOf": [{"pattern": "^(foo|aaa)$"},
+                          {"pattern": "^(foo|zzz)$"}],
+                "not": {"pattern": "^$"},
+            },
+            "n": {"oneOf": [{"minimum": 10}, {"multipleOf": 5}]},
+        },
+    }
+    plan = compile_plan_for(schema_json, table.schema)
+    assert all(cp.fallback_schema is None for cp in plan.columns)
+
+    got = [(r["path"], r["error_type"], r["message"])
+           for r in validate_batch(table, plan).to_pylist()]
+    schema = compile_schema(schema_json)
+    v = Validator(schema)
+    expected = []
+    oracle_verdicts = []
+    for row in table.to_pylist():
+        doc = row_as_document(row)
+        ok = v.validate(doc)
+        oracle_verdicts.append(ok)
+        if not ok:
+            expected.extend((e.pointer, e.type, e.message)
+                            for e in v.errors)
+    assert got == expected
+    assert list(verdict_mask(table, plan)) == oracle_verdicts
+
+
+def test_vectorized_list_items_match_interpreter():
+    """items (list form) + uniqueItems lowered to flatten/segment
+    kernels — no fallback."""
+    table = pa.table({
+        "vec": pa.array([[0.1, 0.2], [0.1, 5.0], [0.3, 0.3], None,
+                         [], [0.1, None]], pa.list_(pa.float64())),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "vec": {"type": ["array"], "minItems": 1, "maxItems": 3,
+                    "uniqueItems": True,
+                    "items": {"type": ["number"], "minimum": -1.0,
+                              "maximum": 1.0}},
+        },
+    }
+    plan = compile_plan_for(schema_json, table.schema)
+    cp = plan.columns[0]
+    assert cp.fallback_schema is None and cp.element_checks \
+        and cp.unique_items
+
+    got = [(r["path"], r["error_type"], r["message"])
+           for r in validate_batch(table, plan).to_pylist()]
+    schema = compile_schema(schema_json)
+    v = Validator(schema)
+    expected = []
+    verd = []
+    for row in table.to_pylist():
+        doc = row_as_document(row)
+        ok = v.validate(doc)
+        verd.append(ok)
+        if not ok:
+            expected.extend((e.pointer, e.type, e.message)
+                            for e in v.errors)
+    assert got == expected
+    assert list(verdict_mask(table, plan)) == verd
