@@ -243,6 +243,38 @@ def q_validate_events_props(sf_dir: str):
     return out.select(["event_id", "path", "error_type"])
 
 
+
+
+def q_validate_events_props_struct(sf_dir: str):
+    """Scale path for JSON cells: decode the JSON column to a struct
+    ONCE with a vectorized kernel, then validate through the
+    vectorized struct path (pc.struct_field) — no per-cell
+    interpreter. Same result as validate_events_props."""
+    from json_schema_ray.engine.table_validator import (
+        compile_table_plan, validate_batch)
+    from json_schema_ray.engine.text import json_decode_column
+    from json_schema_ray.engine.validate import compile_schema
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    schema = compile_schema(EVENTS_PROPS_SCHEMA)
+    decoded_type = pa.struct([("k", pa.int64())])
+    arrow_schema = pa.schema([("event_id", pa.int64()),
+                              ("props", decoded_type)])
+    plan = compile_table_plan(schema, arrow_schema,
+                              key_columns=["event_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        decoded = json_decode_column(batch, "props")
+        return validate_batch(decoded, plan)
+
+    import ray
+
+    out = _collect(ds.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   plan.violation_schema())
+    return out.select(["event_id", "path", "error_type"]).sort_by("event_id")
+
+
 def q_docs_token_counts(sf_dir: str):
     from json_schema_ray.engine.text import token_counts
 
@@ -296,6 +328,28 @@ def q_validate_embeddings(sf_dir: str):
 
     g = pa.TableGroupBy(t, ["vec_id"]).aggregate([([], "count_all")])
     return g.rename_columns(["vec_id", "n_bad_elements"]).sort_by("vec_id")
+
+
+
+
+def q_events_last_order(sf_dir: str):
+    """As-of backward join: each event attached to the user's most
+    recent order date at event time (engine/relational.py asof join;
+    the right side is broadcast, never shuffled)."""
+    from json_schema_ray.engine.relational import asof_join_backward
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_orderdate"])
+    joined = asof_join_backward(
+        events, orders, left_by="user_id", right_by="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_orderdate"])
+    t = _collect(joined)
+    return pa.table({
+        "event_id": t["event_id"],
+        "last_order_date": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+    }).sort_by("event_id")
 
 
 def _query_vector(sf_dir: str) -> np.ndarray:
@@ -566,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
         "validate_embeddings": q_validate_embeddings,
+        "validate_events_props_struct": q_validate_events_props_struct,
         # text / dedup / embedding operators
         "docs_token_counts": q_docs_token_counts,
         "dedup_docs_content_key": q_dedup_docs_content_key,
@@ -574,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_histogram": q_lang_histogram,
         "user_sessions": q_user_sessions,
         "daily_event_volume": q_daily_event_volume,
+        "events_last_order": q_events_last_order,
         # rows-only pipelines (no SQL equivalent)
         "transcript_validation": q_transcript_validation,
         "transcript_verdicts": q_transcript_verdicts,
@@ -669,6 +725,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         """,
+        "validate_events_props_struct": """
+            SELECT event_id, '#/props/k' AS path, 'max_failed' AS error_type
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+            ORDER BY event_id
+        """,
         "validate_embeddings": """
             SELECT vec_id,
                    len(list_filter(embedding,
@@ -716,6 +778,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
+        """,
+        "events_last_order": """
+            SELECT e.event_id, o.o_orderdate AS last_order_date
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "daily_event_volume": """
             SELECT CAST(floor(epoch_us(ts) / 86400000000)

@@ -117,6 +117,72 @@ def top_k(ds, columns: List[str], descending, k: int) -> pa.Table:
     return merged.take(idx)
 
 
+def asof_join_backward(ds, right_table: pa.Table, left_by: str,
+                       right_by: str, left_time: str, right_time: str,
+                       value_columns: List[str]):
+    """As-of (backward) join: for each left row, attach the right row
+    with the greatest ``right_time <= left_time`` within the same
+    ``by`` key. Ray Data has no native as-of join; this is the
+    broadcast realization for a dimension-sized right side: the right
+    table is grouped and time-sorted once on the driver, shipped via
+    ``ray.put``, and each batch resolves all its rows with one
+    ``searchsorted`` per (key-group x batch) — no shuffle of the big
+    side. (For two big sides, range-bucket both by time and co-group;
+    not needed for the testdata shapes.)
+    """
+    import ray
+
+    # driver-side index: by-key -> (sorted times, values per column)
+    idx: dict = {}
+    rt = right_table.sort_by([(right_by, "ascending"),
+                              (right_time, "ascending")])
+    by_np = rt[right_by].to_numpy(zero_copy_only=False)
+    t_np = pc.cast(rt[right_time], pa.int64()).to_numpy(zero_copy_only=False)
+    vals = {c: rt[c].to_pylist() for c in value_columns}
+    if len(by_np):
+        starts = np.concatenate(
+            [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx[by_np[s]] = (
+                t_np[s:e],
+                {c: vals[c][s:e] for c in value_columns},
+            )
+    handle = ray.put(idx)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        index = ray.get(handle)
+        lb = batch[left_by].to_numpy(zero_copy_only=False)
+        lt = pc.cast(batch[left_time], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = {c: [None] * batch.num_rows for c in value_columns}
+        order = np.argsort(lb, kind="stable")
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            key = lb[order[i]]
+            while j < n and lb[order[j]] == key:
+                j += 1
+            entry = index.get(key)
+            if entry is not None:
+                times, cols = entry
+                rows = order[i:j]
+                pos = np.searchsorted(times, lt[rows], side="right") - 1
+                for c in value_columns:
+                    src = cols[c]
+                    for r, p in zip(rows, pos):
+                        if p >= 0:
+                            out[c][r] = src[p]
+            i = j
+        result = batch
+        for c in value_columns:
+            result = result.append_column(c, pa.array(out[c]))
+        return result
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def exact_distinct_count(ds, column: str) -> int:
     """Exact COUNT(DISTINCT col): per-block distinct -> hash shuffle
     of distinct values only -> count groups."""

@@ -133,6 +133,11 @@ class ColumnPlan:
     element_type_msg: Optional[Callable[[Any], str]] = None
     # uniqueItems on a primitive list column (validator.rb:539-548)
     unique_items: bool = False
+    # struct columns: per-field checks on pc.struct_field(col, name)
+    # (validator.rb:496-518 over a nested object)
+    struct_field_checks: List[tuple] = field(default_factory=list)
+    struct_required: List[str] = field(default_factory=list)
+    struct_pointer: str = ""
     # non-null cells must be validated by the row interpreter
     # (residual keywords with no columnar lowering)
     fallback_schema: Optional[Schema] = None
@@ -194,6 +199,24 @@ def _find_parent(schema: Schema) -> Optional[str]:
     return v._find_parent(schema)
 
 
+def _struct_vectorizable(prop: Schema) -> bool:
+    """A struct-typed column can vectorize when its subschema is an
+    object check whose fields are themselves vectorizable: type /
+    properties / required only (other object keywords fall back)."""
+    if prop.all_of or prop.any_of or prop.one_of or prop.not_ is not None:
+        return False
+    if prop.enum is not None or prop.items is not None:
+        return False
+    if prop.pattern_properties or prop.dependencies:
+        return False
+    if prop.additional_properties is not True or prop.strict_properties:
+        return False
+    if prop.max_properties is not None or prop.min_properties is not None:
+        return False
+    return all(_uses_only_vectorizable(sub)
+               for sub in prop.properties.values())
+
+
 def _uses_only_vectorizable(prop: Schema, allow_list_keywords: bool = False) -> bool:
     for sub in list(prop.all_of) + list(prop.any_of) + list(prop.one_of) \
             + ([prop.not_] if prop.not_ is not None else []):
@@ -240,6 +263,18 @@ def compile_table_plan(
         if name in json_columns:
             cp.json_cell = True
             cp.fallback_schema = prop
+        elif pa.types.is_struct(col_type) and _struct_vectorizable(prop):
+            cp.checks = _compile_property_checks(prop, col_type)
+            struct_fields = {col_type.field(i).name: col_type.field(i).type
+                             for i in range(col_type.num_fields)}
+            for fi, (fname, sub) in enumerate(prop.properties.items()):
+                if fname in struct_fields:
+                    f_checks = _compile_property_checks(
+                        sub, struct_fields[fname])
+                    cp.struct_field_checks.append((fi, fname, f_checks,
+                                                   sub.pointer))
+            cp.struct_required = list(prop.required or [])
+            cp.struct_pointer = prop.pointer
         elif _uses_only_vectorizable(prop, allow_list_keywords=is_list_col):
             cp.checks = _compile_property_checks(prop, col_type)
             if is_list_col and isinstance(prop.items, Schema):
@@ -719,6 +754,28 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
                 ok[np.unique(parents[idxs])] = False
         if cp.unique_items:
             ok[_unique_fail_rows(col)] = False
+        if cp.struct_field_checks or cp.struct_required:
+            ok &= _struct_ok_mask(col, cp)
+    return ok
+
+
+def _struct_ok_mask(col, cp: ColumnPlan) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ok = np.ones(len(arr), dtype=bool)
+    available = {arr.type.field(i).name for i in range(arr.type.num_fields)}
+    for _, fname, checks, _ in cp.struct_field_checks:
+        fcol = pc.struct_field(arr, fname)
+        for check in checks:
+            ok &= pc.fill_null(check.mask_fn(fcol), True) \
+                .to_numpy(zero_copy_only=False)
+    parent_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    for fname in cp.struct_required:
+        if fname not in available:
+            ok &= ~parent_valid
+            continue
+        fcol = pc.struct_field(arr, fname)
+        miss = parent_valid & pc.is_null(fcol).to_numpy(zero_copy_only=False)
+        ok &= ~miss
     return ok
 
 
@@ -808,6 +865,48 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
                     path_prefix, cp.schema_pointer, "unique_items_failed",
                     "Duplicate items are not allowed.",
                     json.dumps(data, default=str)))
+
+        # struct fields (nested properties/required, validator.rb:496-518)
+        if cp.struct_field_checks or cp.struct_required:
+            arr = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            available = {arr.type.field(i).name
+                         for i in range(arr.type.num_fields)}
+            for fi, fname, checks, f_pointer in cp.struct_field_checks:
+                fcol = pc.struct_field(arr, fname)
+                flat_checks: List[CompiledCheck] = []
+                for check in checks:
+                    if check.inline_children:
+                        flat_checks.extend(check.inline_children)
+                    flat_checks.append(check)
+                for check in flat_checks:
+                    fail = pc.fill_null(pc.invert(check.mask_fn(fcol)), False)
+                    idxs = np.nonzero(
+                        fail.to_numpy(zero_copy_only=False))[0]
+                    if len(idxs) == 0:
+                        continue
+                    vals = fcol.take(pa.array(idxs)).to_pylist()
+                    for i, val in zip(idxs, vals):
+                        rows.append((
+                            int(i), prop_idx,
+                            (RANK["properties"], fi, check.rank[0]),
+                            f"{path_prefix}/{fname}", f_pointer,
+                            check.error_type, check.msg_fn(val),
+                            json.dumps(val, default=str)))
+            parent_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            for fname in cp.struct_required:
+                if fname in available:
+                    fcol = pc.struct_field(arr, fname)
+                    miss = parent_valid & pc.is_null(fcol) \
+                        .to_numpy(zero_copy_only=False)
+                else:
+                    miss = parent_valid
+                for i in np.nonzero(miss)[0]:
+                    rows.append((
+                        int(i), prop_idx, (RANK["required"], 0, 0),
+                        path_prefix, cp.struct_pointer, "required_failed",
+                        f'"{fname}" wasn\'t supplied.',
+                        json.dumps([fname])))
 
     # required (validator.rb:507-518): null cell or missing column
     req_pointer = plan.schema.pointer

@@ -20,6 +20,23 @@ TOKEN_REGEX = r"\S+"
 BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def json_decode_column(batch: pa.Table, column: str,
+                       out: Optional[str] = None) -> pa.Table:
+    """Vectorized JSON-string -> struct decode (polars kernel); the
+    decoded column can then take the vectorized struct validation
+    path instead of the per-cell interpreter fallback."""
+    import polars as pl
+
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    decoded = pl.from_arrow(col).str.json_decode().to_arrow()
+    name = out or column
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, decoded)
+
+
 def token_count_batch(batch: pa.Table, column: str = "text",
                       out: str = "n_tokens",
                       regex: str = TOKEN_REGEX) -> pa.Table:

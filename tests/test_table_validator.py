@@ -335,3 +335,46 @@ def test_vectorized_list_items_match_interpreter():
                             for e in v.errors)
     assert got == expected
     assert list(verdict_mask(table, plan)) == verd
+
+
+def test_vectorized_struct_fields_match_interpreter():
+    table = pa.table({
+        "props": pa.array(
+            [{"k": 5, "tag": "ok"}, {"k": 99, "tag": "x"},
+             {"k": None, "tag": "ok"}, None, {"k": 3, "tag": None}],
+            pa.struct([("k", pa.int64()), ("tag", pa.string())])),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "props": {
+                "type": ["object"],
+                "required": ["k"],
+                "properties": {
+                    "k": {"type": ["integer"], "maximum": 50},
+                    "tag": {"type": ["string"], "minLength": 2},
+                },
+            },
+        },
+    }
+    plan = compile_plan_for(schema_json, table.schema)
+    cp = plan.columns[0]
+    assert cp.fallback_schema is None and len(cp.struct_field_checks) == 2
+
+    got = [(r["path"], r["error_type"], r["message"])
+           for r in validate_batch(table, plan).to_pylist()]
+    schema = compile_schema(schema_json)
+    v = Validator(schema)
+    expected, verd = [], []
+    for row in table.to_pylist():
+        doc = row_as_document(row)
+        if "props" in doc:
+            doc["props"] = {k: x for k, x in doc["props"].items()
+                            if x is not None}
+        ok = v.validate(doc)
+        verd.append(ok)
+        if not ok:
+            expected.extend((e.pointer, e.type, e.message)
+                            for e in v.errors)
+    assert got == expected
+    assert list(verdict_mask(table, plan)) == verd
