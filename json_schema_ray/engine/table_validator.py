@@ -796,11 +796,17 @@ def _fallback_ok_mask(col: pa.ChunkedArray, cp: ColumnPlan) -> np.ndarray:
     return out
 
 
-def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
+def validate_batch(batch: pa.Table, plan: TablePlan,
+                   first_error_only: bool = False) -> pa.Table:
     """Full-error mode: returns the violation table for this batch.
 
     Violation rows are ordered (row, property-order, keyword rank) to
     reproduce the reference's error ordering within each document.
+    With ``first_error_only`` each failing row keeps just its first
+    error under that order — the deterministic per-row fail_fast
+    selection (reference validator.rb:24-29 + keyword order
+    :90-130), computed as an argmin over keyword rank instead of
+    short-circuiting, which is the columnar-friendly equivalent.
     """
     n = batch.num_rows
     # collected as (row_idx, prop_idx, rank, path, schema_pointer,
@@ -940,6 +946,14 @@ def validate_batch(batch: pa.Table, plan: TablePlan) -> pa.Table:
                 ))
 
     rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    if first_error_only:
+        seen = set()
+        firsts = []
+        for r in rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                firsts.append(r)
+        rows = firsts
     return _rows_to_table(rows, batch, plan)
 
 

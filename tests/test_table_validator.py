@@ -378,3 +378,26 @@ def test_vectorized_struct_fields_match_interpreter():
                             for e in v.errors)
     assert got == expected
     assert list(verdict_mask(table, plan)) == verd
+
+
+def test_first_error_only_matches_fail_fast_selection():
+    """first_error_only = the reference's deterministic fail_fast
+    first error per document (keyword-order argmin)."""
+    t = generate_transcripts(2000, violation_rate=0.03)
+    plan = compile_plan_for(VALIDATION_SCHEMA, t.schema,
+                            key_columns=["conv_id", "turn_idx"])
+    firsts = validate_batch(t, plan, first_error_only=True).to_pylist()
+
+    schema = compile_schema(VALIDATION_SCHEMA)
+    v = Validator(schema)
+    expected = []
+    for row in t.to_pylist():
+        doc = row_as_document(row)
+        if "ts" in doc and hasattr(doc["ts"], "strftime"):
+            doc["ts"] = doc["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        if not v.validate(doc, fail_fast=True):
+            e = v.errors[0]
+            expected.append((e.pointer, e.type, e.message))
+    got = [(r["path"], r["error_type"], r["message"]) for r in firsts]
+    assert got == expected
+    assert len(got) > 0
