@@ -345,11 +345,26 @@ def _compile_combinators(prop: Schema, col_type: pa.DataType) -> List[CompiledCh
 
     if prop.all_of:
         child_fns = [_subschema_mask_fn(s, col_type) for s in prop.all_of]
+        # Ruby's Array#all? short-circuits (validator.rb:171-173): per
+        # row, only the FIRST failing subschema reports inline errors.
+        # Each child's checks get gated on "all earlier children
+        # passed" for that row.
         inline: List[CompiledCheck] = []
         for i, (_, sub_checks) in enumerate(child_fns):
+            prefix = [f for f, _ in child_fns[:i]]
+
+            def gate(mask_fn, _prefix=prefix):
+                def gated(col):
+                    m = mask_fn(col)
+                    for f in _prefix:
+                        # earlier child failed -> this child never ran
+                        m = pc.or_kleene(m, pc.invert(f(col)))
+                    return m
+                return gated
+
             for c in sub_checks:
                 inline.append(CompiledCheck(
-                    c.kind, c.error_type, c.mask_fn, c.msg_fn,
+                    c.kind, c.error_type, gate(c.mask_fn), c.msg_fn,
                     rank=(RANK["all_of"], i, c.rank[0])))
 
         def all_of_mask(col, _fns=[f for f, _ in child_fns]):
@@ -500,7 +515,10 @@ def _compile_string_checks(prop: Schema, col_type: pa.DataType) -> List[Compiled
                     s, pattern="(?m)" + _ruby_src("date"))
                 parsed = pc.strptime(s, format="%Y-%m-%d", unit="s",
                                      error_is_null=True)
-                return pc.and_kleene(shape, pc.is_valid(parsed))
+                # is_valid is false (not null) for null inputs; keep
+                # null cells as skip
+                return _skip_nulls(s, pc.and_kleene(shape,
+                                                    pc.is_valid(parsed)))
         elif fmt in ("email", "hostname", "ipv4", "ipv6", "uuid"):
             pattern = _ruby_src(fmt)
             flags = "(?mi)" if fmt == "email" else "(?m)"
