@@ -160,6 +160,21 @@ def q_events_by_type(sf_dir: str):
     return _round_col(t, "total_value", 2)
 
 
+
+
+def q_events_by_type_salted(sf_dir: str):
+    """Same aggregate as events_by_type via the skew-resistant salted
+    two-stage shuffle (hot keys spread over 16 reducers first)."""
+    from json_schema_ray.engine.relational import salted_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    t = salted_aggregate(ds, ["event_type"],
+                         [("value", "sum"), (None, "count")])
+    t = t.select(["event_type", "value_sum", "rows_count"])
+    t = t.rename_columns(["event_type", "total_value", "cnt"])
+    return _round_col(t, "total_value", 2)
+
+
 def q_distinct_users(sf_dir: str):
     from json_schema_ray.engine.relational import exact_distinct_count
 
@@ -613,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_lineitem_keys": q_duplicate_lineitem_keys,
         "top10_orders": q_top10_orders,
         "events_by_type": q_events_by_type,
+        "events_by_type_salted": q_events_by_type_salted,
         "distinct_users": q_distinct_users,
         "stats_orders_totalprice": q_stats_orders_totalprice,
         "null_stats_documents": q_null_stats_documents,
@@ -683,6 +699,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "events_by_type": """
+            SELECT event_type, round(sum(value), 2) AS total_value,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "events_by_type_salted": """
             SELECT event_type, round(sum(value), 2) AS total_value,
                    count(*) AS cnt
             FROM events GROUP BY event_type

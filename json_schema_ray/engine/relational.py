@@ -117,6 +117,40 @@ def top_k(ds, columns: List[str], descending, k: int) -> pa.Table:
     return merged.take(idx)
 
 
+def salted_aggregate(ds, keys: List[str],
+                     aggs: Sequence[Tuple[str, str]],
+                     n_salts: int = 16) -> "pa.Table":
+    """Skew-resistant grouped aggregation: rows get a deterministic
+    salt derived from their block position, the first shuffle groups
+    on (keys..., salt) so one hot key spreads over ``n_salts``
+    reducers, and a second (tiny) aggregation folds the salts away.
+    Correct for the same decomposable aggregates as
+    :func:`grouped_aggregate`; use when a handful of keys dominate
+    the corpus (hot conversations, dominant event types)."""
+    import pyarrow as _pa
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int32) % n_salts
+        return batch.append_column("__salt", _pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    partial = grouped_aggregate(salted, keys + ["__salt"], aggs)
+    if partial is None:
+        return None
+    # fold the salt away driver-side: the partial is (n_keys x salts)
+    g = pa.TableGroupBy(partial.drop_columns(["__salt"]), keys)
+    spec = []
+    renames = {}
+    for col, fn in aggs:
+        src = f"{col or 'rows'}_{fn}"
+        refn = "sum" if fn in ("sum", "count") else fn
+        spec.append((src, refn))
+        renames[f"{src}_{refn}"] = src
+    out = g.aggregate(spec)
+    return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+
 def asof_join_backward(ds, right_table: pa.Table, left_by: str,
                        right_by: str, left_time: str, right_time: str,
                        value_columns: List[str]):

@@ -271,3 +271,20 @@ def test_multimodal_feature_stage():
     fe = FeatureExtractor()
     with pytest.raises(NotImplementedError):
         fe(t)
+
+
+def test_salted_aggregate_matches_plain():
+    from json_schema_ray.engine.relational import (
+        grouped_aggregate, salted_aggregate)
+
+    ds = _ray().data.read_parquet(f"{SF}/events.parquet")
+    plain = grouped_aggregate(ds, ["event_type"],
+                              [("value", "sum"), (None, "count")])
+    ds2 = _ray().data.read_parquet(f"{SF}/events.parquet")
+    salted = salted_aggregate(ds2, ["event_type"],
+                              [("value", "sum"), (None, "count")])
+    p = {r["event_type"]: (round(r["value_sum"], 6), r["rows_count"])
+         for r in plain.to_pylist()}
+    s = {r["event_type"]: (round(r["value_sum"], 6), r["rows_count"])
+         for r in salted.to_pylist()}
+    assert p == s

@@ -135,3 +135,27 @@ def test_random_list_schemas_match_interpreter(vals, min_items, max_items,
     exp_verdicts, exp_errors = _oracle(table, schema_json)
     assert vec_verdicts == exp_verdicts
     assert got_errors == exp_errors
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    f_schema=combinator_of(st.fixed_dictionaries({}, optional={
+        "minimum": st.floats(-5, 5, allow_nan=False),
+        "maximum": st.floats(-5, 10, allow_nan=False),
+        "exclusiveMinimum": st.booleans(),
+        "multipleOf": st.sampled_from([0.5, 0.01, 2]),
+        "type": st.sampled_from([["number"], ["integer"],
+                                 ["number", "null"]]),
+    })),
+    f_vals=st.lists(float_values, min_size=1, max_size=8),
+)
+def test_random_float_schemas_match_interpreter(f_schema, f_vals):
+    table = pa.table({"f": pa.array(f_vals, pa.float64())})
+    schema_json = {"type": ["object"], "properties": {"f": f_schema}}
+    plan = compile_plan_for(schema_json, table.schema)
+    vec_verdicts = list(verdict_mask(table, plan))
+    got_errors = [(r["path"], r["error_type"], r["message"])
+                  for r in validate_batch(table, plan).to_pylist()]
+    exp_verdicts, exp_errors = _oracle(table, schema_json)
+    assert vec_verdicts == exp_verdicts
+    assert got_errors == exp_errors
