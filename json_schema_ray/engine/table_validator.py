@@ -122,6 +122,9 @@ class CompiledCheck:
 class ColumnPlan:
     column: str
     schema_pointer: str
+    # sort group for violation ordering: (keyword-group rank, index)
+    # — properties plans are (18, i), patternProperties plans (17, j)
+    order: tuple = (18, 0)
     checks: List[CompiledCheck] = field(default_factory=list)
     # list columns: per-element checks (items list form,
     # validator.rb:290-297) applied to the flattened values and
@@ -156,6 +159,18 @@ class TablePlan:
     key_types: List[pa.DataType]
     # columns allowed by the schema; None = additionalProperties true
     allowed_columns: Optional[set] = None
+    # top-level patternProperties lowered to per-matching-column plans
+    pattern_plans: List[ColumnPlan] = field(default_factory=list)
+    # simple dependencies: (trigger column, [required columns])
+    # (validator.rb:201-214; Ruby truthiness: false doesn't trigger)
+    simple_dependencies: List[tuple] = field(default_factory=list)
+    min_properties: Optional[int] = None
+    max_properties: Optional[int] = None
+    strict_properties: bool = False
+    strict_allowed: Optional[set] = None
+    # residual top-level keywords (schema-form dependencies, enum,
+    # combinators on the row object, ...) -> whole-row interpreter
+    full_row_fallback: bool = False
 
     def violation_schema(self) -> pa.Schema:
         key_fields = list(zip(self.key_columns, self.key_types))
@@ -251,6 +266,7 @@ def compile_table_plan(
     key_columns = list(key_columns or [])
     plans: List[ColumnPlan] = []
 
+    prop_i = 0
     for name, prop in schema.properties.items():
         if name not in table_arrow_schema.names:
             continue
@@ -293,7 +309,28 @@ def compile_table_plan(
                 cp.unique_items = True
         else:
             cp.fallback_schema = prop
+        cp.order = (RANK["properties"], prop_i)
+        prop_i += 1
         plans.append(cp)
+
+    # top-level patternProperties: every matching COLUMN gets the
+    # subschema's checks (validator.rb:482-494 applies patterns to all
+    # data keys, including ones also in properties)
+    pattern_plans: List[ColumnPlan] = []
+    pp_i = 0
+    for rx, sub in schema.pattern_properties.items():
+        for name in table_arrow_schema.names:
+            if not rx.search(name):
+                continue
+            col_type = table_arrow_schema.field(name).type
+            pp = ColumnPlan(column=name, schema_pointer=sub.pointer,
+                            order=(RANK["pattern_properties"], pp_i))
+            pp_i += 1
+            if _uses_only_vectorizable(sub):
+                pp.checks = _compile_property_checks(sub, col_type)
+            else:
+                pp.fallback_schema = sub
+            pattern_plans.append(pp)
 
     allowed = None
     if schema.additional_properties is False:
@@ -302,6 +339,26 @@ def compile_table_plan(
             for f in table_arrow_schema.names:
                 if rx.search(f):
                     allowed.add(f)
+
+    simple_deps = []
+    full_row_fallback = False
+    for key, dep in schema.dependencies.items():
+        if isinstance(dep, list):
+            simple_deps.append((key, list(dep)))
+        else:
+            # schema-form dependency: whole-row semantics
+            full_row_fallback = True
+    if (schema.enum is not None or schema.all_of or schema.any_of
+            or schema.one_of or schema.not_ is not None):
+        full_row_fallback = True
+
+    strict_allowed = None
+    if schema.strict_properties:
+        strict_allowed = set(schema.properties.keys())
+        for rx in schema.pattern_properties.keys():
+            for f in table_arrow_schema.names:
+                if rx.search(f):
+                    strict_allowed.add(f)
 
     key_types = [
         table_arrow_schema.field(k).type if k in table_arrow_schema.names
@@ -315,6 +372,13 @@ def compile_table_plan(
         key_columns=key_columns,
         key_types=key_types,
         allowed_columns=allowed,
+        pattern_plans=pattern_plans,
+        simple_dependencies=simple_deps,
+        min_properties=schema.min_properties,
+        max_properties=schema.max_properties,
+        strict_properties=bool(schema.strict_properties),
+        strict_allowed=strict_allowed,
+        full_row_fallback=full_row_fallback,
     )
 
 
@@ -738,11 +802,41 @@ def _unique_fail_rows(col) -> np.ndarray:
 # batch kernels
 # ---------------------------------------------------------------------------
 
+def _batch_documents(batch: pa.Table) -> list:
+    """Rows as JSON documents under engine semantics: null cells are
+    absent keys, timestamps render as RFC3339 strings."""
+    ts_cols = [f.name for f in batch.schema
+               if pa.types.is_timestamp(f.type)]
+    docs = []
+    for row in batch.to_pylist():
+        doc = {k: v for k, v in row.items() if v is not None}
+        for c in ts_cols:
+            if c in doc and hasattr(doc[c], "strftime"):
+                doc[c] = doc[c].strftime("%Y-%m-%dT%H:%M:%SZ")
+        docs.append(doc)
+    return docs
+
+
+def _present_counts(batch: pa.Table) -> np.ndarray:
+    n = batch.num_rows
+    counts = np.zeros(n, dtype=np.int64)
+    for name in batch.column_names:
+        counts += pc.is_valid(batch[name]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+    return counts
+
+
 def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
     """Boolean per-row verdict (the fail_fast analogue: no message
     materialization, just masks AND-ed together)."""
     n = batch.num_rows
     ok = np.ones(n, dtype=bool)
+
+    if plan.full_row_fallback:
+        v = Validator(plan.schema)
+        for i, doc in enumerate(_batch_documents(batch)):
+            ok[i] = v.validate(doc, fail_fast=True)
+        return ok
 
     for name in plan.required:
         if name in batch.column_names:
@@ -754,7 +848,41 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
         if any(c not in plan.allowed_columns for c in batch.column_names):
             ok[:] = False
 
-    for cp in plan.columns:
+    for trigger, req_cols in plan.simple_dependencies:
+        if trigger not in batch.column_names:
+            continue
+        tcol = batch[trigger]
+        triggered = pc.is_valid(tcol).to_numpy(zero_copy_only=False)
+        if pa.types.is_boolean(tcol.type):
+            # Ruby truthiness: false doesn't trigger the dependency
+            triggered &= pc.fill_null(tcol, False) \
+                .to_numpy(zero_copy_only=False)
+        for rc in req_cols:
+            present = (pc.is_valid(batch[rc])
+                       .to_numpy(zero_copy_only=False)
+                       if rc in batch.column_names
+                       else np.zeros(n, dtype=bool))
+            ok &= ~(triggered & ~present)
+
+    if plan.min_properties is not None or plan.max_properties is not None \
+            or plan.strict_properties:
+        counts = _present_counts(batch)
+        if plan.max_properties is not None:
+            ok &= counts <= plan.max_properties
+        if plan.min_properties is not None:
+            ok &= counts >= plan.min_properties
+        if plan.strict_properties:
+            if any(c not in plan.strict_allowed
+                   for c in batch.column_names):
+                ok[:] = False
+            for name in plan.schema.properties.keys():
+                if name in batch.column_names:
+                    ok &= pc.is_valid(batch[name]) \
+                        .to_numpy(zero_copy_only=False)
+                else:
+                    ok[:] = False
+
+    for cp in list(plan.columns) + list(plan.pattern_plans):
         if cp.column not in batch.column_names:
             continue
         col = batch[cp.column]
@@ -827,11 +955,32 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
     short-circuiting, which is the columnar-friendly equivalent.
     """
     n = batch.num_rows
-    # collected as (row_idx, prop_idx, rank, path, schema_pointer,
+    # collected as (row_idx, group_order, rank, path, schema_pointer,
     #               error_type, message, data_json)
     rows: list = []
 
-    for prop_idx, cp in enumerate(plan.columns):
+    if plan.full_row_fallback:
+        v = Validator(plan.schema)
+        for i, doc in enumerate(_batch_documents(batch)):
+            if not v.validate(doc):
+                for e in v.errors:
+                    sub = "/".join(str(p) for p in e.path[1:])
+                    rows.append((
+                        i, (0, 0), (0, 0, 0),
+                        "#" + ("/" + sub if sub else ""),
+                        e.schema.pointer if e.schema else "#",
+                        e.type, e.message, json.dumps(e.data, default=str)))
+        if first_error_only:
+            seen, firsts = set(), []
+            for r in rows:
+                if r[0] not in seen:
+                    seen.add(r[0])
+                    firsts.append(r)
+            rows = firsts
+        return _rows_to_table(rows, batch, plan)
+
+    for cp in list(plan.columns) + list(plan.pattern_plans):
+        prop_idx = cp.order
         if cp.column not in batch.column_names:
             continue
         col = batch[cp.column]
@@ -918,35 +1067,138 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                             check.error_type, check.msg_fn(val),
                             json.dumps(val, default=str)))
             parent_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-            for fname in cp.struct_required:
-                if fname in available:
-                    fcol = pc.struct_field(arr, fname)
-                    miss = parent_valid & pc.is_null(fcol) \
-                        .to_numpy(zero_copy_only=False)
-                else:
-                    miss = parent_valid
-                for i in np.nonzero(miss)[0]:
+            if cp.struct_required:
+                miss_per = {}
+                for fname in cp.struct_required:
+                    if fname in available:
+                        fcol = pc.struct_field(arr, fname)
+                        miss_per[fname] = parent_valid & pc.is_null(fcol) \
+                            .to_numpy(zero_copy_only=False)
+                    else:
+                        miss_per[fname] = parent_valid.copy()
+                any_miss = np.zeros(len(arr), dtype=bool)
+                for m in miss_per.values():
+                    any_miss |= m
+                for i in np.nonzero(any_miss)[0]:
+                    missing = [k for k in cp.struct_required
+                               if miss_per[k][i]]
                     rows.append((
                         int(i), prop_idx, (RANK["required"], 0, 0),
                         path_prefix, cp.struct_pointer, "required_failed",
-                        f'"{fname}" wasn\'t supplied.',
-                        json.dumps([fname])))
+                        _required_message(missing),
+                        json.dumps(missing)))
 
-    # required (validator.rb:507-518): null cell or missing column
     req_pointer = plan.schema.pointer
-    n_props = len(plan.columns)
-    for name in plan.required:
-        if name in batch.column_names:
-            miss = pc.is_null(batch[name]).to_numpy(zero_copy_only=False)
-            idxs = np.nonzero(miss)[0]
-        else:
-            idxs = range(n)
-        for i in idxs:
+
+    # simple dependencies (validator.rb:201-214)
+    for di, (trigger, req_cols) in enumerate(plan.simple_dependencies):
+        if trigger not in batch.column_names:
+            continue
+        tcol = batch[trigger]
+        triggered = pc.is_valid(tcol).to_numpy(zero_copy_only=False)
+        if pa.types.is_boolean(tcol.type):
+            triggered = triggered & pc.fill_null(tcol, False) \
+                .to_numpy(zero_copy_only=False)
+        miss_cols = {}
+        for rc in req_cols:
+            present = (pc.is_valid(batch[rc])
+                       .to_numpy(zero_copy_only=False)
+                       if rc in batch.column_names
+                       else np.zeros(n, dtype=bool))
+            miss_cols[rc] = triggered & ~present
+        any_miss = np.zeros(n, dtype=bool)
+        for m in miss_cols.values():
+            any_miss |= m
+        for i in np.nonzero(any_miss)[0]:
+            missing = [rc for rc in req_cols if miss_cols[rc][i]]
             rows.append((
-                int(i), n_props, (RANK["required"], 0, 0), "#",
+                int(i), (RANK["dependencies"], di),
+                (RANK["dependencies"], 0, 0), "#",
                 req_pointer, "required_failed",
-                f'"{name}" wasn\'t supplied.', json.dumps([name]),
+                _required_message(missing), json.dumps(missing)))
+
+    # min/maxProperties over present (non-null) keys
+    if plan.min_properties is not None or plan.max_properties is not None:
+        counts = _present_counts(batch)
+        if plan.max_properties is not None:
+            mx = plan.max_properties
+            for i in np.nonzero(counts > mx)[0]:
+                c = int(counts[i])
+                msg = (f"No more than {mx} propert"
+                       + ("y is" if mx == 1 else "ies are")
+                       + f" allowed; {c} " + ("was" if c == 1 else "were")
+                       + " supplied.")
+                rows.append((int(i), (RANK["max_properties"], 0),
+                             (RANK["max_properties"], 0, 0), "#",
+                             req_pointer, "max_properties_failed", msg,
+                             "null"))
+        if plan.min_properties is not None:
+            mn = plan.min_properties
+            for i in np.nonzero(counts < mn)[0]:
+                c = int(counts[i])
+                msg = (f"At least {mn} propert"
+                       + ("y is" if mn == 1 else "ies are")
+                       + f" required; {c} " + ("was" if c == 1 else "were")
+                       + " supplied.")
+                rows.append((int(i), (RANK["min_properties"], 0),
+                             (RANK["min_properties"], 0, 0), "#",
+                             req_pointer, "min_properties_failed", msg,
+                             "null"))
+
+    # required (validator.rb:507-518): null cell or missing column;
+    # ONE error per row listing every missing key (sorted in the
+    # message, required-order in the data payload)
+    if plan.required:
+        miss_per = {}
+        for name in plan.required:
+            if name in batch.column_names:
+                miss_per[name] = pc.is_null(batch[name]) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                miss_per[name] = np.ones(n, dtype=bool)
+        any_miss = np.zeros(n, dtype=bool)
+        for m in miss_per.values():
+            any_miss |= m
+        for i in np.nonzero(any_miss)[0]:
+            missing = [k for k in plan.required if miss_per[k][i]]
+            rows.append((
+                int(i), (RANK["required"], 0), (RANK["required"], 0, 0), "#",
+                req_pointer, "required_failed",
+                _required_message(missing), json.dumps(missing),
             ))
+
+    # strictProperties (validator.rb:520-525): extra keys + required
+    # over all declared properties
+    if plan.strict_properties:
+        extra = sorted(c for c in batch.column_names
+                       if c not in plan.strict_allowed)
+        if extra:
+            joined = '", "'.join(extra)
+            message = (f'"{joined}" '
+                       + ("is not a" if len(extra) == 1 else "are not")
+                       + " permitted key" + ("." if len(extra) == 1 else "s."))
+            for i in range(n):
+                rows.append((int(i), (RANK["strict_properties"], 0),
+                             (RANK["strict_properties"], 0, 0), "#",
+                             req_pointer, "invalid_keys", message, "null"))
+        prop_keys = list(plan.schema.properties.keys())
+        miss_per = {}
+        for name in prop_keys:
+            if name in batch.column_names:
+                miss_per[name] = pc.is_null(batch[name]) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                miss_per[name] = np.ones(n, dtype=bool)
+        any_miss = np.zeros(n, dtype=bool)
+        for m in miss_per.values():
+            any_miss |= m
+        for i in np.nonzero(any_miss)[0]:
+            missing = [k for k in prop_keys if miss_per[k][i]]
+            rows.append((
+                int(i), (RANK["strict_properties"], 1),
+                (RANK["strict_properties"], 0, 0), "#",
+                req_pointer, "required_failed",
+                _required_message(missing), json.dumps(missing)))
 
     # additionalProperties false -> extra columns (validator.rb:242-255)
     if plan.allowed_columns is not None:
@@ -959,7 +1211,8 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                        + " permitted key" + ("." if len(extra) == 1 else "s."))
             for i in range(n):
                 rows.append((
-                    int(i), -1, (RANK["additional_properties"], 0, 0), "#",
+                    int(i), (RANK["additional_properties"], 0),
+                    (RANK["additional_properties"], 0, 0), "#",
                     req_pointer, "invalid_keys", message, "null",
                 ))
 
@@ -973,6 +1226,13 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                 firsts.append(r)
         rows = firsts
     return _rows_to_table(rows, batch, plan)
+
+
+def _required_message(missing: list) -> str:
+    joined = '", "'.join(sorted(missing))
+    return (f'"{joined}" '
+            + ("wasn't" if len(missing) == 1 else "weren't")
+            + " supplied.")
 
 
 def _ts_to_str(val: Any) -> Any:

@@ -401,3 +401,72 @@ def test_first_error_only_matches_fail_fast_selection():
     got = [(r["path"], r["error_type"], r["message"]) for r in firsts]
     assert got == expected
     assert len(got) > 0
+
+
+def _diff_against_interpreter(table, schema_json):
+    plan = compile_plan_for(schema_json, table.schema)
+    got = [(r["path"], r["error_type"], r["message"])
+           for r in validate_batch(table, plan).to_pylist()]
+    schema = compile_schema(schema_json)
+    v = Validator(schema)
+    expected, verd = [], []
+    for row in table.to_pylist():
+        doc = row_as_document(row)
+        ok = v.validate(doc)
+        verd.append(ok)
+        if not ok:
+            expected.extend((e.pointer, e.type, e.message)
+                            for e in v.errors)
+    assert got == expected, (got, expected)
+    assert list(verdict_mask(table, plan)) == verd
+    return plan
+
+
+def test_top_level_object_keywords_match_interpreter():
+    table = pa.table({
+        "a": pa.array(["x", None, "y", None], pa.string()),
+        "b": pa.array([1, 2, None, None], pa.int64()),
+        "S_extra": pa.array(["ok", "no", None, "yes"], pa.string()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "required": ["a", "b"],
+        "minProperties": 2,
+        "maxProperties": 2,
+        "dependencies": {"a": ["b"], "b": "a"},
+        "patternProperties": {"^S_": {"type": ["string"], "minLength": 3}},
+        "properties": {"a": {"type": ["string"]},
+                       "b": {"type": ["integer"]}},
+    }
+    plan = _diff_against_interpreter(table, schema_json)
+    assert not plan.full_row_fallback
+    assert plan.pattern_plans and plan.simple_dependencies
+
+
+def test_strict_properties_table_level():
+    table = pa.table({
+        "a": pa.array(["x", None], pa.string()),
+        "zz": pa.array([1, 2], pa.int64()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "strictProperties": True,
+        "properties": {"a": {"type": ["string"]},
+                       "c": {"type": ["integer"]}},
+    }
+    _diff_against_interpreter(table, schema_json)
+
+
+def test_schema_dependency_falls_back_to_full_row():
+    table = pa.table({
+        "ssl": pa.array([True, None, True], pa.bool_()),
+        "cost": pa.array([10.0, 5.0, 30.0], pa.float64()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "dependencies": {
+            "ssl": {"properties": {"cost": {"minimum": 20.0}}},
+        },
+    }
+    plan = _diff_against_interpreter(table, schema_json)
+    assert plan.full_row_fallback
