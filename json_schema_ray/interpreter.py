@@ -9,7 +9,12 @@ vectorized Arrow path (engine/) is differential-tested against this.
 
 from __future__ import annotations
 
+import sys
 from typing import Any, List, Optional
+
+# each schema/data recursion level spans several python frames; make
+# room for _MAX_DEPTH levels before the depth guard trips
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 4000))
 
 from .config import configuration
 from .errors import (
@@ -74,11 +79,18 @@ class Validator:
     def validate(self, data: Any, fail_fast: bool = False) -> bool:
         self.errors = []
         self._fail_fast = fail_fast
+        self._depth = 0
         try:
             self._validate_data(self._schema, data, self.errors, ["#"])
         except FailFast:
             pass
         return len(self.errors) == 0
+
+    # cyclic expanded schemas recursing over the same data would blow
+    # the stack (the reference's loop detection is disabled,
+    # validator.rb:41-57, and Ruby SystemStackErrors there); cap the
+    # depth and emit the reference's own loop message instead.
+    _MAX_DEPTH = 256
 
     def validate_bang(self, data: Any, fail_fast: bool = False) -> None:
         if not self.validate(data, fail_fast=fail_fast):
@@ -91,6 +103,18 @@ class Validator:
         return valid_old and valid_new
 
     def _validate_data(self, schema: Schema, data: Any, errors: list, path: list) -> bool:
+        self._depth += 1
+        try:
+            if self._depth > self._MAX_DEPTH:
+                errors.append(ValidationError(
+                    schema, path, "Validation loop detected.",
+                    "loop_detected"))
+                return False
+            return self._validate_data_inner(schema, data, errors, path)
+        finally:
+            self._depth -= 1
+
+    def _validate_data_inner(self, schema: Schema, data: Any, errors: list, path: list) -> bool:
         valid = True
         # keyword order is part of the contract (validator.rb:82-133)
         valid = self._and(valid, self._validate_all_of(schema, data, errors, path))

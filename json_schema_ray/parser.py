@@ -302,12 +302,19 @@ class Parser:
                 for k, s in schema.pattern_properties.items()
             }
 
-    def _parse_regex(self, schema: Schema, regex: str) -> RubyRegexp:
+    def _parse_regex(self, schema: Schema, regex: str):
         if configuration().validate_regex_with == "ecma-re-validator":
             if not _ecma_valid(regex):
                 message = f"{ruby_inspect(regex)} is not an ECMA-262 regular expression."
                 self.errors.append(SchemaError(schema, message, "regex_failed"))
-        return RubyRegexp(regex)
+        try:
+            return RubyRegexp(regex)
+        except re.error:
+            # the reference lets Regexp.new raise out of the parser;
+            # surfacing a schema error is the engine's graceful superset
+            message = f"{ruby_inspect(regex)} is not a valid regular expression."
+            self.errors.append(SchemaError(schema, message, "regex_failed"))
+            return None
 
     def _parse_properties(self, schema: Schema) -> None:
         if schema.properties and isinstance(schema.properties, dict):

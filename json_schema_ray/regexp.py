@@ -16,6 +16,9 @@ _RUBY_TRANSLATIONS = [
     (re.compile(r"(?<!\\)\\z"), r"\\Z"),
     (re.compile(r"(?<!\\)\\h"), "[0-9a-fA-F]"),
     (re.compile(r"(?<!\\)\\H"), "[^0-9a-fA-F]"),
+    # Ruby/ECMA named groups (?<name>...) -> Python (?P<name>...)
+    (re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>"), r"(?P<\1>"),
+    (re.compile(r"\(\?'([A-Za-z_][A-Za-z0-9_]*)'"), r"(?P<\1>"),
 ]
 
 
