@@ -74,8 +74,11 @@ def _skip_nulls(col, mask) -> Any:
 
 
 def _re2_supported(pattern: str) -> bool:
+    # probe with a real element: RE2 compiles lazily, so an empty
+    # array would accept patterns it can't actually handle
     try:
-        pc.match_substring_regex(pa.array([], type=pa.string()), pattern=pattern)
+        pc.match_substring_regex(pa.array(["x"], type=pa.string()),
+                                 pattern=pattern)
         return True
     except pa.ArrowException:
         return False

@@ -470,3 +470,13 @@ def test_schema_dependency_falls_back_to_full_row():
     }
     plan = _diff_against_interpreter(table, schema_json)
     assert plan.full_row_fallback
+
+
+def test_non_re2_patterns_fall_back_to_python_regex():
+    t = pa.table({"name": pa.array(["ababc", "zzz", None], pa.string())})
+    for pattern, expect in [("(?<word>ab)+c$", [True, False, True]),
+                            ("(?<=a)b", [True, False, True])]:
+        plan = compile_plan_for(
+            {"type": ["object"],
+             "properties": {"name": {"pattern": pattern}}}, t.schema)
+        assert list(verdict_mask(t, plan)) == expect
