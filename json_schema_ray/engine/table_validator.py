@@ -180,13 +180,9 @@ class TablePlan:
         return pa.schema(key_fields + VIOLATION_SCHEMA_FIELDS)
 
 
-# keywords we can lower to Arrow compute per column; anything else on
-# a property subschema routes that column to the interpreter fallback
-_VECTORIZABLE = {
-    "type", "enum", "pattern", "min_length", "max_length", "format",
-    "min", "max", "min_exclusive", "max_exclusive", "multiple_of",
-    "min_items", "max_items",
-}
+# NOTE: the routing decision between vectorized lowering and the row
+# interpreter is made by _uses_only_vectorizable/_struct_vectorizable
+# below (the single source of truth).
 
 _ARROW_TYPE_TAGS = {}
 
@@ -279,6 +275,12 @@ def compile_table_plan(
         is_list_col = (pa.types.is_list(col_type)
                        or pa.types.is_large_list(col_type)
                        or pa.types.is_fixed_size_list(col_type))
+        # uniqueItems over nested (struct/list/map) elements needs the
+        # interpreter's deep equality — pandas `duplicated` raises on
+        # unhashable dict/ndarray elements, so never vectorize it
+        nested_unique = (
+            is_list_col and prop.unique_items
+            and pa.types.is_nested(col_type.value_type))
         if name in json_columns:
             cp.json_cell = True
             cp.fallback_schema = prop
@@ -294,7 +296,9 @@ def compile_table_plan(
                                                    sub.pointer))
             cp.struct_required = list(prop.required or [])
             cp.struct_pointer = prop.pointer
-        elif _uses_only_vectorizable(prop, allow_list_keywords=is_list_col):
+        elif (not nested_unique
+              and _uses_only_vectorizable(prop,
+                                          allow_list_keywords=is_list_col)):
             cp.checks = _compile_property_checks(prop, col_type)
             if is_list_col and isinstance(prop.items, Schema):
                 elem_type = col_type.value_type
@@ -848,8 +852,11 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
             ok[:] = False
 
     if plan.allowed_columns is not None:
-        if any(c not in plan.allowed_columns for c in batch.column_names):
-            ok[:] = False
+        # a NULL cell is an absent key: a row only fails when at least
+        # one non-allowed column's cell is actually present (non-null)
+        for c in batch.column_names:
+            if c not in plan.allowed_columns:
+                ok &= pc.is_null(batch[c]).to_numpy(zero_copy_only=False)
 
     for trigger, req_cols in plan.simple_dependencies:
         if trigger not in batch.column_names:
@@ -875,9 +882,11 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
         if plan.min_properties is not None:
             ok &= counts >= plan.min_properties
         if plan.strict_properties:
-            if any(c not in plan.strict_allowed
-                   for c in batch.column_names):
-                ok[:] = False
+            # per-row extra-key mask (null cell = absent key)
+            for c in batch.column_names:
+                if c not in plan.strict_allowed:
+                    ok &= pc.is_null(batch[c]) \
+                        .to_numpy(zero_copy_only=False)
             for name in plan.schema.properties.keys():
                 if name in batch.column_names:
                     ok &= pc.is_valid(batch[name]) \
@@ -1173,17 +1182,8 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
     # strictProperties (validator.rb:520-525): extra keys + required
     # over all declared properties
     if plan.strict_properties:
-        extra = sorted(c for c in batch.column_names
-                       if c not in plan.strict_allowed)
-        if extra:
-            joined = '", "'.join(extra)
-            message = (f'"{joined}" '
-                       + ("is not a" if len(extra) == 1 else "are not")
-                       + " permitted key" + ("." if len(extra) == 1 else "s."))
-            for i in range(n):
-                rows.append((int(i), (RANK["strict_properties"], 0),
-                             (RANK["strict_properties"], 0, 0), "#",
-                             req_pointer, "invalid_keys", message, "null"))
+        _extra_key_rows(batch, plan.strict_allowed, req_pointer,
+                        (RANK["strict_properties"], 0), rows)
         prop_keys = list(plan.schema.properties.keys())
         miss_per = {}
         for name in prop_keys:
@@ -1205,19 +1205,8 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
 
     # additionalProperties false -> extra columns (validator.rb:242-255)
     if plan.allowed_columns is not None:
-        extra = sorted(c for c in batch.column_names
-                       if c not in plan.allowed_columns)
-        if extra:
-            joined = '", "'.join(extra)
-            message = (f'"{joined}" '
-                       + ("is not a" if len(extra) == 1 else "are not")
-                       + " permitted key" + ("." if len(extra) == 1 else "s."))
-            for i in range(n):
-                rows.append((
-                    int(i), (RANK["additional_properties"], 0),
-                    (RANK["additional_properties"], 0, 0), "#",
-                    req_pointer, "invalid_keys", message, "null",
-                ))
+        _extra_key_rows(batch, plan.allowed_columns, req_pointer,
+                        (RANK["additional_properties"], 0), rows)
 
     rows.sort(key=lambda r: (r[0], r[1], r[2]))
     if first_error_only:
@@ -1229,6 +1218,31 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                 firsts.append(r)
         rows = firsts
     return _rows_to_table(rows, batch, plan)
+
+
+def _extra_key_rows(batch: pa.Table, allowed: set, req_pointer: str,
+                    group_order: tuple, rows: list) -> None:
+    """invalid_keys violation rows for extra columns — per row: a NULL
+    cell is an absent key, so only rows where at least one non-allowed
+    column is non-null fail, and each row's message lists exactly ITS
+    present extra keys (matching the row-interpreter oracle over
+    _batch_documents)."""
+    extra_cols = sorted(c for c in batch.column_names if c not in allowed)
+    if not extra_cols:
+        return
+    present = {c: pc.is_valid(batch[c]).to_numpy(zero_copy_only=False)
+               for c in extra_cols}
+    any_extra = np.zeros(batch.num_rows, dtype=bool)
+    for m in present.values():
+        any_extra |= m
+    for i in np.nonzero(any_extra)[0]:
+        extra = [c for c in extra_cols if present[c][i]]
+        joined = '", "'.join(extra)
+        message = (f'"{joined}" '
+                   + ("is not a" if len(extra) == 1 else "are not")
+                   + " permitted key" + ("." if len(extra) == 1 else "s."))
+        rows.append((int(i), group_order, (group_order[0], 0, 0), "#",
+                     req_pointer, "invalid_keys", message, "null"))
 
 
 def _required_message(missing: list) -> str:

@@ -53,8 +53,17 @@ def tumbling_window_counts(ds, ts: str = "ts", value: str = "value",
 
     def assign(batch: pa.Table) -> pa.Table:
         tsv = pc.cast(batch[ts], pa.int64())
-        win = pc.multiply(pc.divide(tsv, win_us), win_us)
-        return batch.append_column("window_start_us", win)
+        if isinstance(tsv, pa.ChunkedArray):
+            tsv = tsv.combine_chunks()
+        # FLOOR division (numpy // truncates toward -inf), matching
+        # SQL floor(): pre-1970 (negative) timestamps land in the
+        # window that CONTAINS them, not the one above
+        null_mask = pc.is_null(tsv).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
+        win = (filled // win_us) * win_us
+        win_arr = pa.array(win, pa.int64(),
+                           mask=null_mask if null_mask.any() else None)
+        return batch.append_column("window_start_us", win_arr)
 
     with_win = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -288,3 +288,21 @@ def test_salted_aggregate_matches_plain():
     s = {r["event_type"]: (round(r["value_sum"], 6), r["rows_count"])
          for r in salted.to_pylist()}
     assert p == s
+
+
+def test_tumbling_window_floor_for_negative_ts():
+    from json_schema_ray.engine.window import tumbling_window_counts
+
+    day_us = 86400 * 1_000_000
+    t = pa.table({
+        # one event 1s before epoch, one 1s after: floor() semantics
+        # put them in DIFFERENT windows (-day and 0)
+        "ts": pa.array([-1_000_000, 1_000_000], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+    })
+    out = tumbling_window_counts(_ray().data.from_arrow(t),
+                                 window_seconds=86400)
+    rows = {r["window_start_us"]: r for r in out.to_pylist()}
+    assert set(rows) == {-day_us, 0}
+    assert rows[-day_us]["rows_count"] == 1
+    assert rows[0]["rows_count"] == 1

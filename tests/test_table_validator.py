@@ -480,3 +480,55 @@ def test_non_re2_patterns_fall_back_to_python_regex():
             {"type": ["object"],
              "properties": {"name": {"pattern": pattern}}}, t.schema)
         assert list(verdict_mask(t, plan)) == expect
+
+
+def test_extra_columns_null_cells_pass_per_row():
+    # a NULL cell in a non-allowed column is an absent key: the row
+    # must validate; only rows with a present extra cell fail, and the
+    # message lists exactly that row's extra keys
+    table = pa.table({
+        "a": pa.array([1, 2, 3, None], pa.int64()),
+        "extra": pa.array([None, "x", None, "y"], pa.string()),
+        "extra2": pa.array([None, "z", None, None], pa.string()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "additionalProperties": False,
+        "properties": {"a": {"type": ["integer"]}},
+    }
+    _diff_against_interpreter(table, schema_json)
+
+
+def test_strict_properties_null_extra_cells_per_row():
+    table = pa.table({
+        "a": pa.array(["x", "y", "q"], pa.string()),
+        "zz": pa.array([1, None, 2], pa.int64()),
+    })
+    schema_json = {
+        "type": ["object"],
+        "strictProperties": True,
+        "properties": {"a": {"type": ["string"]}},
+    }
+    _diff_against_interpreter(table, schema_json)
+
+
+def test_unique_items_nested_elements_fall_back():
+    # uniqueItems over struct/list elements must route to the
+    # interpreter (deep equality); the vectorized pandas `duplicated`
+    # path raises TypeError on unhashable elements
+    table = pa.table({
+        "ls": pa.array([[{"k": 1}, {"k": 1}], [{"k": 1}, {"k": 2}], None],
+                       pa.list_(pa.struct([("k", pa.int64())]))),
+        "ll": pa.array([[[1, 2], [1, 2]], [[1], [2]], None],
+                       pa.list_(pa.list_(pa.int64()))),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "ls": {"type": ["array"], "uniqueItems": True},
+            "ll": {"type": ["array"], "uniqueItems": True},
+        },
+    }
+    plan = _diff_against_interpreter(table, schema_json)
+    for cp in plan.columns:
+        assert cp.fallback_schema is not None
