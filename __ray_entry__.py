@@ -435,7 +435,103 @@ def q_daily_event_volume(sf_dir: str):
     return _round_col(t, "value_sum", 2)
 
 
+def _conv_turn(did):
+    """(conv_id, turn_idx) = (doc_id // 10, doc_id % 10) — a stable
+    transcript-shaped composite key derived from the document id."""
+    conv = pc.divide(did, 10)
+    return conv, pc.subtract(did, pc.multiply(conv, 10))
+
+
+def _mod_eq(arr, m: int, r: int):
+    return pc.equal(pc.subtract(arr, pc.multiply(pc.divide(arr, m), m)), r)
+
+
+def q_text_equality(sf_dir: str):
+    """The §2.4 per-row invariant: per-turn text equality vs a
+    'reference output' corpus under the stable (conv_id, turn_idx)
+    key. The reference side is the same corpus with a deterministic
+    divergence: every doc_id % 7 == 3 text is edited, every
+    doc_id % 101 == 5 row is missing. Layout-agnostic keyed path
+    (one hash shuffle, no per-group Python)."""
+    from json_schema_ray.engine.compare import keyed_text_compare
+
+    def shape(b: pa.Table) -> pa.Table:
+        conv, turn = _conv_turn(b["doc_id"])
+        return pa.table({"conv_id": conv, "turn_idx": turn,
+                         "text": b["text"]})
+
+    def shape_ref(b: pa.Table) -> pa.Table:
+        conv, turn = _conv_turn(b["doc_id"])
+        edited = pc.binary_join_element_wise(
+            b["text"], pa.scalar(" [EDITED]"), "")
+        text = pc.if_else(_mod_eq(b["doc_id"], 7, 3), edited, b["text"])
+        t = pa.table({"conv_id": conv, "turn_idx": turn, "text": text})
+        return t.filter(pc.invert(_mod_eq(b["doc_id"], 101, 5)))
+
+    docs = lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])
+    a = docs().map_batches(shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    b = docs().map_batches(shape_ref, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = keyed_text_compare(a, b, ["conv_id", "turn_idx"])
+    schema = pa.schema([("conv_id", pa.int64()), ("turn_idx", pa.int64()),
+                        ("error_type", pa.string()),
+                        ("text_a", pa.string()), ("text_b", pa.string())])
+    return _collect(out, schema).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 # ---- rows-only queries (no SQL equivalent) ----
+
+
+def q_text_equality_aligned(sf_dir: str):
+    """Zero-shuffle co-partitioned compare (the 10^12-turn path): the
+    candidate transcript corpus vs a reference output sharing its
+    partition layout, diverging at deterministic rows. Returns
+    mismatch counts by error_type."""
+    import shutil
+    import tempfile
+
+    from json_schema_ray.engine.compare import aligned_text_compare
+    from json_schema_ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(_transcript_turns(sf_dir), seed=42)
+    n = t.num_rows
+    idx = np.arange(n)
+    edited = pa.array(
+        np.where(idx % 97 == 13, np.array(" [EDITED]"), np.array("")))
+    ref_text = pc.binary_join_element_wise(t["text"].combine_chunks(),
+                                           edited, "")
+    ref = pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                    "text": ref_text}).filter(pa.array(idx % 1009 != 5))
+
+    tmp = tempfile.mkdtemp(prefix="jsr_cmp_")
+    try:
+        pairs = []
+        n_files = 8
+        step = (n + n_files - 1) // n_files
+        ref_off = 0
+        for f in range(n_files):
+            ca = t.slice(f * step, step)
+            dropped = int(np.count_nonzero(
+                (idx[f * step:(f + 1) * step] % 1009) == 5))
+            cb = ref.slice(ref_off, ca.num_rows - dropped)
+            ref_off += ca.num_rows - dropped
+            fa = os.path.join(tmp, f"cand-{f}.parquet")
+            fb = os.path.join(tmp, f"ref-{f}.parquet")
+            pq.write_table(ca.select(["conv_id", "turn_idx", "text"]), fa)
+            pq.write_table(cb, fb)
+            pairs.append((fa, fb))
+        out = _collect(
+            aligned_text_compare(pairs, ["conv_id", "turn_idx"]),
+            pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                       ("error_type", pa.string()),
+                       ("text_a", pa.string()), ("text_b", pa.string())]))
+        g = pa.TableGroupBy(out.select(["error_type"]), ["error_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["error_type", "cnt"]).sort_by("error_type")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 def q_transcript_validation(sf_dir: str):
     from json_schema_ray.pipelines.flagship import run_flagship
@@ -646,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_user_sessions,
         "daily_event_volume": q_daily_event_volume,
         "events_last_order": q_events_last_order,
+        "text_equality": q_text_equality,
         # rows-only pipelines (no SQL equivalent)
         "transcript_validation": q_transcript_validation,
         "transcript_verdicts": q_transcript_verdicts,
@@ -658,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "text_equality_aligned": q_text_equality_aligned,
         "drift_roles": q_drift_roles,
         "resumable_validation": q_resumable_validation,
     }
@@ -813,5 +911,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "text_equality": """
+            WITH a AS (
+                SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,
+                       text
+                FROM documents
+            ), b AS (
+                SELECT doc_id // 10 AS conv_id, doc_id % 10 AS turn_idx,
+                       CASE WHEN doc_id % 7 = 3 THEN text || ' [EDITED]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 101 <> 5
+            )
+            SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+                   coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+                   CASE WHEN b.conv_id IS NULL THEN 'missing_in_b'
+                        WHEN a.conv_id IS NULL THEN 'missing_in_a'
+                        ELSE 'text_mismatch' END AS error_type,
+                   a.text AS text_a, b.text AS text_b
+            FROM a FULL JOIN b
+              ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+            WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+               OR a.text IS DISTINCT FROM b.text
+            ORDER BY conv_id, turn_idx
         """,
     }
