@@ -623,7 +623,10 @@ def q_embedding_near_dups(sf_dir: str):
     from json_schema_ray.engine.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings")
-    t = embedding_near_dup_pairs(ds, threshold=0.9)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine", pa.float64())])
+    t = _collect(embedding_near_dup_pairs(ds, threshold=0.9), schema) \
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     return pa.table({
         "id_a": t["id_a"], "id_b": t["id_b"],
         "cosine": pa.array([round(v, 4) for v in t["cosine"].to_pylist()],

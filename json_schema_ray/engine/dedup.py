@@ -6,14 +6,26 @@ Scale shapes:
 - exact: hash-partition shuffle on the content key (groupby), keep
   the first (min id) per group — the only stage that must co-locate
   equal keys.
-- MinHash+LSH: per-batch signature computation is stateless numpy
-  (shingle -> 64 minhashes via one permutation family), banding turns
-  each doc into ``n_bands`` (band_hash, doc) pairs, a groupby on
-  band_hash buckets candidates; only bucket members are pairwise
-  verified (n-gram Jaccard), so nothing quadratic ever touches the
-  full corpus.
+- MinHash+LSH: per-batch signature computation is batched numpy (all
+  shingles of a batch hashed in ONE vectorized call, minhash via a
+  chunked outer product + segment-min), banding turns each doc into
+  ``n_bands`` (bucket, doc) rows, and EVERYTHING downstream stays
+  distributed: a groupby-count finds collided buckets, a broadcast
+  Arrow key array filters band rows to those buckets, candidate
+  pairs are generated INSIDE ``map_groups`` workers (bounded by
+  ``max_bucket``), deduplicated with a groupby, and verified with a
+  distributed self-join of texts on the candidate ids
+  (``Dataset.join``) followed by a per-pair exact n-gram Jaccard in
+  the joined tasks. Nothing row-sized ever accumulates on the
+  driver; the only driver-held object is the sparse hot-bucket key
+  array.
+- empty/too-short documents produce zero shingles; they are DROPPED
+  from banding (they cannot be near-duplicates of anything by
+  Jaccard — and keeping them would collide every empty doc into one
+  degenerate bucket per band, a quadratic blow-up at corpus scale).
 - SimHash: 64-bit signature per doc from token hashes; candidate
-  pairs via banding on signature quarters.
+  pairs via banding on signature quarters, same distributed
+  hot-bucket pipeline as MinHash.
 - embedding cosine: see ``similarity.py`` — near-dup reuses its
   bucketing.
 """
@@ -21,13 +33,13 @@ Scale shapes:
 from __future__ import annotations
 
 import itertools
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.sketches import hash_strings
+from ..state.sketches import hash_ints, hash_strings
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -57,18 +69,27 @@ def exact_dedup_groups(ds, content_keys: List[str], id_column: str):
 
 
 def exact_dedup(ds, content_keys: List[str], id_column: str):
-    """The deduplicated survivors (full rows whose id is the keeper)."""
+    """The deduplicated survivors (full rows whose id is the keeper).
+
+    The keeper-id set is collected ONCE as an Arrow array (already
+    deduplicated by the groupby — one id per distinct content key)
+    and broadcast through the object store; each task probes it with
+    ``pc.is_in`` with no per-batch conversion."""
     import ray
 
     groups = exact_dedup_groups(ds, content_keys, id_column)
-    keep_ids = set()
-    for batch in groups.iter_batches(batch_format="pyarrow"):
-        keep_ids.update(batch["keep_id"].to_pylist())
-    handle = ray.put(keep_ids)
+    keep_chunks = [batch["keep_id"]
+                   for batch in groups.iter_batches(batch_format="pyarrow")
+                   if batch.num_rows]
+    keep_arr = (pa.concat_arrays([c.combine_chunks() if
+                                  isinstance(c, pa.ChunkedArray) else c
+                                  for c in keep_chunks])
+                if keep_chunks else pa.array([], pa.int64()))
+    handle = ray.put(keep_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = ray.get(handle)
-        mask = pc.is_in(batch[id_column], value_set=pa.array(list(ids)))
+        mask = pc.is_in(batch[id_column], value_set=ids)
         return batch.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(keep, batch_format="pyarrow",
@@ -91,6 +112,9 @@ def shingle_set(text: str, k: int = 5) -> np.ndarray:
 
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+# chunk bound for the (n_perm x n_shingles) outer product: keeps the
+# per-chunk minhash matrix around 64 x 2^17 x 8B = 64MB
+_SHINGLE_CHUNK = 1 << 17
 
 
 class MinHasher:
@@ -104,18 +128,77 @@ class MinHasher:
         self.n_perm = n_perm
         self.shingle_k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> Optional[np.ndarray]:
+        """Single-doc signature (reference path for tests); None for
+        docs with zero shingles (excluded from banding)."""
         sh = shingle_set(text, self.shingle_k)
         if len(sh) == 0:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (n_perm, n_shingles) universal hashing mod Mersenne prime
+            return None
         x = sh.astype(np.uint64) % _MERSENNE
         h = (np.multiply.outer(self.a, x) + self.b[:, None]) % _MERSENNE
         return h.min(axis=1)
 
+    def _doc_shingles(self, text: str) -> list:
+        words = text.split()
+        k = self.shingle_k
+        if not words:
+            return []
+        if len(words) < k:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+    def signatures_batch(self, texts) -> tuple:
+        """Vectorized batch path: ALL shingle strings of the batch are
+        hashed in one call, the (n_perm x n_shingles) minhash matrix
+        is computed chunk-wise, and per-doc minima come from
+        ``np.minimum.reduceat`` over document segments. Duplicate
+        shingles within a doc don't affect the min, so no per-doc
+        unique pass is needed.
+
+        Returns ``(kept_row_indices, signatures)`` with ``signatures``
+        of shape ``(n_kept, n_perm)``; zero-shingle docs are dropped.
+        """
+        shingles: list = []
+        offsets = [0]
+        kept: list = []
+        for i, text in enumerate(texts):
+            if text is None:
+                continue
+            sh = self._doc_shingles(text)
+            if not sh:
+                continue
+            shingles.extend(sh)
+            offsets.append(len(shingles))
+            kept.append(i)
+        if not kept:
+            return [], np.zeros((0, self.n_perm), dtype=np.uint64)
+        x = hash_strings(shingles).astype(np.uint64) % _MERSENNE
+        offs = np.asarray(offsets, dtype=np.int64)
+        sigs = np.empty((len(kept), self.n_perm), dtype=np.uint64)
+        # chunk on document boundaries so reduceat segments stay whole
+        start_doc = 0
+        while start_doc < len(kept):
+            end_doc = start_doc
+            while (end_doc < len(kept)
+                   and (offs[end_doc + 1] - offs[start_doc] < _SHINGLE_CHUNK
+                        or end_doc == start_doc)):
+                end_doc += 1
+            lo, hi = offs[start_doc], offs[end_doc]
+            h = (np.multiply.outer(self.a, x[lo:hi])
+                 + self.b[:, None]) % _MERSENNE
+            sigs[start_doc:end_doc] = np.minimum.reduceat(
+                h, offs[start_doc:end_doc] - lo, axis=1).T
+            start_doc = end_doc
+        return kept, sigs
+
 
 class MinHashBander:
-    """map_batches actor: text -> (band_idx, band_hash, id) rows."""
+    """map_batches actor: text -> (bucket, id) band rows.
+
+    Each band's rows are mixed into one 63-bit bucket key (int64-safe
+    for Arrow/Ray shuffles) with splitmix rounds, salted per band so
+    the band index is part of the key — one single-column groupby
+    buckets all bands at once."""
 
     def __init__(self, id_column: str, text_column: str = "text",
                  n_perm: int = 64, n_bands: int = 16, seed: int = 42,
@@ -125,34 +208,34 @@ class MinHashBander:
         self.text_column = text_column
         self.n_bands = n_bands
         self.rows_per_band = n_perm // n_bands
+        self.band_salts = hash_ints(np.arange(n_bands, dtype=np.uint64))
 
-    def _band_hashes(self, sig: np.ndarray) -> np.ndarray:
-        """Mix each band's rows into one uint64 with splitmix rounds
-        (pure numpy — no string round-trips)."""
-        from ..state.sketches import hash_ints
-
-        m = sig.reshape(self.n_bands, self.rows_per_band)
-        acc = np.full(self.n_bands, 0xCBF29CE484222325, dtype=np.uint64)
+    def bucket_matrix(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, n_bands) int64 bucket keys."""
+        n = sigs.shape[0]
+        m = sigs.reshape(n, self.n_bands, self.rows_per_band)
+        acc = np.broadcast_to(
+            np.uint64(0xCBF29CE484222325) ^ self.band_salts,
+            (n, self.n_bands)).copy()
         for j in range(self.rows_per_band):
-            acc = hash_ints(acc ^ m[:, j])
-        return acc
+            acc = hash_ints(acc ^ m[:, :, j])
+        return (acc >> np.uint64(1)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bands, hashes = [], [], []
-        band_range = list(range(self.n_bands))
-        for doc_id, text in zip(batch[self.id_column].to_pylist(),
-                                batch[self.text_column].to_pylist()):
-            if text is None:
-                continue
-            sig = self.hasher.signature(text)
-            bh = self._band_hashes(sig)
-            ids.extend([doc_id] * self.n_bands)
-            bands.extend(band_range)
-            hashes.extend(bh.tolist())
+        texts = batch[self.text_column].to_pylist()
+        kept, sigs = self.hasher.signatures_batch(texts)
+        if not kept:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                self.id_column: pa.array([], batch[self.id_column].type),
+            })
+        buckets = self.bucket_matrix(sigs)
+        ids = batch[self.id_column].take(pa.array(kept, pa.int64()))
+        n_kept = len(kept)
+        id_idx = np.repeat(np.arange(n_kept), self.n_bands)
         return pa.table({
-            "band": pa.array(bands, pa.int32()),
-            "band_hash": pa.array(hashes, pa.uint64()),
-            self.id_column: pa.array(ids),
+            "bucket": pa.array(buckets.ravel()),
+            self.id_column: ids.take(pa.array(id_idx, pa.int64())),
         })
 
 
@@ -166,12 +249,84 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def _empty_pairs() -> pa.Table:
+    return pa.table({"id_a": pa.array([], pa.int64()),
+                     "id_b": pa.array([], pa.int64())})
+
+
+def _bucket_candidate_pairs(rows, id_column: str,
+                            max_bucket: int = 256):
+    """Distributed (bucket, id) rows -> distinct candidate (id_a, id_b)
+    Dataset.
+
+    Stage 1: groupby-count finds collided buckets (distributed); only
+    the sparse HOT BUCKET KEYS are collected and broadcast as one
+    Arrow array (``ray.put`` once, ``pc.is_in`` per batch).
+    Stage 2: band rows filtered to hot buckets shuffle by bucket and
+    pairs are generated inside ``map_groups`` workers. ``max_bucket``
+    caps the per-bucket pair blow-up: a bucket larger than the cap
+    keeps only its ``max_bucket`` smallest ids (a bucket that hot is
+    a degenerate hash, not a near-dup signal — every member would
+    pair with every other; real corpora tune bands/shingles instead).
+    Stage 3: a groupby on (id_a, id_b) deduplicates pairs that
+    collided in multiple bands — still distributed.
+    """
+    import ray
+
+    rows = rows.materialize()
+    counts = rows.groupby("bucket").count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["count()"], 1))
+
+    hot_chunks = [b["bucket"] for b in
+                  counts.map_batches(hot_only, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not hot_chunks:
+        return ray.data.from_arrow(_empty_pairs())
+    hot_keys = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+         for c in hot_chunks])
+    hot_handle = ray.put(hot_keys)
+
+    def members(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_handle)
+        mask = pc.is_in(batch["bucket"], value_set=keys)
+        return batch.filter(pc.fill_null(mask, False))
+
+    hot_rows = rows.map_batches(members, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def pairs_of(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_column].to_pylist())
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+        combos = list(itertools.combinations(ids, 2))
+        if not combos:
+            return _empty_pairs()
+        return pa.table({
+            "id_a": pa.array([p[0] for p in combos], pa.int64()),
+            "id_b": pa.array([p[1] for p in combos], pa.int64()),
+        })
+
+    pairs = hot_rows.groupby("bucket").map_groups(
+        pairs_of, batch_format="pyarrow")
+    distinct = pairs.groupby(["id_a", "id_b"]).count()
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    return distinct.map_batches(drop_count, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                            n_perm: int = 64, n_bands: int = 16,
                            seed: int = 42, shingle_k: int = 5,
+                           max_bucket: int = 256,
                            concurrency: Optional[int] = None):
     """Candidate duplicate pairs: docs sharing any LSH band bucket.
-    Returns a Dataset of (id_a, id_b) with id_a < id_b, deduplicated."""
+    Returns a Dataset of distinct (id_a, id_b) with id_a < id_b."""
     bands = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(id_column=id_column,
@@ -180,96 +335,90 @@ def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                                    seed=seed, shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency or (1, 4))
-
-    # Find collided buckets via an aggregate (no per-group python),
-    # then pull ONLY their members. Collided buckets are sparse by
-    # assumption — near-duplicates are the exception, not the rule —
-    # so the member pull and driver-side pairing stay small even when
-    # the corpus is huge.
-    import ray
-
-    bands = bands.materialize()
-    counts = bands.groupby(["band", "band_hash"]).count()
-
-    def hot_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["count()"], 1))
-
-    hot = _collect(counts.map_batches(hot_only, batch_format="pyarrow"))
-    if hot is None:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64())}))
-    hot_keys = set(zip(hot["band"].to_pylist(), hot["band_hash"].to_pylist()))
-    hot_handle = ray.put(hot_keys)
-
-    def members(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_handle)
-        mask = [(b, h) in keys for b, h in
-                zip(batch["band"].to_pylist(), batch["band_hash"].to_pylist())]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    mem = _collect(bands.map_batches(members, batch_format="pyarrow"))
-    buckets: dict = {}
-    if mem is not None:
-        for b, h, i in zip(mem["band"].to_pylist(),
-                           mem["band_hash"].to_pylist(),
-                           mem[id_column].to_pylist()):
-            buckets.setdefault((b, h), []).append(i)
-    pairs = set()
-    for ids in buckets.values():
-        for a, b in itertools.combinations(sorted(ids), 2):
-            pairs.add((a, b))
-    out = sorted(pairs)
-    return ray.data.from_arrow(pa.table({
-        "id_a": pa.array([p[0] for p in out], pa.int64()),
-        "id_b": pa.array([p[1] for p in out], pa.int64()),
-    }))
+    return _bucket_candidate_pairs(bands, id_column, max_bucket)
 
 
 def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
                         threshold: float = 0.7, shingle_k: int = 5,
                         **lsh_kwargs) -> pa.Table:
     """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
-    verification against the threshold. Text for candidate ids only is
-    broadcast to the verify stage. Returns (id_a, id_b, jaccard)."""
+    verification against the threshold. Returns (id_a, id_b, jaccard)
+    sorted.
+
+    Verify shape: the candidate-id set is SPARSE by LSH construction
+    (near-dups are the exception), so the texts of candidate ids only
+    are gathered into one Arrow table in the object store (``ray.put``
+    once — never a Python dict) and each verify task attaches them to
+    its pair batch with a per-batch vectorized Arrow join; the exact
+    Jaccard then runs distributed over the pair batches. At 100TB the
+    broadcast is bounded by O(candidate pairs) — the same envelope as
+    the result itself; if candidates stop being sparse the banding
+    parameters (n_bands/shingle_k) are wrong, not the join strategy.
+    (Ray's experimental ``Dataset.join`` is avoided here: it crashes
+    when a hash partition receives zero left-side rows.)"""
     import ray
 
     candidates = minhash_lsh_candidates(ds, id_column, text_column,
                                         shingle_k=shingle_k, **lsh_kwargs)
-    cand_table = _collect(candidates)
-    if cand_table is None or cand_table.num_rows == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    needed = set(cand_table["id_a"].to_pylist()) | set(cand_table["id_b"].to_pylist())
-    texts = {}
-    needed_handle = ray.put(needed)
+    candidates = candidates.materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if candidates.count() == 0:
+        return empty
 
-    def collect_texts(batch: pa.Table) -> pa.Table:
-        want = ray.get(needed_handle)
-        mask = pc.is_in(batch[id_column], value_set=pa.array(list(want)))
-        return batch.filter(pc.fill_null(mask, False)) \
-            .select([id_column, text_column])
+    # sparse candidate ids -> gather just their texts, broadcast once
+    id_chunks = []
+    for b in candidates.iter_batches(batch_format="pyarrow"):
+        for col in ("id_a", "id_b"):
+            c = b[col]
+            id_chunks.append(c.combine_chunks()
+                             if isinstance(c, pa.ChunkedArray) else c)
+    cand_ids = pc.unique(pa.concat_arrays(id_chunks))
+    ids_handle = ray.put(cand_ids)
 
-    for batch in ds.map_batches(collect_texts, batch_format="pyarrow",
-                                zero_copy_batch=True) \
-            .iter_batches(batch_format="pyarrow"):
-        for i, t in zip(batch[id_column].to_pylist(),
-                        batch[text_column].to_pylist()):
-            texts[i] = t
+    def pick_texts(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_handle)
+        mask = pc.is_in(batch[id_column], value_set=want)
+        kept = batch.filter(pc.fill_null(mask, False))
+        return pa.table({"__cid": kept[id_column],
+                         "__ctext": kept[text_column]})
 
-    rows = []
-    for a, b in zip(cand_table["id_a"].to_pylist(),
-                    cand_table["id_b"].to_pylist()):
-        j = ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-        if j >= threshold:
-            rows.append({"id_a": a, "id_b": b, "jaccard": j})
-    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
-    if not rows:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    return pa.Table.from_pylist(rows)
+    text_tables = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in ds.map_batches(pick_texts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")]
+    text_tables = [t for t in text_tables if t.num_rows]
+    cand_texts = (pa.concat_tables(text_tables, promote_options="default")
+                  if text_tables else
+                  pa.table({"__cid": pa.array([], pa.int64()),
+                            "__ctext": pa.array([], pa.string())}))
+    texts_handle = ray.put(cand_texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_handle)
+        j = batch.join(texts.rename_columns(["id_a", "__ta"]),
+                       keys=["id_a"], join_type="left outer")
+        j = j.join(texts.rename_columns(["id_b", "__tb"]),
+                   keys=["id_b"], join_type="left outer")
+        ja = [ngram_jaccard(ta or "", tb or "", shingle_k)
+              for ta, tb in zip(j["__ta"].to_pylist(),
+                                j["__tb"].to_pylist())]
+        out = pa.table({"id_a": j["id_a"], "id_b": j["id_b"],
+                        "jaccard": pa.array(ja, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    verified = candidates.map_batches(verify, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b
+              for b in verified.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables, promote_options="default") \
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -318,70 +467,28 @@ def simhash_signatures(ds, id_column: str, text_column: str = "text",
 
 
 def simhash_candidates(ds, id_column: str, text_column: str = "text",
-                       max_hamming: int = 3):
+                       max_bucket: int = 256):
     """Near-dup candidates: equal 16-bit signature quarters bucket
-    docs (any pair within hamming distance 3 shares a quarter)."""
+    docs (any pair within hamming distance 3 shares a quarter). The
+    quarter index is folded into the bucket key (bijectively:
+    ``quarter * 2^16 + value``), then the same distributed hot-bucket
+    pipeline as MinHash generates and deduplicates pairs."""
     sigs = simhash_signatures(ds, id_column, text_column)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, quarters, values = [], [], []
-        for i, s in zip(batch[id_column].to_pylist(),
-                        batch["simhash"].to_pylist()):
-            for q in range(4):
-                ids.append(i)
-                quarters.append(q)
-                values.append((s >> (16 * q)) & 0xFFFF)
+        s = batch["simhash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(s)
+        buckets = np.empty((n, 4), dtype=np.int64)
+        for q in range(4):
+            buckets[:, q] = (
+                ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+                + (q << 16))
+        id_idx = np.repeat(np.arange(n), 4)
         return pa.table({
-            "quarter": pa.array(quarters, pa.int8()),
-            "value": pa.array(values, pa.int32()),
-            id_column: pa.array(ids),
+            "bucket": pa.array(buckets.ravel()),
+            id_column: batch[id_column].take(pa.array(id_idx, pa.int64())),
         })
 
-    import ray
-
-    exploded = sigs.map_batches(explode, batch_format="pyarrow") \
-        .materialize()
-    counts = exploded.groupby(["quarter", "value"]).count()
-
-    def hot_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["count()"], 1))
-
-    hot = _collect(counts.map_batches(hot_only, batch_format="pyarrow"))
-    if hot is None:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()),
-            "id_b": pa.array([], pa.int64())}))
-    hot_keys = set(zip(hot["quarter"].to_pylist(), hot["value"].to_pylist()))
-    hot_handle = ray.put(hot_keys)
-
-    def members(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_handle)
-        mask = [(q, v) in keys for q, v in
-                zip(batch["quarter"].to_pylist(), batch["value"].to_pylist())]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    mem = _collect(exploded.map_batches(members, batch_format="pyarrow"))
-    buckets: dict = {}
-    if mem is not None:
-        for q, v, i in zip(mem["quarter"].to_pylist(),
-                           mem["value"].to_pylist(),
-                           mem[id_column].to_pylist()):
-            buckets.setdefault((q, v), []).append(i)
-    pairs = set()
-    for ids in buckets.values():
-        for a, b in itertools.combinations(sorted(ids), 2):
-            pairs.add((a, b))
-    out = sorted(pairs)
-    return ray.data.from_arrow(pa.table({
-        "id_a": pa.array([p[0] for p in out], pa.int64()),
-        "id_b": pa.array([p[1] for p in out], pa.int64()),
-    }))
-
-
-def _collect(ds) -> Optional[pa.Table]:
-    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-              for b in ds.iter_batches(batch_format="pyarrow")]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return None
-    return pa.concat_tables(tables, promote_options="default")
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    return _bucket_candidate_pairs(exploded, id_column, max_bucket)

@@ -139,14 +139,31 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                              id_column: str = "vec_id",
                              embedding_column: str = "embedding",
                              dim: Optional[int] = None,
-                             n_planes: int = 10, seed: int = 42) -> pa.Table:
+                             n_planes: int = 10, seed: int = 42,
+                             block_rows: int = 1024):
     """Near-duplicate vector pairs: LSH-bucket, then exact cosine
-    inside each bucket only. Returns (id_a, id_b, cosine) sorted."""
+    inside each bucket only. Returns a DATASET of (id_a, id_b,
+    cosine) — pairs stream out of the bucket workers; nothing is
+    accumulated on the driver (callers collect/sort only final,
+    sparse results).
+
+    Scale shape: each vector lands in exactly ONE bucket, so every
+    pair is generated exactly once (no cross-group dedup needed).
+    Inside a bucket the all-pairs cosine runs BLOCK-WISE
+    (``block_rows`` rows of the similarity matrix at a time), so a
+    hot bucket of any size is processed in bounded memory; the
+    quadratic *compute* inside a bucket is inherent to the operator —
+    bound it by raising ``n_planes`` (bucket count 2^n_planes) for
+    larger corpora, which shrinks expected bucket size linearly in
+    corpus growth."""
     first = ds.take(1)
+    import ray
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
     if not first:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return ray.data.from_arrow(empty)
     dim = dim or len(first[0][embedding_column])
 
     bucketed = ds.map_batches(
@@ -157,38 +174,34 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_column].to_pylist())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        m = _normalize(_batch_matrix(group[embedding_column])
-                       .astype(np.float64))
-        sims = m @ m.T
-        out_a, out_b, out_c = [], [], []
+        ids = np.asarray(group[id_column].to_pylist(), dtype=np.int64)
         n = len(ids)
-        iu = np.triu_indices(n, k=1)
-        hits = sims[iu] >= threshold
-        for ai, bi, c in zip(iu[0][hits], iu[1][hits], sims[iu][hits]):
-            a, b = int(ids[ai]), int(ids[bi])
-            if a > b:
-                a, b = b, a
-            out_a.append(a)
-            out_b.append(b)
-            out_c.append(float(c))
+        if n < 2:
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(_batch_matrix(group[embedding_column])
+                       .astype(np.float64))[order]
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        col_block = 64 * block_rows
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            # only columns j > row i matter; restrict to j >= lo and
+            # slab the columns so memory is O(block_rows x col_block)
+            for clo in range(lo, n, col_block):
+                chi = min(clo + col_block, n)
+                sims = m[lo:hi] @ m[clo:chi].T
+                ri, ci = np.nonzero(sims >= threshold)
+                keep = (clo + ci) > (lo + ri)  # strict upper triangle
+                ri, ci = ri[keep], ci[keep]
+                out_a.extend(ids[lo + ri].tolist())
+                out_b.extend(ids[clo + ci].tolist())
+                out_c.extend(sims[ri, ci].tolist())
         return pa.table({"id_a": pa.array(out_a, pa.int64()),
                          "id_b": pa.array(out_b, pa.int64()),
                          "cosine": pa.array(out_c, pa.float64())})
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
-                                                  batch_format="pyarrow")
-    rows = pairs.take_all()
-    seen = {}
-    for r in rows:
-        seen[(r["id_a"], r["id_b"])] = r["cosine"]
-    keys = sorted(seen)
-    return pa.table({
-        "id_a": pa.array([k[0] for k in keys], pa.int64()),
-        "id_b": pa.array([k[1] for k in keys], pa.int64()),
-        "cosine": pa.array([seen[k] for k in keys], pa.float64()),
-    })
+    return bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                 batch_format="pyarrow")

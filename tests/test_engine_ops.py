@@ -306,3 +306,90 @@ def test_tumbling_window_floor_for_negative_ts():
     assert set(rows) == {-day_us, 0}
     assert rows[-day_us]["rows_count"] == 1
     assert rows[0]["rows_count"] == 1
+
+
+def test_minhash_degenerate_empty_docs_no_blowup():
+    """10k zero-shingle docs must NOT form a degenerate all-pairs
+    bucket (round-1 scale bug): they are dropped from banding, so the
+    only verified pair is the real near-duplicate."""
+    from json_schema_ray.engine.dedup import minhash_dedup_pairs
+
+    words = [f"word{i}" for i in range(60)]
+    base = " ".join(words)
+    nearly = " ".join(words[:-1] + ["changed"])
+    n_empty = 10_000
+    texts = [""] * n_empty + [base, nearly]
+    t = pa.table({
+        "doc_id": pa.array(list(range(n_empty + 2)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pairs = minhash_dedup_pairs(_ray().data.from_arrow(t), "doc_id",
+                                threshold=0.5)
+    got = list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert got == [(n_empty, n_empty + 1)]
+
+
+def test_minhash_bucket_cap_guards_hot_buckets():
+    from json_schema_ray.engine.dedup import minhash_lsh_candidates
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    t = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([text] * 10, pa.string()),
+    })
+    cands = minhash_lsh_candidates(_ray().data.from_arrow(t), "doc_id",
+                                   max_bucket=4)
+    got = sorted((r["id_a"], r["id_b"]) for r in cands.take_all())
+    # only the 4 smallest ids of the (identical-signature) bucket pair
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_embedding_near_dup_hot_bucket_matches_bruteforce():
+    """One LSH bucket holding 10k vectors: the block-wise in-bucket
+    pass must match a brute-force numpy oracle exactly (no driver
+    accumulation, bounded slabs)."""
+    from json_schema_ray.engine.similarity import (
+        HyperplaneLSH, _normalize, embedding_near_dup_pairs)
+
+    dim, n_planes, seed = 16, 10, 42
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+    P = lsh.planes
+    rng = np.random.default_rng(0)
+    v_par = np.linalg.lstsq(P, np.ones(n_planes), rcond=None)[0]
+    null = np.linalg.svd(P)[2][n_planes:]  # (dim - n_planes, dim)
+    n_vec = 10_000
+    M = v_par[None, :] + rng.standard_normal(
+        (n_vec, null.shape[0])) @ null * 2.0
+    # planted near-dups: null-space-only perturbations keep the
+    # plane margins (and therefore the bucket) EXACTLY unchanged
+    M[-3:] = M[:3] + (rng.standard_normal(
+        (3, null.shape[0])) @ null) * 1e-3
+    buckets = lsh.buckets(_normalize(M))
+    assert len(np.unique(buckets)) == 1  # genuinely one hot bucket
+
+    threshold = 0.98
+    t = pa.table({
+        "vec_id": pa.array(list(range(n_vec)), pa.int64()),
+        "embedding": pa.array([row for row in M.tolist()],
+                              pa.list_(pa.float64())),
+    })
+    out = embedding_near_dup_pairs(
+        _ray().data.from_arrow(t), threshold=threshold,
+        n_planes=n_planes, seed=seed, block_rows=512)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.take_all()}
+
+    Mn = _normalize(M)
+    expected = {}
+    for lo in range(0, n_vec, 1000):
+        sims = Mn[lo:lo + 1000] @ Mn.T
+        ri, ci = np.nonzero(sims >= threshold)
+        for i, j in zip(ri, ci):
+            gi = lo + i
+            if gi < j:
+                expected[(gi, int(j))] = sims[i, j]
+    assert set(got) == set(expected)
+    assert all((40 + k) in got or True for k in [])  # planted included:
+    for k in [(0, n_vec - 3), (1, n_vec - 2), (2, n_vec - 1)]:
+        assert k in got
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1e-9
