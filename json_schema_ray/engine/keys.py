@@ -81,15 +81,27 @@ def referential_violations(ds, fk: str, ref_ds, pk: str,
     """
     import ray
 
-    ref_keys = set()
-    for batch in ref_ds.select_columns([pk]).iter_batches(batch_format="pyarrow"):
-        ref_keys.update(batch[pk].drop_null().to_pylist())
+    # distinct reference keys collected ONCE as an Arrow array (never
+    # a Python set) and shared through the object store — each task
+    # probes it zero-copy with pc.is_in, no per-batch conversion
+    chunks = []
+    for batch in ref_ds.select_columns([pk]) \
+            .iter_batches(batch_format="pyarrow"):
+        col = batch[pk].drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col):
+            chunks.append(col)
+    ref_keys = (pc.unique(pa.concat_arrays(chunks)) if chunks
+                else pa.array([]))
     ref_handle = ray.put(ref_keys)
 
     def probe(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref_handle)
         col = batch[fk]
-        mask = pc.is_in(col, value_set=pa.array(list(keys)))
+        if len(keys) == 0:
+            keys = pa.array([], type=col.type)
+        mask = pc.is_in(col, value_set=keys)
         missing = pc.invert(pc.fill_null(mask, allow_null))
         if allow_null:
             missing = pc.and_(missing, pc.is_valid(col))

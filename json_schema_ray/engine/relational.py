@@ -166,32 +166,35 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
     """
     import ray
 
-    # driver-side index: by-key -> (sorted times, values per column)
+    # driver-side index: globally time-sorted-within-key right side;
+    # each key maps to its (times segment, segment offset) and value
+    # columns stay ONE Arrow array each — the per-batch gather is a
+    # single vectorized take per column, never a Python loop
     idx: dict = {}
     rt = right_table.sort_by([(right_by, "ascending"),
                               (right_time, "ascending")])
     by_np = rt[right_by].to_numpy(zero_copy_only=False)
     t_np = pc.cast(rt[right_time], pa.int64()).to_numpy(zero_copy_only=False)
-    vals = {c: rt[c].to_pylist() for c in value_columns}
     if len(by_np):
         starts = np.concatenate(
             [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
         for s, e in zip(starts[:-1], starts[1:]):
-            idx[by_np[s]] = (
-                t_np[s:e],
-                {c: vals[c][s:e] for c in value_columns},
-            )
-    handle = ray.put(idx)
+            idx[by_np[s]] = (t_np[s:e], int(s))
+    value_arrays = {c: (rt[c].combine_chunks()
+                        if isinstance(rt[c], pa.ChunkedArray) else rt[c])
+                    for c in value_columns}
+    handle = ray.put((idx, value_arrays))
 
     def probe(batch: pa.Table) -> pa.Table:
-        index = ray.get(handle)
+        index, values = ray.get(handle)
+        n = batch.num_rows
         lb = batch[left_by].to_numpy(zero_copy_only=False)
         lt = pc.cast(batch[left_time], pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        out = {c: [None] * batch.num_rows for c in value_columns}
+        # global position into the sorted right side; -1 = no match
+        gpos = np.full(n, -1, dtype=np.int64)
         order = np.argsort(lb, kind="stable")
         i = 0
-        n = len(order)
         while i < n:
             j = i
             key = lb[order[i]]
@@ -199,18 +202,24 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
                 j += 1
             entry = index.get(key)
             if entry is not None:
-                times, cols = entry
+                times, seg_start = entry
                 rows = order[i:j]
                 pos = np.searchsorted(times, lt[rows], side="right") - 1
-                for c in value_columns:
-                    src = cols[c]
-                    for r, p in zip(rows, pos):
-                        if p >= 0:
-                            out[c][r] = src[p]
+                hit = pos >= 0
+                gpos[rows[hit]] = seg_start + pos[hit]
             i = j
+        matched = pa.array(gpos >= 0)
+        take_idx = pa.array(np.maximum(gpos, 0))
         result = batch
         for c in value_columns:
-            result = result.append_column(c, pa.array(out[c]))
+            arr = values[c]
+            if len(arr) == 0:
+                col = pa.nulls(n, arr.type)
+            else:
+                taken = arr.take(take_idx)
+                col = pc.if_else(matched, taken,
+                                 pa.scalar(None, arr.type))
+            result = result.append_column(c, col)
         return result
 
     return ds.map_batches(probe, batch_format="pyarrow",

@@ -149,6 +149,13 @@ class ColumnPlan:
     fallback_schema: Optional[Schema] = None
     # decode the cell as a JSON document before interpreting
     json_cell: bool = False
+    # JSON-string cells with a struct-vectorizable subschema decode to
+    # this Arrow struct type ONCE per batch (vectorized polars kernel)
+    # and take the struct_field_checks path; cells the decode cannot
+    # represent faithfully (float lexemes — Ruby Float semantics —
+    # and literal JSON null) route to the interpreter, and a decode
+    # error falls back to the interpreter for the whole batch
+    json_struct_type: Optional[pa.DataType] = None
     # property type includes "null" -> null cells are valid values
     null_ok: bool = False
 
@@ -231,6 +238,94 @@ def _struct_vectorizable(prop: Schema) -> bool:
                for sub in prop.properties.values())
 
 
+# faithful Arrow targets for JSON-decoded struct fields. "number" is
+# deliberately absent: Ruby distinguishes 1 (Integer) from 1.0 (Float)
+# by LEXEME, which a numeric decode destroys — number-typed fields
+# stay on the interpreter path (and integer fields route any cell
+# containing a float lexeme to the interpreter, see _decode_json_struct)
+_JSON_FIELD_TYPES = {"integer": pa.int64(), "string": pa.string(),
+                     "boolean": pa.bool_()}
+
+
+def _json_struct_type(prop: Schema) -> Optional[pa.DataType]:
+    """The Arrow struct type a JSON-string column decodes to when its
+    subschema is struct-vectorizable with faithfully-decodable field
+    types; None keeps the column on the interpreter path."""
+    if not _struct_vectorizable(prop):
+        return None
+    if not prop.properties:
+        return None
+    outer = set(prop.type or [])
+    if not outer or not outer <= {"object", "null"}:
+        return None
+    fields = []
+    for fname, sub in prop.properties.items():
+        tps = [t for t in (sub.type or []) if t != "null"]
+        if len(tps) != 1 or tps[0] not in _JSON_FIELD_TYPES:
+            return None
+        fields.append(pa.field(fname, _JSON_FIELD_TYPES[tps[0]]))
+    return pa.struct(fields)
+
+
+def _compile_struct_plan(cp: ColumnPlan, prop: Schema,
+                         col_type: pa.DataType) -> None:
+    """Lower an object subschema over a struct(-decoded) column."""
+    cp.checks = _compile_property_checks(prop, col_type)
+    struct_fields = {col_type.field(i).name: col_type.field(i).type
+                     for i in range(col_type.num_fields)}
+    for fi, (fname, sub) in enumerate(prop.properties.items()):
+        if fname in struct_fields:
+            f_checks = _compile_property_checks(sub, struct_fields[fname])
+            cp.struct_field_checks.append((fi, fname, f_checks,
+                                           sub.pointer))
+    cp.struct_required = list(prop.required or [])
+    cp.struct_pointer = prop.pointer
+
+
+def _polars_struct_dtype(struct_type: pa.DataType):
+    import polars as pl
+
+    mapping = {pa.int64(): pl.Int64, pa.string(): pl.Utf8,
+               pa.bool_(): pl.Boolean}
+    return pl.Struct({struct_type.field(i).name:
+                      mapping[struct_type.field(i).type]
+                      for i in range(struct_type.num_fields)})
+
+
+def _decode_json_struct(col, cp: ColumnPlan):
+    """Vectorized JSON-string -> struct decode for the fast path.
+
+    Returns ``(decoded_struct_array, routed_mask)`` or None when the
+    strict decode fails (caller falls back to the interpreter for the
+    whole batch). ``routed_mask`` marks cells the decode cannot
+    represent faithfully — any cell containing a float lexeme
+    (digit followed by '.', 'e' or 'E': Ruby Float semantics and
+    message rendering depend on the lexeme) and, when the subschema
+    does not allow null, the literal JSON ``null`` (indistinguishable
+    from an absent cell after decode) — those cells are nulled before
+    decoding and validated by the row interpreter instead.
+    """
+    import polars as pl
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    route = pc.fill_null(
+        pc.match_substring_regex(arr, pattern=r"[0-9][.eE]"), False)
+    if not cp.null_ok:
+        litnull = pc.equal(pc.utf8_trim_whitespace(arr), "null")
+        route = pc.or_(route, pc.fill_null(litnull, False))
+    routed_np = route.to_numpy(zero_copy_only=False)
+    masked = pc.if_else(route, pa.scalar(None, arr.type), arr) \
+        if routed_np.any() else arr
+    try:
+        decoded = pl.from_arrow(masked).str.json_decode(
+            _polars_struct_dtype(cp.json_struct_type)).to_arrow()
+    except Exception:
+        return None
+    if isinstance(decoded, pa.ChunkedArray):
+        decoded = decoded.combine_chunks()
+    return decoded, routed_np
+
+
 def _uses_only_vectorizable(prop: Schema, allow_list_keywords: bool = False) -> bool:
     for sub in list(prop.all_of) + list(prop.any_of) + list(prop.one_of) \
             + ([prop.not_] if prop.not_ is not None else []):
@@ -284,18 +379,12 @@ def compile_table_plan(
         if name in json_columns:
             cp.json_cell = True
             cp.fallback_schema = prop
+            jst = _json_struct_type(prop)
+            if jst is not None:
+                cp.json_struct_type = jst
+                _compile_struct_plan(cp, prop, jst)
         elif pa.types.is_struct(col_type) and _struct_vectorizable(prop):
-            cp.checks = _compile_property_checks(prop, col_type)
-            struct_fields = {col_type.field(i).name: col_type.field(i).type
-                             for i in range(col_type.num_fields)}
-            for fi, (fname, sub) in enumerate(prop.properties.items()):
-                if fname in struct_fields:
-                    f_checks = _compile_property_checks(
-                        sub, struct_fields[fname])
-                    cp.struct_field_checks.append((fi, fname, f_checks,
-                                                   sub.pointer))
-            cp.struct_required = list(prop.required or [])
-            cp.struct_pointer = prop.pointer
+            _compile_struct_plan(cp, prop, col_type)
         elif (not nested_unique
               and _uses_only_vectorizable(prop,
                                           allow_list_keywords=is_list_col)):
@@ -898,6 +987,19 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
         if cp.column not in batch.column_names:
             continue
         col = batch[cp.column]
+        if cp.json_struct_type is not None:
+            res = _decode_json_struct(col, cp)
+            if res is not None:
+                decoded, routed = res
+                for check in cp.checks:
+                    ok &= pc.fill_null(check.mask_fn(decoded), True) \
+                        .to_numpy(zero_copy_only=False)
+                ok &= _struct_ok_mask(decoded, cp)
+                if routed.any():
+                    ok &= _routed_ok_mask(col, cp, routed)
+                continue
+            # strict decode failed somewhere in the batch: exact
+            # per-cell interpreter fallback below
         if cp.fallback_schema is not None:
             ok &= _fallback_ok_mask(col, cp)
             continue
@@ -935,6 +1037,25 @@ def _struct_ok_mask(col, cp: ColumnPlan) -> np.ndarray:
         miss = parent_valid & pc.is_null(fcol).to_numpy(zero_copy_only=False)
         ok &= ~miss
     return ok
+
+
+def _routed_ok_mask(col, cp: ColumnPlan, routed: np.ndarray) -> np.ndarray:
+    """fail_fast interpreter verdicts for just the routed cells."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    out = np.ones(len(routed), dtype=bool)
+    v = Validator(cp.fallback_schema)
+    idxs = np.nonzero(routed)[0]
+    vals = arr.take(pa.array(idxs)).to_pylist()
+    for i, raw in zip(idxs, vals):
+        if raw is None:
+            continue
+        try:
+            val = json.loads(raw)
+        except (ValueError, TypeError):
+            out[i] = False
+            continue
+        out[i] = v.validate(val, fail_fast=True)
+    return out
 
 
 def _fallback_ok_mask(col: pa.ChunkedArray, cp: ColumnPlan) -> np.ndarray:
@@ -997,31 +1118,26 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
             continue
         col = batch[cp.column]
         path_prefix = f"#/{cp.column}"
+        if cp.json_struct_type is not None:
+            res = _decode_json_struct(col, cp)
+            if res is not None:
+                decoded, routed = res
+                _emit_check_rows(decoded, cp, prop_idx, path_prefix, rows)
+                _struct_violation_rows(decoded, cp, prop_idx,
+                                       path_prefix, rows)
+                if routed.any():
+                    arr = (col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+                    routed_arrow = pa.array(routed)
+                    masked = pc.if_else(routed_arrow, arr,
+                                        pa.scalar(None, arr.type))
+                    _fallback_violations(masked, cp, prop_idx,
+                                         path_prefix, rows)
+                continue
         if cp.fallback_schema is not None:
             _fallback_violations(col, cp, prop_idx, path_prefix, rows)
             continue
-        all_checks: List[CompiledCheck] = []
-        for check in cp.checks:
-            if check.inline_children:
-                all_checks.extend(check.inline_children)
-            all_checks.append(check)
-        for check in all_checks:
-            mask = check.mask_fn(col)
-            fail = pc.fill_null(pc.invert(mask), False)
-            if isinstance(fail, pa.ChunkedArray):
-                fail = fail.combine_chunks()
-            idxs = np.nonzero(fail.to_numpy(zero_copy_only=False))[0]
-            if len(idxs) == 0:
-                continue
-            failing_vals = col.take(pa.array(idxs)).to_pylist()
-            for i, val in zip(idxs, failing_vals):
-                if pa.types.is_timestamp(col.type):
-                    val = _ts_to_str(val)
-                rows.append((
-                    int(i), prop_idx, check.rank, path_prefix,
-                    cp.schema_pointer, check.error_type,
-                    check.msg_fn(val), json.dumps(val, default=str),
-                ))
+        _emit_check_rows(col, cp, prop_idx, path_prefix, rows)
 
         # list element checks (items list form, validator.rb:290-297)
         if cp.element_checks or cp.element_null_fails:
@@ -1053,52 +1169,7 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
 
         # struct fields (nested properties/required, validator.rb:496-518)
         if cp.struct_field_checks or cp.struct_required:
-            arr = (col.combine_chunks()
-                   if isinstance(col, pa.ChunkedArray) else col)
-            available = {arr.type.field(i).name
-                         for i in range(arr.type.num_fields)}
-            for fi, fname, checks, f_pointer in cp.struct_field_checks:
-                fcol = pc.struct_field(arr, fname)
-                flat_checks: List[CompiledCheck] = []
-                for check in checks:
-                    if check.inline_children:
-                        flat_checks.extend(check.inline_children)
-                    flat_checks.append(check)
-                for check in flat_checks:
-                    fail = pc.fill_null(pc.invert(check.mask_fn(fcol)), False)
-                    idxs = np.nonzero(
-                        fail.to_numpy(zero_copy_only=False))[0]
-                    if len(idxs) == 0:
-                        continue
-                    vals = fcol.take(pa.array(idxs)).to_pylist()
-                    for i, val in zip(idxs, vals):
-                        rows.append((
-                            int(i), prop_idx,
-                            (RANK["properties"], fi, check.rank[0]),
-                            f"{path_prefix}/{fname}", f_pointer,
-                            check.error_type, check.msg_fn(val),
-                            json.dumps(val, default=str)))
-            parent_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
-            if cp.struct_required:
-                miss_per = {}
-                for fname in cp.struct_required:
-                    if fname in available:
-                        fcol = pc.struct_field(arr, fname)
-                        miss_per[fname] = parent_valid & pc.is_null(fcol) \
-                            .to_numpy(zero_copy_only=False)
-                    else:
-                        miss_per[fname] = parent_valid.copy()
-                any_miss = np.zeros(len(arr), dtype=bool)
-                for m in miss_per.values():
-                    any_miss |= m
-                for i in np.nonzero(any_miss)[0]:
-                    missing = [k for k in cp.struct_required
-                               if miss_per[k][i]]
-                    rows.append((
-                        int(i), prop_idx, (RANK["required"], 0, 0),
-                        path_prefix, cp.struct_pointer, "required_failed",
-                        _required_message(missing),
-                        json.dumps(missing)))
+            _struct_violation_rows(col, cp, prop_idx, path_prefix, rows)
 
     req_pointer = plan.schema.pointer
 
@@ -1220,6 +1291,87 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
     return _rows_to_table(rows, batch, plan)
 
 
+def _emit_check_rows(col, cp: ColumnPlan, prop_idx, path_prefix: str,
+                     rows: list) -> None:
+    """Violation rows for the column-level compiled checks (incl.
+    inline combinator children), messages materialized only for
+    failing cells."""
+    all_checks: List[CompiledCheck] = []
+    for check in cp.checks:
+        if check.inline_children:
+            all_checks.extend(check.inline_children)
+        all_checks.append(check)
+    for check in all_checks:
+        mask = check.mask_fn(col)
+        fail = pc.fill_null(pc.invert(mask), False)
+        if isinstance(fail, pa.ChunkedArray):
+            fail = fail.combine_chunks()
+        idxs = np.nonzero(fail.to_numpy(zero_copy_only=False))[0]
+        if len(idxs) == 0:
+            continue
+        failing_vals = col.take(pa.array(idxs)).to_pylist()
+        for i, val in zip(idxs, failing_vals):
+            if pa.types.is_timestamp(col.type):
+                val = _ts_to_str(val)
+            rows.append((
+                int(i), prop_idx, check.rank, path_prefix,
+                cp.schema_pointer, check.error_type,
+                check.msg_fn(val), json.dumps(val, default=str),
+            ))
+
+
+def _struct_violation_rows(col, cp: ColumnPlan, prop_idx,
+                           path_prefix: str, rows: list) -> None:
+    """Struct-column (or JSON-decoded) nested properties/required
+    violation rows (validator.rb:496-518)."""
+    arr = (col.combine_chunks()
+           if isinstance(col, pa.ChunkedArray) else col)
+    available = {arr.type.field(i).name
+                 for i in range(arr.type.num_fields)}
+    for fi, fname, checks, f_pointer in cp.struct_field_checks:
+        fcol = pc.struct_field(arr, fname)
+        flat_checks: List[CompiledCheck] = []
+        for check in checks:
+            if check.inline_children:
+                flat_checks.extend(check.inline_children)
+            flat_checks.append(check)
+        for check in flat_checks:
+            fail = pc.fill_null(pc.invert(check.mask_fn(fcol)), False)
+            idxs = np.nonzero(
+                fail.to_numpy(zero_copy_only=False))[0]
+            if len(idxs) == 0:
+                continue
+            vals = fcol.take(pa.array(idxs)).to_pylist()
+            for i, val in zip(idxs, vals):
+                rows.append((
+                    int(i), prop_idx,
+                    (RANK["properties"], fi, check.rank[0]),
+                    f"{path_prefix}/{fname}", f_pointer,
+                    check.error_type, check.msg_fn(val),
+                    json.dumps(val, default=str)))
+    parent_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    if cp.struct_required:
+        miss_per = {}
+        for fname in cp.struct_required:
+            if fname in available:
+                fcol = pc.struct_field(arr, fname)
+                miss_per[fname] = parent_valid & pc.is_null(fcol) \
+                    .to_numpy(zero_copy_only=False)
+            else:
+                miss_per[fname] = parent_valid.copy()
+        any_miss = np.zeros(len(arr), dtype=bool)
+        for m in miss_per.values():
+            any_miss |= m
+        for i in np.nonzero(any_miss)[0]:
+            missing = [k for k in cp.struct_required
+                       if miss_per[k][i]]
+            rows.append((
+                int(i), prop_idx, (RANK["required"], 0, 0),
+                path_prefix, cp.struct_pointer, "required_failed",
+                _required_message(missing),
+                json.dumps(missing)))
+
+
 def _extra_key_rows(batch: pa.Table, allowed: set, req_pointer: str,
                     group_order: tuple, rows: list) -> None:
     """invalid_keys violation rows for extra columns — per row: a NULL
@@ -1280,20 +1432,19 @@ def _fallback_violations(col, cp: ColumnPlan, prop_idx: int,
                 ))
                 continue
         if not v.validate(val):
-            for e in v.errors:
-                # e.path starts at '#'; splice under the column path
+            for ei, e in enumerate(v.errors):
+                # e.path starts at '#'; splice under the column path.
+                # Rank = the interpreter's own emission order, which
+                # IS the reference's keyword application order
+                # (validator.rb:90-130) — re-ranking by keyword kind
+                # would reorder nested sub-errors vs required.
                 sub = "/".join(str(p) for p in e.path[1:])
                 path = path_prefix + ("/" + sub if sub else "")
                 rows.append((
-                    i, prop_idx, (RANK.get(_type_to_kind(e.type), 5), 0, 0), path,
+                    i, prop_idx, (ei, 0, 0), path,
                     e.schema.pointer if e.schema else cp.schema_pointer,
                     e.type, e.message, json.dumps(e.data, default=str),
                 ))
-
-
-def _type_to_kind(error_type: str) -> str:
-    k = error_type.replace("_failed", "")
-    return k if k in RANK else "type"
 
 
 def _rows_to_table(rows: list, batch: pa.Table, plan: TablePlan) -> pa.Table:

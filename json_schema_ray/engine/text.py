@@ -191,22 +191,105 @@ def _rolling_hashes(text: str, window: int, base: int = 257,
     return out
 
 
+# Mersenne-prime modular arithmetic in uint64 without overflow: with
+# p = 2^61-1, 2^61 ≡ 1 (mod p), so any product decomposes into shifts
+# that stay below 2^64. Residues always land in [0, p), matching the
+# scalar `% mod` exactly.
+_P61 = np.uint64((1 << 61) - 1)
+
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mul257_61(x: np.ndarray) -> np.ndarray:
+    """(x * 257) mod p for x < p, via x*256 = (x>>53) + ((x&2^53-1)<<8)."""
+    hi = x >> np.uint64(53)
+    lo = x & np.uint64((1 << 53) - 1)
+    r = _fold61((lo << np.uint64(8)) + hi)
+    return _fold61(r + x)
+
+
+def _byte_mulmod_61(d: np.ndarray, t1: np.uint64, t0: np.uint64) -> np.ndarray:
+    """(d * top) mod p for byte-sized d, with top = t1*2^32 + t0."""
+    m1 = d * t1  # < 2^37
+    a = m1 >> np.uint64(29)
+    b = m1 & np.uint64((1 << 29) - 1)
+    r1 = _fold61((b << np.uint64(32)) + a)
+    return _fold61(r1 + d * t0)
+
+
+def _rolling_hashes_batch(datas: list, window: int) -> list:
+    """Batch-vectorized Rabin-Karp: the position loop steps once per
+    BYTE POSITION with all documents advanced simultaneously (numpy
+    ops over the doc axis), instead of a Python loop per byte per doc.
+    Identical output to :func:`_rolling_hashes` (same base 257 /
+    mod 2^61-1 residues). ``datas`` is a list of uint8 arrays.
+
+    Documents are bucketed by length so the padded (docs x max_len)
+    matrix stays bounded (~16M cells per chunk) even when one long
+    document shares a batch with many short ones.
+    """
+    mod = (1 << 61) - 1
+    top = pow(257, window - 1, mod)
+    t1 = np.uint64(top >> 32)
+    t0 = np.uint64(top & 0xFFFFFFFF)
+    results: list = [None] * len(datas)
+    eligible = [(i, len(d)) for i, d in enumerate(datas)
+                if d is not None and len(d) >= window]
+    for i, d in enumerate(datas):
+        if d is not None and len(d) < window:
+            results[i] = np.zeros(0, dtype=np.uint64)
+    eligible.sort(key=lambda x: x[1])
+    pos = 0
+    budget = 1 << 24
+    while pos < len(eligible):
+        max_len = eligible[pos][1]
+        take = max(1, min(len(eligible) - pos,
+                          budget // max(max_len, 1)))
+        chunk = eligible[pos:pos + take]
+        pos += take
+        L = chunk[-1][1]
+        k = len(chunk)
+        M = np.zeros((k, L), dtype=np.uint64)
+        for r, (i, ln) in enumerate(chunk):
+            M[r, :ln] = datas[i]
+        h = np.zeros(k, dtype=np.uint64)
+        for j in range(window):
+            h = _fold61(_mul257_61(h) + M[:, j])
+        n_out = L - window + 1
+        out = np.empty((k, n_out), dtype=np.uint64)
+        out[:, 0] = h
+        for j in range(1, n_out):
+            mm = _byte_mulmod_61(M[:, j - 1], t1, t0)
+            t = _fold61(h + (_P61 - mm))
+            t = _fold61(_mul257_61(t) + M[:, j + window - 1])
+            h = t
+            out[:, j] = h
+        for r, (i, ln) in enumerate(chunk):
+            results[i] = out[r, :ln - window + 1]
+    return results
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text",
                       window: int = 16, keep: int = 4) -> pa.Table:
     """Winnowing-style document fingerprint: the ``keep`` smallest
     rolling hashes per document, hex-joined. Deterministic; documents
     sharing fingerprints are near-duplicate candidates."""
+    texts = batch[column].to_pylist()
+    datas = [None if t is None else
+             np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+             for t in texts]
+    hashed = _rolling_hashes_batch(datas, window)
     fps = []
-    for text in batch[column].to_pylist():
-        if text is None:
+    for h in hashed:
+        if h is None:
             fps.append(None)
-            continue
-        hashes = _rolling_hashes(text, window)
-        if len(hashes) == 0:
+        elif len(h) == 0:
             fps.append("")
-            continue
-        smallest = np.sort(np.unique(hashes))[:keep]
-        fps.append("-".join(format(int(h), "x") for h in smallest))
+        else:
+            smallest = np.unique(h)[:keep]
+            fps.append("-".join(format(int(x), "x") for x in smallest))
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 

@@ -393,3 +393,24 @@ def test_embedding_near_dup_hot_bucket_matches_bruteforce():
         assert k in got
     for k, v in got.items():
         assert abs(v - expected[k]) < 1e-9
+
+
+def test_rolling_hashes_batch_equals_scalar():
+    import random
+    import string
+
+    from json_schema_ray.engine.text import (
+        _rolling_hashes, _rolling_hashes_batch)
+
+    rng = random.Random(7)
+    texts = ["", "short", "exactly-16-bytes", "ünïcødé tëxt — multibyte ✓"]
+    for _ in range(40):
+        n = rng.randrange(0, 400)
+        texts.append("".join(rng.choice(string.printable) for _ in range(n)))
+    texts.append("x" * 5000)  # long doc forces its own length bucket
+    datas = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+             for t in texts]
+    got = _rolling_hashes_batch(datas, 16)
+    for t, g in zip(texts, got):
+        ref = _rolling_hashes(t, 16)
+        assert np.array_equal(g, ref), t[:40]

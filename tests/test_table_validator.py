@@ -532,3 +532,66 @@ def test_unique_items_nested_elements_fall_back():
     plan = _diff_against_interpreter(table, schema_json)
     for cp in plan.columns:
         assert cp.fallback_schema is not None
+
+
+JSON_PROPS_SCHEMA = {
+    "type": ["object"],
+    "properties": {
+        "props": {
+            "type": ["object"],
+            "required": ["k"],
+            "properties": {
+                "k": {"type": ["integer"], "maximum": 50},
+                "name": {"type": ["string"], "minLength": 2},
+            },
+        },
+    },
+}
+
+
+def _json_plan(arrow_schema, fast: bool):
+    plan = compile_plan_for(JSON_PROPS_SCHEMA, arrow_schema,
+                            json_columns={"props"})
+    if not fast:
+        for cp in plan.columns:
+            cp.json_struct_type = None
+    return plan
+
+
+def test_json_decode_struct_fast_path_matches_interpreter():
+    # decodable batch incl. cells ROUTED around the decode (float
+    # lexemes, literal null) — the fast path must equal the
+    # interpreter fallback exactly
+    table = pa.table({"props": pa.array([
+        '{"k": 5, "name": "ok"}',
+        '{"k": 99}',                      # max_failed
+        '{"name": "x"}',                  # required k missing + minLength
+        '{"k": 5, "extra": true}',        # extra key allowed
+        None,                             # absent cell
+        'null',                           # literal null -> routed
+        '{"k": 1.5}',                     # float lexeme -> routed
+        '{"k": 1.0}',                     # integral float -> routed (Ruby Float)
+        '{"k": 12, "name": "a"}',         # minLength fail
+    ], pa.string())})
+    fast = _json_plan(table.schema, True)
+    slow = _json_plan(table.schema, False)
+    assert any(cp.json_struct_type is not None for cp in fast.columns)
+    got = validate_batch(table, fast).to_pylist()
+    want = validate_batch(table, slow).to_pylist()
+    assert got == want
+    assert list(verdict_mask(table, fast)) == list(verdict_mask(table, slow))
+    assert len(got) >= 4  # violations actually present
+
+
+def test_json_decode_struct_fallback_on_undecodable_batch():
+    # wrong-typed field / malformed JSON break the strict decode: the
+    # whole batch must fall back to the interpreter, identical output
+    table = pa.table({"props": pa.array([
+        '{"k": 5}', '{"k": "str"}', 'not json', '[1,2]',
+    ], pa.string())})
+    fast = _json_plan(table.schema, True)
+    slow = _json_plan(table.schema, False)
+    got = validate_batch(table, fast).to_pylist()
+    want = validate_batch(table, slow).to_pylist()
+    assert got == want
+    assert list(verdict_mask(table, fast)) == list(verdict_mask(table, slow))
