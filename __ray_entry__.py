@@ -367,6 +367,44 @@ def q_events_last_order(sf_dir: str):
     }).sort_by("event_id")
 
 
+def q_lineitems_shipped_90d(sf_dir: str):
+    """Range (interval) join — engine/relational.py::range_join: each
+    lineitem matched to orders with the same key whose order date
+    falls within [l_shipdate - 90 days, l_shipdate]. Broadcast right
+    side, vectorized searchsorted + expansion, no shuffle of the big
+    side."""
+    from json_schema_ray.engine.relational import range_join
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_orderdate"])
+    out = range_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                     "l_shipdate", "o_orderdate",
+                     before_us=90 * 86400 * 1_000_000, after_us=0,
+                     value_columns=["o_orderdate"])
+    t = _collect(out)
+    return pa.table({
+        "l_orderkey": t["l_orderkey"],
+        "l_linenumber": t["l_linenumber"],
+        "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+    }).sort_by([("l_orderkey", "ascending"),
+                ("l_linenumber", "ascending")])
+
+
+def q_dedup_docs_survivors(sf_dir: str):
+    """End-to-end exact dedup: the surviving rows themselves (keeper
+    id per (lang, n_chars) content key), via the broadcast keeper-id
+    semi-join."""
+    from json_schema_ray.engine.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = exact_dedup(ds, ["lang", "n_chars"], "doc_id")
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by("doc_id")
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       filters=[("vec_id", "=", 0)])
@@ -746,6 +784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_volume": q_daily_event_volume,
         "events_last_order": q_events_last_order,
         "text_equality": q_text_equality,
+        "lineitems_shipped_90d": q_lineitems_shipped_90d,
+        "dedup_docs_survivors": q_dedup_docs_survivors,
         # rows-only pipelines (no SQL equivalent)
         "transcript_validation": q_transcript_validation,
         "transcript_verdicts": q_transcript_verdicts,
@@ -914,6 +954,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "lineitems_shipped_90d": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             AND o.o_orderdate BETWEEN l.l_shipdate - INTERVAL 90 DAY
+                                   AND l.l_shipdate
+            ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "dedup_docs_survivors": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY lang, n_chars)
+            ORDER BY doc_id
         """,
         "text_equality": """
             WITH a AS (

@@ -38,6 +38,7 @@ HEADLINE_QUERIES = [
     "daily_event_volume",
     "minhash_near_dups",
     "transcript_stats",
+    "text_equality",
 ]
 
 

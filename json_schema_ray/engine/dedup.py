@@ -255,7 +255,8 @@ def _empty_pairs() -> pa.Table:
 
 
 def _bucket_candidate_pairs(rows, id_column: str,
-                            max_bucket: int = 256):
+                            max_bucket: int = 256,
+                            distinct: bool = True):
     """Distributed (bucket, id) rows -> distinct candidate (id_a, id_b)
     Dataset.
 
@@ -311,22 +312,30 @@ def _bucket_candidate_pairs(rows, id_column: str,
 
     pairs = hot_rows.groupby("bucket").map_groups(
         pairs_of, batch_format="pyarrow")
-    distinct = pairs.groupby(["id_a", "id_b"]).count()
+    if not distinct:
+        # callers that re-reduce downstream (e.g. the Jaccard verify,
+        # whose duplicate factor is bounded by n_bands) skip this
+        # extra shuffle and deduplicate at their own reduction
+        return pairs
+    deduped = pairs.groupby(["id_a", "id_b"]).count()
 
     def drop_count(batch: pa.Table) -> pa.Table:
         return batch.select(["id_a", "id_b"])
 
-    return distinct.map_batches(drop_count, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    return deduped.map_batches(drop_count, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                            n_perm: int = 64, n_bands: int = 16,
                            seed: int = 42, shingle_k: int = 5,
                            max_bucket: int = 256,
-                           concurrency: Optional[int] = None):
+                           concurrency: Optional[int] = None,
+                           distinct: bool = True):
     """Candidate duplicate pairs: docs sharing any LSH band bucket.
-    Returns a Dataset of distinct (id_a, id_b) with id_a < id_b."""
+    Returns a Dataset of distinct (id_a, id_b) with id_a < id_b
+    (``distinct=False`` skips the dedup shuffle for callers that
+    re-reduce downstream; duplicates are bounded by n_bands)."""
     bands = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(id_column=id_column,
@@ -334,8 +343,9 @@ def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                                    n_perm=n_perm, n_bands=n_bands,
                                    seed=seed, shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency or (1, 4))
-    return _bucket_candidate_pairs(bands, id_column, max_bucket)
+        concurrency=concurrency or (1, 8))
+    return _bucket_candidate_pairs(bands, id_column, max_bucket,
+                                   distinct=distinct)
 
 
 def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
@@ -359,7 +369,8 @@ def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
     import ray
 
     candidates = minhash_lsh_candidates(ds, id_column, text_column,
-                                        shingle_k=shingle_k, **lsh_kwargs)
+                                        shingle_k=shingle_k,
+                                        distinct=False, **lsh_kwargs)
     candidates = candidates.materialize()
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
@@ -417,7 +428,11 @@ def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return empty
-    return pa.concat_tables(tables, promote_options="default") \
+    merged = pa.concat_tables(tables, promote_options="default")
+    # candidates skipped the distinct shuffle: collapse cross-band
+    # duplicates here (verified pairs are sparse — result-sized work)
+    g = merged.group_by(["id_a", "id_b"]).aggregate([("jaccard", "min")])
+    return g.rename_columns(["id_a", "id_b", "jaccard"]) \
         .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 

@@ -226,6 +226,92 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
                           zero_copy_batch=True)
 
 
+def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
+               left_time: str, right_time: str,
+               before_us: int, after_us: int,
+               value_columns: List[str]):
+    """Range (interval) join: each left row matches every right row
+    with the same ``by`` key whose ``right_time`` lies in
+    ``[left_time - before_us, left_time + after_us]`` (inclusive);
+    one output row per match (inner semantics). Ray Data has no
+    native range join; like the as-of join this is the broadcast
+    realization for a dimension-sized right side — the right table is
+    key-grouped and time-sorted once, shipped via ``ray.put``, and
+    each batch resolves its matches with two ``searchsorted`` calls
+    per key group plus ONE vectorized expansion (np.repeat /
+    cumulative offsets) and one Arrow ``take`` per output column. For
+    two big sides, time-bucket both and co-group on (key,
+    time_bucket); not needed for the testdata shapes.
+    """
+    import ray
+
+    idx: dict = {}
+    rt = right_table.sort_by([(right_by, "ascending"),
+                              (right_time, "ascending")])
+    by_np = rt[right_by].to_numpy(zero_copy_only=False)
+    t_np = pc.cast(rt[right_time], pa.int64()).to_numpy(zero_copy_only=False)
+    if len(by_np):
+        starts = np.concatenate(
+            [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            idx[by_np[s]] = (t_np[s:e], int(s))
+    value_arrays = {c: (rt[c].combine_chunks()
+                        if isinstance(rt[c], pa.ChunkedArray) else rt[c])
+                    for c in value_columns}
+    handle = ray.put((idx, value_arrays))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        index, values = ray.get(handle)
+        n = batch.num_rows
+        lb = batch[left_by].to_numpy(zero_copy_only=False)
+        lt = pc.cast(batch[left_time], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        left_rows: list = []
+        right_pos: list = []
+        order = np.argsort(lb, kind="stable")
+        i = 0
+        while i < n:
+            j = i
+            key = lb[order[i]]
+            while j < n and lb[order[j]] == key:
+                j += 1
+            entry = index.get(key)
+            if entry is not None:
+                times, seg_start = entry
+                rows = order[i:j]
+                lo = np.searchsorted(times, lt[rows] - before_us,
+                                     side="left")
+                hi = np.searchsorted(times, lt[rows] + after_us,
+                                     side="right")
+                counts = hi - lo
+                m = counts > 0
+                if m.any():
+                    rows, lo, counts = rows[m], lo[m], counts[m]
+                    total = int(counts.sum())
+                    # positions lo[k] .. lo[k]+counts[k]-1 per left row
+                    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                    expand = (np.arange(total)
+                              - np.repeat(offs, counts)
+                              + np.repeat(lo, counts))
+                    left_rows.append(np.repeat(rows, counts))
+                    right_pos.append(expand + seg_start)
+            i = j
+        if left_rows:
+            li = np.concatenate(left_rows)
+            ri = np.concatenate(right_pos)
+        else:
+            li = np.zeros(0, dtype=np.int64)
+            ri = np.zeros(0, dtype=np.int64)
+        out = batch.take(pa.array(li, pa.int64()))
+        for c in value_columns:
+            out = out.append_column(
+                c, values[c].take(pa.array(ri, pa.int64())))
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def exact_distinct_count(ds, column: str) -> int:
     """Exact COUNT(DISTINCT col): per-block distinct -> hash shuffle
     of distinct values only -> count groups."""

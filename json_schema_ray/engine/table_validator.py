@@ -139,6 +139,17 @@ class ColumnPlan:
     element_type_msg: Optional[Callable[[Any], str]] = None
     # uniqueItems on a primitive list column (validator.rb:539-548)
     unique_items: bool = False
+    # tuple-form items (validator.rb:257-289): per-slot checks over
+    # positions 0..tuple_count-1, additionalItems schema checks over
+    # the rest (or a hard length cap when additionalItems is false).
+    # Each slot entry: (slot, checks, pointer, null_fails, null_msg).
+    tuple_count: int = -1
+    tuple_slots: List[tuple] = field(default_factory=list)
+    tuple_additional: Optional[List[CompiledCheck]] = None
+    tuple_additional_pointer: str = ""
+    tuple_additional_null_fails: bool = False
+    tuple_additional_null_msg: Optional[Callable[[Any], str]] = None
+    tuple_additional_false: bool = False
     # struct columns: per-field checks on pc.struct_field(col, name)
     # (validator.rb:496-518 over a nested object)
     struct_field_checks: List[tuple] = field(default_factory=list)
@@ -282,6 +293,158 @@ def _compile_struct_plan(cp: ColumnPlan, prop: Schema,
     cp.struct_pointer = prop.pointer
 
 
+def _null_elem_msg(sub: Schema):
+    etypes = [t for t in (sub.type or [])]
+    parent = _find_parent(sub)
+    return (lambda v, _p=parent, _t=etypes:
+            f"For '{_p}', {ruby_inspect(v)} is not {to_list(_t)}.")
+
+
+def _compile_tuple_plan(cp: ColumnPlan, prop: Schema,
+                        elem_type: pa.DataType) -> None:
+    """Lower tuple-form items + additionalItems (validator.rb:257-289)
+    over a list column: per-slot compiled checks applied to flattened
+    elements selected by position."""
+    cp.tuple_count = len(prop.items)
+    for i, sub in enumerate(prop.items):
+        checks = _compile_property_checks(sub, elem_type)
+        etypes = sub.type or []
+        null_fails = bool(etypes) and "null" not in etypes
+        msg = _null_elem_msg(sub) if null_fails else None
+        cp.tuple_slots.append((i, checks, sub.pointer, null_fails, msg))
+    ai = prop.additional_items
+    if ai is False:
+        cp.tuple_additional_false = True
+    elif isinstance(ai, Schema):
+        cp.tuple_additional = _compile_property_checks(ai, elem_type)
+        cp.tuple_additional_pointer = ai.pointer
+        etypes = ai.type or []
+        if etypes and "null" not in etypes:
+            cp.tuple_additional_null_fails = True
+            cp.tuple_additional_null_msg = _null_elem_msg(ai)
+
+
+def _tuple_parts(col, cp: ColumnPlan):
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = pc.list_flatten(arr)
+    parents = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    pos = np.arange(len(parents)) - np.searchsorted(parents, parents)
+    lens = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False)
+    row_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    cnt = cp.tuple_count
+    short = row_valid & (lens < cnt)
+    long_rows = row_valid & (lens > cnt)
+    # reference short-circuits: a too-short row (or too-long with
+    # additionalItems false) reports ONLY the length error
+    gate = row_valid & ~short
+    if cp.tuple_additional_false:
+        gate = gate & ~long_rows
+    return arr, flat, parents, pos, lens, short, long_rows, gate
+
+
+def _tuple_ok_mask(col, cp: ColumnPlan) -> np.ndarray:
+    arr, flat, parents, pos, lens, short, long_rows, gate = \
+        _tuple_parts(col, cp)
+    ok = np.ones(len(arr), dtype=bool)
+    ok &= ~short
+    if cp.tuple_additional_false:
+        ok &= ~long_rows
+    flat_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+
+    def apply(checks, sel, null_fails):
+        nonlocal ok
+        if null_fails:
+            bad_rows = parents[sel & flat_null]
+            bad_rows = bad_rows[gate[bad_rows]]
+            ok[bad_rows] = False
+        for c in checks:
+            m = pc.fill_null(c.mask_fn(flat), True)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            fail = sel & ~m.to_numpy(zero_copy_only=False)
+            rows_f = parents[fail]
+            rows_f = rows_f[gate[rows_f]]
+            ok[rows_f] = False
+
+    for i, checks, _ptr, null_fails, _msg in cp.tuple_slots:
+        apply(checks, pos == i, null_fails)
+    if cp.tuple_additional is not None:
+        apply(cp.tuple_additional, pos >= cp.tuple_count,
+              cp.tuple_additional_null_fails)
+    return ok
+
+
+def _tuple_violation_rows(col, cp: ColumnPlan, prop_idx,
+                          path_prefix: str, rows: list) -> None:
+    arr, flat, parents, pos, lens, short, long_rows, gate = \
+        _tuple_parts(col, cp)
+    cnt = cp.tuple_count
+    for i in np.nonzero(short)[0]:
+        size = int(lens[i])
+        msg = (f"{cnt} item" + ("" if cnt == 1 else "s")
+               + f" required; only {size} "
+               + ("was" if size == 1 else "were") + " supplied.")
+        rows.append((int(i), prop_idx, (RANK["items"], 0, 0),
+                     path_prefix, cp.schema_pointer, "min_items_failed",
+                     msg, json.dumps(arr[int(i)].as_py(), default=str)))
+    if cp.tuple_additional_false:
+        for i in np.nonzero(long_rows)[0]:
+            size = int(lens[i])
+            msg = (f"No more than {cnt} item"
+                   + (" is" if cnt == 1 else "s are")
+                   + f" allowed; {size} "
+                   + ("were" if size > 1 else "was") + " supplied.")
+            rows.append((int(i), prop_idx, (RANK["items"], 0, 0),
+                         path_prefix, cp.schema_pointer,
+                         "max_items_failed", msg,
+                         json.dumps(arr[int(i)].as_py(), default=str)))
+    flat_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+
+    def emit(checks, sel, pointer, null_fails, null_msg, order):
+        # `order` sorts additionalItems errors (1) before slot errors
+        # (2), mirroring the reference's loop order
+        if null_fails:
+            for fi in np.nonzero(sel & flat_null)[0]:
+                r = int(parents[fi])
+                if not gate[r]:
+                    continue
+                rows.append((r, prop_idx,
+                             (RANK["items"], order, int(pos[fi]),
+                              RANK["type"]),
+                             f"{path_prefix}/{int(pos[fi])}", pointer,
+                             "invalid_type", null_msg(None), "null"))
+        for check in checks:
+            inline = list(check.inline_children or []) + [check]
+            for c in inline:
+                m = pc.fill_null(pc.invert(c.mask_fn(flat)), False)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                fail = sel & m.to_numpy(zero_copy_only=False)
+                idxs = np.nonzero(fail)[0]
+                if len(idxs) == 0:
+                    continue
+                vals = flat.take(pa.array(idxs)).to_pylist()
+                for fi, val in zip(idxs, vals):
+                    r = int(parents[fi])
+                    if not gate[r]:
+                        continue
+                    rows.append((r, prop_idx,
+                                 (RANK["items"], order, int(pos[fi]),
+                                  c.rank[0]),
+                                 f"{path_prefix}/{int(pos[fi])}", pointer,
+                                 c.error_type, c.msg_fn(val),
+                                 json.dumps(val, default=str)))
+
+    if cp.tuple_additional is not None:
+        emit(cp.tuple_additional, pos >= cnt,
+             cp.tuple_additional_pointer,
+             cp.tuple_additional_null_fails,
+             cp.tuple_additional_null_msg, 1)
+    for i, checks, ptr, null_fails, msg in cp.tuple_slots:
+        emit(checks, pos == i, ptr, null_fails, msg, 2)
+
+
 def _polars_struct_dtype(struct_type: pa.DataType):
     import polars as pl
 
@@ -334,8 +497,21 @@ def _uses_only_vectorizable(prop: Schema, allow_list_keywords: bool = False) -> 
     if prop.all_of and configuration().all_of_sub_errors:
         return False  # sub_errors mode needs the interpreter's nesting
     if prop.items is not None:
-        if not (allow_list_keywords and isinstance(prop.items, Schema)
-                and _uses_only_vectorizable(prop.items)):
+        if not allow_list_keywords:
+            return False
+        if isinstance(prop.items, Schema):
+            if not _uses_only_vectorizable(prop.items):
+                return False
+        elif isinstance(prop.items, list):
+            # tuple form: every slot (and a schema-valued
+            # additionalItems) must lower
+            if not all(isinstance(s, Schema) and _uses_only_vectorizable(s)
+                       for s in prop.items):
+                return False
+            ai = prop.additional_items
+            if isinstance(ai, Schema) and not _uses_only_vectorizable(ai):
+                return False
+        else:
             return False
     if prop.unique_items and not allow_list_keywords:
         return False
@@ -389,7 +565,9 @@ def compile_table_plan(
               and _uses_only_vectorizable(prop,
                                           allow_list_keywords=is_list_col)):
             cp.checks = _compile_property_checks(prop, col_type)
-            if is_list_col and isinstance(prop.items, Schema):
+            if is_list_col and isinstance(prop.items, list):
+                _compile_tuple_plan(cp, prop, col_type.value_type)
+            elif is_list_col and isinstance(prop.items, Schema):
                 elem_type = col_type.value_type
                 cp.element_checks = _compile_property_checks(
                     prop.items, elem_type)
@@ -1012,6 +1190,8 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
             _, parents, _, failures = _element_failures(col, cp)
             for _, idxs in failures:
                 ok[np.unique(parents[idxs])] = False
+        if cp.tuple_count >= 0:
+            ok &= _tuple_ok_mask(col, cp)
         if cp.unique_items:
             ok[_unique_fail_rows(col)] = False
         if cp.struct_field_checks or cp.struct_required:
@@ -1158,6 +1338,8 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                             f"{path_prefix}/{p}", cp.element_pointer,
                             check.error_type, check.msg_fn(val),
                             json.dumps(val, default=str)))
+        if cp.tuple_count >= 0:
+            _tuple_violation_rows(col, cp, prop_idx, path_prefix, rows)
         if cp.unique_items:
             for row_i in _unique_fail_rows(col):
                 data = col[int(row_i)].as_py()

@@ -414,3 +414,25 @@ def test_rolling_hashes_batch_equals_scalar():
     for t, g in zip(texts, got):
         ref = _rolling_hashes(t, 16)
         assert np.array_equal(g, ref), t[:40]
+
+
+def test_range_join_multi_match():
+    from json_schema_ray.engine.relational import range_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 2, 3], pa.int64()),
+        "t": pa.array([100, 250, 100, 100], pa.timestamp("us")),
+        "row": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 1, 1, 2], pa.int64()),
+        "rt": pa.array([50, 90, 240, 500], pa.timestamp("us")),
+        "val": pa.array(["a", "b", "c", "d"], pa.string()),
+    })
+    out = range_join(_ray().data.from_arrow(left), right, "k", "rk",
+                     "t", "rt", before_us=50, after_us=0,
+                     value_columns=["val"])
+    got = sorted((r["row"], r["val"]) for r in out.take_all())
+    # row0: [50,100] -> a,b; row1: [200,250] -> c; row2: no rt in
+    # [50,100] for k=2; row3: k=3 absent
+    assert got == [(0, "a"), (0, "b"), (1, "c")]

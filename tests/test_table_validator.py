@@ -595,3 +595,53 @@ def test_json_decode_struct_fallback_on_undecodable_batch():
     want = validate_batch(table, slow).to_pylist()
     assert got == want
     assert list(verdict_mask(table, fast)) == list(verdict_mask(table, slow))
+
+
+def test_tuple_items_vectorized_matches_interpreter():
+    table = pa.table({
+        "tup": pa.array(
+            [["a", "bb", "ccc"],      # valid
+             ["a"],                   # too short -> min_items only
+             ["a", "bb", "ccc", "d"], # extra element -> additionalItems
+             ["", "x", None],         # slot0 minLength, slot1 ok, null elem
+             None],                   # absent cell
+            pa.list_(pa.string())),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "tup": {
+                "type": ["array"],
+                "items": [
+                    {"type": ["string"], "minLength": 1},
+                    {"type": ["string"], "maxLength": 2},
+                    {"type": ["string", "null"]},
+                ],
+                "additionalItems": {"type": ["string"], "maxLength": 1},
+            },
+        },
+    }
+    plan = _diff_against_interpreter(table, schema_json)
+    assert plan.columns[0].tuple_count == 3
+    assert plan.columns[0].fallback_schema is None
+
+
+def test_tuple_items_additional_false_matches_interpreter():
+    table = pa.table({
+        "tup": pa.array(
+            [[1, 2], [1, 2, 3], [1], [None, 5]],
+            pa.list_(pa.int64())),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "tup": {
+                "type": ["array"],
+                "items": [{"type": ["integer"], "minimum": 0},
+                          {"type": ["integer"], "maximum": 10}],
+                "additionalItems": False,
+            },
+        },
+    }
+    plan = _diff_against_interpreter(table, schema_json)
+    assert plan.columns[0].tuple_additional_false
