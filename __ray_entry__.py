@@ -657,6 +657,22 @@ def q_knn_lsh_top10(sf_dir: str):
                                        pa.float64())})
 
 
+def q_knn_ivf_top10(sf_dir: str):
+    """IVF approximate nearest neighbors: k-means coarse quantizer
+    trained once on a bounded sample, inverted-list probe, then the
+    brute-force partial-top-k over candidates only."""
+    from json_schema_ray.engine.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings")
+    q = _query_vector(sf_dir)
+    t = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=16,
+                exclude_ids={0})
+    return pa.table({"vec_id": t["vec_id"],
+                     "score": pa.array([round(v, 4) for v in
+                                        t["score"].to_pylist()],
+                                       pa.float64())})
+
+
 def q_embedding_near_dups(sf_dir: str):
     from json_schema_ray.engine.similarity import embedding_near_dup_pairs
 
@@ -795,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_accuracy": q_lang_id_accuracy,
         "doc_quality": q_doc_quality,
         "knn_lsh_top10": q_knn_lsh_top10,
+        "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -912,6 +929,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, n_chars
         """,
         "knn_top10": """
+            SELECT vec_id,
+                   round(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ) AS DOUBLE), 4) AS score
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "knn_ivf_top10": """
             SELECT vec_id,
                    round(CAST(list_cosine_similarity(
                        embedding,

@@ -135,6 +135,78 @@ def knn_lsh(ds, query: np.ndarray, k: int = 10, dim: Optional[int] = None,
                           embedding_column=embedding_column)
 
 
+def train_ivf_centroids(ds, n_centroids: int = 16,
+                        sample_size: int = 4096,
+                        embedding_column: str = "embedding",
+                        seed: int = 42, n_iter: int = 10) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means (Lloyd) on a bounded sample,
+    trained ONCE on the driver (sample-sized work) — the 100TB analog
+    trains on a reservoir sample, never the corpus."""
+    sample = ds.limit(sample_size).take_all()
+    m = _normalize(np.asarray([r[embedding_column] for r in sample],
+                              dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = m[rng.choice(len(m), size=min(n_centroids, len(m)),
+                             replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IVFAssigner:
+    """map_batches actor: append the nearest-centroid cell id."""
+
+    def __init__(self, centroids: np.ndarray,
+                 embedding_column: str = "embedding"):
+        self.centroids = centroids
+        self.embedding_column = embedding_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch[self.embedding_column])
+                       .astype(np.float64))
+        cell = np.argmax(m @ self.centroids.T, axis=1)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+
+def knn_ivf(ds, query: np.ndarray, k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, id_column: str = "vec_id",
+            embedding_column: str = "embedding", seed: int = 42,
+            centroids: Optional[np.ndarray] = None,
+            exclude_ids: Optional[set] = None) -> pa.Table:
+    """IVF approximate top-k: restrict the brute-force search to the
+    ``n_probe`` inverted lists (centroid cells) nearest the query.
+    With ``n_probe == n_centroids`` this is exact. Centroids can be
+    passed in (trained once, reused across queries)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_centroids=n_centroids,
+            embedding_column=embedding_column, seed=seed)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    sims = (q @ centroids.T).ravel()
+    probe_cells = set(np.argsort(-sims)[:n_probe].tolist())
+
+    assigned = ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs=dict(centroids=centroids,
+                                   embedding_column=embedding_column),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+
+    def in_probe(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["ivf_cell"],
+                        value_set=pa.array(sorted(probe_cells), pa.int64()))
+        return batch.filter(pc.fill_null(mask, False))
+
+    candidates = assigned.map_batches(in_probe, batch_format="pyarrow")
+    return knn_bruteforce(candidates, query, k=k, id_column=id_column,
+                          embedding_column=embedding_column,
+                          exclude_ids=exclude_ids)
+
+
 def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                              id_column: str = "vec_id",
                              embedding_column: str = "embedding",

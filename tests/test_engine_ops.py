@@ -436,3 +436,32 @@ def test_range_join_multi_match():
     # row0: [50,100] -> a,b; row1: [200,250] -> c; row2: no rt in
     # [50,100] for k=2; row3: k=3 absent
     assert got == [(0, "a"), (0, "b"), (1, "c")]
+
+
+def test_knn_ivf_exact_with_full_probe_and_decent_recall():
+    from json_schema_ray.engine.similarity import (
+        knn_bruteforce, knn_ivf)
+
+    rng = np.random.default_rng(3)
+    # clustered corpus: 8 well-separated centers
+    centers = rng.standard_normal((8, 32)) * 4
+    vecs = np.concatenate([
+        centers[i] + rng.standard_normal((60, 32)) * 0.5
+        for i in range(8)])
+    t = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = _ray().data.from_arrow(t)
+    q = vecs[5]
+    exact = knn_bruteforce(ds, q, k=10, exclude_ids={5})
+    # full probe == exact
+    full = knn_ivf(ds, q, k=10, n_centroids=8, n_probe=8,
+                   exclude_ids={5})
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    # single-probe recall on clustered data should still be high
+    one = knn_ivf(ds, q, k=10, n_centroids=8, n_probe=1,
+                  exclude_ids={5})
+    overlap = len(set(one["vec_id"].to_pylist())
+                  & set(exact["vec_id"].to_pylist()))
+    assert overlap >= 8
