@@ -473,6 +473,19 @@ def q_daily_event_volume(sf_dir: str):
     return _round_col(t, "value_sum", 2)
 
 
+def q_hopping_event_volume(sf_dir: str):
+    """Hopping (sliding) windows: 24h windows every 6h — each event
+    lands in exactly 4 windows, assigned vectorized (np.repeat), then
+    pre-agg + one small shuffle over window keys."""
+    from json_schema_ray.engine.window import hopping_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = hopping_window_counts(ds, window_seconds=86400,
+                              hop_seconds=21600)
+    t = t.rename_columns(["window_start_us", "value_sum", "n_events"])
+    return _round_col(t, "value_sum", 2)
+
+
 def _conv_turn(did):
     """(conv_id, turn_idx) = (doc_id // 10, doc_id % 10) — a stable
     transcript-shaped composite key derived from the document id."""
@@ -800,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_volume": q_daily_event_volume,
         "events_last_order": q_events_last_order,
         "text_equality": q_text_equality,
+        "hopping_event_volume": q_hopping_event_volume,
         "lineitems_shipped_90d": q_lineitems_shipped_90d,
         "dedup_docs_survivors": q_dedup_docs_survivors,
         # rows-only pipelines (no SQL equivalent)
@@ -980,6 +994,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "hopping_event_volume": """
+            SELECT CAST(floor(epoch_us(ts) / 21600000000)
+                        * 21600000000
+                        - k.k * 21600000000 AS BIGINT) AS window_start_us,
+                   round(sum(value), 2) AS value_sum,
+                   count(*) AS n_events
+            FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+            GROUP BY 1
         """,
         "lineitems_shipped_90d": """
             SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate

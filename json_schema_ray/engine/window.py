@@ -109,6 +109,46 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
     }))
 
 
+def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
+                          window_seconds: int = 86400,
+                          hop_seconds: int = 21600):
+    """Event-time hopping (sliding) window aggregate: windows of
+    ``window_seconds`` starting every ``hop_seconds`` (window must be
+    a multiple of hop). Each event lands in exactly window/hop
+    windows — assigned VECTORIZED per batch (one np.repeat expansion,
+    no per-row loop), pre-aggregated per block, then one small
+    shuffle over the window keys."""
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of "
+                         "hop_seconds")
+    from .relational import grouped_aggregate
+
+    win_us = window_seconds * 1_000_000
+    hop_us = hop_seconds * 1_000_000
+    n_win = window_seconds // hop_seconds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tsv = pc.cast(batch[ts], pa.int64())
+        if isinstance(tsv, pa.ChunkedArray):
+            tsv = tsv.combine_chunks()
+        valid = pc.is_valid(tsv).to_numpy(zero_copy_only=False)
+        t_np = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
+        keep = np.nonzero(valid)[0]
+        base = (t_np[keep] // hop_us) * hop_us
+        # windows base, base-hop, ..., base-(n_win-1)*hop all contain t
+        starts = (base[:, None]
+                  - (np.arange(n_win, dtype=np.int64) * hop_us)[None, :])
+        row_idx = np.repeat(keep, n_win)
+        out = batch.take(pa.array(row_idx, pa.int64()))
+        return out.append_column("window_start_us",
+                                 pa.array(starts.ravel(), pa.int64()))
+
+    with_win = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_aggregate(with_win, ["window_start_us"],
+                             [(value, "sum"), (None, "count")])
+
+
 def tumbling_window_counts(ds, ts: str = "ts", value: str = "value",
                            window_seconds: int = 86400):
     """Event-time tumbling-window aggregate: (window_start, n, sum).

@@ -465,3 +465,26 @@ def test_knn_ivf_exact_with_full_probe_and_decent_recall():
     overlap = len(set(one["vec_id"].to_pylist())
                   & set(exact["vec_id"].to_pylist()))
     assert overlap >= 8
+
+
+def test_hopping_window_counts():
+    from json_schema_ray.engine.window import hopping_window_counts
+
+    hour = 3600 * 1_000_000
+    t = pa.table({
+        "ts": pa.array([0, hour + 1, -1], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    })
+    out = hopping_window_counts(_ray().data.from_arrow(t),
+                                window_seconds=7200, hop_seconds=3600)
+    rows = {r["window_start_us"]: (r["value_sum"], r["rows_count"])
+            for r in out.to_pylist()}
+    # event@0 -> windows 0, -1h; event@1h -> 1h, 0; event@-1 -> -1h, -2h
+    assert rows[0] == (3.0, 2)
+    assert rows[-hour] == (5.0, 2)
+    assert rows[hour] == (2.0, 1)
+    assert rows[-2 * hour] == (4.0, 1)
+
+    with pytest.raises(ValueError):
+        hopping_window_counts(_ray().data.from_arrow(t),
+                              window_seconds=7000, hop_seconds=3600)

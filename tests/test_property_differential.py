@@ -159,3 +159,91 @@ def test_random_float_schemas_match_interpreter(f_schema, f_vals):
     exp_verdicts, exp_errors = _oracle(table, schema_json)
     assert vec_verdicts == exp_verdicts
     assert got_errors == exp_errors
+
+
+tuple_slot_schemas = st.fixed_dictionaries({}, optional={
+    "type": st.sampled_from([["string"], ["string", "null"]]),
+    "minLength": st.integers(0, 4),
+    "maxLength": st.integers(1, 8),
+    "pattern": st.sampled_from(["^a", "[0-9]"]),
+})
+
+tuple_elem_values = st.one_of(
+    st.none(), st.text(alphabet="ab1", max_size=5))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    slots=st.lists(tuple_slot_schemas, min_size=1, max_size=3),
+    additional=st.one_of(st.just(True), st.just(False),
+                         tuple_slot_schemas),
+    vals=st.lists(
+        st.one_of(st.none(),
+                  st.lists(tuple_elem_values, max_size=5)),
+        min_size=1, max_size=6),
+)
+def test_random_tuple_items_match_interpreter(slots, additional, vals):
+    table = pa.table({"v": pa.array(vals, pa.list_(pa.string()))})
+    prop = {"type": ["array"], "items": slots}
+    if additional is not True:
+        prop["additionalItems"] = additional
+    schema_json = {"type": ["object"], "properties": {"v": prop}}
+    plan = compile_plan_for(schema_json, table.schema)
+    assert plan.columns[0].tuple_count == len(slots)
+    vec_verdicts = list(verdict_mask(table, plan))
+    got_errors = [(r["path"], r["error_type"], r["message"])
+                  for r in validate_batch(table, plan).to_pylist()]
+    exp_verdicts, exp_errors = _oracle(table, schema_json)
+    assert vec_verdicts == exp_verdicts
+    assert got_errors == exp_errors
+
+
+json_cells = st.one_of(
+    st.none(),
+    st.just("null"),
+    st.just("not json"),
+    st.just("[1, 2]"),
+    st.builds(
+        lambda k, name, extra: json.dumps(
+            {key: val for key, val in
+             [("k", k), ("name", name), ("x", extra)]
+             if val is not None}),
+        k=st.one_of(st.none(), st.integers(-5, 60), st.just(1.5),
+                    st.just(2.0), st.text(alphabet="ab", max_size=2)),
+        name=st.one_of(st.none(), st.text(alphabet="ab", max_size=4)),
+        extra=st.one_of(st.none(), st.booleans()),
+    ),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(cells=st.lists(json_cells, min_size=1, max_size=8))
+def test_random_json_cells_fast_path_matches_fallback(cells):
+    """The decode->struct fast path must be indistinguishable from the
+    per-cell interpreter fallback on arbitrary JSON cells (malformed,
+    literal null, float lexemes, wrong-typed/missing/extra fields)."""
+    table = pa.table({"props": pa.array(cells, pa.string())})
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "props": {
+                "type": ["object"],
+                "required": ["k"],
+                "properties": {
+                    "k": {"type": ["integer"], "maximum": 50},
+                    "name": {"type": ["string"], "minLength": 2},
+                },
+            },
+        },
+    }
+    fast = compile_plan_for(schema_json, table.schema,
+                            json_columns={"props"})
+    assert fast.columns[0].json_struct_type is not None
+    slow = compile_plan_for(schema_json, table.schema,
+                            json_columns={"props"})
+    for cp in slow.columns:
+        cp.json_struct_type = None
+    assert list(verdict_mask(table, fast)) == \
+        list(verdict_mask(table, slow))
+    assert validate_batch(table, fast).to_pylist() == \
+        validate_batch(table, slow).to_pylist()
