@@ -655,7 +655,28 @@ def q_doc_quality(sf_dir: str):
     out = quality_scores(ds)
     t = _collect(out.select_columns(
         ["doc_id", "n_tokens", "quality_score"]))
+    # floor(x*1e4 + 0.5) on BOTH sides: Python round() (banker's) and
+    # DuckDB round() (half away) disagree exactly on .5 boundaries
+    import numpy as _np
+
+    q = t["quality_score"].to_numpy(zero_copy_only=False)
+    qi = _np.floor(q * 10000.0 + 0.5).astype(_np.int64)
+    t = t.set_column(t.column_names.index("quality_score"),
+                     "quality_x10k", pa.array(qi))
     return t.sort_by("doc_id")
+
+
+def q_docs_bpe_token_counts(sf_dir: str):
+    """Token counting with the BPE-ish word/number/punct splitter
+    (both sides run the same RE2 engine, so non-overlapping match
+    semantics agree)."""
+    from json_schema_ray.engine.text import BPE_ISH_REGEX, token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_counts(ds, regex=BPE_ISH_REGEX)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("n_tokens", pa.int64())])
+    return _collect(out, schema).select(["doc_id", "n_tokens"])
 
 
 def q_knn_lsh_top10(sf_dir: str):
@@ -824,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": q_simhash_docs,
         "lang_id_accuracy": q_lang_id_accuracy,
         "doc_quality": q_doc_quality,
+        "docs_bpe_token_counts": q_docs_bpe_token_counts,
         "knn_lsh_top10": q_knn_lsh_top10,
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1010,6 +1032,37 @@ def oracle_sql() -> dict[str, str]:
              AND o.o_orderdate BETWEEN l.l_shipdate - INTERVAL 90 DAY
                                    AND l.l_shipdate
             ORDER BY l.l_orderkey, l.l_linenumber
+        """,
+        "docs_bpe_token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_extract_all(text, '\\S+'))
+                            AS DOUBLE) AS n_tok,
+                       CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(length(regexp_extract_all(text,
+                            '(?i)\\b(a|an|and|as|at|by|for|in|is|it|of|on|or|that|the|this|to|with)\\b'))
+                            AS DOUBLE) AS n_stop,
+                       CAST(length(regexp_extract_all(text, '[A-Z]'))
+                            AS DOUBLE) AS n_upper
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(floor(
+                     least(1.0, greatest(0.0,
+                       0.35 * least(n_tok / 50.0, 1.0)
+                       + 0.25 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+                       + 0.2 * (1 - least(n_punct / greatest(n_chars, 1.0) * 5, 1.0))
+                       + 0.2 * (1 - least(n_upper / greatest(n_chars, 1.0) * 5, 1.0))
+                     )) * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+            FROM f ORDER BY doc_id
         """,
         "dedup_docs_survivors": """
             SELECT doc_id, lang, n_chars FROM documents
