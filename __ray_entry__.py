@@ -722,6 +722,44 @@ def q_embedding_near_dups(sf_dir: str):
     })
 
 
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash end-to-end near-dups: quarter-bucket candidates with
+    distributed pair generation, vectorized XOR-popcount Hamming
+    verify (broadcast sparse candidate signatures)."""
+    from json_schema_ray.engine.dedup import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, "doc_id", max_hamming=3)
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling plumbing over synthetic 'video' payloads: one
+    row per sampled frame (flat-map shape), deterministic fake
+    sampler standing in for a real ffmpeg/PyAV decode."""
+    import ray
+
+    from json_schema_ray.engine.multimodal import (
+        deterministic_fake_frames, sample_frames)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    payload = pa.table({
+        "doc_id": docs["doc_id"],
+        "payload": pa.array([None if t is None else t.encode("utf-8")
+                             for t in docs["text"].to_pylist()],
+                            pa.binary()),
+    })
+    ds = ray.data.from_arrow(payload)
+    frames = sample_frames(ds, every_n=4,
+                           sample_fn=deterministic_fake_frames)
+    t = _collect(frames, pa.schema([
+        ("doc_id", pa.int64()), ("frame_idx", pa.int32()),
+        ("frame", pa.binary())]))
+    g = pa.TableGroupBy(t.select(["doc_id"]), ["doc_id"]) \
+        .aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "n_frames"]).sort_by("doc_id")
+
+
 def q_doc_fingerprints(sf_dir: str):
     from json_schema_ray.engine.text import fingerprints
 
@@ -843,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_stats": q_transcript_stats,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_dups": q_simhash_near_dups,
         "lang_id_accuracy": q_lang_id_accuracy,
         "doc_quality": q_doc_quality,
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
@@ -851,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "text_equality_aligned": q_text_equality_aligned,
         "drift_roles": q_drift_roles,
         "resumable_validation": q_resumable_validation,

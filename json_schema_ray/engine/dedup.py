@@ -507,3 +507,99 @@ def simhash_candidates(ds, id_column: str, text_column: str = "text",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
     return _bucket_candidate_pairs(exploded, id_column, max_bucket)
+
+
+def simhash_near_dup_pairs(ds, id_column: str, text_column: str = "text",
+                           max_hamming: int = 3,
+                           max_bucket: int = 256) -> pa.Table:
+    """SimHash near-dup pipeline: quarter-bucket candidates -> exact
+    Hamming verify. Same distributed shape as the MinHash verify: the
+    sparse candidate signatures are gathered into one Arrow table in
+    the object store and each verify task attaches them with a
+    per-batch Arrow join; the XOR-popcount runs vectorized. Returns
+    (id_a, id_b, hamming) sorted."""
+    import ray
+
+    sigs = simhash_signatures(ds, id_column, text_column).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch["simhash"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(s)
+        buckets = np.empty((n, 4), dtype=np.int64)
+        for q in range(4):
+            buckets[:, q] = (
+                ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF))
+                .astype(np.int64) + (q << 16))
+        id_idx = np.repeat(np.arange(n), 4)
+        return pa.table({
+            "bucket": pa.array(buckets.ravel()),
+            id_column: batch[id_column].take(
+                pa.array(id_idx, pa.int64())),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    cands = _bucket_candidate_pairs(exploded, id_column, max_bucket,
+                                    distinct=False).materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if cands.count() == 0:
+        return empty
+
+    id_chunks = []
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for col in ("id_a", "id_b"):
+            c = b[col]
+            id_chunks.append(c.combine_chunks()
+                             if isinstance(c, pa.ChunkedArray) else c)
+    cand_ids = pc.unique(pa.concat_arrays(id_chunks))
+    ids_handle = ray.put(cand_ids)
+
+    def pick_sigs(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_handle)
+        mask = pc.is_in(batch[id_column], value_set=want)
+        kept = batch.filter(pc.fill_null(mask, False))
+        return pa.table({"__cid": kept[id_column],
+                         "__csig": kept["simhash"]})
+
+    sig_tables = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in sigs.map_batches(pick_sigs, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")]
+    sig_tables = [t for t in sig_tables if t.num_rows]
+    cand_sigs = (pa.concat_tables(sig_tables, promote_options="default")
+                 if sig_tables else
+                 pa.table({"__cid": pa.array([], pa.int64()),
+                           "__csig": pa.array([], pa.uint64())}))
+    sigs_handle = ray.put(cand_sigs)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        table = ray.get(sigs_handle)
+        j = batch.join(table.rename_columns(["id_a", "__sa"]),
+                       keys=["id_a"], join_type="left outer")
+        j = j.join(table.rename_columns(["id_b", "__sb"]),
+                   keys=["id_b"], join_type="left outer")
+        sa = pc.fill_null(j["__sa"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = pc.fill_null(j["__sb"], 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (sa ^ sb).view(np.uint8).reshape(len(sa), 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        out = pa.table({"id_a": j["id_a"], "id_b": j["id_b"],
+                        "hamming": pa.array(ham)})
+        return out.filter(pc.less_equal(out["hamming"], max_hamming))
+
+    verified = cands.map_batches(verify, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b
+              for b in verified.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return empty
+    merged = pa.concat_tables(tables, promote_options="default")
+    g = merged.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+    return g.rename_columns(["id_a", "id_b", "hamming"]) \
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -488,3 +488,56 @@ def test_hopping_window_counts():
     with pytest.raises(ValueError):
         hopping_window_counts(_ray().data.from_arrow(t),
                               window_seconds=7000, hop_seconds=3600)
+
+
+def test_multimodal_resize_and_frame_sampling():
+    from json_schema_ray.engine.multimodal import (
+        FrameSampler, ImageResizer, deterministic_fake_frames,
+        deterministic_fake_resize, resize_images, sample_frames)
+
+    payloads = [b"x" * 100, b"y" * 37, None]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+    ds = _ray().data.from_arrow(t)
+
+    resized = resize_images(ds, 8, 8,
+                            resize_fn=deterministic_fake_resize,
+                            concurrency=2).take_all()
+    by_id = {r["doc_id"]: r for r in resized}
+    assert by_id[3]["payload"] is None and by_id[3]["payload_meta"] is None
+    assert by_id[1]["payload_meta"]["width"] == 8
+    # deterministic across calls
+    assert by_id[1]["payload"] == deterministic_fake_resize(b"x" * 100, 8, 8)
+
+    frames = sample_frames(ds, every_n=2,
+                           sample_fn=deterministic_fake_frames,
+                           concurrency=2).take_all()
+    got = sorted((r["doc_id"], r["frame_idx"]) for r in frames)
+    # doc1: 100B -> 7 frames -> every 2nd = 4; doc2: 37B -> 3 -> 2
+    assert got == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 0), (2, 1)]
+    assert all(isinstance(r["frame"], bytes) for r in frames)
+
+    # the stub contract: no decode_fn -> NotImplementedError
+    with pytest.raises(Exception):
+        ImageResizer(8, 8)(t)
+    with pytest.raises(Exception):
+        FrameSampler()(t)
+
+
+def test_simhash_near_dup_pairs_end_to_end():
+    from json_schema_ray.engine.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    other = " ".join(f"tok{i}" for i in range(50))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, near, other], pa.string()),
+    })
+    out = simhash_near_dup_pairs(_ray().data.from_arrow(t), "doc_id",
+                                 max_hamming=8)
+    pairs = list(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
