@@ -13,12 +13,15 @@ Scale shapes:
   distributed: a groupby-count finds collided buckets, a broadcast
   Arrow key array filters band rows to those buckets, candidate
   pairs are generated INSIDE ``map_groups`` workers (bounded by
-  ``max_bucket``), deduplicated with a groupby, and verified with a
-  distributed self-join of texts on the candidate ids
-  (``Dataset.join``) followed by a per-pair exact n-gram Jaccard in
-  the joined tasks. Nothing row-sized ever accumulates on the
-  driver; the only driver-held object is the sparse hot-bucket key
-  array.
+  ``max_bucket``) and verified distributed: the texts of candidate
+  ids only (sparse by LSH construction) are gathered once into an
+  Arrow table in the object store, attached to each pair batch with
+  a per-batch vectorized Arrow join, and the exact n-gram Jaccard
+  runs over the pair batches. Driver-held state is limited to two
+  sparse objects — the hot-bucket key array and the candidate-text
+  table, both O(candidates), the same envelope as the result.
+  (Ray's experimental ``Dataset.join`` is deliberately NOT used: it
+  crashes when a hash partition receives zero left-side rows.)
 - empty/too-short documents produce zero shingles; they are DROPPED
   from banding (they cannot be near-duplicates of anything by
   Jaccard — and keeping them would collide every empty doc into one
@@ -481,14 +484,10 @@ def simhash_signatures(ds, id_column: str, text_column: str = "text",
         concurrency=concurrency or (1, 4))
 
 
-def simhash_candidates(ds, id_column: str, text_column: str = "text",
-                       max_bucket: int = 256):
-    """Near-dup candidates: equal 16-bit signature quarters bucket
-    docs (any pair within hamming distance 3 shares a quarter). The
-    quarter index is folded into the bucket key (bijectively:
-    ``quarter * 2^16 + value``), then the same distributed hot-bucket
-    pipeline as MinHash generates and deduplicates pairs."""
-    sigs = simhash_signatures(ds, id_column, text_column)
+def _simhash_explode(id_column: str):
+    """Quarter-bucket explode: each signature fans out to 4
+    (bucket, id) rows with the quarter index folded bijectively into
+    the bucket key (``quarter * 2^16 + value``)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         s = batch["simhash"].combine_chunks() \
@@ -505,7 +504,18 @@ def simhash_candidates(ds, id_column: str, text_column: str = "text",
             id_column: batch[id_column].take(pa.array(id_idx, pa.int64())),
         })
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    return explode
+
+
+def simhash_candidates(ds, id_column: str, text_column: str = "text",
+                       max_bucket: int = 256):
+    """Near-dup candidates: equal 16-bit signature quarters bucket
+    docs (any pair within hamming distance 3 shares a quarter), then
+    the same distributed hot-bucket pipeline as MinHash generates and
+    deduplicates pairs."""
+    sigs = simhash_signatures(ds, id_column, text_column)
+    exploded = sigs.map_batches(_simhash_explode(id_column),
+                                batch_format="pyarrow")
     return _bucket_candidate_pairs(exploded, id_column, max_bucket)
 
 
@@ -521,24 +531,8 @@ def simhash_near_dup_pairs(ds, id_column: str, text_column: str = "text",
     import ray
 
     sigs = simhash_signatures(ds, id_column, text_column).materialize()
-
-    def explode(batch: pa.Table) -> pa.Table:
-        s = batch["simhash"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.uint64)
-        n = len(s)
-        buckets = np.empty((n, 4), dtype=np.int64)
-        for q in range(4):
-            buckets[:, q] = (
-                ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF))
-                .astype(np.int64) + (q << 16))
-        id_idx = np.repeat(np.arange(n), 4)
-        return pa.table({
-            "bucket": pa.array(buckets.ravel()),
-            id_column: batch[id_column].take(
-                pa.array(id_idx, pa.int64())),
-        })
-
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    exploded = sigs.map_batches(_simhash_explode(id_column),
+                                batch_format="pyarrow")
     cands = _bucket_candidate_pairs(exploded, id_column, max_bucket,
                                     distinct=False).materialize()
     empty = pa.table({"id_a": pa.array([], pa.int64()),

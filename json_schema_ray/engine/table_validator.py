@@ -463,19 +463,19 @@ def _decode_json_struct(col, cp: ColumnPlan):
     whole batch). ``routed_mask`` marks cells the decode cannot
     represent faithfully — any cell containing a float lexeme
     (digit followed by '.', 'e' or 'E': Ruby Float semantics and
-    message rendering depend on the lexeme) and, when the subschema
-    does not allow null, the literal JSON ``null`` (indistinguishable
-    from an absent cell after decode) — those cells are nulled before
-    decoding and validated by the row interpreter instead.
+    message rendering depend on the lexeme) or the token ``null``
+    anywhere: a null FIELD VALUE decodes identically to a missing
+    key, and the literal ``null`` document identically to an absent
+    cell, but the interpreter distinguishes present-null from absent.
+    The substring test over-routes cells that merely contain "null"
+    inside a string value — correct, just slower. Routed cells are
+    nulled before decoding and validated by the row interpreter.
     """
     import polars as pl
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     route = pc.fill_null(
-        pc.match_substring_regex(arr, pattern=r"[0-9][.eE]"), False)
-    if not cp.null_ok:
-        litnull = pc.equal(pc.utf8_trim_whitespace(arr), "null")
-        route = pc.or_(route, pc.fill_null(litnull, False))
+        pc.match_substring_regex(arr, pattern=r"[0-9][.eE]|null"), False)
     routed_np = route.to_numpy(zero_copy_only=False)
     masked = pc.if_else(route, pa.scalar(None, arr.type), arr) \
         if routed_np.any() else arr

@@ -244,11 +244,15 @@ def _rolling_hashes_batch(datas: list, window: int) -> list:
     pos = 0
     budget = 1 << 24
     while pos < len(eligible):
-        max_len = eligible[pos][1]
-        take = max(1, min(len(eligible) - pos,
-                          budget // max(max_len, 1)))
-        chunk = eligible[pos:pos + take]
-        pos += take
+        # grow the chunk while (docs so far + 1) x the WIDEST length
+        # in the extended chunk stays under the cell budget — lengths
+        # are sorted ascending, so the next doc's length is the width
+        end = pos + 1
+        while (end < len(eligible)
+               and (end - pos + 1) * eligible[end][1] <= budget):
+            end += 1
+        chunk = eligible[pos:end]
+        pos = end
         L = chunk[-1][1]
         k = len(chunk)
         M = np.zeros((k, L), dtype=np.uint64)

@@ -78,22 +78,32 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
         })
 
     parts = sorted_ds.map_batches(per_batch, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+                                  zero_copy_batch=True).materialize()
 
-    rows: list = []
+    # interior keys STAY a distributed Dataset — only block-boundary
+    # keys (2 x n_blocks of them, shipping just (key, ts) pairs) are
+    # re-checked exactly on the driver and unioned back in. A
+    # Zipf-hot key that spans many blocks ships its timeline here,
+    # the same bounded-stitch contract as the ordering checks.
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["_edge"]))
+        return kept.drop_columns(["_edge", "_ts"])
+
+    interior = parts.map_batches(interior_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     edge: dict = {}
     for batch in parts.iter_batches(batch_format="pyarrow"):
         em = batch["_edge"].to_numpy(zero_copy_only=False)
-        ks = batch[key].to_numpy(zero_copy_only=False)
-        for i in np.nonzero(~em)[0]:
-            rows.append((ks[i],
-                         batch["n_events"][int(i)].as_py(),
-                         batch["n_sessions"][int(i)].as_py()))
-        tss = batch["_ts"].to_numpy(zero_copy_only=False)
-        for i in np.nonzero(em)[0]:
-            edge.setdefault(ks[i], []).append(int(tss[i]))
-    # exact driver-side re-check of boundary keys (tiny by construction)
-    for k, tlist in edge.items():
+        eidx = np.nonzero(em)[0]
+        if not len(eidx):
+            continue
+        ks = batch[key].take(pa.array(eidx)).to_pylist()
+        tss = batch["_ts"].take(pa.array(eidx)).to_pylist()
+        for k, t in zip(ks, tss):
+            edge.setdefault(k, []).append(int(t))
+    rows = []
+    for k, tlist in sorted(edge.items()):
         tarr = np.sort(np.asarray(tlist, dtype=np.int64))
         sessions = 1 + int(np.count_nonzero(np.diff(tarr) > gap_us)) \
             if len(tarr) else 0
@@ -101,12 +111,14 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
 
     import ray
 
-    rows.sort()
-    return ray.data.from_arrow(pa.table({
+    edge_table = pa.table({
         key: pa.array([r[0] for r in rows]),
         "n_events": pa.array([r[1] for r in rows], pa.int64()),
         "n_sessions": pa.array([r[2] for r in rows], pa.int64()),
-    }))
+    })
+    if edge_table.num_rows == 0:
+        return interior
+    return interior.union(ray.data.from_arrow(edge_table))
 
 
 def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
@@ -133,15 +145,19 @@ def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
             tsv = tsv.combine_chunks()
         valid = pc.is_valid(tsv).to_numpy(zero_copy_only=False)
         t_np = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
-        keep = np.nonzero(valid)[0]
-        base = (t_np[keep] // hop_us) * hop_us
-        # windows base, base-hop, ..., base-(n_win-1)*hop all contain t
+        base = (t_np // hop_us) * hop_us
+        # windows base, base-hop, ..., base-(n_win-1)*hop all contain
+        # t; a null timestamp keeps its n_win copies in the NULL
+        # window (mirroring SQL: NULL window expression x cross join)
         starts = (base[:, None]
                   - (np.arange(n_win, dtype=np.int64) * hop_us)[None, :])
-        row_idx = np.repeat(keep, n_win)
+        n = batch.num_rows
+        row_idx = np.repeat(np.arange(n), n_win)
         out = batch.take(pa.array(row_idx, pa.int64()))
-        return out.append_column("window_start_us",
-                                 pa.array(starts.ravel(), pa.int64()))
+        null_mask = np.repeat(~valid, n_win)
+        win = pa.array(starts.ravel(), pa.int64(),
+                       mask=null_mask if null_mask.any() else None)
+        return out.append_column("window_start_us", win)
 
     with_win = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)

@@ -541,3 +541,20 @@ def test_simhash_near_dup_pairs_end_to_end():
     pairs = list(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hopping_window_keeps_null_timestamps():
+    from json_schema_ray.engine.window import hopping_window_counts
+
+    t = pa.table({
+        "ts": pa.array([0, None], pa.timestamp("us")),
+        "value": pa.array([1.0, 8.0], pa.float64()),
+    })
+    out = hopping_window_counts(_ray().data.from_arrow(t),
+                                window_seconds=7200, hop_seconds=3600)
+    rows = {r["window_start_us"]: (r["value_sum"], r["rows_count"])
+            for r in out.to_pylist()}
+    # the null-ts event keeps its 2 copies in the NULL window,
+    # mirroring the SQL cross-join oracle
+    assert rows[None] == (16.0, 2)
+    assert rows[0] == (1.0, 1)

@@ -205,12 +205,16 @@ json_cells = st.one_of(
     st.just("[1, 2]"),
     st.builds(
         lambda k, name, extra: json.dumps(
-            {key: val for key, val in
+            {key: (None if val == "<NULL>" else val)
+             for key, val in
              [("k", k), ("name", name), ("x", extra)]
              if val is not None}),
-        k=st.one_of(st.none(), st.integers(-5, 60), st.just(1.5),
-                    st.just(2.0), st.text(alphabet="ab", max_size=2)),
-        name=st.one_of(st.none(), st.text(alphabet="ab", max_size=4)),
+        k=st.one_of(st.none(), st.just("<NULL>"), st.integers(-5, 60),
+                    st.just(1.5), st.just(2.0),
+                    st.text(alphabet="ab", max_size=2)),
+        name=st.one_of(st.none(), st.just("<NULL>"),
+                       st.text(alphabet="ab", max_size=4),
+                       st.just("has null inside")),
         extra=st.one_of(st.none(), st.booleans()),
     ),
 )
