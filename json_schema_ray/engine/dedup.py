@@ -36,6 +36,7 @@ Scale shapes:
 from __future__ import annotations
 
 import itertools
+import json
 from typing import List, Optional
 
 import numpy as np
@@ -50,25 +51,40 @@ from ..state.sketches import hash_ints, hash_strings
 
 def exact_dedup_groups(ds, content_keys: List[str], id_column: str):
     """One row per distinct content key: the kept (minimum) id and the
-    duplicate count. Pre-aggregates per block before the shuffle."""
+    duplicate count. Pre-aggregates per block before the shuffle.
+
+    The Ray groupby runs over null-safe derived key columns (Ray's
+    sort-based shuffle cannot order None against values); the
+    original key values ride along via Min aggregation (within a
+    group all values are identical — or all null for a null group)."""
+    from .relational import null_safe_group_keys
 
     def pre(batch: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(batch.select(content_keys + [id_column]),
                             content_keys)
         t = g.aggregate([(id_column, "min"), ([], "count_all")])
         names = {f"{id_column}_min": "keep_id", "count_all": "n_copies"}
-        return t.rename_columns(
-            [names.get(c, c) for c in t.column_names])
+        t = t.rename_columns([names.get(c, c) for c in t.column_names])
+        t, _ = null_safe_group_keys(t, content_keys)
+        return t
 
     partial = ds.map_batches(pre, batch_format="pyarrow",
                              zero_copy_batch=True)
     from ray.data.aggregate import Min, Sum
 
-    result = partial.groupby(content_keys).aggregate(
+    derived = [c for i in range(len(content_keys))
+               for c in (f"__gnf{i}", f"__gfv{i}")]
+    result = partial.groupby(derived).aggregate(
+        *[Min(k, alias_name=k) for k in content_keys],
         Min("keep_id", alias_name="keep_id"),
         Sum("n_copies", alias_name="n_copies"),
     )
-    return result
+
+    def drop_derived(batch: pa.Table) -> pa.Table:
+        return batch.select(content_keys + ["keep_id", "n_copies"])
+
+    return result.map_batches(drop_derived, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def exact_dedup(ds, content_keys: List[str], id_column: str):
@@ -597,3 +613,122 @@ def simhash_near_dup_pairs(ds, id_column: str, text_column: str = "text",
     g = merged.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
     return g.rename_columns(["id_a", "id_b", "hamming"]) \
         .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
+    """Broadcast-free exact-dedup survivors: ONE range-partitioned
+    sort on ``(content_keys..., id)`` co-locates and orders each
+    duplicate run, then a vectorized first-of-run filter keeps the
+    minimum-id row of every run. This is the scale path for
+    mostly-unique corpora, where :func:`exact_dedup`'s keeper-id
+    broadcast (O(distinct keys)) would approach corpus size.
+
+    Block-boundary stitching: each block's FIRST row might continue
+    the previous block's run, so it is emitted as a CANDIDATE along
+    with the block's last key and whether the block's last run
+    started inside the block. On the driver (2 x n_blocks tiny
+    rows), a candidate survives iff no block's interior run of the
+    same key precedes it and it has the smallest id among candidates
+    of its key — exact for keys spanning any number of blocks.
+    """
+    import ray
+
+    # Ray's range-partition sort cannot compare None with values, so
+    # sort on derived null-safe key columns ((is_null, filled) pairs —
+    # exact: equal keys stay contiguous, null forms its own run) and
+    # drop them afterwards
+    from .relational import null_safe_group_keys
+
+    def add_sort_keys(batch: pa.Table) -> pa.Table:
+        batch, _ = null_safe_group_keys(batch, content_keys)
+        return batch
+
+    derived = [c for i in range(len(content_keys))
+               for c in (f"__gnf{i}", f"__gfv{i}")]
+    sort_cols = derived + [id_column]
+    with_keys = ds.map_batches(add_sort_keys, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    sorted_ds = with_keys.sort(sort_cols).map_batches(
+        lambda b: b.drop_columns(derived), batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
+
+    def split(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flags_schema = batch.schema.append(
+            pa.field("__cand", pa.bool_())).append(
+            pa.field("__last_key", pa.string())).append(
+            pa.field("__last_interior", pa.bool_()))
+        if n == 0:
+            return flags_schema.empty_table()
+        change = np.zeros(n - 1, dtype=bool) if n > 1 else \
+            np.zeros(0, dtype=bool)
+        for k in content_keys:
+            col = batch[k].combine_chunks()
+            neq = pc.fill_null(
+                pc.not_equal(col.slice(1), col.slice(0, n - 1)), False)
+            null_flip = pc.xor(pc.is_null(col.slice(1)),
+                               pc.is_null(col.slice(0, n - 1)))
+            change |= pc.or_(neq, null_flip).to_numpy(
+                zero_copy_only=False)
+        keep = np.concatenate([[False], change])
+        survivors = batch.filter(pa.array(keep))
+        cand = batch.slice(0, 1)
+        last_key = json.dumps(
+            [batch[k][n - 1].as_py() for k in content_keys],
+            default=str)
+        # did the last run start inside this block (not at row 0)?
+        last_interior = bool(keep[1:].any()) if n > 1 else False
+        # the last run's start is the LAST change point; interior iff
+        # any change point exists (row 0 run otherwise)
+        out_parts = []
+        for part, is_cand in ((survivors, False), (cand, True)):
+            m = part.num_rows
+            part = part.append_column(
+                "__cand", pa.array([is_cand] * m, pa.bool_()))
+            part = part.append_column(
+                "__last_key", pa.array([last_key] * m, pa.string()))
+            part = part.append_column(
+                "__last_interior",
+                pa.array([last_interior] * m, pa.bool_()))
+            out_parts.append(part)
+        return pa.concat_tables(out_parts)
+
+    tagged = sorted_ds.map_batches(split, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["__cand"]))
+        return kept.drop_columns(["__cand", "__last_key",
+                                  "__last_interior"])
+
+    interior = tagged.map_batches(interior_only, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # driver stitch over 2 x n_blocks tiny rows
+    cand_rows = []
+    interior_last = set()  # keys whose final run started interior
+    for batch in tagged.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            key_json = json.dumps(
+                [row[k] for k in content_keys], default=str)
+            if row["__cand"]:
+                cand_rows.append((key_json, row))
+            if row["__last_interior"]:
+                interior_last.add(row["__last_key"])
+    best: dict = {}
+    for key_json, row in cand_rows:
+        if key_json in interior_last:
+            continue  # the run started inside an earlier block
+        cur = best.get(key_json)
+        if cur is None or row[id_column] < cur[id_column]:
+            best[key_json] = row
+    import ray as _ray
+
+    if not best:
+        return interior
+    clean = [{k: v for k, v in row.items()
+              if not k.startswith("__")}
+             for row in best.values()]
+    extra = pa.Table.from_pylist(clean).select(
+        [f.name for f in interior.schema().base_schema])
+    return interior.union(_ray.data.from_arrow(extra))

@@ -323,3 +323,30 @@ def exact_distinct_count(ds, column: str) -> int:
     uniq = ds.map_batches(per_block_unique, batch_format="pyarrow",
                           zero_copy_batch=True)
     return uniq.groupby(column).count().count()
+
+
+def null_safe_group_keys(batch: pa.Table, keys: List[str],
+                         prefix: str = "__g"):
+    """Append (is_null, filled) derived columns for each grouping key:
+    Ray's sort-based shuffle cannot order None against values, so
+    groupby/sort on nullable keys must run over these derived columns
+    (equal keys — including the null group — stay co-located; the
+    original columns ride along untouched). Returns
+    ``(batch_with_derived, derived_names)``."""
+    names: List[str] = []
+    for i, k in enumerate(keys):
+        col = batch[k]
+        nf, fv = f"{prefix}nf{i}", f"{prefix}fv{i}"
+        batch = batch.append_column(
+            nf, pc.cast(pc.is_null(col), pa.int8()))
+        if pa.types.is_string(col.type) or \
+                pa.types.is_large_string(col.type):
+            filled = pc.fill_null(col, "")
+        elif pa.types.is_integer(col.type) or \
+                pa.types.is_floating(col.type):
+            filled = pc.fill_null(col, 0)
+        else:
+            filled = pc.fill_null(pc.cast(col, pa.string()), "")
+        batch = batch.append_column(fv, filled)
+        names.extend([nf, fv])
+    return batch, names

@@ -558,3 +558,85 @@ def test_hopping_window_keeps_null_timestamps():
     # mirroring the SQL cross-join oracle
     assert rows[None] == (16.0, 2)
     assert rows[0] == (1.0, 1)
+
+
+def test_sessionize_multiblock_matches_bruteforce():
+    """Randomized corpus forced across many blocks: boundary-key
+    stitching must agree with a pandas brute force, including a hot
+    key that spans several blocks."""
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 30, size=n)
+    users[rng.random(n) < 0.3] = 7  # hot key spanning many blocks
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 3_600_000_000_000, size=n)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    from json_schema_ray.engine.window import sessionize_counts
+
+    ds = _ray().data.from_arrow(t).repartition(16)
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"])
+           for r in sessionize_counts(ds, gap_seconds=1800.0).take_all()}
+
+    import pandas as pd
+
+    df = pd.DataFrame({"u": users, "t": ts}).sort_values(["u", "t"])
+    expected = {}
+    for u, g in df.groupby("u"):
+        gaps = np.diff(g["t"].to_numpy()) / 1_000_000.0
+        expected[u] = (len(g), 1 + int(np.count_nonzero(gaps > 1800.0)))
+    assert got == expected
+
+
+def test_keyed_text_compare_multiblock_matches_bruteforce():
+    rng = np.random.default_rng(13)
+    n = 3000
+    keys = [f"c{i:05d}" for i in range(n)]
+    texts = [f"text-{rng.integers(0, 10)}" for _ in range(n)]
+    drop = set(rng.choice(n, size=40, replace=False).tolist())
+    edit = set(rng.choice(n, size=60, replace=False).tolist()) - drop
+    b_keys, b_texts = [], []
+    for i in range(n):
+        if i in drop:
+            continue
+        b_keys.append(keys[i])
+        b_texts.append(texts[i] + "!" if i in edit else texts[i])
+    ta = pa.table({"conv_id": pa.array(keys), 
+                   "turn_idx": pa.array([0] * n, pa.int32()),
+                   "text": pa.array(texts)})
+    tb = pa.table({"conv_id": pa.array(b_keys),
+                   "turn_idx": pa.array([0] * len(b_keys), pa.int32()),
+                   "text": pa.array(b_texts)})
+    from json_schema_ray.engine.compare import keyed_text_compare
+
+    out = keyed_text_compare(
+        _ray().data.from_arrow(ta).repartition(8),
+        _ray().data.from_arrow(tb).repartition(8),
+        ["conv_id", "turn_idx"])
+    got = {r["conv_id"]: r["error_type"] for r in out.take_all()}
+    expected = {keys[i]: "missing_in_b" for i in drop}
+    expected.update({keys[i]: "text_mismatch" for i in edit})
+    assert got == expected
+
+
+def test_exact_dedup_sorted_matches_broadcast_multiblock():
+    from json_schema_ray.engine.dedup import exact_dedup, exact_dedup_sorted
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "lang": pa.array(rng.choice(["en", "de", None], size=n).tolist(),
+                         pa.string()),
+        "n_chars": pa.array(rng.integers(0, 400, size=n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    ref = sorted(r["doc_id"] for r in
+                 exact_dedup(ds, ["lang", "n_chars"], "doc_id").take_all())
+    got = sorted(r["doc_id"] for r in
+                 exact_dedup_sorted(ds, ["lang", "n_chars"],
+                                    "doc_id").take_all())
+    assert got == ref
+    assert len(got) < n  # duplicates actually present
