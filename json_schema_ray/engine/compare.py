@@ -94,12 +94,15 @@ def keyed_text_compare(ds_a, ds_b, keys: List[str], column: str = "text"):
     tagged_b = ds_b.map_batches(tag(1), batch_format="pyarrow",
                                 zero_copy_batch=True)
     unioned = tagged_a.union(tagged_b)
-    agg = unioned.groupby(keys).aggregate(
-        Min("__ta", alias_name="text_a", ignore_nulls=True),
-        Min("__tb", alias_name="text_b", ignore_nulls=True),
-        Sum("__na", alias_name="n_a"),
-        Sum("__nb", alias_name="n_b"),
-    )
+    from .relational import null_safe_grouped_aggregate
+
+    agg = null_safe_grouped_aggregate(
+        unioned, keys,
+        [Min("__ta", alias_name="text_a", ignore_nulls=True),
+         Min("__tb", alias_name="text_b", ignore_nulls=True),
+         Sum("__na", alias_name="n_a"),
+         Sum("__nb", alias_name="n_b")],
+        ["text_a", "text_b", "n_a", "n_b"])
 
     def to_mismatches(batch: pa.Table) -> pa.Table:
         ta, tb = batch["text_a"], batch["text_b"]

@@ -50,10 +50,14 @@ def duplicate_keys(ds, keys: List[str]):
 
     partial = ds.map_batches(pre_agg, batch_format="pyarrow",
                              zero_copy_batch=True)
-    summed = partial.groupby(keys).sum("cnt")
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    summed = null_safe_grouped_aggregate(
+        partial, keys, [Sum("cnt", alias_name="cnt")], ["cnt"])
 
     def keep_dups(batch: pa.Table) -> pa.Table:
-        batch = batch.rename_columns(keys + ["cnt"])
         return batch.filter(pc.greater(batch["cnt"], 1))
 
     return summed.map_batches(keep_dups, batch_format="pyarrow",

@@ -55,20 +55,21 @@ def grouped_aggregate(ds, keys: List[str],
     """Full pre-agg -> shuffle -> re-agg pipeline, materialized
     (results are group-sized, small by construction)."""
     partial = pre_aggregate(ds, keys, aggs)
-    gb = partial.groupby(keys)
     # re-aggregate: sum of partial sums/counts, min of mins, max of maxs
     from ray.data.aggregate import Max, Min, Sum
 
     agg_objs = []
+    out_cols = []
     for col, fn in aggs:
         src = f"{col or 'rows'}_{fn}"
+        out_cols.append(src)
         if fn in ("sum", "count"):
             agg_objs.append(Sum(src, alias_name=src))
         elif fn == "min":
             agg_objs.append(Min(src, alias_name=src))
         elif fn == "max":
             agg_objs.append(Max(src, alias_name=src))
-    result = gb.aggregate(*agg_objs)
+    result = null_safe_grouped_aggregate(partial, keys, agg_objs, out_cols)
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
               for b in result.iter_batches(batch_format="pyarrow")]
     if not tables:
@@ -317,7 +318,9 @@ def exact_distinct_count(ds, column: str) -> int:
     of distinct values only -> count groups."""
 
     def per_block_unique(batch: pa.Table) -> pa.Table:
-        u = pc.unique(batch[column].combine_chunks())
+        # SQL COUNT(DISTINCT col) excludes NULLs — drop them here,
+        # which also keeps nullable string keys out of the shuffle
+        u = pc.unique(batch[column].combine_chunks().drop_null())
         return pa.table({column: u})
 
     uniq = ds.map_batches(per_block_unique, batch_format="pyarrow",
@@ -350,3 +353,31 @@ def null_safe_group_keys(batch: pa.Table, keys: List[str],
         batch = batch.append_column(fv, filled)
         names.extend([nf, fv])
     return batch, names
+
+
+def null_safe_grouped_aggregate(partial_ds, keys: List[str], agg_objs,
+                                out_columns: List[str]):
+    """Ray ``groupby(keys).aggregate(...)`` that tolerates null keys:
+    groups on derived (is_null, filled) columns, carries the original
+    key values through Min (identical within a group; all-null for
+    the null group), and returns columns ``keys + out_columns`` in
+    order. Nullable STRING keys crash Ray's sort-based shuffle
+    otherwise (None is unorderable against str)."""
+    from ray.data.aggregate import Min
+
+    def add(batch: pa.Table) -> pa.Table:
+        batch, _ = null_safe_group_keys(batch, keys)
+        return batch
+
+    derived = [c for i in range(len(keys))
+               for c in (f"__gnf{i}", f"__gfv{i}")]
+    grouped = partial_ds.map_batches(add, batch_format="pyarrow",
+                                     zero_copy_batch=True) \
+        .groupby(derived).aggregate(
+            *[Min(k, alias_name=k) for k in keys], *agg_objs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + out_columns)
+
+    return grouped.map_batches(project, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -640,3 +640,30 @@ def test_exact_dedup_sorted_matches_broadcast_multiblock():
                                     "doc_id").take_all())
     assert got == ref
     assert len(got) < n  # duplicates actually present
+
+
+def test_null_keys_in_groupby_operators():
+    """Nullable STRING grouping keys crash Ray's sort-based shuffle;
+    the engine's groupby operators must route them through null-safe
+    derived keys and keep SQL semantics (GROUP BY keeps a null group,
+    COUNT(DISTINCT) drops nulls)."""
+    from json_schema_ray.engine.keys import duplicate_keys
+    from json_schema_ray.engine.relational import (
+        exact_distinct_count, grouped_aggregate)
+
+    t = pa.table({
+        "k": pa.array(["a", None, "b", None, "a", None], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(3)
+    agg = grouped_aggregate(ds, ["k"], [("v", "sum"), (None, "count")])
+    rows = {r["k"]: (r["v_sum"], r["rows_count"])
+            for r in agg.to_pylist()}
+    assert rows == {"a": (6.0, 2), "b": (3.0, 1), None: (12.0, 3)}
+
+    dups = {r["k"]: r["cnt"]
+            for r in duplicate_keys(ds, ["k"]).take_all()}
+    assert dups == {"a": 2, None: 3}
+
+    # SQL COUNT(DISTINCT) excludes NULLs
+    assert exact_distinct_count(ds, "k") == 2
