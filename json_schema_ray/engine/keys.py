@@ -130,6 +130,26 @@ def referential_violations(ds, fk: str, ref_ds, pk: str,
                           zero_copy_batch=True)
 
 
+def null_safe_sort(ds, keys: List[str], tail: List[str]):
+    """Range-partitioned sort tolerating null key values: sorts on
+    derived (is_null, filled) columns per key (Ray cannot order None
+    against str), drops them afterwards. ``tail`` columns sort as-is
+    (numeric nulls are orderable)."""
+    from .relational import null_safe_group_keys
+
+    def add(batch: pa.Table) -> pa.Table:
+        batch, _ = null_safe_group_keys(batch, keys)
+        return batch
+
+    derived = [c for i in range(len(keys))
+               for c in (f"__gnf{i}", f"__gfv{i}")]
+    return ds.map_batches(add, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(derived + tail) \
+        .map_batches(lambda b: b.drop_columns(derived),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _check_sorted_run(gid, turns: np.ndarray, ts: Optional[np.ndarray],
                       rows: list) -> None:
     """Exact per-conversation checks over turn-sorted arrays."""
@@ -174,7 +194,9 @@ def ordering_batch_parts(batch: pa.Table, group_key: str, order_key: str,
     enc = pc.dictionary_encode(conv)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False)
+    # null group key -> code -1 (its own contiguous run after a
+    # null-safe sort); gid resolves to None below
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
     dict_vals = enc.dictionary
 
     edge_mask = (codes == codes[0]) | (codes == codes[n - 1])
@@ -202,8 +224,10 @@ def ordering_batch_parts(batch: pa.Table, group_key: str, order_key: str,
             for s, e in zip(starts, ends):
                 code = sub_codes[s]
                 if code in bad_codes:
+                    gid = (None if code == -1
+                           else dict_vals[code].as_py())
                     _check_sorted_run(
-                        dict_vals[code].as_py(), sub_turns[s:e],
+                        gid, sub_turns[s:e],
                         sub_ts[s:e] if sub_ts is not None else None,
                         rows)
     return rows, edge_mask, conv, turns, ts
@@ -252,7 +276,8 @@ def turn_ordering_violations(ds, group_key: str = "conv_id",
         [ts_key] if ts_key and ts_key in ds.schema().names else [])
     has_ts = len(cols) == 3
     proj = ds.select_columns(cols)
-    sorted_ds = proj if presorted else proj.sort([group_key, order_key])
+    sorted_ds = proj if presorted else \
+        null_safe_sort(proj, [group_key], [order_key])
 
     def check_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -312,7 +337,7 @@ def turn_ordering_violations(ds, group_key: str = "conv_id",
 
     import ray
 
-    rows.sort()
+    rows.sort(key=lambda r: (r[0] is None, r[0] or "", r[1], r[2]))
     return ray.data.from_arrow(pa.table({
         group_key: pa.array([r[0] for r in rows], pa.string()),
         "error_type": pa.array([r[1] for r in rows], pa.string()),

@@ -145,7 +145,9 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
 
     has_ts = ts_key in [f for f in (ds.schema().names or [])]
     if not presorted:
-        ds = ds.sort([group_key, order_key])
+        from .keys import null_safe_sort
+
+        ds = null_safe_sort(ds, [group_key], [order_key])
 
     extra_fields = [
         ("total_rows", pa.int64()), ("valid_rows", pa.int64()),

@@ -24,7 +24,10 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
     between consecutive events exceeds ``gap_seconds`` (strictly).
     Returns a Dataset of (key, n_events, n_sessions)."""
     gap_us = gap_seconds * 1_000_000.0
-    sorted_ds = ds.select_columns([key, ts]).sort([key, ts])
+    from .keys import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds.select_columns([key, ts]),
+                               [key], [ts])
 
     def per_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -103,7 +106,8 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
         for k, t in zip(ks, tss):
             edge.setdefault(k, []).append(int(t))
     rows = []
-    for k, tlist in sorted(edge.items()):
+    for k, tlist in sorted(edge.items(),
+                           key=lambda kv: (kv[0] is None, str(kv[0]))):
         tarr = np.sort(np.asarray(tlist, dtype=np.int64))
         sessions = 1 + int(np.count_nonzero(np.diff(tarr) > gap_us)) \
             if len(tarr) else 0

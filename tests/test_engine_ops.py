@@ -667,3 +667,31 @@ def test_null_keys_in_groupby_operators():
 
     # SQL COUNT(DISTINCT) excludes NULLs
     assert exact_distinct_count(ds, "k") == 2
+
+
+def test_ordering_and_sessionize_with_null_string_keys():
+    from json_schema_ray.engine.keys import turn_ordering_violations
+    from json_schema_ray.engine.window import sessionize_counts
+
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", None, None, "c2"], pa.string()),
+        "turn_idx": pa.array([0, 2, 0, 1, 0], pa.int32()),
+        "ts": pa.array([1, 2, 3, 4, 5], pa.timestamp("us")),
+    })
+    ds = _ray().data.from_arrow(t).repartition(2)
+    out = turn_ordering_violations(ds)
+    rows = [(r["conv_id"], r["error_type"]) for r in out.take_all()]
+    # c1 has a gap (0 -> 2); the null-conv run is a dense 0..1 pair
+    assert ("c1", "turn_gap") in rows
+    assert not any(c is None for c, _ in rows)
+
+    t2 = pa.table({
+        "user_id": pa.array(["u1", None, "u1", None], pa.string()),
+        "ts": pa.array([0, 0, 5_000_000_000, 5_000_000_000],
+                       pa.timestamp("us")),
+    })
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"]) for r in
+           sessionize_counts(_ray().data.from_arrow(t2).repartition(2),
+                             key="user_id",
+                             gap_seconds=1800.0).take_all()}
+    assert got == {"u1": (2, 2), None: (2, 2)}
