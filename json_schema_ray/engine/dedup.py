@@ -53,38 +53,26 @@ def exact_dedup_groups(ds, content_keys: List[str], id_column: str):
     """One row per distinct content key: the kept (minimum) id and the
     duplicate count. Pre-aggregates per block before the shuffle.
 
-    The Ray groupby runs over null-safe derived key columns (Ray's
-    sort-based shuffle cannot order None against values); the
-    original key values ride along via Min aggregation (within a
-    group all values are identical — or all null for a null group)."""
-    from .relational import null_safe_group_keys
+    String keys shuffle via the invertible null-safe encoding (Ray's
+    sort-based shuffle cannot order None against str)."""
+    from ray.data.aggregate import Min, Sum
+
+    from .relational import null_safe_grouped_aggregate
 
     def pre(batch: pa.Table) -> pa.Table:
         g = pa.TableGroupBy(batch.select(content_keys + [id_column]),
                             content_keys)
         t = g.aggregate([(id_column, "min"), ([], "count_all")])
         names = {f"{id_column}_min": "keep_id", "count_all": "n_copies"}
-        t = t.rename_columns([names.get(c, c) for c in t.column_names])
-        t, _ = null_safe_group_keys(t, content_keys)
-        return t
+        return t.rename_columns([names.get(c, c) for c in t.column_names])
 
     partial = ds.map_batches(pre, batch_format="pyarrow",
                              zero_copy_batch=True)
-    from ray.data.aggregate import Min, Sum
-
-    derived = [c for i in range(len(content_keys))
-               for c in (f"__gnf{i}", f"__gfv{i}")]
-    result = partial.groupby(derived).aggregate(
-        *[Min(k, alias_name=k) for k in content_keys],
-        Min("keep_id", alias_name="keep_id"),
-        Sum("n_copies", alias_name="n_copies"),
-    )
-
-    def drop_derived(batch: pa.Table) -> pa.Table:
-        return batch.select(content_keys + ["keep_id", "n_copies"])
-
-    return result.map_batches(drop_derived, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return null_safe_grouped_aggregate(
+        partial, content_keys,
+        [Min("keep_id", alias_name="keep_id"),
+         Sum("n_copies", alias_name="n_copies")],
+        ["keep_id", "n_copies"])
 
 
 def exact_dedup(ds, content_keys: List[str], id_column: str):
@@ -637,20 +625,10 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
     # sort on derived null-safe key columns ((is_null, filled) pairs —
     # exact: equal keys stay contiguous, null forms its own run) and
     # drop them afterwards
-    from .relational import null_safe_group_keys
+    from .relational import null_safe_sort
 
-    def add_sort_keys(batch: pa.Table) -> pa.Table:
-        batch, _ = null_safe_group_keys(batch, content_keys)
-        return batch
-
-    derived = [c for i in range(len(content_keys))
-               for c in (f"__gnf{i}", f"__gfv{i}")]
-    sort_cols = derived + [id_column]
-    with_keys = ds.map_batches(add_sort_keys, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    sorted_ds = with_keys.sort(sort_cols).map_batches(
-        lambda b: b.drop_columns(derived), batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+    sorted_ds = null_safe_sort(ds, content_keys,
+                               [id_column]).materialize()
 
     def split(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

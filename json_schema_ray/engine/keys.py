@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .relational import null_safe_sort  # re-export: sort-based checks
+
 
 def duplicate_keys(ds, keys: List[str]):
     """Dataset of (keys..., cnt) rows for key tuples appearing more
@@ -128,26 +130,6 @@ def referential_violations(ds, fk: str, ref_ds, pk: str,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
-
-
-def null_safe_sort(ds, keys: List[str], tail: List[str]):
-    """Range-partitioned sort tolerating null key values: sorts on
-    derived (is_null, filled) columns per key (Ray cannot order None
-    against str), drops them afterwards. ``tail`` columns sort as-is
-    (numeric nulls are orderable)."""
-    from .relational import null_safe_group_keys
-
-    def add(batch: pa.Table) -> pa.Table:
-        batch, _ = null_safe_group_keys(batch, keys)
-        return batch
-
-    derived = [c for i in range(len(keys))
-               for c in (f"__gnf{i}", f"__gfv{i}")]
-    return ds.map_batches(add, batch_format="pyarrow",
-                          zero_copy_batch=True) \
-        .sort(derived + tail) \
-        .map_batches(lambda b: b.drop_columns(derived),
-                     batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _check_sorted_run(gid, turns: np.ndarray, ts: Optional[np.ndarray],

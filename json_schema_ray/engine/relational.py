@@ -328,56 +328,89 @@ def exact_distinct_count(ds, column: str) -> int:
     return uniq.groupby(column).count().count()
 
 
-def null_safe_group_keys(batch: pa.Table, keys: List[str],
-                         prefix: str = "__g"):
-    """Append (is_null, filled) derived columns for each grouping key:
-    Ray's sort-based shuffle cannot order None against values, so
-    groupby/sort on nullable keys must run over these derived columns
-    (equal keys — including the null group — stay co-located; the
-    original columns ride along untouched). Returns
-    ``(batch_with_derived, derived_names)``."""
-    names: List[str] = []
+def _is_string_type(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def encode_null_safe_keys(batch: pa.Table, keys: List[str]) -> pa.Table:
+    """Replace the grouping-key columns with shuffle-safe ``__gs{i}``
+    columns: STRING keys (which Ray's sort-based shuffle cannot order
+    when null) become an invertible prefixed encoding — null -> "n",
+    value -> "v" + value (total order, bijective) — while other types
+    alias through zero-copy. The originals are dropped so the
+    exchange ships exactly one column per key; ``decode`` inverts by
+    TYPE (a string ``__gs{i}`` is always an encoding)."""
+    out = batch
     for i, k in enumerate(keys):
-        col = batch[k]
-        nf, fv = f"{prefix}nf{i}", f"{prefix}fv{i}"
-        batch = batch.append_column(
-            nf, pc.cast(pc.is_null(col), pa.int8()))
-        if pa.types.is_string(col.type) or \
-                pa.types.is_large_string(col.type):
-            filled = pc.fill_null(col, "")
-        elif pa.types.is_integer(col.type) or \
-                pa.types.is_floating(col.type):
-            filled = pc.fill_null(col, 0)
+        col = out[k]
+        if _is_string_type(col.type):
+            joined = pc.binary_join_element_wise("v", col, "")
+            d = pc.if_else(pc.is_null(col), pa.scalar("n"), joined)
         else:
-            filled = pc.fill_null(pc.cast(col, pa.string()), "")
-        batch = batch.append_column(fv, filled)
-        names.extend([nf, fv])
-    return batch, names
+            d = col
+        out = out.append_column(f"__gs{i}", d)
+    return out.drop_columns(list(keys))
+
+
+def decode_null_safe_keys(batch: pa.Table, keys: List[str],
+                          out_columns: List[str]) -> pa.Table:
+    """Invert :func:`encode_null_safe_keys` and project
+    ``keys + out_columns`` in order."""
+    cols = {}
+    for i, k in enumerate(keys):
+        d = batch[f"__gs{i}"]
+        if _is_string_type(d.type):
+            cols[k] = pc.if_else(
+                pc.equal(d, "n"), pa.scalar(None, pa.string()),
+                pc.utf8_slice_codeunits(d, 1, 1 << 30))
+        else:
+            cols[k] = d
+    for c in out_columns:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
 def null_safe_grouped_aggregate(partial_ds, keys: List[str], agg_objs,
                                 out_columns: List[str]):
-    """Ray ``groupby(keys).aggregate(...)`` that tolerates null keys:
-    groups on derived (is_null, filled) columns, carries the original
-    key values through Min (identical within a group; all-null for
-    the null group), and returns columns ``keys + out_columns`` in
-    order. Nullable STRING keys crash Ray's sort-based shuffle
-    otherwise (None is unorderable against str)."""
-    from ray.data.aggregate import Min
+    """Ray ``groupby(keys).aggregate(...)`` that tolerates null keys
+    (string keys shuffle via the invertible prefixed encoding; other
+    types pass through zero-copy). No schema inspection — the
+    encode/decode decision is made per batch by column type, so the
+    lazy upstream pipeline is never executed twice. Returns columns
+    ``keys + out_columns`` in order."""
+    group_cols = [f"__gs{i}" for i in range(len(keys))]
 
-    def add(batch: pa.Table) -> pa.Table:
-        batch, _ = null_safe_group_keys(batch, keys)
-        return batch
+    def encode(batch: pa.Table) -> pa.Table:
+        return encode_null_safe_keys(batch, keys)
 
-    derived = [c for i in range(len(keys))
-               for c in (f"__gnf{i}", f"__gfv{i}")]
-    grouped = partial_ds.map_batches(add, batch_format="pyarrow",
+    grouped = partial_ds.map_batches(encode, batch_format="pyarrow",
                                      zero_copy_batch=True) \
-        .groupby(derived).aggregate(
-            *[Min(k, alias_name=k) for k in keys], *agg_objs)
+        .groupby(group_cols).aggregate(*agg_objs)
 
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(keys + out_columns)
+    def decode(batch: pa.Table) -> pa.Table:
+        return decode_null_safe_keys(batch, keys, out_columns)
 
-    return grouped.map_batches(project, batch_format="pyarrow",
+    return grouped.map_batches(decode, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def null_safe_sort(ds, keys: List[str], tail: List[str]):
+    """Range-partitioned sort tolerating null STRING key values: the
+    key columns travel as their shuffle-safe encodings (one column
+    per key) and are decoded back after the sort; ``tail`` columns
+    sort as-is (numeric nulls are orderable)."""
+    group_cols = [f"__gs{i}" for i in range(len(keys))]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return encode_null_safe_keys(batch, keys)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        others = [c for c in batch.column_names
+                  if c not in group_cols]
+        return decode_null_safe_keys(batch, keys, others)
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(group_cols + tail) \
+        .map_batches(decode, batch_format="pyarrow",
+                     zero_copy_batch=True)

@@ -145,7 +145,7 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
 
     has_ts = ts_key in [f for f in (ds.schema().names or [])]
     if not presorted:
-        from .keys import null_safe_sort
+        from .relational import null_safe_sort
 
         ds = null_safe_sort(ds, [group_key], [order_key])
 

@@ -24,7 +24,7 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
     between consecutive events exceeds ``gap_seconds`` (strictly).
     Returns a Dataset of (key, n_events, n_sessions)."""
     gap_us = gap_seconds * 1_000_000.0
-    from .keys import null_safe_sort
+    from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds.select_columns([key, ts]),
                                [key], [ts])
