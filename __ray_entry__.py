@@ -405,6 +405,17 @@ def q_dedup_docs_survivors(sf_dir: str):
     return _collect(out, schema).sort_by("doc_id")
 
 
+def q_heavy_hitter_users(sf_dir: str):
+    """Exact heavy hitters via the Count-Min-assisted distributed
+    algorithm (pigeonhole candidates -> mergeable CMS prune -> exact
+    filtered count); identical to GROUP BY ... HAVING."""
+    from json_schema_ray.engine.relational import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", min_count=80)
+    return t.rename_columns(["user_id", "cnt"])
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       filters=[("vec_id", "=", 0)])
@@ -875,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_event_volume": q_hopping_event_volume,
         "lineitems_shipped_90d": q_lineitems_shipped_90d,
         "dedup_docs_survivors": q_dedup_docs_survivors,
+        "heavy_hitter_users": q_heavy_hitter_users,
         # rows-only pipelines (no SQL equivalent)
         "transcript_validation": q_transcript_validation,
         "transcript_verdicts": q_transcript_verdicts,
@@ -1103,6 +1115,12 @@ def oracle_sql() -> dict[str, str]:
                        + 0.2 * (1 - least(n_upper / greatest(n_chars, 1.0) * 5, 1.0))
                      )) * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
             FROM f ORDER BY doc_id
+        """,
+        "heavy_hitter_users": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   count(*) AS cnt
+            FROM events GROUP BY user_id HAVING count(*) >= 80
+            ORDER BY 1
         """,
         "dedup_docs_survivors": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -414,3 +414,100 @@ def null_safe_sort(ds, keys: List[str], tail: List[str]):
         .sort(group_cols + tail) \
         .map_batches(decode, batch_format="pyarrow",
                      zero_copy_batch=True)
+
+
+def heavy_hitters(ds, column: str, min_count: int,
+                  cms_width: int = 2048, cms_depth: int = 4) -> pa.Table:
+    """EXACT heavy hitters (values with total count >= ``min_count``)
+    at shuffle-free cost in the common case.
+
+    Scale shape: (1) each block pre-counts locally and emits only
+    values with local count >= ceil(min_count / n_blocks) — by
+    pigeonhole no global heavy hitter can be missed — alongside a
+    mergeable Count-Min partial over ALL values; (2) the driver
+    merges the O(width x depth) sketches and prunes candidates whose
+    CMS estimate (an overcount, so no false negatives) is below the
+    threshold; (3) one filtered pre-aggregated pass computes exact
+    counts for the surviving candidates only. Returns (value, cnt)
+    with exact counts, identical to GROUP BY ... HAVING count >= N.
+    """
+    import ray
+
+    from ..state.sketches import CountMinSketch, hash_strings
+
+    ds = ds.materialize()
+    n_blocks = max(ds.num_blocks(), 1)
+    local_thresh = max(1, -(-min_count // n_blocks))  # ceil
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch[column].combine_chunks(), pa.string())
+        g = pa.TableGroupBy(pa.table({column: col}), [column]) \
+            .aggregate([([], "count_all")])
+        vals = g[column]
+        cnts = g["count_all"].to_numpy(zero_copy_only=False)
+        hashes = hash_strings(vals.to_pylist())
+        cms = CountMinSketch(cms_width, cms_depth)
+        cms.add_many(hashes, cnts.astype(np.int64))
+        cand_mask = cnts >= local_thresh
+        cand = vals.filter(pa.array(cand_mask)).to_pylist()
+        cms_list = cms.counts.ravel().tolist()
+        if not cand:
+            return pa.table({
+                "candidate": pa.array([None], pa.string()),
+                "cms": pa.array([cms_list], pa.list_(pa.int64())),
+            })
+        return pa.table({
+            "candidate": pa.array(cand, pa.string()),
+            "cms": pa.array([cms_list] + [None] * (len(cand) - 1),
+                            pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = CountMinSketch(cms_width, cms_depth)
+    candidates: set = set()
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            if row["candidate"] is not None:
+                candidates.add(row["candidate"])
+            if row["cms"] is not None:
+                merged = merged.merge(CountMinSketch(
+                    cms_width, cms_depth,
+                    np.asarray(row["cms"], dtype=np.int64)
+                    .reshape(cms_depth, cms_width)))
+    if not candidates:
+        return pa.table({column: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_list = sorted(candidates)
+    ests = merged.estimate_many(hash_strings(cand_list))
+    survivors = [c for c, e in zip(cand_list, ests) if e >= min_count]
+    if not survivors:
+        return pa.table({column: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    surv_arr = pa.array(survivors, pa.string())
+    handle = ray.put(surv_arr)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        want = ray.get(handle)
+        col = pc.cast(batch[column], pa.string())
+        kept = pa.table({column: col}).filter(
+            pc.fill_null(pc.is_in(col, value_set=want), False))
+        g = pa.TableGroupBy(kept, [column]).aggregate([([], "count_all")])
+        return g.rename_columns([column, "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    exact_parts = ds.map_batches(exact, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    summed = null_safe_grouped_aggregate(
+        exact_parts, [column], [Sum("cnt", alias_name="cnt")], ["cnt"])
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b
+              for b in summed.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({column: pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    out = pa.concat_tables(tables, promote_options="default")
+    out = out.filter(pc.greater_equal(out["cnt"], min_count))
+    return out.sort_by(column)

@@ -192,3 +192,48 @@ class TDigest:
         means = arr[2:2 + n].copy()
         weights = arr[2 + n:2 + 2 * n].copy()
         return cls(compression, means, weights)
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch over pre-hashed uint64 values.
+
+    ``depth`` independent rows index ``width`` counters via splitmix
+    re-hashing of the value hash with a per-row salt; estimates are
+    the minimum over rows and NEVER undercount (one-sided error), so
+    a CMS filter keeps every true heavy hitter."""
+
+    __slots__ = ("width", "depth", "counts", "_salts")
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 counts: np.ndarray | None = None):
+        self.width = width
+        self.depth = depth
+        self.counts = (counts if counts is not None
+                       else np.zeros((depth, width), dtype=np.int64))
+        self._salts = hash_ints(np.arange(1, depth + 1, dtype=np.uint64))
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64)
+        return np.stack([
+            (hash_ints(h ^ self._salts[d]) % np.uint64(self.width))
+            .astype(np.int64)
+            for d in range(self.depth)])
+
+    def add_many(self, hashes: np.ndarray,
+                 weights: np.ndarray | None = None) -> None:
+        idx = self._indices(hashes)
+        w = (weights if weights is not None
+             else np.ones(len(hashes), dtype=np.int64))
+        for d in range(self.depth):
+            np.add.at(self.counts[d], idx[d], w)
+
+    def estimate_many(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._indices(hashes)
+        ests = np.stack([self.counts[d][idx[d]]
+                         for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        return CountMinSketch(self.width, self.depth,
+                              self.counts + other.counts)

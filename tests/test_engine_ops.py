@@ -695,3 +695,44 @@ def test_ordering_and_sessionize_with_null_string_keys():
                              key="user_id",
                              gap_seconds=1800.0).take_all()}
     assert got == {"u1": (2, 2), None: (2, 2)}
+
+
+def test_count_min_sketch_overcounts_only_and_merges():
+    from json_schema_ray.state.sketches import CountMinSketch, hash_strings
+
+    rng = np.random.default_rng(2)
+    vals = [f"v{i}" for i in rng.zipf(1.5, size=20000) if i < 5000]
+    h = hash_strings(vals)
+    half = len(h) // 2
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add_many(h[:half])
+    b.add_many(h[half:])
+    merged = a.merge(b)
+    import collections
+
+    truth = collections.Counter(vals)
+    uniq = sorted(truth)
+    est = merged.estimate_many(hash_strings(uniq))
+    for v, e in zip(uniq, est):
+        assert e >= truth[v]  # one-sided error
+    # heavy values estimated accurately
+    top = [v for v, c in truth.most_common(10)]
+    est_top = merged.estimate_many(hash_strings(top))
+    for v, e in zip(top, est_top):
+        assert e <= truth[v] * 1.2 + 50
+
+
+def test_heavy_hitters_exact_vs_bruteforce():
+    from json_schema_ray.engine.relational import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    vals = [f"u{int(v)}" for v in rng.zipf(1.3, size=30000) if v < 1000]
+    t = pa.table({"user": pa.array(vals, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(16)
+    got = heavy_hitters(ds, "user", min_count=300)
+    import collections
+
+    truth = {v: c for v, c in collections.Counter(vals).items()
+             if c >= 300}
+    assert {r["user"]: r["cnt"] for r in got.to_pylist()} == truth
+    assert len(truth) >= 3
