@@ -612,19 +612,16 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
     broadcast (O(distinct keys)) would approach corpus size.
 
     Block-boundary stitching: each block's FIRST row might continue
-    the previous block's run, so it is emitted as a CANDIDATE along
-    with the block's last key and whether the block's last run
-    started inside the block. On the driver (2 x n_blocks tiny
-    rows), a candidate survives iff no block's interior run of the
-    same key precedes it and it has the smallest id among candidates
-    of its key — exact for keys spanning any number of blocks.
+    the previous block's run, so it is emitted as a CANDIDATE row
+    carrying the block's last key and whether the block's last run
+    started inside the block; ONLY those n_blocks candidate rows are
+    collected on the driver. A candidate survives iff no block's
+    interior run of the same key precedes it and it has the smallest
+    id among candidates of its key — exact for keys spanning any
+    number of blocks.
     """
     import ray
 
-    # Ray's range-partition sort cannot compare None with values, so
-    # sort on derived null-safe key columns ((is_null, filled) pairs —
-    # exact: equal keys stay contiguous, null forms its own run) and
-    # drop them afterwards
     from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds, content_keys,
@@ -650,26 +647,28 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
                 zero_copy_only=False)
         keep = np.concatenate([[False], change])
         survivors = batch.filter(pa.array(keep))
+        m = survivors.num_rows
+        # the per-block stitch metadata lives ONLY on the single
+        # candidate row — survivor rows carry nulls, nothing O(N)
+        survivors = survivors.append_column(
+            "__cand", pa.array([False] * m, pa.bool_()))
+        survivors = survivors.append_column(
+            "__last_key", pa.nulls(m, pa.string()))
+        survivors = survivors.append_column(
+            "__last_interior", pa.nulls(m, pa.bool_()))
         cand = batch.slice(0, 1)
         last_key = json.dumps(
             [batch[k][n - 1].as_py() for k in content_keys],
             default=str)
         # did the last run start inside this block (not at row 0)?
         last_interior = bool(keep[1:].any()) if n > 1 else False
-        # the last run's start is the LAST change point; interior iff
-        # any change point exists (row 0 run otherwise)
-        out_parts = []
-        for part, is_cand in ((survivors, False), (cand, True)):
-            m = part.num_rows
-            part = part.append_column(
-                "__cand", pa.array([is_cand] * m, pa.bool_()))
-            part = part.append_column(
-                "__last_key", pa.array([last_key] * m, pa.string()))
-            part = part.append_column(
-                "__last_interior",
-                pa.array([last_interior] * m, pa.bool_()))
-            out_parts.append(part)
-        return pa.concat_tables(out_parts)
+        cand = cand.append_column("__cand",
+                                  pa.array([True], pa.bool_()))
+        cand = cand.append_column("__last_key",
+                                  pa.array([last_key], pa.string()))
+        cand = cand.append_column(
+            "__last_interior", pa.array([last_interior], pa.bool_()))
+        return pa.concat_tables([survivors, cand])
 
     tagged = sorted_ds.map_batches(split, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
@@ -682,15 +681,20 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
     interior = tagged.map_batches(interior_only, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    # driver stitch over 2 x n_blocks tiny rows
+    def candidates_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__cand"])
+
+    # driver stitch over exactly n_blocks candidate rows
     cand_rows = []
     interior_last = set()  # keys whose final run started interior
-    for batch in tagged.iter_batches(batch_format="pyarrow"):
+    for batch in tagged.map_batches(candidates_only,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
         for row in batch.to_pylist():
             key_json = json.dumps(
                 [row[k] for k in content_keys], default=str)
-            if row["__cand"]:
-                cand_rows.append((key_json, row))
+            cand_rows.append((key_json, row))
             if row["__last_interior"]:
                 interior_last.add(row["__last_key"])
     best: dict = {}
@@ -700,13 +704,12 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
         cur = best.get(key_json)
         if cur is None or row[id_column] < cur[id_column]:
             best[key_json] = row
-    import ray as _ray
-
     if not best:
         return interior
     clean = [{k: v for k, v in row.items()
               if not k.startswith("__")}
              for row in best.values()]
-    extra = pa.Table.from_pylist(clean).select(
-        [f.name for f in interior.schema().base_schema])
-    return interior.union(_ray.data.from_arrow(extra))
+    target = interior.schema().base_schema
+    extra = pa.Table.from_pylist(clean).select(target.names) \
+        .cast(target)
+    return interior.union(ray.data.from_arrow(extra))

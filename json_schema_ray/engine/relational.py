@@ -362,7 +362,7 @@ def decode_null_safe_keys(batch: pa.Table, keys: List[str],
         if _is_string_type(d.type):
             cols[k] = pc.if_else(
                 pc.equal(d, "n"), pa.scalar(None, pa.string()),
-                pc.utf8_slice_codeunits(d, 1, 1 << 30))
+                pc.utf8_slice_codeunits(d, 1))
         else:
             cols[k] = d
     for c in out_columns:
@@ -418,89 +418,96 @@ def null_safe_sort(ds, keys: List[str], tail: List[str]):
 
 def heavy_hitters(ds, column: str, min_count: int,
                   cms_width: int = 2048, cms_depth: int = 4) -> pa.Table:
-    """EXACT heavy hitters (values with total count >= ``min_count``)
-    at shuffle-free cost in the common case.
+    """EXACT heavy hitters (values with total count >= ``min_count``),
+    identical to ``GROUP BY ... HAVING count(*) >= N`` — including the
+    NULL group.
 
-    Scale shape: (1) each block pre-counts locally and emits only
-    values with local count >= ceil(min_count / n_blocks) — by
-    pigeonhole no global heavy hitter can be missed — alongside a
-    mergeable Count-Min partial over ALL values; (2) the driver
-    merges the O(width x depth) sketches and prunes candidates whose
-    CMS estimate (an overcount, so no false negatives) is below the
-    threshold; (3) one filtered pre-aggregated pass computes exact
-    counts for the surviving candidates only. Returns (value, cnt)
-    with exact counts, identical to GROUP BY ... HAVING count >= N.
-    """
+    Scale shape (three bounded passes, no full shuffle):
+    (1) every block pre-counts locally and emits ONE mergeable
+    Count-Min partial (O(width x depth) — the only thing that reaches
+    the driver from this pass); (2) the merged sketch is broadcast
+    and each block emits the distinct values whose CMS estimate
+    clears the threshold — CMS never undercounts, so no true heavy
+    hitter is missed, and the candidate volume is bounded by the
+    sketch's false-positive rate (size ``cms_width`` for the expected
+    distinct count); (3) one filtered pre-aggregated pass computes
+    exact counts for the surviving candidates only. Values travel in
+    the invertible null-safe encoding throughout, so a NULL-keyed
+    heavy group is preserved."""
     import ray
 
     from ..state.sketches import CountMinSketch, hash_strings
 
     ds = ds.materialize()
-    n_blocks = max(ds.num_blocks(), 1)
-    local_thresh = max(1, -(-min_count // n_blocks))  # ceil
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def enc_col(batch: pa.Table):
         col = pc.cast(batch[column].combine_chunks(), pa.string())
-        g = pa.TableGroupBy(pa.table({column: col}), [column]) \
-            .aggregate([([], "count_all")])
-        vals = g[column]
-        cnts = g["count_all"].to_numpy(zero_copy_only=False)
-        hashes = hash_strings(vals.to_pylist())
-        cms = CountMinSketch(cms_width, cms_depth)
-        cms.add_many(hashes, cnts.astype(np.int64))
-        cand_mask = cnts >= local_thresh
-        cand = vals.filter(pa.array(cand_mask)).to_pylist()
-        cms_list = cms.counts.ravel().tolist()
-        if not cand:
-            return pa.table({
-                "candidate": pa.array([None], pa.string()),
-                "cms": pa.array([cms_list], pa.list_(pa.int64())),
-            })
-        return pa.table({
-            "candidate": pa.array(cand, pa.string()),
-            "cms": pa.array([cms_list] + [None] * (len(cand) - 1),
-                            pa.list_(pa.int64())),
-        })
+        joined = pc.binary_join_element_wise("v", col, "")
+        return pc.if_else(pc.is_null(col), pa.scalar("n"), joined)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        col = enc_col(batch)
+        g = pa.TableGroupBy(pa.table({"v": col}), ["v"]) \
+            .aggregate([([], "count_all")])
+        cnts = g["count_all"].to_numpy(zero_copy_only=False)
+        cms = CountMinSketch(cms_width, cms_depth)
+        cms.add_many(hash_strings(g["v"].to_pylist()),
+                     cnts.astype(np.int64))
+        return pa.table({"cms": pa.array([cms.counts.ravel().tolist()],
+                                         pa.list_(pa.int64()))})
+
     merged = CountMinSketch(cms_width, cms_depth)
-    candidates: set = set()
-    for batch in parts.iter_batches(batch_format="pyarrow"):
+    for batch in ds.map_batches(cms_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
         for row in batch.to_pylist():
-            if row["candidate"] is not None:
-                candidates.add(row["candidate"])
-            if row["cms"] is not None:
-                merged = merged.merge(CountMinSketch(
-                    cms_width, cms_depth,
-                    np.asarray(row["cms"], dtype=np.int64)
-                    .reshape(cms_depth, cms_width)))
+            merged = merged.merge(CountMinSketch(
+                cms_width, cms_depth,
+                np.asarray(row["cms"], dtype=np.int64)
+                .reshape(cms_depth, cms_width)))
+    cms_handle = ray.put(merged.counts)
+
+    def candidates_of(batch: pa.Table) -> pa.Table:
+        cms = CountMinSketch(cms_width, cms_depth,
+                             ray.get(cms_handle))
+        col = enc_col(batch)
+        uniq = pc.unique(col).to_pylist()
+        if not uniq:
+            return pa.table({"candidate": pa.array([], pa.string())})
+        est = cms.estimate_many(hash_strings(uniq))
+        keep = [u for u, e in zip(uniq, est) if e >= min_count]
+        return pa.table({"candidate": pa.array(keep, pa.string())})
+
+    candidates: set = set()
+    for batch in ds.map_batches(candidates_of, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        candidates.update(batch["candidate"].to_pylist())
+
+    def decode_vals(encoded: list) -> pa.Array:
+        return pa.array([None if v == "n" else v[1:] for v in encoded],
+                        pa.string())
+
     if not candidates:
         return pa.table({column: pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
-    cand_list = sorted(candidates)
-    ests = merged.estimate_many(hash_strings(cand_list))
-    survivors = [c for c, e in zip(cand_list, ests) if e >= min_count]
-    if not survivors:
-        return pa.table({column: pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64())})
-    surv_arr = pa.array(survivors, pa.string())
-    handle = ray.put(surv_arr)
+    surv = sorted(candidates)
+    handle = ray.put(pa.array(surv, pa.string()))
 
     def exact(batch: pa.Table) -> pa.Table:
         want = ray.get(handle)
-        col = pc.cast(batch[column], pa.string())
-        kept = pa.table({column: col}).filter(
-            pc.fill_null(pc.is_in(col, value_set=want), False))
-        g = pa.TableGroupBy(kept, [column]).aggregate([([], "count_all")])
-        return g.rename_columns([column, "cnt"])
+        col = enc_col(batch)
+        kept = pa.table({"v": col}).filter(
+            pc.is_in(col, value_set=want))
+        g = pa.TableGroupBy(kept, ["v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "cnt"])
 
     from ray.data.aggregate import Sum
 
     exact_parts = ds.map_batches(exact, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    summed = null_safe_grouped_aggregate(
-        exact_parts, [column], [Sum("cnt", alias_name="cnt")], ["cnt"])
+    summed = exact_parts.groupby("v").aggregate(
+        Sum("cnt", alias_name="cnt"))
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
               else b
               for b in summed.iter_batches(batch_format="pyarrow")]
@@ -510,4 +517,6 @@ def heavy_hitters(ds, column: str, min_count: int,
                          "cnt": pa.array([], pa.int64())})
     out = pa.concat_tables(tables, promote_options="default")
     out = out.filter(pc.greater_equal(out["cnt"], min_count))
-    return out.sort_by(column)
+    out = out.sort_by("v")
+    return pa.table({column: decode_vals(out["v"].to_pylist()),
+                     "cnt": out["cnt"]})

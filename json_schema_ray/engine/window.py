@@ -26,8 +26,16 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
     gap_us = gap_seconds * 1_000_000.0
     from .relational import null_safe_sort
 
-    sorted_ds = null_safe_sort(ds.select_columns([key, ts]),
-                               [key], [ts])
+    def drop_null_ts(batch: pa.Table) -> pa.Table:
+        # an event without a timestamp cannot be placed on a session
+        # timeline; excluded (documented semantics — pair with the
+        # engine's null-fraction stats / required checks to surface
+        # them)
+        return batch.filter(pc.is_valid(batch[ts]))
+
+    proj = ds.select_columns([key, ts]).map_batches(
+        drop_null_ts, batch_format="pyarrow", zero_copy_batch=True)
+    sorted_ds = null_safe_sort(proj, [key], [ts])
 
     def per_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -115,8 +123,9 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
 
     import ray
 
+    ktype = parts.schema().base_schema.field(key).type
     edge_table = pa.table({
-        key: pa.array([r[0] for r in rows]),
+        key: pa.array([r[0] for r in rows], ktype),
         "n_events": pa.array([r[1] for r in rows], pa.int64()),
         "n_sessions": pa.array([r[2] for r in rows], pa.int64()),
     })

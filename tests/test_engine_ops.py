@@ -736,3 +736,31 @@ def test_heavy_hitters_exact_vs_bruteforce():
              if c >= 300}
     assert {r["user"]: r["cnt"] for r in got.to_pylist()} == truth
     assert len(truth) >= 3
+
+
+def test_heavy_hitters_includes_null_group():
+    from json_schema_ray.engine.relational import heavy_hitters
+
+    t = pa.table({"user": pa.array([None] * 120 + ["x"] * 100 +
+                                   ["y"] * 10, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(4)
+    got = {r["user"]: r["cnt"]
+           for r in heavy_hitters(ds, "user", min_count=80).to_pylist()}
+    assert got == {None: 120, "x": 100}
+
+
+def test_sessionize_null_ts_and_all_null_edge_keys():
+    from json_schema_ray.engine.window import sessionize_counts
+
+    t = pa.table({
+        "user_id": pa.array([None, None, "u1"], pa.string()),
+        "ts": pa.array([0, None, 100], pa.timestamp("us")),
+    })
+    out = sessionize_counts(_ray().data.from_arrow(t).repartition(2),
+                            key="user_id", gap_seconds=1800.0)
+    got = {r["user_id"]: (r["n_events"], r["n_sessions"])
+           for r in out.take_all()}
+    # null-ts event excluded; null-key group still sessionized
+    assert got == {None: (1, 1), "u1": (1, 1)}
+    # schema stays string-typed even when edge keys are all null
+    assert out.schema().base_schema.field("user_id").type == "string"
