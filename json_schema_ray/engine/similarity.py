@@ -277,3 +277,66 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
 
     return bucketed.groupby("bucket").map_groups(bucket_pairs,
                                                  batch_format="pyarrow")
+
+
+def build_ann_index(ds, out_dir: str, n_centroids: int = 16,
+                    id_column: str = "vec_id",
+                    embedding_column: str = "embedding",
+                    seed: int = 42, sample_size: int = 4096) -> np.ndarray:
+    """Build a PERSISTENT IVF index: k-means centroids (JSON) plus the
+    corpus written as hive-partitioned Parquet by ``ivf_cell`` — one
+    directory per inverted list, so (a) queries prune their read to
+    the probed cells' files only and (b) a failed build can be
+    resumed per partition. Returns the centroids (also persisted)."""
+    import json as _json
+    import os
+
+    centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
+                                    sample_size=sample_size,
+                                    embedding_column=embedding_column,
+                                    seed=seed)
+    assigned = ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs=dict(centroids=centroids,
+                                   embedding_column=embedding_column),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    assigned.write_parquet(os.path.join(out_dir, "cells"),
+                           partition_cols=["ivf_cell"])
+    with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
+        _json.dump({"n_centroids": len(centroids), "seed": seed,
+                    "centroids": centroids.tolist()}, fh)
+    return centroids
+
+
+def query_ann_index(index_dir: str, query: np.ndarray, k: int = 10,
+                    n_probe: int = 4, id_column: str = "vec_id",
+                    embedding_column: str = "embedding",
+                    exclude_ids: Optional[set] = None) -> pa.Table:
+    """Query a persisted IVF index: load the centroids, pick the
+    ``n_probe`` nearest cells, and read ONLY those cells' partition
+    directories (the scan never touches the other inverted lists),
+    then run the brute-force partial top-k over the candidates."""
+    import json as _json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "centroids.json")) as fh:
+        meta = _json.load(fh)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    sims = (q @ centroids.T).ravel()
+    probe = np.argsort(-sims)[:n_probe].tolist()
+    import glob as _glob
+
+    paths = []
+    for c in probe:
+        paths.extend(sorted(_glob.glob(os.path.join(
+            index_dir, "cells", f"ivf_cell={c}", "*.parquet"))))
+    if not paths:
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    candidates = ray.data.read_parquet(paths)
+    return knn_bruteforce(candidates, query, k=k, id_column=id_column,
+                          embedding_column=embedding_column,
+                          exclude_ids=exclude_ids)

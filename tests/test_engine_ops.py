@@ -764,3 +764,36 @@ def test_sessionize_null_ts_and_all_null_edge_keys():
     assert got == {None: (1, 1), "u1": (1, 1)}
     # schema stays string-typed even when edge keys are all null
     assert out.schema().base_schema.field("user_id").type == "string"
+
+
+def test_ann_index_build_and_pruned_query(tmp_path):
+    import glob as _glob
+
+    from json_schema_ray.engine.similarity import (
+        build_ann_index, knn_bruteforce, query_ann_index)
+
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((8, 24)) * 4
+    vecs = np.concatenate([
+        centers[i] + rng.standard_normal((50, 24)) * 0.4
+        for i in range(8)])
+    t = pa.table({
+        "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = _ray().data.from_arrow(t)
+    idx_dir = str(tmp_path / "ann")
+    build_ann_index(ds, idx_dir, n_centroids=8)
+    # one hive partition directory per inverted list
+    parts = _glob.glob(f"{idx_dir}/cells/ivf_cell=*")
+    assert len(parts) >= 6
+
+    q = vecs[10]
+    exact = knn_bruteforce(ds, q, k=5, exclude_ids={10})
+    full = query_ann_index(idx_dir, q, k=5, n_probe=8,
+                           exclude_ids={10})
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    one = query_ann_index(idx_dir, q, k=5, n_probe=1, exclude_ids={10})
+    overlap = len(set(one["vec_id"].to_pylist())
+                  & set(exact["vec_id"].to_pylist()))
+    assert overlap >= 4  # clustered data: single probe stays accurate
