@@ -530,11 +530,13 @@ def q_text_equality(sf_dir: str):
         t = pa.table({"conv_id": conv, "turn_idx": turn, "text": text})
         return t.filter(pc.invert(_mod_eq(b["doc_id"], 101, 5)))
 
-    docs = lambda: _read(sf_dir, "documents", columns=["doc_id", "text"])
-    a = docs().map_batches(shape, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    b = docs().map_batches(shape_ref, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    # one scan: both sides derive from the same materialized read
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).materialize()
+    a = docs.map_batches(shape, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    b = docs.map_batches(shape_ref, batch_format="pyarrow",
+                         zero_copy_batch=True)
     out = keyed_text_compare(a, b, ["conv_id", "turn_idx"])
     schema = pa.schema([("conv_id", pa.int64()), ("turn_idx", pa.int64()),
                         ("error_type", pa.string()),
