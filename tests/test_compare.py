@@ -151,3 +151,41 @@ def test_transcript_fixture_known_mismatch_rows(tmp_path):
             zip(out2["conv_id"].to_pylist(), out2["turn_idx"].to_pylist(),
                 out2["error_type"].to_pylist())}
     assert got2 == expected
+
+
+def test_partition_compare_randomized_vs_bruteforce():
+    import random
+
+    from json_schema_ray.engine.compare import compare_partition_tables
+
+    rng = random.Random(17)
+    for trial in range(25):
+        n = rng.randrange(1, 60)
+        keys = [(f"c{rng.randrange(8)}", i) for i in range(n)]
+        texts = [rng.choice(["x", "y", None]) for _ in range(n)]
+        a = list(zip([k[0] for k in keys], [k[1] for k in keys], texts))
+        b = []
+        for c, i, t in a:
+            r = rng.random()
+            if r < 0.15:
+                continue  # dropped row
+            if r < 0.35:
+                t = (t or "") + "!"  # edited
+            b.append((c, i, t))
+        for _ in range(rng.randrange(3)):  # extra rows in b
+            b.append((f"z{rng.randrange(3)}", rng.randrange(100), "new"))
+        rng.shuffle(b)
+        out = compare_partition_tables(_table(a), _table(b),
+                                       ["conv_id", "turn_idx"])
+        got = {(c, i): e for c, i, e, _, _ in _norm(out)}
+        amap = {(c, i): t for c, i, t in a}
+        bmap = {(c, i): t for c, i, t in b}
+        expected = {}
+        for k in set(amap) | set(bmap):
+            if k not in amap:
+                expected[k] = "missing_in_a"
+            elif k not in bmap:
+                expected[k] = "missing_in_b"
+            elif amap[k] != bmap[k]:
+                expected[k] = "text_mismatch"
+        assert got == expected, (trial, got, expected)
