@@ -77,9 +77,25 @@ def _flagship_throughput(n_turns: int) -> dict:
     }
 
 
+def cpu_calibration() -> float:
+    """Fixed single-thread workload timed at bench start: the sandbox
+    host's effective per-core throughput fluctuates ~30% between
+    runs (BASELINE.md), so absolute suite seconds should be read
+    relative to this number (larger calib_sec = slower box)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.random((600, 600))
+    t0 = time.time()
+    for _ in range(30):
+        (a @ a).sum()
+    return round(time.time() - t0, 3)
+
+
 def run_bench() -> None:
     import ray
 
+    calib = cpu_calibration()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
@@ -117,6 +133,7 @@ def run_bench() -> None:
         "sf": sf,
         "num_cpus": NUM_CPUS,
         "turns_per_sec": round(flag["turns_per_sec"], 1),
+        "calib_sec": calib,
     }))
     ray.shutdown()
 
