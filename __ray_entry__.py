@@ -416,6 +416,25 @@ def q_heavy_hitter_users(sf_dir: str):
     return t.rename_columns(["user_id", "cnt"])
 
 
+def q_events_last_order_sorted(sf_dir: str):
+    """Same as-of join computed with the TWO-BIG-SIDES realization:
+    tag + union + one null-safe sort + vectorized carry scan with
+    boundary stitching — no broadcast of either side."""
+    from json_schema_ray.engine.relational import asof_join_backward_sorted
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    joined = asof_join_backward_sorted(
+        events, orders, left_by="user_id", right_by="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_orderdate"])
+    t = _collect(joined)
+    return pa.table({
+        "event_id": t["event_id"],
+        "last_order_date": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+    }).sort_by("event_id")
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       filters=[("vec_id", "=", 0)])
@@ -884,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_user_sessions,
         "daily_event_volume": q_daily_event_volume,
         "events_last_order": q_events_last_order,
+        "events_last_order_sorted": q_events_last_order_sorted,
         "text_equality": q_text_equality,
         "hopping_event_volume": q_hopping_event_volume,
         "lineitems_shipped_90d": q_lineitems_shipped_90d,
@@ -1058,6 +1078,13 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "events_last_order": """
+            SELECT e.event_id, o.o_orderdate AS last_order_date
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "events_last_order_sorted": """
             SELECT e.event_id, o.o_orderdate AS last_order_date
             FROM events e
             ASOF LEFT JOIN orders o

@@ -520,3 +520,183 @@ def heavy_hitters(ds, column: str, min_count: int,
     out = out.sort_by("v")
     return pa.table({column: decode_vals(out["v"].to_pylist()),
                      "cnt": out["cnt"]})
+
+
+def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
+                              right_by: str, left_time: str,
+                              right_time: str,
+                              value_columns: List[str]):
+    """As-of (backward) join for TWO BIG SIDES — the co-grouped
+    realization :func:`asof_join_backward`'s docstring defers to.
+
+    Shape: tag + union both sides, ONE null-safe range-partitioned
+    sort on ``(key, time, side)`` (right rows before left rows at
+    equal times, so ``right_time <= left_time`` is inclusive), then a
+    vectorized carry scan per sorted batch: every left row takes the
+    most recent right row of its key via ``np.maximum.accumulate`` —
+    no broadcast, no per-group Python. The first/last key of each
+    block (the only ones whose carry can cross a block boundary) are
+    re-resolved exactly on the driver and unioned back, the same
+    bounded-stitch contract as the ordering/session checks. Left
+    column names must not collide with ``value_columns``. Among
+    multiple right rows sharing the same maximal ``right_time`` the
+    chosen row is unspecified (same as the broadcast variant and SQL
+    ASOF).
+    """
+    import ray
+
+    key_col, t_col, side_col = "__k", "__t", "__side"
+    # schema() is metadata-cheap for read-rooted datasets; for
+    # map-derived inputs it executes one block to infer
+    left_schema_probe = left_ds.schema().base_schema
+    left_names = list(left_schema_probe.names)
+    value_types = {}
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {}
+        for c in left_names:
+            cols[c] = pa.nulls(n, left_schema_probe.field(c).type)
+        cols[key_col] = pc.cast(batch[right_by], pa.string())
+        cols[t_col] = pc.cast(batch[right_time], pa.int64())
+        cols[side_col] = pa.array(np.zeros(n, np.int8))
+        for c in value_columns:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    # normalize left value-column types to the right side's: tag_left
+    # used untyped nulls; rebuild with the right types per batch
+    right_schema = right_ds.schema().base_schema
+    for c in value_columns:
+        value_types[c] = right_schema.field(c).type
+
+    def tag_left_typed(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch[c] for c in left_names}
+        cols[key_col] = pc.cast(batch[left_by], pa.string())
+        cols[t_col] = pc.cast(batch[left_time], pa.int64())
+        cols[side_col] = pa.array(np.ones(n, np.int8))
+        for c in value_columns:
+            cols[c] = pa.nulls(n, value_types[c])
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left_typed, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    sorted_ds = null_safe_sort(unioned, [key_col],
+                               [t_col, side_col]).materialize()
+
+    out_names = left_names + value_columns
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flags = pa.schema(
+            [batch.schema.field(c) for c in batch.column_names]
+            ).append(pa.field("__edge", pa.bool_()))
+        if n == 0:
+            return flags.empty_table()
+        keys = batch[key_col].combine_chunks()
+        keys_np = keys.to_numpy(zero_copy_only=False)
+        side = batch[side_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        edge_mask = (keys_np == keys_np[0]) | (keys_np == keys_np[n - 1])
+
+        idxs = np.arange(n)
+        seg_new = np.concatenate(
+            [[True], keys_np[1:] != keys_np[:-1]])
+        seg_start = np.maximum.accumulate(np.where(seg_new, idxs, 0))
+        ridx = np.where(side == 0, idxs, -1)
+        last_r = np.maximum.accumulate(ridx)
+        has_match = (last_r >= seg_start) & (last_r >= 0)
+
+        keep = (side == 1) & ~edge_mask
+        krows = np.nonzero(keep)[0]
+        take_left = pa.array(krows)
+        matched = has_match[krows]
+        rpos = np.where(matched, last_r[krows], 0)
+        cols = {}
+        for c in left_names:
+            cols[c] = batch[c].take(take_left)
+        for c in value_columns:
+            arr = batch[c].combine_chunks()
+            taken = arr.take(pa.array(rpos))
+            cols[c] = pc.if_else(pa.array(matched), taken,
+                                 pa.scalar(None, arr.type))
+        out = pa.table(cols)
+        out = out.append_column(key_col, keys.take(take_left))
+        out = out.append_column(
+            t_col, batch[t_col].take(take_left))
+        out = out.append_column(
+            side_col, batch[side_col].take(take_left))
+        out = out.append_column(
+            "__edge", pa.array(np.zeros(len(krows), bool)))
+
+        # edge rows (both sides) pass through for the driver stitch
+        erows = np.nonzero(edge_mask)[0]
+        take_e = pa.array(erows)
+        ecols = {}
+        for c in left_names:
+            ecols[c] = batch[c].take(take_e)
+        for c in value_columns:
+            ecols[c] = batch[c].take(take_e)
+        ecols[key_col] = keys.take(take_e)
+        ecols[t_col] = batch[t_col].take(take_e)
+        ecols[side_col] = batch[side_col].take(take_e)
+        etab = pa.table(ecols).append_column(
+            "__edge", pa.array(np.ones(len(erows), bool)))
+        return pa.concat_tables([out, etab]) \
+            .select(list(out.column_names))
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["__edge"]))
+        return kept.select(out_names)
+
+    interior = scanned.map_batches(interior_only,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # driver stitch: exact re-scan of boundary keys
+    edge_tables = []
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(batch["__edge"])
+        if kept.num_rows:
+            edge_tables.append(pa.Table.from_batches([kept])
+                               if isinstance(kept, pa.RecordBatch)
+                               else kept)
+    if edge_tables:
+        et = pa.concat_tables(edge_tables, promote_options="default")
+        et = et.sort_by([(key_col, "ascending"), (t_col, "ascending"),
+                         (side_col, "ascending")])
+        n = et.num_rows
+        keys_np = et[key_col].to_numpy(zero_copy_only=False)
+        side = et[side_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        idxs = np.arange(n)
+        seg_new = np.concatenate(
+            [[True], keys_np[1:] != keys_np[:-1]]) if n else \
+            np.zeros(0, bool)
+        seg_start = np.maximum.accumulate(np.where(seg_new, idxs, 0))
+        ridx = np.where(side == 0, idxs, -1)
+        last_r = np.maximum.accumulate(ridx)
+        has_match = (last_r >= seg_start) & (last_r >= 0)
+        krows = np.nonzero(side == 1)[0]
+        matched = has_match[krows]
+        rpos = np.where(matched, last_r[krows], 0)
+        cols = {}
+        for c in left_names:
+            cols[c] = et[c].take(pa.array(krows))
+        for c in value_columns:
+            arr = et[c].combine_chunks()
+            taken = arr.take(pa.array(rpos))
+            cols[c] = pc.if_else(pa.array(matched), taken,
+                                 pa.scalar(None, arr.type))
+        extra = pa.table(cols)
+        target = interior.schema().base_schema
+        extra = extra.select(target.names).cast(target)
+        if extra.num_rows:
+            return interior.union(ray.data.from_arrow(extra))
+    return interior

@@ -797,3 +797,37 @@ def test_ann_index_build_and_pruned_query(tmp_path):
     overlap = len(set(one["vec_id"].to_pylist())
                   & set(exact["vec_id"].to_pylist()))
     assert overlap >= 4  # clustered data: single probe stays accurate
+
+
+def test_asof_sorted_two_big_sides_matches_broadcast():
+    from json_schema_ray.engine.relational import (
+        asof_join_backward, asof_join_backward_sorted)
+
+    rng = np.random.default_rng(31)
+    nl, nr = 4000, 1500
+    left = pa.table({
+        "event_id": pa.array(list(range(nl)), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 40, nl), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, nl), pa.timestamp("us")),
+    })
+    right = pa.table({
+        "o_custkey": pa.array(rng.integers(0, 50, nr), pa.int64()),
+        "o_orderdate": pa.array(rng.integers(0, 10**9, nr),
+                                pa.timestamp("us")),
+        "o_total": pa.array(rng.random(nr), pa.float64()),
+    })
+    ref = asof_join_backward(
+        _ray().data.from_arrow(left), right,
+        left_by="user_id", right_by="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_orderdate", "o_total"]).take_all()
+    got = asof_join_backward_sorted(
+        _ray().data.from_arrow(left).repartition(8),
+        _ray().data.from_arrow(right).repartition(8),
+        left_by="user_id", right_by="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_orderdate", "o_total"]).take_all()
+    norm = lambda rows: sorted(
+        (r["event_id"], r["o_orderdate"], r["o_total"]) for r in rows)
+    assert norm(got) == norm(ref)
+    assert len(got) == nl
