@@ -522,6 +522,24 @@ def heavy_hitters(ds, column: str, min_count: int,
                      "cnt": out["cnt"]})
 
 
+def _asof_carry(keys_np: np.ndarray, side: np.ndarray,
+                key_valid: np.ndarray):
+    """Vectorized backward-asof carry over a (key, time, side)-sorted
+    stream: for every row, the index of the most recent RIGHT row in
+    the same key segment (NULL keys never match, like SQL ASOF).
+    Returns ``(last_r, has_match)``."""
+    n = len(keys_np)
+    idxs = np.arange(n)
+    seg_new = np.concatenate(
+        [[True], keys_np[1:] != keys_np[:-1]]) if n else \
+        np.zeros(0, bool)
+    seg_start = np.maximum.accumulate(np.where(seg_new, idxs, 0))
+    ridx = np.where(side == 0, idxs, -1)
+    last_r = np.maximum.accumulate(ridx) if n else ridx
+    has_match = (last_r >= seg_start) & (last_r >= 0) & key_valid
+    return last_r, has_match
+
+
 def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
                               right_by: str, left_time: str,
                               right_time: str,
@@ -536,14 +554,21 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
     most recent right row of its key via ``np.maximum.accumulate`` —
     no broadcast, no per-group Python. The first/last key of each
     block (the only ones whose carry can cross a block boundary) are
-    re-resolved exactly on the driver and unioned back, the same
-    bounded-stitch contract as the ordering/session checks. Left
-    column names must not collide with ``value_columns``. Among
-    multiple right rows sharing the same maximal ``right_time`` the
-    chosen row is unspecified (same as the broadcast variant and SQL
-    ASOF).
+    re-resolved exactly on the driver and unioned back (the
+    bounded-stitch contract of the ordering/session checks — NOTE: a
+    single key hot enough to span many blocks ships its rows through
+    the stitch; for that skew shape use the broadcast variant or
+    salt upstream). NULL join keys never match (SQL ASOF semantics).
+    Among multiple right rows sharing the same maximal ``right_time``
+    the chosen row is unspecified (same as the broadcast variant and
+    SQL ASOF).
     """
     import ray
+
+    if set(value_columns) & set(left_ds.schema().base_schema.names):
+        raise ValueError(
+            "value_columns must not collide with left columns: "
+            f"{sorted(set(value_columns) & set(left_ds.schema().base_schema.names))}")
 
     key_col, t_col, side_col = "__k", "__t", "__side"
     # schema() is metadata-cheap for read-rooted datasets; for
@@ -564,8 +589,6 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
             cols[c] = batch[c]
         return pa.table(cols)
 
-    # normalize left value-column types to the right side's: tag_left
-    # used untyped nulls; rebuild with the right types per batch
     right_schema = right_ds.schema().base_schema
     for c in value_columns:
         value_types[c] = right_schema.field(c).type
@@ -584,31 +607,26 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
                                   zero_copy_batch=True) \
         .union(right_ds.map_batches(tag_right, batch_format="pyarrow",
                                     zero_copy_batch=True))
-    sorted_ds = null_safe_sort(unioned, [key_col],
-                               [t_col, side_col]).materialize()
+    sorted_ds = null_safe_sort(unioned, [key_col], [t_col, side_col])
 
     out_names = left_names + value_columns
+    meta_names = [key_col, t_col, side_col]
 
     def scan(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        flags = pa.schema(
-            [batch.schema.field(c) for c in batch.column_names]
-            ).append(pa.field("__edge", pa.bool_()))
+        out_order = out_names + meta_names + ["__edge"]
         if n == 0:
-            return flags.empty_table()
+            fields = [batch.schema.field(c) for c in
+                      out_names + meta_names]
+            return pa.schema(fields + [pa.field("__edge", pa.bool_())]
+                             ).empty_table()
         keys = batch[key_col].combine_chunks()
         keys_np = keys.to_numpy(zero_copy_only=False)
+        key_valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
         side = batch[side_col].combine_chunks() \
             .to_numpy(zero_copy_only=False)
         edge_mask = (keys_np == keys_np[0]) | (keys_np == keys_np[n - 1])
-
-        idxs = np.arange(n)
-        seg_new = np.concatenate(
-            [[True], keys_np[1:] != keys_np[:-1]])
-        seg_start = np.maximum.accumulate(np.where(seg_new, idxs, 0))
-        ridx = np.where(side == 0, idxs, -1)
-        last_r = np.maximum.accumulate(ridx)
-        has_match = (last_r >= seg_start) & (last_r >= 0)
+        last_r, has_match = _asof_carry(keys_np, side, key_valid)
 
         keep = (side == 1) & ~edge_mask
         krows = np.nonzero(keep)[0]
@@ -623,30 +641,19 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
             taken = arr.take(pa.array(rpos))
             cols[c] = pc.if_else(pa.array(matched), taken,
                                  pa.scalar(None, arr.type))
-        out = pa.table(cols)
-        out = out.append_column(key_col, keys.take(take_left))
-        out = out.append_column(
-            t_col, batch[t_col].take(take_left))
-        out = out.append_column(
-            side_col, batch[side_col].take(take_left))
-        out = out.append_column(
+        for c in meta_names:
+            cols[c] = batch[c].take(take_left)
+        out = pa.table(cols).append_column(
             "__edge", pa.array(np.zeros(len(krows), bool)))
 
-        # edge rows (both sides) pass through for the driver stitch
         erows = np.nonzero(edge_mask)[0]
         take_e = pa.array(erows)
-        ecols = {}
-        for c in left_names:
-            ecols[c] = batch[c].take(take_e)
-        for c in value_columns:
-            ecols[c] = batch[c].take(take_e)
-        ecols[key_col] = keys.take(take_e)
-        ecols[t_col] = batch[t_col].take(take_e)
-        ecols[side_col] = batch[side_col].take(take_e)
+        ecols = {c: batch[c].take(take_e)
+                 for c in out_names + meta_names}
         etab = pa.table(ecols).append_column(
             "__edge", pa.array(np.ones(len(erows), bool)))
-        return pa.concat_tables([out, etab]) \
-            .select(list(out.column_names))
+        return pa.concat_tables([out.select(out_order),
+                                 etab.select(out_order)])
 
     scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()
@@ -671,18 +678,12 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
         et = pa.concat_tables(edge_tables, promote_options="default")
         et = et.sort_by([(key_col, "ascending"), (t_col, "ascending"),
                          (side_col, "ascending")])
-        n = et.num_rows
         keys_np = et[key_col].to_numpy(zero_copy_only=False)
+        key_valid = pc.is_valid(et[key_col]).to_numpy(
+            zero_copy_only=False)
         side = et[side_col].combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        idxs = np.arange(n)
-        seg_new = np.concatenate(
-            [[True], keys_np[1:] != keys_np[:-1]]) if n else \
-            np.zeros(0, bool)
-        seg_start = np.maximum.accumulate(np.where(seg_new, idxs, 0))
-        ridx = np.where(side == 0, idxs, -1)
-        last_r = np.maximum.accumulate(ridx)
-        has_match = (last_r >= seg_start) & (last_r >= 0)
+        last_r, has_match = _asof_carry(keys_np, side, key_valid)
         krows = np.nonzero(side == 1)[0]
         matched = has_match[krows]
         rpos = np.where(matched, last_r[krows], 0)

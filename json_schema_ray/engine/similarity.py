@@ -291,6 +291,15 @@ def build_ann_index(ds, out_dir: str, n_centroids: int = 16,
     import json as _json
     import os
 
+    cells_dir = os.path.join(out_dir, "cells")
+    if os.path.isdir(cells_dir) and os.listdir(cells_dir):
+        # Ray writes fresh UUID-named files and never overwrites, so
+        # building into a non-empty index would MIX corpora/centroid
+        # assignments; a crashed build is resumed by deleting and
+        # rebuilding (partition dirs make the rewrite itself cheap)
+        raise FileExistsError(
+            f"index cells directory already populated: {cells_dir}; "
+            "remove it (or choose a fresh out_dir) before rebuilding")
     centroids = train_ivf_centroids(ds, n_centroids=n_centroids,
                                     sample_size=sample_size,
                                     embedding_column=embedding_column,
@@ -304,6 +313,8 @@ def build_ann_index(ds, out_dir: str, n_centroids: int = 16,
                            partition_cols=["ivf_cell"])
     with open(os.path.join(out_dir, "centroids.json"), "w") as fh:
         _json.dump({"n_centroids": len(centroids), "seed": seed,
+                    "id_column": id_column,
+                    "embedding_column": embedding_column,
                     "centroids": centroids.tolist()}, fh)
     return centroids
 
@@ -315,7 +326,8 @@ def query_ann_index(index_dir: str, query: np.ndarray, k: int = 10,
     """Query a persisted IVF index: load the centroids, pick the
     ``n_probe`` nearest cells, and read ONLY those cells' partition
     directories (the scan never touches the other inverted lists),
-    then run the brute-force partial top-k over the candidates."""
+    then run the brute-force partial top-k over the candidates.
+    Local-filesystem paths only (the pruning globs the hive dirs)."""
     import json as _json
     import os
 
@@ -323,6 +335,11 @@ def query_ann_index(index_dir: str, query: np.ndarray, k: int = 10,
 
     with open(os.path.join(index_dir, "centroids.json")) as fh:
         meta = _json.load(fh)
+    if not os.path.isdir(os.path.join(index_dir, "cells")):
+        raise FileNotFoundError(
+            f"no cells/ directory under index at {index_dir}")
+    id_column = meta.get("id_column", id_column)
+    embedding_column = meta.get("embedding_column", embedding_column)
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
     sims = (q @ centroids.T).ravel()

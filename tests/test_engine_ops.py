@@ -831,3 +831,49 @@ def test_asof_sorted_two_big_sides_matches_broadcast():
         (r["event_id"], r["o_orderdate"], r["o_total"]) for r in rows)
     assert norm(got) == norm(ref)
     assert len(got) == nl
+
+
+def test_ann_index_rebuild_guard_and_missing_index(tmp_path):
+    from json_schema_ray.engine.similarity import (
+        build_ann_index, query_ann_index)
+
+    rng = np.random.default_rng(4)
+    t = pa.table({
+        "vec_id": pa.array(list(range(40)), pa.int64()),
+        "embedding": pa.array(rng.standard_normal((40, 8)).tolist(),
+                              pa.list_(pa.float64())),
+    })
+    ds = _ray().data.from_arrow(t)
+    idx = str(tmp_path / "ann2")
+    build_ann_index(ds, idx, n_centroids=4)
+    with pytest.raises(FileExistsError):
+        build_ann_index(ds, idx, n_centroids=4)
+    with pytest.raises(FileNotFoundError):
+        query_ann_index(str(tmp_path / "nope"), np.zeros(8), k=3)
+
+
+def test_asof_sorted_null_keys_never_match():
+    from json_schema_ray.engine.relational import asof_join_backward_sorted
+
+    left = pa.table({
+        "eid": pa.array([1, 2], pa.int64()),
+        "k": pa.array([None, "a"], pa.string()),
+        "t": pa.array([100, 100], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "rk": pa.array([None, "a"], pa.string()),
+        "rt": pa.array([10, 10], pa.timestamp("us")),
+        "val": pa.array([7.0, 9.0], pa.float64()),
+    })
+    out = asof_join_backward_sorted(
+        _ray().data.from_arrow(left), _ray().data.from_arrow(right),
+        left_by="k", right_by="rk", left_time="t", right_time="rt",
+        value_columns=["val"])
+    got = {r["eid"]: r["val"] for r in out.take_all()}
+    assert got == {1: None, 2: 9.0}  # NULL keys never match (SQL ASOF)
+
+    with pytest.raises(ValueError):
+        asof_join_backward_sorted(
+            _ray().data.from_arrow(left), _ray().data.from_arrow(right),
+            left_by="k", right_by="rk", left_time="t", right_time="rt",
+            value_columns=["t"])  # collides with a left column
