@@ -1,1 +1,96 @@
-"""Ray Data data-plane stages for json_schema_ray."""
+"""Ray Data data-plane stages for json_schema_ray.
+
+The operator families a pipeline author reaches for, re-exported from
+their modules (import the module directly for the full surface):
+
+- validation: :mod:`.validate` (compile_plan_for, violations_dataset,
+  verdicts_dataset, full_validation_pass), :mod:`.table_validator`
+- keyed checks: :mod:`.keys` (duplicate_keys, referential_violations,
+  turn_ordering_violations)
+- comparison vs a reference corpus: :mod:`.compare`
+- stats/drift: :mod:`.stats`, :mod:`.drift`
+- relational: :mod:`.relational` (grouped/salted aggregates,
+  broadcast + as-of + range joins, top-k, heavy hitters)
+- windows/sessions: :mod:`.window`
+- dedup: :mod:`.dedup` (exact, sorted, MinHash+LSH, SimHash)
+- similarity/ANN: :mod:`.similarity` (brute force, LSH, IVF, index)
+- text analysis: :mod:`.text`; multimodal: :mod:`.multimodal`
+- resumable runs: :mod:`.manifest`
+"""
+
+from .compare import aligned_text_compare, keyed_text_compare
+from .dedup import (
+    exact_dedup,
+    exact_dedup_sorted,
+    minhash_dedup_pairs,
+    simhash_near_dup_pairs,
+)
+from .keys import (
+    duplicate_keys,
+    referential_violations,
+    turn_ordering_violations,
+)
+from .relational import (
+    asof_join_backward,
+    asof_join_backward_sorted,
+    broadcast_hash_join,
+    grouped_aggregate,
+    heavy_hitters,
+    range_join,
+    salted_aggregate,
+    top_k,
+)
+from .similarity import (
+    build_ann_index,
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+    query_ann_index,
+)
+from .stats import column_stats
+from .validate import (
+    compile_plan_for,
+    full_validation_pass,
+    verdicts_dataset,
+    violations_dataset,
+)
+from .window import (
+    hopping_window_counts,
+    sessionize_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "aligned_text_compare",
+    "asof_join_backward",
+    "asof_join_backward_sorted",
+    "broadcast_hash_join",
+    "build_ann_index",
+    "column_stats",
+    "compile_plan_for",
+    "duplicate_keys",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "exact_dedup_sorted",
+    "full_validation_pass",
+    "grouped_aggregate",
+    "heavy_hitters",
+    "hopping_window_counts",
+    "keyed_text_compare",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_lsh",
+    "minhash_dedup_pairs",
+    "query_ann_index",
+    "range_join",
+    "referential_violations",
+    "salted_aggregate",
+    "sessionize_counts",
+    "simhash_near_dup_pairs",
+    "top_k",
+    "tumbling_window_counts",
+    "turn_ordering_violations",
+    "verdicts_dataset",
+    "violations_dataset",
+]
