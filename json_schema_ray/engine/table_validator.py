@@ -1647,13 +1647,3 @@ def _rows_to_table(rows: list, batch: pa.Table, plan: TablePlan) -> pa.Table:
     cols.append(pa.array([r[7] for r in rows], type=pa.string()))
     return pa.Table.from_arrays(cols, schema=out_schema)
 
-
-def validate_rows_with_interpreter(batch: pa.Table, schema: Schema) -> List[tuple]:
-    """Oracle path: validate every row as a plain dict through the row
-    interpreter. Used for differential testing of the vectorized plan."""
-    out = []
-    v = Validator(schema)
-    for row in batch.to_pylist():
-        valid = v.validate(row)
-        out.append((valid, list(v.errors)))
-    return out

@@ -645,3 +645,39 @@ def test_tuple_items_additional_false_matches_interpreter():
     }
     plan = _diff_against_interpreter(table, schema_json)
     assert plan.columns[0].tuple_additional_false
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_validation_pass_unsorted_input():
+    """presorted=False: the fused pass must null-safe-sort first and
+    produce the same summary as the presorted contiguous layout."""
+    import ray
+
+    import numpy as np_mod
+
+    from json_schema_ray.engine.validate import (
+        compile_plan_for, full_validation_pass)
+    from json_schema_ray.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(3000, violation_rate=0.02)
+    plan = compile_plan_for(VALIDATION_SCHEMA, t.schema,
+                            key_columns=["conv_id", "turn_idx"])
+    # ground truth = the presorted contract actually satisfied: a
+    # globally (conv, turn)-sorted layout. (The generator's UNSORTED
+    # layout with injected violations breaks the contiguity contract,
+    # under which presorted=True is documented to give layout-
+    # dependent counts.)
+    truth_layout = t.sort_by([("conv_id", "ascending"),
+                              ("turn_idx", "ascending")])
+    sorted_res = full_validation_pass(
+        ray.data.from_arrow(truth_layout), plan, presorted=True)
+
+    rng = np_mod.random.default_rng(3)
+    perm = rng.permutation(t.num_rows)
+    shuffled = t.take(pa.array(perm))
+    unsorted_res = full_validation_pass(
+        ray.data.from_arrow(shuffled).repartition(6), plan,
+        presorted=False)
+    for k in ("total_rows", "valid_rows", "invalid_rows",
+              "violation_rows", "ordering_violation_counts"):
+        assert unsorted_res[k] == sorted_res[k], k
