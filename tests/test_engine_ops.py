@@ -877,3 +877,10 @@ def test_asof_sorted_null_keys_never_match():
             _ray().data.from_arrow(left), _ray().data.from_arrow(right),
             left_by="k", right_by="rk", left_time="t", right_time="rt",
             value_columns=["t"])  # collides with a left column
+
+
+def test_engine_package_exports_resolve():
+    import json_schema_ray.engine as eng
+
+    missing = [n for n in eng.__all__ if not hasattr(eng, n)]
+    assert missing == []
