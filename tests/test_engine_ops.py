@@ -884,3 +884,46 @@ def test_engine_package_exports_resolve():
 
     missing = [n for n in eng.__all__ if not hasattr(eng, n)]
     assert missing == []
+
+
+def test_heavy_hitters_randomized_with_nulls():
+    import collections
+
+    from json_schema_ray.engine.relational import heavy_hitters
+
+    rng = np.random.default_rng(41)
+    for trial, (n, thresh) in enumerate([(5000, 200), (3000, 50),
+                                         (2000, 2001)]):
+        raw = rng.zipf(1.4, size=n)
+        vals = [None if v % 17 == 0 else f"u{int(v) % 200}"
+                for v in raw]
+        t = pa.table({"k": pa.array(vals, pa.string())})
+        ds = _ray().data.from_arrow(t).repartition(7)
+        got = {r["k"]: r["cnt"] for r in
+               heavy_hitters(ds, "k", min_count=thresh).to_pylist()}
+        truth = {v: c for v, c in collections.Counter(vals).items()
+                 if c >= thresh}
+        assert got == truth, trial
+
+
+def test_exact_dedup_sorted_randomized_block_counts():
+    from json_schema_ray.engine.dedup import exact_dedup_sorted
+
+    rng = np.random.default_rng(43)
+    for blocks in (1, 3, 9, 25):
+        n = 2000
+        t = pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "key": pa.array(
+                [None if v % 13 == 0 else f"k{v}"
+                 for v in rng.integers(0, 150, n)], pa.string()),
+        })
+        got = sorted(r["doc_id"] for r in exact_dedup_sorted(
+            _ray().data.from_arrow(t).repartition(blocks),
+            ["key"], "doc_id").take_all())
+        keys = t["key"].to_pylist()
+        first = {}
+        for i, k in enumerate(keys):
+            if k not in first:
+                first[k] = i
+        assert got == sorted(first.values()), blocks
