@@ -12,8 +12,9 @@ Scale shapes:
   ``n_bands`` (bucket, doc) rows, and EVERYTHING downstream stays
   distributed: a groupby-count finds collided buckets, a broadcast
   Arrow key array filters band rows to those buckets, candidate
-  pairs are generated INSIDE ``map_groups`` workers (bounded by
-  ``max_bucket``) and verified distributed: the texts of candidate
+  pairs are generated INSIDE ``map_groups`` workers (exact by
+  default; ``max_bucket`` is an opt-in, loudly-warned cap) and
+  verified distributed: the texts of candidate
   ids only (sparse by LSH construction) are gathered once into an
   Arrow table in the object store, attached to each pair batch with
   a per-batch vectorized Arrow join, and the exact n-gram Jaccard
@@ -35,8 +36,8 @@ Scale shapes:
 
 from __future__ import annotations
 
-import itertools
 import json
+import logging
 from typing import List, Optional
 
 import numpy as np
@@ -85,13 +86,18 @@ def exact_dedup(ds, content_keys: List[str], id_column: str):
     import ray
 
     groups = exact_dedup_groups(ds, content_keys, id_column)
-    keep_chunks = [batch["keep_id"]
-                   for batch in groups.iter_batches(batch_format="pyarrow")
-                   if batch.num_rows]
+    keep_chunks = []
+    keep_type = None  # id-typed even when empty: pc.is_in on a
+    # string id column raises against an int64-typed empty value set
+    for batch in groups.iter_batches(batch_format="pyarrow"):
+        keep_type = batch.schema.field("keep_id").type
+        if batch.num_rows:
+            keep_chunks.append(batch["keep_id"])
     keep_arr = (pa.concat_arrays([c.combine_chunks() if
                                   isinstance(c, pa.ChunkedArray) else c
                                   for c in keep_chunks])
-                if keep_chunks else pa.array([], pa.int64()))
+                if keep_chunks
+                else pa.array([], keep_type or pa.int64()))
     handle = ray.put(keep_arr)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -262,7 +268,7 @@ def _empty_pairs() -> pa.Table:
 
 
 def _bucket_candidate_pairs(rows, id_column: str,
-                            max_bucket: int = 256,
+                            max_bucket: Optional[int] = None,
                             distinct: bool = True):
     """Distributed (bucket, id) rows -> distinct candidate (id_a, id_b)
     Dataset.
@@ -271,11 +277,16 @@ def _bucket_candidate_pairs(rows, id_column: str,
     the sparse HOT BUCKET KEYS are collected and broadcast as one
     Arrow array (``ray.put`` once, ``pc.is_in`` per batch).
     Stage 2: band rows filtered to hot buckets shuffle by bucket and
-    pairs are generated inside ``map_groups`` workers. ``max_bucket``
-    caps the per-bucket pair blow-up: a bucket larger than the cap
-    keeps only its ``max_bucket`` smallest ids (a bucket that hot is
-    a degenerate hash, not a near-dup signal — every member would
-    pair with every other; real corpora tune bands/shingles instead).
+    pairs are generated inside ``map_groups`` workers with one
+    vectorized upper-triangle expansion per bucket (no Python loop).
+    By default NO bucket is truncated — recall is exact, and the cost
+    of a hot bucket is its true O(m^2) pair count (a worker holds one
+    bucket's pair table at a time; 10k colliding docs = 50M pairs =
+    ~0.8 GB, the practical per-worker bound). ``max_bucket`` is an
+    OPT-IN cap for corpora where degenerate band hashes are expected:
+    a larger bucket keeps only its ``max_bucket`` smallest ids, and
+    every truncation is surfaced with a logging.warning carrying the
+    bucket size and exact dropped-pair count — never silent.
     Stage 3: a groupby on (id_a, id_b) deduplicates pairs that
     collided in multiple bands — still distributed.
     """
@@ -306,16 +317,28 @@ def _bucket_candidate_pairs(rows, id_column: str,
                                 zero_copy_batch=True)
 
     def pairs_of(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_column].to_pylist())
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        combos = list(itertools.combinations(ids, 2))
-        if not combos:
+        ids = np.sort(group[id_column].to_numpy(zero_copy_only=False))
+        m = len(ids)
+        if max_bucket is not None and m > max_bucket:
+            dropped = m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
+            logging.getLogger(__name__).warning(
+                "bucket %r truncated: %d members -> %d (dropping %d "
+                "candidate pairs)", group["bucket"][0].as_py(), m,
+                max_bucket, dropped)
+            ids, m = ids[:max_bucket], max_bucket
+        if m < 2:
             return _empty_pairs()
-        return pa.table({
-            "id_a": pa.array([p[0] for p in combos], pa.int64()),
-            "id_b": pa.array([p[1] for p in combos], pa.int64()),
-        })
+        # upper-triangle (i<j) expansion, fully vectorized: row i
+        # contributes m-1-i pairs (ids[i], ids[i+1..m-1])
+        counts = np.arange(m - 1, -1, -1, dtype=np.int64)
+        total = m * (m - 1) // 2
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ia = np.repeat(ids, counts)
+        ib = ids[np.arange(total, dtype=np.int64)
+                 - np.repeat(offs, counts)
+                 + np.repeat(np.arange(1, m + 1, dtype=np.int64), counts)]
+        return pa.table({"id_a": pa.array(ia, pa.int64()),
+                         "id_b": pa.array(ib, pa.int64())})
 
     pairs = hot_rows.groupby("bucket").map_groups(
         pairs_of, batch_format="pyarrow")
@@ -336,7 +359,7 @@ def _bucket_candidate_pairs(rows, id_column: str,
 def minhash_lsh_candidates(ds, id_column: str, text_column: str = "text",
                            n_perm: int = 64, n_bands: int = 16,
                            seed: int = 42, shingle_k: int = 5,
-                           max_bucket: int = 256,
+                           max_bucket: Optional[int] = None,
                            concurrency: Optional[int] = None,
                            distinct: bool = True):
     """Candidate duplicate pairs: docs sharing any LSH band bucket.
@@ -512,7 +535,7 @@ def _simhash_explode(id_column: str):
 
 
 def simhash_candidates(ds, id_column: str, text_column: str = "text",
-                       max_bucket: int = 256):
+                       max_bucket: Optional[int] = None):
     """Near-dup candidates: equal 16-bit signature quarters bucket
     docs (any pair within hamming distance 3 shares a quarter), then
     the same distributed hot-bucket pipeline as MinHash generates and
@@ -525,7 +548,7 @@ def simhash_candidates(ds, id_column: str, text_column: str = "text",
 
 def simhash_near_dup_pairs(ds, id_column: str, text_column: str = "text",
                            max_hamming: int = 3,
-                           max_bucket: int = 256) -> pa.Table:
+                           max_bucket: Optional[int] = None) -> pa.Table:
     """SimHash near-dup pipeline: quarter-bucket candidates -> exact
     Hamming verify. Same distributed shape as the MinHash verify: the
     sparse candidate signatures are gathered into one Arrow table in

@@ -180,6 +180,8 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
         starts = np.concatenate(
             [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
         for s, e in zip(starts[:-1], starts[1:]):
+            if by_np[s] is None:
+                continue  # SQL semantics: null keys never match
             idx[by_np[s]] = (t_np[s:e], int(s))
     value_arrays = {c: (rt[c].combine_chunks()
                         if isinstance(rt[c], pa.ChunkedArray) else rt[c])
@@ -194,12 +196,17 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
             .to_numpy(zero_copy_only=False)
         # global position into the sorted right side; -1 = no match
         gpos = np.full(n, -1, dtype=np.int64)
-        order = np.argsort(lb, kind="stable")
+        # null-key left rows can never match (and None is unorderable
+        # vs str under np.argsort) — probe only the valid-key rows
+        vi = np.nonzero(pc.is_valid(batch[left_by])
+                        .to_numpy(zero_copy_only=False))[0]
+        order = vi[np.argsort(lb[vi], kind="stable")]
+        nv = len(order)
         i = 0
-        while i < n:
+        while i < nv:
             j = i
             key = lb[order[i]]
-            while j < n and lb[order[j]] == key:
+            while j < nv and lb[order[j]] == key:
                 j += 1
             entry = index.get(key)
             if entry is not None:
@@ -255,6 +262,8 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
         starts = np.concatenate(
             [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
         for s, e in zip(starts[:-1], starts[1:]):
+            if by_np[s] is None:
+                continue  # SQL semantics: null keys never match
             idx[by_np[s]] = (t_np[s:e], int(s))
     value_arrays = {c: (rt[c].combine_chunks()
                         if isinstance(rt[c], pa.ChunkedArray) else rt[c])
@@ -263,18 +272,22 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
 
     def probe(batch: pa.Table) -> pa.Table:
         index, values = ray.get(handle)
-        n = batch.num_rows
         lb = batch[left_by].to_numpy(zero_copy_only=False)
         lt = pc.cast(batch[left_time], pa.int64()) \
             .to_numpy(zero_copy_only=False)
         left_rows: list = []
         right_pos: list = []
-        order = np.argsort(lb, kind="stable")
+        # null-key left rows drop (inner join) and None is unorderable
+        # vs str under np.argsort — probe only the valid-key rows
+        vi = np.nonzero(pc.is_valid(batch[left_by])
+                        .to_numpy(zero_copy_only=False))[0]
+        order = vi[np.argsort(lb[vi], kind="stable")]
+        nv = len(order)
         i = 0
-        while i < n:
+        while i < nv:
             j = i
             key = lb[order[i]]
-            while j < n and lb[order[j]] == key:
+            while j < nv and lb[order[j]] == key:
                 j += 1
             entry = index.get(key)
             if entry is not None:

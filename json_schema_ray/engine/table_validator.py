@@ -163,10 +163,12 @@ class ColumnPlan:
     # JSON-string cells with a struct-vectorizable subschema decode to
     # this Arrow struct type ONCE per batch (vectorized polars kernel)
     # and take the struct_field_checks path; cells the decode cannot
-    # represent faithfully (float lexemes — Ruby Float semantics —
-    # and literal JSON null) route to the interpreter, and a decode
-    # error falls back to the interpreter for the whole batch
+    # represent faithfully route to the interpreter (see
+    # _decode_json_struct's typed routing), and a decode error falls
+    # back to the interpreter for the whole batch
     json_struct_type: Optional[pa.DataType] = None
+    # lazily-built DuckDB routing query for json_struct_type cells
+    json_route_sql: Optional[str] = None
     # property type includes "null" -> null cells are valid values
     null_ok: bool = False
 
@@ -455,27 +457,73 @@ def _polars_struct_dtype(struct_type: pa.DataType):
                       for i in range(struct_type.num_fields)})
 
 
+_DUCK_CON = None
+
+
+def _duck_con():
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+        _DUCK_CON = duckdb.connect()
+    return _DUCK_CON
+
+
+def _json_route_sql(struct_type: pa.DataType) -> str:
+    """DuckDB query computing the per-cell interpreter-routing mask.
+
+    A cell stays on the vectorized decode path only when DuckDB's JSON
+    parser proves the typed polars decode is faithful: the document is
+    a JSON object and every schema field is absent or has exactly the
+    expected JSON type. Everything else routes to the row interpreter:
+    malformed JSON, non-object documents (incl. the literal ``null``),
+    present-null fields (the interpreter distinguishes present-null
+    from absent; a decode maps both to null), float lexemes into
+    integer fields (Ruby Float semantics and message rendering depend
+    on the lexeme), cross-type coercions polars would otherwise accept
+    (true -> 1 into Int64, 77 -> "77" into Utf8), and integers that
+    overflow int64 (polars decodes them to null, i.e. absent).
+    DuckDB tags non-negative integers UBIGINT, so integer fields
+    accept BIGINT or a UBIGINT value that still fits in int64.
+    """
+    conds = ["json_type(c) != 'OBJECT'"]
+    for i in range(struct_type.num_fields):
+        f = struct_type.field(i)
+        name = f.name.replace("'", "''").replace('"', '\\"')
+        p = f'$."{name}"'
+        t = f"json_type(c, '{p}')"
+        if pa.types.is_integer(f.type):
+            conds.append(
+                f"({t} IS NOT NULL AND NOT ({t} = 'BIGINT' OR "
+                f"({t} = 'UBIGINT' AND TRY_CAST(c->>'{p}' AS BIGINT)"
+                f" IS NOT NULL)))")
+        elif pa.types.is_boolean(f.type):
+            conds.append(f"({t} IS NOT NULL AND {t} != 'BOOLEAN')")
+        else:
+            conds.append(f"({t} IS NOT NULL AND {t} != 'VARCHAR')")
+    return ("SELECT c IS NOT NULL AND (CASE WHEN json_valid(c) THEN ("
+            + " OR ".join(conds) + ") ELSE TRUE END) AS route FROM t")
+
+
 def _decode_json_struct(col, cp: ColumnPlan):
     """Vectorized JSON-string -> struct decode for the fast path.
 
     Returns ``(decoded_struct_array, routed_mask)`` or None when the
     strict decode fails (caller falls back to the interpreter for the
     whole batch). ``routed_mask`` marks cells the decode cannot
-    represent faithfully — any cell containing a float lexeme
-    (digit followed by '.', 'e' or 'E': Ruby Float semantics and
-    message rendering depend on the lexeme) or the token ``null``
-    anywhere: a null FIELD VALUE decodes identically to a missing
-    key, and the literal ``null`` document identically to an absent
-    cell, but the interpreter distinguishes present-null from absent.
-    The substring test over-routes cells that merely contain "null"
-    inside a string value — correct, just slower. Routed cells are
-    nulled before decoding and validated by the row interpreter.
+    represent faithfully, computed exactly per field by DuckDB's JSON
+    type inspection (see _json_route_sql). Routed cells are nulled
+    before decoding and validated by the row interpreter.
     """
     import polars as pl
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    route = pc.fill_null(
-        pc.match_substring_regex(arr, pattern=r"[0-9][.eE]|null"), False)
+    if cp.json_route_sql is None:
+        cp.json_route_sql = _json_route_sql(cp.json_struct_type)
+    con = _duck_con()
+    con.register("t", pa.table({"c": arr}))
+    route = con.execute(cp.json_route_sql).arrow()["route"] \
+        .combine_chunks()
+    route = pc.fill_null(route, False)
     routed_np = route.to_numpy(zero_copy_only=False)
     masked = pc.if_else(route, pa.scalar(None, arr.type), arr) \
         if routed_np.any() else arr

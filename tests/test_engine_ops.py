@@ -344,6 +344,34 @@ def test_minhash_bucket_cap_guards_hot_buckets():
     assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
 
 
+def test_minhash_bucket_exact_by_default():
+    # no max_bucket -> every pair of the 10-member bucket is emitted
+    # (the vectorized upper-triangle expansion matches combinations)
+    import itertools
+
+    from json_schema_ray.engine.dedup import minhash_lsh_candidates
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    t = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([text] * 10, pa.string()),
+    })
+    cands = minhash_lsh_candidates(_ray().data.from_arrow(t), "doc_id")
+    got = sorted((r["id_a"], r["id_b"]) for r in cands.take_all())
+    assert got == sorted(itertools.combinations(range(10), 2))
+
+
+def test_exact_dedup_string_ids_empty_input():
+    # empty input + string id column: the empty keeper set must be
+    # id-typed or pc.is_in raises on the type mismatch
+    from json_schema_ray.engine.dedup import exact_dedup
+
+    t = pa.table({"doc_id": pa.array([], pa.string()),
+                  "content": pa.array([], pa.string())})
+    out = exact_dedup(_ray().data.from_arrow(t), ["content"], "doc_id")
+    assert out.count() == 0
+
+
 def test_embedding_near_dup_hot_bucket_matches_bruteforce():
     """One LSH bucket holding 10k vectors: the block-wise in-bucket
     pass must match a brute-force numpy oracle exactly (no driver
@@ -436,6 +464,35 @@ def test_range_join_multi_match():
     # row0: [50,100] -> a,b; row1: [200,250] -> c; row2: no rt in
     # [50,100] for k=2; row3: k=3 absent
     assert got == [(0, "a"), (0, "b"), (1, "c")]
+
+
+def test_range_and_asof_join_null_string_keys():
+    # SQL semantics: null keys never match — and must not crash the
+    # np.argsort over an object array mixing None and str
+    from json_schema_ray.engine.relational import (
+        asof_join_backward, range_join)
+
+    left = pa.table({
+        "k": pa.array(["a", None, "b", None], pa.string()),
+        "t": pa.array([100, 100, 100, 200], pa.timestamp("us")),
+        "row": pa.array([0, 1, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(["a", None, "b"], pa.string()),
+        "rt": pa.array([50, 60, 500], pa.timestamp("us")),
+        "val": pa.array(["x", "y", "z"], pa.string()),
+    })
+    out = range_join(_ray().data.from_arrow(left), right, "k", "rk",
+                     "t", "rt", before_us=100, after_us=0,
+                     value_columns=["val"])
+    got = sorted((r["row"], r["val"]) for r in out.take_all())
+    assert got == [(0, "x")]  # null-key rows on both sides drop
+
+    out2 = asof_join_backward(
+        _ray().data.from_arrow(left), right, "k", "rk", "t", "rt",
+        value_columns=["val"])
+    rows = sorted(out2.take_all(), key=lambda r: r["row"])
+    assert [r["val"] for r in rows] == ["x", None, None, None]
 
 
 def test_knn_ivf_exact_with_full_probe_and_decent_recall():

@@ -572,6 +572,13 @@ def test_json_decode_struct_fast_path_matches_interpreter():
         '{"k": 1.5}',                     # float lexeme -> routed
         '{"k": 1.0}',                     # integral float -> routed (Ruby Float)
         '{"k": 12, "name": "a"}',         # minLength fail
+        '{"k": true}',                    # bool -> Int64 coercion -> routed
+        '{"k": false}',                   # bool -> Int64 coercion -> routed
+        '{"name": 77}',                   # int -> Utf8 coercion -> routed
+        '{"k": 99999999999999999999}',    # int64 overflow -> routed
+        '{"k": 18446744073709551615}',    # uint64-range overflow -> routed
+        '{"k": 5, "name": "no null route"}',  # "null" in a string: fast path
+        '{"k": "5"}',                     # string -> Int64 -> routed
     ], pa.string())})
     fast = _json_plan(table.schema, True)
     slow = _json_plan(table.schema, False)
