@@ -565,19 +565,23 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
     equal times, so ``right_time <= left_time`` is inclusive), then a
     vectorized carry scan per sorted batch: every left row takes the
     most recent right row of its key via ``np.maximum.accumulate`` —
-    no broadcast, no per-group Python. The first/last key of each
-    block (the only ones whose carry can cross a block boundary) are
-    re-resolved exactly on the driver and unioned back (the
-    bounded-stitch contract of the ordering/session checks — NOTE: a
-    single key hot enough to span many blocks ships its rows through
-    the stitch; for that skew shape use the broadcast variant or
-    salt upstream). NULL join keys never match (SQL ASOF semantics).
-    Among multiple right rows sharing the same maximal ``right_time``
-    the chosen row is unspecified (same as the broadcast variant and
-    SQL ASOF).
-    """
-    import ray
+    no broadcast, no per-group Python.
 
+    Block boundaries: a left row whose predecessor lies in an earlier
+    block can ONLY be a first-segment row with no in-block right
+    predecessor ("pending"), and — because the stream is globally
+    sorted — its answer is always the LAST right row of a key segment
+    that ends an earlier block. So each block emits at most two
+    fixed-size CARRY-OUT rows (the last right row of its first and
+    last key segments); the driver holds only those O(n_blocks) rows
+    and broadcasts them as the right side of a tiny as-of probe that
+    resolves the pending rows DISTRIBUTED. Driver memory is therefore
+    independent of any key's row count — a Zipf-hot key spanning
+    every block costs two carry rows per block, never its timeline.
+    NULL join keys never match (SQL ASOF semantics). Among multiple
+    right rows sharing the same maximal ``right_time`` the chosen row
+    is unspecified (same as the broadcast variant and SQL ASOF).
+    """
     if set(value_columns) & set(left_ds.schema().base_schema.names):
         raise ValueError(
             "value_columns must not collide with left columns: "
@@ -625,24 +629,32 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
     out_names = left_names + value_columns
     meta_names = [key_col, t_col, side_col]
 
+    # __rt row types: 0 = final (resolved locally), 1 = pending left
+    # row (needs an earlier block's carry), 2 = carry-out right row
     def scan(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        out_order = out_names + meta_names + ["__edge"]
+        out_order = out_names + meta_names + ["__rt"]
         if n == 0:
             fields = [batch.schema.field(c) for c in
                       out_names + meta_names]
-            return pa.schema(fields + [pa.field("__edge", pa.bool_())]
+            return pa.schema(fields + [pa.field("__rt", pa.int8())]
                              ).empty_table()
         keys = batch[key_col].combine_chunks()
         keys_np = keys.to_numpy(zero_copy_only=False)
         key_valid = pc.is_valid(keys).to_numpy(zero_copy_only=False)
         side = batch[side_col].combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        edge_mask = (keys_np == keys_np[0]) | (keys_np == keys_np[n - 1])
         last_r, has_match = _asof_carry(keys_np, side, key_valid)
 
-        keep = (side == 1) & ~edge_mask
-        krows = np.nonzero(keep)[0]
+        # pending: first-segment left rows with a valid key and no
+        # in-block right predecessor. Left rows of any LATER segment
+        # start inside this block, so "no in-block match" is final
+        # there (null values).
+        first_seg = ((keys_np == keys_np[0]) & key_valid) \
+            if key_valid[0] else np.zeros(n, bool)
+        pending = first_seg & (side == 1) & ~has_match
+
+        krows = np.nonzero((side == 1) & ~pending)[0]
         take_left = pa.array(krows)
         matched = has_match[krows]
         rpos = np.where(matched, last_r[krows], 0)
@@ -656,61 +668,87 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
                                  pa.scalar(None, arr.type))
         for c in meta_names:
             cols[c] = batch[c].take(take_left)
-        out = pa.table(cols).append_column(
-            "__edge", pa.array(np.zeros(len(krows), bool)))
+        final = pa.table(cols).append_column(
+            "__rt", pa.array(np.zeros(len(krows), np.int8)))
+        parts = [final.select(out_order)]
 
-        erows = np.nonzero(edge_mask)[0]
-        take_e = pa.array(erows)
-        ecols = {c: batch[c].take(take_e)
-                 for c in out_names + meta_names}
-        etab = pa.table(ecols).append_column(
-            "__edge", pa.array(np.ones(len(erows), bool)))
-        return pa.concat_tables([out.select(out_order),
-                                 etab.select(out_order)])
+        pidx = np.nonzero(pending)[0]
+        if len(pidx):
+            ptab = pa.table({c: batch[c].take(pa.array(pidx))
+                             for c in out_names + meta_names})
+            parts.append(ptab.append_column(
+                "__rt", pa.array(np.ones(len(pidx), np.int8)))
+                .select(out_order))
+
+        # carry-out: the last right row of the first and last key
+        # segments (the only segments a later block can continue)
+        change = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
+        e0 = int(change[0]) if len(change) else n
+        sL = int(change[-1]) if len(change) else 0
+        cidx = set()
+        if key_valid[0] and last_r[e0 - 1] >= 0:
+            cidx.add(int(last_r[e0 - 1]))
+        if key_valid[n - 1]:
+            rr = np.nonzero(side[sL:] == 0)[0]
+            if len(rr):
+                cidx.add(sL + int(rr[-1]))
+        if cidx:
+            ctab = batch.take(pa.array(sorted(cidx))) \
+                .select(out_names + meta_names)
+            parts.append(ctab.append_column(
+                "__rt", pa.array(np.full(len(cidx), 2, np.int8)))
+                .select(out_order))
+        return pa.concat_tables(parts)
 
     scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()
 
     def interior_only(batch: pa.Table) -> pa.Table:
-        kept = batch.filter(pc.invert(batch["__edge"]))
+        kept = batch.filter(pc.equal(batch["__rt"], 0))
         return kept.select(out_names)
 
     interior = scanned.map_batches(interior_only,
                                    batch_format="pyarrow",
                                    zero_copy_batch=True)
 
-    # driver stitch: exact re-scan of boundary keys
-    edge_tables = []
+    # driver holds ONLY the fixed-size carry rows (<= 2 per block)
+    carry_tables = []
     for batch in scanned.iter_batches(batch_format="pyarrow"):
-        kept = batch.filter(batch["__edge"])
+        kept = batch.filter(pc.equal(batch["__rt"], 2))
         if kept.num_rows:
-            edge_tables.append(pa.Table.from_batches([kept])
-                               if isinstance(kept, pa.RecordBatch)
-                               else kept)
-    if edge_tables:
-        et = pa.concat_tables(edge_tables, promote_options="default")
-        et = et.sort_by([(key_col, "ascending"), (t_col, "ascending"),
-                         (side_col, "ascending")])
-        keys_np = et[key_col].to_numpy(zero_copy_only=False)
-        key_valid = pc.is_valid(et[key_col]).to_numpy(
-            zero_copy_only=False)
-        side = et[side_col].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        last_r, has_match = _asof_carry(keys_np, side, key_valid)
-        krows = np.nonzero(side == 1)[0]
-        matched = has_match[krows]
-        rpos = np.where(matched, last_r[krows], 0)
-        cols = {}
-        for c in left_names:
-            cols[c] = et[c].take(pa.array(krows))
-        for c in value_columns:
-            arr = et[c].combine_chunks()
-            taken = arr.take(pa.array(rpos))
-            cols[c] = pc.if_else(pa.array(matched), taken,
-                                 pa.scalar(None, arr.type))
-        extra = pa.table(cols)
-        target = interior.schema().base_schema
-        extra = extra.select(target.names).cast(target)
-        if extra.num_rows:
-            return interior.union(ray.data.from_arrow(extra))
-    return interior
+            carry_tables.append(kept)
+
+    def pending_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["__rt"], 1))
+        return kept.select(left_names + [key_col, t_col])
+
+    pending_ds = scanned.map_batches(pending_only,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    if carry_tables:
+        carry = pa.concat_tables(carry_tables,
+                                 promote_options="default") \
+            .select([key_col, t_col] + value_columns)
+        # pending rows resolve DISTRIBUTED: the carry rows are the
+        # right side of a broadcast as-of probe (same kernel as the
+        # dimension-sized variant)
+        resolved = asof_join_backward(pending_ds, carry, key_col,
+                                      key_col, t_col, t_col,
+                                      value_columns)
+    else:
+        def null_values(batch: pa.Table) -> pa.Table:
+            out = batch
+            for c in value_columns:
+                out = out.append_column(
+                    c, pa.nulls(batch.num_rows, value_types[c]))
+            return out
+
+        resolved = pending_ds.map_batches(null_values,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(out_names)
+
+    return interior.union(resolved.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True))

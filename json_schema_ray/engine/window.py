@@ -3,12 +3,15 @@
 Sessionization scale shape (same pattern as turn-ordering checks in
 ``keys.py``): ONE range-partitioned sort on ``(key, ts)`` co-locates
 and orders each entity's timeline, then a vectorized adjacent-diff
-pass over sorted batches counts events and session breaks for every
-key that lies wholly inside a batch. Only the first/last key of each
-batch (the ones that can straddle a block boundary — bounded by
-2 x n_blocks keys) are re-checked exactly on the driver. No per-group
-Python (``map_groups``) anywhere: at 10^8 users the per-group task
-overhead would dominate the actual arithmetic.
+pass over sorted batches emits final counts for every key that lies
+wholly inside a batch and a MERGEABLE PARTIAL — one fixed-size
+(n_events, n_sessions, first_ts, last_ts) row — for the first/last
+key of each batch (the ones that can straddle a block boundary).
+The partial stitch holds at most 2 rows per block, so driver memory
+is O(n_blocks) and independent of any single key's event count,
+Zipf-hot keys included. No per-group Python (``map_groups``)
+anywhere: at 10^8 users the per-group task overhead would dominate
+the actual arithmetic.
 """
 
 from __future__ import annotations
@@ -45,60 +48,53 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
             "n_events": pa.array([], pa.int64()),
             "n_sessions": pa.array([], pa.int64()),
             "_edge": pa.array([], pa.bool_()),
-            "_ts": pa.array([], pa.int64()),
+            "_first": pa.array([], pa.int64()),
+            "_last": pa.array([], pa.int64()),
         }
         if n == 0:
             return pa.table(empty)
-        kcol = batch[key].combine_chunks()
-        keys_np = kcol.to_numpy(zero_copy_only=False)
+        keys_np = batch[key].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         tsv = pc.cast(batch[ts], pa.int64()).combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        edge_mask = (keys_np == keys_np[0]) | (keys_np == keys_np[n - 1])
-
-        out_keys: list = []
-        out_events: list = []
-        out_sessions: list = []
-        interior = ~edge_mask
-        if interior.any():
-            idxs = np.nonzero(interior)[0]
-            sk = keys_np[idxs]
-            st = tsv[idxs]
-            change = np.nonzero(sk[1:] != sk[:-1])[0] + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [len(sk)]])
-            # new-session flags at adjacent positions within a key
-            same = sk[1:] == sk[:-1]
-            brk = same & ((st[1:] - st[:-1]) > gap_us)
-            cs = np.concatenate([[0], np.cumsum(brk)])
-            out_keys = sk[starts].tolist()
-            out_events = (ends - starts).tolist()
-            out_sessions = (1 + cs[ends - 1] - cs[starts]).tolist()
-
-        n_int = len(out_keys)
-        eidx = np.nonzero(edge_mask)[0]
+        # one vectorized pass over the sorted block: per-key-segment
+        # event counts, session counts (adjacent-diff breaks), and
+        # first/last timestamps
+        change = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        same = keys_np[1:] == keys_np[:-1]
+        brk = same & ((tsv[1:] - tsv[:-1]) > gap_us)
+        cs = np.concatenate([[0], np.cumsum(brk)])
+        # the block is sorted, so only its FIRST and LAST key segment
+        # can straddle a block boundary — those become mergeable
+        # partials; every other segment is complete (final row)
+        g = len(starts)
+        edge_g = np.zeros(g, dtype=bool)
+        edge_g[0] = edge_g[g - 1] = True
         return pa.table({
-            key: pa.array(out_keys + keys_np[eidx].tolist(), ktype),
-            "n_events": pa.array(out_events + [0] * len(eidx), pa.int64()),
-            "n_sessions": pa.array(
-                out_sessions + [0] * len(eidx), pa.int64()),
-            "_edge": pa.array([False] * n_int + [True] * len(eidx),
-                              pa.bool_()),
-            "_ts": pa.array(
-                np.concatenate([np.zeros(n_int, dtype=np.int64),
-                                tsv[eidx]])),
+            key: pa.array(keys_np[starts].tolist(), ktype),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "n_sessions": pa.array(1 + cs[ends - 1] - cs[starts],
+                                   pa.int64()),
+            "_edge": pa.array(edge_g),
+            "_first": pa.array(tsv[starts]),
+            "_last": pa.array(tsv[ends - 1]),
         })
 
     parts = sorted_ds.map_batches(per_batch, batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
 
-    # interior keys STAY a distributed Dataset — only block-boundary
-    # keys (2 x n_blocks of them, shipping just (key, ts) pairs) are
-    # re-checked exactly on the driver and unioned back in. A
-    # Zipf-hot key that spans many blocks ships its timeline here,
-    # the same bounded-stitch contract as the ordering checks.
+    # interior keys STAY a distributed Dataset. Block-boundary keys
+    # are stitched from MERGEABLE PARTIALS — one fixed-size row
+    # (n_events, n_sessions, first_ts, last_ts) per edge key per
+    # block, at most 2 per block — so driver memory is O(n_blocks)
+    # and INDEPENDENT of how many events a Zipf-hot key has: merging
+    # two adjacent segments only needs the boundary gap
+    # next.first - prev.last (<= gap joins the sessions).
     def interior_only(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.invert(batch["_edge"]))
-        return kept.drop_columns(["_edge", "_ts"])
+        return kept.drop_columns(["_edge", "_first", "_last"])
 
     interior = parts.map_batches(interior_only, batch_format="pyarrow",
                                  zero_copy_batch=True)
@@ -109,17 +105,22 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
         eidx = np.nonzero(em)[0]
         if not len(eidx):
             continue
-        ks = batch[key].take(pa.array(eidx)).to_pylist()
-        tss = batch["_ts"].take(pa.array(eidx)).to_pylist()
-        for k, t in zip(ks, tss):
-            edge.setdefault(k, []).append(int(t))
+        sub = batch.take(pa.array(eidx))
+        for r in sub.to_pylist():
+            edge.setdefault(r[key], []).append(
+                (r["_first"], r["_last"], r["n_events"],
+                 r["n_sessions"]))
     rows = []
-    for k, tlist in sorted(edge.items(),
-                           key=lambda kv: (kv[0] is None, str(kv[0]))):
-        tarr = np.sort(np.asarray(tlist, dtype=np.int64))
-        sessions = 1 + int(np.count_nonzero(np.diff(tarr) > gap_us)) \
-            if len(tarr) else 0
-        rows.append((k, len(tarr), sessions))
+    for k, segs in sorted(edge.items(),
+                          key=lambda kv: (kv[0] is None, str(kv[0]))):
+        segs.sort()  # by (first_ts, last_ts): segments are disjoint
+        # in ts order within a key up to boundary ties
+        n_events = sum(s[2] for s in segs)
+        n_sessions = sum(s[3] for s in segs)
+        for prev, nxt in zip(segs[:-1], segs[1:]):
+            if (nxt[0] - prev[1]) <= gap_us:
+                n_sessions -= 1  # boundary gap joins the sessions
+        rows.append((k, n_events, n_sessions))
 
     import ray
 
