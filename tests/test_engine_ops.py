@@ -329,6 +329,73 @@ def test_minhash_degenerate_empty_docs_no_blowup():
     assert got == [(n_empty, n_empty + 1)]
 
 
+def test_shingle_sets_batch_matches_scalar_and_jaccard():
+    """The batched shingle kernel and the tagged-merge intersection
+    must agree exactly with the scalar shingle_set / ngram_jaccard
+    reference on a randomized corpus (incl. empty/None/short docs)."""
+    import random
+
+    from json_schema_ray.engine.dedup import (
+        _gather_segments, ngram_jaccard, shingle_set,
+        shingle_sets_batch)
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [None, "", "one", "a b c d e",
+             " ".join(rng.choices(vocab, k=rng.randrange(0, 120)))
+             ] + [" ".join(rng.choices(vocab, k=rng.randrange(0, 120)))
+                  for _ in range(40)]
+    offsets, values = shingle_sets_batch(texts, 5)
+    for i, t in enumerate(texts):
+        ref = shingle_set(t or "", 5)
+        got = values[offsets[i]:offsets[i + 1]]
+        assert np.array_equal(np.sort(ref), got), (i, t)
+    # vectorized pairwise jaccard vs the scalar reference
+    n = len(texts)
+    ia = np.array([rng.randrange(n) for _ in range(200)])
+    ib = np.array([rng.randrange(n) for _ in range(200)])
+    va, ta, ca = _gather_segments(offsets, values, ia)
+    vb, tb, cb = _gather_segments(offsets, values, ib)
+    allv, allt = np.concatenate([va, vb]), np.concatenate([ta, tb])
+    order = np.lexsort((allv, allt))
+    sv, st = allv[order], allt[order]
+    eq = (st[1:] == st[:-1]) & (sv[1:] == sv[:-1])
+    inter = np.bincount(st[1:][eq], minlength=len(ia))
+    union = ca + cb - inter
+    ja = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    for k in range(len(ia)):
+        ref = ngram_jaccard(texts[ia[k]] or "", texts[ib[k]] or "", 5)
+        assert abs(ja[k] - ref) < 1e-12, (texts[ia[k]], texts[ib[k]])
+
+
+def test_simhash_batch_matches_scalar():
+    """signatures_batch must be bit-identical to the per-doc scalar
+    signature(), incl. None/empty docs and chunk-straddling docs."""
+    import random
+
+    from json_schema_ray.engine import dedup as dd
+    from json_schema_ray.engine.dedup import SimHasher
+
+    rng = random.Random(31)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [None, "", "single",
+             " ".join(rng.choices(vocab, k=rng.randrange(0, 300)))
+             ] + [" ".join(rng.choices(vocab, k=rng.randrange(0, 300)))
+                  for _ in range(60)]
+    sh = SimHasher("doc_id")
+    got = sh.signatures_batch(texts)
+    want = [sh.signature(t) if t is not None else 0 for t in texts]
+    assert got.tolist() == want
+    # force the chunked accumulation path with a tiny chunk size
+    old = dd._SHINGLE_CHUNK
+    dd._SHINGLE_CHUNK = 17
+    try:
+        got2 = sh.signatures_batch(texts)
+    finally:
+        dd._SHINGLE_CHUNK = old
+    assert got2.tolist() == want
+
+
 def test_minhash_bucket_cap_guards_hot_buckets():
     from json_schema_ray.engine.dedup import minhash_lsh_candidates
 
