@@ -740,17 +740,47 @@ def q_knn_ivf_top10(sf_dir: str):
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """LSH-bucketed near-dup pairs (in-bucket exact cosine). The
+    synthetic embeddings have no true near-dups (max off-diagonal
+    cosine ~0.6), so the threshold targets the actual similarity
+    band; n_planes=6 keeps in-bucket recall non-trivial at sf0.01+.
+    The EXACT ground truth (superset) is oracle-checked separately
+    as ``embedding_near_dups_exact``."""
     from json_schema_ray.engine.similarity import embedding_near_dup_pairs
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("cosine", pa.float64())])
-    t = _collect(embedding_near_dup_pairs(ds, threshold=0.9), schema) \
+    t = _collect(embedding_near_dup_pairs(ds, threshold=0.4,
+                                          n_planes=6), schema) \
         .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     return pa.table({
         "id_a": t["id_a"], "id_b": t["id_b"],
         "cosine": pa.array([round(v, 4) for v in t["cosine"].to_pylist()],
                            pa.float64()),
+    })
+
+
+def q_embedding_near_dups_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup (distributed blocked matmul
+    against the broadcast normalized corpus) — the brute-force ground
+    truth for the LSH variant, fully oracle-checkable in DuckDB via
+    list_cosine_similarity. Scores ship as floor(x*1e6+0.5) BIGINT
+    so float formatting can't break the hash compare."""
+    import math
+
+    from json_schema_ray.engine.similarity import embedding_near_dup_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("cosine", pa.float64())])
+    t = _collect(embedding_near_dup_exact(ds, threshold=0.45), schema) \
+        .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"],
+        "cosine_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["cosine"].to_pylist()], pa.int64()),
     })
 
 
@@ -843,6 +873,43 @@ def q_drift_roles(sf_dir: str):
                      "metric": report["metric"], "value": vals})
 
 
+def q_drift_events_psi(sf_dir: str):
+    """Categorical PSI drift between the first and last 15 days of
+    the events stream — the same ReferenceProfile/psi code path as
+    drift_roles, but over a driver-registered table so DuckDB can
+    recompute the PSI in plain SQL. The PSI ships as
+    floor(x*1e6+0.5) BIGINT for a float-safe hash compare."""
+    import datetime
+    import math
+
+    from json_schema_ray.engine.drift import ReferenceProfile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    split = ds.min("ts") + datetime.timedelta(days=15)
+
+    def before(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch["ts"], pa.scalar(
+            split, batch["ts"].type)))
+
+    def after(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["ts"], pa.scalar(
+            split, batch["ts"].type)))
+
+    ref = ReferenceProfile.build(
+        ds.map_batches(before, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        categorical=["event_type"], numeric_or_text=[])
+    report = ref.compare(ds.map_batches(after, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    v = report.filter(pc.equal(report["metric"], "psi"))["value"][0] \
+        .as_py()
+    return pa.table({
+        "col": pa.array(["event_type"], pa.string()),
+        "metric": pa.array(["psi"], pa.string()),
+        "psi_e6": pa.array([int(math.floor(v * 1e6 + 0.5))], pa.int64()),
+    })
+
+
 def q_resumable_validation(sf_dir: str):
     import shutil
     import tempfile
@@ -922,6 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top10": q_knn_lsh_top10,
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -929,6 +998,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_roles": q_drift_roles,
         "resumable_validation": q_resumable_validation,
     }
+
+
+# SimHash signatures recomputed in pure SQL: DuckDB's hash() is the
+# engine's token hash (see dedup._duck_hash_strings), so the oracle
+# derives the exact same 64-bit signatures from the documents table.
+_SIMHASH_SIG_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, hash(tok) AS h FROM toks WHERE tok <> ''
+    ), votes AS (
+        SELECT doc_id, g.i,
+               SUM(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th CROSS JOIN
+             (SELECT unnest(generate_series(0, 63)) AS i) g
+        GROUP BY doc_id, g.i
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                        ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ), sigs AS (
+        SELECT d.doc_id, COALESCE(s.simhash, 0::UBIGINT) AS simhash
+        FROM documents d LEFT JOIN sig s USING (doc_id)
+    )
+"""
+
+
+def _knn_lsh_bucket_expr() -> str:
+    """The hyperplane-LSH bucket of a vector as a SQL expression —
+    the plane matrix is deterministic (seed 42, dim 64, 8 planes), so
+    its float64 literals are baked into the query; the sign of the
+    dot product is scale-invariant, so the raw (un-normalized)
+    embedding gives the same bucket as the engine's normalized one."""
+    from json_schema_ray.engine.similarity import HyperplaneLSH
+
+    planes = HyperplaneLSH(64, n_planes=8, seed=42).planes
+    terms = []
+    for i, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" {lit}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1179,5 +1293,82 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.conv_id IS NULL OR b.conv_id IS NULL
                OR a.text IS DISTINCT FROM b.text
             ORDER BY conv_id, turn_idx
+        """,
+        "simhash_docs": f"""
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT doc_id, simhash FROM sigs ORDER BY doc_id
+        """,
+        "simhash_near_dups": f"""
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """,
+        "knn_lsh_top10": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_knn_lsh_bucket_expr()} AS bucket
+                FROM embeddings
+            ), q AS (
+                SELECT bucket AS qb, embedding AS qe FROM b
+                WHERE vec_id = 0
+            ), masks AS (
+                SELECT 0 AS m
+                UNION ALL
+                SELECT (1 << i) FROM generate_series(0, 7) t(i)
+            )
+            SELECT b.vec_id,
+                   round(CAST(list_cosine_similarity(
+                       b.embedding, (SELECT qe FROM q)) AS DOUBLE), 4)
+                       AS score
+            FROM b
+            WHERE b.bucket IN
+                  (SELECT xor((SELECT qb FROM q), m) FROM masks)
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dups_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5)
+                       AS BIGINT) AS cosine_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "drift_events_psi": """
+            WITH bounds AS (
+                SELECT min(ts) + INTERVAL 15 DAY AS split FROM events
+            ), ref AS (
+                SELECT event_type, count(*) AS c FROM events, bounds
+                WHERE ts < split GROUP BY event_type
+            ), act AS (
+                SELECT event_type, count(*) AS c FROM events, bounds
+                WHERE ts >= split GROUP BY event_type
+            ), keys AS (
+                SELECT event_type FROM ref
+                UNION
+                SELECT event_type FROM act
+            ), parts AS (
+                SELECT
+                    greatest(CAST(COALESCE(r.c, 0) AS DOUBLE)
+                             / greatest((SELECT sum(c) FROM ref), 1),
+                             1e-6) AS pe,
+                    greatest(CAST(COALESCE(a.c, 0) AS DOUBLE)
+                             / greatest((SELECT sum(c) FROM act), 1),
+                             1e-6) AS pa
+                FROM keys k
+                LEFT JOIN ref r USING (event_type)
+                LEFT JOIN act a USING (event_type)
+            )
+            SELECT 'event_type' AS col, 'psi' AS metric,
+                   CAST(floor(SUM((pa - pe) * ln(pa / pe)) * 1e6 + 0.5)
+                       AS BIGINT) AS psi_e6
+            FROM parts
         """,
     }

@@ -645,8 +645,27 @@ def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
 # simhash
 # ---------------------------------------------------------------------------
 
+def _duck_hash_strings(values) -> np.ndarray:
+    """64-bit token hashes via DuckDB's ``hash()`` — deterministic,
+    vectorized, and (unlike the polars kernel) recomputable in pure
+    SQL, which is what makes the SimHash pipeline oracle-checkable:
+    the DuckDB oracle rebuilds the exact signatures from the same
+    ``hash(tok)`` values."""
+    from .table_validator import _duck_con
+
+    if not len(values):
+        return np.zeros(0, dtype=np.uint64)
+    con = _duck_con()
+    con.register("__tok_t", pa.table({"t": pa.array(values,
+                                                    pa.string())}))
+    out = con.execute("SELECT hash(t) AS h FROM __tok_t").arrow()["h"]
+    return out.combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+
+
 class SimHasher:
-    """64-bit SimHash over token hashes, vectorized per document."""
+    """64-bit SimHash over DuckDB-``hash()`` token hashes, vectorized
+    per batch (see :func:`_duck_hash_strings` for why DuckDB)."""
 
     def __init__(self, id_column: str, text_column: str = "text"):
         self.id_column = id_column
@@ -657,7 +676,7 @@ class SimHasher:
         tokens = text.split()
         if not tokens:
             return 0
-        h = hash_strings(tokens)
+        h = _duck_hash_strings(tokens)
         # (n_tokens, 64) bit matrix -> column sums
         bits = ((h[:, None] >> self.bits) & np.uint64(1)).astype(np.int64)
         votes = bits.sum(axis=0) * 2 - len(tokens)
@@ -681,7 +700,7 @@ class SimHasher:
         n = len(texts)
         if counts.sum() == 0:
             return np.zeros(n, dtype=np.uint64)
-        h = hash_strings([tok for tk in token_lists for tok in tk])
+        h = _duck_hash_strings([tok for tk in token_lists for tok in tk])
         doc = np.repeat(np.arange(n, dtype=np.int64), counts)
         votes = np.zeros((n, 64), dtype=np.int64)
         # little-endian byte view + unpackbits is ~5x faster than a
@@ -721,21 +740,32 @@ def simhash_signatures(ds, id_column: str, text_column: str = "text",
                           zero_copy_batch=True, **extra)
 
 
-def _simhash_explode(id_column: str):
-    """Quarter-bucket explode: each signature fans out to 4
-    (bucket, id) rows with the quarter index folded bijectively into
-    the bucket key (``quarter * 2^16 + value``)."""
+def _simhash_explode(id_column: str, n_bands: int = 4):
+    """Band-bucket explode: the 64 signature bits split into
+    ``n_bands`` near-equal contiguous bands; each signature fans out
+    to ``n_bands`` (bucket, id) rows with the band index folded
+    bijectively into the bucket key (``band << 48 | value``;
+    n_bands >= 2 keeps band values under 2^32). By pigeonhole, any
+    pair within Hamming distance ``n_bands - 1`` shares at least one
+    unchanged band — candidate recall is EXACT for that radius. The
+    trade: larger radii mean narrower bands (64/n_bands bits), a
+    smaller bucket space, and therefore hotter buckets on large
+    corpora."""
+    if not 2 <= n_bands <= 64:
+        raise ValueError("n_bands must be in [2, 64]")
+    edges = np.linspace(0, 64, n_bands + 1).astype(np.uint64)
 
     def explode(batch: pa.Table) -> pa.Table:
         s = batch["simhash"].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(s)
-        buckets = np.empty((n, 4), dtype=np.int64)
-        for q in range(4):
-            buckets[:, q] = (
-                ((s >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
-                + (q << 16))
-        id_idx = np.repeat(np.arange(n), 4)
+        buckets = np.empty((n, n_bands), dtype=np.int64)
+        for q in range(n_bands):
+            lo, hi = edges[q], edges[q + 1]
+            width = int(hi - lo)
+            val = (s >> lo) & np.uint64((1 << width) - 1)
+            buckets[:, q] = val.astype(np.int64) + (q << 48)
+        id_idx = np.repeat(np.arange(n), n_bands)
         return pa.table({
             "bucket": pa.array(buckets.ravel()),
             id_column: batch[id_column].take(pa.array(id_idx, pa.int64())),
@@ -745,13 +775,15 @@ def _simhash_explode(id_column: str):
 
 
 def simhash_candidates(ds, id_column: str, text_column: str = "text",
-                       max_bucket: Optional[int] = None):
-    """Near-dup candidates: equal 16-bit signature quarters bucket
-    docs (any pair within hamming distance 3 shares a quarter), then
-    the same distributed hot-bucket pipeline as MinHash generates and
-    deduplicates pairs."""
+                       max_bucket: Optional[int] = None,
+                       n_bands: int = 4):
+    """Near-dup candidates: equal signature bands bucket docs (any
+    pair within hamming distance ``n_bands - 1`` shares a band —
+    exact recall for that radius), then the same distributed
+    sort-based pipeline as MinHash generates and deduplicates
+    pairs."""
     sigs = simhash_signatures(ds, id_column, text_column)
-    exploded = sigs.map_batches(_simhash_explode(id_column),
+    exploded = sigs.map_batches(_simhash_explode(id_column, n_bands),
                                 batch_format="pyarrow")
     return _bucket_candidate_pairs(exploded, id_column, max_bucket)
 
@@ -759,17 +791,22 @@ def simhash_candidates(ds, id_column: str, text_column: str = "text",
 def simhash_near_dup_pairs(ds, id_column: str, text_column: str = "text",
                            max_hamming: int = 3,
                            max_bucket: Optional[int] = None) -> pa.Table:
-    """SimHash near-dup pipeline: quarter-bucket candidates -> exact
-    Hamming verify. Same distributed shape as the MinHash verify: the
-    sparse candidate signatures are gathered into one Arrow table in
-    the object store and each verify task attaches them with a
-    per-batch Arrow join; the XOR-popcount runs vectorized. Returns
-    (id_a, id_b, hamming) sorted."""
+    """SimHash near-dup pipeline: band-bucket candidates -> exact
+    Hamming verify. The band count is derived from the radius
+    (``max_hamming + 1`` bands), so by pigeonhole EVERY pair within
+    ``max_hamming`` shares a band: the result is exactly the set of
+    all pairs with Hamming distance <= max_hamming (what the DuckDB
+    oracle recomputes by brute force). Same distributed shape as the
+    MinHash verify: the sparse candidate signatures are gathered into
+    one Arrow table in the object store and each verify task attaches
+    them with a per-batch Arrow join; the XOR-popcount runs
+    vectorized. Returns (id_a, id_b, hamming) sorted."""
     import ray
 
     sigs = simhash_signatures(ds, id_column, text_column).materialize()
-    exploded = sigs.map_batches(_simhash_explode(id_column),
-                                batch_format="pyarrow")
+    exploded = sigs.map_batches(
+        _simhash_explode(id_column, n_bands=max(2, max_hamming + 1)),
+        batch_format="pyarrow")
     cands = _bucket_candidate_pairs(exploded, id_column, max_bucket,
                                     distinct=False).materialize()
     empty = pa.table({"id_a": pa.array([], pa.int64()),

@@ -279,6 +279,66 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                                                  batch_format="pyarrow")
 
 
+def embedding_near_dup_exact(ds, threshold: float = 0.45,
+                             id_column: str = "vec_id",
+                             embedding_column: str = "embedding",
+                             col_block: int = 65536):
+    """EXACT all-pairs cosine near-dup — the brute-force baseline the
+    LSH variant (:func:`embedding_near_dup_pairs`) approximates, and
+    the oracle-checkable ground truth for it.
+
+    Shape: the normalized corpus matrix is gathered once and
+    broadcast through the object store (``ray.put``); each batch
+    computes its rows x all-columns similarity slab-wise
+    (``col_block`` columns at a time, bounded memory) and emits only
+    pairs with ``id_a < id_b`` — every unordered pair exactly once,
+    from the smaller-id side. O(n^2) compute is the operator's
+    definition; the broadcast right side is O(n x dim x 8B) and must
+    fit a worker — beyond that scale use the LSH/IVF variants, or
+    tile the right side into column-range datasets."""
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for batch in ds.select_columns([id_column, embedding_column]) \
+            .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows:
+            ids_parts.append(np.asarray(batch[id_column].to_pylist(),
+                                        dtype=np.int64))
+            mat_parts.append(_batch_matrix(batch[embedding_column])
+                             .astype(np.float64))
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not ids_parts:
+        return ray.data.from_arrow(empty)
+    all_ids = np.concatenate(ids_parts)
+    all_m = _normalize(np.concatenate(mat_parts))
+    handle = ray.put((all_ids, all_m))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids_r, m_r = ray.get(handle)
+        m = _normalize(_batch_matrix(batch[embedding_column])
+                       .astype(np.float64))
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        out_a, out_b, out_c = [], [], []
+        n_all = len(ids_r)
+        for clo in range(0, n_all, col_block):
+            chi = min(clo + col_block, n_all)
+            sims = m @ m_r[clo:chi].T
+            ri, ci = np.nonzero(sims >= threshold)
+            keep = ids_r[clo + ci] > ids[ri]  # smaller-id side emits
+            ri, ci = ri[keep], ci[keep]
+            out_a.extend(ids[ri].tolist())
+            out_b.extend(ids_r[clo + ci].tolist())
+            out_c.extend(sims[ri, ci].tolist())
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def build_ann_index(ds, out_dir: str, n_centroids: int = 16,
                     id_column: str = "vec_id",
                     embedding_column: str = "embedding",
