@@ -444,7 +444,7 @@ def _query_vector(sf_dir: str) -> np.ndarray:
 def q_knn_top10(sf_dir: str):
     from json_schema_ray.engine.similarity import knn_bruteforce
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
     t = knn_bruteforce(ds, q, k=10, exclude_ids={0})
     scores = [round(v, 4) for v in t["score"].to_pylist()]
@@ -714,7 +714,7 @@ def q_docs_bpe_token_counts(sf_dir: str):
 def q_knn_lsh_top10(sf_dir: str):
     from json_schema_ray.engine.similarity import knn_lsh
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
     t = knn_lsh(ds, q, k=10)
     return pa.table({"vec_id": t["vec_id"],
@@ -729,7 +729,7 @@ def q_knn_ivf_top10(sf_dir: str):
     brute-force partial-top-k over candidates only."""
     from json_schema_ray.engine.similarity import knn_ivf
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
     t = knn_ivf(ds, q, k=10, n_centroids=16, n_probe=16,
                 exclude_ids={0})

@@ -158,6 +158,14 @@ class ColumnPlan:
     # non-null cells must be validated by the row interpreter
     # (residual keywords with no columnar lowering)
     fallback_schema: Optional[Schema] = None
+    # pa.map_ columns with object keywords lowered to vectorized
+    # kernels: max/minProperties from the map offsets,
+    # patternProperties as (compiled_rx, checks, null_fails) over the
+    # flattened entries. Verdicts are fully vectorized; violation
+    # MESSAGES come from the interpreter on failing cells only
+    # (fallback_schema stays set for that).
+    map_vectorized: bool = False
+    map_pattern_checks: List[tuple] = field(default_factory=list)
     # decode the cell as a JSON document before interpreting
     json_cell: bool = False
     # JSON-string cells with a struct-vectorizable subschema decode to
@@ -572,6 +580,78 @@ def _uses_only_vectorizable(prop: Schema, allow_list_keywords: bool = False) -> 
     return True
 
 
+def _map_vectorizable(prop: Schema) -> bool:
+    """A pa.map_ column lowers when its subschema is an object check
+    using only max/minProperties and patternProperties with
+    vectorizable value subschemas (validator.rb:345-358, :482-494
+    semantics); anything else keeps the interpreter fallback."""
+    if prop.all_of or prop.any_of or prop.one_of or prop.not_ is not None:
+        return False
+    if prop.enum is not None or prop.items is not None:
+        return False
+    if prop.properties or prop.dependencies or prop.required:
+        return False
+    if prop.additional_properties is not True or prop.strict_properties:
+        return False
+    outer = set(prop.type or [])
+    if not outer or not outer <= {"object", "null"}:
+        return False
+    return all(isinstance(sub, Schema) and _uses_only_vectorizable(sub)
+               for sub in prop.pattern_properties.values())
+
+
+def _map_ok_mask(col, cp: ColumnPlan) -> np.ndarray:
+    """Vectorized verdicts for a pa.map_ column: cell-level checks,
+    entry counts straight from the map offsets, and per-pattern value
+    checks over the flattened entries (key-regex evaluated once per
+    DISTINCT key via dictionary encoding, preserving exact Python
+    regex semantics)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    ok = np.ones(n, dtype=bool)
+    for check in cp.checks:
+        ok &= pc.fill_null(check.mask_fn(arr), True) \
+            .to_numpy(zero_copy_only=False)
+    prop = cp.fallback_schema
+    offsets = arr.offsets.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    counts = np.diff(offsets)
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    if prop.max_properties is not None:
+        ok &= ~valid | (counts <= prop.max_properties)
+    if prop.min_properties is not None:
+        ok &= ~valid | (counts >= prop.min_properties)
+    if cp.map_pattern_checks and offsets[-1] > offsets[0]:
+        lo, total = int(offsets[0]), int(offsets[-1] - offsets[0])
+        flat_keys = arr.keys.slice(lo, total)
+        flat_items = arr.items.slice(lo, total)
+        parents = np.repeat(np.arange(n), counts)
+        enc = flat_keys.dictionary_encode()
+        codes = pc.fill_null(enc.indices, -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        for rx, checks, null_fails in cp.map_pattern_checks:
+            matched_codes = np.array(
+                [ci for ci, k in enumerate(uniq)
+                 if k is not None and rx.search(k)], dtype=np.int64)
+            m = np.isin(codes, matched_codes)
+            if not m.any():
+                continue
+            for check in checks:
+                cm = pc.fill_null(check.mask_fn(flat_items), True) \
+                    .to_numpy(zero_copy_only=False)
+                bad = m & ~cm
+                if bad.any():
+                    ok[parents[bad]] = False
+            if null_fails:
+                nulls = pc.is_null(flat_items) \
+                    .to_numpy(zero_copy_only=False)
+                bad = m & nulls
+                if bad.any():
+                    ok[parents[bad]] = False
+    return ok
+
+
 def compile_table_plan(
     schema: Schema,
     table_arrow_schema: pa.Schema,
@@ -609,6 +689,16 @@ def compile_table_plan(
                 _compile_struct_plan(cp, prop, jst)
         elif pa.types.is_struct(col_type) and _struct_vectorizable(prop):
             _compile_struct_plan(cp, prop, col_type)
+        elif pa.types.is_map(col_type) and _map_vectorizable(prop):
+            cp.fallback_schema = prop  # messages for failing cells
+            cp.map_vectorized = True
+            cp.checks = _compile_property_checks(prop, col_type)
+            for rx, sub in prop.pattern_properties.items():
+                null_fails = bool(sub.type) and "null" not in sub.type
+                cp.map_pattern_checks.append(
+                    (rx, _compile_property_checks(sub,
+                                                  col_type.item_type),
+                     null_fails))
         elif (not nested_unique
               and _uses_only_vectorizable(prop,
                                           allow_list_keywords=is_list_col)):
@@ -1110,14 +1200,23 @@ def _element_failures(col, cp: ColumnPlan):
 def _unique_fail_rows(col) -> np.ndarray:
     """Row indices whose list contains duplicate elements (deep
     equality is only needed for nested lists, which stay on the
-    fallback path; primitive elements compare by value)."""
-    import pandas as pd
+    fallback path; primitive elements compare by value).
 
+    Arrow/numpy kernel: dictionary-encode the flattened elements so
+    equal values share a code (nulls all map to -1 — null == null is
+    a duplicate, Ruby semantics), then one lexsort over
+    (parent, code) and an adjacent-equal scan."""
     arr, flat, parents, _ = _flatten_with_parents(col)
-    vals = flat.to_pandas()
-    df = pd.DataFrame({"p": parents, "v": vals})
-    dup = df.duplicated(keep="first")
-    return np.unique(parents[dup.to_numpy()])
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    codes = pc.fill_null(flat.dictionary_encode().indices, -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, parents))
+    sp, sc = parents[order], codes[order]
+    dup = (sp[1:] == sp[:-1]) & (sc[1:] == sc[:-1])
+    return np.unique(sp[1:][dup])
 
 
 # ---------------------------------------------------------------------------
@@ -1126,15 +1225,20 @@ def _unique_fail_rows(col) -> np.ndarray:
 
 def _batch_documents(batch: pa.Table) -> list:
     """Rows as JSON documents under engine semantics: null cells are
-    absent keys, timestamps render as RFC3339 strings."""
+    absent keys, timestamps render as RFC3339 strings, map cells as
+    the JSON objects they represent (Arrow yields (k, v) tuples)."""
     ts_cols = [f.name for f in batch.schema
                if pa.types.is_timestamp(f.type)]
+    map_cols = [f.name for f in batch.schema if pa.types.is_map(f.type)]
     docs = []
     for row in batch.to_pylist():
         doc = {k: v for k, v in row.items() if v is not None}
         for c in ts_cols:
             if c in doc and hasattr(doc[c], "strftime"):
                 doc[c] = doc[c].strftime("%Y-%m-%dT%H:%M:%SZ")
+        for c in map_cols:
+            if c in doc:
+                doc[c] = dict(doc[c])
         docs.append(doc)
     return docs
 
@@ -1226,6 +1330,9 @@ def verdict_mask(batch: pa.Table, plan: TablePlan) -> np.ndarray:
                 continue
             # strict decode failed somewhere in the batch: exact
             # per-cell interpreter fallback below
+        if cp.map_vectorized:
+            ok &= _map_ok_mask(col, cp)
+            continue
         if cp.fallback_schema is not None:
             ok &= _fallback_ok_mask(col, cp)
             continue
@@ -1286,8 +1393,18 @@ def _routed_ok_mask(col, cp: ColumnPlan, routed: np.ndarray) -> np.ndarray:
     return out
 
 
+def _map_cells_to_docs(col, values: list) -> list:
+    """Arrow renders map cells as lists of (key, value) tuples; the
+    interpreter needs the JSON object they represent."""
+    t = col.type if not isinstance(col, pa.ChunkedArray) \
+        else col.chunk(0).type if col.num_chunks else None
+    if t is not None and pa.types.is_map(t):
+        return [dict(v) if v is not None else None for v in values]
+    return values
+
+
 def _fallback_ok_mask(col: pa.ChunkedArray, cp: ColumnPlan) -> np.ndarray:
-    values = col.to_pylist()
+    values = _map_cells_to_docs(col, col.to_pylist())
     out = np.ones(len(values), dtype=bool)
     v = Validator(cp.fallback_schema)
     for i, val in enumerate(values):
@@ -1362,6 +1479,14 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                     _fallback_violations(masked, cp, prop_idx,
                                          path_prefix, rows)
                 continue
+        if cp.map_vectorized:
+            # vectorized verdicts select the failing cells; only
+            # those run the interpreter for exact messages
+            bad = ~_map_ok_mask(col, cp)
+            if bad.any():
+                _fallback_violations(col, cp, prop_idx, path_prefix,
+                                     rows, row_mask=bad)
+            continue
         if cp.fallback_schema is not None:
             _fallback_violations(col, cp, prop_idx, path_prefix, rows)
             continue
@@ -1643,11 +1768,12 @@ def _ts_to_str(val: Any) -> Any:
 
 
 def _fallback_violations(col, cp: ColumnPlan, prop_idx: int,
-                         path_prefix: str, rows: list) -> None:
-    values = col.to_pylist()
+                         path_prefix: str, rows: list,
+                         row_mask: Optional[np.ndarray] = None) -> None:
+    values = _map_cells_to_docs(col, col.to_pylist())
     v = Validator(cp.fallback_schema)
     for i, val in enumerate(values):
-        if val is None:
+        if val is None or (row_mask is not None and not row_mask[i]):
             continue
         raw = val
         if cp.json_cell:

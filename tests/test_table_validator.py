@@ -558,6 +558,56 @@ def _json_plan(arrow_schema, fast: bool):
     return plan
 
 
+def test_map_column_vectorized_matches_interpreter():
+    """pa.map_ columns with max/minProperties + patternProperties
+    lower to vectorized kernels (offsets for counts, dictionary-coded
+    key regex for patterns); verdicts AND violation rows must equal
+    the row interpreter over dict-converted cells."""
+    mt = pa.map_(pa.string(), pa.int64())
+    table = pa.table({
+        "attrs": pa.array([
+            [("x_a", 1), ("x_b", 2)],        # valid
+            [("x_a", 99)],                   # pattern value too big
+            [("x_a", 1), ("x_b", 2), ("x_c", 3), ("other", 4)],  # >3
+            [],                              # < 1 property
+            None,                            # absent cell
+            [("other", 123456)],             # non-matching key: free
+            [("x_n", None)],                 # null value under pattern
+        ], mt),
+    })
+    schema_json = {
+        "type": ["object"],
+        "properties": {
+            "attrs": {
+                "type": ["object"],
+                "minProperties": 1,
+                "maxProperties": 3,
+                "patternProperties": {"^x_": {"type": ["integer"],
+                                              "maximum": 50}},
+            },
+        },
+    }
+    plan = compile_plan_for(schema_json, table.schema)
+    assert plan.columns[0].map_vectorized  # took the lowered path
+    got = [(r["path"], r["error_type"], r["message"])
+           for r in validate_batch(table, plan).to_pylist()]
+    schema = compile_schema(schema_json)
+    v = Validator(schema)
+    expected, verd = [], []
+    for row in table.to_pylist():
+        doc = {k: (dict(val) if val is not None else None)
+               for k, val in row.items()}
+        doc = {k: val for k, val in doc.items() if val is not None}
+        ok = v.validate(doc)
+        verd.append(ok)
+        if not ok:
+            expected.extend((e.pointer, e.type, e.message)
+                            for e in v.errors)
+    assert got == expected, (got, expected)
+    assert list(verdict_mask(table, plan)) == verd
+    assert len(expected) >= 3  # violations actually exercised
+
+
 def test_json_decode_struct_fast_path_matches_interpreter():
     # decodable batch incl. cells ROUTED around the decode (float
     # lexemes, literal null) — the fast path must equal the
