@@ -123,6 +123,10 @@ def run_bench() -> None:
         queries[name] = round(dt, 3)
         total += dt
 
+    # calib-normalized per-query seconds (sec / calib_sec): the host's
+    # per-core throughput swings ~30% between runs, so round-over-round
+    # comparisons should use these fields, not raw seconds
+    queries_norm = {k: round(v / calib, 3) for k, v in queries.items()}
     print(json.dumps({
         "metric": "headline suite wall time "
                   f"(incl. {flag['turns']} validated turns @ "
@@ -134,6 +138,8 @@ def run_bench() -> None:
         "num_cpus": NUM_CPUS,
         "turns_per_sec": round(flag["turns_per_sec"], 1),
         "calib_sec": calib,
+        "value_norm": round(total / calib, 3),
+        "queries_norm": queries_norm,
     }))
     ray.shutdown()
 
