@@ -873,6 +873,26 @@ def q_drift_roles(sf_dir: str):
                      "metric": report["metric"], "value": vals})
 
 
+def q_ngram_jaccard_dups(sf_dir: str):
+    """Exact all-pairs word-5-gram Jaccard near-dups via the
+    shared-shingle inverted index — the ground truth the MinHash LSH
+    pipeline approximates, recall-exact by construction (any pair
+    with Jaccard > 0 shares a shingle). Jaccard ships as
+    floor(x*1e6+0.5) BIGINT for a float-safe hash compare."""
+    import math
+
+    from json_schema_ray.engine.dedup import ngram_jaccard_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = ngram_jaccard_dedup_pairs(ds, "doc_id", threshold=0.5)
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"],
+        "jaccard_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["jaccard"].to_pylist()], pa.int64()),
+    })
+
+
 def q_drift_events_psi(sf_dir: str):
     """Categorical PSI drift between the first and last 15 days of
     the events stream — the same ReferenceProfile/psi code path as
@@ -990,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -1339,6 +1360,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "ngram_jaccard_dups": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(CAST(i AS DOUBLE) / (ca.c + cb.c - i)
+                              * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
             ORDER BY id_a, id_b
         """,
         "drift_events_psi": """

@@ -538,12 +538,21 @@ def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
     envelope as the result itself; if candidates stop being sparse
     the banding parameters (n_bands/shingle_k) are wrong, not the
     join strategy."""
-    import ray
-
     candidates = minhash_lsh_candidates(ds, id_column, text_column,
                                         shingle_k=shingle_k,
                                         distinct=False, **lsh_kwargs)
-    candidates = candidates.materialize()
+    return _jaccard_verify(candidates.materialize(), ds, id_column,
+                           text_column, threshold, shingle_k)
+
+
+def _jaccard_verify(candidates, ds, id_column: str, text_column: str,
+                    threshold: float, shingle_k: int) -> pa.Table:
+    """Exact n-gram Jaccard over a MATERIALIZED candidate-pair
+    Dataset (duplicates allowed; collapsed at the final result-sized
+    reduction). Shared by the MinHash pipeline and the exact
+    shared-shingle pipeline."""
+    import ray
+
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -639,6 +648,49 @@ def minhash_dedup_pairs(ds, id_column: str, text_column: str = "text",
     g = merged.group_by(["id_a", "id_b"]).aggregate([("jaccard", "min")])
     return g.rename_columns(["id_a", "id_b", "jaccard"]) \
         .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def ngram_jaccard_dedup_pairs(ds, id_column: str,
+                              text_column: str = "text",
+                              threshold: float = 0.5,
+                              shingle_k: int = 5,
+                              max_bucket: Optional[int] = None) -> pa.Table:
+    """EXACT all-pairs n-gram Jaccard near-dup: every pair with
+    Jaccard >= threshold (threshold > 0) shares at least one shingle,
+    so a shingle-inverted index — each doc explodes to one
+    (shingle-hash bucket, id) row per distinct shingle, then the same
+    sort-based candidate pipeline as MinHash — has EXACT recall, and
+    the vectorized verify computes the true Jaccard. This is the
+    ground-truth baseline the MinHash LSH pipeline approximates (and
+    the DuckDB-oracle-checkable variant); its cost grows with the
+    number of doc pairs sharing any shingle, so at corpus scale
+    prefer MinHash and use this to audit samples. Zero-shingle docs
+    never pair (consistent with MinHash; exact-dedup owns
+    trivially-empty duplicates)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        offsets, values = shingle_sets_batch(
+            batch[text_column].to_pylist(), shingle_k)
+        parents = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64),
+            np.diff(offsets))
+        # >>1 keeps the bucket int64-safe for the Ray sort; the rare
+        # extra collision only widens candidates (verify is exact)
+        return pa.table({
+            "bucket": pa.array((values >> np.uint64(1))
+                               .astype(np.int64)),
+            id_column: batch[id_column].take(
+                pa.array(parents, pa.int64())),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # distinct=True: a pair sharing many shingles would otherwise
+    # flow through the verify once per shared shingle
+    cands = _bucket_candidate_pairs(rows, id_column, max_bucket,
+                                    distinct=True)
+    return _jaccard_verify(cands.materialize(), ds, id_column,
+                           text_column, threshold, shingle_k)
 
 
 # ---------------------------------------------------------------------------

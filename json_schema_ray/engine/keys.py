@@ -133,11 +133,13 @@ def referential_violations(ds, fk: str, ref_ds, pk: str,
 
 
 def _check_sorted_run(gid, turns: np.ndarray, ts: Optional[np.ndarray],
-                      rows: list) -> None:
-    """Exact per-conversation checks over turn-sorted arrays."""
+                      rows: list, check_start: bool = True) -> None:
+    """Exact per-conversation checks over turn-sorted arrays.
+    ``check_start=False`` for a block-boundary SEGMENT of a
+    conversation: whether it starts at 0 is only known globally."""
     if len(turns) == 0:
         return
-    if turns[0] != 0:
+    if check_start and turns[0] != 0:
         rows.append((gid, "turn_gap",
                      f"turn_idx sequence starts at {int(turns[0])}, "
                      "expected 0."))
@@ -159,12 +161,22 @@ def ordering_batch_parts(batch: pa.Table, group_key: str, order_key: str,
                          ts_key: Optional[str]):
     """Vectorized per-batch ordering checks over a group-sorted batch.
 
-    Returns ``(rows, edge_mask, conv, turns, ts)``: interior
-    violations as (gid, type, message) tuples, plus the edge mask for
-    the first/last conversation (the only ones that may straddle a
-    block boundary and need driver-side stitching). All group logic
-    runs on dictionary codes; strings materialize only for violating
-    or edge groups.
+    Returns ``(rows, stitch_rows, partials)``:
+
+    - ``rows``: final violations of conversations wholly inside the
+      batch, as (gid, type, message) tuples.
+    - ``stitch_rows``: segment-local violations of the first/last
+      conversation of the batch (the only ones that may straddle a
+      block boundary), computed WITHOUT the start-at-0 check.
+    - ``partials``: one fixed-size mergeable tuple
+      (gid, first_turn, last_turn, first_ts, last_ts) per edge
+      segment (at most 2) — the only extra state the boundary merge
+      needs, so driver memory is O(blocks), independent of how many
+      turns a hot conversation has. The merge dedupes stitch rows
+      against boundary-derived rows (``stitch_edge_partials``).
+
+    All group logic runs on dictionary codes; strings materialize
+    only for violating or edge groups.
     """
     n = batch.num_rows
     conv = batch[group_key].combine_chunks()
@@ -182,6 +194,9 @@ def ordering_batch_parts(batch: pa.Table, group_key: str, order_key: str,
     dict_vals = enc.dictionary
 
     edge_mask = (codes == codes[0]) | (codes == codes[n - 1])
+
+    def _gid(code):
+        return None if code == -1 else dict_vals[int(code)].as_py()
 
     rows: list = []
     interior = ~edge_mask
@@ -206,24 +221,65 @@ def ordering_batch_parts(batch: pa.Table, group_key: str, order_key: str,
             for s, e in zip(starts, ends):
                 code = sub_codes[s]
                 if code in bad_codes:
-                    gid = (None if code == -1
-                           else dict_vals[code].as_py())
                     _check_sorted_run(
-                        gid, sub_turns[s:e],
+                        _gid(code), sub_turns[s:e],
                         sub_ts[s:e] if sub_ts is not None else None,
                         rows)
-    return rows, edge_mask, conv, turns, ts
+
+    stitch_rows: list = []
+    partials: list = []
+    if n:
+        eq0 = codes == codes[0]
+        first_end = n if eq0.all() else int(np.argmax(~eq0))
+        segs = [(0, first_end)]
+        if codes[n - 1] != codes[0]:
+            last_start = int(n - np.argmax(codes[::-1] != codes[n - 1]))
+            segs.append((last_start, n))
+        for s, e in segs:
+            gid = _gid(codes[s])
+            partials.append((gid, int(turns[s]), int(turns[e - 1]),
+                             int(ts[s]) if ts is not None else 0,
+                             int(ts[e - 1]) if ts is not None else 0))
+            _check_sorted_run(gid, turns[s:e],
+                              ts[s:e] if ts is not None else None,
+                              stitch_rows, check_start=False)
+    return rows, stitch_rows, partials
 
 
-def stitch_edge_groups(edge: dict, has_ts: bool, rows: list) -> None:
-    """Driver-side exact re-check of edge conversations collected from
-    all batches: ``edge`` maps gid -> [(turn, ts), ...]."""
-    for gid, pairs in edge.items():
-        pairs.sort()
-        turns = np.array([p[0] for p in pairs], dtype=np.int64)
-        ts = (np.array([p[1] for p in pairs], dtype=np.int64)
-              if has_ts else None)
-        _check_sorted_run(gid, turns, ts, rows)
+def stitch_edge_partials(edge: dict, has_ts: bool, rows: list) -> None:
+    """Driver-side merge of edge-conversation state collected from all
+    batches: ``edge`` maps gid -> (stitch_row_set, [partials]) where
+    each partial is (first_turn, last_turn, first_ts, last_ts) for one
+    block segment. Segments are contiguous runs of the globally
+    sorted stream, so merging only needs the boundary between
+    adjacent segments: equal turns = duplicate, a jump > 1 = gap, a
+    ts drop = out-of-order; the start-at-0 check runs on the globally
+    first segment. Duplicate messages (a value duplicated both inside
+    a segment and across a boundary, or ts regressions in several
+    segments) collapse via the per-gid row set, matching the exact
+    single-array semantics."""
+    for gid, (row_set, partials) in edge.items():
+        partials.sort()
+        merged = set(row_set)
+        ft0 = partials[0][0]
+        if ft0 != 0:
+            merged.add((gid, "turn_gap",
+                        f"turn_idx sequence starts at {ft0}, "
+                        "expected 0."))
+        for prev, nxt in zip(partials[:-1], partials[1:]):
+            if nxt[0] == prev[1]:
+                merged.add((gid, "duplicate_turn",
+                            f"turn_idx {nxt[0]} appears more than "
+                            "once."))
+            elif nxt[0] - prev[1] > 1:
+                merged.add((gid, "turn_gap",
+                            f"turn_idx jumps from {prev[1]} to "
+                            f"{nxt[0]}."))
+            if has_ts and nxt[2] < prev[3]:
+                merged.add((gid, "ts_out_of_order",
+                            "ts is not non-decreasing in turn "
+                            "order."))
+        rows.extend(sorted(merged, key=lambda r: (r[1], r[2])))
 
 
 def turn_ordering_violations(ds, group_key: str = "conv_id",
@@ -235,13 +291,15 @@ def turn_ordering_violations(ds, group_key: str = "conv_id",
     ``ts`` must be non-decreasing in turn order.
 
     Scale shape: ONE parallel range-partitioned sort on
-    ``(group, order)`` co-locates and orders each conversation, then a
-    vectorized adjacent-diff pass over sorted batches handles every
-    conversation that lies wholly inside a batch. The first/last
-    conversation of each batch (the only ones that can straddle a
-    block boundary) are emitted as edge rows — bounded by
-    2 x n_blocks x max-conversation-length — and re-checked exactly
-    on the driver. No per-group python in the hot path.
+    ``(group, order, ts)`` co-locates and orders each conversation,
+    then a vectorized adjacent-diff pass over sorted batches handles
+    every conversation that lies wholly inside a batch. The
+    first/last conversation of each batch (the only ones that can
+    straddle a block boundary) emit their segment-local violations
+    plus one fixed-size mergeable partial (first/last turn + ts) per
+    segment; the driver merge needs only those O(batches) partials —
+    independent of conversation length, hot conversations included.
+    No per-group python in the hot path.
 
     With ``presorted=True`` the input is trusted to already be laid
     out contiguously by group and ordered by ``order_key`` within each
@@ -258,64 +316,80 @@ def turn_ordering_violations(ds, group_key: str = "conv_id",
         [ts_key] if ts_key and ts_key in ds.schema().names else [])
     has_ts = len(cols) == 3
     proj = ds.select_columns(cols)
+    # ts joins the sort keys so equal-turn rows order by ts — the
+    # exact semantics the boundary merge and the reference check use
     sorted_ds = proj if presorted else \
-        null_safe_sort(proj, [group_key], [order_key])
+        null_safe_sort(proj, [group_key],
+                       [order_key] + ([ts_key] if has_ts else []))
 
+    # per-batch output row kinds: 0 = final violation, 1 = edge
+    # stitch violation (needs driver dedupe), 2 = edge partial
+    # (fixed-size (first/last turn, first/last ts) — at most 2/batch)
     def check_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         empty = {
             group_key: pa.array([], pa.string()),
             "error_type": pa.array([], pa.string()),
             "message": pa.array([], pa.string()),
-            "_edge": pa.array([], pa.bool_()),
-            "_turn": pa.array([], pa.int64()),
-            "_ts": pa.array([], pa.int64()),
+            "_kind": pa.array([], pa.int8()),
+            "_ft": pa.array([], pa.int64()),
+            "_lt": pa.array([], pa.int64()),
+            "_fts": pa.array([], pa.int64()),
+            "_lts": pa.array([], pa.int64()),
         }
         if n == 0:
             return pa.table(empty)
-        rows, edge_mask, conv, turns, ts = ordering_batch_parts(
+        rows, stitch_rows, partials = ordering_batch_parts(
             batch, group_key, order_key, ts_key if has_ts else None)
-
-        n_edge = int(edge_mask.sum())
-        n_viol = len(rows)
-        edge_idx = pa.array(np.nonzero(edge_mask)[0])
+        gids = [r[0] for r in rows] + [r[0] for r in stitch_rows] \
+            + [p[0] for p in partials]
+        n_r, n_s, n_p = len(rows), len(stitch_rows), len(partials)
+        zeros = [0] * (n_r + n_s)
         return pa.table({
-            group_key: pa.array(
-                [r[0] for r in rows]
-                + conv.take(edge_idx).to_pylist(), pa.string()),
+            group_key: pa.array(gids, pa.string()),
             "error_type": pa.array(
-                [r[1] for r in rows] + [""] * n_edge, pa.string()),
+                [r[1] for r in rows] + [r[1] for r in stitch_rows]
+                + [""] * n_p, pa.string()),
             "message": pa.array(
-                [r[2] for r in rows] + [""] * n_edge, pa.string()),
-            "_edge": pa.array([False] * n_viol + [True] * n_edge, pa.bool_()),
-            "_turn": pa.array(
-                np.concatenate([np.zeros(n_viol, dtype=np.int64),
-                                turns[edge_mask]])),
-            "_ts": pa.array(
-                np.concatenate([
-                    np.zeros(n_viol, dtype=np.int64),
-                    ts[edge_mask] if ts is not None
-                    else np.zeros(n_edge, dtype=np.int64)])),
+                [r[2] for r in rows] + [r[2] for r in stitch_rows]
+                + [""] * n_p, pa.string()),
+            "_kind": pa.array([0] * n_r + [1] * n_s + [2] * n_p,
+                              pa.int8()),
+            "_ft": pa.array(zeros + [p[1] for p in partials],
+                            pa.int64()),
+            "_lt": pa.array(zeros + [p[2] for p in partials],
+                            pa.int64()),
+            "_fts": pa.array(zeros + [p[3] for p in partials],
+                             pa.int64()),
+            "_lts": pa.array(zeros + [p[4] for p in partials],
+                             pa.int64()),
         })
 
     out = sorted_ds.map_batches(check_batch, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    # split interior violations from edge rows; re-check edge convs
-    # exactly on the driver (tiny by construction)
+    # interior violations collect directly (violation-sized); edge
+    # conversations merge from O(batches) fixed-size partials plus
+    # their own violation rows — never their raw timelines
     rows: list = []
     edge: dict = {}
     for batch in out.iter_batches(batch_format="pyarrow"):
-        em = batch["_edge"].to_numpy(zero_copy_only=False)
-        for i in np.nonzero(~em)[0]:
+        kind = batch["_kind"].to_numpy(zero_copy_only=False)
+        for i in np.nonzero(kind == 0)[0]:
             rows.append((batch[group_key][i].as_py(),
                          batch["error_type"][i].as_py(),
                          batch["message"][i].as_py()))
-        for i in np.nonzero(em)[0]:
+        for i in np.nonzero(kind == 1)[0]:
             gid = batch[group_key][i].as_py()
-            edge.setdefault(gid, []).append(
-                (batch["_turn"][i].as_py(), batch["_ts"][i].as_py()))
-    stitch_edge_groups(edge, has_ts, rows)
+            edge.setdefault(gid, (set(), []))[0].add(
+                (gid, batch["error_type"][i].as_py(),
+                 batch["message"][i].as_py()))
+        for i in np.nonzero(kind == 2)[0]:
+            gid = batch[group_key][i].as_py()
+            edge.setdefault(gid, (set(), []))[1].append(
+                (batch["_ft"][i].as_py(), batch["_lt"][i].as_py(),
+                 batch["_fts"][i].as_py(), batch["_lts"][i].as_py()))
+    stitch_edge_partials(edge, has_ts, rows)
 
     import ray
 

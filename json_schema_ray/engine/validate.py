@@ -139,7 +139,7 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
     stitch set. This is the shape a 10^12-turn job runs: one pass,
     no second scan, nothing row-sized crosses the wire.
     """
-    from .keys import ordering_batch_parts, stitch_edge_groups
+    from .keys import ordering_batch_parts, stitch_edge_partials
     from .stats import _PARTIAL_SCHEMA, _column_partial, _finalize_stats, _merge_partial
     from .table_validator import validate_batch, verdict_mask
 
@@ -154,8 +154,13 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
         ("violation_rows", pa.int64()),
         ("ord_duplicate_turn", pa.int64()), ("ord_turn_gap", pa.int64()),
         ("ord_ts_out_of_order", pa.int64()),
-        ("edge_gid", pa.string()), ("edge_turn", pa.int64()),
-        ("edge_ts", pa.int64()),
+        # edge-conversation stitch state: violation rows (etype/msg)
+        # plus ONE fixed-size partial per edge segment — never the
+        # conversation's raw (turn, ts) timeline
+        ("edge_gid", pa.string()), ("edge_etype", pa.string()),
+        ("edge_msg", pa.string()), ("edge_ft", pa.int64()),
+        ("edge_lt", pa.int64()), ("edge_fts", pa.int64()),
+        ("edge_lts", pa.int64()),
     ]
     out_schema = pa.schema(
         list(_PARTIAL_SCHEMA) + [pa.field(n, t) for n, t in extra_fields])
@@ -175,21 +180,22 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
                        ord_duplicate_turn=0, ord_turn_gap=0,
                        ord_ts_out_of_order=0)
         if batch.num_rows:
-            ord_rows, edge_mask, conv, turns, ts = ordering_batch_parts(
+            ord_rows, stitch_rows, partials = ordering_batch_parts(
                 batch, group_key, order_key, ts_key if has_ts else None)
             # ordering violations reduce to per-type COUNTS here — at
             # scale the full rows are written per-partition (see
             # violations_dataset / manifest), never driver-collected
             for _, etype, _ in ord_rows:
                 counter["ord_" + etype] += 1
-            import numpy as _np
-
-            eidx = _np.nonzero(edge_mask)[0]
-            gids = conv.take(pa.array(eidx)).to_pylist()
-            for i, gid in zip(eidx, gids):
+            for gid, etype, msg in stitch_rows:
                 r = dict(blank)
-                r.update(edge_gid=gid, edge_turn=int(turns[i]),
-                         edge_ts=int(ts[i]) if ts is not None else 0)
+                r.update(edge_gid=gid or "", edge_etype=etype,
+                         edge_msg=msg)
+                rows.append(r)
+            for gid, ft, lt, fts, lts in partials:
+                r = dict(blank)
+                r.update(edge_gid=gid or "", edge_ft=ft, edge_lt=lt,
+                         edge_fts=fts, edge_lts=lts)
                 rows.append(r)
         rows.append(counter)
         return pa.Table.from_pylist(rows, schema=out_schema)
@@ -211,10 +217,15 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
                 for k in ord_counts:
                     ord_counts[k] += row["ord_" + k] or 0
             elif row["edge_gid"] is not None:
-                edge.setdefault(row["edge_gid"], []).append(
-                    (row["edge_turn"], row["edge_ts"]))
+                slot = edge.setdefault(row["edge_gid"], (set(), []))
+                if row["edge_etype"] is not None:
+                    slot[0].add((row["edge_gid"], row["edge_etype"],
+                                 row["edge_msg"]))
+                else:
+                    slot[1].append((row["edge_ft"], row["edge_lt"],
+                                    row["edge_fts"], row["edge_lts"]))
     edge_rows: list = []
-    stitch_edge_groups(edge, has_ts, edge_rows)
+    stitch_edge_partials(edge, has_ts, edge_rows)
     for _, etype, _ in edge_rows:
         ord_counts[etype] += 1
 

@@ -75,6 +75,39 @@ def test_duplicate_keys_and_ordering():
     assert {v["error_type"] for v in ord_v} == {"duplicate_turn"}
 
 
+def test_ordering_one_hot_conversation_spans_every_block():
+    """One conversation owning the whole corpus (spans every block
+    after the sort): the partial-based stitch must find exactly the
+    brute-force violation set with O(blocks) driver state, including
+    gaps/dups landing on block boundaries."""
+    from json_schema_ray.engine.keys import (
+        _check_sorted_run, turn_ordering_violations)
+
+    n = 200_000
+    turns = np.arange(n, dtype=np.int64)
+    turns[50_000:] += 5            # a gap
+    turns[120_000] = turns[119_999]  # a duplicate
+    ts = np.sort(np.random.default_rng(3).integers(
+        0, 10**9, size=n)).astype(np.int64)
+    ts[70_000] = 0                 # a ts regression
+    t = pa.table({
+        "conv_id": pa.array(["hot"] * n, pa.string()),
+        "turn_idx": pa.array(turns, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    got = sorted((r["error_type"], r["message"]) for r in
+                 turn_ordering_violations(
+                     _ray().data.from_arrow(t).repartition(16))
+                 .take_all())
+    want_rows: list = []
+    order = np.lexsort((ts, turns))
+    _check_sorted_run("hot", turns[order], ts[order], want_rows)
+    want = sorted((e, m) for _, e, m in set(want_rows))
+    assert got == want
+    assert {"duplicate_turn", "turn_gap", "ts_out_of_order"} \
+        <= {e for e, _ in got}
+
+
 def test_referential_violations():
     from json_schema_ray.engine.keys import referential_violations
 
@@ -366,6 +399,41 @@ def test_shingle_sets_batch_matches_scalar_and_jaccard():
     for k in range(len(ia)):
         ref = ngram_jaccard(texts[ia[k]] or "", texts[ib[k]] or "", 5)
         assert abs(ja[k] - ref) < 1e-12, (texts[ia[k]], texts[ib[k]])
+
+
+def test_ngram_jaccard_exact_matches_bruteforce():
+    """The shared-shingle exact pipeline must return precisely the
+    all-pairs Jaccard >= threshold set (recall is exact: any
+    qualifying pair shares a shingle)."""
+    import itertools
+    import random
+
+    from json_schema_ray.engine.dedup import (
+        ngram_jaccard, ngram_jaccard_dedup_pairs)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> real dups
+    texts = [" ".join(rng.choices(vocab, k=rng.randrange(0, 30)))
+             for _ in range(60)]
+    texts += [texts[0], texts[1] + " extra tail words here"]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = ngram_jaccard_dedup_pairs(
+        _ray().data.from_arrow(t).repartition(4), "doc_id",
+        threshold=0.3)
+    got = {(a, b): round(j, 9) for a, b, j in
+           zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+               out["jaccard"].to_pylist())}
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        if not texts[a].split() or not texts[b].split():
+            continue  # zero-shingle docs never pair (documented)
+        j = ngram_jaccard(texts[a], texts[b], 5)
+        if j >= 0.3:
+            want[(a, b)] = round(j, 9)
+    assert got == want
 
 
 def test_simhash_batch_matches_scalar():
