@@ -1048,6 +1048,48 @@ _SIMHASH_SIG_CTE = """
 """
 
 
+def _lang_id_pred_sql() -> str:
+    """The language-ID heuristic as SQL: marker-word counts via the
+    same RE2 regexes the engine's Arrow kernel uses, CJK codepoints
+    weighted 5x, first-wins argmax as an ordered CASE chain (the
+    first language whose score >= every later score IS np.argmax's
+    first-max), zero total -> 'unknown'."""
+    import re as _re
+
+    from json_schema_ray.engine.text import _LANG_MARKERS
+
+    score_exprs, names = [], []
+    for lang, words in _LANG_MARKERS.items():
+        if not words:
+            continue
+        pat = "(?i)\\b(" + "|".join(_re.escape(w) for w in words) \
+            + ")\\b"
+        score_exprs.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS s_{lang}")
+        names.append(lang)
+    score_exprs.append(
+        "5 * len(regexp_extract_all(text, '[一-鿿]')) AS s_zh")
+    names.append("zh")
+    case = []
+    for i, lang in enumerate(names):
+        conds = " AND ".join(f"s_{lang} >= s_{o}"
+                             for o in names[i + 1:]) or "TRUE"
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    total = " + ".join(f"s_{lang}" for lang in names)
+    return f"""
+        WITH scores AS (
+            SELECT lang, {", ".join(score_exprs)} FROM documents
+        )
+        SELECT lang,
+               CASE WHEN {total} = 0 THEN 'unknown'
+                    ELSE CASE {" ".join(case)} END
+               END AS lang_pred,
+               count(*) AS cnt
+        FROM scores GROUP BY lang, lang_pred
+        ORDER BY lang, lang_pred
+    """
+
+
 def _knn_lsh_bucket_expr() -> str:
     """The hyperplane-LSH bucket of a vector as a SQL expression —
     the plane matrix is deterministic (seed 42, dim 64, 8 planes), so
@@ -1315,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
                OR a.text IS DISTINCT FROM b.text
             ORDER BY conv_id, turn_idx
         """,
+        "lang_id_accuracy": _lang_id_pred_sql(),
         "simhash_docs": f"""
             WITH {_SIMHASH_SIG_CTE}
             SELECT doc_id, simhash FROM sigs ORDER BY doc_id

@@ -30,40 +30,74 @@ def duplicate_keys(ds, keys: List[str]):
     """Dataset of (keys..., cnt) rows for key tuples appearing more
     than once.
 
-    The per-block combiner is ADAPTIVE: a 4096-row probe estimates
-    the reduction ratio first, and when keys are (near-)unique within
-    the block — the common case for a uniqueness check, where
-    pre-aggregation cannot shrink the exchange — the block ships raw
-    with cnt=1 instead of paying a full local hash aggregation that
-    buys nothing (measured 2x on the 600k-row near-unique bench)."""
+    Sort-based shape: uniqueness checks have (near-)unique keys, so
+    per-block pre-aggregation cannot shrink the exchange and
+    groupby's aggregation machinery is pure overhead — instead ONE
+    null-safe range-partitioned sort on the key tuple co-locates
+    equal keys, a vectorized adjacent-equal scan counts runs per
+    sorted batch (interior runs are final), and the first/last key
+    of each batch emits a fixed-size (keys..., local_count) partial;
+    the driver merges those O(blocks) partials and keeps merged
+    counts > 1."""
+    import ray
 
-    def pre_agg(batch: pa.Table) -> pa.Table:
+    from .relational import null_safe_sort
+
+    srt = null_safe_sort(ds.select_columns(keys), keys, [])
+
+    def block_counts(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        if n > 8192:
-            probe = pa.TableGroupBy(
-                batch.slice(0, 4096).select(keys),
-                keys).aggregate([([], "count_all")])
-            if probe.num_rows > 0.9 * 4096:
-                ones = pa.array(np.ones(n, dtype=np.int64))
-                return batch.select(keys).append_column("cnt", ones)
-        g = pa.TableGroupBy(batch.select(keys), keys)
-        t = g.aggregate([([], "count_all")])
-        return t.rename_columns(keys + ["cnt"])
+        if n == 0:
+            return batch.append_column(
+                "cnt", pa.array([], pa.int64())).append_column(
+                "_edge", pa.array([], pa.bool_()))
+        cols = [batch[k].combine_chunks().to_numpy(zero_copy_only=False)
+                for k in keys]
+        neq = np.zeros(n - 1, dtype=bool)
+        for c in cols:
+            neq |= c[1:] != c[:-1]
+        change = np.nonzero(neq)[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        g = len(starts)
+        cnt = ends - starts
+        edge = np.zeros(g, dtype=bool)
+        edge[0] = edge[g - 1] = True
+        keep = edge | (cnt > 1)
+        take = pa.array(starts[keep], pa.int64())
+        out = batch.take(take)
+        return out.append_column(
+            "cnt", pa.array(cnt[keep], pa.int64())).append_column(
+            "_edge", pa.array(edge[keep]))
 
-    partial = ds.map_batches(pre_agg, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    from ray.data.aggregate import Sum
+    scanned = srt.map_batches(block_counts, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
-    from .relational import null_safe_grouped_aggregate
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["_edge"]))
+        return kept.drop_columns(["_edge"])
 
-    summed = null_safe_grouped_aggregate(
-        partial, keys, [Sum("cnt", alias_name="cnt")], ["cnt"])
+    interior = scanned.map_batches(interior_only,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
-    def keep_dups(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["cnt"], 1))
-
-    return summed.map_batches(keep_dups, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    # merge the O(blocks) fixed-size edge partials on the driver
+    edge: dict = {}
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(batch["_edge"])
+        for r in kept.to_pylist():
+            kt = tuple(r[k] for k in keys)
+            edge[kt] = edge.get(kt, 0) + r["cnt"]
+    dup_rows = [kt + (c,) for kt, c in edge.items() if c > 1]
+    if not dup_rows:
+        return interior
+    base = scanned.schema().base_schema
+    extra = pa.table({
+        **{k: pa.array([r[i] for r in dup_rows], base.field(k).type)
+           for i, k in enumerate(keys)},
+        "cnt": pa.array([r[-1] for r in dup_rows], pa.int64()),
+    })
+    return interior.union(ray.data.from_arrow(extra))
 
 
 def uniqueness_violations(ds, keys: List[str]):
