@@ -873,6 +873,24 @@ def q_drift_roles(sf_dir: str):
                      "metric": report["metric"], "value": vals})
 
 
+def q_orders_segment_join_sorted(sf_dir: str):
+    """Two-big-sides sort-merge inner join (no broadcast side):
+    orders x customer on custkey, carrying the market segment — the
+    shuffle counterpart of the broadcast join behind
+    orders_by_segment."""
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"])
+    out = sort_merge_join(orders, customer, "o_custkey", "c_custkey",
+                          value_columns=["c_mktsegment"])
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                        ("c_mktsegment", pa.string())])
+    return _collect(out, schema).sort_by([("o_orderkey", "ascending")])
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs word-5-gram Jaccard near-dups via the
     shared-shingle inverted index — the ground truth the MinHash LSH
@@ -1011,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "orders_segment_join_sorted": q_orders_segment_join_sorted,
         "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
@@ -1356,6 +1375,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.conv_id IS NULL OR b.conv_id IS NULL
                OR a.text IS DISTINCT FROM b.text
             ORDER BY conv_id, turn_idx
+        """,
+        "orders_segment_join_sorted": """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
         """,
         "lang_id_accuracy": _lang_id_pred_sql(),
         "simhash_docs": f"""

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -324,6 +324,167 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
+                    value_columns: List[str]):
+    """Inner equi-join for TWO BIG SIDES — the shuffle realization
+    :func:`broadcast_hash_join`'s docstring defers to when no side is
+    dimension-sized. (Ray's experimental ``Dataset.join`` crashes on
+    hash partitions with zero left rows, so the engine builds the
+    join from primitives it already trusts.)
+
+    Shape: tag + union both sides, ONE null-safe range-partitioned
+    sort on the key co-locates each key's rows, then every sorted
+    block expands its INTERIOR key segments' left x right cross
+    products fully vectorized (np.repeat over per-left-row match
+    counts — no per-key Python). The first/last key of each block
+    (the only ones that can straddle a boundary) emit their raw rows
+    instead; those O(boundary keys) rows join in one worker-side pass
+    over the collected edge table. NULL keys never match (SQL
+    semantics). Skew caveat: a hot key's cross product is inherent to
+    the join's output — for a hot-key-heavy workload salt upstream or
+    use the broadcast variant.
+    """
+    import ray
+
+    if set(value_columns) & set(left_ds.schema().base_schema.names):
+        raise ValueError(
+            "value_columns must not collide with left columns: "
+            f"{sorted(set(value_columns) & set(left_ds.schema().base_schema.names))}")
+
+    key_col, side_col = "__k", "__side"
+    left_schema_probe = left_ds.schema().base_schema
+    left_names = list(left_schema_probe.names)
+    right_schema = right_ds.schema().base_schema
+    value_types = {c: right_schema.field(c).type for c in value_columns}
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, left_schema_probe.field(c).type)
+                for c in left_names}
+        cols[key_col] = pc.cast(batch[right_on], pa.string())
+        cols[side_col] = pa.array(np.zeros(n, np.int8))
+        for c in value_columns:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch[c] for c in left_names}
+        cols[key_col] = pc.cast(batch[left_on], pa.string())
+        cols[side_col] = pa.array(np.ones(n, np.int8))
+        for c in value_columns:
+            cols[c] = pa.nulls(n, value_types[c])
+        return pa.table(cols)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    sorted_ds = null_safe_sort(unioned, [key_col], [side_col])
+
+    out_names = left_names + value_columns
+    meta_names = [key_col, side_col]
+
+    def expand(batch: pa.Table, interior_only: bool) -> tuple:
+        """(el, er) row indices of the cross products of this
+        (key, side)-sorted batch's matched segments; with
+        ``interior_only`` the first/last key segments are skipped
+        (returned as the edge row-index array)."""
+        n = batch.num_rows
+        keys_np = batch[key_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        key_valid = pc.is_valid(batch[key_col]) \
+            .to_numpy(zero_copy_only=False)
+        side = batch[side_col].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        change = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
+        segid = np.zeros(n, dtype=np.int64)
+        segid[change] = 1
+        segid = np.cumsum(segid)
+        g = int(segid[-1]) + 1 if n else 0
+        usable = key_valid.copy()
+        eidx = np.zeros(0, dtype=np.int64)
+        if interior_only and n:
+            em = (segid == 0) | (segid == g - 1)
+            eidx = np.nonzero(em & key_valid)[0]
+            usable &= ~em
+        ridx = np.nonzero(usable & (side == 0))[0]
+        lidx = np.nonzero(usable & (side == 1))[0]
+        nr_seg = np.bincount(segid[ridx], minlength=g) if n else \
+            np.zeros(0, dtype=np.int64)
+        rbase = np.concatenate([[0], np.cumsum(nr_seg)[:-1]]) if g else \
+            np.zeros(0, dtype=np.int64)
+        nmatch = nr_seg[segid[lidx]]
+        total = int(nmatch.sum())
+        el = np.repeat(lidx, nmatch)
+        offs = np.concatenate([[0], np.cumsum(nmatch)[:-1]])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs, nmatch))
+        er = ridx[np.repeat(rbase[segid[lidx]], nmatch) + pos]
+        return el, er, eidx
+
+    def joined_table(batch: pa.Table, el, er) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            cols[c] = batch[c].take(pa.array(el, pa.int64()))
+        for c in value_columns:
+            cols[c] = batch[c].take(pa.array(er, pa.int64()))
+        return pa.table(cols) if cols else pa.table({})
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_order = out_names + meta_names + ["__edge"]
+        if batch.num_rows == 0:
+            fields = [batch.schema.field(c)
+                      for c in out_names + meta_names]
+            return pa.schema(fields + [pa.field("__edge", pa.bool_())]
+                             ).empty_table()
+        el, er, eidx = expand(batch, interior_only=True)
+        out = joined_table(batch, el, er)
+        for c in meta_names:
+            out = out.append_column(c, batch[c].take(
+                pa.array(el, pa.int64())))
+        out = out.append_column(
+            "__edge", pa.array(np.zeros(len(el), bool)))
+        parts = [out.select(out_order)]
+        if len(eidx):
+            etab = batch.take(pa.array(eidx)) \
+                .select(out_names + meta_names) \
+                .append_column("__edge",
+                               pa.array(np.ones(len(eidx), bool)))
+            parts.append(etab.select(out_order))
+        return pa.concat_tables(parts)
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch["__edge"])) \
+            .select(out_names)
+
+    inner = scanned.map_batches(interior, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # boundary keys: raw rows collect (key-sorted by block order) and
+    # join in ONE worker pass over the whole edge table
+    edge_tables = []
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(batch["__edge"])
+        if kept.num_rows:
+            edge_tables.append(kept.select(out_names + meta_names))
+    if not edge_tables:
+        return inner
+    et = pa.concat_tables(edge_tables, promote_options="default") \
+        .sort_by([(key_col, "ascending"), (side_col, "ascending")])
+
+    def edge_join(batch: pa.Table) -> pa.Table:
+        el, er, _ = expand(batch, interior_only=False)
+        return joined_table(batch, el, er).select(out_names)
+
+    edge_ds = ray.data.from_arrow(et).map_batches(
+        edge_join, batch_format="pyarrow", batch_size=None)
+    return inner.union(edge_ds)
 
 
 def exact_distinct_count(ds, column: str) -> int:

@@ -601,6 +601,40 @@ def test_range_join_multi_match():
     assert got == [(0, "a"), (0, "b"), (1, "c")]
 
 
+def test_sort_merge_join_matches_arrow_join():
+    """Two-big-sides inner equi-join: randomized multiblock corpus
+    with null keys, unmatched keys on both sides, duplicate keys
+    (cross products) and one hot key spanning blocks — must equal
+    pyarrow's hash join exactly."""
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 5000, 800
+    lk = rng.integers(0, 400, size=nl)
+    lk[rng.random(nl) < 0.3] = 7  # hot key
+    left = pa.table({
+        "k": pa.array([None if rng.random() < 0.02 else f"k{v}"
+                       for v in lk], pa.string()),
+        "lrow": pa.array(np.arange(nl), pa.int64()),
+    })
+    rk = rng.integers(0, 500, size=nr)
+    right = pa.table({
+        "rk": pa.array([None if rng.random() < 0.02 else f"k{v}"
+                        for v in rk], pa.string()),
+        "val": pa.array(np.arange(nr), pa.int64()),
+    })
+    out = sort_merge_join(
+        _ray().data.from_arrow(left).repartition(8),
+        _ray().data.from_arrow(right).repartition(4),
+        "k", "rk", value_columns=["val"])
+    got = sorted((r["lrow"], r["val"]) for r in out.take_all())
+    ref = left.join(right.rename_columns(["k", "val"]), keys=["k"],
+                    join_type="inner")
+    want = sorted(zip(ref["lrow"].to_pylist(), ref["val"].to_pylist()))
+    assert got == want
+    assert len(want) > nl  # cross products actually exercised
+
+
 def test_range_and_asof_join_null_string_keys():
     # SQL semantics: null keys never match — and must not crash the
     # np.argsort over an object array mixing None and str
