@@ -205,6 +205,32 @@ def q_null_stats_documents(sf_dir: str):
         .rename_columns(["column", "cnt", "nulls"])
 
 
+def q_orders_price_quantiles(sf_dir: str):
+    from json_schema_ray.engine.stats import exact_quantiles
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return exact_quantiles(ds, "o_totalprice", qs=(0.25, 0.5, 0.95, 0.99))
+
+
+def q_stats_orders_std(sf_dir: str):
+    from json_schema_ray.engine.stats import column_stats
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    stats = column_stats(ds).to_pylist()[0]
+    return pa.table({
+        "std_price": pa.array([round(stats["num_std"], 2)], pa.float64()),
+    })
+
+
+def q_orders_hash_sample(sf_dir: str):
+    from json_schema_ray.engine.relational import hash_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_totalprice", pa.float64())])
+    return _collect(hash_sample(ds, "o_orderkey", 0.05, seed=3), schema)
+
+
 DOCUMENTS_SCHEMA = {
     "type": ["object"],
     "required": ["doc_id", "text", "lang", "source"],
@@ -994,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "stats_orders_totalprice": q_stats_orders_totalprice,
         "null_stats_documents": q_null_stats_documents,
+        "orders_price_quantiles": q_orders_price_quantiles,
+        "stats_orders_std": q_stats_orders_std,
+        "orders_hash_sample": q_orders_hash_sample,
         # schema validation engine
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
@@ -1128,7 +1157,25 @@ def _knn_lsh_bucket_expr() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from json_schema_ray.engine.relational import splitmix64_sql
+
+    sample_thr = int(0.05 * float(1 << 64))
     return {
+        "orders_price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(o_totalprice, 0.25) AS value FROM orders
+            UNION ALL SELECT 0.5, quantile_disc(o_totalprice, 0.5) FROM orders
+            UNION ALL SELECT 0.95, quantile_disc(o_totalprice, 0.95) FROM orders
+            UNION ALL SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
+        """,
+        "stats_orders_std": """
+            SELECT round(stddev_pop(o_totalprice), 2) AS std_price
+            FROM orders
+        """,
+        "orders_hash_sample": f"""
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

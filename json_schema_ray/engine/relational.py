@@ -502,6 +502,68 @@ def exact_distinct_count(ds, column: str) -> int:
     return uniq.groupby(column).count().count()
 
 
+def hash_sample(ds, key_column: str, fraction: float, seed: int = 0):
+    """Deterministic hash sampling: keep a row iff
+    ``splitmix64(key + seed) < fraction * 2**64``.
+
+    Scale shape: an embarrassingly parallel per-batch filter — no
+    shuffle, no RNG state, no driver participation. The same key
+    always lands on the same side, so the sample is repeatable across
+    runs and resumes, and CONSISTENT across tables sharing the key
+    (sample orders at 1% and the matching lineitems fall out of the
+    same predicate). Change ``seed`` to draw an independent sample.
+    Null keys are never sampled (SQL-filter semantics).
+    """
+    from ..state.sketches import hash_ints, hash_string_array
+
+    if fraction >= 1.0:
+        return ds
+    threshold = np.uint64(int(fraction * float(1 << 64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[key_column].combine_chunks()
+        t = col.type
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+            vals = pc.cast(col.fill_null(0), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            h = hash_ints((vals.astype(np.uint64)
+                           + np.uint64(seed)).view(np.int64))
+        elif _is_string_type(t):
+            h = hash_ints((hash_string_array(col)
+                           + np.uint64(seed)).view(np.int64))
+        else:
+            raise ValueError(
+                f"hash_sample: unsupported key type {t} for "
+                f"column {key_column!r}")
+        return batch.filter(pa.array((h < threshold) & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def splitmix64_sql(expr: str, seed: int = 0) -> str:
+    """The exact DuckDB-SQL replication of :func:`hash_ints`
+    (splitmix64) over an integer SQL expression — 64-bit modular
+    arithmetic via 32-bit limb decomposition in HUGEINT. Used by the
+    correctness oracles so ``hash_sample`` is hash-for-hash checkable
+    against plain SQL."""
+    m, m32 = 1 << 64, 1 << 32
+
+    def mulmod(x: str, c: int) -> str:
+        return (f"CAST((((CAST({x} AS HUGEINT) % {m32}) * {c} + "
+                f"((CAST({x} AS HUGEINT) >> 32) * {c % m32} % {m32})"
+                f" * {m32}) % {m}) AS UBIGINT)")
+
+    s0 = (f"CAST((CAST(({expr}) + {seed} AS HUGEINT) + "
+          f"11400714819323198485) % {m} AS UBIGINT)")
+    s1 = f"xor({s0}, {s0} >> 30)"
+    s2 = mulmod(s1, 0xBF58476D1CE4E5B9)
+    s3 = f"xor({s2}, {s2} >> 27)"
+    s4 = mulmod(s3, 0x94D049BB133111EB)
+    return f"xor({s4}, {s4} >> 31)"
+
+
 def _is_string_type(t: pa.DataType) -> bool:
     return pa.types.is_string(t) or pa.types.is_large_string(t)
 

@@ -91,6 +91,44 @@ def _column_partial(name: str, col: pa.ChunkedArray, hll_p: int,
     return out
 
 
+def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.95, 0.99)):
+    """EXACT distributed quantiles, DuckDB ``quantile_disc``
+    convention (the element with 1-based rank ``ceil(q * n)``): drop
+    nulls, ONE range-partitioned sort of the single projected column,
+    then a streaming pass over the sorted blocks picks the target
+    ranks as the cumulative row count crosses them. The driver holds
+    one counter and the k requested values — never a block. (The
+    t-digest path in :func:`column_stats` is the approximate
+    one-scan alternative; this is the sort-paying ground truth.)"""
+    import math
+
+    proj = ds.select_columns([column])
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[column]))
+
+    srt = proj.map_batches(drop_null, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort(column).materialize()
+    n = srt.count()
+    out_q = sorted(qs)
+    if n == 0:
+        return pa.table({"q": pa.array(out_q, pa.float64()),
+                         "value": pa.nulls(len(out_q), pa.float64())})
+    targets = {q: max(0, math.ceil(q * n) - 1) for q in out_q}
+    # split_at_indices keeps the selection distributed: the driver
+    # receives exactly one row per requested rank, never the data
+    idxs = sorted(set(targets.values()))
+    splits = srt.split_at_indices(idxs)
+    vals_by_idx = {t: splits[i + 1].take(1)[0][column]
+                   for i, t in enumerate(idxs)}
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array([float(vals_by_idx[targets[q]])
+                           for q in out_q], pa.float64()),
+    })
+
+
 def column_stats(
     ds,
     columns: Optional[List[str]] = None,
@@ -138,6 +176,11 @@ def _finalize_stats(merged: dict) -> pa.Table:
             "num_max": m["num_max"],
             "num_mean": (m["num_sum"] / non_null)
             if (m["num_sum"] is not None and non_null) else None,
+            # population stddev from the (sum, sum_sq) partials
+            "num_std": (
+                max(m["num_sum_sq"] / non_null
+                    - (m["num_sum"] / non_null) ** 2, 0.0) ** 0.5
+                if (m["num_sum_sq"] is not None and non_null) else None),
             "len_min": m["len_min"],
             "len_max": m["len_max"],
             "len_mean": (m["len_sum"] / non_null)

@@ -1210,3 +1210,90 @@ def test_exact_dedup_sorted_randomized_block_counts():
             if k not in first:
                 first[k] = i
         assert got == sorted(first.values()), blocks
+
+
+def test_exact_quantiles_matches_duckdb_disc():
+    import duckdb
+
+    from json_schema_ray.engine.stats import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100.0, 25.0, 5000)
+    nulls = rng.random(5000) < 0.05
+    col = [None if m else float(v) for v, m in zip(vals, nulls)]
+    t = pa.table({"x": pa.array(col, pa.float64())})
+    for blocks in (1, 8):
+        got = exact_quantiles(
+            _ray().data.from_arrow(t).repartition(blocks), "x",
+            qs=(0.25, 0.5, 0.95, 0.99)).to_pylist()
+        want = duckdb.sql(
+            "SELECT quantile_disc(x, 0.25) q25, quantile_disc(x, 0.5) q50,"
+            " quantile_disc(x, 0.95) q95, quantile_disc(x, 0.99) q99"
+            " FROM t").fetchone()
+        assert [r["value"] for r in got] == list(want), blocks
+    # empty input -> null values, stable schema
+    empty = exact_quantiles(
+        _ray().data.from_arrow(t.slice(0, 0)), "x", qs=(0.5,))
+    assert empty.to_pylist() == [{"q": 0.5, "value": None}]
+
+
+def test_column_stats_num_std_matches_numpy():
+    from json_schema_ray.engine.stats import column_stats
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(50.0, 9.0, 3000)
+    t = pa.table({"x": pa.array(vals, pa.float64()),
+                  "s": pa.array(["a"] * 3000, pa.string())})
+    out = {r["column"]: r for r in column_stats(
+        _ray().data.from_arrow(t).repartition(6)).to_pylist()}
+    assert out["x"]["num_std"] == pytest.approx(
+        float(np.std(vals)), rel=1e-9)
+    assert out["s"]["num_std"] is None
+
+
+def test_hash_sample_deterministic_and_sql_exact():
+    import duckdb
+
+    from json_schema_ray.engine.relational import (
+        hash_sample, splitmix64_sql)
+
+    n = 20000
+    t = pa.table({
+        "k": pa.array(
+            [None if i % 997 == 0 else i * 3 + 1 for i in range(n)],
+            pa.int64()),
+        "v": pa.array(np.arange(n, dtype=np.float64)),
+    })
+    for frac, seed in ((0.1, 0), (0.03, 7)):
+        ds = _ray().data.from_arrow(t).repartition(9)
+        got = sorted(r["k"] for r in
+                     hash_sample(ds, "k", frac, seed=seed).take_all())
+        thr = int(frac * float(1 << 64))
+        want = sorted(r[0] for r in duckdb.sql(
+            f"SELECT k FROM t WHERE {splitmix64_sql('k', seed)}"
+            f" < {thr}").fetchall())
+        assert got == want, (frac, seed)
+        # roughly the requested fraction
+        assert len(got) == pytest.approx(n * frac, rel=0.15)
+        # deterministic across a rerun
+        ds2 = _ray().data.from_arrow(t).repartition(3)
+        again = sorted(r["k"] for r in
+                       hash_sample(ds2, "k", frac, seed=seed).take_all())
+        assert again == got
+
+
+def test_hash_sample_string_keys_consistent():
+    from json_schema_ray.engine.relational import hash_sample
+
+    t = pa.table({"k": pa.array(
+        [f"user-{i}" for i in range(5000)], pa.string())})
+    got = sorted(r["k"] for r in hash_sample(
+        _ray().data.from_arrow(t).repartition(4), "k", 0.2).take_all())
+    assert 0 < len(got) < 5000
+    again = sorted(r["k"] for r in hash_sample(
+        _ray().data.from_arrow(t).repartition(7), "k", 0.2).take_all())
+    assert again == got
+    # sample at a larger fraction is a superset (same hash, bigger cut)
+    sup = set(r["k"] for r in hash_sample(
+        _ray().data.from_arrow(t), "k", 0.5).take_all())
+    assert set(got) <= sup
