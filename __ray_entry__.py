@@ -231,6 +231,49 @@ def q_orders_hash_sample(sf_dir: str):
     return _collect(hash_sample(ds, "o_orderkey", 0.05, seed=3), schema)
 
 
+def q_top3_orders_per_cust(sf_dir: str):
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_top_k(ds, ["o_custkey"], "o_totalprice", 3,
+                        descending=True, tiebreak="o_orderkey")
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("o_orderkey", pa.int64()),
+                        ("o_totalprice", pa.float64()),
+                        ("rn", pa.int64())])
+    return _collect(out, schema)
+
+
+def q_running_user_spend(sf_dir: str):
+    from json_schema_ray.engine.rank import cumulative_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    out = cumulative_sum(ds, "user_id", "ts", "value", "event_id")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "running_sum"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("running_sum", pa.float64())])
+    t = _collect(out.map_batches(project, batch_format="pyarrow",
+                                 zero_copy_batch=True), schema)
+    return _round_col(t, "running_sum", 2)
+
+
+def q_events_pivot_by_type(sf_dir: str):
+    from json_schema_ray.engine.relational import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type", cats)
+    schema = pa.schema([("user_id", pa.int64())]
+                       + [(f"cnt_{c}", pa.int64()) for c in cats])
+    return _collect(out, schema)
+
+
 DOCUMENTS_SCHEMA = {
     "type": ["object"],
     "required": ["doc_id", "text", "lang", "source"],
@@ -1023,6 +1066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": q_orders_price_quantiles,
         "stats_orders_std": q_stats_orders_std,
         "orders_hash_sample": q_orders_hash_sample,
+        "top3_orders_per_cust": q_top3_orders_per_cust,
+        "running_user_spend": q_running_user_spend,
+        "events_pivot_by_type": q_events_pivot_by_type,
         # schema validation engine
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
@@ -1175,6 +1221,29 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "top3_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "running_user_spend": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+                     2) AS running_sum
+            FROM events
+        """,
+        "events_pivot_by_type": """
+            SELECT user_id,
+              coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS cnt_click,
+              coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS cnt_error,
+              coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS cnt_purchase,
+              coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS cnt_signup,
+              coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS cnt_view
+            FROM events GROUP BY user_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -10,8 +10,10 @@ their modules (import the module directly for the full surface):
 - comparison vs a reference corpus: :mod:`.compare`
 - stats/drift: :mod:`.stats`, :mod:`.drift`
 - relational: :mod:`.relational` (grouped/salted aggregates,
-  broadcast + as-of + range joins, top-k, heavy hitters)
-- windows/sessions: :mod:`.window`
+  broadcast + as-of + range joins, top-k, heavy hitters, pivot,
+  deterministic hash sampling)
+- windows/sessions: :mod:`.window`; rank/running: :mod:`.rank`
+  (grouped top-k, per-key running totals)
 - dedup: :mod:`.dedup` (exact, sorted, MinHash+LSH, SimHash)
 - similarity/ANN: :mod:`.similarity` (brute force, LSH, IVF, index)
 - text analysis: :mod:`.text`; multimodal: :mod:`.multimodal`
@@ -30,12 +32,15 @@ from .keys import (
     referential_violations,
     turn_ordering_violations,
 )
+from .rank import cumulative_sum, grouped_top_k
 from .relational import (
     asof_join_backward,
     asof_join_backward_sorted,
     broadcast_hash_join,
     grouped_aggregate,
+    hash_sample,
     heavy_hitters,
+    pivot_counts,
     range_join,
     salted_aggregate,
     top_k,
@@ -48,7 +53,7 @@ from .similarity import (
     knn_lsh,
     query_ann_index,
 )
-from .stats import column_stats
+from .stats import column_stats, exact_quantiles
 from .validate import (
     compile_plan_for,
     full_validation_pass,
@@ -69,12 +74,16 @@ __all__ = [
     "build_ann_index",
     "column_stats",
     "compile_plan_for",
+    "cumulative_sum",
     "duplicate_keys",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "exact_dedup_sorted",
+    "exact_quantiles",
     "full_validation_pass",
     "grouped_aggregate",
+    "grouped_top_k",
+    "hash_sample",
     "heavy_hitters",
     "hopping_window_counts",
     "keyed_text_compare",
@@ -82,6 +91,7 @@ __all__ = [
     "knn_ivf",
     "knn_lsh",
     "minhash_dedup_pairs",
+    "pivot_counts",
     "query_ann_index",
     "range_join",
     "referential_violations",

@@ -1,0 +1,322 @@
+"""Rank / running-window operators (grouped top-k, per-key running
+totals).
+
+Scale shape, same discipline as ``window.py`` / the sorted as-of join
+in ``relational.py``: top-k partials are MERGEABLE (top-k of a union
+is contained in the union of per-part top-ks), so each block is first
+reduced to <= k rows per group before anything moves; one
+range-partitioned sort then co-locates groups, and only the <= 2 key
+segments that can straddle a block boundary surface as fixed-size
+edge rows — driver memory is O(k * n_blocks), independent of any
+single group's row count, and no per-group Python (``map_groups``)
+runs anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEP = "\x1f"
+
+
+def _group_key_expr(batch: pa.Table, keys: List[str]) -> pa.Array:
+    """One null-safe STRING key per row: each key column rendered as
+    ``"v" + str(value)`` / ``"n"`` and joined with an unprintable
+    separator. Only EQUALITY of the encoding matters (it is exact per
+    column); its lexicographic order is used purely to co-locate
+    groups in the sort, never to order results."""
+    parts = []
+    for k in keys:
+        col = batch[k]
+        s = col if _is_str(col.type) else pc.cast(col, pa.string())
+        parts.append(pc.if_else(
+            pc.is_null(s), pa.scalar("n"),
+            pc.binary_join_element_wise("v", s, "")))
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, _SEP)
+
+
+def _is_str(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def _order_np(batch: pa.Table, col: str, descending: bool) -> np.ndarray:
+    """Order column as an ascending-sortable float64 vector:
+    descending negates, NULLs map to +inf so they rank LAST either
+    way (DuckDB's NULLS LAST default for both ASC and DESC)."""
+    arr = pc.cast(batch[col], pa.float64())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    v = pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False).copy()
+    if descending:
+        v = -v
+    v[null_mask] = np.inf
+    return v
+
+
+def _segment_topk(kk: np.ndarray, sort_key: np.ndarray,
+                  tb: np.ndarray, k: int):
+    """Indices of the <= k best rows of every key group in one batch
+    plus their 0-based in-group ranks — one lexsort, no Python per
+    group. ``kk`` is the encoded key vector (any order)."""
+    n = len(kk)
+    _, codes = np.unique(kk, return_inverse=True)
+    order = np.lexsort((tb, sort_key, codes))
+    sk = codes[order]
+    newseg = np.concatenate([[True], sk[1:] != sk[:-1]])
+    starts = np.nonzero(newseg)[0]
+    seg_ids = np.cumsum(newseg) - 1
+    rank = np.arange(n) - starts[seg_ids]
+    keep = rank < k
+    return order[keep], rank[keep]
+
+
+def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
+                  descending: bool = True,
+                  tiebreak: Optional[str] = None):
+    """Top-k rows PER GROUP (SQL ``row_number() OVER (PARTITION BY
+    keys ORDER BY order_col [DESC] [, tiebreak]) <= k``), with the
+    1-based rank appended as ``rn``.
+
+    Two passes: (1) per-block reduction to <= k rows per group —
+    mergeable, so the sort that follows moves at most ``k *
+    n_blocks`` rows per group regardless of input skew; (2) one
+    null-safe sort on the encoded group key co-locates groups, a
+    second vectorized reduction finalizes every interior segment, and
+    the first/last segment of each sorted block (the only ones a
+    neighbouring block can continue) resolve from <= 2k fixed-size
+    edge rows per block on the driver. Ties beyond ``tiebreak`` (or
+    all ties when it is None) are broken arbitrarily but
+    deterministically within a run — pass a unique ``tiebreak`` for
+    reproducible results, exactly as SQL ``row_number`` requires a
+    total order. NULL group keys form their own group (SQL PARTITION
+    BY semantics); NULL order values rank last.
+    """
+    out_names = None  # closed over lazily: original column order
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__k", _group_key_expr(batch, keys))
+
+    def tb_np(batch: pa.Table) -> np.ndarray:
+        if tiebreak is None:
+            return np.arange(batch.num_rows, dtype=np.float64)
+        return _order_np(batch, tiebreak, descending=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        kk = batch["__k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel, _ = _segment_topk(kk, _order_np(batch, order_col, descending),
+                               tb_np(batch), k)
+        return batch.take(pa.array(np.sort(sel)))
+
+    enc = ds.map_batches(encode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    reduced = enc.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    sorted_ds = reduced.sort("__k")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(
+                "rn", pa.array([], pa.int64())).append_column(
+                "__edge", pa.array([], pa.bool_()))
+        kk = batch["__k"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel, rank = _segment_topk(
+            kk, _order_np(batch, order_col, descending), tb_np(batch), k)
+        out = batch.take(pa.array(sel))
+        edge = (kk[sel] == kk[0]) | (kk[sel] == kk[n - 1])
+        return out.append_column(
+            "rn", pa.array(rank + 1, pa.int64())).append_column(
+            "__edge", pa.array(edge))
+
+    scanned = sorted_ds.map_batches(finalize, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch["__edge"])) \
+            .drop_columns(["__k", "__edge"])
+
+    interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    # edge segments: <= 2k candidate rows per block on the driver
+    edge_tables = []
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(batch["__edge"])
+        if kept.num_rows:
+            edge_tables.append(pa.Table.from_batches([kept])
+                               if isinstance(kept, pa.RecordBatch)
+                               else kept)
+    if not edge_tables:
+        return interior_ds
+    edges = pa.concat_tables(edge_tables, promote_options="default")
+    kk = edges["__k"].combine_chunks().to_numpy(zero_copy_only=False)
+    sel, rank = _segment_topk(
+        kk, _order_np(edges, order_col, descending), tb_np(edges), k)
+    resolved = edges.take(pa.array(sel)) \
+        .drop_columns(["rn", "__k", "__edge"]) \
+        .append_column("rn", pa.array(rank + 1, pa.int64()))
+
+    import ray
+
+    out_names = [c for c in scanned.schema().base_schema.names
+                 if c not in ("__k", "__edge")]
+    return interior_ds.map_batches(
+        lambda b: b.select(out_names), batch_format="pyarrow",
+        zero_copy_batch=True) \
+        .union(ray.data.from_arrow(resolved.select(out_names)))
+
+
+def cumulative_sum(ds, key: str, ts: str, value: str,
+                   tiebreak: str):
+    """Per-key running total: every row gains ``running_sum`` = SQL
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING)``. ``tiebreak`` must make ``(ts, tiebreak)``
+    unique within a key (same total-order requirement as a
+    deterministic SQL ROWS window).
+
+    Shape: one null-safe range-partitioned sort on ``(key, ts,
+    tiebreak)``, a vectorized per-block prefix scan (every segment
+    that STARTS in a block is final), and O(n_blocks) fixed-size
+    carry rows — per block, the (sum, non-null count, last ts/tb) of
+    its first and last key segments — stitched into per-key prefix
+    offsets on the driver and broadcast back so the pending
+    first-segment rows resolve distributed. A Zipf-hot key spanning
+    every block costs two carry rows per block, never its timeline.
+    NULL values don't contribute (SQL SUM ignores them); a row with
+    no non-null value so far carries a NULL running_sum.
+    """
+    from .relational import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base = batch.append_column(
+            "__rt", pa.array(np.zeros(n, np.int8))).append_column(
+            "running_sum", pa.nulls(n, pa.float64())).append_column(
+            "__cnt", pa.array(np.zeros(n, np.int64)))
+        if n == 0:
+            return base
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        varr = pc.cast(batch[value], pa.float64())
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        seg_ids = np.cumsum(newseg) - 1
+        cs = np.cumsum(v)
+        cn = np.cumsum(valid.astype(np.int64))
+        seg_cs0 = np.concatenate([[0.0], cs])[starts][seg_ids]
+        seg_cn0 = np.concatenate([[0], cn])[starts][seg_ids]
+        run = cs - seg_cs0
+        cnt = cn - seg_cn0
+        rt = np.zeros(n, np.int8)
+        rt[kk == kk[0]] = 1  # first segment: may continue an earlier block
+        out = batch.append_column("__rt", pa.array(rt)) \
+            .append_column("running_sum", pa.array(run, pa.float64())) \
+            .append_column("__cnt", pa.array(cnt, pa.int64()))
+        # carry-out = the LAST row of the first and last key segments:
+        # its in-segment running_sum/__cnt ARE the segment totals and
+        # its (ts, tiebreak) is the segment's boundary position
+        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
+        seg_ends = sorted({first_end, n - 1})
+        ctab = out.take(pa.array(seg_ends))
+        ctab = ctab.set_column(
+            ctab.column_names.index("__rt"), "__rt",
+            pa.array(np.full(len(seg_ends), 2, np.int8)))
+        return pa.concat_tables([out, ctab])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    # driver: only the fixed-size carry rows (<= 2 per block)
+    carry = {}
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(pc.equal(batch["__rt"], 2))
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, [key]).to_pylist()
+        # null order positions sort last (Ray sort default): encode
+        # as int64 max so boundary comparisons stay total
+        imax = np.iinfo(np.int64).max
+        tsv = pc.fill_null(pc.cast(kept[ts], pa.int64()), imax).to_pylist()
+        tbv = pc.fill_null(pc.cast(kept[tiebreak], pa.int64()),
+                           imax).to_pylist()
+        sums = kept["running_sum"].to_pylist()
+        cnts = kept["__cnt"].to_pylist()
+        for kval, t, tb, s, c in zip(kk, tsv, tbv, sums, cnts):
+            carry.setdefault(kval, []).append((t, tb, s, c))
+
+    # per-key prefix offsets ordered by boundary (ts, tb): pre_s[i] =
+    # sum of the first i carry segments, so a row preceded by i
+    # boundaries adds pre_s[i]
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort()
+        last = np.array([(t, tb) for t, tb, _, _ in segs],
+                        dtype=np.int64).reshape(len(segs), 2)
+        pre_s = np.concatenate([[0.0], np.cumsum(
+            [s for _, _, s, _ in segs])])
+        pre_c = np.concatenate([[0], np.cumsum(
+            [c for _, _, _, c in segs])]).astype(np.int64)
+        offsets[kval] = (last, pre_s, pre_c)
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt", "__cnt"])
+        offs = ray.get(handle)
+        kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        run = kept["running_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        cnt = kept["__cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        imax = np.iinfo(np.int64).max
+        tsv = pc.fill_null(pc.cast(kept[ts], pa.int64()), imax) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        tbv = pc.fill_null(pc.cast(kept[tiebreak], pa.int64()), imax) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        for kval in np.unique(kk[pend]) if len(pend) else []:
+            if kval not in offs:
+                continue
+            last, pre_s, pre_c = offs[kval]
+            rows = pend[kk[pend] == kval]
+            # count boundaries strictly before each row's (ts, tb):
+            # searchsorted on ts, then advance over equal-ts
+            # boundaries whose tiebreak is still smaller
+            pos = np.searchsorted(last[:, 0], tsv[rows], side="left")
+            for _ in range(len(last)):
+                inb = pos < len(last)
+                adv = inb.copy()
+                adv[inb] = (last[pos[inb], 0] == tsv[rows][inb]) & \
+                    (last[pos[inb], 1] < tbv[rows][inb])
+                if not adv.any():
+                    break
+                pos[adv] += 1
+            run[rows] += pre_s[pos]
+            cnt[rows] += pre_c[pos]
+        i = kept.column_names.index("running_sum")
+        out = kept.set_column(i, "running_sum", pa.array(
+            run, pa.float64(), mask=(cnt == 0)))
+        return out.drop_columns(["__rt", "__cnt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -500,6 +500,51 @@ def exact_distinct_count(ds, column: str) -> int:
     uniq = ds.map_batches(per_block_unique, batch_format="pyarrow",
                           zero_copy_batch=True)
     return uniq.groupby(column).count().count()
+
+
+def pivot_counts(ds, group_key: str, pivot_col: str,
+                 categories: List[str], value: Optional[str] = None):
+    """Pivot to a wide table: one row per ``group_key``, one column
+    per category with ``count(*)`` (or ``sum(value)``) of the rows
+    whose ``pivot_col`` equals it — SQL conditional aggregation
+    (``sum(CASE WHEN pivot = cat THEN 1 END)``).
+
+    ``categories`` is explicit (no driver-side discovery scan; pipe
+    the distinct values through :func:`exact_distinct_count`'s shape
+    first if unknown). Scale shape: the indicator columns are built
+    and PRE-AGGREGATED inside ``map_batches`` (combiner), so the
+    shuffle moves one partial row per (block, group) however many
+    categories there are. Output columns are ``cnt_<cat>`` (or
+    ``sum_<cat>``), rows with ``pivot_col`` outside ``categories``
+    (or NULL) count toward no column.
+    """
+    from ray.data.aggregate import Sum
+
+    prefix = "sum_" if value else "cnt_"
+    out_cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pv = batch[pivot_col]
+        cols = {group_key: batch[group_key]}
+        if value is not None:
+            vals = pc.cast(batch[value], pa.float64())
+        for cat, name in zip(categories, out_cols):
+            m = pc.equal(pv, cat)
+            if value is None:
+                cols[name] = pc.cast(pc.fill_null(m, False), pa.int64())
+            else:
+                cols[name] = pc.if_else(pc.fill_null(m, False), vals,
+                                        pa.scalar(0.0, pa.float64()))
+        g = pa.TableGroupBy(pa.table(cols), [group_key])
+        agg = g.aggregate([(n, "sum") for n in out_cols])
+        return agg.rename_columns([group_key] + out_cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return null_safe_grouped_aggregate(
+        parts, [group_key],
+        [Sum(n, alias_name=n) for n in out_cols],
+        out_cols)
 
 
 def hash_sample(ds, key_column: str, fraction: float, seed: int = 0):

@@ -1297,3 +1297,165 @@ def test_hash_sample_string_keys_consistent():
     sup = set(r["k"] for r in hash_sample(
         _ray().data.from_arrow(t), "k", 0.5).take_all())
     assert set(got) <= sup
+
+
+def test_grouped_top_k_matches_duckdb_row_number():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "g": pa.array([f"g{v}" if v else None
+                       for v in rng.integers(0, 40, n)], pa.string()),
+        "score": pa.array(rng.normal(0, 10, n), pa.float64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    for blocks, k in ((1, 3), (7, 3), (13, 1)):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        key = lambda x: (x[0] is None, x)
+        got = sorted(
+            ((r["g"], r["rid"], r["rn"]) for r in
+             grouped_top_k(ds, ["g"], "score", k,
+                           tiebreak="rid").take_all()), key=key)
+        want = sorted(((r[0], r[1], r[2]) for r in duckdb.sql(f"""
+            SELECT g, rid, rn FROM (
+              SELECT g, rid, row_number() OVER
+                (PARTITION BY g ORDER BY score DESC, rid) AS rn
+              FROM t) WHERE rn <= {k}""").fetchall()), key=key)
+        assert got == want, (blocks, k)
+
+
+def test_grouped_top_k_hot_key_and_ascending():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    # one key holds 90% of the rows and spans every block
+    rng = np.random.default_rng(9)
+    n = 30000
+    hot = rng.random(n) < 0.9
+    t = pa.table({
+        "g": pa.array(np.where(hot, 0, rng.integers(1, 50, n)),
+                      pa.int64()),
+        "score": pa.array(rng.normal(0, 1, n), pa.float64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    got = sorted(
+        (r["g"], r["rid"], r["rn"]) for r in
+        grouped_top_k(ds, ["g"], "score", 5, descending=False,
+                      tiebreak="rid").take_all())
+    want = sorted((r[0], r[1], r[2]) for r in duckdb.sql("""
+        SELECT g, rid, rn FROM (
+          SELECT g, rid, row_number() OVER
+            (PARTITION BY g ORDER BY score ASC, rid) AS rn
+          FROM t) WHERE rn <= 5""").fetchall())
+    assert got == want
+
+
+def test_cumulative_sum_matches_duckdb_window():
+    import duckdb
+
+    from json_schema_ray.engine.rank import cumulative_sum
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.05 else float(x)
+                       for x in rng.normal(5, 2, n)], pa.float64()),
+    })
+    for blocks in (1, 9):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: r["running_sum"] for r in
+               cumulative_sum(ds, "k", "ts", "v", "rid").take_all()}
+        want = {r[0]: r[1] for r in duckdb.sql("""
+            SELECT rid, sum(v) OVER (PARTITION BY k ORDER BY ts, rid
+              ROWS UNBOUNDED PRECEDING) FROM t""").fetchall()}
+        assert set(got) == set(want)
+        for rid in want:
+            if want[rid] is None:
+                assert got[rid] is None, (blocks, rid)
+            else:
+                assert got[rid] == pytest.approx(want[rid],
+                                                 abs=1e-9), (blocks, rid)
+
+
+def test_cumulative_sum_one_hot_key_spans_every_block():
+    from json_schema_ray.engine.rank import cumulative_sum
+
+    n = 200_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(np.arange(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(np.ones(n), pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(20)
+    out = cumulative_sum(ds, "k", "ts", "v", "rid")
+    # running_sum over all-ones ordered by ts is ts+1; spot-check and
+    # count without collecting values to the driver dict-of-all-rows
+    assert out.count() == n
+
+    def count_bad(b):
+        import pyarrow.compute as pac
+
+        bad = pac.sum(pac.cast(pac.not_equal(
+            pac.cast(b["running_sum"], pa.int64()),
+            pac.add(pac.cast(b["ts"], pa.int64()), 1)),
+            pa.int64())).as_py() or 0
+        return pa.table({"bad": pa.array([int(bad)], pa.int64())})
+
+    mx = out.map_batches(count_bad, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    assert sum(r["bad"] for r in mx.take_all()) == 0
+
+
+def test_pivot_counts_matches_duckdb_case():
+    import duckdb
+
+    from json_schema_ray.engine.relational import pivot_counts
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    cats = ["click", "view", "buy"]
+    t = pa.table({
+        "u": pa.array([f"u{v}" if v % 11 else None
+                       for v in rng.integers(0, 30, n)], pa.string()),
+        "ev": pa.array([None if v == 3 else cats[v % 3]
+                        for v in rng.integers(0, 5, n)], pa.string()),
+        "amt": pa.array(rng.random(n), pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(6)
+    key = lambda x: (x[0] is None, x)
+    got = sorted(
+        ((r["u"], r["cnt_click"], r["cnt_view"], r["cnt_buy"])
+         for r in _collect_tbl(pivot_counts(ds, "u", "ev", cats))
+         .to_pylist()), key=key)
+    want = sorted((tuple(r) for r in duckdb.sql("""
+        SELECT u,
+          coalesce(sum(CASE WHEN ev = 'click' THEN 1 END), 0),
+          coalesce(sum(CASE WHEN ev = 'view' THEN 1 END), 0),
+          coalesce(sum(CASE WHEN ev = 'buy' THEN 1 END), 0)
+        FROM t GROUP BY u""").fetchall()), key=key)
+    assert got == want
+    # sum-valued pivot
+    got_sum = {r["u"]: r["sum_buy"] for r in _collect_tbl(
+        pivot_counts(ds, "u", "ev", cats, value="amt")).to_pylist()}
+    want_sum = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT u, coalesce(sum(CASE WHEN ev = 'buy' THEN amt END), 0)
+        FROM t GROUP BY u""").fetchall()}
+    assert set(got_sum) == set(want_sum)
+    for u in want_sum:
+        assert got_sum[u] == pytest.approx(want_sum[u], abs=1e-9)
+
+
+def _collect_tbl(ds):
+    tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+              else b for b in ds.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    return pa.concat_tables(tables, promote_options="default")
