@@ -263,6 +263,19 @@ def q_running_user_spend(sf_dir: str):
     return _round_col(t, "running_sum", 2)
 
 
+def q_user_value_quantiles(sf_dir: str):
+    from json_schema_ray.engine.rank import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "value", "event_id"])
+    out = grouped_exact_quantiles(ds, "user_id", "value",
+                                  (0.5, 0.95), tiebreak="event_id")
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("q", pa.float64()),
+                        ("value", pa.float64())])
+    return _collect(out, schema)
+
+
 def q_events_pivot_by_type(sf_dir: str):
     from json_schema_ray.engine.relational import pivot_counts
 
@@ -1069,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "running_user_spend": q_running_user_spend,
         "events_pivot_by_type": q_events_pivot_by_type,
+        "user_value_quantiles": q_user_value_quantiles,
         # schema validation engine
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
@@ -1235,6 +1249,13 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
                      2) AS running_sum
             FROM events
+        """,
+        "user_value_quantiles": """
+            SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(value, 0.5) AS value
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            UNION ALL SELECT user_id, 0.95, quantile_disc(value, 0.95)
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
         """,
         "events_pivot_by_type": """
             SELECT user_id,

@@ -32,7 +32,11 @@ from .keys import (
     referential_violations,
     turn_ordering_violations,
 )
-from .rank import cumulative_sum, grouped_top_k
+from .rank import (
+    cumulative_sum,
+    grouped_exact_quantiles,
+    grouped_top_k,
+)
 from .relational import (
     asof_join_backward,
     asof_join_backward_sorted,
@@ -82,6 +86,7 @@ __all__ = [
     "exact_quantiles",
     "full_validation_pass",
     "grouped_aggregate",
+    "grouped_exact_quantiles",
     "grouped_top_k",
     "hash_sample",
     "heavy_hitters",

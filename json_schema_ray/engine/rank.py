@@ -77,6 +77,25 @@ def _segment_topk(kk: np.ndarray, sort_key: np.ndarray,
     return order[keep], rank[keep]
 
 
+def _boundaries_before(last_a: np.ndarray, last_b: np.ndarray,
+                       av: np.ndarray, bv: np.ndarray) -> np.ndarray:
+    """For each query position ``(av[i], bv[i])``, the number of
+    carry boundaries ``(last_a, last_b)`` — sorted lexicographically —
+    strictly before it: one searchsorted on the primary key, then a
+    vectorized walk over primary-key ties refining on the secondary.
+    """
+    pos = np.searchsorted(last_a, av, side="left")
+    for _ in range(len(last_a)):
+        inb = pos < len(last_a)
+        adv = inb.copy()
+        adv[inb] = (last_a[pos[inb]] == av[inb]) & \
+            (last_b[pos[inb]] < bv[inb])
+        if not adv.any():
+            break
+        pos[adv] += 1
+    return pos
+
+
 def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
                   descending: bool = True,
                   tiebreak: Optional[str] = None):
@@ -264,13 +283,13 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
     offsets = {}
     for kval, segs in carry.items():
         segs.sort()
-        last = np.array([(t, tb) for t, tb, _, _ in segs],
-                        dtype=np.int64).reshape(len(segs), 2)
+        last_a = np.array([t for t, _, _, _ in segs], dtype=np.int64)
+        last_b = np.array([tb for _, tb, _, _ in segs], dtype=np.int64)
         pre_s = np.concatenate([[0.0], np.cumsum(
             [s for _, _, s, _ in segs])])
         pre_c = np.concatenate([[0], np.cumsum(
             [c for _, _, _, c in segs])]).astype(np.int64)
-        offsets[kval] = (last, pre_s, pre_c)
+        offsets[kval] = (last_a, last_b, pre_s, pre_c)
 
     import ray
 
@@ -297,26 +316,216 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
         for kval in np.unique(kk[pend]) if len(pend) else []:
             if kval not in offs:
                 continue
-            last, pre_s, pre_c = offs[kval]
+            last_a, last_b, pre_s, pre_c = offs[kval]
             rows = pend[kk[pend] == kval]
-            # count boundaries strictly before each row's (ts, tb):
-            # searchsorted on ts, then advance over equal-ts
-            # boundaries whose tiebreak is still smaller
-            pos = np.searchsorted(last[:, 0], tsv[rows], side="left")
-            for _ in range(len(last)):
-                inb = pos < len(last)
-                adv = inb.copy()
-                adv[inb] = (last[pos[inb], 0] == tsv[rows][inb]) & \
-                    (last[pos[inb], 1] < tbv[rows][inb])
-                if not adv.any():
-                    break
-                pos[adv] += 1
+            pos = _boundaries_before(last_a, last_b, tsv[rows],
+                                     tbv[rows])
             run[rows] += pre_s[pos]
             cnt[rows] += pre_c[pos]
         i = kept.column_names.index("running_sum")
         out = kept.set_column(i, "running_sum", pa.array(
             run, pa.float64(), mask=(cnt == 0)))
         return out.drop_columns(["__rt", "__cnt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def grouped_exact_quantiles(ds, key: str, col: str, qs,
+                            tiebreak: str):
+    """EXACT per-group quantiles, DuckDB ``quantile_disc(col, q)
+    GROUP BY key`` convention (the element with 1-based rank
+    ``ceil(q * n)`` among the group's non-null values). Returns
+    ``(key, q, value)`` rows.
+
+    Shape: NULL values drop (SQL quantile semantics), ONE null-safe
+    range-partitioned sort on ``(key, col, tiebreak)``, then a
+    vectorized per-block pass: every key segment that neither starts
+    nor ends a block is complete, so its target ranks resolve
+    in-block; only the first/last segment of each block (the ones a
+    neighbouring block can continue) emit a fixed-size carry row and
+    keep their rows as distributed pending rows. The driver folds the
+    <= 2 carries per block into per-key totals + prefix counts —
+    O(n_blocks) state — and broadcasts them; pending rows then
+    compute their GLOBAL rank distributed and self-select. A hot key
+    spanning every block costs one carry row per block, never its
+    rows. ``tiebreak`` must make ``(col, tiebreak)`` unique within a
+    key so global ranks form a permutation (equal values make the
+    SELECTED VALUE tie-insensitive, but rank bookkeeping needs the
+    total order).
+    """
+    import math
+
+    from .relational import null_safe_sort
+
+    qlist = sorted(set(float(q) for q in qs))
+    if not qlist:
+        raise ValueError("qs must be non-empty")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.select([key, col, tiebreak]) \
+            .filter(pc.is_valid(batch[col]))
+
+    sorted_ds = null_safe_sort(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), [key], [col, tiebreak])
+
+    def targets_of(n: int) -> dict:
+        out: dict = {}
+        for q in qlist:
+            out.setdefault(max(0, math.ceil(q * n) - 1), []).append(q)
+        return out
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ktype = batch[key].type
+        empty = pa.table({
+            key: pa.array([], ktype),
+            "q": pa.array([], pa.float64()),
+            "value": pa.array([], pa.float64()),
+            "__k": pa.array([], pa.string()),
+            "__col": pa.array([], pa.float64()),
+            "__tb": pa.array([], pa.float64()),
+            "__rank": pa.array([], pa.int64()),
+            "__cnt": pa.array([], pa.int64()),
+            "__rt": pa.array([], pa.int8()),
+        })
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        colv = _order_np(batch, col, descending=False)
+        tbv = _order_np(batch, tiebreak, descending=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        seg_ids = np.cumsum(newseg) - 1
+        g = len(starts)
+        local_rank = np.arange(n) - starts[seg_ids]
+
+        parts = [empty]
+        # interior segments: complete -> select target ranks in-block
+        if g > 2:
+            istarts, icounts = starts[1:g - 1], (ends - starts)[1:g - 1]
+            sel_pos, sel_q = [], []
+            for q in qlist:
+                tgt = np.maximum(
+                    np.ceil(q * icounts).astype(np.int64) - 1, 0)
+                sel_pos.append(istarts + tgt)
+                sel_q.append(np.full(len(istarts), q))
+            pos = np.concatenate(sel_pos)
+            qv = np.concatenate(sel_q)
+            rows = batch.take(pa.array(pos))
+            m = len(pos)
+            parts.append(pa.table({
+                key: rows[key],
+                "q": pa.array(qv, pa.float64()),
+                "value": pc.cast(rows[col], pa.float64()),
+                "__k": pa.array([""] * m, pa.string()),
+                "__col": pa.array(np.zeros(m), pa.float64()),
+                "__tb": pa.array(np.zeros(m), pa.float64()),
+                "__rank": pa.array(np.zeros(m, np.int64)),
+                "__cnt": pa.array(np.zeros(m, np.int64)),
+                "__rt": pa.array(np.zeros(m, np.int8)),
+            }))
+        # edge segments: pending rows + one carry row per segment
+        edge_rows = np.nonzero((seg_ids == 0) | (seg_ids == g - 1))[0]
+        er = batch.take(pa.array(edge_rows))
+        m = len(edge_rows)
+        parts.append(pa.table({
+            key: er[key],
+            "q": pa.array(np.zeros(m), pa.float64()),
+            "value": pc.cast(er[col], pa.float64()),
+            "__k": pa.array(kk[edge_rows].tolist(), pa.string()),
+            "__col": pa.array(colv[edge_rows], pa.float64()),
+            "__tb": pa.array(tbv[edge_rows], pa.float64()),
+            "__rank": pa.array(local_rank[edge_rows], pa.int64()),
+            "__cnt": pa.array(np.zeros(m, np.int64)),
+            "__rt": pa.array(np.ones(m, np.int8)),
+        }))
+        carry_ends = sorted({int(ends[0]) - 1, n - 1})
+        ce = batch.take(pa.array(carry_ends))
+        counts = [int((ends - starts)[seg_ids[e]]) for e in carry_ends]
+        mc = len(carry_ends)
+        parts.append(pa.table({
+            key: ce[key],
+            "q": pa.array(np.zeros(mc), pa.float64()),
+            "value": pc.cast(ce[col], pa.float64()),
+            "__k": pa.array(kk[carry_ends].tolist(), pa.string()),
+            "__col": pa.array(colv[carry_ends], pa.float64()),
+            "__tb": pa.array(tbv[carry_ends], pa.float64()),
+            "__rank": pa.array(np.zeros(mc, np.int64)),
+            "__cnt": pa.array(counts, pa.int64()),
+            "__rt": pa.array(np.full(mc, 2, np.int8)),
+        }))
+        return pa.concat_tables(parts)
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    # driver: fold the <= 2 carries per block into per-key totals +
+    # prefix counts (boundary order = (col, tb) of each segment end)
+    carry: dict = {}
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(pc.equal(batch["__rt"], 2))
+        for r in kept.to_pylist():
+            carry.setdefault(r["__k"], []).append(
+                (r["__col"], r["__tb"], r["__cnt"]))
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort()
+        last_a = np.array([a for a, _, _ in segs], dtype=np.float64)
+        last_b = np.array([b for _, b, _ in segs], dtype=np.float64)
+        pre_c = np.concatenate([[0], np.cumsum(
+            [c for _, _, c in segs])]).astype(np.int64)
+        total = int(pre_c[-1])
+        tg = targets_of(total)
+        tranks = np.array(sorted(tg), dtype=np.int64)
+        tqs = [tg[t] for t in sorted(tg)]
+        offsets[kval] = (last_a, last_b, pre_c, tranks, tqs)
+
+    import ray
+
+    handle = ray.put(offsets)
+    out_names = [key, "q", "value"]
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        final = batch.filter(pc.equal(batch["__rt"], 0)) \
+            .select(out_names)
+        pend = batch.filter(pc.equal(batch["__rt"], 1))
+        if pend.num_rows == 0:
+            return final
+        offs = ray.get(handle)
+        kk = pend["__k"].combine_chunks().to_numpy(zero_copy_only=False)
+        colb = pend["__col"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tbb = pend["__tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        lrank = pend["__rank"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        take_idx, take_q = [], []
+        for kval in np.unique(kk):
+            if kval not in offs:
+                continue
+            last_a, last_b, pre_c, tranks, tqs = offs[kval]
+            rows = np.nonzero(kk == kval)[0]
+            pos = _boundaries_before(last_a, last_b, colb[rows],
+                                     tbb[rows])
+            grank = lrank[rows] + pre_c[pos]
+            hit = np.searchsorted(tranks, grank)
+            ok = (hit < len(tranks)) & (tranks[np.minimum(
+                hit, len(tranks) - 1)] == grank)
+            for i in np.nonzero(ok)[0]:
+                for q in tqs[hit[i]]:
+                    take_idx.append(int(rows[i]))
+                    take_q.append(q)
+        if not take_idx:
+            return final
+        sel = pend.take(pa.array(take_idx, pa.int64()))
+        picked = pa.table({
+            key: sel[key],
+            "q": pa.array(take_q, pa.float64()),
+            "value": sel["value"],
+        })
+        return pa.concat_tables([final, picked])
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)

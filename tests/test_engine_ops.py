@@ -1459,3 +1459,51 @@ def _collect_tbl(ds):
               else b for b in ds.iter_batches(batch_format="pyarrow")]
     tables = [t for t in tables if t.num_rows]
     return pa.concat_tables(tables, promote_options="default")
+
+
+def test_grouped_exact_quantiles_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_exact_quantiles
+
+    rng = np.random.default_rng(21)
+    n = 8000
+    t = pa.table({
+        "g": pa.array([f"g{v}" if v % 7 else None
+                       for v in rng.integers(0, 30, n)], pa.string()),
+        "x": pa.array([None if rng.random() < 0.04 else float(v)
+                       for v in rng.normal(100, 20, n)], pa.float64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    key = lambda r: (r[0] is None, r)
+    for blocks in (1, 11):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["g"], r["q"], r["value"]) for r in
+                      grouped_exact_quantiles(
+                          ds, "g", "x", (0.25, 0.5, 0.9),
+                          tiebreak="rid").take_all()), key=key)
+        want = sorted((tuple(r) for r in duckdb.sql("""
+            SELECT g, 0.25::DOUBLE AS q, quantile_disc(x, 0.25) AS v
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            UNION ALL SELECT g, 0.5, quantile_disc(x, 0.5)
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            UNION ALL SELECT g, 0.9, quantile_disc(x, 0.9)
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            """).fetchall()), key=key)
+        assert got == want, blocks
+
+
+def test_grouped_exact_quantiles_hot_key_spans_blocks():
+    from json_schema_ray.engine.rank import grouped_exact_quantiles
+
+    # one key = 100k rows across 16 blocks; exact median/p99 known
+    n = 100_000
+    t = pa.table({
+        "g": pa.array(np.zeros(n, np.int64)),
+        "x": pa.array(np.arange(1, n + 1, dtype=np.float64)),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    got = {r["q"]: r["value"] for r in grouped_exact_quantiles(
+        ds, "g", "x", (0.5, 0.99), tiebreak="rid").take_all()}
+    assert got == {0.5: 50000.0, 0.99: 99000.0}
