@@ -263,6 +263,49 @@ def q_running_user_spend(sf_dir: str):
     return _round_col(t, "running_sum", 2)
 
 
+def q_custkeys_without_orders(sf_dir: str):
+    from json_schema_ray.engine.relational import except_distinct
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    schema = pa.schema([("c_custkey", pa.int64())])
+    return _collect(except_distinct(cust, orders, ["c_custkey"],
+                                    ["o_custkey"]), schema)
+
+
+def q_custkeys_with_orders(sf_dir: str):
+    from json_schema_ray.engine.relational import intersect_distinct
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    schema = pa.schema([("c_custkey", pa.int64())])
+    return _collect(intersect_distinct(cust, orders, ["c_custkey"],
+                                       ["o_custkey"]), schema)
+
+
+def q_event_type_mode_per_user(sf_dir: str):
+    from json_schema_ray.engine.rank import grouped_mode
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("mode", pa.string()), ("cnt", pa.int64())])
+    return _collect(grouped_mode(ds, "user_id", "event_type"), schema)
+
+
+def q_dedup_docs_norm_key(sf_dir: str):
+    from json_schema_ray.engine.dedup import exact_dedup_groups
+    from json_schema_ray.engine.text import normalize_text
+
+    ds = normalize_text(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+    groups = exact_dedup_groups(ds.select_columns(
+        ["doc_id", "norm_text"]), ["norm_text"], "doc_id")
+    schema = pa.schema([("norm_text", pa.string()),
+                        ("keep_id", pa.int64()),
+                        ("n_copies", pa.int64())])
+    return _collect(groups, schema)
+
+
 def q_user_value_quantiles(sf_dir: str):
     from json_schema_ray.engine.rank import grouped_exact_quantiles
 
@@ -1083,6 +1126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_spend": q_running_user_spend,
         "events_pivot_by_type": q_events_pivot_by_type,
         "user_value_quantiles": q_user_value_quantiles,
+        "custkeys_without_orders": q_custkeys_without_orders,
+        "custkeys_with_orders": q_custkeys_with_orders,
+        "event_type_mode_per_user": q_event_type_mode_per_user,
+        "dedup_docs_norm_key": q_dedup_docs_norm_key,
         # schema validation engine
         "validate_documents": q_validate_documents,
         "validate_events_props": q_validate_events_props,
@@ -1249,6 +1296,28 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
                      2) AS running_sum
             FROM events
+        """,
+        "custkeys_without_orders": """
+            SELECT c_custkey FROM customer
+            EXCEPT SELECT o_custkey FROM orders
+        """,
+        "custkeys_with_orders": """
+            SELECT c_custkey FROM customer
+            INTERSECT SELECT o_custkey FROM orders
+        """,
+        "event_type_mode_per_user": """
+            SELECT user_id, mode, cnt FROM (
+              SELECT user_id, event_type AS mode, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS rn
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY user_id, event_type) WHERE rn = 1
+        """,
+        "dedup_docs_norm_key": """
+            SELECT nfc_normalize(lower(trim(regexp_replace(
+                     text, '\s+', ' ', 'g')))) AS norm_text,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
         """,
         "user_value_quantiles": """
             SELECT user_id, CAST(0.5 AS DOUBLE) AS q,

@@ -35,6 +35,7 @@ from .keys import (
 from .rank import (
     cumulative_sum,
     grouped_exact_quantiles,
+    grouped_mode,
     grouped_top_k,
 )
 from .relational import (
@@ -42,8 +43,10 @@ from .relational import (
     asof_join_backward_sorted,
     broadcast_hash_join,
     grouped_aggregate,
+    except_distinct,
     hash_sample,
     heavy_hitters,
+    intersect_distinct,
     pivot_counts,
     range_join,
     salted_aggregate,
@@ -64,6 +67,7 @@ from .validate import (
     verdicts_dataset,
     violations_dataset,
 )
+from .text import normalize_text
 from .window import (
     hopping_window_counts,
     sessionize_counts,
@@ -84,18 +88,22 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_sorted",
     "exact_quantiles",
+    "except_distinct",
     "full_validation_pass",
     "grouped_aggregate",
     "grouped_exact_quantiles",
+    "grouped_mode",
     "grouped_top_k",
     "hash_sample",
     "heavy_hitters",
     "hopping_window_counts",
+    "intersect_distinct",
     "keyed_text_compare",
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",
     "minhash_dedup_pairs",
+    "normalize_text",
     "pivot_counts",
     "query_ann_index",
     "range_join",

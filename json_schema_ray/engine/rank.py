@@ -48,7 +48,20 @@ def _is_str(t: pa.DataType) -> bool:
 def _order_np(batch: pa.Table, col: str, descending: bool) -> np.ndarray:
     """Order column as an ascending-sortable float64 vector:
     descending negates, NULLs map to +inf so they rank LAST either
-    way (DuckDB's NULLS LAST default for both ASC and DESC)."""
+    way (DuckDB's NULLS LAST default for both ASC and DESC). STRING
+    columns factorize to their lexicographic rank WITHIN the batch
+    (``np.unique`` codes are order-isomorphic to the strings), which
+    is exactly what in-batch comparisons need."""
+    if _is_str(batch[col].type):
+        c = batch[col].combine_chunks()
+        mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(c, "").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(vals.astype(str), return_inverse=True)
+        v = codes.astype(np.float64)
+        if descending:
+            v = -v
+        v[mask] = np.inf
+        return v
     arr = pc.cast(batch[col], pa.float64())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -529,3 +542,37 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs,
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def grouped_mode(ds, key: str, col: str):
+    """Most frequent ``col`` value per ``key`` with DETERMINISTIC
+    tie-breaking (smallest value wins — SQL's own ``mode()`` leaves
+    ties unspecified, so the oracle-checkable contract is
+    ``row_number() OVER (PARTITION BY key ORDER BY cnt DESC, value)
+    = 1`` over the grouped counts). Pure composition: one combiner
+    groupby counts ``(key, col)`` pairs — the only pass over the
+    data — then :func:`grouped_top_k` with ``k=1`` runs on the
+    already-reduced counts table. Returns ``(key, mode, cnt)``; NULL
+    ``col`` values don't vote (SQL aggregate semantics)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
+        g = pa.TableGroupBy(t, [key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "cnt"])
+
+    counts = null_safe_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, col], [Sum("cnt", alias_name="cnt")], ["cnt"])
+    top = grouped_top_k(counts, [key], "cnt", 1, descending=True,
+                        tiebreak=col)
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = batch.select([key, col, "cnt"])
+        return out.rename_columns([key, "mode", "cnt"])
+
+    return top.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)

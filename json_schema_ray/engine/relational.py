@@ -502,6 +502,66 @@ def exact_distinct_count(ds, column: str) -> int:
     return uniq.groupby(column).count().count()
 
 
+def _distinct_set_op(left_ds, right_ds, left_on: List[str],
+                     right_on: List[str], op: str):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics, NULLs
+    compare equal): per-block distinct combiner on each projected
+    side — the shuffle moves unique key rows, never data — one tagged
+    union, one null-safe groupby taking max of the side flags, then a
+    filter. Output is one row per distinct key tuple, named after
+    ``left_on``. The right columns must be union-compatible in type
+    (cast upstream if not)."""
+    from ray.data.aggregate import Max
+
+    def tag(on: List[str], is_left: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            u = pa.TableGroupBy(batch.select(on), on).aggregate([]) \
+                .rename_columns(left_on)
+            n = u.num_rows
+            one = pa.array(np.ones(n, np.int8))
+            zero = pa.array(np.zeros(n, np.int8))
+            return u.append_column("__l", one if is_left else zero) \
+                .append_column("__r", zero if is_left else one)
+        return f
+
+    parts = left_ds.map_batches(tag(left_on, True),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(right_ds.map_batches(tag(right_on, False),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    agg = null_safe_grouped_aggregate(
+        parts, left_on,
+        [Max("__l", alias_name="__l"), Max("__r", alias_name="__r")],
+        ["__l", "__r"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        in_l = pc.equal(batch["__l"], 1)
+        in_r = pc.equal(batch["__r"], 1)
+        m = pc.and_(in_l, in_r) if op == "intersect" \
+            else pc.and_(in_l, pc.invert(in_r))
+        return batch.filter(m).select(left_on)
+
+    return agg.map_batches(pick, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def intersect_distinct(left_ds, right_ds, left_on: List[str],
+                       right_on: Optional[List[str]] = None):
+    """SQL ``SELECT left_on FROM left INTERSECT SELECT right_on FROM
+    right`` (output columns named after ``left_on``)."""
+    return _distinct_set_op(left_ds, right_ds, left_on,
+                            right_on or left_on, "intersect")
+
+
+def except_distinct(left_ds, right_ds, left_on: List[str],
+                    right_on: Optional[List[str]] = None):
+    """SQL ``SELECT left_on FROM left EXCEPT SELECT right_on FROM
+    right`` (output columns named after ``left_on``)."""
+    return _distinct_set_op(left_ds, right_ds, left_on,
+                            right_on or left_on, "except")
+
+
 def pivot_counts(ds, group_key: str, pivot_col: str,
                  categories: List[str], value: Optional[str] = None):
     """Pivot to a wide table: one row per ``group_key``, one column

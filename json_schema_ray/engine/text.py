@@ -301,3 +301,44 @@ def fingerprints(ds, column: str = "text", window: int = 16, keep: int = 4):
     return ds.map_batches(
         lambda b: fingerprint_batch(b, column, window, keep),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text_batch(batch: pa.Table, column: str = "text",
+                         out: str = "norm_text") -> pa.Table:
+    """Canonical dedup key for a text column, all Arrow kernels:
+    collapse runs of (unicode) whitespace to one space, trim, unicode
+    lowercase, NFC-normalize. Byte-equal to DuckDB's
+    ``nfc_normalize(lower(trim(regexp_replace(t, '\\s+', ' ',
+    'g'))))`` (both sides run RE2 and ICU-style casing), which is
+    what makes normalized-key dedup oracle-checkable."""
+    x = pc.replace_substring_regex(batch[column], r"\s+", " ")
+    x = pc.utf8_trim_whitespace(x)
+    x = pc.utf8_lower(x)
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    # NFC via polars: this pyarrow's utf8_normalize emits decomposed
+    # output for every requested form (composition is broken), while
+    # the polars kernel matches DuckDB's nfc_normalize byte-for-byte
+    try:
+        import polars as pl
+
+        x = pl.from_arrow(x).str.normalize("NFC").to_arrow()
+        if x.type != pa.string():
+            x = pc.cast(x, pa.string())
+    except ImportError:  # pragma: no cover
+        import unicodedata
+
+        x = pa.array([None if v is None
+                      else unicodedata.normalize("NFC", v)
+                      for v in x.to_pylist()], pa.string())
+    return batch.append_column(out, x)
+
+
+def normalize_text(ds, column: str = "text", out: str = "norm_text"):
+    """Per-batch vectorized normalization stage (see
+    :func:`normalize_text_batch`). Zero-shuffle; compose with
+    ``engine.dedup.exact_dedup`` on ``out`` for
+    normalization-insensitive dedup."""
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, column, out),
+        batch_format="pyarrow", zero_copy_batch=True)

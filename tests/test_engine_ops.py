@@ -1507,3 +1507,77 @@ def test_grouped_exact_quantiles_hot_key_spans_blocks():
     got = {r["q"]: r["value"] for r in grouped_exact_quantiles(
         ds, "g", "x", (0.5, 0.99), tiebreak="rid").take_all()}
     assert got == {0.5: 50000.0, 0.99: 99000.0}
+
+
+def test_set_ops_match_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.relational import (
+        except_distinct, intersect_distinct)
+
+    rng = np.random.default_rng(31)
+    a = pa.table({"k": pa.array(
+        [None if v == 7 else int(v) for v in rng.integers(0, 60, 3000)],
+        pa.int64())})
+    b = pa.table({"j": pa.array(
+        [None if v == 9 else int(v) for v in rng.integers(30, 90, 3000)],
+        pa.int64())})
+    dsa = _ray().data.from_arrow(a).repartition(5)
+    dsb = _ray().data.from_arrow(b).repartition(3)
+    key = lambda x: (x is None, x)
+    got_i = sorted((r["k"] for r in intersect_distinct(
+        dsa, dsb, ["k"], ["j"]).take_all()), key=key)
+    want_i = sorted((r[0] for r in duckdb.sql(
+        "SELECT k FROM a INTERSECT SELECT j FROM b").fetchall()),
+        key=key)
+    assert got_i == want_i
+    got_e = sorted((r["k"] for r in except_distinct(
+        dsa, dsb, ["k"], ["j"]).take_all()), key=key)
+    want_e = sorted((r[0] for r in duckdb.sql(
+        "SELECT k FROM a EXCEPT SELECT j FROM b").fetchall()),
+        key=key)
+    assert got_e == want_e
+
+
+def test_grouped_mode_matches_duckdb_deterministic():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_mode
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "ev": pa.array([None if v == 5 else "abcdef"[v % 5]
+                        for v in rng.integers(0, 6, n)], pa.string()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(7)
+    got = sorted((r["u"], r["mode"], r["cnt"])
+                 for r in grouped_mode(ds, "u", "ev").take_all())
+    want = sorted(tuple(r) for r in duckdb.sql("""
+        SELECT u, ev, cnt FROM (
+          SELECT u, ev, count(*) AS cnt, row_number() OVER
+            (PARTITION BY u ORDER BY count(*) DESC, ev) AS rn
+          FROM t WHERE ev IS NOT NULL GROUP BY u, ev)
+        WHERE rn = 1""").fetchall())
+    assert got == want
+
+
+def test_normalize_text_matches_duckdb_and_dedups():
+    import duckdb
+
+    from json_schema_ray.engine.text import normalize_text
+
+    texts = ["  Héllo\tWorld ", "héllo world", "HÉLLO  WORLD",
+             "autre\n\ntexte", " autre texte  ", "unique one", None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(3)
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(ds).take_all()}
+    want = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT doc_id, nfc_normalize(lower(trim(
+          regexp_replace(text, '\\s+', ' ', 'g')))) FROM t""").fetchall()}
+    assert got == want
+    # the three Héllo variants collapse to one normalized key
+    assert len({v for v in got.values() if v and "héllo" in v}) == 1
