@@ -263,6 +263,44 @@ def q_running_user_spend(sf_dir: str):
     return _round_col(t, "running_sum", 2)
 
 
+def q_orders_price_date_corr(sf_dir: str):
+    from json_schema_ray.engine.stats import corr_stats
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def epoch(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_totalprice": b["o_totalprice"],
+            "odate": pc.cast(pc.cast(b["o_orderdate"], pa.int64()),
+                             pa.float64()),
+        })
+
+    t = corr_stats(ds.map_batches(epoch, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+                   "o_totalprice", "odate")
+    return pa.table({
+        "n": t["n"],
+        "corr": pa.array([round(t["corr"][0].as_py(), 6)], pa.float64()),
+    })
+
+
+def q_price_histogram(sf_dir: str):
+    from json_schema_ray.engine.stats import histogram
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    return histogram(ds, "o_totalprice", 20, 0.0, 600000.0)
+
+
+def q_user_event_type_diversity(sf_dir: str):
+    from json_schema_ray.engine.relational import grouped_distinct_count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    return _collect(grouped_distinct_count(ds, "user_id", "event_type"),
+                    schema)
+
+
 def q_custkeys_without_orders(sf_dir: str):
     from json_schema_ray.engine.relational import except_distinct
 
@@ -1127,6 +1165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": q_events_pivot_by_type,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
+        "orders_price_date_corr": q_orders_price_date_corr,
+        "price_histogram": q_price_histogram,
+        "user_event_type_diversity": q_user_event_type_diversity,
         "custkeys_with_orders": q_custkeys_with_orders,
         "event_type_mode_per_user": q_event_type_mode_per_user,
         "dedup_docs_norm_key": q_dedup_docs_norm_key,
@@ -1296,6 +1337,28 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
                      2) AS running_sum
             FROM events
+        """,
+        "orders_price_date_corr": """
+            SELECT count(*) AS n,
+                   round(corr(o_totalprice,
+                              CAST(epoch_us(o_orderdate) AS DOUBLE)),
+                         6) AS corr
+            FROM orders
+        """,
+        "price_histogram": """
+            WITH b AS (SELECT least(greatest(CAST(floor(
+                     o_totalprice / 30000.0) AS BIGINT), 0), 19) AS bin,
+                   count(*) AS cnt
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
+            SELECT g.bin, CAST(g.bin * 30000.0 AS DOUBLE) AS bin_lo,
+                   coalesce(b.cnt, 0) AS cnt
+            FROM (SELECT unnest(range(20)) AS bin) g
+            LEFT JOIN b ON g.bin = b.bin
+        """,
+        "user_event_type_diversity": """
+            SELECT user_id, count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id
+            HAVING count(DISTINCT event_type) > 0
         """,
         "custkeys_without_orders": """
             SELECT c_custkey FROM customer

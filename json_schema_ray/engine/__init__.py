@@ -44,6 +44,7 @@ from .relational import (
     broadcast_hash_join,
     grouped_aggregate,
     except_distinct,
+    grouped_distinct_count,
     hash_sample,
     heavy_hitters,
     intersect_distinct,
@@ -60,7 +61,12 @@ from .similarity import (
     knn_lsh,
     query_ann_index,
 )
-from .stats import column_stats, exact_quantiles
+from .stats import (
+    column_stats,
+    corr_stats,
+    exact_quantiles,
+    histogram,
+)
 from .validate import (
     compile_plan_for,
     full_validation_pass,
@@ -82,6 +88,7 @@ __all__ = [
     "build_ann_index",
     "column_stats",
     "compile_plan_for",
+    "corr_stats",
     "cumulative_sum",
     "duplicate_keys",
     "embedding_near_dup_pairs",
@@ -91,11 +98,13 @@ __all__ = [
     "except_distinct",
     "full_validation_pass",
     "grouped_aggregate",
+    "grouped_distinct_count",
     "grouped_exact_quantiles",
     "grouped_mode",
     "grouped_top_k",
     "hash_sample",
     "heavy_hitters",
+    "histogram",
     "hopping_window_counts",
     "intersect_distinct",
     "keyed_text_compare",

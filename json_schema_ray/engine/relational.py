@@ -1080,3 +1080,35 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
 
     return interior.union(resolved.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def grouped_distinct_count(ds, key: str, col: str):
+    """Exact ``count(DISTINCT col) GROUP BY key``: a per-block
+    distinct combiner on (key, col) pairs bounds what the first
+    shuffle moves, a global (key, col) groupby dedupes, then the
+    already-reduced distinct pairs re-aggregate per key. NULL values
+    don't count (SQL COUNT(DISTINCT)); NULL keys form their own
+    group. Returns (key, n_distinct)."""
+    from ray.data.aggregate import Count, Sum
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
+        return pa.TableGroupBy(t, [key, col]).aggregate([])
+
+    # the Count is a throwaway (Ray's groupby needs >= 1 agg); the
+    # shuffle's purpose is the global (key, col) dedupe
+    pairs = null_safe_grouped_aggregate(
+        ds.map_batches(uniq, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, col], [Count(alias_name="__c")], ["__c"])
+
+    def ones(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([key]), [key]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key, "n_distinct"])
+
+    return null_safe_grouped_aggregate(
+        pairs.map_batches(ones, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        [key], [Sum("n_distinct", alias_name="n_distinct")],
+        ["n_distinct"])

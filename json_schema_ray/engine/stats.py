@@ -226,3 +226,90 @@ def _merge_partial(merged: dict, row: dict) -> None:
     if row["tdigest"] is not None:
         td = TDigest.deserialize(row["tdigest"])
         m["tdigest"] = td if m["tdigest"] is None else m["tdigest"].merge(td)
+
+
+def corr_stats(ds, x: str, y: str) -> pa.Table:
+    """Pearson correlation + sample covariance of two numeric
+    columns in ONE pass: each block reduces to a single
+    (n, sx, sy, sxx, syy, sxy) moment row over rows where BOTH values
+    are non-null (SQL ``corr``/``covar_samp`` semantics); the driver
+    folds the O(n_blocks) partials. Returns one row
+    (n, corr, covar_samp)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[x], pa.float64())
+        yv = pc.cast(batch[y], pa.float64())
+        m = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = pa.table({"x": xv, "y": yv}).filter(m)
+        a = t["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["y"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(a)], pa.int64()),
+            "sx": pa.array([float(a.sum())], pa.float64()),
+            "sy": pa.array([float(b.sum())], pa.float64()),
+            "sxx": pa.array([float((a * a).sum())], pa.float64()),
+            "syy": pa.array([float((b * b).sum())], pa.float64()),
+            "sxy": pa.array([float((a * b).sum())], pa.float64()),
+        })
+
+    tot = {"n": 0, "sx": 0.0, "sy": 0.0, "sxx": 0.0, "syy": 0.0,
+           "sxy": 0.0}
+    for batch in ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            for k in tot:
+                tot[k] += row[k]
+    n = tot["n"]
+    if n < 2:
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "corr": pa.nulls(1, pa.float64()),
+                         "covar_samp": pa.nulls(1, pa.float64())})
+    cov = (tot["sxy"] - tot["sx"] * tot["sy"] / n) / (n - 1)
+    vx = (tot["sxx"] - tot["sx"] ** 2 / n) / (n - 1)
+    vy = (tot["syy"] - tot["sy"] ** 2 / n) / (n - 1)
+    corr = cov / (vx * vy) ** 0.5 if vx > 0 and vy > 0 else None
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "corr": pa.array([corr], pa.float64()),
+                     "covar_samp": pa.array([cov], pa.float64())})
+
+
+def histogram(ds, column: str, n_bins: int, lo: float,
+              hi: float) -> pa.Table:
+    """Fixed-range histogram in ONE pass: per block a vectorized
+    ``np.bincount`` over ``floor((x - lo) / width)`` produces one
+    fixed-size count vector; the driver sums the O(n_blocks) vectors.
+    Values outside [lo, hi) clamp into the edge bins (SQL analogue:
+    ``least(greatest(floor(...), 0), n_bins - 1)``); NULLs drop.
+    Returns (bin, bin_lo, cnt) — n_bins rows, empty bins included."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[column], pa.float64())
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        a = v.drop_null().to_numpy(zero_copy_only=False)
+        idx = np.clip(np.floor((a - lo) / width).astype(np.int64),
+                      0, n_bins - 1)
+        cnt = np.bincount(idx, minlength=n_bins)
+        return pa.table({"cnt": pa.array(cnt, pa.int64())})
+
+    # batches may arrive re-chunked across partial boundaries:
+    # concatenate the stream (n_blocks * n_bins rows total), then
+    # fold per-block vectors with one reshape
+    chunks = [batch["cnt"].to_numpy(zero_copy_only=False)
+              for batch in ds.map_batches(
+                  partial, batch_format="pyarrow",
+                  zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")]
+    flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+    total = flat.reshape(-1, n_bins).sum(axis=0) if len(flat) \
+        else np.zeros(n_bins, np.int64)
+    bins = np.arange(n_bins, dtype=np.int64)
+    return pa.table({
+        "bin": pa.array(bins),
+        "bin_lo": pa.array(lo + bins * width, pa.float64()),
+        "cnt": pa.array(total, pa.int64()),
+    })

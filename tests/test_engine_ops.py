@@ -1581,3 +1581,71 @@ def test_normalize_text_matches_duckdb_and_dedups():
     assert got == want
     # the three Héllo variants collapse to one normalized key
     assert len({v for v in got.values() if v and "héllo" in v}) == 1
+
+
+def test_corr_stats_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.stats import corr_stats
+
+    rng = np.random.default_rng(51)
+    n = 5000
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 4, n)
+    xs = [None if rng.random() < 0.03 else float(v) for v in x]
+    ys = [None if rng.random() < 0.03 else float(v) for v in y]
+    t = pa.table({"x": pa.array(xs, pa.float64()),
+                  "y": pa.array(ys, pa.float64())})
+    ds = _ray().data.from_arrow(t).repartition(8)
+    got = corr_stats(ds, "x", "y").to_pylist()[0]
+    want = duckdb.sql(
+        "SELECT count(*) FILTER (x IS NOT NULL AND y IS NOT NULL),"
+        " corr(x, y), covar_samp(x, y) FROM t").fetchone()
+    assert got["n"] == want[0]
+    assert got["corr"] == pytest.approx(want[1], abs=1e-9)
+    assert got["covar_samp"] == pytest.approx(want[2], abs=1e-9)
+
+
+def test_histogram_matches_duckdb_buckets():
+    import duckdb
+
+    from json_schema_ray.engine.stats import histogram
+
+    rng = np.random.default_rng(53)
+    vals = [None if rng.random() < 0.05 else float(v)
+            for v in rng.normal(50, 30, 4000)]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = _ray().data.from_arrow(t).repartition(5)
+    got = {r["bin"]: r["cnt"]
+           for r in histogram(ds, "x", 10, 0.0, 100.0).to_pylist()}
+    want = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT least(greatest(CAST(floor(x / 10.0) AS BIGINT), 0), 9)
+                 AS bin, count(*) AS cnt
+        FROM t WHERE x IS NOT NULL GROUP BY 1""").fetchall()}
+    for b in range(10):
+        assert got[b] == want.get(b, 0), b
+    assert sum(got.values()) == sum(1 for v in vals if v is not None)
+
+
+def test_grouped_distinct_count_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.relational import grouped_distinct_count
+
+    rng = np.random.default_rng(57)
+    n = 7000
+    t = pa.table({
+        "u": pa.array([None if v == 19 else int(v)
+                       for v in rng.integers(0, 20, n)], pa.int64()),
+        "e": pa.array([None if v == 9 else f"e{v}"
+                       for v in rng.integers(0, 10, n)], pa.string()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(9)
+    key = lambda x: (x[0] is None, x)
+    got = sorted(((r["u"], r["n_distinct"]) for r in
+                  grouped_distinct_count(ds, "u", "e").take_all()),
+                 key=key)
+    want = sorted((tuple(r) for r in duckdb.sql(
+        "SELECT u, count(DISTINCT e) FROM t GROUP BY u"
+        " HAVING count(DISTINCT e) > 0").fetchall()), key=key)
+    assert got == want
