@@ -301,6 +301,26 @@ def q_user_event_type_diversity(sf_dir: str):
                     schema)
 
 
+def q_building_segment_orders(sf_dir: str):
+    from json_schema_ray.engine.relational import semi_join
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def building(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("o_custkey", pa.int64()),
+                        ("o_totalprice", pa.float64())])
+    return _collect(semi_join(
+        orders, cust.map_batches(building, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+        "o_custkey", "c_custkey"), schema)
+
+
 def q_custkeys_without_orders(sf_dir: str):
     from json_schema_ray.engine.relational import except_distinct
 
@@ -1165,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": q_events_pivot_by_type,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
+        "building_segment_orders": q_building_segment_orders,
         "orders_price_date_corr": q_orders_price_date_corr,
         "price_histogram": q_price_histogram,
         "user_event_type_diversity": q_user_event_type_diversity,
@@ -1359,6 +1380,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY user_id
             HAVING count(DISTINCT event_type) > 0
+        """,
+        "building_segment_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
         """,
         "custkeys_without_orders": """
             SELECT c_custkey FROM customer

@@ -41,6 +41,17 @@ HEADLINE_QUERIES = [
     "text_equality",
 ]
 
+# timed after the headline suite and reported under "extra_queries"
+# (NOT in "value"), so round-over-round totals stay like-for-like
+# while new operator families still get recorded numbers
+EXTRA_QUERIES = [
+    "top3_orders_per_cust",   # grouped top-k: sort + edge merge
+    "running_user_spend",     # running totals: sort + carry stitch
+    "user_value_quantiles",   # exact per-group quantiles
+    "events_pivot_by_type",   # conditional-aggregation pivot
+    "orders_hash_sample",     # shuffle-free deterministic sample
+]
+
 
 def _flagship_throughput(n_turns: int) -> dict:
     """Validated turns/sec over the synthetic transcript corpus:
@@ -123,6 +134,15 @@ def run_bench() -> None:
         queries[name] = round(dt, 3)
         total += dt
 
+    extra = {}
+    for name in EXTRA_QUERIES:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        extra[name] = round(time.time() - t0, 3)
+
     # calib-normalized per-query seconds (sec / calib_sec): the host's
     # per-core throughput swings ~30% between runs, so round-over-round
     # comparisons should use these fields, not raw seconds
@@ -140,6 +160,9 @@ def run_bench() -> None:
         "calib_sec": calib,
         "value_norm": round(total / calib, 3),
         "queries_norm": queries_norm,
+        "extra_queries": extra,
+        "extra_queries_norm": {k: round(v / calib, 3)
+                               for k, v in extra.items()},
     }))
     ray.shutdown()
 

@@ -39,6 +39,7 @@ from .rank import (
     grouped_top_k,
 )
 from .relational import (
+    anti_join,
     asof_join_backward,
     asof_join_backward_sorted,
     broadcast_hash_join,
@@ -51,6 +52,7 @@ from .relational import (
     pivot_counts,
     range_join,
     salted_aggregate,
+    semi_join,
     top_k,
 )
 from .similarity import (
@@ -82,6 +84,7 @@ from .window import (
 
 __all__ = [
     "aligned_text_compare",
+    "anti_join",
     "asof_join_backward",
     "asof_join_backward_sorted",
     "broadcast_hash_join",
@@ -118,6 +121,7 @@ __all__ = [
     "range_join",
     "referential_violations",
     "salted_aggregate",
+    "semi_join",
     "sessionize_counts",
     "simhash_near_dup_pairs",
     "top_k",

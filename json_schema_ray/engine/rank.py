@@ -1,5 +1,5 @@
-"""Rank / running-window operators (grouped top-k, per-key running
-totals).
+"""Rank / running-window operators: grouped top-k, per-key running
+totals, exact per-group quantiles, deterministic per-group mode.
 
 Scale shape, same discipline as ``window.py`` / the sorted as-of join
 in ``relational.py``: top-k partials are MERGEABLE (top-k of a union
@@ -7,9 +7,14 @@ is contained in the union of per-part top-ks), so each block is first
 reduced to <= k rows per group before anything moves; one
 range-partitioned sort then co-locates groups, and only the <= 2 key
 segments that can straddle a block boundary surface as fixed-size
-edge rows — driver memory is O(k * n_blocks), independent of any
-single group's row count, and no per-group Python (``map_groups``)
-runs anywhere.
+edge/carry rows — driver memory is O(k * n_blocks), independent of
+any single group's row count, and no per-group Python
+(``map_groups``) runs anywhere. ``cumulative_sum`` and
+``grouped_exact_quantiles`` share the boundary-carry machinery
+(:func:`_boundaries_before`): pending first-segment rows resolve
+DISTRIBUTED against a broadcast O(n_blocks) prefix table;
+``grouped_mode`` is a pure composition of a combiner counts groupby
+and ``grouped_top_k(k=1)`` over the reduced counts.
 """
 
 from __future__ import annotations

@@ -502,6 +502,69 @@ def exact_distinct_count(ds, column: str) -> int:
     return uniq.groupby(column).count().count()
 
 
+def _broadcast_key_set(ref_ds, pk: str):
+    """Distinct non-null reference keys collected once as ONE Arrow
+    array and shared via ``ray.put`` — every task probes zero-copy
+    with ``pc.is_in``. The reference side must be dimension-sized
+    (same contract as :func:`broadcast_hash_join`)."""
+    import ray
+
+    chunks = []
+    for batch in ref_ds.select_columns([pk]) \
+            .iter_batches(batch_format="pyarrow"):
+        col = batch[pk].drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col):
+            chunks.append(col)
+    keys = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([])
+    return ray.put(keys)
+
+
+def semi_join(ds, ref_ds, fk: str, pk: str):
+    """Row-level SQL ``WHERE EXISTS`` (left semi join): keep the rows
+    of ``ds`` whose ``fk`` matches some ``ref_ds[pk]``. NULL keys
+    never match. Broadcast probe — no shuffle of the big side; for
+    two big sides route through :func:`sort_merge_join` + projection
+    instead."""
+    import ray
+
+    handle = _broadcast_key_set(ref_ds, pk)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = ray.get(handle)
+        col = batch[fk]
+        if len(keys) == 0:
+            keys = pa.array([], type=col.type)
+        return batch.filter(
+            pc.fill_null(pc.is_in(col, value_set=keys), False))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def anti_join(ds, ref_ds, fk: str, pk: str):
+    """Row-level SQL ``WHERE NOT EXISTS`` (left anti join): keep the
+    rows of ``ds`` with NO ``ref_ds[pk]`` match. NULL-``fk`` rows are
+    KEPT (NOT EXISTS semantics, unlike NOT IN); pass the result of
+    ``engine.keys.referential_violations`` for the drop-null-fk
+    variant. Broadcast probe, no shuffle of the big side."""
+    import ray
+
+    handle = _broadcast_key_set(ref_ds, pk)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = ray.get(handle)
+        col = batch[fk]
+        if len(keys) == 0:
+            keys = pa.array([], type=col.type)
+        return batch.filter(pc.invert(
+            pc.fill_null(pc.is_in(col, value_set=keys), False)))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _distinct_set_op(left_ds, right_ds, left_on: List[str],
                      right_on: List[str], op: str):
     """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics, NULLs

@@ -1649,3 +1649,35 @@ def test_grouped_distinct_count_matches_duckdb():
         "SELECT u, count(DISTINCT e) FROM t GROUP BY u"
         " HAVING count(DISTINCT e) > 0").fetchall()), key=key)
     assert got == want
+
+
+def test_semi_anti_join_match_duckdb_exists():
+    import duckdb
+
+    from json_schema_ray.engine.relational import anti_join, semi_join
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    lt = pa.table({
+        "fk": pa.array([None if v == 50 else int(v)
+                        for v in rng.integers(0, 60, n)], pa.int64()),
+        "payload": pa.array(np.arange(n), pa.int64()),
+    })
+    rt = pa.table({"pk": pa.array(
+        [None if v == 5 else int(v) for v in rng.integers(0, 40, 500)],
+        pa.int64())})
+    dl = _ray().data.from_arrow(lt).repartition(6)
+    dr = _ray().data.from_arrow(rt).repartition(2)
+    got_s = sorted(r["payload"] for r in
+                   semi_join(dl, dr, "fk", "pk").take_all())
+    want_s = sorted(r[0] for r in duckdb.sql(
+        "SELECT payload FROM lt WHERE EXISTS "
+        "(SELECT 1 FROM rt WHERE pk = fk)").fetchall())
+    assert got_s == want_s
+    got_a = sorted(r["payload"] for r in
+                   anti_join(dl, dr, "fk", "pk").take_all())
+    want_a = sorted(r[0] for r in duckdb.sql(
+        "SELECT payload FROM lt WHERE NOT EXISTS "
+        "(SELECT 1 FROM rt WHERE pk = fk)").fetchall())
+    assert got_a == want_a
+    assert len(got_s) + len(got_a) == n
