@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _SEP = "\x1f"
+_ESC = "\x1e"
 
 
 def _group_key_expr(batch: pa.Table, keys: List[str]) -> pa.Array:
@@ -33,21 +34,35 @@ def _group_key_expr(batch: pa.Table, keys: List[str]) -> pa.Array:
     ``"v" + str(value)`` / ``"n"`` and joined with an unprintable
     separator. Only EQUALITY of the encoding matters (it is exact per
     column); its lexicographic order is used purely to co-locate
-    groups in the sort, never to order results."""
+    groups in the sort, never to order results. Injective: separator
+    and escape bytes inside string values are escaped (multi-key
+    only), and float ``-0.0`` folds onto ``0.0`` (SQL GROUP BY
+    equality)."""
     parts = []
+    multi = len(keys) > 1
     for k in keys:
         col = batch[k]
-        s = col if _is_str(col.type) else pc.cast(col, pa.string())
+        if _is_str(col.type):
+            s = col
+            if multi:
+                s = pc.replace_substring(s, _ESC, _ESC + _ESC)
+                s = pc.replace_substring(s, _SEP, _ESC + "s")
+        else:
+            if pa.types.is_floating(col.type):
+                col = pc.add(col, pa.scalar(0.0, col.type))
+            s = pc.cast(col, pa.string())
         parts.append(pc.if_else(
             pc.is_null(s), pa.scalar("n"),
             pc.binary_join_element_wise("v", s, "")))
     if len(parts) == 1:
-        return parts[0]
-    return pc.binary_join_element_wise(*parts, _SEP)
+        return parts[0] if isinstance(parts[0], pa.Array) \
+            else parts[0].combine_chunks()
+    out = pc.binary_join_element_wise(*parts, _SEP)
+    return out if isinstance(out, pa.Array) else out.combine_chunks()
 
 
-def _is_str(t: pa.DataType) -> bool:
-    return pa.types.is_string(t) or pa.types.is_large_string(t)
+# single definition shared with the relational module
+from .relational import _is_string_type as _is_str  # noqa: E402
 
 
 def _order_np(batch: pa.Table, col: str, descending: bool) -> np.ndarray:
@@ -67,7 +82,10 @@ def _order_np(batch: pa.Table, col: str, descending: bool) -> np.ndarray:
             v = -v
         v[mask] = np.inf
         return v
-    arr = pc.cast(batch[col], pa.float64())
+    src = batch[col]
+    if pa.types.is_temporal(src.type):
+        src = pc.cast(src, pa.int64())
+    arr = pc.cast(src, pa.float64())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
@@ -184,10 +202,15 @@ def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
     interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
                                       zero_copy_batch=True)
 
-    # edge segments: <= 2k candidate rows per block on the driver
+    # edge segments: <= 2k candidate rows per block reach the driver;
+    # the __edge filter runs DISTRIBUTED so full blocks never do
+    def edge_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__edge"])
+
     edge_tables = []
-    for batch in scanned.iter_batches(batch_format="pyarrow"):
-        kept = batch.filter(batch["__edge"])
+    for kept in scanned.map_batches(edge_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
         if kept.num_rows:
             edge_tables.append(pa.Table.from_batches([kept])
                                if isinstance(kept, pa.RecordBatch)
@@ -229,13 +252,23 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
     first-segment rows resolve distributed. A Zipf-hot key spanning
     every block costs two carry rows per block, never its timeline.
     NULL values don't contribute (SQL SUM ignores them); a row with
-    no non-null value so far carries a NULL running_sum.
+    no non-null value so far carries a NULL running_sum. ``ts`` /
+    ``tiebreak`` must be numeric or temporal (their values cross
+    block boundaries as float64 carry positions; a per-batch string
+    factorization would not be comparable across blocks — int64
+    values beyond 2**53 lose tiebreak precision).
     """
     from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
 
     def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"cumulative_sum: order column {c!r} is a string;"
+                    " only numeric/temporal order columns carry"
+                    " across block boundaries")
         n = batch.num_rows
         base = batch.append_column(
             "__rt", pa.array(np.zeros(n, np.int8))).append_column(
@@ -277,23 +310,28 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
     scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()
 
-    # driver: only the fixed-size carry rows (<= 2 per block)
-    carry = {}
-    for batch in scanned.iter_batches(batch_format="pyarrow"):
-        kept = batch.filter(pc.equal(batch["__rt"], 2))
+    # driver receives ONLY the fixed-size carry rows (<= 2 per
+    # block): the __rt filter runs DISTRIBUTED so full blocks never
+    # cross to the driver node. Boundary positions travel as the same
+    # float64 encoding _order_np gives the resolve pass (nulls last
+    # as +inf), so float/temporal order columns are exact.
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
         kk = _group_key_expr(kept, [key]).to_pylist()
-        # null order positions sort last (Ray sort default): encode
-        # as int64 max so boundary comparisons stay total
-        imax = np.iinfo(np.int64).max
-        tsv = pc.fill_null(pc.cast(kept[ts], pa.int64()), imax).to_pylist()
-        tbv = pc.fill_null(pc.cast(kept[tiebreak], pa.int64()),
-                           imax).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
         sums = kept["running_sum"].to_pylist()
         cnts = kept["__cnt"].to_pylist()
         for kval, t, tb, s, c in zip(kk, tsv, tbv, sums, cnts):
-            carry.setdefault(kval, []).append((t, tb, s, c))
+            carry.setdefault(kval, []).append((float(t), float(tb),
+                                               s, c))
 
     # per-key prefix offsets ordered by boundary (ts, tb): pre_s[i] =
     # sum of the first i carry segments, so a row preceded by i
@@ -301,8 +339,9 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
     offsets = {}
     for kval, segs in carry.items():
         segs.sort()
-        last_a = np.array([t for t, _, _, _ in segs], dtype=np.int64)
-        last_b = np.array([tb for _, tb, _, _ in segs], dtype=np.int64)
+        last_a = np.array([t for t, _, _, _ in segs], dtype=np.float64)
+        last_b = np.array([tb for _, tb, _, _ in segs],
+                          dtype=np.float64)
         pre_s = np.concatenate([[0.0], np.cumsum(
             [s for _, _, s, _ in segs])])
         pre_c = np.concatenate([[0], np.cumsum(
@@ -325,11 +364,8 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
             .to_numpy(zero_copy_only=False).copy()
         cnt = kept["__cnt"].combine_chunks() \
             .to_numpy(zero_copy_only=False).copy()
-        imax = np.iinfo(np.int64).max
-        tsv = pc.fill_null(pc.cast(kept[ts], pa.int64()), imax) \
-            .combine_chunks().to_numpy(zero_copy_only=False)
-        tbv = pc.fill_null(pc.cast(kept[tiebreak], pa.int64()), imax) \
-            .combine_chunks().to_numpy(zero_copy_only=False)
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
         pend = np.nonzero(rt == 1)[0]
         for kval in np.unique(kk[pend]) if len(pend) else []:
             if kval not in offs:
@@ -379,8 +415,16 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs,
     qlist = sorted(set(float(q) for q in qs))
     if not qlist:
         raise ValueError("qs must be non-empty")
+    if qlist[0] < 0.0 or qlist[-1] > 1.0:
+        raise ValueError(f"quantiles must lie in [0, 1], got {qlist}")
 
     def prep(batch: pa.Table) -> pa.Table:
+        for c in (col, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"grouped_exact_quantiles: column {c!r} is a"
+                    " string; only numeric/temporal value/tiebreak"
+                    " columns carry across block boundaries")
         return batch.select([key, col, tiebreak]) \
             .filter(pc.is_valid(batch[col]))
 
@@ -481,10 +525,15 @@ def grouped_exact_quantiles(ds, key: str, col: str, qs,
                                     zero_copy_batch=True).materialize()
 
     # driver: fold the <= 2 carries per block into per-key totals +
-    # prefix counts (boundary order = (col, tb) of each segment end)
+    # prefix counts (boundary order = (col, tb) of each segment end);
+    # the __rt filter runs DISTRIBUTED so only carry rows cross over
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
     carry: dict = {}
-    for batch in scanned.iter_batches(batch_format="pyarrow"):
-        kept = batch.filter(pc.equal(batch["__rt"], 2))
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
         for r in kept.to_pylist():
             carry.setdefault(r["__k"], []).append(
                 (r["__col"], r["__tb"], r["__cnt"]))

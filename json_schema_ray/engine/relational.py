@@ -650,7 +650,11 @@ def pivot_counts(ds, group_key: str, pivot_col: str,
         pv = batch[pivot_col]
         cols = {group_key: batch[group_key]}
         if value is not None:
-            vals = pc.cast(batch[value], pa.float64())
+            # NULL values add 0, matching the documented
+            # coalesce(sum(CASE WHEN m THEN v END), 0) contract even
+            # for groups whose every matching value is NULL
+            vals = pc.fill_null(pc.cast(batch[value], pa.float64()),
+                                0.0)
         for cat, name in zip(categories, out_cols):
             m = pc.equal(pv, cat)
             if value is None:

@@ -102,6 +102,8 @@ def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.95, 0.99)):
     one-scan alternative; this is the sort-paying ground truth.)"""
     import math
 
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError(f"quantiles must lie in [0, 1], got {list(qs)}")
     proj = ds.select_columns([column])
 
     def drop_null(batch: pa.Table) -> pa.Table:
@@ -291,8 +293,11 @@ def histogram(ds, column: str, n_bins: int, lo: float,
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         a = v.drop_null().to_numpy(zero_copy_only=False)
-        idx = np.clip(np.floor((a - lo) / width).astype(np.int64),
-                      0, n_bins - 1)
+        a = a[~np.isnan(a)]  # NaN has no bin (dropped like NULL)
+        # clip in FLOAT space first: +/-inf clamp to the edge bins;
+        # a float->int64 astype of inf/NaN is undefined in numpy
+        idx = np.clip(np.floor((a - lo) / width), 0,
+                      n_bins - 1).astype(np.int64)
         cnt = np.bincount(idx, minlength=n_bins)
         return pa.table({"cnt": pa.array(cnt, pa.int64())})
 

@@ -312,7 +312,11 @@ def normalize_text_batch(batch: pa.Table, column: str = "text",
     'g'))))`` (both sides run RE2 and ICU-style casing), which is
     what makes normalized-key dedup oracle-checkable."""
     x = pc.replace_substring_regex(batch[column], r"\s+", " ")
-    x = pc.utf8_trim_whitespace(x)
+    # trim SPACES only (pc.utf8_trim, not utf8_trim_whitespace):
+    # DuckDB's trim() removes only ' ', and RE2 \s above never
+    # matches \x0b / unicode spaces — trimming those here would
+    # silently diverge from the oracle expression
+    x = pc.utf8_trim(x, " ")
     x = pc.utf8_lower(x)
     if isinstance(x, pa.ChunkedArray):
         x = x.combine_chunks()

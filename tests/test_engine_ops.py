@@ -1681,3 +1681,92 @@ def test_semi_anti_join_match_duckdb_exists():
         "(SELECT 1 FROM rt WHERE pk = fk)").fetchall())
     assert got_a == want_a
     assert len(got_s) + len(got_a) == n
+
+
+def test_review_fixes_rank_edge_cases():
+    import duckdb
+    import pytest as _pt
+
+    from json_schema_ray.engine.rank import (
+        cumulative_sum, grouped_exact_quantiles, grouped_top_k)
+
+    # separator/escape bytes inside multi-key strings stay distinct
+    t = pa.table({
+        "a": pa.array(["x\x1fvy", "x", "x\x1ex"], pa.string()),
+        "b": pa.array(["z", "y\x1fvz", "x"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "rid": pa.array([0, 1, 2], pa.int64()),
+    })
+    out = grouped_top_k(_ray().data.from_arrow(t).repartition(2),
+                        ["a", "b"], "v", 1, tiebreak="rid").take_all()
+    assert len(out) == 3  # three distinct groups, not merged
+    # -0.0 and 0.0 group together (SQL GROUP BY equality)
+    t2 = pa.table({"g": pa.array([0.0, -0.0, 1.0], pa.float64()),
+                   "v": pa.array([5.0, 7.0, 1.0], pa.float64()),
+                   "rid": pa.array([0, 1, 2], pa.int64())})
+    out2 = grouped_top_k(_ray().data.from_arrow(t2), ["g"], "v", 1,
+                         tiebreak="rid").take_all()
+    assert len(out2) == 2
+    assert {r["v"] for r in out2} == {7.0, 1.0}
+    # string order/tiebreak columns are rejected in carry-based ops
+    t3 = pa.table({"g": pa.array([1, 1], pa.int64()),
+                   "ts": pa.array([1, 2], pa.int64()),
+                   "s": pa.array(["a", "b"], pa.string()),
+                   "v": pa.array([1.0, 2.0], pa.float64())})
+    with _pt.raises(Exception, match="string"):
+        cumulative_sum(_ray().data.from_arrow(t3), "g", "ts", "v",
+                       "s").take_all()
+    with _pt.raises(ValueError, match="\\[0, 1\\]"):
+        grouped_exact_quantiles(_ray().data.from_arrow(t3), "g", "v",
+                                (1.5,), tiebreak="ts")
+    # float ts with fractional values works (no int64 cast crash)
+    t4 = pa.table({"g": pa.array([1] * 6, pa.int64()),
+                   "ts": pa.array([0.5, 1.5, 2.5, 3.5, 4.5, 5.5],
+                                  pa.float64()),
+                   "rid": pa.array(range(6), pa.int64()),
+                   "v": pa.array([1.0] * 6, pa.float64())})
+    got = sorted(r["running_sum"] for r in cumulative_sum(
+        _ray().data.from_arrow(t4).repartition(3), "g", "ts", "v",
+        "rid").take_all())
+    assert got == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_histogram_nan_inf_edges():
+    from json_schema_ray.engine.stats import histogram
+
+    t = pa.table({"x": pa.array(
+        [float("nan"), float("inf"), float("-inf"), 5.0, 95.0, None],
+        pa.float64())})
+    got = {r["bin"]: r["cnt"]
+           for r in histogram(_ray().data.from_arrow(t), "x", 10,
+                              0.0, 100.0).to_pylist()}
+    # NaN and NULL drop; +inf clamps to top bin, -inf to bottom
+    assert got[0] == 2 and got[9] == 2
+    assert sum(got.values()) == 4
+
+
+def test_pivot_sum_all_null_values_is_zero():
+    from json_schema_ray.engine.relational import pivot_counts
+
+    t = pa.table({"u": pa.array(["g1", "g1"], pa.string()),
+                  "ev": pa.array(["buy", "buy"], pa.string()),
+                  "amt": pa.array([None, None], pa.float64())})
+    out = pivot_counts(_ray().data.from_arrow(t), "u", "ev",
+                       ["buy"], value="amt").take_all()
+    assert out == [{"u": "g1", "sum_buy": 0.0}]
+
+
+def test_normalize_text_keeps_non_re2_whitespace():
+    import duckdb
+
+    from json_schema_ray.engine.text import normalize_text
+
+    texts = ["text\x0b", "\x0bA  B\x0b", "ok  then "]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(_ray().data.from_arrow(t)).take_all()}
+    want = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT doc_id, nfc_normalize(lower(trim(
+          regexp_replace(text, '\\s+', ' ', 'g')))) FROM t""").fetchall()}
+    assert got == want
