@@ -377,6 +377,23 @@ def q_user_value_quantiles(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_events_prev_value(sf_dir: str):
+    from json_schema_ray.engine.rank import lag_column
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    out = lag_column(ds, "user_id", "ts", "value", "event_id")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "lag_value"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("lag_value", pa.float64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_events_pivot_by_type(sf_dir: str):
     from json_schema_ray.engine.relational import pivot_counts
 
@@ -1183,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_cust": q_top3_orders_per_cust,
         "running_user_spend": q_running_user_spend,
         "events_pivot_by_type": q_events_pivot_by_type,
+        "events_prev_value": q_events_prev_value,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -1415,6 +1433,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE value IS NOT NULL GROUP BY user_id
             UNION ALL SELECT user_id, 0.95, quantile_disc(value, 0.95)
               FROM events WHERE value IS NOT NULL GROUP BY user_id
+        """,
+        "events_prev_value": """
+            SELECT event_id, user_id,
+                   lag(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS lag_value
+            FROM events
         """,
         "events_pivot_by_type": """
             SELECT user_id,

@@ -37,6 +37,7 @@ from .rank import (
     grouped_exact_quantiles,
     grouped_mode,
     grouped_top_k,
+    lag_column,
 )
 from .relational import (
     anti_join,
@@ -114,6 +115,7 @@ __all__ = [
     "knn_bruteforce",
     "knn_ivf",
     "knn_lsh",
+    "lag_column",
     "minhash_dedup_pairs",
     "normalize_text",
     "pivot_counts",

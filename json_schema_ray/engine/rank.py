@@ -630,3 +630,126 @@ def grouped_mode(ds, key: str, col: str):
 
     return top.map_batches(project, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
+               out: str = "lag_value"):
+    """SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)``: every row gains its predecessor's value (NULL for
+    the first row of a key). ``(ts, tiebreak)`` must be unique per
+    key (numeric/temporal only, same contract as
+    :func:`cumulative_sum`); compose twice (or negate the order) for
+    LEAD.
+
+    Shape: one null-safe sort, a per-block vectorized shift per key
+    segment, and ONE carry row per block (its last row) — only each
+    block's FIRST row can have a cross-block predecessor, and the
+    globally sorted order makes that predecessor the latest earlier
+    carry of the same key. Driver state is O(n_blocks); pending rows
+    resolve distributed against the broadcast carry table.
+    """
+    from .relational import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"lag_column: order column {c!r} is a string;"
+                    " only numeric/temporal order columns carry"
+                    " across block boundaries")
+        n = batch.num_rows
+        varr = batch[value]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        if n == 0:
+            return batch.append_column(out, pa.nulls(0, varr.type)) \
+                .append_column("__rt", pa.array([], pa.int8()))
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        # in-block lag: previous row's value where the previous row
+        # shares the key, else null
+        idx = np.arange(n)
+        prev_ok = np.concatenate([[False], kk[1:] == kk[:-1]])
+        gather = np.where(prev_ok, idx - 1, 0)
+        lagged = pc.if_else(pa.array(prev_ok),
+                            varr.take(pa.array(gather)),
+                            pa.scalar(None, varr.type))
+        rt = np.zeros(n, np.int8)
+        rt[0] = 1  # only the block's first row can look backwards
+        out_t = batch.append_column(out, lagged) \
+            .append_column("__rt", pa.array(rt))
+        carry = batch.slice(n - 1, 1) \
+            .append_column(out, varr.slice(n - 1, 1)) \
+            .append_column("__rt", pa.array([2], pa.int8()))
+        # carry's `out` column holds the LAST row's OWN value
+        return pa.concat_tables([out_t, carry])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, [key]).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        vals = kept[out].to_pylist()
+        for kval, t, tb, v in zip(kk, tsv, tbv, vals):
+            carry.setdefault(kval, []).append((float(t), float(tb), v))
+
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        offsets[kval] = (
+            np.array([s[0] for s in segs], dtype=np.float64),
+            np.array([s[1] for s in segs], dtype=np.float64),
+            [s[2] for s in segs])
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt"])
+        offs = ray.get(handle)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        if not len(pend):
+            return kept.drop_columns(["__rt"])
+        kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        varr = kept[out]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        fill_idx, fill_val = [], []
+        for i in pend:
+            kval = kk[i]
+            if kval not in offs:
+                continue
+            la, lb, vv = offs[kval]
+            pos = int(_boundaries_before(
+                la, lb, np.array([tsv[i]]), np.array([tbv[i]]))[0])
+            if pos > 0:
+                fill_idx.append(int(i))
+                fill_val.append(vv[pos - 1])
+        if fill_idx:
+            mask = np.zeros(n, bool)
+            mask[fill_idx] = True
+            varr = pc.replace_with_mask(
+                varr, pa.array(mask), pa.array(fill_val, varr.type))
+        i = kept.column_names.index(out)
+        return kept.set_column(i, out, varr).drop_columns(["__rt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)

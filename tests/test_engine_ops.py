@@ -1770,3 +1770,58 @@ def test_normalize_text_keeps_non_re2_whitespace():
         SELECT doc_id, nfc_normalize(lower(trim(
           regexp_replace(text, '\\s+', ' ', 'g')))) FROM t""").fetchall()}
     assert got == want
+
+
+def test_lag_column_matches_duckdb_window():
+    import duckdb
+
+    from json_schema_ray.engine.rank import lag_column
+
+    rng = np.random.default_rng(71)
+    n = 6000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.05 else float(x)
+                       for x in rng.normal(0, 1, n)], pa.float64()),
+    })
+    for blocks in (1, 12):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: r["lag_value"] for r in
+               lag_column(ds, "k", "ts", "v", "rid").take_all()}
+        want = {r[0]: r[1] for r in duckdb.sql("""
+            SELECT rid, lag(v) OVER (PARTITION BY k ORDER BY ts, rid)
+            FROM t""").fetchall()}
+        assert got == want, blocks
+
+
+def test_lag_column_hot_key_spans_blocks():
+    from json_schema_ray.engine.rank import lag_column
+
+    n = 120_000
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "ts": pa.array(np.arange(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = lag_column(ds, "k", "ts", "v", "rid")
+    assert out.count() == n
+
+    def count_bad(b):
+        import pyarrow.compute as pac
+
+        lv = b["lag_value"]
+        tsv = b["ts"]
+        expect = pac.subtract(pac.cast(tsv, pa.float64()), 1.0)
+        ok_null = pac.and_(pac.is_null(lv), pac.equal(tsv, 0))
+        ok_val = pac.equal(lv, expect)
+        bad = pac.sum(pac.cast(pac.invert(pac.fill_null(
+            pac.or_kleene(ok_null, ok_val), False)),
+            pa.int64())).as_py() or 0
+        return pa.table({"bad": pa.array([int(bad)], pa.int64())})
+
+    bad = sum(r["bad"] for r in out.map_batches(
+        count_bad, batch_format="pyarrow",
+        zero_copy_batch=True).take_all())
+    assert bad == 0
