@@ -321,6 +321,17 @@ def q_building_segment_orders(sf_dir: str):
         "o_custkey", "c_custkey"), schema)
 
 
+def q_user_event_type_diversity_sorted(sf_dir: str):
+    from json_schema_ray.engine.relational import (
+        grouped_distinct_count_sorted)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    return _collect(grouped_distinct_count_sorted(
+        ds, "user_id", "event_type"), schema)
+
+
 def q_custkeys_without_orders(sf_dir: str):
     from json_schema_ray.engine.relational import except_distinct
 
@@ -1207,6 +1218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_date_corr": q_orders_price_date_corr,
         "price_histogram": q_price_histogram,
         "user_event_type_diversity": q_user_event_type_diversity,
+        "user_event_type_diversity_sorted":
+            q_user_event_type_diversity_sorted,
         "custkeys_with_orders": q_custkeys_with_orders,
         "event_type_mode_per_user": q_event_type_mode_per_user,
         "dedup_docs_norm_key": q_dedup_docs_norm_key,
@@ -1404,6 +1417,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey
                             AND c.c_mktsegment = 'BUILDING')
+        """,
+        "user_event_type_diversity_sorted": """
+            SELECT user_id, count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id
+            HAVING count(DISTINCT event_type) > 0
         """,
         "custkeys_without_orders": """
             SELECT c_custkey FROM customer

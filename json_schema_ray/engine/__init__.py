@@ -47,6 +47,7 @@ from .relational import (
     grouped_aggregate,
     except_distinct,
     grouped_distinct_count,
+    grouped_distinct_count_sorted,
     hash_sample,
     heavy_hitters,
     intersect_distinct,
@@ -103,6 +104,7 @@ __all__ = [
     "full_validation_pass",
     "grouped_aggregate",
     "grouped_distinct_count",
+    "grouped_distinct_count_sorted",
     "grouped_exact_quantiles",
     "grouped_mode",
     "grouped_top_k",

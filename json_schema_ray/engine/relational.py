@@ -1179,3 +1179,112 @@ def grouped_distinct_count(ds, key: str, col: str):
                           zero_copy_batch=True),
         [key], [Sum("n_distinct", alias_name="n_distinct")],
         ["n_distinct"])
+
+
+def grouped_distinct_count_sorted(ds, key: str, col: str):
+    """Exact ``count(DISTINCT col) GROUP BY key``, sort-based: ONE
+    null-safe range-partitioned sort on ``(key, col)`` makes each
+    key's values contiguous and ordered, so a vectorized
+    adjacent-inequality pass counts distinct values per segment
+    exactly. Key segments wholly inside a block finalize there; the
+    first/last segment of each block emits a fixed-size carry row
+    ``(key, first_value, last_value, n_distinct)`` and the driver
+    stitches the O(n_blocks) carries — two adjacent segments of one
+    key merge by subtracting 1 when the boundary values are equal.
+
+    vs :func:`grouped_distinct_count`: same result, ONE all-to-all
+    instead of two, and no reliance on (key, value)-pair combining —
+    prefer this shape when values are high-cardinality per key (the
+    pair combiner would barely reduce). NULL values don't count; NULL
+    keys form their own group. Returns (key, n_distinct).
+    """
+    from .rank import _group_key_expr
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.select([key, col]) \
+            .filter(pc.is_valid(batch[col]))
+
+    sorted_ds = null_safe_sort(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), [key], [col])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ktype, vtype = batch[key].type, batch[col].type
+        empty = pa.table({
+            key: pa.array([], ktype),
+            "n_distinct": pa.array([], pa.int64()),
+            "__first": pa.array([], vtype),
+            "__last": pa.array([], vtype),
+            "__edge": pa.array([], pa.bool_()),
+        })
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        seg_ids = np.cumsum(newseg) - 1
+        varr = batch[col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        # adjacent-distinct within the sorted block: a row opens a new
+        # value run iff it starts a segment or differs from its
+        # predecessor
+        neq = pc.fill_null(pc.not_equal(varr.slice(1), varr.slice(
+            0, n - 1)), True).to_numpy(zero_copy_only=False)
+        new_run = np.concatenate([[True], neq]) | newseg
+        runs = np.cumsum(new_run)
+        n_distinct = runs[ends - 1] - runs[starts] + 1
+        g = len(starts)
+        edge = np.zeros(g, dtype=bool)
+        edge[0] = edge[g - 1] = True
+        return pa.table({
+            key: batch[key].take(pa.array(starts)),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "__first": varr.take(pa.array(starts)),
+            "__last": varr.take(pa.array(ends - 1)),
+            "__edge": pa.array(edge),
+        })
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch["__edge"])) \
+            .select([key, "n_distinct"])
+
+    interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    def edge_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__edge"])
+
+    edge: dict = {}
+    for kept in scanned.map_batches(edge_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in kept.to_pylist():
+            edge.setdefault(
+                (r[key] is None, r[key]), []).append(
+                (r["__first"], r["__last"], r["n_distinct"]))
+
+    rows = []
+    for (kn, kval), segs in edge.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        total = sum(s[2] for s in segs)
+        for prev, nxt in zip(segs[:-1], segs[1:]):
+            if prev[1] == nxt[0]:  # same value spans the boundary
+                total -= 1
+        rows.append((kval, total))
+
+    import ray
+
+    if not rows:
+        return interior_ds
+    ktype = scanned.schema().base_schema.field(key).type
+    extra = pa.table({
+        key: pa.array([r[0] for r in rows], ktype),
+        "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    return interior_ds.union(ray.data.from_arrow(extra))

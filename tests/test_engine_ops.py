@@ -1825,3 +1825,40 @@ def test_lag_column_hot_key_spans_blocks():
         count_bad, batch_format="pyarrow",
         zero_copy_batch=True).take_all())
     assert bad == 0
+
+
+def test_grouped_distinct_count_sorted_matches_combiner():
+    import duckdb
+
+    from json_schema_ray.engine.relational import (
+        grouped_distinct_count, grouped_distinct_count_sorted)
+
+    rng = np.random.default_rng(81)
+    n = 9000
+    t = pa.table({
+        "u": pa.array([None if v == 11 else int(v)
+                       for v in rng.integers(0, 12, n)], pa.int64()),
+        "e": pa.array([None if v == 99 else f"val{v:03d}"
+                       for v in rng.integers(0, 100, n)], pa.string()),
+    })
+    key = lambda x: (x[0] is None, x)
+    want = sorted((tuple(r) for r in duckdb.sql(
+        "SELECT u, count(DISTINCT e) FROM t GROUP BY u"
+        " HAVING count(DISTINCT e) > 0").fetchall()), key=key)
+    for blocks in (1, 13):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["u"], r["n_distinct"]) for r in
+                      grouped_distinct_count_sorted(ds, "u", "e")
+                      .take_all()), key=key)
+        assert got == want, blocks
+    # hot key: one group holds one value repeated over every block
+    # plus a unique tail -> exact count via the boundary stitch
+    n2 = 50_000
+    t2 = pa.table({
+        "u": pa.array(np.zeros(n2, np.int64)),
+        "e": pa.array(["dup"] * (n2 - 5) + [f"u{i}" for i in range(5)],
+                      pa.string()),
+    })
+    got2 = grouped_distinct_count_sorted(
+        _ray().data.from_arrow(t2).repartition(16), "u", "e").take_all()
+    assert got2 == [{"u": 0, "n_distinct": 6}]
