@@ -50,6 +50,8 @@ EXTRA_QUERIES = [
     "user_value_quantiles",   # exact per-group quantiles
     "events_pivot_by_type",   # conditional-aggregation pivot
     "orders_hash_sample",     # shuffle-free deterministic sample
+    "events_prev_value",      # SQL LAG: one carry row per block
+    "user_event_type_diversity_sorted",  # sorted exact distinct-per-key
 ]
 
 
