@@ -871,6 +871,23 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_events_next_value(sf_dir: str):
+    from json_schema_ray.engine.rank import lead_column
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    out = lead_column(ds, "user_id", "ts", "value", "event_id")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "lead_value"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("lead_value", pa.float64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_simhash_docs(sf_dir: str):
     from json_schema_ray.engine.dedup import simhash_signatures
 
@@ -1212,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_spend": q_running_user_spend,
         "events_pivot_by_type": q_events_pivot_by_type,
         "events_prev_value": q_events_prev_value,
+        "events_next_value": q_events_next_value,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -1456,6 +1474,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    lag(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lag_value
+            FROM events
+        """,
+        "events_next_value": """
+            SELECT event_id, user_id,
+                   lead(value) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS lead_value
             FROM events
         """,
         "events_pivot_by_type": """

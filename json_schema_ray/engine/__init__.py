@@ -38,6 +38,7 @@ from .rank import (
     grouped_mode,
     grouped_top_k,
     lag_column,
+    lead_column,
 )
 from .relational import (
     anti_join,

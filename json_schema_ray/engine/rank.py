@@ -114,18 +114,24 @@ def _segment_topk(kk: np.ndarray, sort_key: np.ndarray,
 
 
 def _boundaries_before(last_a: np.ndarray, last_b: np.ndarray,
-                       av: np.ndarray, bv: np.ndarray) -> np.ndarray:
+                       av: np.ndarray, bv: np.ndarray,
+                       inclusive: bool = False) -> np.ndarray:
     """For each query position ``(av[i], bv[i])``, the number of
     carry boundaries ``(last_a, last_b)`` — sorted lexicographically —
-    strictly before it: one searchsorted on the primary key, then a
-    vectorized walk over primary-key ties refining on the secondary.
+    strictly before it (at-or-before with ``inclusive=True``): one
+    searchsorted on the primary key, then a vectorized walk over
+    primary-key ties refining on the secondary.
     """
     pos = np.searchsorted(last_a, av, side="left")
     for _ in range(len(last_a)):
         inb = pos < len(last_a)
         adv = inb.copy()
-        adv[inb] = (last_a[pos[inb]] == av[inb]) & \
-            (last_b[pos[inb]] < bv[inb])
+        if inclusive:
+            adv[inb] = (last_a[pos[inb]] == av[inb]) & \
+                (last_b[pos[inb]] <= bv[inb])
+        else:
+            adv[inb] = (last_a[pos[inb]] == av[inb]) & \
+                (last_b[pos[inb]] < bv[inb])
         if not adv.any():
             break
         pos[adv] += 1
@@ -638,8 +644,7 @@ def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
     tiebreak)``: every row gains its predecessor's value (NULL for
     the first row of a key). ``(ts, tiebreak)`` must be unique per
     key (numeric/temporal only, same contract as
-    :func:`cumulative_sum`); compose twice (or negate the order) for
-    LEAD.
+    :func:`cumulative_sum`).
 
     Shape: one null-safe sort, a per-block vectorized shift per key
     segment, and ONE carry row per block (its last row) — only each
@@ -648,15 +653,35 @@ def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
     carry of the same key. Driver state is O(n_blocks); pending rows
     resolve distributed against the broadcast carry table.
     """
+    return _shift_column(ds, key, ts, value, tiebreak, out,
+                         forward=False)
+
+
+def lead_column(ds, key: str, ts: str, value: str, tiebreak: str,
+                out: str = "lead_value"):
+    """SQL ``lead(value) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)`` — the exact mirror of :func:`lag_column`: every row
+    gains its successor's value (NULL for the last row of a key).
+    Carry = each block's FIRST row; only each block's LAST row can
+    have a cross-block successor, resolved as the earliest LATER
+    carry of the same key. Same O(n_blocks) driver envelope.
+    """
+    return _shift_column(ds, key, ts, value, tiebreak, out,
+                         forward=True)
+
+
+def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
+                  out: str, forward: bool):
     from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    op = "lead_column" if forward else "lag_column"
 
     def scan(batch: pa.Table) -> pa.Table:
         for c in (ts, tiebreak):
             if _is_str(batch[c].type):
                 raise ValueError(
-                    f"lag_column: order column {c!r} is a string;"
+                    f"{op}: order column {c!r} is a string;"
                     " only numeric/temporal order columns carry"
                     " across block boundaries")
         n = batch.num_rows
@@ -667,22 +692,28 @@ def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
             return batch.append_column(out, pa.nulls(0, varr.type)) \
                 .append_column("__rt", pa.array([], pa.int8()))
         kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
-        # in-block lag: previous row's value where the previous row
+        # in-block shift: neighbour row's value where the neighbour
         # shares the key, else null
         idx = np.arange(n)
-        prev_ok = np.concatenate([[False], kk[1:] == kk[:-1]])
-        gather = np.where(prev_ok, idx - 1, 0)
-        lagged = pc.if_else(pa.array(prev_ok),
-                            varr.take(pa.array(gather)),
-                            pa.scalar(None, varr.type))
+        if forward:
+            nb_ok = np.concatenate([kk[1:] == kk[:-1], [False]])
+            gather = np.where(nb_ok, idx + 1, 0)
+        else:
+            nb_ok = np.concatenate([[False], kk[1:] == kk[:-1]])
+            gather = np.where(nb_ok, idx - 1, 0)
+        shifted = pc.if_else(pa.array(nb_ok),
+                             varr.take(pa.array(gather)),
+                             pa.scalar(None, varr.type))
         rt = np.zeros(n, np.int8)
-        rt[0] = 1  # only the block's first row can look backwards
-        out_t = batch.append_column(out, lagged) \
+        # only the block's boundary row can look across blocks
+        pend_i, carry_i = (n - 1, 0) if forward else (0, n - 1)
+        rt[pend_i] = 1
+        out_t = batch.append_column(out, shifted) \
             .append_column("__rt", pa.array(rt))
-        carry = batch.slice(n - 1, 1) \
-            .append_column(out, varr.slice(n - 1, 1)) \
+        carry = batch.slice(carry_i, 1) \
+            .append_column(out, varr.slice(carry_i, 1)) \
             .append_column("__rt", pa.array([2], pa.int8()))
-        # carry's `out` column holds the LAST row's OWN value
+        # carry's `out` column holds the boundary row's OWN value
         return pa.concat_tables([out_t, carry])
 
     scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
@@ -738,11 +769,21 @@ def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
             if kval not in offs:
                 continue
             la, lb, vv = offs[kval]
-            pos = int(_boundaries_before(
-                la, lb, np.array([tsv[i]]), np.array([tbv[i]]))[0])
-            if pos > 0:
-                fill_idx.append(int(i))
-                fill_val.append(vv[pos - 1])
+            if forward:
+                # earliest carry strictly AFTER this row's position
+                pos = int(_boundaries_before(
+                    la, lb, np.array([tsv[i]]), np.array([tbv[i]]),
+                    inclusive=True)[0])
+                if pos < len(vv):
+                    fill_idx.append(int(i))
+                    fill_val.append(vv[pos])
+            else:
+                # latest carry strictly BEFORE this row's position
+                pos = int(_boundaries_before(
+                    la, lb, np.array([tsv[i]]), np.array([tbv[i]]))[0])
+                if pos > 0:
+                    fill_idx.append(int(i))
+                    fill_val.append(vv[pos - 1])
         if fill_idx:
             mask = np.zeros(n, bool)
             mask[fill_idx] = True

@@ -1862,3 +1862,58 @@ def test_grouped_distinct_count_sorted_matches_combiner():
     got2 = grouped_distinct_count_sorted(
         _ray().data.from_arrow(t2).repartition(16), "u", "e").take_all()
     assert got2 == [{"u": 0, "n_distinct": 6}]
+
+
+def test_lead_column_matches_duckdb_window():
+    import duckdb
+
+    from json_schema_ray.engine.rank import lead_column
+
+    rng = np.random.default_rng(72)
+    n = 6000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 5000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.05 else float(x)
+                       for x in rng.normal(0, 1, n)], pa.float64()),
+    })
+    for blocks in (1, 12):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: r["lead_value"] for r in
+               lead_column(ds, "k", "ts", "v", "rid").take_all()}
+        want = {r[0]: r[1] for r in duckdb.sql("""
+            SELECT rid, lead(v) OVER (PARTITION BY k ORDER BY ts, rid)
+            FROM t""").fetchall()}
+        assert got == want, blocks
+
+
+def test_lead_column_hot_key_spans_blocks():
+    from json_schema_ray.engine.rank import lead_column
+
+    n = 120_000
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "ts": pa.array(np.arange(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = lead_column(ds, "k", "ts", "v", "rid")
+    assert out.count() == n
+
+    def count_bad(b):
+        import pyarrow.compute as pac
+
+        lv = b["lead_value"]
+        tsv = b["ts"]
+        expect = pac.add(pac.cast(tsv, pa.float64()), 1.0)
+        ok_null = pac.and_(pac.is_null(lv), pac.equal(tsv, n - 1))
+        ok_val = pac.equal(lv, expect)
+        bad = pac.sum(pac.cast(pac.invert(pac.fill_null(
+            pac.or_kleene(ok_null, ok_val), False)),
+            pa.int64())).as_py() or 0
+        return pa.table({"bad": pa.array([int(bad)], pa.int64())})
+
+    bad = sum(r["bad"] for r in out.map_batches(
+        count_bad, batch_format="pyarrow",
+        zero_copy_batch=True).take_all())
+    assert bad == 0
