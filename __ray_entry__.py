@@ -871,6 +871,70 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style duplicate word-2-gram repetition metrics per
+    document (boilerplate detector for a training corpus). Fractions
+    ship as floor(x*1e6+0.5) BIGINT so float rendering can't break
+    the value-hash compare."""
+    from json_schema_ray.engine.text import repetition_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_scores(ds)
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        has = pc.is_valid(b["n_grams"]).to_numpy(zero_copy_only=False)
+        dg = pc.fill_null(b["dup_gram_frac"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        dc = pc.fill_null(b["dup_char_frac"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"], "n_grams": b["n_grams"],
+            "dup_gram_x1m": pa.array(
+                _np.floor(dg * 1e6 + 0.5).astype(_np.int64), mask=~has),
+            "dup_char_x1m": pa.array(
+                _np.floor(dc * 1e6 + 0.5).astype(_np.int64), mask=~has),
+        }).filter(pa.array(has))
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                        ("dup_gram_x1m", pa.int64()),
+                        ("dup_char_x1m", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
+def q_docs_pii_scrub(sf_dir: str):
+    """C4-style PII scrub over the corpus with deterministic
+    synthetic contact strings appended (the raw corpus carries no
+    emails/URLs, so the scrub would otherwise be a no-op): both
+    sides build ``text || ' contact user<id>@example.com via
+    https://ex.com/d/<id>?u=a@b.co'`` and must agree on counts AND
+    the scrubbed text (URL consumed first, then the email)."""
+    from json_schema_ray.engine.text import scrub_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"], " contact user", ids, "@example.com via ",
+            "https://ex.com/d/", ids, "?u=a@b.co", "")
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    out = scrub_pii(ds.map_batches(augment, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "n_urls", "n_emails", "scrubbed"])
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_urls", pa.int64()),
+                        ("n_emails", pa.int64()),
+                        ("scrubbed", pa.string())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_events_next_value(sf_dir: str):
     from json_schema_ray.engine.rank import lead_column
 
@@ -1230,6 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": q_events_pivot_by_type,
         "events_prev_value": q_events_prev_value,
         "events_next_value": q_events_next_value,
+        "docs_repetition": q_docs_repetition,
+        "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -1481,6 +1547,53 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "docs_repetition": """
+            WITH arrs AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text,
+                     '\\s+'), x -> x <> '') AS w
+              FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+              FROM arrs WHERE len(w) >= 2
+            ), pg AS (
+              SELECT doc_id, g, count(*) AS cnt, length(g) AS chars
+              FROM grams GROUP BY doc_id, g
+            )
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(floor(CAST(sum(cnt) - count(*) AS DOUBLE)
+                        / sum(cnt) * 1000000 + 0.5) AS BIGINT)
+                     AS dup_gram_x1m,
+                   CAST(floor(CAST(sum(CASE WHEN cnt > 1
+                             THEN cnt * chars ELSE 0 END) AS DOUBLE)
+                        / sum(cnt * chars) * 1000000 + 0.5) AS BIGINT)
+                     AS dup_char_x1m
+            FROM pg GROUP BY doc_id
+        """,
+        "docs_pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com via https://ex.com/d/'
+                          || doc_id || '?u=a@b.co' AS text
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         'https?://[^\s]+')) AS n_urls,
+                     regexp_replace(text, 'https?://[^\s]+',
+                                    '<URL>', 'g') AS t1
+              FROM aug)
+            SELECT doc_id, n_urls,
+                   len(regexp_extract_all(t1,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   regexp_replace(t1,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS scrubbed
+            FROM s
         """,
         "events_pivot_by_type": """
             SELECT user_id,

@@ -78,7 +78,7 @@ from .validate import (
     verdicts_dataset,
     violations_dataset,
 )
-from .text import normalize_text
+from .text import normalize_text, repetition_scores, scrub_pii
 from .window import (
     hopping_window_counts,
     sessionize_counts,

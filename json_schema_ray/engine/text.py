@@ -170,6 +170,117 @@ def quality_scores(ds, column: str = "text",
                           concurrency=concurrency or (1, 4))
 
 
+def repetition_batch(batch: pa.Table, column: str = "text",
+                     n: int = 2) -> pa.Table:
+    """Gopher-style duplicate word-n-gram metrics per document:
+    ``n_grams`` (total n-grams), ``dup_gram_frac`` (fraction of
+    n-grams that are repeats of an earlier one within the doc:
+    ``(n_grams - n_distinct) / n_grams``) and ``dup_char_frac``
+    (fraction of n-gram characters — every occurrence — belonging to
+    n-grams seen more than once). High values flag boilerplate /
+    templated documents in a training corpus.
+
+    Fully batch-vectorized: one regex split over the whole column,
+    adjacent-token joins via Arrow kernels, one Arrow group-by on
+    ``(doc, gram)`` and numpy ``bincount`` segment reductions — no
+    per-document Python. Documents with fewer than ``n`` tokens (or
+    NULL text) get NULL metrics.
+    """
+    if n < 2:
+        raise ValueError("repetition_batch requires n >= 2")
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    rows = batch.num_rows
+    toks = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    par = par.filter(keep)
+    parn = par.to_numpy(zero_copy_only=False)
+    m = len(parn) - (n - 1)
+    n_grams = np.zeros(rows, np.int64)
+    n_distinct = np.zeros(rows, np.int64)
+    total_chars = np.zeros(rows, np.int64)
+    dup_chars = np.zeros(rows, np.int64)
+    if m > 0:
+        same = parn[n - 1:] == parn[:m]
+        pieces = [flat.slice(j, m).filter(pa.array(same))
+                  for j in range(n)]
+        grams = pc.binary_join_element_wise(*pieces, " ")
+        gpar = parn[:m][same]
+        gb = pa.TableGroupBy(
+            pa.table({"p": pa.array(gpar), "g": grams}),
+            ["p", "g"]).aggregate([([], "count_all")])
+        p = gb["p"].to_numpy(zero_copy_only=False)
+        cnt = gb["count_all"].to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(gb["g"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_grams = np.bincount(p, weights=cnt,
+                              minlength=rows).astype(np.int64)
+        n_distinct = np.bincount(p, minlength=rows).astype(np.int64)
+        occ_chars = cnt * chars
+        total_chars = np.bincount(p, weights=occ_chars,
+                                  minlength=rows).astype(np.int64)
+        dup_chars = np.bincount(p, weights=occ_chars * (cnt > 1),
+                                minlength=rows).astype(np.int64)
+    has = n_grams > 0
+    safe = np.maximum(n_grams, 1).astype(np.float64)
+    safe_c = np.maximum(total_chars, 1).astype(np.float64)
+    dup_gram = (n_grams - n_distinct).astype(np.float64) / safe
+    dup_char = dup_chars.astype(np.float64) / safe_c
+    return batch \
+        .append_column("n_grams", pa.array(n_grams, pa.int64(),
+                                           mask=~has)) \
+        .append_column("dup_gram_frac", pa.array(dup_gram, mask=~has)) \
+        .append_column("dup_char_frac", pa.array(dup_char, mask=~has))
+
+
+def repetition_scores(ds, column: str = "text", n: int = 2):
+    """Distributed duplicate-n-gram repetition metrics (see
+    :func:`repetition_batch`): stateless ``map_batches``, no shuffle
+    — per-document metrics never cross block boundaries."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, column, n),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EMAIL_REGEX = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_URL_REGEX = r"https?://[^\s]+"
+
+
+def scrub_pii_batch(batch: pa.Table, column: str = "text",
+                    out: str = "scrubbed") -> pa.Table:
+    """C4-style PII scrubbing: replace email addresses with
+    ``<EMAIL>`` and ``http(s)`` URLs with ``<URL>`` (URLs first, so
+    an address inside a URL query string counts as part of the URL),
+    recording per-document match counts. All-RE2 vectorized kernels
+    (``count_substring_regex`` / ``replace_substring_regex``), no
+    Python per row; NULL text passes through as NULL."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_urls = pc.count_substring_regex(col, pattern=_URL_REGEX)
+    s = pc.replace_substring_regex(col, pattern=_URL_REGEX,
+                                   replacement="<URL>")
+    n_emails = pc.count_substring_regex(s, pattern=_EMAIL_REGEX)
+    s = pc.replace_substring_regex(s, pattern=_EMAIL_REGEX,
+                                   replacement="<EMAIL>")
+    return batch \
+        .append_column("n_urls", pc.cast(n_urls, pa.int64())) \
+        .append_column("n_emails", pc.cast(n_emails, pa.int64())) \
+        .append_column(out, s)
+
+
+def scrub_pii(ds, column: str = "text", out: str = "scrubbed"):
+    """Distributed PII scrub stage (see :func:`scrub_pii_batch`):
+    stateless ``map_batches``, zero-copy Arrow in and out."""
+    return ds.map_batches(
+        lambda b: scrub_pii_batch(b, column, out),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _rolling_hashes(text: str, window: int, base: int = 257,
                     mod: int = (1 << 61) - 1) -> np.ndarray:
     """Rabin-Karp rolling hashes over bytes with the given window."""

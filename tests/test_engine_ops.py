@@ -1917,3 +1917,106 @@ def test_lead_column_hot_key_spans_blocks():
         count_bad, batch_format="pyarrow",
         zero_copy_batch=True).take_all())
     assert bad == 0
+
+
+def _random_repeaty_texts(rng, n):
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "ética", "实验", "x"]
+    texts = []
+    for i in range(n):
+        if i % 17 == 3:
+            texts.append(None)
+            continue
+        k = int(rng.integers(0, 12))
+        words = list(rng.choice(vocab, size=k))
+        if k >= 4 and rng.random() < 0.5:
+            words = words + words[:3]  # guaranteed repeated 2-grams
+        texts.append("  ".join(words) if rng.random() < 0.2
+                     else " ".join(words))
+    return texts
+
+
+def test_repetition_scores_match_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.text import repetition_scores
+
+    rng = np.random.default_rng(31)
+    n = 400
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array(_random_repeaty_texts(rng, n),
+                                   pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(5)
+    got = sorted(
+        (r["doc_id"], r["n_grams"],
+         int(np.floor(r["dup_gram_frac"] * 1e6 + 0.5)),
+         int(np.floor(r["dup_char_frac"] * 1e6 + 0.5)))
+        for r in repetition_scores(ds).take_all()
+        if r["n_grams"] is not None)
+    want = sorted(tuple(r) for r in duckdb.sql("""
+        WITH arrs AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text,
+                 '\\s+'), x -> x <> '') AS w
+          FROM t WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+          FROM arrs WHERE len(w) >= 2
+        ), pg AS (
+          SELECT doc_id, g, count(*) AS cnt, length(g) AS chars
+          FROM grams GROUP BY doc_id, g
+        )
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT),
+               CAST(floor(CAST(sum(cnt) - count(*) AS DOUBLE)
+                    / sum(cnt) * 1000000 + 0.5) AS BIGINT),
+               CAST(floor(CAST(sum(CASE WHEN cnt > 1
+                         THEN cnt * chars ELSE 0 END) AS DOUBLE)
+                    / sum(cnt * chars) * 1000000 + 0.5) AS BIGINT)
+        FROM pg GROUP BY doc_id""").fetchall())
+    assert got == want
+    # docs with < 2 tokens (or NULL text) carry NULL metrics
+    null_ids = {r["doc_id"] for r in repetition_scores(ds).take_all()
+                if r["n_grams"] is None}
+    texts = t["text"].to_pylist()
+    expect_null = {i for i, x in enumerate(texts)
+                   if x is None or len(x.split()) < 2}
+    assert null_ids == expect_null
+
+
+def test_scrub_pii_matches_duckdb_regexp_replace():
+    import duckdb
+
+    from json_schema_ray.engine.text import scrub_pii
+
+    texts = [
+        "write to bob.smith+x@corp.example.org today",
+        "see https://ex.com/a?u=a@b.co and http://x.io/p for more",
+        "no pii here at all",
+        "two mails a@b.io c-d@e-f.org and a bare http://u.v/w",
+        None,
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(2)
+    got = sorted((r["doc_id"], r["n_urls"], r["n_emails"],
+                  r["scrubbed"])
+                 for r in scrub_pii(ds).take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(r"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     'https?://[^\s]+')) AS n_urls,
+                 regexp_replace(text, 'https?://[^\s]+',
+                                '<URL>', 'g') AS t1
+          FROM t)
+        SELECT doc_id,
+               CASE WHEN t1 IS NULL THEN NULL ELSE n_urls END,
+               len(regexp_extract_all(t1,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')),
+               regexp_replace(t1,
+                 '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g')
+        FROM s""").fetchall())
+    assert got == want
