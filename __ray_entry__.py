@@ -1440,11 +1440,64 @@ def _knn_lsh_bucket_expr() -> str:
     return " + ".join(terms)
 
 
+def _fingerprint_sql() -> str:
+    """The winnowing fingerprint recomputed in pure SQL: UTF-8 bytes
+    via hex-pair extraction from ``encode(text)``, the Rabin-Karp
+    window hash (base 257, mod 2^61-1, window 16) as a 16-term
+    HUGEINT sum grouped by window start, then the 4 smallest distinct
+    hashes hex-joined — byte-identical to engine/text.py
+    ``fingerprint_batch``."""
+    p = (1 << 61) - 1
+    pows = [pow(257, k, p) for k in range(16)]
+    offsets = ", ".join(f"({j}, {pows[15 - j]}::HUGEINT)"
+                        for j in range(16))
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE text IS NOT NULL
+        ), bytes AS (
+          SELECT doc_id, unnest(generate_series(1, n)) AS pos, hx
+          FROM raw
+        ), bv AS (
+          SELECT doc_id, pos,
+                 (CASE WHEN substr(hx, 2*pos-1, 1) BETWEEN '0' AND '9'
+                       THEN ascii(substr(hx, 2*pos-1, 1)) - 48
+                       ELSE ascii(substr(hx, 2*pos-1, 1)) - 55 END) * 16
+                 + (CASE WHEN substr(hx, 2*pos, 1) BETWEEN '0' AND '9'
+                       THEN ascii(substr(hx, 2*pos, 1)) - 48
+                       ELSE ascii(substr(hx, 2*pos, 1)) - 55 END) AS b
+          FROM bytes
+        ), contrib AS (
+          SELECT v.doc_id, v.pos - o.j AS i,
+                 CAST(v.b AS HUGEINT) * o.powv AS term
+          FROM bv v JOIN (VALUES {offsets}) AS o(j, powv) ON TRUE
+          WHERE v.pos - o.j >= 1
+        ), hashes AS (
+          SELECT doc_id, i,
+                 CAST(SUM(term) % {p} AS BIGINT) AS h
+          FROM contrib GROUP BY doc_id, i HAVING count(*) = 16
+        ), ranked AS (
+          SELECT doc_id, h,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY h) AS rn
+          FROM (SELECT DISTINCT doc_id, h FROM hashes)
+        ), agg AS (
+          SELECT doc_id,
+                 string_agg(printf('%x', h), '-' ORDER BY h) AS fp
+          FROM ranked WHERE rn <= 4 GROUP BY doc_id
+        )
+        SELECT r.doc_id, coalesce(a.fp, '') AS fingerprint
+        FROM raw r LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from json_schema_ray.engine.relational import splitmix64_sql
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "doc_fingerprints": _fingerprint_sql(),
         "orders_price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,
                    quantile_disc(o_totalprice, 0.25) AS value FROM orders
