@@ -871,6 +871,19 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_user_value_ranks(sf_dir: str):
+    """SQL RANK / DENSE_RANK per (user, value) — the distinct-value
+    rank profile from one combiner groupby + one prefix-scan sort."""
+    from json_schema_ray.engine.rank import grouped_value_ranks
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = grouped_value_ranks(ds, "user_id", "value")
+    schema = pa.schema([("user_id", pa.int64()), ("value", pa.float64()),
+                        ("cnt", pa.int64()), ("rank", pa.int64()),
+                        ("dense_rank", pa.int64())])
+    return _collect(out, schema)
+
+
 def q_docs_repetition(sf_dir: str):
     """Gopher-style duplicate word-2-gram repetition metrics per
     document (boilerplate detector for a training corpus). Fractions
@@ -1295,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_value": q_events_prev_value,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
+        "user_value_ranks": q_user_value_ranks,
         "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -1600,6 +1614,15 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "user_value_ranks": """
+            SELECT DISTINCT user_id, value,
+                   count(*) OVER (PARTITION BY user_id, value) AS cnt,
+                   rank() OVER (PARTITION BY user_id
+                                ORDER BY value) AS "rank",
+                   dense_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value) AS "dense_rank"
+            FROM events WHERE value IS NOT NULL
         """,
         "docs_repetition": """
             WITH arrs AS (

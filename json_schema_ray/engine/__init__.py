@@ -37,6 +37,7 @@ from .rank import (
     grouped_exact_quantiles,
     grouped_mode,
     grouped_top_k,
+    grouped_value_ranks,
     lag_column,
     lead_column,
 )

@@ -249,62 +249,75 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
     unique within a key (same total-order requirement as a
     deterministic SQL ROWS window).
 
-    Shape: one null-safe range-partitioned sort on ``(key, ts,
-    tiebreak)``, a vectorized per-block prefix scan (every segment
-    that STARTS in a block is final), and O(n_blocks) fixed-size
-    carry rows — per block, the (sum, non-null count, last ts/tb) of
-    its first and last key segments — stitched into per-key prefix
-    offsets on the driver and broadcast back so the pending
-    first-segment rows resolve distributed. A Zipf-hot key spanning
-    every block costs two carry rows per block, never its timeline.
-    NULL values don't contribute (SQL SUM ignores them); a row with
-    no non-null value so far carries a NULL running_sum. ``ts`` /
-    ``tiebreak`` must be numeric or temporal (their values cross
-    block boundaries as float64 carry positions; a per-batch string
-    factorization would not be comparable across blocks — int64
-    values beyond 2**53 lose tiebreak precision).
+    Shape (shared with :func:`grouped_value_ranks` via
+    :func:`_running_sums`): one null-safe range-partitioned sort on
+    ``(key, ts, tiebreak)``, a vectorized per-block prefix scan
+    (every segment that STARTS in a block is final), and O(n_blocks)
+    fixed-size carry rows — per block, the (sum, non-null count,
+    last ts/tb) of its first and last key segments — stitched into
+    per-key prefix offsets on the driver and broadcast back so the
+    pending first-segment rows resolve distributed. A Zipf-hot key
+    spanning every block costs two carry rows per block, never its
+    timeline. NULL values don't contribute (SQL SUM ignores them); a
+    row with no non-null value so far carries a NULL running_sum.
+    ``ts`` / ``tiebreak`` must be numeric or temporal (their values
+    cross block boundaries as float64 carry positions; a per-batch
+    string factorization would not be comparable across blocks —
+    int64 values beyond 2**53 lose tiebreak precision).
     """
+    return _running_sums(ds, key, ts, [(value, "running_sum")],
+                         tiebreak)
+
+
+def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
+    """Multi-column per-key running totals in ONE sort + scan:
+    ``pairs`` is a list of ``(value_col, out_col)``; every row gains
+    each ``out_col`` = running sum of its ``value_col`` (NULL until
+    the first non-null value). Carry/resolve machinery identical to
+    the single-column description in :func:`cumulative_sum`."""
     from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    outs = [o for _, o in pairs]
+    cnt_cols = [f"__cnt{i}" for i in range(len(pairs))]
 
     def scan(batch: pa.Table) -> pa.Table:
         for c in (ts, tiebreak):
             if _is_str(batch[c].type):
                 raise ValueError(
-                    f"cumulative_sum: order column {c!r} is a string;"
+                    f"running sums: order column {c!r} is a string;"
                     " only numeric/temporal order columns carry"
                     " across block boundaries")
         n = batch.num_rows
-        base = batch.append_column(
-            "__rt", pa.array(np.zeros(n, np.int8))).append_column(
-            "running_sum", pa.nulls(n, pa.float64())).append_column(
-            "__cnt", pa.array(np.zeros(n, np.int64)))
         if n == 0:
+            base = batch.append_column("__rt", pa.array([], pa.int8()))
+            for (v, o), cc in zip(pairs, cnt_cols):
+                base = base.append_column(o, pa.array([], pa.float64())) \
+                    .append_column(cc, pa.array([], pa.int64()))
             return base
         kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
-        varr = pc.cast(batch[value], pa.float64())
-        if isinstance(varr, pa.ChunkedArray):
-            varr = varr.combine_chunks()
-        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
-        v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
         newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
         starts = np.nonzero(newseg)[0]
         seg_ids = np.cumsum(newseg) - 1
-        cs = np.cumsum(v)
-        cn = np.cumsum(valid.astype(np.int64))
-        seg_cs0 = np.concatenate([[0.0], cs])[starts][seg_ids]
-        seg_cn0 = np.concatenate([[0], cn])[starts][seg_ids]
-        run = cs - seg_cs0
-        cnt = cn - seg_cn0
         rt = np.zeros(n, np.int8)
-        rt[kk == kk[0]] = 1  # first segment: may continue an earlier block
-        out = batch.append_column("__rt", pa.array(rt)) \
-            .append_column("running_sum", pa.array(run, pa.float64())) \
-            .append_column("__cnt", pa.array(cnt, pa.int64()))
-        # carry-out = the LAST row of the first and last key segments:
-        # its in-segment running_sum/__cnt ARE the segment totals and
-        # its (ts, tiebreak) is the segment's boundary position
+        rt[kk == kk[0]] = 1  # first segment: may continue a prior block
+        out = batch.append_column("__rt", pa.array(rt))
+        for (value, oname), cc in zip(pairs, cnt_cols):
+            varr = pc.cast(batch[value], pa.float64())
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+            valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+            v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+            cs = np.cumsum(v)
+            cn = np.cumsum(valid.astype(np.int64))
+            seg_cs0 = np.concatenate([[0.0], cs])[starts][seg_ids]
+            seg_cn0 = np.concatenate([[0], cn])[starts][seg_ids]
+            out = out.append_column(
+                oname, pa.array(cs - seg_cs0, pa.float64())) \
+                .append_column(cc, pa.array(cn - seg_cn0, pa.int64()))
+        # carry-out = the LAST row of the first and last key
+        # segments: its in-segment running sums ARE the segment
+        # totals and its (ts, tiebreak) is the boundary position
         first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
         seg_ends = sorted({first_end, n - 1})
         ctab = out.take(pa.array(seg_ends))
@@ -333,25 +346,27 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
         kk = _group_key_expr(kept, [key]).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
-        sums = kept["running_sum"].to_pylist()
-        cnts = kept["__cnt"].to_pylist()
-        for kval, t, tb, s, c in zip(kk, tsv, tbv, sums, cnts):
-            carry.setdefault(kval, []).append((float(t), float(tb),
-                                               s, c))
+        cols = [kept[o].to_pylist() for o in outs] + \
+            [kept[cc].to_pylist() for cc in cnt_cols]
+        for row in zip(kk, tsv, tbv, *cols):
+            kval, t, tb = row[0], row[1], row[2]
+            carry.setdefault(kval, []).append((float(t), float(tb))
+                                              + tuple(row[3:]))
 
-    # per-key prefix offsets ordered by boundary (ts, tb): pre_s[i] =
+    # per-key prefix offsets ordered by boundary (ts, tb): pre[i] =
     # sum of the first i carry segments, so a row preceded by i
-    # boundaries adds pre_s[i]
+    # boundaries adds pre[i]
+    m = len(pairs)
     offsets = {}
     for kval, segs in carry.items():
-        segs.sort()
-        last_a = np.array([t for t, _, _, _ in segs], dtype=np.float64)
-        last_b = np.array([tb for _, tb, _, _ in segs],
-                          dtype=np.float64)
-        pre_s = np.concatenate([[0.0], np.cumsum(
-            [s for _, _, s, _ in segs])])
-        pre_c = np.concatenate([[0], np.cumsum(
-            [c for _, _, _, c in segs])]).astype(np.int64)
+        segs.sort(key=lambda s: (s[0], s[1]))
+        last_a = np.array([s[0] for s in segs], dtype=np.float64)
+        last_b = np.array([s[1] for s in segs], dtype=np.float64)
+        pre_s = [np.concatenate([[0.0], np.cumsum(
+            [s[2 + i] for s in segs])]) for i in range(m)]
+        pre_c = [np.concatenate([[0], np.cumsum(
+            [s[2 + m + i] for s in segs])]).astype(np.int64)
+            for i in range(m)]
         offsets[kval] = (last_a, last_b, pre_s, pre_c)
 
     import ray
@@ -362,14 +377,15 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
         kept = batch.filter(pc.not_equal(batch["__rt"], 2))
         n = kept.num_rows
         if n == 0:
-            return kept.drop_columns(["__rt", "__cnt"])
+            return kept.drop_columns(["__rt"] + cnt_cols)
         offs = ray.get(handle)
         kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
         rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
-        run = kept["running_sum"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).copy()
-        cnt = kept["__cnt"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).copy()
+        runs = [kept[o].combine_chunks()
+                .to_numpy(zero_copy_only=False).copy() for o in outs]
+        cnts = [kept[cc].combine_chunks()
+                .to_numpy(zero_copy_only=False).copy()
+                for cc in cnt_cols]
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         pend = np.nonzero(rt == 1)[0]
@@ -380,15 +396,81 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
             rows = pend[kk[pend] == kval]
             pos = _boundaries_before(last_a, last_b, tsv[rows],
                                      tbv[rows])
-            run[rows] += pre_s[pos]
-            cnt[rows] += pre_c[pos]
-        i = kept.column_names.index("running_sum")
-        out = kept.set_column(i, "running_sum", pa.array(
-            run, pa.float64(), mask=(cnt == 0)))
-        return out.drop_columns(["__rt", "__cnt"])
+            for i in range(m):
+                runs[i][rows] += pre_s[i][pos]
+                cnts[i][rows] += pre_c[i][pos]
+        out = kept
+        for i, o in enumerate(outs):
+            out = out.set_column(out.column_names.index(o), o, pa.array(
+                runs[i], pa.float64(), mask=(cnts[i] == 0)))
+        return out.drop_columns(["__rt"] + cnt_cols)
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def grouped_value_ranks(ds, key: str, col: str):
+    """SQL ``rank()`` / ``dense_rank() OVER (PARTITION BY key ORDER
+    BY col)`` profiled per DISTINCT value: returns one row per
+    ``(key, col)`` with ``cnt`` (rows holding that value), ``rank``
+    (the RANK every such row receives) and ``dense_rank``. Ascending
+    numeric/temporal order; NULL values are EXCLUDED (under SQL's
+    NULLS LAST default their presence never changes a non-null row's
+    rank, and a null order value cannot cross block boundaries as a
+    carry position). Attach row-level ranks by joining back on
+    ``(key, col)`` (broadcast or sort-merge join, both in
+    :mod:`.relational`).
+
+    Shape: one distributed combiner ``groupby (key, col) -> cnt``
+    (the only all-to-all), then ONE sort + prefix scan over the
+    distinct-value table via :func:`_running_sums` — rank =
+    running_rows − cnt + 1, dense_rank = running distinct index.
+    Driver state stays O(n_blocks) carry rows; a key with millions
+    of distinct values never materializes in one place.
+    """
+    from .relational import null_safe_grouped_aggregate
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(
+            lambda b: b.select([key, col])
+            .filter(pc.is_valid(b[col])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [key, col], [_count_agg()], ["cnt"])
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, np.int64)))
+
+    with_one = agg.map_batches(add_one, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    # (col, __one) is unique per key — distinct values after the
+    # combiner — so the constant __one column doubles as the
+    # (redundant) tiebreak without repeating col in the sort spec
+    run = _running_sums(with_one, key, col,
+                        [("cnt", "__run_rows"), ("__one", "__run_d")],
+                        tiebreak="__one")
+
+    def project(batch: pa.Table) -> pa.Table:
+        rr = batch["__run_rows"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rd = batch["__run_d"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        rank = (rr - cnt + 1).astype(np.int64)
+        dense = rd.astype(np.int64)
+        return batch.drop_columns(["__run_rows", "__run_d", "__one"]) \
+            .append_column("rank", pa.array(rank)) \
+            .append_column("dense_rank", pa.array(dense))
+
+    return run.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def _count_agg():
+    from ray.data.aggregate import Count
+
+    return Count(alias_name="cnt")
 
 
 def grouped_exact_quantiles(ds, key: str, col: str, qs,

@@ -2020,3 +2020,64 @@ def test_scrub_pii_matches_duckdb_regexp_replace():
                  '<EMAIL>', 'g')
         FROM s""").fetchall())
     assert got == want
+
+
+def test_grouped_value_ranks_match_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_value_ranks
+
+    rng = np.random.default_rng(41)
+    n = 8000
+    t = pa.table({
+        "k": pa.array([None if v == 0 else int(v)
+                       for v in rng.integers(0, 25, n)], pa.int64()),
+        # small value domain -> real rank/dense_rank gaps
+        "v": pa.array([None if rng.random() < 0.04
+                       else float(x)
+                       for x in rng.integers(0, 40, n)], pa.float64()),
+    })
+    for blocks in (1, 9):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(
+            ((r["k"] is None, r["k"]), r["v"], r["cnt"], r["rank"],
+             r["dense_rank"])
+            for r in grouped_value_ranks(ds, "k", "v").take_all())
+        want = sorted(((r[0] is None, r[0]),) + tuple(r[1:])
+                      for r in duckdb.sql("""
+            SELECT DISTINCT k, v,
+                   count(*) OVER (PARTITION BY k, v) AS cnt,
+                   rank() OVER (PARTITION BY k ORDER BY v) AS rnk,
+                   dense_rank() OVER (PARTITION BY k ORDER BY v)
+                     AS drnk
+            FROM t WHERE v IS NOT NULL""").fetchall())
+        assert got == want, blocks
+
+
+def test_grouped_value_ranks_hot_key_many_distinct():
+    from json_schema_ray.engine.rank import grouped_value_ranks
+
+    # ONE key holding 200k distinct values spanning every block:
+    # the distinct-value table itself must stream through the prefix
+    # scan, never collect per-key anywhere
+    n = 200_000
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "v": pa.array(np.arange(n, dtype=np.float64))})
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = grouped_value_ranks(ds, "k", "v")
+    assert out.count() == n
+
+    def count_bad(b):
+        import pyarrow.compute as pac
+
+        v = pac.cast(b["v"], pa.int64())
+        ok = pac.and_(pac.equal(b["rank"], pac.add(v, 1)),
+                      pac.equal(b["dense_rank"], pac.add(v, 1)))
+        ok = pac.and_(ok, pac.equal(b["cnt"], 1))
+        bad = pac.sum(pac.cast(pac.invert(pac.fill_null(ok, False)),
+                               pa.int64())).as_py() or 0
+        return pa.table({"bad": pa.array([int(bad)], pa.int64())})
+
+    assert sum(r["bad"] for r in out.map_batches(
+        count_bad, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()) == 0
