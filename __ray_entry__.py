@@ -871,6 +871,44 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_events_moving_sum(sf_dir: str):
+    """3-row moving window total per user (SQL ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW). Values scale to BIGINT cents on BOTH
+    sides first, so the windowed sums are association-free exact."""
+    from json_schema_ray.engine.rank import windowed_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        v = b["value"].combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        x = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
+        vi = _np.floor(x * 100.0 + 0.5).astype(_np.int64)
+        return b.drop_columns(["value"]).append_column(
+            "v100", pa.array(vi, pa.int64(), mask=~valid))
+
+    out = windowed_sum(ds.map_batches(scale, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       "user_id", "ts", "v100", "event_id", 3)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "win_sum": pc.cast(b["win_sum"], pa.int64()),
+            "win_cnt": b["win_cnt"],
+        })
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("win_sum", pa.int64()),
+                        ("win_cnt", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_user_value_ranks(sf_dir: str):
     """SQL RANK / DENSE_RANK per (user, value) — the distinct-value
     rank profile from one combiner groupby + one prefix-scan sort."""
@@ -1309,6 +1347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
+        "events_moving_sum": q_events_moving_sum,
         "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -1614,6 +1653,18 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "events_moving_sum": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events)
+            SELECT event_id, user_id,
+                   sum(v) OVER w AS win_sum,
+                   count(v) OVER w AS win_cnt
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "user_value_ranks": """
             SELECT DISTINCT user_id, value,

@@ -40,6 +40,7 @@ from .rank import (
     grouped_value_ranks,
     lag_column,
     lead_column,
+    windowed_sum,
 )
 from .relational import (
     anti_join,

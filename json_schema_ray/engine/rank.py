@@ -409,6 +409,163 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
                                zero_copy_batch=True)
 
 
+def windowed_sum(ds, key: str, ts: str, value: str, tiebreak: str,
+                 window_n: int, out: str = "win_sum"):
+    """Per-key moving-window total: every row gains ``out`` = SQL
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    BETWEEN window_n-1 PRECEDING AND CURRENT ROW)`` plus
+    ``win_cnt`` (non-null values in the frame, NULL sum when 0 —
+    SQL SUM semantics). ``(ts, tiebreak)`` must be unique per key,
+    numeric/temporal only (the :func:`cumulative_sum` contract).
+
+    Shape: one null-safe sort, per-block windowed prefix-sum
+    differences (every row with ``window_n - 1`` same-key in-block
+    predecessors is final), and <= 2 * (window_n - 1) carry rows per
+    block — the tails of its first and last key segments. Only each
+    block's first <= window_n - 1 rows of its FIRST segment are
+    pending; they resolve distributed by taking the last carries of
+    their key strictly before the block's first position, so the
+    in-block part is never double-counted. Driver state is
+    O(window_n * n_blocks), independent of any key's row count.
+    Exactness note: sums are float64 prefix differences — for
+    bit-exact parity with a sequential SQL engine feed integer
+    (or integer-scaled) values.
+    """
+    if window_n < 1:
+        raise ValueError("windowed_sum requires window_n >= 1")
+    from .relational import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    tail = window_n - 1
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"windowed_sum: order column {c!r} is a string;"
+                    " only numeric/temporal order columns carry"
+                    " across block boundaries")
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("__rt", pa.array([], pa.int8())) \
+                .append_column(out, pa.array([], pa.float64())) \
+                .append_column("win_cnt", pa.array([], pa.int64()))
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        varr = pc.cast(batch[value], pa.float64())
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        seg_ids = np.cumsum(newseg) - 1
+        idx = np.arange(n)
+        in_seg = idx - starts[seg_ids]
+        cs0 = np.concatenate([[0.0], np.cumsum(v)])
+        cn0 = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        lo = np.maximum(idx - tail, starts[seg_ids])
+        wsum = cs0[idx + 1] - cs0[lo]
+        wcnt = cn0[idx + 1] - cn0[lo]
+        rt = np.zeros(n, np.int8)
+        first_seg = kk == kk[0]
+        rt[first_seg & (in_seg < tail)] = 1
+        out_t = batch.append_column("__rt", pa.array(rt)) \
+            .append_column(out, pa.array(wsum, pa.float64())) \
+            .append_column("win_cnt", pa.array(wcnt, pa.int64()))
+        if tail == 0:
+            return out_t
+        # carry rows: the last <= tail rows of the first and the
+        # last key segments (deduplicated when they coincide); the
+        # `out` column of a carry holds the row's OWN value
+        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
+        rows: set = set()
+        for end in {first_end, n - 1}:
+            seg_start = int(starts[seg_ids[end]])
+            rows.update(range(max(seg_start, end - tail + 1), end + 1))
+        sel = sorted(rows)
+        ctab = batch.take(pa.array(sel)) \
+            .append_column("__rt", pa.array(
+                np.full(len(sel), 2, np.int8))) \
+            .append_column(out, pc.cast(varr.take(pa.array(sel)),
+                                        pa.float64())) \
+            .append_column("win_cnt", pa.array(
+                np.zeros(len(sel), np.int64)))
+        return pa.concat_tables([out_t, ctab])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, [key]).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        vals = kept[out].to_pylist()
+        for kval, t, tb, vv in zip(kk, tsv, tbv, vals):
+            carry.setdefault(kval, []).append((float(t), float(tb), vv))
+
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        offsets[kval] = (
+            np.array([s[0] for s in segs], dtype=np.float64),
+            np.array([s[1] for s in segs], dtype=np.float64),
+            [s[2] for s in segs])
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt"])
+        offs = ray.get(handle)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        wsum = kept[out].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        wcnt = kept["win_cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        if len(pend):
+            kk = _group_key_expr(kept, [key]) \
+                .to_numpy(zero_copy_only=False)
+            tsv = _order_np(kept, ts, descending=False)
+            tbv = _order_np(kept, tiebreak, descending=False)
+            kval = kk[pend[0]]  # all pending rows share the block's
+            # first key, and arrive in block order (j = in-seg index)
+            if kval in offs:
+                la, lb, vv = offs[kval]
+                pos0 = int(_boundaries_before(
+                    la, lb, tsv[pend[:1]], tbv[pend[:1]])[0])
+                for j, i in enumerate(pend):
+                    take = min(tail - j, pos0)
+                    if take <= 0:
+                        continue
+                    vals = [x for x in vv[pos0 - take:pos0]
+                            if x is not None]
+                    if vals:
+                        wsum[i] += float(np.sum(vals))
+                        wcnt[i] += len(vals)
+        oi = kept.column_names.index(out)
+        res = kept.set_column(oi, out, pa.array(
+            wsum, pa.float64(), mask=(wcnt == 0)))
+        ci = res.column_names.index("win_cnt")
+        res = res.set_column(ci, "win_cnt", pa.array(wcnt, pa.int64()))
+        return res.drop_columns(["__rt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def grouped_value_ranks(ds, key: str, col: str):
     """SQL ``rank()`` / ``dense_rank() OVER (PARTITION BY key ORDER
     BY col)`` profiled per DISTINCT value: returns one row per

@@ -2081,3 +2081,50 @@ def test_grouped_value_ranks_hot_key_many_distinct():
     assert sum(r["bad"] for r in out.map_batches(
         count_bad, batch_format="pyarrow",
         zero_copy_batch=True).take_all()) == 0
+
+
+def test_windowed_sum_matches_duckdb_rows_frame():
+    import duckdb
+
+    from json_schema_ray.engine.rank import windowed_sum
+
+    rng = np.random.default_rng(57)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 4000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.07 else int(x)
+                       for x in rng.integers(-50, 50, n)], pa.int64()),
+    })
+    for blocks, w in ((1, 3), (11, 3), (11, 1), (7, 8)):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: (r["win_sum"], r["win_cnt"]) for r in
+               windowed_sum(ds, "k", "ts", "v", "rid", w).take_all()}
+        want = {r[0]: (r[1], r[2]) for r in duckdb.sql(f"""
+            SELECT rid,
+                   CAST(sum(v) OVER w AS DOUBLE),
+                   count(v) OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid
+              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+            """).fetchall()}
+        assert got == want, (blocks, w)
+
+
+def test_windowed_sum_hot_key_tiny_blocks_carry_chain():
+    from json_schema_ray.engine.rank import windowed_sum
+
+    # one key, 64 blocks of ~47 rows, window 5: cross-block frames
+    # must chain through several blocks' carries
+    n = 3000
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "ts": pa.array(np.arange(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.ones(n, np.int64))})
+    ds = _ray().data.from_arrow(t).repartition(64)
+    out = {r["rid"]: (r["win_sum"], r["win_cnt"]) for r in
+           windowed_sum(ds, "k", "ts", "v", "rid", 5).take_all()}
+    assert len(out) == n
+    for rid, (s, c) in out.items():
+        expect = min(rid + 1, 5)
+        assert (s, c) == (float(expect), expect), rid
