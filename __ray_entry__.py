@@ -871,6 +871,49 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_customer_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (mktsegment, nationkey) over account balances
+    scaled to BIGINT cents on both sides (rolled-up sums re-aggregate
+    per-group sums, so integer values keep them association-free)."""
+    from json_schema_ray.engine.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_mktsegment", "c_nationkey", "c_acctbal"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        v = b["c_acctbal"].combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        x = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
+        vi = _np.floor(x * 100.0 + 0.5).astype(_np.int64)
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "c_nationkey": b["c_nationkey"],
+            "bal100": pa.array(vi, pa.int64(), mask=~valid),
+        })
+
+    out = rollup_aggregate(
+        ds.map_batches(scale, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["c_mktsegment", "c_nationkey"], "bal100", "sum")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "sum_bal100": pc.cast(b["agg_value"], pa.int64()),
+            "lvl": b["lvl"],
+        })
+
+    schema = pa.schema([("c_mktsegment", pa.string()),
+                        ("c_nationkey", pa.int64()),
+                        ("sum_bal100", pa.int64()),
+                        ("lvl", pa.int64())])
+    return _collect(out.map_batches(to_int, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_events_moving_sum(sf_dir: str):
     """3-row moving window total per user (SQL ROWS BETWEEN 2
     PRECEDING AND CURRENT ROW). Values scale to BIGINT cents on BOTH
@@ -1348,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
         "events_moving_sum": q_events_moving_sum,
+        "customer_rollup": q_customer_rollup,
         "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -1653,6 +1697,17 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "customer_rollup": """
+            SELECT c_mktsegment,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                     AS sum_bal100,
+                   CASE grouping(c_mktsegment, c_nationkey)
+                        WHEN 0 THEN 0 WHEN 1 THEN 1
+                        ELSE 2 END AS lvl
+            FROM customer
+            GROUP BY ROLLUP (c_mktsegment, c_nationkey)
         """,
         "events_moving_sum": """
             WITH e AS (

@@ -56,6 +56,7 @@ from .relational import (
     intersect_distinct,
     pivot_counts,
     range_join,
+    rollup_aggregate,
     salted_aggregate,
     semi_join,
     top_k,

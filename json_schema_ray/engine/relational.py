@@ -77,6 +77,92 @@ def grouped_aggregate(ds, keys: List[str],
     return pa.concat_tables(tables)
 
 
+def rollup_aggregate(ds, keys: List[str], value: Optional[str],
+                     agg: str = "sum", out: str = "agg_value"):
+    """SQL ``GROUP BY ROLLUP (keys)``: one row per group at every
+    prefix level of ``keys`` — (k1..kn), (k1..kn-1), ..., () — with
+    rolled-up key columns NULL and ``lvl`` = number of rolled keys
+    (0 = finest; SQL ``GROUPING_ID`` equivalent, which also
+    disambiguates a rolled NULL from a genuine NULL key value).
+    ``agg`` is ``sum`` / ``count`` / ``min`` / ``max`` — the
+    re-aggregable partials.
+
+    Scale shape: the INPUT is shuffled exactly once (the finest
+    grouped aggregate, with per-block pre-aggregation); every
+    coarser level re-aggregates the previous level's already
+    group-sized result grouping by the KEPT keys only (Ray's
+    aggregate partition search cannot order an all-null numeric
+    column), with the rolled keys re-appended as typed null columns
+    — types read from the materialized finest level, which costs no
+    re-execution. Levels shrink monotonically, so the extra
+    shuffles move group rows, never input rows. Float caveat:
+    rolled-up sums are sums of per-group sums — feed
+    integer(-scaled) values for bit-exact parity with a
+    row-at-a-time SQL engine.
+    """
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"rollup_aggregate: unsupported agg {agg!r}")
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def level_tag(level_ds, lvl: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "lvl", pa.array(np.full(batch.num_rows, lvl, np.int64)))
+        return level_ds.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    # finest level: the only pass over the input
+    partial = pre_aggregate(ds, keys, [(value, agg)])
+    src = f"{value or 'rows'}_{agg}"
+    first_obj = (Sum(src, alias_name=out) if agg in ("sum", "count")
+                 else Min(src, alias_name=out) if agg == "min"
+                 else Max(src, alias_name=out))
+    finest = null_safe_grouped_aggregate(partial, keys, [first_obj],
+                                         [out]).materialize()
+    sch = finest.schema().base_schema  # materialized: no re-execution
+    key_types = {k: sch.field(k).type for k in keys}
+    out_type = sch.field(out).type
+    re_obj = (Sum(out, alias_name=out) if agg in ("sum", "count")
+              else Min(out, alias_name=out) if agg == "min"
+              else Max(out, alias_name=out))
+    order = keys + [out]
+    levels = [level_tag(finest, 0)]
+    prev = finest
+    for lvl in range(1, len(keys) + 1):
+        kept = keys[:len(keys) - lvl]
+        rolled = tuple(keys[len(keys) - lvl:])
+        if kept:
+            agg_ds = null_safe_grouped_aggregate(
+                prev.map_batches(
+                    lambda b, c=tuple(kept) + (out,): b.select(list(c)),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                kept, [re_obj], [out])
+
+            def add_nulls(batch: pa.Table, cols=rolled) -> pa.Table:
+                for c in cols:
+                    batch = batch.append_column(
+                        c, pa.nulls(batch.num_rows, key_types[c]))
+                return batch.select(order)
+
+            prev = agg_ds.map_batches(
+                add_nulls, batch_format="pyarrow",
+                zero_copy_batch=True).materialize()
+        else:
+            # grand total: a global aggregate, one driver-side row
+            total = prev.aggregate(re_obj)
+            val = None if total is None else total.get(out)
+            row = {k: pa.nulls(1, key_types[k]) for k in keys}
+            row[out] = pa.array([val], out_type)
+            prev = ray.data.from_arrow(pa.table(row).select(order)) \
+                .materialize()
+        levels.append(level_tag(prev, lvl))
+    result = levels[0]
+    for lv in levels[1:]:
+        result = result.union(lv)
+    return result
+
+
 def broadcast_hash_join(ds, right_table: pa.Table, left_on: str,
                         right_on: str, how: str = "inner"):
     """Join a big Dataset against a small in-memory Arrow table by

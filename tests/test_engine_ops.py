@@ -2128,3 +2128,50 @@ def test_windowed_sum_hot_key_tiny_blocks_carry_chain():
     for rid, (s, c) in out.items():
         expect = min(rid + 1, 5)
         assert (s, c) == (float(expect), expect), rid
+
+
+def test_rollup_aggregate_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.relational import rollup_aggregate
+
+    rng = np.random.default_rng(63)
+    n = 4000
+    t = pa.table({
+        "seg": pa.array([None if v == 0 else f"s{v}"
+                         for v in rng.integers(0, 6, n)], pa.string()),
+        "nat": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })
+    for blocks in (1, 9):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(
+            ((r["seg"] is None, r["seg"]), (r["nat"] is None, r["nat"]),
+             r["lvl"], r["agg_value"])
+            for r in rollup_aggregate(ds, ["seg", "nat"], "v",
+                                      "sum").take_all())
+        want = sorted(
+            ((r[0] is None, r[0]), (r[1] is None, r[1]), r[2], r[3])
+            for r in duckdb.sql("""
+            SELECT seg, nat,
+                   CASE grouping(seg, nat) WHEN 0 THEN 0
+                        WHEN 1 THEN 1 ELSE 2 END AS lvl,
+                   sum(v) AS s
+            FROM t GROUP BY ROLLUP (seg, nat)""").fetchall())
+        assert got == want, blocks
+    # count rollup: coarser levels re-aggregate as sums of counts
+    ds = _ray().data.from_arrow(t).repartition(5)
+    got = sorted(
+        ((r["seg"] is None, r["seg"]), (r["nat"] is None, r["nat"]),
+         r["lvl"], r["agg_value"])
+        for r in rollup_aggregate(ds, ["seg", "nat"], None,
+                                  "count").take_all())
+    want = sorted(
+        ((r[0] is None, r[0]), (r[1] is None, r[1]), r[2], r[3])
+        for r in duckdb.sql("""
+        SELECT seg, nat,
+               CASE grouping(seg, nat) WHEN 0 THEN 0
+                    WHEN 1 THEN 1 ELSE 2 END AS lvl,
+               count(*) AS s
+        FROM t GROUP BY ROLLUP (seg, nat)""").fetchall())
+    assert got == want
