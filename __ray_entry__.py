@@ -871,6 +871,47 @@ def q_minhash_near_dups(sf_dir: str):
     return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
 
 
+def q_docs_decontamination(sf_dir: str):
+    """Benchmark decontamination: fraction of each document's
+    distinct 5-gram shingles found in a broadcast 'eval corpus'
+    blocklist (here: docs with doc_id % 20 == 0, deterministically).
+    Fractions ship as floor(x*1e6+0.5) BIGINT."""
+    from json_schema_ray.engine.dedup import (
+        build_ngram_blocklist, ngram_containment)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def eval_docs(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    bl = build_ngram_blocklist(
+        ds.map_batches(eval_docs, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    out = ngram_containment(ds, bl)
+
+    def project(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        has = pc.is_valid(b["n_shingles"]).to_numpy(zero_copy_only=False)
+        fr = pc.fill_null(b["containment"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"], "n_shingles": b["n_shingles"],
+            "containment_x1m": pa.array(
+                _np.floor(fr * 1e6 + 0.5).astype(_np.int64),
+                mask=~has),
+        }).filter(pa.array(has))
+
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_shingles", pa.int64()),
+                        ("containment_x1m", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_customer_rollup(sf_dir: str):
     """GROUP BY ROLLUP (mktsegment, nationkey) over account balances
     scaled to BIGINT cents on both sides (rolled-up sums re-aggregate
@@ -1392,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ranks": q_user_value_ranks,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
+        "docs_decontamination": q_docs_decontamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -1697,6 +1739,33 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "docs_decontamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), bl AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+            )
+            SELECT s.doc_id, count(*) AS n_shingles,
+                   CAST(floor(CAST(count(b.shingle) AS DOUBLE)
+                        / count(*) * 1e6 + 0.5) AS BIGINT)
+                     AS containment_x1m
+            FROM sh s LEFT JOIN bl b ON s.shingle = b.shingle
+            GROUP BY s.doc_id
         """,
         "customer_rollup": """
             SELECT c_mktsegment,

@@ -22,9 +22,11 @@ their modules (import the module directly for the full surface):
 
 from .compare import aligned_text_compare, keyed_text_compare
 from .dedup import (
+    build_ngram_blocklist,
     exact_dedup,
     exact_dedup_sorted,
     minhash_dedup_pairs,
+    ngram_containment,
     simhash_near_dup_pairs,
 )
 from .keys import (

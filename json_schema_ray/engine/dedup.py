@@ -299,6 +299,74 @@ def shingle_sets_batch(texts, k: int = 5):
     return offsets, values
 
 
+def build_ngram_blocklist(ds, column: str = "text",
+                          k: int = 5) -> np.ndarray:
+    """Distinct word-k-gram shingle hashes of a reference corpus
+    (benchmark / eval sets), as ONE sorted uint64 array — the
+    broadcast side of :func:`ngram_containment`. Each block
+    pre-distincts locally (the per-block distinct set is what ships,
+    not the shingle stream); the driver unions the partials. The
+    reference corpus is the SMALL side by construction — eval sets,
+    not the training corpus."""
+    def grams(batch: pa.Table) -> pa.Table:
+        texts = batch[column].to_pylist()
+        _, values = shingle_sets_batch(texts, k)
+        return pa.table({"h": pa.array(np.unique(values), pa.uint64())})
+
+    parts = [t["h"].to_numpy(zero_copy_only=False)
+             for t in ds.map_batches(grams, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow") if t.num_rows]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def ngram_containment(ds, blocklist: np.ndarray, column: str = "text",
+                      k: int = 5, out: str = "containment"):
+    """Benchmark-decontamination score: for every document, the
+    fraction of its DISTINCT word-k-gram shingles that appear in the
+    broadcast ``blocklist`` (an eval-corpus shingle-hash set from
+    :func:`build_ngram_blocklist`). Appends ``n_shingles`` and
+    ``out``; documents with zero shingles get NULLs. Shingle rule
+    matches :func:`shingle_set` (docs shorter than ``k`` words
+    contribute their whole text as one shingle).
+
+    Shape: the blocklist is ``ray.put`` ONCE and read per batch (a
+    broadcast membership probe, no shuffle); per batch ALL shingles
+    hash in one vectorized call and membership is a searchsorted
+    against the sorted array — no per-document Python beyond shingle
+    string assembly."""
+    import ray
+
+    handle = ray.put(np.sort(np.asarray(blocklist, dtype=np.uint64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bl = ray.get(handle)
+        texts = batch[column].to_pylist()
+        offsets, values = shingle_sets_batch(texts, k)
+        denom = np.diff(offsets)
+        doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        denom)
+        if len(values) and len(bl):
+            pos = np.searchsorted(bl, values)
+            pos[pos >= len(bl)] = len(bl) - 1
+            member = bl[pos] == values
+        else:
+            member = np.zeros(len(values), dtype=bool)
+        num = np.bincount(doc[member], minlength=batch.num_rows) \
+            .astype(np.int64)
+        has = denom > 0
+        frac = num / np.maximum(denom, 1)
+        return batch.append_column(
+            "n_shingles", pa.array(denom.astype(np.int64),
+                                   mask=~has)) \
+            .append_column(out, pa.array(frac, pa.float64(), mask=~has))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _gather_segments(offsets: np.ndarray, values: np.ndarray,
                      pos: np.ndarray):
     """Vectorized gather of variable-length segments: for each entry

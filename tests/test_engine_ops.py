@@ -2175,3 +2175,57 @@ def test_rollup_aggregate_matches_duckdb():
                count(*) AS s
         FROM t GROUP BY ROLLUP (seg, nat)""").fetchall())
     assert got == want
+
+
+def test_ngram_containment_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.dedup import (
+        build_ngram_blocklist, ngram_containment)
+
+    rng = np.random.default_rng(77)
+    vocab = ["tok%d" % i for i in range(30)]
+    texts = []
+    for i in range(300):
+        if i % 23 == 7:
+            texts.append(None)
+            continue
+        k = int(rng.integers(0, 20))
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+    t = pa.table({"doc_id": pa.array(np.arange(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ref = t.filter(pa.array(np.arange(300) % 8 == 0))
+    bl = build_ngram_blocklist(
+        _ray().data.from_arrow(ref).repartition(2))
+    ds = _ray().data.from_arrow(t).repartition(4)
+    got = sorted(
+        (r["doc_id"], r["n_shingles"],
+         int(np.floor(r["containment"] * 1e6 + 0.5)))
+        for r in ngram_containment(ds, bl).take_all()
+        if r["n_shingles"] is not None)
+    want = sorted(tuple(r) for r in duckdb.sql("""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               w -> w <> '') AS arr
+            FROM t
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(arr) < 5
+                        THEN array_to_string(arr, ' ')
+                        ELSE array_to_string(
+                            list_slice(arr, i, i + 4), ' ')
+                   END AS shingle
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(arr) - 4, 1))) AS i) g
+            WHERE len(arr) > 0
+        ), bl AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 8 = 0
+        )
+        SELECT s.doc_id, count(*) AS n_shingles,
+               CAST(floor(CAST(count(b.shingle) AS DOUBLE)
+                    / count(*) * 1e6 + 0.5) AS BIGINT)
+        FROM sh s LEFT JOIN bl b ON s.shingle = b.shingle
+        GROUP BY s.doc_id""").fetchall())
+    assert got == want
