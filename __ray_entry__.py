@@ -1338,6 +1338,28 @@ def q_ngram_jaccard_dups(sf_dir: str):
     })
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: exact n-gram Jaccard pairs (threshold 0.5)
+    -> connected components via distributed hash-min label
+    propagation (engine/dedup.py::connected_components) -> per-doc
+    cluster id + cluster size. Components are the unit a real dedup
+    policy acts on (keep the min-id doc per cluster); the oracle
+    recomputes them with a recursive transitive-closure CTE."""
+    from json_schema_ray.engine.dedup import (
+        connected_components, ngram_jaccard_dedup_pairs)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup_pairs(ds, "doc_id", threshold=0.5)
+    comp = connected_components(pairs)
+    sizes = comp.group_by("component").aggregate([("id", "count")])
+    out = comp.join(sizes, keys="component")
+    return pa.table({
+        "doc_id": out["id"],
+        "component": out["component"],
+        "cluster_size": out["id_count"],
+    }).sort_by([("doc_id", "ascending")])
+
+
 def q_drift_events_psi(sf_dir: str):
     """Categorical PSI drift between the first and last 15 days of
     the events stream — the same ReferenceProfile/psi code path as
@@ -1481,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
         "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2190,6 +2213,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "doc_dup_clusters": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+            ), edges AS (
+                SELECT id_a AS n, id_b AS m FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT n, n AS m FROM edges
+                UNION
+                SELECT e.n, r.m
+                FROM edges e JOIN reach r ON e.m = r.n
+            ), comp AS (
+                SELECT n AS doc_id, min(m) AS component
+                FROM reach GROUP BY n
+            ), sizes AS (
+                SELECT component, count(*) AS cluster_size
+                FROM comp GROUP BY component
+            )
+            SELECT c.doc_id, c.component, s.cluster_size
+            FROM comp c JOIN sizes s USING (component)
+            ORDER BY c.doc_id
         """,
         "drift_events_psi": """
             WITH bounds AS (

@@ -23,6 +23,7 @@ their modules (import the module directly for the full surface):
 from .compare import aligned_text_compare, keyed_text_compare
 from .dedup import (
     build_ngram_blocklist,
+    connected_components,
     exact_dedup,
     exact_dedup_sorted,
     minhash_dedup_pairs,
@@ -99,6 +100,7 @@ __all__ = [
     "build_ann_index",
     "column_stats",
     "compile_plan_for",
+    "connected_components",
     "corr_stats",
     "cumulative_sum",
     "duplicate_keys",

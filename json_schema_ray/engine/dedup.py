@@ -762,6 +762,114 @@ def ngram_jaccard_dedup_pairs(ds, id_column: str,
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+def _edge_arrays(batch: pa.Table):
+    def col(name) -> np.ndarray:
+        c = batch[name]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.to_numpy(zero_copy_only=False).astype(np.int64)
+    return col("id_a"), col("id_b")
+
+
+def connected_components(pairs, max_iter: int = 50) -> pa.Table:
+    """Connected components of a near-dup pair graph: groups of
+    mutually-reachable documents, the unit real dedup policies act
+    on ("keep one doc per duplicate cluster"). ``pairs`` is a
+    pa.Table or Dataset with int64 ``id_a``/``id_b`` columns (extra
+    columns ignored). Returns (id, component) for every node in the
+    pair graph, where ``component`` is the minimum reachable id.
+
+    Scale shape: distributed hash-min label propagation. The label
+    table holds one row per node that APPEARS IN A PAIR — the
+    corpus's duplicate docs only, the same O(result) envelope as the
+    pair list itself (module invariant: near-dup pairs are sparse by
+    construction). Each round broadcasts the labels ONCE via
+    ``ray.put``, scans the edge Dataset with a per-batch numpy
+    pre-aggregation (lexsort + ``minimum.reduceat``: one candidate
+    row per touched node per block), re-reduces with a small Ray
+    groupby, and pointer-jumps the driver label array
+    (label := label(label)) so chains collapse in O(log diameter)
+    rounds; near-dup clusters are near-cliques, so 2-3 rounds in
+    practice. Raises on non-convergence rather than returning a
+    partial labeling."""
+    import ray
+
+    if isinstance(pairs, pa.Table):
+        if pairs.num_rows == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        edges = ray.data.from_arrow(pairs.select(["id_a", "id_b"]))
+    else:
+        edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+        if edges.count() == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+
+    def batch_nodes(batch: pa.Table) -> pa.Table:
+        a, b = _edge_arrays(batch)
+        return pa.table(
+            {"node": np.unique(np.concatenate([a, b]))})
+
+    node_parts = [t["node"].to_numpy(zero_copy_only=False)
+                  for t in _iter_tables(
+                      edges.map_batches(batch_nodes,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))]
+    nodes = np.unique(np.concatenate(node_parts))
+    labels = nodes.copy()
+
+    for _ in range(max_iter):
+        handle = ray.put((nodes, labels))
+
+        def propagate(batch: pa.Table) -> pa.Table:
+            nd, lb = ray.get(handle)
+            a, b = _edge_arrays(batch)
+            m = np.minimum(lb[np.searchsorted(nd, a)],
+                           lb[np.searchsorted(nd, b)])
+            ns = np.concatenate([a, b])
+            cs = np.concatenate([m, m])
+            order = np.lexsort((cs, ns))
+            ns, cs = ns[order], cs[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ns[1:] != ns[:-1])))
+            return pa.table({"node": ns[starts],
+                             "cand": np.minimum.reduceat(cs, starts)})
+
+        agg = edges.map_batches(propagate, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby("node").min("cand")
+        new = labels.copy()
+        for t in _iter_tables(agg):
+            an = t["node"].to_numpy(zero_copy_only=False)
+            av = t["min(cand)"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, an)
+            new[pos] = np.minimum(new[pos], av)
+        # pointer jumping: labels are themselves node ids (mins of
+        # node ids), so label-of-label is a pure driver array op
+        while True:
+            jumped = new[np.searchsorted(nodes, new)]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            return pa.table({"id": nodes, "component": labels})
+        labels = new
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def _iter_tables(ds):
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            yield t
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

@@ -2229,3 +2229,69 @@ def test_ngram_containment_matches_duckdb():
         FROM sh s LEFT JOIN bl b ON s.shingle = b.shingle
         GROUP BY s.doc_id""").fetchall())
     assert got == want
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_known_graph():
+    from json_schema_ray.engine.dedup import connected_components
+
+    pairs = pa.table({
+        "id_a": pa.array([1, 2, 10, 20, 21, 22], pa.int64()),
+        "id_b": pa.array([2, 3, 11, 21, 22, 23], pa.int64()),
+    })
+    comp = connected_components(pairs)
+    got = dict(zip(comp["id"].to_pylist(),
+                   comp["component"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_empty_and_chain():
+    from json_schema_ray.engine.dedup import connected_components
+
+    empty = connected_components(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
+    assert empty.num_rows == 0
+
+    # one 400-node path spanning many blocks: worst case for plain
+    # hash-min (diameter 400); pointer jumping must collapse it
+    n = 400
+    chain = pa.table({"id_a": pa.array(range(n - 1), pa.int64()),
+                      "id_b": pa.array(range(1, n), pa.int64())})
+    ds = _ray().data.from_arrow(chain).repartition(8)
+    comp = connected_components(ds)
+    assert comp.num_rows == n
+    assert set(comp["component"].to_pylist()) == {0}
+
+
+def test_connected_components_random_differential():
+    from json_schema_ray.engine.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 300, size=500).astype(np.int64)
+    b = rng.integers(0, 300, size=500).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    ds = _ray().data.from_arrow(pairs).repartition(5)
+    comp = connected_components(ds)
+    got = dict(zip(comp["id"].to_pylist(),
+                   comp["component"].to_pylist()))
+    assert got == _uf_components(zip(a.tolist(), b.tolist()))
