@@ -1138,6 +1138,21 @@ def q_docs_bpe_token_counts(sf_dir: str):
     return _collect(out, schema).select(["doc_id", "n_tokens"])
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document: distributed DF aggregate,
+    vocabulary broadcast once, per-doc scoring scan (engine/text.py).
+    Scores ship as floor(x*1e6+0.5) BIGINT on both sides."""
+    from json_schema_ray.engine.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, id_column="doc_id", column="text", top_n=3)
+    schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                        ("tf", pa.int64()), ("score_e6", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("doc_id", "ascending"), ("score_e6", "descending"),
+         ("term", "ascending")])
+
+
 def q_knn_lsh_top10(sf_dir: str):
     from json_schema_ray.engine.similarity import knn_lsh
 
@@ -1498,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_accuracy": q_lang_id_accuracy,
         "doc_quality": q_doc_quality,
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "knn_lsh_top10": q_knn_lsh_top10,
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2064,6 +2080,31 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens
             FROM documents
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, t FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(text, '\\s+')) AS t
+                    FROM documents) WHERE t <> ''
+            ), tf AS (
+                SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM toks
+            ), scored AS (
+                SELECT tf.doc_id, tf.t AS term, tf.tf,
+                       CAST(floor(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df)
+                                  * 1e6 + 0.5) AS BIGINT) AS score_e6,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                           ORDER BY floor(tf.tf
+                               * ln(CAST(nd.n AS DOUBLE) / df.df)
+                               * 1e6 + 0.5) DESC, tf.t ASC) AS rn
+                FROM tf JOIN df USING (t), nd
+            )
+            SELECT doc_id, term, tf, score_e6 FROM scored WHERE rn <= 3
+            ORDER BY doc_id, score_e6 DESC, term
         """,
         "doc_quality": """
             WITH f AS (

@@ -414,6 +414,167 @@ def fingerprints(ds, column: str = "text", window: int = 16, keep: int = 4):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _flat_terms(batch: pa.Table, column: str):
+    """One vectorized whitespace split over the whole column ->
+    (terms, parent_row_indices), empty tokens dropped."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    return flat.filter(keep), \
+        par.filter(keep).to_numpy(zero_copy_only=False)
+
+
+def document_frequencies(ds, column: str = "text"):
+    """Corpus document frequencies: one Dataset of
+    (term, tf_total, df) rows plus the corpus doc count, via
+    per-batch pre-aggregation (Arrow group-by on (doc, term), then
+    per-term partials) ahead of ONE vocabulary-sized groupby
+    shuffle. Documents never span batches, so a batch's distinct
+    (doc, term) count is an exact df partial. The doc count rides
+    the same shuffle as a reserved empty-string term row (an empty
+    token can never be a real term — the split drops them).
+
+    Returns the aggregated Dataset with columns
+    (t, sum(tf), sum(df)); the ``t=""`` row's ``sum(df)`` is the
+    count of documents with at least one token."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, par = _flat_terms(batch, column)
+        per_doc = pa.TableGroupBy(
+            pa.table({"p": pa.array(par), "t": flat}),
+            ["p", "t"]).aggregate([([], "count_all")])
+        per_term = pa.TableGroupBy(
+            pa.table({"t": per_doc["t"],
+                      "c": per_doc["count_all"]}),
+            ["t"]).aggregate([("c", "sum"), ([], "count_all")])
+        n_docs = len(np.unique(par))
+        return pa.table({
+            "t": pa.concat_arrays([
+                per_term["t"].combine_chunks(),
+                pa.array([""], pa.string())]),
+            "tf": pa.concat_arrays([
+                per_term["c_sum"].cast(pa.int64()).combine_chunks(),
+                pa.array([0], pa.int64())]),
+            "df": pa.concat_arrays([
+                per_term["count_all"].cast(pa.int64())
+                .combine_chunks(),
+                pa.array([n_docs], pa.int64())]),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("t").sum(["tf", "df"])
+    return agg
+
+
+def tfidf_top_terms(ds, id_column: str = "doc_id",
+                    column: str = "text", top_n: int = 3,
+                    min_df: int = 1) -> pa.Table:
+    """Top-n TF-IDF terms per document: the classic two-pass corpus
+    shape — a distributed document-frequency aggregate
+    (:func:`document_frequencies`), the vocabulary broadcast ONCE
+    through the object store as sorted term-hash + df arrays, then a
+    second stateless scan scores every (doc, term) with
+    ``tf * ln(n_docs / df)`` and keeps each doc's ``top_n`` by
+    (score desc, term asc). Scores ship as ``floor(x*1e6+0.5)``
+    BIGINT so ranking and value-hash compares are float-safe.
+
+    Scale: the broadcast is vocabulary-sized (Heaps' law: sublinear
+    in corpus size; ``min_df`` prunes the long tail when it still
+    outgrows worker heaps). Term lookup uses 64-bit splitmix hashes
+    (collision odds ~V^2/2^64 merge two df counts; the term strings
+    themselves only ever meet in the exact groupby). Returns a
+    DATASET of (id, term, tf, score_e6) — per-document output
+    streams; only the vocabulary ever lands on the driver."""
+    import ray
+
+    from ..state.sketches import hash_strings
+
+    vocab_parts = []
+    for b in document_frequencies(ds, column) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            vocab_parts.append(t)
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "score_e6": pa.array([], pa.int64())})
+    if not vocab_parts:
+        return ray.data.from_arrow(empty)
+    vocab = pa.concat_tables(vocab_parts, promote_options="default")
+    is_doc_row = pc.equal(vocab["t"], "")
+    n_docs = pc.sum(pc.if_else(is_doc_row, vocab["sum(df)"], 0)) \
+        .as_py() or 0
+    vocab = vocab.filter(pc.invert(is_doc_row))
+    if min_df > 1:
+        vocab = vocab.filter(
+            pc.greater_equal(vocab["sum(df)"], min_df))
+    if n_docs == 0 or vocab.num_rows == 0:
+        import ray as _r
+        return _r.data.from_arrow(empty)
+    h = hash_strings(vocab["t"].combine_chunks())
+    order = np.argsort(h)
+    handle = ray.put((h[order],
+                      vocab["sum(df)"].to_numpy(zero_copy_only=False)
+                      [order].astype(np.float64),
+                      float(n_docs)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hashes, dfs, n = ray.get(handle)
+        flat, par = _flat_terms(batch, column)
+        ids = batch[id_column]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        per_doc = pa.TableGroupBy(
+            pa.table({"p": pa.array(par), "t": flat}),
+            ["p", "t"]).aggregate([([], "count_all")])
+        th = hash_strings(per_doc["t"].combine_chunks())
+        pos = np.searchsorted(hashes, th)
+        pos = np.minimum(pos, max(len(hashes) - 1, 0))
+        found = hashes[pos] == th if len(hashes) else \
+            np.zeros(len(th), bool)
+        tfv = per_doc["count_all"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sc = np.where(found,
+                      tfv * np.log(n / np.maximum(dfs[pos], 1.0))
+                      * 1e6, np.nan)
+        keep = found
+        t = pa.table({
+            "p": per_doc["p"],
+            "term": per_doc["t"],
+            "tf": pa.array(tfv, pa.int64()),
+            "score_e6": pa.array(
+                np.floor(sc + 0.5, where=keep,
+                         out=np.zeros_like(sc))
+                .astype(np.int64), pa.int64()),
+        }).filter(pa.array(keep))
+        t = t.sort_by([("p", "ascending"), ("score_e6", "descending"),
+                       ("term", "ascending")])
+        pnp = t["p"].to_numpy(zero_copy_only=False)
+        if len(pnp) == 0:
+            return empty
+        starts = np.flatnonzero(
+            np.concatenate(([True], pnp[1:] != pnp[:-1])))
+        ranks = np.arange(len(pnp)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(pnp)]))))
+        t = t.filter(pa.array(ranks < top_n))
+        return pa.table({
+            id_column: ids.take(t["p"]),
+            "term": t["term"],
+            "tf": t["tf"],
+            "score_e6": t["score_e6"],
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def normalize_text_batch(batch: pa.Table, column: str = "text",
                          out: str = "norm_text") -> pa.Table:
     """Canonical dedup key for a text column, all Arrow kernels:

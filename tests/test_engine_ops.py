@@ -2295,3 +2295,57 @@ def test_connected_components_random_differential():
     got = dict(zip(comp["id"].to_pylist(),
                    comp["component"].to_pylist()))
     assert got == _uf_components(zip(a.tolist(), b.tolist()))
+
+
+def test_tfidf_top_terms_matches_naive():
+    """Distributed two-pass TF-IDF == a single-process naive recompute,
+    across a multi-block dataset (DF partials must merge exactly)."""
+    import math
+    from collections import Counter
+
+    from json_schema_ray.engine.text import tfidf_top_terms
+
+    texts = ["apple banana apple", "banana cherry", "apple cherry date",
+             "  ", "date date date banana", "egg"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = tfidf_top_terms(_ray().data.from_arrow(t).repartition(4),
+                          id_column="doc_id", column="text", top_n=2)
+    got = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+         for b in out.iter_batches(batch_format="pyarrow")]).sort_by(
+        [("doc_id", "ascending"), ("score_e6", "descending"),
+         ("term", "ascending")]).to_pylist()
+
+    # naive reference
+    toks = [[w for w in s.split() if w] for s in texts]
+    docs = [(i, tk) for i, tk in enumerate(toks) if tk]
+    n = len(docs)
+    df = Counter()
+    for _, tk in docs:
+        df.update(set(tk))
+    want = []
+    for i, tk in docs:
+        tf = Counter(tk)
+        scored = sorted(
+            ((term, c, math.floor(c * math.log(n / df[term]) * 1e6 + 0.5))
+             for term, c in tf.items()),
+            key=lambda r: (-r[2], r[0]))[:2]
+        for term, c, s in scored:
+            want.append({"doc_id": i, "term": term, "tf": c, "score_e6": s})
+    assert got == want
+    assert not any(r["doc_id"] == 3 for r in got)  # all-whitespace doc
+
+
+def test_tfidf_min_df_prunes_vocabulary():
+    from json_schema_ray.engine.text import tfidf_top_terms
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["rare shared", "shared"], pa.string())})
+    out = tfidf_top_terms(_ray().data.from_arrow(t), id_column="doc_id",
+                          column="text", top_n=5, min_df=2)
+    terms = set()
+    for b in out.iter_batches(batch_format="pyarrow"):
+        tt = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        terms.update(tt["term"].to_pylist())
+    assert terms == {"shared"}  # 'rare' (df=1) pruned
