@@ -1153,6 +1153,107 @@ def q_tfidf_top_terms(sf_dir: str):
          ("term", "ascending")])
 
 
+def q_user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix — two mergeable
+    groupbys, no row-sized shuffle after the combiner (engine/stats.py
+    grouped_entropy). Entropy ships as floor(x*1e6+0.5) BIGINT."""
+    from json_schema_ray.engine.stats import grouped_entropy
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_entropy(ds, "user_id", "event_type")
+
+    def scale(b: pa.Table) -> pa.Table:
+        ent = b["entropy"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.drop_columns(["entropy"]).append_column(
+            "entropy_e6", pa.array(
+                np.floor(ent * 1e6 + 0.5).astype(np.int64)))
+
+    schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                        ("entropy_e6", pa.int64())])
+    return _collect(out.map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
+def q_events_zscore(sf_dir: str):
+    """Row-level within-group standardization (z-score of value per
+    event_type): group moments via one combiner groupby, broadcast
+    probe — the 10k event rows never shuffle (engine/stats.py
+    grouped_zscore). z ships as floor(x*1e6+0.5) BIGINT."""
+    from json_schema_ray.engine.stats import grouped_zscore
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    out = grouped_zscore(ds, "event_type", "value")
+
+    def project(b: pa.Table) -> pa.Table:
+        z = b["z"].combine_chunks()
+        mask = pc.is_null(z).to_numpy(zero_copy_only=False)
+        zv = pc.fill_null(z, 0.0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "z_e6": pa.array(np.floor(zv * 1e6 + 0.5).astype(np.int64),
+                             mask=mask),
+        })
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("z_e6", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
+def q_user_value_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) per-user value quantiles — the
+    sort+carry machinery of the discrete version plus a final
+    output-sized partial merge (engine/rank.py grouped_quantiles_cont).
+    Values ship as floor(x*1e4+0.5) BIGINT."""
+    from json_schema_ray.engine.rank import grouped_quantiles_cont
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "value", "event_id"])
+    out = grouped_quantiles_cont(ds, "user_id", "value",
+                                 (0.25, 0.5, 0.95), tiebreak="event_id")
+
+    def scale(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.drop_columns(["value"]).append_column(
+            "value_e4", pa.array(
+                np.floor(v * 1e4 + 0.5).astype(np.int64)))
+
+    schema = pa.schema([("user_id", pa.int64()), ("q", pa.float64()),
+                        ("value_e4", pa.int64())])
+    return _collect(out.map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """Deterministic 40-per-event-type uniform sample: shuffle-free
+    splitmix64 hash + mergeable grouped top-k (engine/rank.py
+    stratified_sample), hash-for-hash oracle-checkable."""
+    from json_schema_ray.engine.rank import stratified_sample
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+    out = stratified_sample(ds, "event_type", "event_id", 40, seed=5)
+    schema = pa.schema([("event_type", pa.string()),
+                        ("event_id", pa.int64()), ("rn", pa.int64())])
+    return _collect(out, schema)
+
+
+def q_user_event_type_concat(sf_dir: str):
+    """Ordered per-user event-type concatenation (SQL string_agg with
+    ORDER BY): one sort, vectorized per-segment joins, assembly over
+    O(n_blocks) partials per key (engine/rank.py grouped_string_agg)."""
+    from json_schema_ray.engine.rank import grouped_string_agg
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "event_type"])
+    out = grouped_string_agg(ds, "user_id", "event_id", "event_type",
+                             sep=",")
+    schema = pa.schema([("user_id", pa.int64()), ("agg", pa.string())])
+    return _collect(out, schema)
+
+
 def q_knn_lsh_top10(sf_dir: str):
     from json_schema_ray.engine.similarity import knn_lsh
 
@@ -1514,6 +1615,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "user_event_entropy": q_user_event_entropy,
+        "events_zscore": q_events_zscore,
+        "user_value_quantiles_cont": q_user_value_quantiles_cont,
+        "events_stratified_sample": q_events_stratified_sample,
+        "user_event_type_concat": q_user_event_type_concat,
         "knn_lsh_top10": q_knn_lsh_top10,
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2105,6 +2211,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_e6 FROM scored WHERE rn <= 3
             ORDER BY doc_id, score_e6 DESC, term
+        """,
+        "user_event_entropy": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(floor((ln(sum(cnt))
+                        - sum(cnt * ln(cnt)) / sum(cnt)) * 1e6 + 0.5)
+                        AS BIGINT) AS entropy_e6
+            FROM c GROUP BY user_id
+        """,
+        "events_zscore": """
+            SELECT event_id, event_type,
+                   CAST(floor((value - avg(value) OVER w)
+                        / stddev_samp(value) OVER w * 1e6 + 0.5)
+                        AS BIGINT) AS z_e6
+            FROM events
+            WINDOW w AS (PARTITION BY event_type)
+        """,
+        "user_value_quantiles_cont": """
+            SELECT user_id, CAST(0.25 AS DOUBLE) AS q,
+                   CAST(floor(quantile_cont(value, 0.25) * 1e4 + 0.5)
+                        AS BIGINT) AS value_e4
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            UNION ALL SELECT user_id, 0.5,
+                   CAST(floor(quantile_cont(value, 0.5) * 1e4 + 0.5)
+                        AS BIGINT)
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            UNION ALL SELECT user_id, 0.95,
+                   CAST(floor(quantile_cont(value, 0.95) * 1e4 + 0.5)
+                        AS BIGINT)
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+        """,
+        "events_stratified_sample": f"""
+            SELECT event_type, event_id, rn FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY {splitmix64_sql('event_id', 5)},
+                                event_id) AS rn
+              FROM events) WHERE rn <= 40
+        """,
+        "user_event_type_concat": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY event_id) AS agg
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id
         """,
         "doc_quality": """
             WITH f AS (

@@ -39,10 +39,13 @@ from .rank import (
     cumulative_sum,
     grouped_exact_quantiles,
     grouped_mode,
+    grouped_quantiles_cont,
+    grouped_string_agg,
     grouped_top_k,
     grouped_value_ranks,
     lag_column,
     lead_column,
+    stratified_sample,
     windowed_sum,
 )
 from .relational import (
@@ -76,6 +79,8 @@ from .stats import (
     column_stats,
     corr_stats,
     exact_quantiles,
+    grouped_entropy,
+    grouped_zscore,
     histogram,
 )
 from .validate import (
@@ -113,9 +118,13 @@ __all__ = [
     "grouped_aggregate",
     "grouped_distinct_count",
     "grouped_distinct_count_sorted",
+    "grouped_entropy",
     "grouped_exact_quantiles",
     "grouped_mode",
+    "grouped_quantiles_cont",
+    "grouped_string_agg",
     "grouped_top_k",
+    "grouped_zscore",
     "hash_sample",
     "heavy_hitters",
     "histogram",
@@ -136,6 +145,7 @@ __all__ = [
     "semi_join",
     "sessionize_counts",
     "simhash_near_dup_pairs",
+    "stratified_sample",
     "top_k",
     "tumbling_window_counts",
     "turn_ordering_violations",

@@ -1033,3 +1033,415 @@ def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def grouped_quantiles_cont(ds, key: str, col: str, qs, tiebreak: str):
+    """EXACT per-group INTERPOLATED quantiles, DuckDB
+    ``quantile_cont(col, q) GROUP BY key`` convention: with the
+    group's n non-null values sorted, ``h = (n - 1) * q``,
+    ``value = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h -
+    floor(h))``. Returns ``(key, q, value)`` rows.
+
+    Shape: the :func:`grouped_exact_quantiles` machinery — one
+    null-safe range-partitioned sort on ``(key, col, tiebreak)``,
+    complete interior segments resolve in-block, first/last segments
+    emit O(n_blocks) carry rows folded into per-key prefix counts on
+    the driver and broadcast back — except each q now SELECTS up to
+    two ranks (floor/ceil of h). Selected rows become mergeable
+    partial rows ``(key, q, v_lo | v_hi, frac)`` (the two ranks of
+    one q can land in different blocks), combined by ONE final
+    groupby over output-sized partials. ``tiebreak`` must make
+    ``(col, tiebreak)`` unique within a key (rank bookkeeping needs a
+    total order; the interpolated value itself is tie-insensitive).
+    """
+    import math
+
+    from ray.data.aggregate import Max
+
+    from .relational import null_safe_grouped_aggregate, null_safe_sort
+
+    qlist = sorted(set(float(q) for q in qs))
+    if not qlist:
+        raise ValueError("qs must be non-empty")
+    if qlist[0] < 0.0 or qlist[-1] > 1.0:
+        raise ValueError(f"quantiles must lie in [0, 1], got {qlist}")
+    qi_of = {q: int(math.floor(q * 1e6 + 0.5)) for q in qlist}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        for c in (col, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"grouped_quantiles_cont: column {c!r} is a"
+                    " string; only numeric/temporal value/tiebreak"
+                    " columns carry across block boundaries")
+        return batch.select([key, col, tiebreak]) \
+            .filter(pc.is_valid(batch[col]))
+
+    sorted_ds = null_safe_sort(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), [key], [col, tiebreak])
+
+    def targets_of(n: int) -> dict:
+        """rank -> list of (qi, is_hi, frac)."""
+        out: dict = {}
+        for q in qlist:
+            h = (n - 1) * q
+            lo = int(math.floor(h))
+            hi = int(math.ceil(h))
+            frac = h - lo
+            out.setdefault(lo, []).append((qi_of[q], False, frac))
+            if hi > lo:
+                out.setdefault(hi, []).append((qi_of[q], True, frac))
+        return out
+
+    def _empty(ktype) -> pa.Table:
+        return pa.table({
+            key: pa.array([], ktype),
+            "__qi": pa.array([], pa.int64()),
+            "__vlo": pa.array([], pa.float64()),
+            "__vhi": pa.array([], pa.float64()),
+            "__frac": pa.array([], pa.float64()),
+            "__k": pa.array([], pa.string()),
+            "__col": pa.array([], pa.float64()),
+            "__tb": pa.array([], pa.float64()),
+            "__rank": pa.array([], pa.int64()),
+            "__cnt": pa.array([], pa.int64()),
+            "__rt": pa.array([], pa.int8()),
+        })
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ktype = batch[key].type
+        empty = _empty(ktype)
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        colv = _order_np(batch, col, descending=False)
+        tbv = _order_np(batch, tiebreak, descending=False)
+        vals = pc.cast(batch[col], pa.float64())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vnp = vals.to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        seg_ids = np.cumsum(newseg) - 1
+        g = len(starts)
+        local_rank = np.arange(n) - starts[seg_ids]
+
+        parts = [empty]
+        # interior segments are complete: both ranks of every q
+        # resolve in-block into ONE partial row carrying v_lo AND v_hi
+        if g > 2:
+            istarts = starts[1:g - 1]
+            icounts = (ends - starts)[1:g - 1]
+            sel_key, sel_qi, sel_lo, sel_hi, sel_fr = [], [], [], [], []
+            for q in qlist:
+                h = (icounts - 1) * q
+                lo = np.floor(h).astype(np.int64)
+                hi = np.ceil(h).astype(np.int64)
+                fr = h - lo
+                sel_key.append(istarts)
+                sel_qi.append(np.full(len(istarts), qi_of[q], np.int64))
+                sel_lo.append(vnp[istarts + lo])
+                sel_hi.append(vnp[istarts + hi])
+                sel_fr.append(fr)
+            pos = np.concatenate(sel_key)
+            m = len(pos)
+            rows = batch.take(pa.array(pos))
+            parts.append(pa.table({
+                key: rows[key],
+                "__qi": pa.array(np.concatenate(sel_qi)),
+                "__vlo": pa.array(np.concatenate(sel_lo), pa.float64()),
+                "__vhi": pa.array(np.concatenate(sel_hi), pa.float64()),
+                "__frac": pa.array(np.concatenate(sel_fr), pa.float64()),
+                "__k": pa.array([""] * m, pa.string()),
+                "__col": pa.array(np.zeros(m), pa.float64()),
+                "__tb": pa.array(np.zeros(m), pa.float64()),
+                "__rank": pa.array(np.zeros(m, np.int64)),
+                "__cnt": pa.array(np.zeros(m, np.int64)),
+                "__rt": pa.array(np.zeros(m, np.int8)),
+            }))
+        # edge segments: pending rows + one carry row per segment
+        edge_rows = np.nonzero((seg_ids == 0) | (seg_ids == g - 1))[0]
+        er = batch.take(pa.array(edge_rows))
+        m = len(edge_rows)
+        parts.append(pa.table({
+            key: er[key],
+            "__qi": pa.array(np.zeros(m, np.int64)),
+            "__vlo": pa.array(vnp[edge_rows], pa.float64()),
+            "__vhi": pa.array(np.full(m, np.nan), pa.float64(),
+                              mask=np.ones(m, bool)),
+            "__frac": pa.array(np.zeros(m), pa.float64()),
+            "__k": pa.array(kk[edge_rows].tolist(), pa.string()),
+            "__col": pa.array(colv[edge_rows], pa.float64()),
+            "__tb": pa.array(tbv[edge_rows], pa.float64()),
+            "__rank": pa.array(local_rank[edge_rows], pa.int64()),
+            "__cnt": pa.array(np.zeros(m, np.int64)),
+            "__rt": pa.array(np.ones(m, np.int8)),
+        }))
+        carry_ends = sorted({int(ends[0]) - 1, n - 1})
+        ce = batch.take(pa.array(carry_ends))
+        counts = [int((ends - starts)[seg_ids[e]]) for e in carry_ends]
+        mc = len(carry_ends)
+        parts.append(pa.table({
+            key: ce[key],
+            "__qi": pa.array(np.zeros(mc, np.int64)),
+            "__vlo": pa.array(vnp[carry_ends], pa.float64()),
+            "__vhi": pa.array(np.full(mc, np.nan), pa.float64(),
+                              mask=np.ones(mc, bool)),
+            "__frac": pa.array(np.zeros(mc), pa.float64()),
+            "__k": pa.array(kk[carry_ends].tolist(), pa.string()),
+            "__col": pa.array(colv[carry_ends], pa.float64()),
+            "__tb": pa.array(tbv[carry_ends], pa.float64()),
+            "__rank": pa.array(np.zeros(mc, np.int64)),
+            "__cnt": pa.array(counts, pa.int64()),
+            "__rt": pa.array(np.full(mc, 2, np.int8)),
+        }))
+        return pa.concat_tables(parts)
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in kept.to_pylist():
+            carry.setdefault(r["__k"], []).append(
+                (r["__col"], r["__tb"], r["__cnt"]))
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort()
+        last_a = np.array([a for a, _, _ in segs], dtype=np.float64)
+        last_b = np.array([b for _, b, _ in segs], dtype=np.float64)
+        pre_c = np.concatenate([[0], np.cumsum(
+            [c for _, _, c in segs])]).astype(np.int64)
+        total = int(pre_c[-1])
+        tg = targets_of(total)
+        tranks = np.array(sorted(tg), dtype=np.int64)
+        tspecs = [tg[t] for t in sorted(tg)]
+        offsets[kval] = (last_a, last_b, pre_c, tranks, tspecs)
+
+    import ray
+
+    handle = ray.put(offsets)
+    part_names = [key, "__qi", "__vlo", "__vhi", "__frac"]
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        final = batch.filter(pc.equal(batch["__rt"], 0)) \
+            .select(part_names)
+        pend = batch.filter(pc.equal(batch["__rt"], 1))
+        if pend.num_rows == 0:
+            return final
+        offs = ray.get(handle)
+        kk = pend["__k"].combine_chunks().to_numpy(zero_copy_only=False)
+        colb = pend["__col"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tbb = pend["__tb"].combine_chunks().to_numpy(zero_copy_only=False)
+        lrank = pend["__rank"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        take_idx, take_qi, take_hi, take_fr = [], [], [], []
+        for kval in np.unique(kk):
+            if kval not in offs:
+                continue
+            last_a, last_b, pre_c, tranks, tspecs = offs[kval]
+            rows = np.nonzero(kk == kval)[0]
+            pos = _boundaries_before(last_a, last_b, colb[rows],
+                                     tbb[rows])
+            grank = lrank[rows] + pre_c[pos]
+            hit = np.searchsorted(tranks, grank)
+            ok = (hit < len(tranks)) & (tranks[np.minimum(
+                hit, len(tranks) - 1)] == grank)
+            for i in np.nonzero(ok)[0]:
+                for qi, is_hi, frac in tspecs[hit[i]]:
+                    take_idx.append(int(rows[i]))
+                    take_qi.append(qi)
+                    take_hi.append(is_hi)
+                    take_fr.append(frac)
+        if not take_idx:
+            return final
+        sel = pend.take(pa.array(take_idx, pa.int64()))
+        v = sel["__vlo"].combine_chunks().to_numpy(zero_copy_only=False)
+        is_hi = np.array(take_hi, bool)
+        picked = pa.table({
+            key: sel[key],
+            "__qi": pa.array(take_qi, pa.int64()),
+            "__vlo": pa.array(v, pa.float64(), mask=is_hi),
+            "__vhi": pa.array(v, pa.float64(), mask=~is_hi),
+            "__frac": pa.array(take_fr, pa.float64()),
+        })
+        return pa.concat_tables([final, picked])
+
+    partials = scanned.map_batches(resolve, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    merged = null_safe_grouped_aggregate(
+        partials, [key, "__qi"],
+        [Max("__vlo", alias_name="__vlo"),
+         Max("__vhi", alias_name="__vhi"),
+         Max("__frac", alias_name="__frac")],
+        ["__vlo", "__vhi", "__frac"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        qi = batch["__qi"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        vlo = batch["__vlo"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        vhi = pc.fill_null(batch["__vhi"].combine_chunks(), np.nan) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        fr = batch["__frac"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        val = np.where(np.isnan(vhi), vlo, vlo + (vhi - vlo) * fr)
+        return pa.table({
+            key: batch[key],
+            "q": pa.array(qi / 1e6, pa.float64()),
+            "value": pa.array(val, pa.float64()),
+        })
+
+    return merged.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def stratified_sample(ds, key: str, id_column: str, k: int,
+                      seed: int = 0):
+    """Deterministic per-group uniform sample WITHOUT replacement:
+    the k rows with the smallest ``splitmix64(id + seed)`` per
+    ``key`` group (order statistics of a uniform hash are a uniform
+    k-subset). Repeatable across runs/resumes and oracle-checkable
+    (``row_number() OVER (PARTITION BY key ORDER BY splitmix64(id),
+    id) <= k`` with :func:`.relational.splitmix64_sql`). Null ids are
+    never sampled.
+
+    Shape: one shuffle-free per-batch hash projection, then
+    :func:`grouped_top_k` — mergeable per-block top-k partials, one
+    range-partitioned sort over <= k rows per group per block,
+    O(k * n_blocks) edge handling. Hash order crosses blocks as
+    float64 (2^64 -> 53-bit mantissa): two DISTINCT hashes closer
+    than one ulp could tie-break differently than exact integer
+    order — probability ~ m^2 / 2^54 per m-row group.
+    """
+    from ..state.sketches import hash_ints, hash_string_array
+    from .relational import _is_string_type
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = batch[id_column].combine_chunks()
+        t = col.type
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+            vals = pc.cast(col.fill_null(0), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            h = hash_ints((vals.astype(np.uint64)
+                           + np.uint64(seed)).view(np.int64))
+        elif _is_string_type(t):
+            h = hash_ints((hash_string_array(col)
+                           + np.uint64(seed)).view(np.int64))
+        else:
+            raise ValueError(
+                f"stratified_sample: unsupported id type {t}")
+        return batch.filter(pa.array(valid)).append_column(
+            "__h", pa.array(h.astype(np.float64)[valid], pa.float64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_top_k(hashed, [key], "__h", k,
+                        descending=False, tiebreak=id_column)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__h"])
+
+    return out.map_batches(drop, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def grouped_string_agg(ds, key: str, ord_col: str, val_col: str,
+                       sep: str = ","):
+    """SQL ``string_agg(val_col, sep ORDER BY ord_col) GROUP BY
+    key``: one row ``(key, agg)`` per group, values concatenated in
+    ``ord_col`` order. NULL ``val_col`` rows are excluded (SQL
+    string_agg skips NULLs) — a key with only NULL values disappears
+    (SQL would keep it with a NULL aggregate; filter-side semantics
+    are the mergeable contract here). ``(key, ord_col)`` must be
+    unique per key for a deterministic result; ``ord_col`` must be
+    numeric/temporal (its value orders partials across blocks).
+
+    Shape: ONE null-safe range-partitioned sort on ``(key, ord)``;
+    each key segment of each block concatenates VECTORIZED
+    (list-offsets + ``pc.binary_join``) into a single partial row
+    ``(key, first_ord, piece)`` — so a group contributes at most
+    n_blocks + 1 partials, never its rows — and the final assembly
+    is a groupby over partials only (bounded per-group fan-in),
+    ordered by each piece's first_ord (pieces of one key never
+    interleave: the sort totally orders (key, ord)). The assembled
+    string is inherently group-sized — the one thing that cannot
+    stream — which is the same bound SQL's own string_agg carries.
+    """
+    from .relational import (decode_null_safe_keys,
+                             encode_null_safe_keys, null_safe_sort)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if _is_str(batch[ord_col].type):
+            raise ValueError(
+                f"grouped_string_agg: order column {ord_col!r} is a"
+                " string; only numeric/temporal order columns carry"
+                " across block boundaries")
+        return batch.select([key, ord_col, val_col]) \
+            .filter(pc.is_valid(batch[val_col]))
+
+    sorted_ds = null_safe_sort(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True), [key], [ord_col])
+
+    def piece(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                key: pa.array([], batch[key].type),
+                "__ord0": pa.array([], pa.float64()),
+                "__piece": pa.array([], pa.string()),
+            })
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        ordv = _order_np(batch, ord_col, descending=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        vals = batch[val_col].combine_chunks()
+        if pa.types.is_large_string(vals.type):
+            offs = np.append(starts, n).astype(np.int64)
+            la = pa.LargeListArray.from_arrays(offs, vals)
+        else:
+            offs = np.append(starts, n).astype(np.int32)
+            la = pa.ListArray.from_arrays(offs, vals)
+        joined = pc.binary_join(la, sep)
+        st = pa.array(starts, pa.int64())
+        return pa.table({
+            key: batch[key].take(st),
+            "__ord0": pa.array(ordv[starts], pa.float64()),
+            "__piece": joined,
+        })
+
+    partials = sorted_ds.map_batches(piece, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return encode_null_safe_keys(batch, [key])
+
+    def assemble(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("__ord0", "ascending")])
+        g = group.take(idx)
+        text = sep.join(g["__piece"].to_pylist())
+        return pa.table({
+            "__gs0": g["__gs0"][:1],
+            "agg": pa.array([text], pa.string()),
+        })
+
+    grouped = partials.map_batches(encode, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .groupby(["__gs0"]).map_groups(assemble, batch_format="pyarrow")
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return decode_null_safe_keys(batch, [key], ["agg"])
+
+    return grouped.map_batches(decode, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -318,3 +318,128 @@ def histogram(ds, column: str, n_bins: int, lo: float,
         "bin_lo": pa.array(lo + bins * width, pa.float64()),
         "cnt": pa.array(total, pa.int64()),
     })
+
+
+def grouped_entropy(ds, key: str, col: str):
+    """Shannon entropy (natural log) of the ``col`` value distribution
+    per ``key``: one row ``(key, n, entropy)`` per group, with
+    ``entropy = ln(n) - sum(c * ln c) / n`` over the per-value counts
+    ``c`` — algebraically identical to ``-sum(p ln p)`` but mergeable
+    (the two inner sums are plain additive partials). NULL ``col``
+    values are excluded (SQL ``count(*) ... WHERE col IS NOT NULL``
+    semantics); a key whose values are all NULL disappears.
+
+    Scale shape: one combiner groupby ``(key, col) -> cnt`` (the only
+    all-to-all that sees row-sized data, and it pre-aggregates inside
+    ``map_batches`` first), then a second groupby over the DISTINCT
+    value table — ``sum(cnt)`` and ``sum(cnt * ln cnt)`` per key —
+    whose input is already reduced to group x value cardinality. No
+    per-group Python, no driver materialization; a key with millions
+    of distinct values contributes that many tiny count rows, never
+    its raw rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from .rank import _count_agg
+    from .relational import null_safe_grouped_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.select([key, col]).filter(pc.is_valid(batch[col]))
+
+    counts = null_safe_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, col], [_count_agg()], ["cnt"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key: batch[key],
+            "__n": pa.array(cnt.astype(np.int64)),
+            "__clnc": pa.array(cnt * np.log(cnt), pa.float64()),
+        })
+
+    per_key = null_safe_grouped_aggregate(
+        counts.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [key], [Sum("__n", alias_name="__n"),
+                Sum("__clnc", alias_name="__clnc")],
+        ["__n", "__clnc"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        n = batch["__n"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        clnc = batch["__clnc"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ent = np.log(n) - clnc / n
+        return pa.table({
+            key: batch[key],
+            "n": pa.array(n.astype(np.int64)),
+            "entropy": pa.array(ent, pa.float64()),
+        })
+
+    return per_key.map_batches(project, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def grouped_zscore(ds, key: str, col: str, out: str = "z"):
+    """Row-level standardization: every row gains ``out`` =
+    ``(col - mean) / stddev`` over its ``key`` group (SQL
+    ``(col - avg(col) OVER w) / stddev_samp(col) OVER w``,
+    ``w = PARTITION BY key``). Sample stddev (ddof=1); rows whose
+    group has fewer than two non-null values or zero variance get a
+    NULL ``out`` (SQL: stddev_samp NULL or division yielding no
+    finite value), as do NULL ``col`` rows.
+
+    Scale shape: per-block moment partials ``(n, sum, sum_sq)`` per
+    key reduce through one combiner groupby to a GROUP-sized stats
+    table, which is broadcast once (``ray.put``) and probed per batch
+    (:func:`broadcast_hash_join` shape) — the row-sized side never
+    shuffles. Use this when group cardinality fits one worker's heap
+    (the usual case: groups are entities, not rows); for unbounded
+    group counts compose the same stats Dataset with
+    :func:`sort_merge_join` instead of the broadcast.
+    """
+    from .relational import broadcast_hash_join, grouped_aggregate
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
+        sq = pc.multiply(t[col], t[col])
+        return t.append_column("__sq", pc.cast(sq, pa.float64()))
+
+    stats = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], [(col, "sum"), ("__sq", "sum"), (None, "count")])
+    if stats is None or stats.num_rows == 0:
+        def null_out(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                out, pa.nulls(batch.num_rows, pa.float64()))
+        return ds.map_batches(null_out, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    n = stats["rows_count"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    s = stats[f"{col}_sum"].to_numpy(zero_copy_only=False)
+    ss = stats["__sq_sum"].to_numpy(zero_copy_only=False)
+    mean = s / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss - n * mean * mean) / (n - 1.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    usable = (n > 1.5) & (std > 0.0)
+    side = pa.table({
+        key: stats[key],
+        "__mean": pa.array(mean, pa.float64()),
+        "__std": pa.array(std, pa.float64(), mask=~usable),
+    })
+
+    joined = broadcast_hash_join(ds, side, key, key, how="left")
+
+    def project(batch: pa.Table) -> pa.Table:
+        z = pc.divide(pc.subtract(pc.cast(batch[col], pa.float64()),
+                                  batch["__mean"]), batch["__std"])
+        return batch.drop_columns(["__mean", "__std"]) \
+            .append_column(out, z)
+
+    return joined.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)

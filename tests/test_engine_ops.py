@@ -2349,3 +2349,184 @@ def test_tfidf_min_df_prunes_vocabulary():
         tt = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
         terms.update(tt["term"].to_pylist())
     assert terms == {"shared"}  # 'rare' (df=1) pruned
+
+
+def test_grouped_entropy_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.stats import grouped_entropy
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    t = pa.table({
+        "u": pa.array([f"u{v}" if v % 5 else None
+                       for v in rng.integers(0, 40, n)], pa.string()),
+        "ev": pa.array([None if rng.random() < 0.03 else f"e{v}"
+                        for v in rng.integers(0, 6, n)], pa.string()),
+    })
+    key = lambda r: (r[0] is None, r)
+    for blocks in (1, 9):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["u"], r["n"], round(r["entropy"], 9))
+                      for r in grouped_entropy(ds, "u", "ev")
+                      .take_all()), key=key)
+        want = sorted(((u, nn, round(e, 9)) for u, nn, e in duckdb.sql(
+            """WITH c AS (SELECT u, ev, count(*) AS cnt FROM t
+                          WHERE ev IS NOT NULL GROUP BY 1, 2)
+               SELECT u, CAST(sum(cnt) AS BIGINT),
+                      ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)
+               FROM c GROUP BY u""").fetchall()), key=key)
+        assert got == want, blocks
+
+
+def test_grouped_zscore_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.stats import grouped_zscore
+
+    rng = np.random.default_rng(32)
+    n = 5000
+    g = rng.integers(0, 25, n)
+    x = np.where(rng.random(n) < 0.05, np.nan, rng.normal(50, 9, n))
+    t = pa.table({
+        "g": pa.array(g, pa.int64()),
+        "x": pa.array(x, pa.float64(), mask=np.isnan(x)),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    # degenerate groups: singleton (100) and zero-variance (101)
+    extra = pa.table({
+        "g": pa.array([100, 101, 101], pa.int64()),
+        "x": pa.array([7.0, 3.0, 3.0], pa.float64()),
+        "rid": pa.array([n, n + 1, n + 2], pa.int64()),
+    })
+    t = pa.concat_tables([t, extra])
+    ds = _ray().data.from_arrow(t).repartition(7)
+    got = {r["rid"]: (None if r["z"] is None else round(r["z"], 9))
+           for r in grouped_zscore(ds, "g", "x").take_all()}
+    want = {rid: (None if z is None else round(z, 9))
+            for rid, z in duckdb.sql(
+        """SELECT rid, CASE WHEN stddev_samp(x) OVER w = 0 THEN NULL
+                  ELSE (x - avg(x) OVER w) / stddev_samp(x) OVER w
+                  END
+           FROM t WINDOW w AS (PARTITION BY g)""").fetchall()}
+    assert got == want
+    assert got[n] is None and got[n + 1] is None  # degenerate -> NULL
+
+
+def test_grouped_quantiles_cont_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_quantiles_cont
+
+    rng = np.random.default_rng(33)
+    n = 8000
+    t = pa.table({
+        "g": pa.array([f"g{v}" if v % 7 else None
+                       for v in rng.integers(0, 30, n)], pa.string()),
+        "x": pa.array([None if rng.random() < 0.04 else float(v)
+                       for v in rng.normal(100, 20, n)], pa.float64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    key = lambda r: (r[0] is None, r)
+    for blocks in (1, 11):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["g"], r["q"], round(r["value"], 8)) for r in
+                      grouped_quantiles_cont(
+                          ds, "g", "x", (0.25, 0.5, 0.9),
+                          tiebreak="rid").take_all()), key=key)
+        want = sorted(((gv, q, round(v, 8)) for gv, q, v in duckdb.sql("""
+            SELECT g, 0.25::DOUBLE AS q, quantile_cont(x, 0.25) AS v
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            UNION ALL SELECT g, 0.5, quantile_cont(x, 0.5)
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            UNION ALL SELECT g, 0.9, quantile_cont(x, 0.9)
+              FROM t WHERE x IS NOT NULL GROUP BY g
+            """).fetchall()), key=key)
+        assert got == want, blocks
+
+
+def test_grouped_quantiles_cont_hot_key_spans_blocks():
+    from json_schema_ray.engine.rank import grouped_quantiles_cont
+
+    # one key spanning 16 blocks; values 1..n make quantile_cont
+    # analytically exact: value = 1 + (n - 1) * q
+    n = 100_000
+    t = pa.table({
+        "g": pa.array(np.zeros(n, np.int64)),
+        "x": pa.array(np.arange(1, n + 1, dtype=np.float64)),
+        "rid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    got = {r["q"]: r["value"] for r in grouped_quantiles_cont(
+        ds, "g", "x", (0.5, 0.99), tiebreak="rid").take_all()}
+    assert got == {0.5: 1 + (n - 1) * 0.5, 0.99: 1 + (n - 1) * 0.99}
+
+
+def test_stratified_sample_matches_sql_splitmix():
+    import duckdb
+
+    from json_schema_ray.engine.rank import stratified_sample
+    from json_schema_ray.engine.relational import splitmix64_sql
+
+    rng = np.random.default_rng(34)
+    n = 4000
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 11, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(9)
+    got = sorted((r["g"], r["id"], r["rn"]) for r in
+                 stratified_sample(ds, "g", "id", 6, seed=2).take_all())
+    want = sorted(duckdb.sql(f"""
+        SELECT g, id, rn FROM (
+          SELECT g, id, row_number() OVER (PARTITION BY g
+            ORDER BY {splitmix64_sql('id', 2)}, id) AS rn FROM t)
+        WHERE rn <= 6""").fetchall())
+    assert got == want
+    # deterministic across runs: same subset again
+    again = sorted((r["g"], r["id"], r["rn"]) for r in
+                   stratified_sample(ds, "g", "id", 6, seed=2)
+                   .take_all())
+    assert again == got
+
+
+def test_grouped_string_agg_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_string_agg
+
+    rng = np.random.default_rng(35)
+    n = 5000
+    t = pa.table({
+        "u": pa.array([f"u{v}" if v % 6 else None
+                       for v in rng.integers(0, 20, n)], pa.string()),
+        "ord": pa.array(rng.permutation(n), pa.int64()),
+        "ev": pa.array([None if rng.random() < 0.05 else f"e{v}"
+                        for v in rng.integers(0, 7, n)], pa.string()),
+    })
+    key = lambda r: (r[0] is None, r)
+    for blocks in (1, 10):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["u"], r["agg"]) for r in
+                      grouped_string_agg(ds, "u", "ord", "ev")
+                      .take_all()), key=key)
+        want = sorted((tuple(r) for r in duckdb.sql(
+            """SELECT u, string_agg(ev, ',' ORDER BY "ord") FROM t
+               WHERE ev IS NOT NULL GROUP BY u""").fetchall()),
+            key=key)
+        assert got == want, blocks
+
+
+def test_grouped_string_agg_hot_key_spans_blocks():
+    from json_schema_ray.engine.rank import grouped_string_agg
+
+    n = 20_000
+    t = pa.table({
+        "g": pa.array(np.zeros(n, np.int64)),
+        "ord": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([str(i) for i in range(n)], pa.string()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    rows = grouped_string_agg(ds, "g", "ord", "v").take_all()
+    assert len(rows) == 1
+    assert rows[0]["agg"] == ",".join(str(i) for i in range(n))
