@@ -865,10 +865,24 @@ def q_transcript_stats(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-dup pairs, oracle-checked END-TO-END: shingle
+    hashes are DuckDB ``hash()`` (dedup._duck_hash_strings), so the
+    SQL oracle rebuilds the exact signatures (universal-hash minhash
+    over Mersenne-2^61-1 with uint64 wrap-around), the splitmix band
+    buckets, the candidate pairs, and the Jaccard verify. Jaccard
+    ships as floor(x*1e6+0.5) BIGINT."""
+    import math
+
     from json_schema_ray.engine.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
+    t = minhash_dedup_pairs(ds, "doc_id", threshold=0.35, n_bands=16)
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"],
+        "jaccard_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["jaccard"].to_pylist()], pa.int64()),
+    })
 
 
 def q_docs_decontamination(sf_dir: str):
@@ -1287,8 +1301,12 @@ def q_embedding_near_dups(sf_dir: str):
     synthetic embeddings have no true near-dups (max off-diagonal
     cosine ~0.6), so the threshold targets the actual similarity
     band; n_planes=6 keeps in-bucket recall non-trivial at sf0.01+.
-    The EXACT ground truth (superset) is oracle-checked separately
-    as ``embedding_near_dups_exact``."""
+    Oracle-checked end-to-end: the 6-plane bucket assignment is
+    reproduced in SQL (plane literals baked, _knn_lsh_bucket_expr)
+    and in-bucket pairs filter on list_cosine_similarity. Scores
+    ship as floor(x*1e6+0.5) BIGINT like the exact variant."""
+    import math
+
     from json_schema_ray.engine.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -1299,8 +1317,9 @@ def q_embedding_near_dups(sf_dir: str):
         .sort_by([("id_a", "ascending"), ("id_b", "ascending")])
     return pa.table({
         "id_a": t["id_a"], "id_b": t["id_b"],
-        "cosine": pa.array([round(v, 4) for v in t["cosine"].to_pylist()],
-                           pa.float64()),
+        "cosine_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["cosine"].to_pylist()], pa.int64()),
     })
 
 
@@ -1664,6 +1683,111 @@ _SIMHASH_SIG_CTE = """
 """
 
 
+def _minhash_oracle_sql() -> str:
+    """The FULL MinHash+LSH near-dup pipeline recomputed in pure SQL:
+    word 5-gram shingles, DuckDB ``hash()`` shingle hashes (the
+    engine's kernel, dedup._duck_hash_strings), 64 universal-hash
+    minhash rows over the Mersenne prime 2^61-1 with numpy's uint64
+    wrap-around semantics (HUGEINT product % 2^64), 16 splitmix-mixed
+    band buckets (salts and FNV offset identical to
+    MinHashBander.bucket_matrix), candidate pairs from shared
+    buckets, and the exact Jaccard verify at threshold 0.35. The
+    a/b permutation coefficients and band salts are baked from the
+    same seed-42 generator the engine uses. The four per-band mix
+    rounds are CHAINED CTEs — nesting splitmix expressions would
+    blow up ~72x per level."""
+    from json_schema_ray.engine.dedup import MinHasher
+    from json_schema_ray.engine.relational import splitmix64_sql
+    from json_schema_ray.state.sketches import hash_ints
+
+    h = MinHasher(n_perm=64, seed=42, shingle_k=5)
+    perm_rows = ", ".join(
+        f"({j}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for j, (a, b) in enumerate(zip(h.a, h.b)))
+    salts = hash_ints(np.arange(16, dtype=np.uint64))
+    salt_rows = ", ".join(
+        f"({b}, {int(s)}::UBIGINT)" for b, s in enumerate(salts))
+    M = (1 << 61) - 1
+    W = 1 << 64
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               w -> w <> '') AS arr
+            FROM documents
+        ), shs AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(arr) < 5
+                        THEN array_to_string(arr, ' ')
+                        ELSE array_to_string(
+                            list_slice(arr, i, i + 4), ' ')
+                   END AS shingle
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(arr) - 4, 1))) AS i) g
+            WHERE len(arr) > 0
+        ), sh AS (
+            SELECT DISTINCT doc_id, hash(shingle) AS h FROM shs
+        ), perms(j, a, b) AS (VALUES {perm_rows}
+        ), salts(band, salt) AS (VALUES {salt_rows}
+        ), sig AS (
+            SELECT doc_id, j,
+                   min(CAST(((CAST(a AS HUGEINT) * (h % {M})) % {W}
+                             + b) % {W} % {M} AS UBIGINT)) AS r
+            FROM sh CROSS JOIN perms GROUP BY doc_id, j
+        ), sigb AS (
+            SELECT doc_id, j // 4 AS band,
+                   max(CASE WHEN j % 4 = 0 THEN r END) AS m0,
+                   max(CASE WHEN j % 4 = 1 THEN r END) AS m1,
+                   max(CASE WHEN j % 4 = 2 THEN r END) AS m2,
+                   max(CASE WHEN j % 4 = 3 THEN r END) AS m3
+            FROM sig GROUP BY 1, 2
+        ), acc0 AS (
+            SELECT doc_id,
+                   xor(14695981039346656037::UBIGINT, salt) AS acc,
+                   m0, m1, m2, m3
+            FROM sigb JOIN salts USING (band)
+        ), acc1 AS (
+            SELECT doc_id, {splitmix64_sql("xor(acc, m0)")} AS acc,
+                   m1, m2, m3 FROM acc0
+        ), acc2 AS (
+            SELECT doc_id, {splitmix64_sql("xor(acc, m1)")} AS acc,
+                   m2, m3 FROM acc1
+        ), acc3 AS (
+            SELECT doc_id, {splitmix64_sql("xor(acc, m2)")} AS acc,
+                   m3 FROM acc2
+        ), buck AS (
+            SELECT doc_id,
+                   CAST(({splitmix64_sql("xor(acc, m3)")} >> 1)
+                        AS BIGINT) AS bucket
+            FROM acc3
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buck a JOIN buck b
+              ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), cnt AS (
+            SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(floor(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                    / (ca.c + cb.c - COALESCE(i.i, 0)) * 1e6 + 0.5)
+                    AS BIGINT) AS jaccard_e6
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN cnt ca ON ca.doc_id = c.id_a
+        JOIN cnt cb ON cb.doc_id = c.id_b
+        WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+              / (ca.c + cb.c - COALESCE(i.i, 0)) >= 0.35
+        ORDER BY c.id_a, c.id_b
+    """
+
+
 def _lang_id_pred_sql() -> str:
     """The language-ID heuristic as SQL: marker-word counts via the
     same RE2 regexes the engine's Arrow kernel uses, CJK codepoints
@@ -1706,15 +1830,15 @@ def _lang_id_pred_sql() -> str:
     """
 
 
-def _knn_lsh_bucket_expr() -> str:
+def _knn_lsh_bucket_expr(n_planes: int = 8) -> str:
     """The hyperplane-LSH bucket of a vector as a SQL expression —
-    the plane matrix is deterministic (seed 42, dim 64, 8 planes), so
-    its float64 literals are baked into the query; the sign of the
+    the plane matrix is deterministic (seed 42, dim 64), so its
+    float64 literals are baked into the query; the sign of the
     dot product is scale-invariant, so the raw (un-normalized)
     embedding gives the same bucket as the engine's normalized one."""
     from json_schema_ray.engine.similarity import HyperplaneLSH
 
-    planes = HyperplaneLSH(64, n_planes=8, seed=42).planes
+    planes = HyperplaneLSH(64, n_planes=n_planes, seed=42).planes
     terms = []
     for i, row in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
@@ -2330,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SIMHASH_SIG_CTE}
             SELECT doc_id, simhash FROM sigs ORDER BY doc_id
         """,
+        "minhash_near_dups": _minhash_oracle_sql(),
         "simhash_near_dups": f"""
             WITH {_SIMHASH_SIG_CTE}
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2360,6 +2485,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.bucket IN
                   (SELECT xor((SELECT qb FROM q), m) FROM masks)
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dups": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_knn_lsh_bucket_expr(n_planes=6)} AS bucket
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5)
+                       AS BIGINT) AS cosine_e6
+            FROM b a JOIN b c ON a.bucket = c.bucket
+                              AND a.vec_id < c.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(c.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "embedding_near_dups_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -43,7 +43,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..state.sketches import hash_ints, hash_strings
+from ..state.sketches import hash_ints
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -113,13 +113,17 @@ def exact_dedup(ds, content_keys: List[str], id_column: str):
 # ---------------------------------------------------------------------------
 
 def shingle_set(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram shingle hashes (uint64)."""
+    """Word k-gram shingle hashes (uint64). Hashed with DuckDB's
+    ``hash()`` (see :func:`_duck_hash_strings`) so every pipeline
+    built on shingle hashes — MinHash signatures, Jaccard verify,
+    decontamination containment — is recomputable in pure SQL by the
+    correctness oracles."""
     words = text.split()
     if len(words) < k:
         shingles = [" ".join(words)] if words else []
     else:
         shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(hash_strings(shingles)) if shingles else \
+    return np.unique(_duck_hash_strings(shingles)) if shingles else \
         np.zeros(0, dtype=np.uint64)
 
 
@@ -184,7 +188,7 @@ class MinHasher:
             kept.append(i)
         if not kept:
             return [], np.zeros((0, self.n_perm), dtype=np.uint64)
-        x = hash_strings(shingles).astype(np.uint64) % _MERSENNE
+        x = _duck_hash_strings(shingles).astype(np.uint64) % _MERSENNE
         offs = np.asarray(offsets, dtype=np.int64)
         sigs = np.empty((len(kept), self.n_perm), dtype=np.uint64)
         # chunk on document boundaries so reduceat segments stay whole
@@ -285,7 +289,7 @@ def shingle_sets_batch(texts, k: int = 5):
     if not shingles:
         return (np.zeros(n + 1, dtype=np.int64),
                 np.zeros(0, dtype=np.uint64))
-    values = hash_strings(shingles)
+    values = _duck_hash_strings(shingles)
     doc = np.repeat(np.arange(n, dtype=np.int64),
                     np.asarray(counts, dtype=np.int64))
     order = np.lexsort((values, doc))
