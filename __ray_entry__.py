@@ -1268,6 +1268,74 @@ def q_user_event_type_concat(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_docs_chunks(sf_dir: str):
+    """Overlapping token context windows (32-token chunks every 24):
+    one flat vectorized expansion per batch, no shuffle
+    (engine/text.py chunk_documents)."""
+    from json_schema_ray.engine.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(ds, window=32, stride=24)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("chunk_idx", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("chunk_text", pa.string())])
+    return _collect(out, schema)
+
+
+def q_docs_vocabulary(sf_dir: str):
+    """Corpus vocabulary: top-100 terms by total frequency
+    (min_count 5), with document frequency and dense rank — one
+    vocabulary-sized shuffle + mergeable per-block top-k
+    (engine/text.py vocabulary)."""
+    from json_schema_ray.engine.text import vocabulary
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocabulary(ds, min_count=5, top_k=100)
+
+
+_MIXTURE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1,
+                  "zh": 0.05}
+
+
+def q_docs_mixture_sample(sf_dir: str):
+    """Deterministic per-language mixture sampling (domain
+    re-weighting): shuffle-free splitmix64 filter with per-group
+    thresholds, hash-for-hash oracle-checkable
+    (engine/relational.py mixture_sample)."""
+    from json_schema_ray.engine.relational import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = mixture_sample(ds, "lang", "doc_id", _MIXTURE_RATES,
+                         default_rate=0.1, seed=11)
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    return _collect(out, schema)
+
+
+def q_docs_packed(sf_dir: str):
+    """Greedy sequence packing: per-language documents (ordered by
+    doc_id) first-fit-sequentially into 512-token training bins —
+    one null-safe sort, in-block packing for interior groups,
+    boundary groups re-packed through one edge-rows-only groupby
+    (engine/window.py pack_items)."""
+    from json_schema_ray.engine.text import token_counts
+    from json_schema_ray.engine.window import pack_items
+
+    ds = token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select(["lang", "doc_id", "n_tokens"])
+
+    out = pack_items(ds.map_batches(prune, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     key="lang", order="doc_id", size="n_tokens",
+                     budget=512)
+    schema = pa.schema([("lang", pa.string()), ("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64()), ("bin", pa.int64())])
+    return _collect(out, schema)
+
+
 def q_knn_lsh_top10(sf_dir: str):
     from json_schema_ray.engine.similarity import knn_lsh
 
@@ -1639,6 +1707,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quantiles_cont": q_user_value_quantiles_cont,
         "events_stratified_sample": q_events_stratified_sample,
         "user_event_type_concat": q_user_event_type_concat,
+        "docs_chunks": q_docs_chunks,
+        "docs_vocabulary": q_docs_vocabulary,
+        "docs_mixture_sample": q_docs_mixture_sample,
+        "docs_packed": q_docs_packed,
         "knn_lsh_top10": q_knn_lsh_top10,
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1785,6 +1857,26 @@ def _minhash_oracle_sql() -> str:
         WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
               / (ca.c + cb.c - COALESCE(i.i, 0)) >= 0.35
         ORDER BY c.id_a, c.id_b
+    """
+
+
+def _mixture_sample_oracle_sql() -> str:
+    """docs_mixture_sample recomputed in SQL: the SAME uint64
+    thresholds the engine compares against (relational.py
+    mixture_thresholds) baked as per-language UBIGINT literals, keys
+    hashed with the splitmix64 SQL replica."""
+    from json_schema_ray.engine.relational import (mixture_thresholds,
+                                                   splitmix64_sql)
+
+    thr = mixture_thresholds(_MIXTURE_RATES, 0.1)
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(t)}::UBIGINT"
+        for g, t in thr.items() if g is not None)
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {splitmix64_sql('doc_id', 11)} <
+              CASE lang {whens} ELSE {int(thr[None])}::UBIGINT END
+        ORDER BY doc_id
     """
 
 
@@ -2463,6 +2555,68 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
+        """,
+        "docs_chunks": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   CAST(len(list_slice(arr, i * 24 + 1, i * 24 + 32))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       list_slice(arr, i * 24 + 1, i * 24 + 32),
+                       ' ') AS chunk_text
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(0,
+                     CAST(ceil(greatest(len(arr) - 32, 0) / 24.0)
+                          AS BIGINT))) AS i) g
+            WHERE len(arr) > 0
+            ORDER BY doc_id, chunk_idx
+        """,
+        "docs_vocabulary": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\\s+')) AS t
+                FROM documents
+            ), tt AS (
+                SELECT t AS term, count(*) AS tf,
+                       count(DISTINCT doc_id) AS df
+                FROM toks WHERE t <> '' GROUP BY t
+            )
+            SELECT term, tf, df,
+                   row_number() OVER (ORDER BY tf DESC, term) AS rank
+            FROM tt WHERE tf >= 5
+            ORDER BY rank LIMIT 100
+        """,
+        "docs_mixture_sample": _mixture_sample_oracle_sql(),
+        "docs_packed": """
+            WITH RECURSIVE c AS (
+                SELECT lang, doc_id,
+                       length(regexp_extract_all(text, '\\S+'))
+                           AS n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), s AS (
+                SELECT lang, doc_id, n_tokens, rn,
+                       CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+                FROM c WHERE rn = 1
+                UNION ALL
+                SELECT c.lang, c.doc_id, c.n_tokens, c.rn,
+                       CASE WHEN s.fill + c.n_tokens <= 512
+                            THEN s.bin ELSE s.bin + 1 END,
+                       CASE WHEN s.fill + c.n_tokens <= 512
+                            THEN s.fill + c.n_tokens
+                            ELSE c.n_tokens END
+                FROM s JOIN c
+                  ON c.lang IS NOT DISTINCT FROM s.lang
+                 AND c.rn = s.rn + 1
+            )
+            SELECT lang, doc_id, n_tokens, bin FROM s
+            ORDER BY lang, doc_id
         """,
         "knn_lsh_top10": f"""
             WITH b AS (

@@ -60,6 +60,7 @@ from .relational import (
     hash_sample,
     heavy_hitters,
     intersect_distinct,
+    mixture_sample,
     pivot_counts,
     range_join,
     rollup_aggregate,
@@ -89,9 +90,16 @@ from .validate import (
     verdicts_dataset,
     violations_dataset,
 )
-from .text import normalize_text, repetition_scores, scrub_pii
+from .text import (
+    chunk_documents,
+    normalize_text,
+    repetition_scores,
+    scrub_pii,
+    vocabulary,
+)
 from .window import (
     hopping_window_counts,
+    pack_items,
     sessionize_counts,
     tumbling_window_counts,
 )
@@ -102,6 +110,7 @@ __all__ = [
     "asof_join_backward",
     "asof_join_backward_sorted",
     "broadcast_hash_join",
+    "chunk_documents",
     "build_ann_index",
     "column_stats",
     "compile_plan_for",
@@ -135,6 +144,8 @@ __all__ = [
     "knn_ivf",
     "knn_lsh",
     "lag_column",
+    "mixture_sample",
+    "pack_items",
     "minhash_dedup_pairs",
     "normalize_text",
     "pivot_counts",
@@ -148,6 +159,7 @@ __all__ = [
     "stratified_sample",
     "top_k",
     "tumbling_window_counts",
+    "vocabulary",
     "turn_ordering_violations",
     "verdicts_dataset",
     "violations_dataset",

@@ -198,8 +198,12 @@ def top_k(ds, columns: List[str], descending, k: int) -> pa.Table:
                            zero_copy_batch=True)
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
               for b in parts.iter_batches(batch_format="pyarrow")]
-    merged = pa.concat_tables([t for t in tables if t.num_rows],
-                              promote_options="default")
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        if tables:
+            return tables[0]
+        return pa.table({c: pa.array([]) for c in columns})
+    merged = pa.concat_tables(nonempty, promote_options="default")
     idx = pc.sort_indices(merged, sort_keys=sort_keys)[:k]
     return merged.take(idx)
 
@@ -798,6 +802,63 @@ def hash_sample(ds, key_column: str, fraction: float, seed: int = 0):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def mixture_sample(ds, group_column: str, key_column: str,
+                   rates: dict, default_rate: float = 0.0,
+                   seed: int = 0):
+    """Per-group deterministic sampling — the domain-mixture
+    re-weighting step of a training-data pipeline (keep 80% of web,
+    5% of logs, ...): a row is kept iff
+    ``splitmix64(key + seed) < rates[group] * 2**64``. Groups
+    missing from ``rates`` (and null groups) use ``default_rate``.
+
+    Same scale shape as :func:`hash_sample` — an embarrassingly
+    parallel per-batch filter with no shuffle, no RNG state, and no
+    driver participation; repeatable across runs/resumes and
+    consistent across tables sharing the key. Null keys are never
+    sampled. Use :func:`mixture_thresholds` for the exact integer
+    thresholds (the correctness oracles bake the same values)."""
+    from ..state.sketches import hash_ints
+
+    thr = mixture_thresholds(rates, default_rate)
+    default_thr = np.uint64(thr[None])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch[key_column].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = pc.cast(col.fill_null(0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints((vals.astype(np.uint64)
+                       + np.uint64(seed)).view(np.int64))
+        g = batch[group_column].combine_chunks().dictionary_encode()
+        dict_thr = np.array(
+            [thr.get(v, default_thr)
+             for v in g.dictionary.to_pylist()] or [default_thr],
+            dtype=np.uint64)
+        idx = g.indices.fill_null(0).to_numpy(zero_copy_only=False)
+        row_thr = dict_thr[idx]
+        row_thr = np.where(
+            pc.is_valid(g).to_numpy(zero_copy_only=False),
+            row_thr, default_thr)
+        return batch.filter(pa.array((h < row_thr) & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def mixture_thresholds(rates: dict, default_rate: float = 0.0) -> dict:
+    """The exact uint64 comparison thresholds :func:`mixture_sample`
+    uses, keyed by group (``None`` key = the default). Exposed so SQL
+    oracles compare against the SAME integers instead of re-deriving
+    them from floats."""
+    def to_thr(r: float) -> int:
+        return min(max(int(float(r) * float(1 << 64)), 0),
+                   (1 << 64) - 1)
+
+    out = {g: np.uint64(to_thr(r)) for g, r in rates.items()}
+    out[None] = np.uint64(to_thr(default_rate))
+    return out
 
 
 def splitmix64_sql(expr: str, seed: int = 0) -> str:

@@ -420,6 +420,9 @@ def _flat_terms(batch: pa.Table, column: str):
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        # an all-null block (Ray type-infers it as null) has no terms
+        col = col.cast(pa.string())
     toks = pc.split_pattern_regex(col, r"\s+")
     flat = pc.list_flatten(toks)
     par = pc.list_parent_indices(toks)
@@ -469,6 +472,106 @@ def document_frequencies(ds, column: str = "text"):
                          zero_copy_batch=True) \
         .groupby("t").sum(["tf", "df"])
     return agg
+
+
+def chunk_documents(ds, id_column: str = "doc_id",
+                    column: str = "text", window: int = 64,
+                    stride: int = 48, out: str = "chunk_text"):
+    """Overlapping token context windows (the standard long-document
+    split for training sequences): each document's whitespace tokens
+    become chunks of ``window`` tokens starting every ``stride``
+    tokens. A document with n tokens emits
+    ``1 + ceil(max(n - window, 0) / stride)`` chunks, so the final
+    chunk is emitted only if it adds tokens the previous one didn't
+    cover (it may be shorter than ``window``); zero-token documents
+    emit nothing. Returns (id, chunk_idx, n_tokens, out) rows.
+
+    Shape: embarrassingly parallel per-batch flat expansion — the
+    whole column splits in ONE regex kernel, chunk index ranges come
+    from cumsum arithmetic, the ragged token gather is one ``take``,
+    and chunk strings assemble with a single ``pc.binary_join`` —
+    no per-document Python, no shuffle."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        idt = batch[id_column].type
+        empty = pa.table({
+            id_column: pa.array([], idt),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            out: pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        flat, par = _flat_terms(batch, column)
+        n_tok = np.bincount(par, minlength=batch.num_rows) \
+            .astype(np.int64)
+        n_chunks = np.where(
+            n_tok > 0,
+            1 + (np.maximum(n_tok - window, 0) + stride - 1) // stride,
+            0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        cum_chunks = np.concatenate([[0], np.cumsum(n_chunks)])
+        doc_rep = np.repeat(np.arange(batch.num_rows), n_chunks)
+        chunk_idx = np.arange(total) - cum_chunks[doc_rep]
+        chunk_start = chunk_idx * stride
+        chunk_len = np.minimum(window, n_tok[doc_rep] - chunk_start)
+        # ragged gather of every chunk's tokens out of the flat split
+        tok_base = np.concatenate([[0], np.cumsum(n_tok)])
+        offs = np.concatenate([[0], np.cumsum(chunk_len)])
+        rep = np.repeat(np.arange(total), chunk_len)
+        within = np.arange(offs[-1]) - np.repeat(offs[:-1], chunk_len)
+        take = tok_base[doc_rep[rep]] + chunk_start[rep] + within
+        tokens = flat.take(pa.array(take, pa.int64()))
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), tokens)
+        return pa.table({
+            id_column: batch[id_column].take(
+                pa.array(doc_rep, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(chunk_len, pa.int64()),
+            out: pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def vocabulary(ds, column: str = "text", min_count: int = 1,
+               top_k: int = 1000) -> pa.Table:
+    """Corpus vocabulary: the ``top_k`` whitespace terms by total
+    term frequency (ties broken by term asc), with document
+    frequency and a dense 1-based rank. ``min_count`` drops the
+    long tail before ranking. Returns a driver-side table — the
+    result is top-k-sized by construction.
+
+    Shape: rides :func:`document_frequencies`' single
+    vocabulary-sized shuffle, then a mergeable per-block partial
+    top-k (``relational.top_k``) — the full vocabulary never lands
+    on the driver."""
+    from .relational import top_k as _top_k
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "term": batch["t"],
+            "tf": pc.cast(batch["sum(tf)"], pa.int64()),
+            "df": pc.cast(batch["sum(df)"], pa.int64()),
+        })
+        mask = pc.and_(pc.not_equal(t["term"], ""),
+                       pc.greater_equal(t["tf"], min_count))
+        return t.filter(mask)
+
+    agg = document_frequencies(ds, column).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True)
+    best = _top_k(agg, ["tf", "term"], descending=[True, False],
+                  k=top_k)
+    return best.append_column(
+        "rank", pa.array(np.arange(1, best.num_rows + 1), pa.int64()))
 
 
 def tfidf_top_terms(ds, id_column: str = "doc_id",

@@ -209,3 +209,128 @@ def tumbling_window_counts(ds, ts: str = "ts", value: str = "value",
                               zero_copy_batch=True)
     return grouped_aggregate(with_win, ["window_start_us"],
                              [(value, "sum"), (None, "count")])
+
+
+def _greedy_bins(sizes: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy sequential packing of ordered item sizes into bins of
+    capacity ``budget``: an item joins the current bin iff it fits
+    (fill + size <= budget); the FIRST item of a bin always joins,
+    so oversized items occupy a bin alone. Returns the 0-based bin
+    index per item. O(n_bins) searchsorted steps over the prefix
+    sum, not O(n) Python."""
+    n = len(sizes)
+    bins = np.empty(n, dtype=np.int64)
+    cum = np.cumsum(sizes.astype(np.int64))
+    start, b, base = 0, 0, 0
+    while start < n:
+        end = int(np.searchsorted(cum, base + budget, side="right"))
+        if end <= start:
+            end = start + 1
+        bins[start:end] = b
+        base = int(cum[end - 1])
+        b += 1
+        start = end
+    return bins
+
+
+def pack_items(ds, key: str, order: str, size: str, budget: int):
+    """Greedy sequence packing (training-batch assembly): within each
+    ``key`` group, items ordered by ``order`` are packed
+    first-fit-sequentially into bins of ``budget`` total ``size``
+    (see :func:`_greedy_bins` for the exact rule). Returns a Dataset
+    of (key, order, size, bin) rows.
+
+    Scale shape: ONE range-partitioned null-safe sort on
+    (key, order) co-locates and orders each group; groups lying
+    wholly inside a block pack in-block (vectorized prefix sums, a
+    searchsorted step per BIN); only the first/last group of each
+    block — the ones that can straddle a boundary — are re-packed
+    through one groupby over those edge rows alone. Packing is
+    inherently sequential WITHIN a group (bin boundaries depend on
+    every prior size), so a group that spans blocks must meet in one
+    worker — the operator's documented partitioning assumption is
+    that a single group's rows fit a worker, the same contract as
+    any per-group map_groups stage; everything else never shuffles
+    twice. Null ``order``/``size`` rows are dropped (they cannot be
+    placed); null keys form their own group."""
+    from .relational import (decode_null_safe_keys,
+                             encode_null_safe_keys, null_safe_sort)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sel = batch.select([key, order, size])
+        return sel.filter(pc.and_(pc.is_valid(batch[order]),
+                                  pc.is_valid(batch[size])))
+
+    proj = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    sorted_ds = null_safe_sort(proj, [key], [order])
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ktype = batch[key].type
+        empty = pa.table({
+            key: pa.array([], ktype),
+            order: pa.array([], batch[order].type),
+            size: pa.array([], batch[size].type),
+            "bin": pa.array([], pa.int64()),
+            "_edge": pa.array([], pa.bool_()),
+        })
+        if n == 0:
+            return empty
+        enc = encode_null_safe_keys(batch, [key])
+        kk = enc["__gs0"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        sizes = pc.cast(batch[size], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        change = np.nonzero(kk[1:] != kk[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        g = len(starts)
+        bins = np.zeros(n, dtype=np.int64)
+        edge = np.zeros(n, dtype=bool)
+        edge[starts[0]:ends[0]] = True
+        edge[starts[g - 1]:ends[g - 1]] = True
+        for s, e in zip(starts[1:g - 1], ends[1:g - 1]):
+            bins[s:e] = _greedy_bins(sizes[s:e], budget)
+        return pa.table({
+            key: batch[key],
+            order: batch[order],
+            size: batch[size],
+            "bin": pa.array(bins),
+            "_edge": pa.array(edge),
+        })
+
+    parts = sorted_ds.map_batches(pack_block, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    def interior_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(batch["_edge"])) \
+            .drop_columns(["_edge"])
+
+    interior = parts.map_batches(interior_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # boundary groups re-pack DISTRIBUTED: their rows (at most the
+    # first/last group of each block) shuffle once by encoded key and
+    # each group packs in one worker — never on the driver
+    def edge_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch["_edge"]).drop_columns(["_edge"])
+        return encode_null_safe_keys(kept, [key])
+
+    edge_ds = parts.map_batches(edge_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order, "ascending")])
+        group = group.take(idx)
+        sizes = pc.cast(group[size], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        packed = group.set_column(
+            group.schema.get_field_index("bin"), "bin",
+            pa.array(_greedy_bins(sizes, budget)))
+        return decode_null_safe_keys(packed, [key],
+                                     [order, size, "bin"])
+
+    edge_packed = edge_ds.groupby("__gs0").map_groups(
+        pack_group, batch_format="pyarrow")
+    return interior.union(edge_packed)

@@ -2530,3 +2530,149 @@ def test_grouped_string_agg_hot_key_spans_blocks():
     rows = grouped_string_agg(ds, "g", "ord", "v").take_all()
     assert len(rows) == 1
     assert rows[0]["agg"] == ",".join(str(i) for i in range(n))
+
+
+def test_chunk_documents_matches_naive():
+    import random
+
+    from json_schema_ray.engine.text import chunk_documents
+
+    rng = random.Random(3)
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{rng.randrange(40)}"
+                              for _ in range(rng.randrange(0, 90)))}
+            for i in range(80)]
+    ds = _ray().data.from_items(docs).repartition(5)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+           for r in chunk_documents(ds, window=16, stride=10).take_all()}
+    exp = {}
+    for d in docs:
+        toks = d["text"].split()
+        n = len(toks)
+        if n == 0:
+            continue
+        for j in range(1 + max(0, -(-(n - 16) // 10))):
+            seg = toks[j * 10:j * 10 + 16]
+            exp[(d["doc_id"], j)] = (len(seg), " ".join(seg))
+    assert got == exp
+
+
+def test_chunk_documents_edge_rules():
+    from json_schema_ray.engine.text import chunk_documents
+
+    ds = _ray().data.from_items([
+        {"doc_id": 0, "text": ""},            # no chunks
+        {"doc_id": 1, "text": "  a  b "},     # whitespace runs
+        {"doc_id": 2, "text": None},          # null text -> no chunks
+        {"doc_id": 3, "text": "x " * 16},     # exactly one window
+    ])
+    rows = chunk_documents(ds, window=16, stride=10).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 3}
+    assert by_doc[1][0]["chunk_text"] == "a b"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 16
+
+
+def test_vocabulary_matches_naive():
+    from collections import Counter
+
+    from json_schema_ray.engine.text import vocabulary
+
+    docs = [{"doc_id": i, "text": " ".join(
+        ["common"] * 5 + [f"t{i % 7}"] * (i % 4) + [f"rare{i}"])}
+        for i in range(60)]
+    ds = _ray().data.from_items(docs).repartition(4)
+    v = vocabulary(ds, min_count=4, top_k=5)
+    tf, df = Counter(), Counter()
+    for d in docs:
+        toks = d["text"].split()
+        tf.update(toks)
+        df.update(set(toks))
+    exp = sorted(((t, c) for t, c in tf.items() if c >= 4),
+                 key=lambda x: (-x[1], x[0]))[:5]
+    assert list(zip(v["term"].to_pylist(), v["tf"].to_pylist())) == exp
+    assert v["df"].to_pylist() == [df[t] for t, _ in exp]
+    assert v["rank"].to_pylist() == list(range(1, len(exp) + 1))
+
+
+def test_mixture_sample_matches_thresholds():
+    import random
+
+    from json_schema_ray.engine.relational import (mixture_sample,
+                                                   mixture_thresholds)
+    from json_schema_ray.state.sketches import hash_ints
+
+    rng = random.Random(9)
+    rows = [{"k": i, "g": rng.choice(["a", "b", None])}
+            for i in range(400)]
+    ds = _ray().data.from_items(rows).repartition(6)
+    rates = {"a": 0.9, "b": 0.2}
+    got = {r["k"] for r in
+           mixture_sample(ds, "g", "k", rates, default_rate=0.05,
+                          seed=3).take_all()}
+    thr = mixture_thresholds(rates, 0.05)
+    exp = set()
+    for r in rows:
+        h = hash_ints(np.array([r["k"] + 3], dtype=np.uint64)
+                      .view(np.int64))[0]
+        if h < thr.get(r["g"], thr[None]):
+            exp.add(r["k"])
+    assert got == exp
+    # rate 0 keeps nothing; rate 1 keeps (almost surely) everything
+    assert mixture_sample(ds, "g", "k", {"a": 0.0, "b": 0.0},
+                          default_rate=0.0).count() == 0
+
+
+def test_greedy_bins_rule():
+    from json_schema_ray.engine.window import _greedy_bins
+
+    sizes = np.array([40, 50, 20, 100, 120, 1, 99, 2])
+    # budget 100: [40,50] | [20] | [100] | [120 oversize] | [1,99] | [2]
+    bins = _greedy_bins(sizes, 100)
+    assert bins.tolist() == [0, 0, 1, 2, 3, 4, 4, 5]
+    # oversized first item occupies its own bin
+    assert _greedy_bins(np.array([500, 1]), 100).tolist() == [0, 1]
+    assert _greedy_bins(np.array([], dtype=np.int64), 100).tolist() == []
+
+
+def test_pack_items_matches_naive():
+    import random
+    from collections import defaultdict
+
+    from json_schema_ray.engine.window import _greedy_bins, pack_items
+
+    rng = random.Random(5)
+    rows = [{"k": rng.choice(["a", "b", "c", "d"]), "o": i,
+             "sz": rng.randrange(1, 50)} for i in range(600)]
+    ds = _ray().data.from_items(rows).repartition(8)
+    got = {(r["k"], r["o"]): r["bin"]
+           for r in pack_items(ds, "k", "o", "sz",
+                               budget=120).take_all()}
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["k"]].append(r)
+    exp = {}
+    for k, items in groups.items():
+        items.sort(key=lambda r: r["o"])
+        for r, b in zip(items, _greedy_bins(
+                np.array([r["sz"] for r in items]), 120)):
+            exp[(k, r["o"])] = int(b)
+    assert got == exp
+
+
+def test_pack_items_hot_group_spans_all_blocks():
+    from json_schema_ray.engine.window import _greedy_bins, pack_items
+
+    n = 50_000
+    t = pa.table({"k": pa.array(["hot"] * n),
+                  "o": pa.array(np.arange(n)),
+                  "sz": pa.array((np.arange(n) % 37 + 1)
+                                 .astype(np.int64))})
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = pack_items(ds, "k", "o", "sz", budget=100).take_all()
+    assert len(out) == n
+    exp = _greedy_bins((np.arange(n) % 37 + 1).astype(np.int64), 100)
+    got = {r["o"]: r["bin"] for r in out}
+    assert all(got[i] == exp[i] for i in range(n))
