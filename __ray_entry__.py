@@ -1020,6 +1020,35 @@ def q_user_value_ranks(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_user_value_rank_profiles(sf_dir: str):
+    """RANK/DENSE_RANK profile extended with SQL PERCENT_RANK and
+    CUME_DIST (engine/rank.py grouped_rank_profiles): the base
+    prefix-scan plus one key-cardinality-sized broadcast of per-key
+    totals. Fractions ship as floor(x*1e6+0.5) BIGINT."""
+    from json_schema_ray.engine.rank import grouped_rank_profiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = grouped_rank_profiles(ds, "user_id", "value")
+
+    def scale(b: pa.Table) -> pa.Table:
+        pct = b["pct_rank"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cume = b["cume_dist"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return b.drop_columns(["pct_rank", "cume_dist"]) \
+            .append_column("pct_e6", pa.array(
+                np.floor(pct * 1e6 + 0.5).astype(np.int64))) \
+            .append_column("cume_e6", pa.array(
+                np.floor(cume * 1e6 + 0.5).astype(np.int64)))
+
+    schema = pa.schema([("user_id", pa.int64()), ("value", pa.float64()),
+                        ("cnt", pa.int64()), ("rank", pa.int64()),
+                        ("dense_rank", pa.int64()),
+                        ("pct_e6", pa.int64()), ("cume_e6", pa.int64())])
+    return _collect(out.map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_docs_repetition(sf_dir: str):
     """Gopher-style duplicate word-2-gram repetition metrics per
     document (boilerplate detector for a training corpus). Fractions
@@ -1521,6 +1550,33 @@ def q_orders_segment_join_sorted(sf_dir: str):
     return _collect(out, schema).sort_by([("o_orderkey", "ascending")])
 
 
+def q_customer_highvalue_left(sf_dir: str):
+    """Two-big-sides sort-merge LEFT OUTER join: every customer with
+    their >300k orders, unmatched customers once with a null
+    orderkey — unmatched lefts emit straight from the interior scan
+    (engine/relational.py sort_merge_join how='left')."""
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    customer = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def high(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], 300000)) \
+            .select(["o_custkey", "o_orderkey"])
+
+    out = sort_merge_join(
+        customer,
+        orders.map_batches(high, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "c_custkey", "o_custkey", value_columns=["o_orderkey"],
+        how="left")
+    schema = pa.schema([("c_custkey", pa.int64()),
+                        ("o_orderkey", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("c_custkey", "ascending"), ("o_orderkey", "ascending")])
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs word-5-gram Jaccard near-dups via the
     shared-shingle inverted index — the ground truth the MinHash LSH
@@ -1656,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
+        "user_value_rank_profiles": q_user_value_rank_profiles,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
         "docs_decontamination": q_docs_decontamination,
@@ -1715,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": q_knn_ivf_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "customer_highvalue_left": q_customer_highvalue_left,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
@@ -2150,6 +2208,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "user_value_rank_profiles": """
+            SELECT DISTINCT user_id, value,
+                   CAST(count(*) OVER (PARTITION BY user_id, value)
+                        AS BIGINT) AS cnt,
+                   rank() OVER w AS rank,
+                   dense_rank() OVER w AS dense_rank,
+                   CAST(floor(percent_rank() OVER w * 1e6 + 0.5)
+                        AS BIGINT) AS pct_e6,
+                   CAST(floor(cume_dist() OVER w * 1e6 + 0.5)
+                        AS BIGINT) AS cume_e6
+            FROM events WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+            ORDER BY user_id, value
         """,
         "user_value_ranks": """
             SELECT DISTINCT user_id, value,
@@ -2669,6 +2741,14 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "customer_highvalue_left": """
+            SELECT c_custkey, o_orderkey
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, o_orderkey FROM orders
+                WHERE o_totalprice > 300000) o
+              ON c_custkey = o_custkey
+            ORDER BY c_custkey, o_orderkey
         """,
         "ngram_jaccard_dups": """
             WITH words AS (

@@ -40,6 +40,7 @@ from .rank import (
     grouped_exact_quantiles,
     grouped_mode,
     grouped_quantiles_cont,
+    grouped_rank_profiles,
     grouped_string_agg,
     grouped_top_k,
     grouped_value_ranks,
@@ -131,6 +132,7 @@ __all__ = [
     "grouped_exact_quantiles",
     "grouped_mode",
     "grouped_quantiles_cont",
+    "grouped_rank_profiles",
     "grouped_string_agg",
     "grouped_top_k",
     "grouped_zscore",

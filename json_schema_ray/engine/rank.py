@@ -630,6 +630,67 @@ def _count_agg():
     return Count(alias_name="cnt")
 
 
+def grouped_rank_profiles(ds, key: str, col: str):
+    """:func:`grouped_value_ranks` extended with SQL
+    ``percent_rank()`` and ``cume_dist()``: one row per distinct
+    ``(key, col)`` with cnt/rank/dense_rank plus
+    ``pct_rank = (rank-1)/(n-1)`` (0 for single-row groups, the SQL
+    convention) and ``cume_dist = (rank+cnt-1)/n`` — both constant
+    across the rows sharing a value, so the value-level profile is
+    lossless. NULL order values are excluded like the base op.
+
+    Shape: the base op's combiner groupby + one sort/prefix scan,
+    plus ONE key-cardinality-sized total-rows aggregate that is
+    broadcast through the object store (``ray.put`` once, read per
+    batch). The broadcast is bounded by the number of DISTINCT keys;
+    for key cardinalities beyond worker heaps, join the totals back
+    with :func:`.relational.sort_merge_join` instead."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    ranks = grouped_value_ranks(ds, key, col).materialize()
+    totals = null_safe_grouped_aggregate(
+        ranks.map_batches(lambda b: b.select([key, "cnt"]),
+                          batch_format="pyarrow", zero_copy_batch=True),
+        [key], [Sum("cnt", alias_name="n")], ["n"])
+    tot_tables = [pa.Table.from_batches([b])
+                  if isinstance(b, pa.RecordBatch) else b
+                  for b in totals.iter_batches(batch_format="pyarrow")]
+    tot_tables = [t for t in tot_tables if t.num_rows]
+    if not tot_tables:
+        return ranks.map_batches(
+            lambda b: b.append_column(
+                "pct_rank", pa.array([], pa.float64())).append_column(
+                "cume_dist", pa.array([], pa.float64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    tot = pa.concat_tables(tot_tables, promote_options="default")
+    tot_ref = ray.put(tot)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pct_rank", pa.array([], pa.float64())).append_column(
+                "cume_dist", pa.array([], pa.float64()))
+        t = ray.get(tot_ref)
+        idx = pc.index_in(batch[key].combine_chunks(),
+                          value_set=t[key].combine_chunks())
+        n = t["n"].combine_chunks().take(idx) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        rank = batch["rank"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = batch["cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        cume = (rank + cnt - 1) / n
+        return batch.append_column("pct_rank", pa.array(pct)) \
+            .append_column("cume_dist", pa.array(cume))
+
+    return ranks.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def grouped_exact_quantiles(ds, key: str, col: str, qs,
                             tiebreak: str):
     """EXACT per-group quantiles, DuckDB ``quantile_disc(col, q)

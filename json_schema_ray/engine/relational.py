@@ -417,8 +417,9 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
 
 
 def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
-                    value_columns: List[str]):
-    """Inner equi-join for TWO BIG SIDES — the shuffle realization
+                    value_columns: List[str], how: str = "inner"):
+    """Inner or LEFT OUTER equi-join for TWO BIG SIDES — the shuffle
+    realization
     :func:`broadcast_hash_join`'s docstring defers to when no side is
     dimension-sized. (Ray's experimental ``Dataset.join`` crashes on
     hash partitions with zero left rows, so the engine builds the
@@ -432,11 +433,16 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
     (the only ones that can straddle a boundary) emit their raw rows
     instead; those O(boundary keys) rows join in one worker-side pass
     over the collected edge table. NULL keys never match (SQL
-    semantics). Skew caveat: a hot key's cross product is inherent to
-    the join's output — for a hot-key-heavy workload salt upstream or
-    use the broadcast variant.
+    semantics); with ``how="left"`` unmatched left rows (null keys
+    included) emit once with null value columns, straight from the
+    interior scan — no extra shuffle. Skew caveat: a hot key's cross
+    product is inherent to the join's output — for a hot-key-heavy
+    workload salt upstream or use the broadcast variant.
     """
     import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
     if set(value_columns) & set(left_ds.schema().base_schema.names):
         raise ValueError(
@@ -513,15 +519,30 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         pos = (np.arange(total, dtype=np.int64)
                - np.repeat(offs, nmatch))
         er = ridx[np.repeat(rbase[segid[lidx]], nmatch) + pos]
-        return el, er, eidx
+        # left-outer bookkeeping: usable left rows with zero matches,
+        # plus (interior pass only) null-key left rows — they can
+        # never match anywhere and never enter the edge table, so
+        # they emit exactly once here
+        lun = lidx[nmatch == 0]
+        if interior_only and n:
+            lun = np.concatenate(
+                [lun, np.nonzero((side == 1) & ~key_valid)[0]])
+        return el, er, eidx, lun
 
-    def joined_table(batch: pa.Table, el, er) -> pa.Table:
+    def joined_table(batch: pa.Table, el, er, lun=None) -> pa.Table:
         cols = {}
         for c in left_names:
             cols[c] = batch[c].take(pa.array(el, pa.int64()))
         for c in value_columns:
             cols[c] = batch[c].take(pa.array(er, pa.int64()))
-        return pa.table(cols) if cols else pa.table({})
+        out = pa.table(cols) if cols else pa.table({})
+        if how == "left" and lun is not None and len(lun):
+            ucols = {c: batch[c].take(pa.array(lun, pa.int64()))
+                     for c in left_names}
+            for c in value_columns:
+                ucols[c] = pa.nulls(len(lun), value_types[c])
+            out = pa.concat_tables([out, pa.table(ucols)])
+        return out
 
     def scan(batch: pa.Table) -> pa.Table:
         out_order = out_names + meta_names + ["__edge"]
@@ -530,13 +551,15 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
                       for c in out_names + meta_names]
             return pa.schema(fields + [pa.field("__edge", pa.bool_())]
                              ).empty_table()
-        el, er, eidx = expand(batch, interior_only=True)
-        out = joined_table(batch, el, er)
+        el, er, eidx, lun = expand(batch, interior_only=True)
+        out = joined_table(batch, el, er, lun)
+        emitted = np.concatenate([el, lun]) \
+            if how == "left" and len(lun) else el
         for c in meta_names:
             out = out.append_column(c, batch[c].take(
-                pa.array(el, pa.int64())))
+                pa.array(emitted, pa.int64())))
         out = out.append_column(
-            "__edge", pa.array(np.zeros(len(el), bool)))
+            "__edge", pa.array(np.zeros(len(emitted), bool)))
         parts = [out.select(out_order)]
         if len(eidx):
             etab = batch.take(pa.array(eidx)) \
@@ -569,8 +592,8 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         .sort_by([(key_col, "ascending"), (side_col, "ascending")])
 
     def edge_join(batch: pa.Table) -> pa.Table:
-        el, er, _ = expand(batch, interior_only=False)
-        return joined_table(batch, el, er).select(out_names)
+        el, er, _, lun = expand(batch, interior_only=False)
+        return joined_table(batch, el, er, lun).select(out_names)
 
     edge_ds = ray.data.from_arrow(et).map_batches(
         edge_join, batch_format="pyarrow", batch_size=None)

@@ -634,6 +634,22 @@ def test_sort_merge_join_matches_arrow_join():
     assert got == want
     assert len(want) > nl  # cross products actually exercised
 
+    # LEFT OUTER on the same corpus: unmatched lefts (null keys
+    # included) appear exactly once with a null value column
+    outl = sort_merge_join(
+        _ray().data.from_arrow(left).repartition(8),
+        _ray().data.from_arrow(right).repartition(4),
+        "k", "rk", value_columns=["val"], how="left")
+    gotl = sorted(((r["lrow"], r["val"]) for r in outl.take_all()),
+                  key=lambda t: (t[0], t[1] is None, t[1]))
+    refl = left.join(right.rename_columns(["k", "val"]), keys=["k"],
+                     join_type="left outer")
+    wantl = sorted(zip(refl["lrow"].to_pylist(),
+                       refl["val"].to_pylist()),
+                   key=lambda t: (t[0], t[1] is None, t[1]))
+    assert gotl == wantl
+    assert len(wantl) > len(want)  # unmatched lefts exercised
+
 
 def test_range_and_asof_join_null_string_keys():
     # SQL semantics: null keys never match — and must not crash the
@@ -2676,3 +2692,35 @@ def test_pack_items_hot_group_spans_all_blocks():
     exp = _greedy_bins((np.arange(n) % 37 + 1).astype(np.int64), 100)
     got = {r["o"]: r["bin"] for r in out}
     assert all(got[i] == exp[i] for i in range(n))
+
+
+def test_grouped_rank_profiles_matches_duckdb():
+    import duckdb
+    import random
+
+    from json_schema_ray.engine.rank import grouped_rank_profiles
+
+    rng = random.Random(21)
+    rows = [{"k": rng.randrange(6), "v":
+             rng.choice([None, 1.0, 2.5, 2.5, 7.0, 9.0,
+                         float(rng.randrange(20))])}
+            for _ in range(500)]
+    t = pa.table({"k": pa.array([r["k"] for r in rows], pa.int64()),
+                  "v": pa.array([r["v"] for r in rows], pa.float64())})
+    ds = _ray().data.from_arrow(t).repartition(7)
+    out = grouped_rank_profiles(ds, "k", "v").take_all()
+    got = sorted((r["k"], r["v"], r["cnt"], r["rank"], r["dense_rank"],
+                  round(r["pct_rank"], 9), round(r["cume_dist"], 9))
+                 for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT DISTINCT k, v,
+               CAST(count(*) OVER (PARTITION BY k, v) AS BIGINT),
+               rank() OVER w, dense_rank() OVER w,
+               round(percent_rank() OVER w, 9),
+               round(cume_dist() OVER w, 9)
+        FROM t WHERE v IS NOT NULL
+        WINDOW w AS (PARTITION BY k ORDER BY v)
+    """).fetchall())
+    assert got == want
