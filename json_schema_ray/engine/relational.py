@@ -515,7 +515,9 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         nmatch = nr_seg[segid[lidx]]
         total = int(nmatch.sum())
         el = np.repeat(lidx, nmatch)
-        offs = np.concatenate([[0], np.cumsum(nmatch)[:-1]])
+        # exclusive prefix sum; stays shape-(0,) when no usable left
+        # rows exist (e.g. a block that is entirely one key's edge)
+        offs = np.cumsum(nmatch) - nmatch
         pos = (np.arange(total, dtype=np.int64)
                - np.repeat(offs, nmatch))
         er = ridx[np.repeat(rbase[segid[lidx]], nmatch) + pos]

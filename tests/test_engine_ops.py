@@ -651,6 +651,35 @@ def test_sort_merge_join_matches_arrow_join():
     assert len(wantl) > len(want)  # unmatched lefts exercised
 
 
+def test_sort_merge_join_single_key_left_only_blocks():
+    """Regression: a sort block made entirely of ONE key's left rows
+    has zero usable interior rows (the whole block is edge); the
+    expansion kernel must not crash on the empty left-index path
+    (np.repeat broadcast error seen ~1-in-3 on block-boundary luck).
+    A 4000-row single-key left run forces such blocks every time."""
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    n = 4000
+    left = pa.table({
+        "k": pa.array(["hot"] * n + ["m1", "m2"], pa.string()),
+        "lrow": pa.array(np.arange(n + 2), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(["m1", "m2", "other"], pa.string()),
+        "val": pa.array([10, 20, 30], pa.int64()),
+    })
+    for how, expect in (
+            ("inner", {(n, 10), (n + 1, 20)}),
+            ("left", {(i, None) for i in range(n)} | {(n, 10),
+                                                      (n + 1, 20)})):
+        out = sort_merge_join(
+            _ray().data.from_arrow(left).repartition(8),
+            _ray().data.from_arrow(right),
+            "k", "rk", value_columns=["val"], how=how)
+        got = {(r["lrow"], r["val"]) for r in out.take_all()}
+        assert got == expect, how
+
+
 def test_range_and_asof_join_null_string_keys():
     # SQL semantics: null keys never match — and must not crash the
     # np.argsort over an object array mixing None and str
