@@ -1007,6 +1007,27 @@ def q_events_moving_sum(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_user_event_ntile(sf_dir: str):
+    """SQL ROW_NUMBER + NTILE(4) per user ordered by (ts, event_id)
+    (engine/rank.py grouped_ntile): one sort + prefix scan with
+    O(n_blocks) carries for the row numbers, one broadcast
+    key-count aggregate for the tile split."""
+    from json_schema_ray.engine.rank import grouped_ntile
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = grouped_ntile(ds, "user_id", "ts", "event_id", 4)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "event_id", "row_number", "ntile"])
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("event_id", pa.int64()),
+                        ("row_number", pa.int64()),
+                        ("ntile", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_user_value_ranks(sf_dir: str):
     """SQL RANK / DENSE_RANK per (user, value) — the distinct-value
     rank profile from one combiner groupby + one prefix-scan sort."""
@@ -1713,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
         "user_value_rank_profiles": q_user_value_rank_profiles,
+        "user_event_ntile": q_user_event_ntile,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
         "docs_decontamination": q_docs_decontamination,
@@ -2208,6 +2230,13 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "user_event_ntile": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS row_number,
+                   ntile(4) OVER w AS ntile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "user_value_rank_profiles": """
             SELECT DISTINCT user_id, value,

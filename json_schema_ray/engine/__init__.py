@@ -40,7 +40,9 @@ from .rank import (
     grouped_exact_quantiles,
     grouped_mode,
     grouped_quantiles_cont,
+    grouped_ntile,
     grouped_rank_profiles,
+    grouped_row_numbers,
     grouped_string_agg,
     grouped_top_k,
     grouped_value_ranks,
@@ -132,7 +134,9 @@ __all__ = [
     "grouped_exact_quantiles",
     "grouped_mode",
     "grouped_quantiles_cont",
+    "grouped_ntile",
     "grouped_rank_profiles",
+    "grouped_row_numbers",
     "grouped_string_agg",
     "grouped_top_k",
     "grouped_zscore",

@@ -691,6 +691,101 @@ def grouped_rank_profiles(ds, key: str, col: str):
                              zero_copy_batch=True)
 
 
+def grouped_row_numbers(ds, key: str, ts: str, tiebreak: str,
+                        out: str = "row_number"):
+    """SQL ``row_number() OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)``: every row gains its 1-based position within its
+    key. ``(ts, tiebreak)`` must be unique within a key (the same
+    total-order requirement any deterministic SQL row_number has).
+
+    Shape: a running COUNT is a running sum of ones, so this is
+    :func:`_running_sums` verbatim — one null-safe sort, a per-block
+    prefix scan, O(n_blocks) fixed-size carries; a hot key costs two
+    carry rows per block, never its timeline."""
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, np.float64)))
+
+    rs = _running_sums(ds.map_batches(ones, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       key, ts, [("__one", out)], tiebreak)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(out)
+        return batch.set_column(
+            i, out, pc.cast(batch[out], pa.int64())) \
+            .drop_columns(["__one"])
+
+    return rs.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def grouped_ntile(ds, key: str, ts: str, tiebreak: str, k: int,
+                  out: str = "ntile", rn_out: str = "row_number"):
+    """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)`` plus the row_number it is derived from: the key's n
+    rows split into k tiles, the first ``n % k`` tiles one row
+    larger (the ANSI distribution). Rows keep their full width.
+
+    Shape: :func:`grouped_row_numbers` (one sort + prefix scan +
+    O(n_blocks) carries) plus ONE key-cardinality-sized row-count
+    aggregate broadcast via ``ray.put`` — same totals-broadcast
+    bound as :func:`grouped_rank_profiles`; beyond worker-heap key
+    cardinality, join totals back with a sort-merge join instead."""
+    import ray
+
+    from .relational import null_safe_grouped_aggregate
+
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
+    numbered = grouped_row_numbers(ds, key, ts, tiebreak,
+                                   out=rn_out).materialize()
+    totals = null_safe_grouped_aggregate(
+        numbered.map_batches(lambda b: b.select([key]),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True),
+        [key], [_count_agg()], ["cnt"])
+    tot_tables = [pa.Table.from_batches([b])
+                  if isinstance(b, pa.RecordBatch) else b
+                  for b in totals.iter_batches(batch_format="pyarrow")]
+    tot_tables = [t for t in tot_tables if t.num_rows]
+    if not tot_tables:
+        return numbered.map_batches(
+            lambda b: b.append_column(out, pa.array([], pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    tot = pa.concat_tables(tot_tables, promote_options="default")
+    tot_ref = ray.put(tot)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out, pa.array([], pa.int64()))
+        t = ray.get(tot_ref)
+        karr = batch[key].combine_chunks()
+        tv = t[key].combine_chunks()
+        idx = pc.index_in(karr, value_set=tv)
+        if karr.null_count:
+            # index_in maps a null needle to null, but NULL is a real
+            # partition (one row per null-key row of tot, which was
+            # built from this very dataset)
+            null_pos = int(np.nonzero(
+                pc.is_null(tv).to_numpy(zero_copy_only=False))[0][0])
+            idx = pc.fill_null(idx, null_pos)
+        n = t["cnt"].combine_chunks().take(idx) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rn = batch[rn_out].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        q, r = n // k, n % k
+        big_span = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = np.where(
+            rn <= big_span,
+            (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - big_span - 1) // np.maximum(q, 1) + 1)
+        return batch.append_column(out, pa.array(tile, pa.int64()))
+
+    return numbered.map_batches(attach, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def grouped_exact_quantiles(ds, key: str, col: str, qs,
                             tiebreak: str):
     """EXACT per-group quantiles, DuckDB ``quantile_disc(col, q)

@@ -2753,3 +2753,45 @@ def test_grouped_rank_profiles_matches_duckdb():
         WINDOW w AS (PARTITION BY k ORDER BY v)
     """).fetchall())
     assert got == want
+
+
+def test_grouped_row_numbers_and_ntile_match_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_ntile
+
+    rng = np.random.default_rng(33)
+    n = 800
+    keys = rng.integers(0, 7, size=n).astype(np.float64)
+    keys[rng.random(n) < 0.05] = np.nan  # NULL partition
+    tsv = rng.integers(0, 1000, size=n)
+    t = pa.table({
+        "k": pa.array([None if np.isnan(v) else int(v) for v in keys],
+                      pa.int64()),
+        "ts": pa.array(tsv, pa.int64()),
+        "eid": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(9)
+    out = grouped_ntile(ds, "k", "ts", "eid", 4).take_all()
+    keyf = lambda t: (t[0] is None, t[0] or 0, t[1])
+    got = sorted(((r["k"], r["eid"], r["row_number"], r["ntile"])
+                  for r in out), key=keyf)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted((tuple(r) for r in con.execute("""
+        SELECT k, eid, row_number() OVER w, ntile(4) OVER w
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, eid)
+    """).fetchall()), key=keyf)
+    assert got == want
+
+    # k > group size: every row its own tile, trailing tiles unused
+    out1 = grouped_ntile(
+        _ray().data.from_arrow(t.slice(0, 10)), "k", "ts", "eid",
+        100).take_all()
+    got1 = sorted(((r["k"], r["eid"], r["ntile"]) for r in out1),
+                  key=keyf)
+    want1 = sorted((tuple(r) for r in con.execute("""
+        SELECT k, eid, ntile(100) OVER w FROM (SELECT * FROM t LIMIT 10)
+        WINDOW w AS (PARTITION BY k ORDER BY ts, eid)
+    """).fetchall()), key=keyf)
+    assert got1 == want1
