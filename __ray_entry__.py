@@ -1028,6 +1028,23 @@ def q_user_event_ntile(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_user_first_last_value(sf_dir: str):
+    """SQL FIRST_VALUE / full-frame LAST_VALUE per user ordered by
+    (ts, event_id) — arg-extremes as ONE combinable hash aggregate
+    via the order-preserving byte encoding
+    (engine/relational.py grouped_first_last): no sort, hot users
+    reduce inside every block."""
+    from json_schema_ray.engine.relational import grouped_first_last
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_first_last(ds, "user_id", "ts", "event_id", "value")
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("first_val", pa.float64()),
+                        ("last_val", pa.float64())])
+    return _collect(out, schema)
+
+
 def q_user_value_ranks(sf_dir: str):
     """SQL RANK / DENSE_RANK per (user, value) — the distinct-value
     rank profile from one combiner groupby + one prefix-scan sort."""
@@ -1735,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ranks": q_user_value_ranks,
         "user_value_rank_profiles": q_user_value_rank_profiles,
         "user_event_ntile": q_user_event_ntile,
+        "user_first_last_value": q_user_first_last_value,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
         "docs_decontamination": q_docs_decontamination,
@@ -2230,6 +2248,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "user_first_last_value": """
+            SELECT DISTINCT user_id,
+                   first_value(value) OVER w AS first_val,
+                   last_value(value) OVER w AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
         "user_event_ntile": """
             SELECT user_id, event_id,

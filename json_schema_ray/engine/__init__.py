@@ -60,6 +60,7 @@ from .relational import (
     except_distinct,
     grouped_distinct_count,
     grouped_distinct_count_sorted,
+    grouped_first_last,
     hash_sample,
     heavy_hitters,
     intersect_distinct,
@@ -132,6 +133,7 @@ __all__ = [
     "grouped_distinct_count_sorted",
     "grouped_entropy",
     "grouped_exact_quantiles",
+    "grouped_first_last",
     "grouped_mode",
     "grouped_quantiles_cont",
     "grouped_ntile",

@@ -740,6 +740,118 @@ def except_distinct(left_ds, right_ds, left_on: List[str],
                             right_on or left_on, "except")
 
 
+def _arg_encode(batch: pa.Table, order_col: str, tiebreak: str,
+                value_col: str) -> pa.Array:
+    """Order-preserving 26-byte hex encoding of (order, tiebreak)
+    carrying the value as payload: [order-null flag | sign-flipped
+    big-endian order | big-endian tiebreak | raw float64 value bits |
+    value-null flag]. Lexicographic MIN/MAX of the encodings IS
+    arg_min/arg_max by (order, tiebreak) with SQL NULLS LAST, so
+    first/last_value reduces to a plain combinable aggregate."""
+    import binascii
+
+    n = batch.num_rows
+
+    def sortable_u64(col) -> tuple:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if pa.types.is_floating(arr.type):
+            v = pc.fill_null(pc.cast(arr, pa.float64()), 0.0) \
+                .to_numpy(zero_copy_only=False)
+            bits = v.view(np.uint64)
+            # IEEE-754 total order: flip all bits of negatives, flip
+            # only the sign bit of non-negatives (NaN order undefined)
+            flip = np.where(bits >> np.uint64(63),
+                            np.uint64(0xFFFFFFFFFFFFFFFF),
+                            np.uint64(0x8000000000000000))
+            return bits ^ flip, valid
+        v = pc.fill_null(pc.cast(arr, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return v.view(np.uint64) ^ np.uint64(1 << 63), valid
+
+    o_u, o_valid = sortable_u64(batch[order_col])
+    t_u, _ = sortable_u64(batch[tiebreak])
+    varr = pc.cast(batch[value_col].combine_chunks()
+                   if isinstance(batch[value_col], pa.ChunkedArray)
+                   else batch[value_col], pa.float64())
+    v_valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+    v_np = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+
+    buf = np.empty((n, 26), np.uint8)
+    buf[:, 0] = (~o_valid).view(np.uint8)  # NULLS LAST
+    buf[:, 1:9] = o_u.astype(">u8").view(np.uint8).reshape(n, 8)
+    buf[:, 9:17] = t_u.astype(">u8").view(np.uint8).reshape(n, 8)
+    buf[:, 17:25] = v_np.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 25] = (~v_valid).view(np.uint8)
+    hexed = np.frombuffer(binascii.hexlify(buf.tobytes()), dtype="S52")
+    return pa.array(hexed.astype("U52"))
+
+
+def _arg_decode(col) -> pa.Array:
+    """Inverse of :func:`_arg_encode`'s payload: the float64 value
+    (or null) carried by each winning encoding."""
+    import binascii
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.float64())
+    raw = binascii.unhexlify("".join(arr.to_pylist()).encode())
+    buf = np.frombuffer(raw, np.uint8).reshape(n, 26)
+    vals = buf[:, 17:25].copy().view("<f8").ravel()
+    nulls = buf[:, 25] == 1
+    return pa.array(vals, pa.float64(), mask=nulls)
+
+
+def grouped_first_last(ds, key: str, order_col: str, tiebreak: str,
+                       value_col: str, first_out: str = "first_val",
+                       last_out: str = "last_val"):
+    """SQL ``first_value(value) OVER (PARTITION BY key ORDER BY
+    order_col, tiebreak)`` and the full-frame ``last_value`` — per
+    key, the value at the smallest and largest (order, tiebreak),
+    order nulls last, null values preserved (ANSI first/last_value
+    does NOT skip nulls).
+
+    Shape: each row encodes to a fixed 52-char order-preserving hex
+    key (:func:`_arg_encode`), a per-block ``pa.TableGroupBy``
+    combiner keeps one (min, max) encoding per key per block, and
+    ONE hash aggregate (MIN, MAX over strings) merges the partials —
+    arg-extremes as plain combinable aggregates: no sort, no per-key
+    state, hot keys reduce inside every block. ``order_col`` /
+    ``tiebreak`` must be numeric or temporal, ``value_col`` numeric
+    (the payload travels as float64 bits)."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key: pa.array([], batch[key].type),
+                             "__mn": pa.array([], pa.string()),
+                             "__mx": pa.array([], pa.string())})
+        enc = _arg_encode(batch, order_col, tiebreak, value_col)
+        t = pa.table({key: batch[key], "__enc": enc})
+        g = pa.TableGroupBy(t, key).aggregate(
+            [("__enc", "min"), ("__enc", "max")])
+        return pa.table({key: g[key], "__mn": g["__enc_min"],
+                         "__mx": g["__enc_max"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = null_safe_grouped_aggregate(
+        partials, [key],
+        [Min("__mn", alias_name="__fe"), Max("__mx", alias_name="__le")],
+        ["__fe", "__le"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({key: batch[key],
+                         first_out: _arg_decode(batch["__fe"]),
+                         last_out: _arg_decode(batch["__le"])})
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def pivot_counts(ds, group_key: str, pivot_col: str,
                  categories: List[str], value: Optional[str] = None):
     """Pivot to a wide table: one row per ``group_key``, one column

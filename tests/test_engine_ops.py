@@ -2795,3 +2795,42 @@ def test_grouped_row_numbers_and_ntile_match_duckdb():
         WINDOW w AS (PARTITION BY k ORDER BY ts, eid)
     """).fetchall()), key=keyf)
     assert got1 == want1
+
+
+def test_grouped_first_last_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.relational import grouped_first_last
+
+    rng = np.random.default_rng(41)
+    n = 700
+    t = pa.table({
+        "k": pa.array([None if rng.random() < 0.04 else int(v)
+                       for v in rng.integers(0, 9, size=n)], pa.int64()),
+        "ts": pa.array([None if rng.random() < 0.05 else int(v)
+                        for v in rng.integers(0, 50, size=n)], pa.int64()),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1 else float(x)
+                       for x in rng.normal(size=n)], pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(8)
+    out = grouped_first_last(ds, "k", "ts", "eid", "v").take_all()
+    keyf = lambda r: (r[0] is None, r[0] or 0)
+    got = sorted(((r["k"], r["first_val"], r["last_val"])
+                  for r in out), key=keyf)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted((tuple(r) for r in con.execute("""
+        SELECT DISTINCT k,
+               first_value(v) OVER w AS first_val,
+               last_value(v) OVER w AS last_val
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, eid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """).fetchall()), key=keyf)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        for a, b in zip(g[1:], w[1:]):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a == b  # exact bit round-trip
