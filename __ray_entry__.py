@@ -1615,6 +1615,40 @@ def q_customer_highvalue_left(sf_dir: str):
         [("c_custkey", "ascending"), ("o_orderkey", "ascending")])
 
 
+def q_negbal_highvalue_full(sf_dir: str):
+    """Two-big-sides sort-merge FULL OUTER join: negative-balance
+    customers x >300k orders on custkey — unmatched rows on BOTH
+    sides emit once from the interior/edge scans (null orderkey for
+    customers without such orders, null custkey/acctbal for orders
+    of other customers; o_custkey rides along in value_columns so
+    right-unmatched rows stay identifiable)."""
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    customer = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["c_acctbal"], 0))
+
+    def high(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], 300000))             .select(["o_custkey", "o_orderkey"])
+
+    out = sort_merge_join(
+        customer.map_batches(neg, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        orders.map_batches(high, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "c_custkey", "o_custkey",
+        value_columns=["o_custkey", "o_orderkey"], how="full")
+    schema = pa.schema([("c_custkey", pa.int64()),
+                        ("c_acctbal", pa.float64()),
+                        ("o_custkey", pa.int64()),
+                        ("o_orderkey", pa.int64())])
+    return _collect(out, schema)
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs word-5-gram Jaccard near-dups via the
     shared-shingle inverted index — the ground truth the MinHash LSH
@@ -1813,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "customer_highvalue_left": q_customer_highvalue_left,
+        "negbal_highvalue_full": q_negbal_highvalue_full,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
@@ -2797,6 +2832,14 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "negbal_highvalue_full": """
+            SELECT c_custkey, c_acctbal, o_custkey, o_orderkey
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal < 0) c
+            FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+                       WHERE o_totalprice > 300000) o
+              ON c_custkey = o_custkey
         """,
         "customer_highvalue_left": """
             SELECT c_custkey, o_orderkey

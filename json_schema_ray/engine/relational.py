@@ -433,16 +433,22 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
     (the only ones that can straddle a boundary) emit their raw rows
     instead; those O(boundary keys) rows join in one worker-side pass
     over the collected edge table. NULL keys never match (SQL
-    semantics); with ``how="left"`` unmatched left rows (null keys
-    included) emit once with null value columns, straight from the
-    interior scan — no extra shuffle. Skew caveat: a hot key's cross
-    product is inherent to the join's output — for a hot-key-heavy
-    workload salt upstream or use the broadcast variant.
+    semantics). ``how`` is one of ``"inner" | "left" | "right" |
+    "full"``: unmatched left rows (null keys included) emit once with
+    null value columns, unmatched right rows emit once with ALL left
+    columns null (put ``right_on`` in ``value_columns`` to keep their
+    key) — both straight from the interior/edge scans, no extra
+    shuffle. Skew caveat: a hot key's cross product is inherent to
+    the join's output — for a hot-key-heavy workload salt upstream or
+    use the broadcast variant.
     """
     import ray
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be inner|left|right|full, got {how!r}")
+    emit_left_un = how in ("left", "full")
+    emit_right_un = how in ("right", "full")
 
     if set(value_columns) & set(left_ds.schema().base_schema.names):
         raise ValueError(
@@ -521,30 +527,49 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         pos = (np.arange(total, dtype=np.int64)
                - np.repeat(offs, nmatch))
         er = ridx[np.repeat(rbase[segid[lidx]], nmatch) + pos]
-        # left-outer bookkeeping: usable left rows with zero matches,
-        # plus (interior pass only) null-key left rows — they can
-        # never match anywhere and never enter the edge table, so
-        # they emit exactly once here
-        lun = lidx[nmatch == 0]
-        if interior_only and n:
-            lun = np.concatenate(
-                [lun, np.nonzero((side == 1) & ~key_valid)[0]])
-        return el, er, eidx, lun
+        # outer-join bookkeeping: usable rows with zero matches on
+        # the opposite side, plus (interior pass only) null-key rows
+        # — null keys can never match anywhere and never enter the
+        # edge table, so they emit exactly once here
+        lun = run = np.zeros(0, dtype=np.int64)
+        if emit_left_un:
+            lun = lidx[nmatch == 0]
+            if interior_only and n:
+                lun = np.concatenate(
+                    [lun, np.nonzero((side == 1) & ~key_valid)[0]])
+        if emit_right_un:
+            nl_seg = np.bincount(segid[lidx], minlength=g) if n else \
+                np.zeros(0, dtype=np.int64)
+            run = ridx[nl_seg[segid[ridx]] == 0]
+            if interior_only and n:
+                run = np.concatenate(
+                    [run, np.nonzero((side == 0) & ~key_valid)[0]])
+        return el, er, eidx, lun, run
 
-    def joined_table(batch: pa.Table, el, er, lun=None) -> pa.Table:
+    def joined_table(batch: pa.Table, el, er, lun, run) -> pa.Table:
+        """Output rows in the fixed order [matched, left-unmatched,
+        right-unmatched] — callers taking per-row metadata must use
+        the same concatenation of (el, lun, run)."""
         cols = {}
         for c in left_names:
             cols[c] = batch[c].take(pa.array(el, pa.int64()))
         for c in value_columns:
             cols[c] = batch[c].take(pa.array(er, pa.int64()))
-        out = pa.table(cols) if cols else pa.table({})
-        if how == "left" and lun is not None and len(lun):
+        parts = [pa.table(cols) if cols else pa.table({})]
+        if len(lun):
             ucols = {c: batch[c].take(pa.array(lun, pa.int64()))
                      for c in left_names}
             for c in value_columns:
                 ucols[c] = pa.nulls(len(lun), value_types[c])
-            out = pa.concat_tables([out, pa.table(ucols)])
-        return out
+            parts.append(pa.table(ucols))
+        if len(run):
+            rcols = {c: pa.nulls(
+                len(run), left_schema_probe.field(c).type)
+                for c in left_names}
+            for c in value_columns:
+                rcols[c] = batch[c].take(pa.array(run, pa.int64()))
+            parts.append(pa.table(rcols))
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     def scan(batch: pa.Table) -> pa.Table:
         out_order = out_names + meta_names + ["__edge"]
@@ -553,10 +578,9 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
                       for c in out_names + meta_names]
             return pa.schema(fields + [pa.field("__edge", pa.bool_())]
                              ).empty_table()
-        el, er, eidx, lun = expand(batch, interior_only=True)
-        out = joined_table(batch, el, er, lun)
-        emitted = np.concatenate([el, lun]) \
-            if how == "left" and len(lun) else el
+        el, er, eidx, lun, run = expand(batch, interior_only=True)
+        out = joined_table(batch, el, er, lun, run)
+        emitted = np.concatenate([el, lun, run])
         for c in meta_names:
             out = out.append_column(c, batch[c].take(
                 pa.array(emitted, pa.int64())))
@@ -594,8 +618,8 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         .sort_by([(key_col, "ascending"), (side_col, "ascending")])
 
     def edge_join(batch: pa.Table) -> pa.Table:
-        el, er, _, lun = expand(batch, interior_only=False)
-        return joined_table(batch, el, er, lun).select(out_names)
+        el, er, _, lun, run = expand(batch, interior_only=False)
+        return joined_table(batch, el, er, lun, run).select(out_names)
 
     edge_ds = ray.data.from_arrow(et).map_batches(
         edge_join, batch_format="pyarrow", batch_size=None)

@@ -650,6 +650,25 @@ def test_sort_merge_join_matches_arrow_join():
     assert gotl == wantl
     assert len(wantl) > len(want)  # unmatched lefts exercised
 
+    # RIGHT and FULL OUTER: unmatched rights once with null left
+    # columns (carry the right key via value_columns to observe it)
+    for how, join_type in (("right", "right outer"),
+                           ("full", "full outer")):
+        outo = sort_merge_join(
+            _ray().data.from_arrow(left).repartition(8),
+            _ray().data.from_arrow(right).repartition(4),
+            "k", "rk", value_columns=["val"], how=how)
+        goto = sorted(((r["lrow"], r["val"]) for r in outo.take_all()),
+                      key=lambda t: (t[0] is None, t[0] or 0,
+                                     t[1] is None, t[1] or 0))
+        refo = left.join(right.rename_columns(["k", "val"]),
+                         keys=["k"], join_type=join_type)
+        wanto = sorted(zip(refo["lrow"].to_pylist(),
+                           refo["val"].to_pylist()),
+                       key=lambda t: (t[0] is None, t[0] or 0,
+                                      t[1] is None, t[1] or 0))
+        assert goto == wanto, how
+
 
 def test_sort_merge_join_single_key_left_only_blocks():
     """Regression: a sort block made entirely of ONE key's left rows
