@@ -1045,6 +1045,39 @@ def q_user_first_last_value(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_user_range_sum_1h(sf_dir: str):
+    """SQL RANGE-frame windowed sum: per user, sum/count of value
+    over the trailing 1 hour, one row per distinct (user, ts)
+    (engine/window.py range_windowed_sum — prefix sums + an as-of
+    backward self-join realize the sliding frame with no
+    window-width carries). Sums ship as floor(x*1e4+0.5) BIGINT."""
+    import datetime
+
+    from json_schema_ray.engine.window import range_windowed_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = range_windowed_sum(ds, "user_id", "ts", "value",
+                             datetime.timedelta(hours=1))
+
+    def scale(b: pa.Table) -> pa.Table:
+        v = b["range_sum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        e4 = np.floor(v * 1e4 + 0.5)
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "range_sum_e4": pa.array(
+                [None if np.isnan(x) else int(x) for x in e4],
+                pa.int64()),
+            "range_cnt": b["range_cnt"]})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("range_sum_e4", pa.int64()),
+                        ("range_cnt", pa.int64())])
+    return _collect(out.map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_user_value_ranks(sf_dir: str):
     """SQL RANK / DENSE_RANK per (user, value) — the distinct-value
     rank profile from one combiner groupby + one prefix-scan sort."""
@@ -1786,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ranks": q_user_value_ranks,
         "user_value_rank_profiles": q_user_value_rank_profiles,
         "user_event_ntile": q_user_event_ntile,
+        "user_range_sum_1h": q_user_range_sum_1h,
         "user_first_last_value": q_user_first_last_value,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
@@ -2283,6 +2317,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "user_range_sum_1h": """
+            SELECT DISTINCT user_id, ts,
+                   CAST(floor(sum(value) OVER w * 1e4 + 0.5)
+                        AS BIGINT) AS range_sum_e4,
+                   CAST(count(value) OVER w AS BIGINT) AS range_cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                          AND CURRENT ROW)
         """,
         "user_first_last_value": """
             SELECT DISTINCT user_id,

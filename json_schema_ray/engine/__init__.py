@@ -103,6 +103,7 @@ from .text import (
 )
 from .window import (
     hopping_window_counts,
+    range_windowed_sum,
     pack_items,
     sessionize_counts,
     tumbling_window_counts,
@@ -159,6 +160,7 @@ __all__ = [
     "pivot_counts",
     "query_ann_index",
     "range_join",
+    "range_windowed_sum",
     "referential_violations",
     "salted_aggregate",
     "semi_join",

@@ -2853,3 +2853,40 @@ def test_grouped_first_last_matches_duckdb():
             assert (a is None) == (b is None)
             if a is not None:
                 assert a == b  # exact bit round-trip
+
+
+def test_range_windowed_sum_matches_duckdb():
+    import datetime
+
+    import duckdb
+
+    from json_schema_ray.engine.window import range_windowed_sum
+
+    rng = np.random.default_rng(55)
+    n = 900
+    base = np.int64(1_700_000_000_000_000)
+    tsv = base + rng.integers(0, 3_600_000_000, size=n)  # 1h span, us
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 6, size=n), pa.int64()),
+        "ts": pa.array(tsv, pa.timestamp("us")),
+        "v": pa.array([None if rng.random() < 0.1 else float(x)
+                       for x in rng.integers(0, 100, size=n)],
+                      pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(7)
+    out = range_windowed_sum(ds, "k", "ts", "v",
+                             datetime.timedelta(minutes=5)).take_all()
+    got = sorted((r["k"], r["ts"],
+                  None if r["range_sum"] is None
+                  else round(r["range_sum"], 6), r["range_cnt"])
+                 for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT DISTINCT k, ts,
+               round(sum(v) OVER w, 6) AS range_sum,
+               CAST(count(v) OVER w AS BIGINT) AS range_cnt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+            RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
+    """).fetchall())
+    assert got == want
