@@ -1682,6 +1682,35 @@ def q_negbal_highvalue_full(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_lineitems_small_parts(sf_dir: str):
+    """Bloom-accelerated semi-join: lineitems whose part is small
+    (p_size <= 10). The reference keys reduce DISTRIBUTED to a 1 MiB
+    OR-merged bitmap broadcast once; probes test 4 bits per row
+    vectorized, and the bloom's no-false-negative guarantee plus the
+    exact verify over the survivors makes the result exact
+    (engine/relational.py bloom_semi_join)."""
+    from json_schema_ray.engine.relational import bloom_semi_join
+
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_linenumber",
+                              "l_partkey"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def small(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["p_size"], 10)) \
+            .select(["p_partkey"])
+
+    out = bloom_semi_join(
+        lineitem,
+        part.map_batches(small, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "l_partkey", "p_partkey")
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_linenumber", pa.int64()),
+                        ("l_partkey", pa.int64())])
+    return _collect(out, schema)
+
+
 def q_ngram_jaccard_dups(sf_dir: str):
     """Exact all-pairs word-5-gram Jaccard near-dups via the
     shared-shingle inverted index — the ground truth the MinHash LSH
@@ -1882,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "customer_highvalue_left": q_customer_highvalue_left,
         "negbal_highvalue_full": q_negbal_highvalue_full,
+        "lineitems_small_parts": q_lineitems_small_parts,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
@@ -2876,6 +2906,12 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "lineitems_small_parts": """
+            SELECT l_orderkey, l_linenumber, l_partkey
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_size <= 10)
         """,
         "negbal_highvalue_full": """
             SELECT c_custkey, c_acctbal, o_custkey, o_orderkey

@@ -55,7 +55,9 @@ from .relational import (
     anti_join,
     asof_join_backward,
     asof_join_backward_sorted,
+    bloom_semi_join,
     broadcast_hash_join,
+    build_bloom_filter,
     grouped_aggregate,
     except_distinct,
     grouped_distinct_count,
@@ -114,6 +116,8 @@ __all__ = [
     "anti_join",
     "asof_join_backward",
     "asof_join_backward_sorted",
+    "bloom_semi_join",
+    "build_bloom_filter",
     "broadcast_hash_join",
     "chunk_documents",
     "build_ann_index",

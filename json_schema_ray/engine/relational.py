@@ -682,6 +682,108 @@ def semi_join(ds, ref_ds, fk: str, pk: str):
                           zero_copy_batch=True)
 
 
+def _bloom_hashes(col) -> tuple:
+    """(uint64 hashes, valid mask) for an int/temporal/string Arrow
+    column — the shared key-hash kernel of the Bloom family."""
+    from ..state.sketches import hash_ints, hash_string_array
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    t = arr.type
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        vals = pc.cast(pc.fill_null(arr, 0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return hash_ints(vals), valid
+    if _is_string_type(t):
+        return hash_ints(hash_string_array(arr).view(np.int64)), valid
+    raise ValueError(f"bloom: unsupported key type {t}")
+
+
+def _bloom_positions(h: np.ndarray, n_bits: int, n_hashes: int):
+    """Double-hashing bit positions, one (len(h),) array per probe."""
+    h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd => full-cycle step
+    mask = np.uint64(n_bits - 1)
+    return [(h + np.uint64(i) * h2) & mask for i in range(n_hashes)]
+
+
+def build_bloom_filter(ds, column: str, n_bits: int = 1 << 23,
+                       n_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom filter over ``ds[column]`` as an OR-mergeable
+    global aggregate: each block scatters its keys' bits into a local
+    bitmap partial, Ray's aggregate tree ORs the partials — the
+    driver never sees keys, only ``n_bits/8`` bytes (1 MiB at the
+    2^23 default). Returns the uint64 word array. NULL keys are
+    never inserted. ``n_bits`` must be a power of two."""
+    from ray.data.aggregate import AggregateFn
+
+    if n_bits & (n_bits - 1) or n_bits < 64:
+        raise ValueError(f"n_bits must be a power of two >= 64, "
+                         f"got {n_bits}")
+    n_words = n_bits // 64
+
+    def acc_block(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        if block.num_rows == 0:
+            return acc
+        h, valid = _bloom_hashes(block[column])
+        h = h[valid]
+        if not len(h):
+            return acc
+        out = acc.copy()
+        for pos in _bloom_positions(h, n_bits, n_hashes):
+            np.bitwise_or.at(out, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(n_words, np.uint64),
+        accumulate_block=acc_block,
+        merge=lambda a, b: a | b,
+        name="bloom")
+    res = ds.aggregate(agg)
+    return res["bloom"] if res else np.zeros(n_words, np.uint64)
+
+
+def bloom_semi_join(ds, ref_ds, fk: str, pk: str,
+                    n_bits: int = 1 << 23, n_hashes: int = 4,
+                    exact: bool = True):
+    """SQL ``WHERE EXISTS`` with a Bloom pre-filter: the reference
+    keys reduce to an ``n_bits`` bitmap (:func:`build_bloom_filter`),
+    broadcast ONCE via ``ray.put``; every probe batch tests
+    ``n_hashes`` bits per row, fully vectorized. Bloom filters have
+    no false negatives, so with ``exact=True`` (default) the
+    surviving superset is finished by the exact broadcast
+    :func:`semi_join` and the result is EXACT; ``exact=False`` keeps
+    the ~``(1-e^(-kn/m))^k`` false-positive rate for pipelines that
+    only need a pre-filter. NULL ``fk`` rows never match.
+
+    Scale shape: at 10^10+ reference keys the exact key-set
+    broadcast is multi-GB per worker while the bitmap stays ~MiB;
+    the exact pass then runs over the survivors only (compose with
+    :func:`sort_merge_join` instead of the broadcast verify when
+    even the reference side is beyond worker heaps)."""
+    import ray
+
+    words = build_bloom_filter(ref_ds, pk, n_bits, n_hashes)
+    handle = ray.put(words)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        w = ray.get(handle)
+        h, valid = _bloom_hashes(batch[fk])
+        member = valid.copy()
+        for pos in _bloom_positions(h, n_bits, n_hashes):
+            bits = (w[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)
+            member &= bits.astype(bool)
+        return batch.filter(pa.array(member))
+
+    filtered = ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return semi_join(filtered, ref_ds, fk, pk) if exact else filtered
+
+
 def anti_join(ds, ref_ds, fk: str, pk: str):
     """Row-level SQL ``WHERE NOT EXISTS`` (left anti join): keep the
     rows of ``ds`` with NO ``ref_ds[pk]`` match. NULL-``fk`` rows are

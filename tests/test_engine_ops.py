@@ -2890,3 +2890,58 @@ def test_range_windowed_sum_matches_duckdb():
             RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
     """).fetchall())
     assert got == want
+
+
+def test_bloom_semi_join_exact_and_superset():
+    import pyarrow.compute as pc
+
+    from json_schema_ray.engine.relational import (
+        bloom_semi_join, build_bloom_filter)
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    left = pa.table({
+        "fk": pa.array([None if rng.random() < 0.03 else int(v)
+                        for v in rng.integers(0, 5000, size=n)],
+                       pa.int64()),
+        "row": pa.array(np.arange(n), pa.int64()),
+    })
+    ref = pa.table({"pk": pa.array(
+        rng.choice(5000, size=300, replace=False), pa.int64())})
+    lds = _ray().data.from_arrow(left).repartition(6)
+    rds = _ray().data.from_arrow(ref).repartition(3)
+
+    want = set(left.filter(
+        pc.fill_null(pc.is_in(left["fk"], value_set=ref["pk"]),
+                     False))["row"].to_pylist())
+
+    got = {r["row"] for r in
+           bloom_semi_join(lds, rds, "fk", "pk").take_all()}
+    assert got == want
+
+    # no false negatives even with a deliberately tiny filter
+    approx = {r["row"] for r in bloom_semi_join(
+        lds, rds, "fk", "pk", n_bits=1 << 10, n_hashes=2,
+        exact=False).take_all()}
+    assert want <= approx
+    assert len(approx) < n  # it actually filters something
+
+    # string keys route through the string hash kernel
+    sleft = pa.table({"fk": pa.array(
+        [f"k{v}" for v in rng.integers(0, 500, size=1000)]
+        + [None], pa.string()),
+        "row": pa.array(np.arange(1001), pa.int64())})
+    sref = pa.table({"pk": pa.array(
+        [f"k{v}" for v in range(0, 500, 7)], pa.string())})
+    got_s = {r["row"] for r in bloom_semi_join(
+        _ray().data.from_arrow(sleft),
+        _ray().data.from_arrow(sref), "fk", "pk").take_all()}
+    want_s = set(sleft.filter(
+        pc.fill_null(pc.is_in(sleft["fk"], value_set=sref["pk"]),
+                     False))["row"].to_pylist())
+    assert got_s == want_s
+
+    # empty reference: bitmap all zeros, nothing survives
+    empty = build_bloom_filter(
+        _ray().data.from_arrow(ref.slice(0, 0)), "pk")
+    assert not empty.any()
