@@ -646,6 +646,26 @@ def q_events_last_order_sorted(sf_dir: str):
     }).sort_by("event_id")
 
 
+def q_events_next_order(sf_dir: str):
+    """FORWARD as-of join, two big sides: each event takes its
+    user's EARLIEST order on/after the event — the backward sorted
+    machinery under time reversal
+    (engine/relational.py asof_join_forward_sorted)."""
+    from json_schema_ray.engine.relational import asof_join_forward_sorted
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    joined = asof_join_forward_sorted(
+        events, orders, left_by="user_id", right_by="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        value_columns=["o_orderdate"])
+    t = _collect(joined)
+    return pa.table({
+        "event_id": t["event_id"],
+        "next_order_date": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+    }).sort_by("event_id")
+
+
 def _query_vector(sf_dir: str) -> np.ndarray:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       filters=[("vec_id", "=", 0)])
@@ -1880,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_volume": q_daily_event_volume,
         "events_last_order": q_events_last_order,
         "events_last_order_sorted": q_events_last_order_sorted,
+        "events_next_order": q_events_next_order,
         "text_equality": q_text_equality,
         "hopping_event_volume": q_hopping_event_volume,
         "lineitems_shipped_90d": q_lineitems_shipped_90d,
@@ -2602,6 +2623,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "events_next_order": """
+            SELECT e.event_id, o.o_orderdate AS next_order_date
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
             ORDER BY e.event_id
         """,
         "events_last_order_sorted": """

@@ -55,6 +55,7 @@ from .relational import (
     anti_join,
     asof_join_backward,
     asof_join_backward_sorted,
+    asof_join_forward_sorted,
     bloom_semi_join,
     broadcast_hash_join,
     build_bloom_filter,
@@ -116,6 +117,7 @@ __all__ = [
     "anti_join",
     "asof_join_backward",
     "asof_join_backward_sorted",
+    "asof_join_forward_sorted",
     "bloom_semi_join",
     "build_bloom_filter",
     "broadcast_hash_join",

@@ -1358,6 +1358,39 @@ def _asof_carry(keys_np: np.ndarray, side: np.ndarray,
     return last_r, has_match
 
 
+def asof_join_forward_sorted(left_ds, right_ds, left_by: str,
+                             right_by: str, left_time: str,
+                             right_time: str,
+                             value_columns: List[str]):
+    """As-of FORWARD join (each left row takes its key's EARLIEST
+    right row with ``right_time >= left_time``, inclusive) by time
+    reversal: both time axes negate into int64 microseconds and the
+    backward machinery — same single sort, carry scan and O(n_blocks)
+    boundary stitch — runs unchanged. Unmatched left rows keep null
+    value columns; NULL keys never match; among right ties at the
+    minimal time the chosen row is unspecified (mirror of the
+    backward contract)."""
+    tmp = "__negt"
+
+    def negate(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = pc.cast(batch[col], pa.int64())
+            return batch.append_column(
+                tmp, pc.subtract(pa.scalar(0, pa.int64()), t))
+        return f
+
+    left = left_ds.map_batches(negate(left_time),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True)
+    right = right_ds.map_batches(negate(right_time),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    out = asof_join_backward_sorted(left, right, left_by, right_by,
+                                    tmp, tmp, value_columns)
+    return out.map_batches(lambda b: b.drop_columns([tmp]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
                               right_by: str, left_time: str,
                               right_time: str,

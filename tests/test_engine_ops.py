@@ -2945,3 +2945,40 @@ def test_bloom_semi_join_exact_and_superset():
     empty = build_bloom_filter(
         _ray().data.from_arrow(ref.slice(0, 0)), "pk")
     assert not empty.any()
+
+
+def test_asof_forward_sorted_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.relational import asof_join_forward_sorted
+
+    rng = np.random.default_rng(77)
+    nl, nr = 3000, 500
+    left = pa.table({
+        "k": pa.array([None if rng.random() < 0.02 else int(v)
+                       for v in rng.integers(0, 40, size=nl)], pa.int64()),
+        "t": pa.array(rng.integers(0, 10_000, size=nl), pa.int64()),
+        "lrow": pa.array(np.arange(nl), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(rng.integers(0, 50, size=nr), pa.int64()),
+        "rt": pa.array(rng.integers(0, 10_000, size=nr), pa.int64()),
+    })
+    out = asof_join_forward_sorted(
+        _ray().data.from_arrow(left).repartition(7),
+        _ray().data.from_arrow(right).repartition(3),
+        "k", "rk", "t", "rt", value_columns=["rt"])
+    got = sorted((r["lrow"], r["rt"]) for r in out.take_all()
+                 if True)
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    # value column is the matched TIME itself, so right ties at the
+    # minimal rt are not observable and the compare is deterministic
+    want = sorted(tuple(x) for x in con.execute("""
+        SELECT l.lrow, r.rt FROM l
+        ASOF LEFT JOIN r ON l.k = r.rk AND l.t <= r.rt
+    """).fetchall())
+    got = sorted(got, key=lambda p: (p[0], p[1] is None, p[1] or 0))
+    want = sorted(want, key=lambda p: (p[0], p[1] is None, p[1] or 0))
+    assert got == want
