@@ -1604,6 +1604,21 @@ def q_multimodal_features(sf_dir: str):
     }).sort_by("doc_id")
 
 
+def q_docs_lang_source_cube(sf_dir: str):
+    """SQL GROUP BY CUBE (lang, source) with doc counts: the input
+    shuffles once into the finest grouped aggregate; the other three
+    grouping sets re-aggregate that group-sized result
+    (engine/relational.py cube_aggregate), gid = GROUPING_ID."""
+    from json_schema_ray.engine.relational import cube_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    out = cube_aggregate(ds, ["lang", "source"], None, "count",
+                         out="n_docs")
+    schema = pa.schema([("lang", pa.string()), ("source", pa.string()),
+                        ("n_docs", pa.int64()), ("gid", pa.int64())])
+    return _collect(out, schema)
+
+
 def q_drift_roles(sf_dir: str):
     import ray
 
@@ -1872,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_value": q_user_first_last_value,
         "events_moving_sum": q_events_moving_sum,
         "customer_rollup": q_customer_rollup,
+        "docs_lang_source_cube": q_docs_lang_source_cube,
         "docs_decontamination": q_docs_decontamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "user_value_quantiles": q_user_value_quantiles,
@@ -2934,6 +2950,11 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "docs_lang_source_cube": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(grouping_id(lang, source) AS BIGINT) AS gid
+            FROM documents GROUP BY CUBE (lang, source)
         """,
         "lineitems_small_parts": """
             SELECT l_orderkey, l_linenumber, l_partkey

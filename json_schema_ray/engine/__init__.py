@@ -59,7 +59,9 @@ from .relational import (
     bloom_semi_join,
     broadcast_hash_join,
     build_bloom_filter,
+    cube_aggregate,
     grouped_aggregate,
+    grouping_sets_aggregate,
     except_distinct,
     grouped_distinct_count,
     grouped_distinct_count_sorted,
@@ -127,6 +129,7 @@ __all__ = [
     "compile_plan_for",
     "connected_components",
     "corr_stats",
+    "cube_aggregate",
     "cumulative_sum",
     "duplicate_keys",
     "embedding_near_dup_pairs",
@@ -149,6 +152,7 @@ __all__ = [
     "grouped_string_agg",
     "grouped_top_k",
     "grouped_zscore",
+    "grouping_sets_aggregate",
     "hash_sample",
     "heavy_hitters",
     "histogram",

@@ -163,6 +163,103 @@ def rollup_aggregate(ds, keys: List[str], value: Optional[str],
     return result
 
 
+def grouping_sets_aggregate(ds, keys: List[str], sets,
+                            value: Optional[str], agg: str = "sum",
+                            out: str = "agg_value"):
+    """SQL ``GROUP BY GROUPING SETS (...)``: one result row per group
+    of each requested subset of ``keys``, rolled keys NULL and
+    ``gid`` = the SQL ``GROUPING_ID(keys...)`` bitmask (keys[0] is
+    the most significant bit; set bit = key rolled — disambiguates a
+    rolled NULL from a genuine NULL key value).
+
+    Scale shape (same discipline as :func:`rollup_aggregate`): the
+    INPUT is shuffled exactly once into the finest (all-keys)
+    grouped aggregate; every requested set re-aggregates that
+    already group-sized result by its kept keys only, so the extra
+    shuffles move group rows, never input rows. Sets re-aggregate
+    INDEPENDENTLY from the finest level (they need not be nested,
+    unlike ROLLUP's prefix chain). ``agg`` is sum/count/min/max (the
+    re-aggregable partials); the float-sum caveat from ROLLUP
+    applies."""
+    if agg not in ("sum", "count", "min", "max"):
+        raise ValueError(f"grouping_sets: unsupported agg {agg!r}")
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    sets = [tuple(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of "
+                             f"{keys!r}")
+
+    partial = pre_aggregate(ds, keys, [(value, agg)])
+    src = f"{value or 'rows'}_{agg}"
+    first_obj = (Sum(src, alias_name=out) if agg in ("sum", "count")
+                 else Min(src, alias_name=out) if agg == "min"
+                 else Max(src, alias_name=out))
+    finest = null_safe_grouped_aggregate(partial, keys, [first_obj],
+                                         [out]).materialize()
+    sch = finest.schema().base_schema
+    key_types = {k: sch.field(k).type for k in keys}
+    out_type = sch.field(out).type
+    re_obj = (Sum(out, alias_name=out) if agg in ("sum", "count")
+              else Min(out, alias_name=out) if agg == "min"
+              else Max(out, alias_name=out))
+    order = keys + [out]
+
+    def tagged(level_ds, gid: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "gid", pa.array(np.full(batch.num_rows, gid, np.int64)))
+        return level_ds.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    result = None
+    for s in sets:
+        kept = [k for k in keys if k in s]
+        rolled = tuple(k for k in keys if k not in s)
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in s)
+        if not rolled:
+            level = finest
+        elif kept:
+            agg_ds = null_safe_grouped_aggregate(
+                finest.map_batches(
+                    lambda b, c=tuple(kept) + (out,): b.select(list(c)),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                kept, [re_obj], [out])
+
+            def add_nulls(batch: pa.Table, cols=rolled) -> pa.Table:
+                for c in cols:
+                    batch = batch.append_column(
+                        c, pa.nulls(batch.num_rows, key_types[c]))
+                return batch.select(order)
+
+            level = agg_ds.map_batches(add_nulls,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        else:
+            total = finest.aggregate(re_obj)
+            val = None if total is None else total.get(out)
+            row = {k: pa.nulls(1, key_types[k]) for k in keys}
+            row[out] = pa.array([val], out_type)
+            level = ray.data.from_arrow(pa.table(row).select(order))
+        level = tagged(level, gid)
+        result = level if result is None else result.union(level)
+    return result
+
+
+def cube_aggregate(ds, keys: List[str], value: Optional[str],
+                   agg: str = "sum", out: str = "agg_value"):
+    """SQL ``GROUP BY CUBE (keys)`` — :func:`grouping_sets_aggregate`
+    over all ``2^len(keys)`` subsets (keep ``len(keys)`` small; the
+    input is still shuffled only once)."""
+    n = len(keys)
+    sets = [tuple(k for i, k in enumerate(keys) if m & (1 << i))
+            for m in range(1 << n)]
+    return grouping_sets_aggregate(ds, keys, sets, value, agg, out)
+
+
 def broadcast_hash_join(ds, right_table: pa.Table, left_on: str,
                         right_on: str, how: str = "inner"):
     """Join a big Dataset against a small in-memory Arrow table by

@@ -2982,3 +2982,45 @@ def test_asof_forward_sorted_matches_duckdb():
     got = sorted(got, key=lambda p: (p[0], p[1] is None, p[1] or 0))
     want = sorted(want, key=lambda p: (p[0], p[1] is None, p[1] or 0))
     assert got == want
+
+
+def test_cube_and_grouping_sets_match_duckdb():
+    import duckdb
+    import pyarrow.compute as pc  # noqa: F401
+
+    from json_schema_ray.engine.relational import (
+        cube_aggregate, grouping_sets_aggregate)
+
+    rng = np.random.default_rng(91)
+    n = 2000
+    t = pa.table({
+        "a": pa.array([None if rng.random() < 0.05 else f"a{v}"
+                       for v in rng.integers(0, 4, size=n)], pa.string()),
+        "b": pa.array(rng.integers(0, 3, size=n), pa.int64()),
+        "v": pa.array(rng.integers(0, 100, size=n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(6)
+    keyf = lambda r: tuple((x is None, x if x is not None else 0)
+                           for x in r)
+    got = sorted(((r["a"], r["b"], r["agg_value"], r["gid"])
+                  for r in cube_aggregate(ds, ["a", "b"], "v",
+                                          "sum").take_all()), key=keyf)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted((tuple(r) for r in con.execute("""
+        SELECT a, b, sum(v) AS s,
+               CAST(grouping_id(a, b) AS BIGINT) AS gid
+        FROM t GROUP BY CUBE (a, b)
+    """).fetchall()), key=keyf)
+    assert got == want
+
+    got2 = sorted(((r["a"], r["b"], r["agg_value"], r["gid"])
+                   for r in grouping_sets_aggregate(
+                       ds, ["a", "b"], [("a",), ("b",)], None,
+                       "count").take_all()), key=keyf)
+    want2 = sorted((tuple(r) for r in con.execute("""
+        SELECT a, b, count(*) AS c,
+               CAST(grouping_id(a, b) AS BIGINT) AS gid
+        FROM t GROUP BY GROUPING SETS ((a), (b))
+    """).fetchall()), key=keyf)
+    assert got2 == want2
