@@ -1619,6 +1619,38 @@ def q_docs_lang_source_cube(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_lineitem_price_regression(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity — mergeable
+    sufficient-statistics aggregate (engine/stats.py
+    grouped_regression): one moment row per key per block, one
+    Sum-merge shuffle. Coefficients ship as floor(x*1e4+0.5)
+    BIGINT."""
+    from json_schema_ray.engine.stats import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity"])
+    out = grouped_regression(ds, "l_returnflag", "l_extendedprice",
+                             "l_quantity")
+
+    def scale(b: pa.Table) -> pa.Table:
+        def e4(col):
+            v = b[col].combine_chunks().to_numpy(zero_copy_only=False)
+            r = np.floor(v * 1e4 + 0.5)
+            return pa.array([None if np.isnan(x) else int(x)
+                             for x in r], pa.int64())
+
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n": b["n"], "slope_e4": e4("slope"),
+                         "intercept_e4": e4("intercept")})
+
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("n", pa.int64()), ("slope_e4", pa.int64()),
+                        ("intercept_e4", pa.int64())])
+    return _collect(out.map_batches(scale, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_drift_roles(sf_dir: str):
     import ray
 
@@ -1894,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
         "orders_price_date_corr": q_orders_price_date_corr,
+        "lineitem_price_regression": q_lineitem_price_regression,
         "price_histogram": q_price_histogram,
         "user_event_type_diversity": q_user_event_type_diversity,
         "user_event_type_diversity_sorted":
@@ -2950,6 +2983,17 @@ def oracle_sql() -> dict[str, str]:
                       CAST(a.embedding AS DOUBLE[]),
                       CAST(b.embedding AS DOUBLE[])) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        "lineitem_price_regression": """
+            SELECT l_returnflag,
+                   CAST(regr_count(l_extendedprice, l_quantity)
+                        AS BIGINT) AS n,
+                   CAST(floor(regr_slope(l_extendedprice, l_quantity)
+                              * 1e4 + 0.5) AS BIGINT) AS slope_e4,
+                   CAST(floor(regr_intercept(l_extendedprice,
+                                             l_quantity)
+                              * 1e4 + 0.5) AS BIGINT) AS intercept_e4
+            FROM lineitem GROUP BY l_returnflag
         """,
         "docs_lang_source_cube": """
             SELECT lang, source, count(*) AS n_docs,

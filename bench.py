@@ -52,6 +52,12 @@ EXTRA_QUERIES = [
     "orders_hash_sample",     # shuffle-free deterministic sample
     "events_prev_value",      # SQL LAG: one carry row per block
     "user_event_type_diversity_sorted",  # sorted exact distinct-per-key
+    "user_event_ntile",        # row_number + ntile: sort + carries
+    "user_range_sum_1h",       # RANGE frame: prefix sums + as-of self-join
+    "user_first_last_value",   # arg-extremes as one hash aggregate
+    "lineitems_small_parts",   # bloom pre-filter + exact semi verify
+    "negbal_highvalue_full",   # full outer sort-merge join
+    "docs_lang_source_cube",   # CUBE: one input shuffle + re-aggs
 ]
 
 

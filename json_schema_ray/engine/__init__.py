@@ -90,6 +90,7 @@ from .stats import (
     corr_stats,
     exact_quantiles,
     grouped_entropy,
+    grouped_regression,
     grouped_zscore,
     histogram,
 )
@@ -148,6 +149,7 @@ __all__ = [
     "grouped_quantiles_cont",
     "grouped_ntile",
     "grouped_rank_profiles",
+    "grouped_regression",
     "grouped_row_numbers",
     "grouped_string_agg",
     "grouped_top_k",

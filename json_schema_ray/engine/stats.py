@@ -276,6 +276,78 @@ def corr_stats(ds, x: str, y: str) -> pa.Table:
                      "covar_samp": pa.array([cov], pa.float64())})
 
 
+def grouped_regression(ds, key: str, y: str, x: str):
+    """Per-group simple OLS — SQL ``regr_count / regr_slope /
+    regr_intercept (y, x) GROUP BY key``: rows where either value is
+    NULL are ignored; slope is NULL when x has zero variance (or
+    fewer than one pair), intercept NULL with it.
+
+    Shape: each block reduces to one (n, sx, sy, sxx, sxy) moment
+    row per key (vectorized ``pa.TableGroupBy`` over derived
+    columns), ONE Sum-merge shuffle over the group-sized partials,
+    and a vectorized finalize — the canonical mergeable-sufficient-
+    statistics aggregate, hot keys reduce inside every block.
+    Returns a Dataset of (key, n, slope, intercept)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = pc.cast(batch[x], pa.float64())
+        yv = pc.cast(batch[y], pa.float64())
+        m = pc.and_(pc.is_valid(xv), pc.is_valid(yv))
+        t = pa.table({key: batch[key], "__x": xv, "__y": yv}).filter(m)
+        a = t["__x"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["__y"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = t.append_column("__xx", pa.array(a * a)) \
+             .append_column("__xy", pa.array(a * b))
+        g = pa.TableGroupBy(t, key).aggregate(
+            [("__x", "sum"), ("__y", "sum"), ("__xx", "sum"),
+             ("__xy", "sum"), ([], "count_all")])
+        return pa.table({key: g[key], "__sx": g["__x_sum"],
+                         "__sy": g["__y_sum"], "__sxx": g["__xx_sum"],
+                         "__sxy": g["__xy_sum"],
+                         "__n": pc.cast(g["count_all"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = null_safe_grouped_aggregate(
+        partials, [key],
+        [Sum("__sx", alias_name="__sx"), Sum("__sy", alias_name="__sy"),
+         Sum("__sxx", alias_name="__sxx"),
+         Sum("__sxy", alias_name="__sxy"),
+         Sum("__n", alias_name="n")],
+        ["__sx", "__sy", "__sxx", "__sxy", "n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch["n"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = pc.fill_null(batch["__sx"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        sy = pc.fill_null(batch["__sy"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        sxx = pc.fill_null(batch["__sxx"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        sxy = pc.fill_null(batch["__sxy"], 0.0) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = n * sxx - sx * sx
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / np.maximum(n, 1)
+        bad = (n < 1) | ~np.isfinite(slope)
+        return pa.table({
+            key: batch[key],
+            "n": pc.cast(batch["n"], pa.int64()),
+            "slope": pa.array(np.where(bad, 0.0, slope), pa.float64(),
+                              mask=bad),
+            "intercept": pa.array(np.where(bad, 0.0, intercept),
+                                  pa.float64(), mask=bad),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def histogram(ds, column: str, n_bins: int, lo: float,
               hi: float) -> pa.Table:
     """Fixed-range histogram in ONE pass: per block a vectorized

@@ -3024,3 +3024,41 @@ def test_cube_and_grouping_sets_match_duckdb():
         FROM t GROUP BY GROUPING SETS ((a), (b))
     """).fetchall()), key=keyf)
     assert got2 == want2
+
+
+def test_grouped_regression_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.stats import grouped_regression
+
+    rng = np.random.default_rng(13)
+    n = 1500
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 8, size=n), pa.int64()),
+        "x": pa.array([None if rng.random() < 0.05 else float(v)
+                       for v in rng.integers(1, 50, size=n)],
+                      pa.float64()),
+        "y": pa.array([None if rng.random() < 0.05 else float(v)
+                       for v in rng.normal(100, 20, size=n)],
+                      pa.float64()),
+    })
+    # a zero-variance-x group and a single-pair group
+    extra = pa.table({"k": pa.array([100] * 5 + [101], pa.int64()),
+                      "x": pa.array([7.0] * 5 + [3.0], pa.float64()),
+                      "y": pa.array([1.0, 2, 3, 4, 5, 9], pa.float64())})
+    t = pa.concat_tables([t, extra])
+    ds = _ray().data.from_arrow(t).repartition(6)
+    out = grouped_regression(ds, "k", "y", "x").take_all()
+    got = sorted((r["k"], r["n"],
+                  None if r["slope"] is None else round(r["slope"], 6),
+                  None if r["intercept"] is None
+                  else round(r["intercept"], 6)) for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT k, CAST(regr_count(y, x) AS BIGINT) AS n,
+               round(regr_slope(y, x), 6) AS slope,
+               round(regr_intercept(y, x), 6) AS intercept
+        FROM t GROUP BY k
+    """).fetchall())
+    assert got == want
