@@ -1287,6 +1287,23 @@ def q_tfidf_top_terms(sf_dir: str):
          ("term", "ascending")])
 
 
+def q_docs_bigram_lm(sf_dir: str):
+    """Add-alpha bigram LM doc scoring (CCNet-style corpus quality):
+    one model-sized shuffle trains the LM, the model broadcasts once,
+    a stateless integer-only scan scores every document
+    (engine/text.py bigram_lm_scores). Per-bigram log-probs are
+    fixed-pointed BEFORE the per-doc sum so the distributed sum is
+    order-free."""
+    from json_schema_ray.engine.text import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bigram_lm_scores(ds, id_column="doc_id", column="text")
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_bigrams", pa.int64()),
+                        ("logprob_e6", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_user_event_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type mix — two mergeable
     groupbys, no row-sized shuffle after the combiner (engine/stats.py
@@ -1966,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "docs_bigram_lm": q_docs_bigram_lm,
         "user_event_entropy": q_user_event_entropy,
         "events_zscore": q_events_zscore,
         "user_value_quantiles_cont": q_user_value_quantiles_cont,
@@ -2741,6 +2759,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, score_e6 FROM scored WHERE rn <= 3
             ORDER BY doc_id, score_e6 DESC, term
+        """,
+        "docs_bigram_lm": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS f
+                FROM documents
+            ), big AS (
+                SELECT doc_id, unnest(f[1:len(f)-1]) AS w1,
+                       unnest(f[2:len(f)]) AS w2
+                FROM arr WHERE len(f) >= 2
+            ), bc AS (
+                SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+            ), cc AS (
+                SELECT w1, CAST(sum(c) AS BIGINT) AS cw
+                FROM bc GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT tok) AS v FROM
+                    (SELECT w1 AS tok FROM bc
+                     UNION SELECT w2 AS tok FROM bc)
+            ), lp AS (
+                SELECT bc.w1, bc.w2,
+                       CAST(floor(ln((bc.c + 1.0) / (cc.cw + 1.0 * v.v))
+                                  * 1e6 + 0.5) AS BIGINT) AS lp_e6
+                FROM bc JOIN cc USING (w1), v
+            )
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
+            FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+            GROUP BY b.doc_id ORDER BY b.doc_id
         """,
         "user_event_entropy": """
             WITH c AS (

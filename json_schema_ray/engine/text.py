@@ -721,3 +721,188 @@ def normalize_text(ds, column: str = "text", out: str = "norm_text"):
     return ds.map_batches(
         lambda b: normalize_text_batch(b, column, out),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_counts(ds, column: str = "text"):
+    """Corpus bigram counts: one Dataset of (w1, w2, sum(c)) rows.
+
+    Bigrams are adjacent whitespace tokens WITHIN a document (a
+    document is one row, so adjacency never crosses batch or block
+    boundaries). Per-batch Arrow group-bys pre-aggregate ahead of ONE
+    model-sized shuffle — the same combiner-before-groupby shape as
+    :func:`document_frequencies`."""
+
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, par = _flat_terms(batch, column)
+        if len(par) < 2:
+            return empty
+        idx = np.flatnonzero(par[1:] == par[:-1])
+        if len(idx) == 0:
+            return empty
+        agg = pa.TableGroupBy(
+            pa.table({"w1": flat.take(pa.array(idx, pa.int64())),
+                      "w2": flat.take(pa.array(idx + 1, pa.int64()))}),
+            ["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": agg["w1"], "w2": agg["w2"],
+                         "c": agg["count_all"].cast(pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["w1", "w2"]).sum("c")
+
+
+_GOLD64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pair_hashes(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of two token-hash arrays (the
+    left hash is pre-multiplied so (a,b) != (b,a)); collision odds
+    are the usual pairs^2/2^64 — the exact strings only ever meet in
+    the model group-by, never in the scoring lookup."""
+    from ..state.sketches import hash_ints
+
+    with np.errstate(over="ignore"):
+        return hash_ints(h1 * _GOLD64 + h2)
+
+
+def bigram_lm_scores(ds, id_column: str = "doc_id",
+                     column: str = "text", alpha: float = 1.0,
+                     min_count: int = 1):
+    """Add-alpha bigram language-model scoring — the classic
+    two-pass corpus-quality shape (CCNet-style: train an n-gram LM
+    on the corpus, score every document with it).
+
+    Pass 1 trains the model: :func:`bigram_counts`' single shuffle
+    yields (w1, w2, c); context counts ``c(w1.) = sum_w2 c(w1,w2)``
+    and the vocabulary size ``V = |{tokens seen in any bigram}|``
+    derive from it. Per-pair log-probs
+    ``ln((c + alpha) / (c(w1.) + alpha*V))`` are fixed-pointed to
+    ``floor(x*1e6 + 0.5)`` BIGINT **driver-side with math.log**
+    (bitwise-identical to DuckDB's libm ``ln``, unlike numpy's
+    vectorized log which drifts up to 2 ulps), so the distributed
+    per-document sum is an exact integer sum — order-free and
+    oracle-safe.
+
+    Pass 2 broadcasts the model ONCE through the object store as
+    sorted pair-hash + log-prob arrays (model-sized; Heaps-law
+    sublinear in corpus size, prunable with ``min_count`` — pruned
+    or genuinely unseen pairs fall back to the alpha-smoothed
+    unseen-pair mass for their context) and scores every document in
+    a stateless integer-only scan: one hash + searchsorted lookup
+    per bigram, one bincount per batch.
+
+    Returns a Dataset of (id, n_bigrams, logprob_e6); documents with
+    fewer than two tokens emit nothing."""
+    import math
+
+    import ray
+
+    from ..state.sketches import hash_string_array
+
+    parts = []
+    for b in bigram_counts(ds, column).iter_batches(
+            batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            parts.append(t)
+    model = pa.concat_tables(parts, promote_options="default") if parts \
+        else pa.table({"w1": pa.array([], pa.string()),
+                       "w2": pa.array([], pa.string()),
+                       "sum(c)": pa.array([], pa.int64())})
+
+    # context counts and V come from the UNPRUNED model (min_count
+    # bounds the broadcast, not the smoothing denominators)
+    ctx = pa.TableGroupBy(model, ["w1"]).aggregate([("sum(c)", "sum")])
+    vocab = pc.unique(pa.concat_arrays(
+        [model["w1"].combine_chunks(), model["w2"].combine_chunks()]))
+    n_vocab = len(vocab)
+
+    if min_count > 1:
+        model = model.filter(
+            pc.greater_equal(model["sum(c)"], min_count))
+
+    ctx_h = hash_string_array(ctx["w1"])
+    ctx_c = ctx["sum(c)_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    denom = ctx_c + alpha * n_vocab
+    # driver-side math.log: model-sized, and the ONLY float step
+    w1_lp = np.array(
+        [math.floor(math.log(alpha / d) * 1e6 + 0.5) for d in denom],
+        dtype=np.int64) if len(denom) else np.empty(0, np.int64)
+    order = np.argsort(ctx_h)
+    ctx_h, w1_lp = ctx_h[order], w1_lp[order]
+    ctx_denom = denom[order]
+
+    ph = _pair_hashes(hash_string_array(model["w1"]),
+                      hash_string_array(model["w2"]))
+    cnt = model["sum(c)"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    mh1 = hash_string_array(model["w1"])
+    pos = np.searchsorted(ctx_h, mh1)
+    pos = np.minimum(pos, max(len(ctx_h) - 1, 0)) \
+        if len(ctx_h) else pos
+    pd = ctx_denom[pos] if len(ctx_h) else np.empty(0, np.float64)
+    ratio = (cnt + alpha) / pd if len(pd) else np.empty(0, np.float64)
+    pair_lp = np.array(
+        [math.floor(math.log(r) * 1e6 + 0.5) for r in ratio],
+        dtype=np.int64) if len(ratio) else np.empty(0, np.int64)
+    order = np.argsort(ph)
+    ph, pair_lp = ph[order], pair_lp[order]
+
+    default_lp = np.int64(
+        math.floor(math.log(1.0 / n_vocab) * 1e6 + 0.5)) \
+        if n_vocab else np.int64(0)
+    handle = ray.put((ph, pair_lp, ctx_h, w1_lp, default_lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idt = batch[id_column].type
+        empty = pa.table({
+            id_column: pa.array([], idt),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob_e6": pa.array([], pa.int64()),
+        })
+        flat, par = _flat_terms(batch, column)
+        if len(par) < 2:
+            return empty
+        idx = np.flatnonzero(par[1:] == par[:-1])
+        if len(idx) == 0:
+            return empty
+        phs, plp, chs, wlp, dlp = ray.get(handle)
+        doc = par[idx]
+        h1 = hash_string_array(flat.take(pa.array(idx, pa.int64())))
+        h2 = hash_string_array(flat.take(pa.array(idx + 1, pa.int64())))
+        bh = _pair_hashes(h1, h2)
+        if len(phs):
+            p = np.minimum(np.searchsorted(phs, bh), len(phs) - 1)
+            found = phs[p] == bh
+            lp = np.where(found, plp[p], 0)
+        else:
+            found = np.zeros(len(bh), bool)
+            lp = np.zeros(len(bh), np.int64)
+        miss = ~found
+        if miss.any():
+            if len(chs):
+                p1 = np.minimum(np.searchsorted(chs, h1[miss]),
+                                len(chs) - 1)
+                f1 = chs[p1] == h1[miss]
+                lp[np.flatnonzero(miss)] = np.where(f1, wlp[p1], dlp)
+            else:
+                lp[miss] = dlp
+        sums = np.bincount(doc, weights=lp.astype(np.float64),
+                           minlength=batch.num_rows).astype(np.int64)
+        nbig = np.bincount(doc, minlength=batch.num_rows)
+        rows = np.flatnonzero(nbig > 0)
+        return pa.table({
+            id_column: batch[id_column].take(
+                pa.array(rows, pa.int64())),
+            "n_bigrams": pa.array(nbig[rows], pa.int64()),
+            "logprob_e6": pa.array(sums[rows], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -3062,3 +3062,61 @@ def test_grouped_regression_matches_duckdb():
         FROM t GROUP BY k
     """).fetchall())
     assert got == want
+
+
+def test_bigram_lm_scores_match_naive():
+    """Distributed two-pass bigram LM == single-process recompute
+    across a multi-block corpus (model partials must merge exactly;
+    per-bigram fixed-point makes the doc sums order-free)."""
+    import math
+    from collections import Counter
+
+    from json_schema_ray.engine.text import bigram_lm_scores
+
+    texts = ["the cat sat on the mat", "the cat ran",
+             "a dog sat on a log", None, "  ", "one",
+             "the the the", "cat sat", "ran the cat ran the cat"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = bigram_lm_scores(_ray().data.from_arrow(t).repartition(4))
+    got = sorted(out.take_all(), key=lambda r: r["doc_id"])
+
+    toks = [([w for w in s.split() if w] if s else []) for s in texts]
+    bc, cw = Counter(), Counter()
+    for tk in toks:
+        for p in zip(tk, tk[1:]):
+            bc[p] += 1
+            cw[p[0]] += 1
+    v = len({a for a, _ in bc} | {b for _, b in bc})
+    want = []
+    for i, tk in enumerate(toks):
+        bigs = list(zip(tk, tk[1:]))
+        if not bigs:
+            continue
+        s = sum(math.floor(
+            math.log((bc[p] + 1.0) / (cw[p[0]] + 1.0 * v)) * 1e6 + 0.5)
+            for p in bigs)
+        want.append({"doc_id": i, "n_bigrams": len(bigs),
+                     "logprob_e6": s})
+    assert got == want
+    # docs with <2 tokens emit nothing
+    assert {r["doc_id"] for r in got} == {0, 1, 2, 6, 7, 8}
+
+
+def test_bigram_lm_min_count_prunes_to_fallback():
+    """Pruned pairs score with the alpha-smoothed unseen-pair mass of
+    their context; context counts and V stay unpruned."""
+    import math
+
+    from json_schema_ray.engine.text import bigram_lm_scores
+
+    # "a b" appears twice, "c d" once -> min_count=2 prunes (c,d)
+    texts = ["a b", "a b", "c d"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = bigram_lm_scores(_ray().data.from_arrow(t), min_count=2)
+    got = {r["doc_id"]: r["logprob_e6"] for r in out.take_all()}
+    v = 4  # a, b, c, d all appear in some bigram
+    ab = math.floor(math.log((2 + 1.0) / (2 + v)) * 1e6 + 0.5)
+    cd = math.floor(math.log(1.0 / (1 + v)) * 1e6 + 0.5)  # unseen pair, seen ctx
+    assert got == {0: ab, 1: ab, 2: cd}
