@@ -1304,6 +1304,20 @@ def q_docs_bigram_lm(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_lang_top_terms(sf_dir: str):
+    """Top-5 terms per language (grouped heavy hitters): per-batch
+    (lang, term) combiner -> one vocabulary-sized null-safe shuffle
+    -> mergeable grouped top-k (engine/text.py top_terms_per_group)."""
+    from json_schema_ray.engine.text import top_terms_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = top_terms_per_group(ds, "lang", "text", k=5)
+    schema = pa.schema([("lang", pa.string()), ("term", pa.string()),
+                        ("cnt", pa.int64()), ("rn", pa.int64())])
+    t = _collect(out, schema)
+    return t.sort_by([("lang", "ascending"), ("rn", "ascending")])
+
+
 def q_user_event_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type mix — two mergeable
     groupbys, no row-sized shuffle after the combiner (engine/stats.py
@@ -1984,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "docs_bigram_lm": q_docs_bigram_lm,
+        "lang_top_terms": q_lang_top_terms,
         "user_event_entropy": q_user_event_entropy,
         "events_zscore": q_events_zscore,
         "user_value_quantiles_cont": q_user_value_quantiles_cont,
@@ -2789,6 +2804,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
             FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "lang_top_terms": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(regexp_split_to_array(text, '\s+')) AS term
+                FROM documents
+            ), tc AS (
+                SELECT lang, term, count(*) AS cnt FROM toks
+                WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT lang, term, cnt,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, term) AS rn
+            FROM tc QUALIFY rn <= 5
+            ORDER BY lang, rn
         """,
         "user_event_entropy": """
             WITH c AS (

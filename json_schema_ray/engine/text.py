@@ -906,3 +906,36 @@ def bigram_lm_scores(ds, id_column: str = "doc_id",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def top_terms_per_group(ds, group_col: str = "lang",
+                        column: str = "text", k: int = 5):
+    """Top-k whitespace terms per group value (per-language
+    vocabulary — the grouped heavy-hitters shape). A per-batch
+    (group, term) Arrow pre-aggregation bounds what the single
+    vocabulary-sized null-safe shuffle moves; the grouped top-k then
+    reduces mergeable per-block partials (:func:`rank.grouped_top_k`),
+    so nothing downstream of the combiner is input-sized. NULL group
+    values form their own group (SQL PARTITION BY); ties break by
+    term ascending. Returns (group_col, term, cnt, rn<=k)."""
+    from ray.data.aggregate import Sum
+
+    from .rank import grouped_top_k
+    from .relational import null_safe_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, par = _flat_terms(batch, column)
+        g = batch[group_col].take(pa.array(par, pa.int64()))
+        agg = pa.TableGroupBy(
+            pa.table({group_col: g, "term": flat}),
+            [group_col, "term"]).aggregate([([], "count_all")])
+        return pa.table({group_col: agg[group_col],
+                         "term": agg["term"],
+                         "cnt": agg["count_all"].cast(pa.int64())})
+
+    counts = null_safe_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [group_col, "term"], [Sum("cnt", alias_name="cnt")], ["cnt"])
+    return grouped_top_k(counts, [group_col], "cnt", k,
+                         descending=True, tiebreak="term")

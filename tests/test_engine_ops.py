@@ -3120,3 +3120,39 @@ def test_bigram_lm_min_count_prunes_to_fallback():
     ab = math.floor(math.log((2 + 1.0) / (2 + v)) * 1e6 + 0.5)
     cd = math.floor(math.log(1.0 / (1 + v)) * 1e6 + 0.5)  # unseen pair, seen ctx
     assert got == {0: ab, 1: ab, 2: cd}
+
+
+def test_top_terms_per_group_matches_duckdb():
+    """Grouped term top-k == SQL row_number() over (PARTITION BY
+    group ORDER BY cnt DESC, term) across a multi-block corpus with a
+    NULL group."""
+    import duckdb
+
+    texts = ["b a a", "a c b b", "x y", "y y x", "a a", None, "z"]
+    langs = ["en", "en", "fr", "fr", None, "en", None]
+    t = pa.table({"lang": pa.array(langs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    from json_schema_ray.engine.text import top_terms_per_group
+    out = top_terms_per_group(
+        _ray().data.from_arrow(t).repartition(3), "lang", "text", k=2)
+    got = sorted(out.take_all(),
+                 key=lambda r: (r["lang"] or "", r["rn"]))
+
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = [dict(zip(["lang", "term", "cnt", "rn"], r))
+            for r in con.sql(r"""
+        WITH toks AS (
+            SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS term
+            FROM documents
+        ), tc AS (
+            SELECT lang, term, count(*) AS cnt FROM toks
+            WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT lang, term, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, term) AS rn
+        FROM tc QUALIFY rn <= 2
+        ORDER BY coalesce(lang, ''), rn
+    """).fetchall()]
+    assert got == want
