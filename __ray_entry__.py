@@ -1304,6 +1304,25 @@ def q_docs_bigram_lm(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_events_throttled(sf_dir: str):
+    """Windowed event dedup: keep an event only if the previous one
+    with the same (user_id, event_type) is > 5 minutes older — the
+    LAG-based de-bounce (engine/window.py throttle_by_gap): one
+    null-safe sort, O(n_blocks) carries, no per-key state."""
+    from json_schema_ray.engine.window import throttle_by_gap
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    out = throttle_by_gap(ds, ["user_id", "event_type"], "ts",
+                          gap=300_000_000, tiebreak="event_id")
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("ts", pa.timestamp("us"))])
+    t = _collect(out, schema)
+    return t.select(["event_id"]).sort_by([("event_id", "ascending")])
+
+
 def q_lang_top_terms(sf_dir: str):
     """Top-5 terms per language (grouped heavy hitters): per-batch
     (lang, term) combiner -> one vocabulary-sized null-safe shuffle
@@ -1999,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "docs_bigram_lm": q_docs_bigram_lm,
         "lang_top_terms": q_lang_top_terms,
+        "events_throttled": q_events_throttled,
         "user_event_entropy": q_user_event_entropy,
         "events_zscore": q_events_zscore,
         "user_value_quantiles_cont": q_user_value_quantiles_cont,
@@ -2804,6 +2824,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
             FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "events_throttled": """
+            SELECT event_id FROM (
+                SELECT event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events)
+            WHERE pts IS NULL OR ts - pts > INTERVAL 5 MINUTE
+            ORDER BY event_id
         """,
         "lang_top_terms": r"""
             WITH toks AS (

@@ -343,7 +343,7 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
             .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
-        kk = _group_key_expr(kept, [key]).to_pylist()
+        kk = _group_key_expr(kept, keys).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         cols = [kept[o].to_pylist() for o in outs] + \
@@ -504,7 +504,7 @@ def windowed_sum(ds, key: str, ts: str, value: str, tiebreak: str,
             .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
-        kk = _group_key_expr(kept, [key]).to_pylist()
+        kk = _group_key_expr(kept, keys).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         vals = kept[out].to_pylist()
@@ -1033,12 +1033,13 @@ def grouped_mode(ds, key: str, col: str):
                            zero_copy_batch=True)
 
 
-def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
+def lag_column(ds, key, ts: str, value: str, tiebreak: str,
                out: str = "lag_value"):
     """SQL ``lag(value) OVER (PARTITION BY key ORDER BY ts,
     tiebreak)``: every row gains its predecessor's value (NULL for
-    the first row of a key). ``(ts, tiebreak)`` must be unique per
-    key (numeric/temporal only, same contract as
+    the first row of a key). ``key`` may be one column name or a
+    list (composite partition). ``(ts, tiebreak)`` must be unique
+    per key (numeric/temporal only, same contract as
     :func:`cumulative_sum`).
 
     Shape: one null-safe sort, a per-block vectorized shift per key
@@ -1052,7 +1053,7 @@ def lag_column(ds, key: str, ts: str, value: str, tiebreak: str,
                          forward=False)
 
 
-def lead_column(ds, key: str, ts: str, value: str, tiebreak: str,
+def lead_column(ds, key, ts: str, value: str, tiebreak: str,
                 out: str = "lead_value"):
     """SQL ``lead(value) OVER (PARTITION BY key ORDER BY ts,
     tiebreak)`` — the exact mirror of :func:`lag_column`: every row
@@ -1065,11 +1066,12 @@ def lead_column(ds, key: str, ts: str, value: str, tiebreak: str,
                          forward=True)
 
 
-def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
+def _shift_column(ds, key, ts: str, value: str, tiebreak: str,
                   out: str, forward: bool):
     from .relational import null_safe_sort
 
-    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    keys = [key] if isinstance(key, str) else list(key)
+    sorted_ds = null_safe_sort(ds, keys, [ts, tiebreak])
     op = "lead_column" if forward else "lag_column"
 
     def scan(batch: pa.Table) -> pa.Table:
@@ -1086,7 +1088,7 @@ def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
         if n == 0:
             return batch.append_column(out, pa.nulls(0, varr.type)) \
                 .append_column("__rt", pa.array([], pa.int8()))
-        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        kk = _group_key_expr(batch, keys).to_numpy(zero_copy_only=False)
         # in-block shift: neighbour row's value where the neighbour
         # shares the key, else null
         idx = np.arange(n)
@@ -1123,7 +1125,7 @@ def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
             .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
-        kk = _group_key_expr(kept, [key]).to_pylist()
+        kk = _group_key_expr(kept, keys).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         vals = kept[out].to_pylist()
@@ -1152,7 +1154,7 @@ def _shift_column(ds, key: str, ts: str, value: str, tiebreak: str,
         pend = np.nonzero(rt == 1)[0]
         if not len(pend):
             return kept.drop_columns(["__rt"])
-        kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
+        kk = _group_key_expr(kept, keys).to_numpy(zero_copy_only=False)
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         varr = kept[out]

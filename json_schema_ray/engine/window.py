@@ -426,3 +426,42 @@ def pack_items(ds, key: str, order: str, size: str, budget: int):
     edge_packed = edge_ds.groupby("__gs0").map_groups(
         pack_group, batch_format="pyarrow")
     return interior.union(edge_packed)
+
+
+def throttle_by_gap(ds, keys, ts: str = "ts", gap=None,
+                    tiebreak: str = "event_id"):
+    """Windowed event dedup (throttle): keep a row iff the previous
+    row with the same key(s) — SQL ``lag(ts) OVER (PARTITION BY keys
+    ORDER BY ts, tiebreak)`` — is NULL or more than ``gap`` older;
+    equivalently, the first event of each gap-session. The standard
+    de-bounce for event streams (repeated clicks, retried tool
+    calls) ahead of sessionization or training-data extraction.
+
+    ``gap`` compares in the ts column's own units: a ``pa.duration``
+    / integer microseconds for timestamp columns, a plain number for
+    numeric ones. Rides :func:`rank.lag_column`'s one null-safe sort
+    with O(n_blocks) fixed-size carries — no per-key state, no
+    driver-side timeline.
+
+    SQL-null semantics: a NULL ts row never starts or extends a
+    throttle window (``ts - lag(ts)`` is NULL -> dropped) unless it
+    is its key's first row."""
+    from .rank import lag_column
+
+    lagged = lag_column(ds, keys, ts, value=ts, tiebreak=tiebreak,
+                        out="__prev_ts")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t, p = batch[ts], batch["__prev_ts"]
+        if pa.types.is_timestamp(t.type):
+            g = gap if isinstance(gap, pa.Scalar) else pa.scalar(
+                int(gap), pa.duration(t.type.unit))
+        else:
+            g = pa.scalar(gap, t.type)
+        mask = pc.or_kleene(pc.is_null(p),
+                            pc.greater(pc.subtract(t, p), g))
+        return batch.filter(pc.fill_null(mask, False)) \
+            .drop_columns(["__prev_ts"])
+
+    return lagged.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

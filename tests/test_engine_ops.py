@@ -3156,3 +3156,42 @@ def test_top_terms_per_group_matches_duckdb():
         ORDER BY coalesce(lang, ''), rn
     """).fetchall()]
     assert got == want
+
+
+def test_throttle_by_gap_matches_duckdb():
+    """LAG-based event throttle == SQL lag window + filter, across a
+    multi-block stream with a composite partition key and ties
+    broken by event_id."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["a", "b"], n).tolist(), pa.string()),
+        "ts": pa.array(
+            rng.integers(0, 3_600_000_000, n), pa.int64()).cast(
+            pa.timestamp("us")),
+    })
+    from json_schema_ray.engine.window import throttle_by_gap
+    out = throttle_by_gap(
+        _ray().data.from_arrow(t).repartition(5),
+        ["user_id", "event_type"], "ts", gap=300_000_000,
+        tiebreak="event_id")
+    got = sorted(r["event_id"] for r in out.take_all())
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = [r[0] for r in con.sql("""
+        SELECT event_id FROM (
+            SELECT event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pts
+            FROM events)
+        WHERE pts IS NULL OR ts - pts > INTERVAL 5 MINUTE
+        ORDER BY event_id
+    """).fetchall()]
+    assert got == want
+    assert 0 < len(got) < n
