@@ -1304,6 +1304,73 @@ def q_docs_bigram_lm(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_cust_top_order(sf_dir: str):
+    """Per-customer arg-max: the orderkey of each customer's most
+    expensive order (ties by orderkey). Pure composition of the
+    order-preserving-encoding min/max aggregate
+    (engine/relational.py grouped_first_last) — no sort, hot keys
+    combine inside every block."""
+    from json_schema_ray.engine.relational import grouped_first_last
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderkey"])
+    out = grouped_first_last(ds, "o_custkey", "o_totalprice",
+                             "o_orderkey", "o_orderkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "top_orderkey": pc.cast(b["last_val"], pa.int64()),
+        })
+
+    out = out.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("top_orderkey", pa.int64())])
+    return _collect(out, schema).sort_by([("o_custkey", "ascending")])
+
+
+def q_lineitem_melted(sf_dir: str):
+    """UNPIVOT (engine/relational.py melt): shuffle-free per-batch
+    flat expansion of (l_quantity, l_discount, l_tax) into
+    (variable, value) rows."""
+    from json_schema_ray.engine.relational import melt
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_discount", "l_tax"])
+    out = melt(ds, ["l_orderkey", "l_linenumber"],
+               ["l_quantity", "l_discount", "l_tax"])
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_linenumber", pa.int64()),
+                        ("variable", pa.string()),
+                        ("value", pa.float64())])
+    return _collect(out, schema).sort_by(
+        [("l_orderkey", "ascending"), ("l_linenumber", "ascending"),
+         ("variable", "ascending")])
+
+
+def q_docs_above_p90(sf_dir: str):
+    """Percentile quality gate — the canonical two-pass corpus
+    filter: pass 1 computes the exact global p90 of n_chars
+    (engine/stats.py exact_quantiles, one projected single-column
+    sort); the scalar threshold is captured in the second stateless
+    filter scan. Keeps every doc at or above the cut."""
+    from json_schema_ray.engine.stats import exact_quantiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    thr = exact_quantiles(docs, "n_chars", qs=(0.9,))["value"][0].as_py()
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_chars"], thr))
+
+    out = docs.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_events_throttled(sf_dir: str):
     """Windowed event dedup: keep an event only if the previous one
     with the same (user_id, event_type) is > 5 minutes older — the
@@ -2019,6 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lm": q_docs_bigram_lm,
         "lang_top_terms": q_lang_top_terms,
         "events_throttled": q_events_throttled,
+        "cust_top_order": q_cust_top_order,
+        "lineitem_melted": q_lineitem_melted,
+        "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
         "events_zscore": q_events_zscore,
         "user_value_quantiles_cont": q_user_value_quantiles_cont,
@@ -2824,6 +2894,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
             FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "cust_top_order": """
+            SELECT o_custkey, o_orderkey AS top_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC,
+                                    o_orderkey DESC) AS rn
+                FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "lineitem_melted": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, variable
+        """,
+        "docs_above_p90": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9)
+                              FROM documents)
+            ORDER BY doc_id
         """,
         "events_throttled": """
             SELECT event_id FROM (

@@ -1828,3 +1828,27 @@ def grouped_distinct_count_sorted(ds, key: str, col: str):
         "n_distinct": pa.array([r[1] for r in rows], pa.int64()),
     })
     return interior_ds.union(ray.data.from_arrow(extra))
+
+
+def melt(ds, id_cols: List[str], value_cols: List[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT / melt: one output row per (input row, value column),
+    with the source column's name in ``var_name`` and its value cast
+    to float64 in ``value_name`` (SQL ``UNPIVOT`` / ``UNION ALL`` of
+    per-column SELECTs). Embarrassingly parallel — a per-batch
+    k-way concat of zero-copy column slices, no shuffle, no per-row
+    Python; k stays the number of melted columns."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for c in value_cols:
+            cols = {k: batch[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * n, pa.string()) if n else \
+                pa.array([], pa.string())
+            cols[value_name] = pc.cast(batch[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -3195,3 +3195,21 @@ def test_throttle_by_gap_matches_duckdb():
     """).fetchall()]
     assert got == want
     assert 0 < len(got) < n
+
+
+def test_melt_unpivots_with_nulls():
+    from json_schema_ray.engine.relational import melt
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array([1.5, None], pa.float64()),
+                  "b": pa.array([7, 8], pa.int64())})
+    out = melt(_ray().data.from_arrow(t).repartition(2), ["id"],
+               ["a", "b"])
+    got = sorted(out.take_all(),
+                 key=lambda r: (r["id"], r["variable"]))
+    assert got == [
+        {"id": 1, "variable": "a", "value": 1.5},
+        {"id": 1, "variable": "b", "value": 7.0},
+        {"id": 2, "variable": "a", "value": None},
+        {"id": 2, "variable": "b", "value": 8.0},
+    ]
