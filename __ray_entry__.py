@@ -1371,6 +1371,18 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_orders_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis A-Res with
+    a splitmix64-derived uniform): 100 orders drawn with probability
+    proportional to o_totalprice — per-block partial top-k, no
+    shuffle, no RNG state (engine/relational.py weighted_sample)."""
+    from json_schema_ray.engine.relational import weighted_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    t = weighted_sample(ds, "o_orderkey", "o_totalprice", k=100)
+    return t.sort_by([("o_orderkey", "ascending")])
+
+
 def q_events_throttled(sf_dir: str):
     """Windowed event dedup: keep an event only if the previous one
     with the same (user_id, event_type) is > 5 minutes older — the
@@ -2087,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_terms": q_lang_top_terms,
         "events_throttled": q_events_throttled,
         "cust_top_order": q_cust_top_order,
+        "orders_weighted_sample": q_orders_weighted_sample,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2402,6 +2415,17 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "orders_weighted_sample": f"""
+            WITH s AS (
+                SELECT o_orderkey, o_totalprice,
+                       ln((2.0 * ({splitmix64_sql('o_orderkey')} >> 11)
+                           + 1) / 18014398509481984.0)
+                           / o_totalprice AS score
+                FROM orders
+                WHERE o_orderkey IS NOT NULL AND o_totalprice > 0)
+            SELECT o_orderkey, o_totalprice FROM s
+            ORDER BY score DESC, o_orderkey LIMIT 100
         """,
         "top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -1852,3 +1852,40 @@ def melt(ds, id_cols: List[str], value_cols: List[str],
 
     return ds.map_batches(expand, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def weighted_sample(ds, key_column: str, weight_column: str, k: int,
+                    seed: int = 0) -> pa.Table:
+    """Deterministic weighted sample of k rows without replacement —
+    Efraimidis–Spirakis A-Res with a hash-derived uniform: each row
+    scores ``ln(u) / w`` where ``u = (2*(splitmix64(key+seed)>>11)+1)
+    / 2^54`` (strictly inside (0,1), so the log is finite on both
+    the engine and SQL side) and the k largest scores win; a row's
+    win probability is proportional to its weight. No RNG state, no
+    shuffle: the same per-block partial top-k + O(k*blocks) driver
+    merge as :func:`top_k`, repeatable across runs and resumes.
+    Rows with null keys or null/non-positive weights never win; ties
+    (score, then key) are totally ordered."""
+    from ..state.sketches import hash_ints
+
+    def scored(batch: pa.Table) -> pa.Table:
+        col = batch[key_column].combine_chunks()
+        w = pc.cast(batch[weight_column], pa.float64()).combine_chunks()
+        valid = (pc.is_valid(col).to_numpy(zero_copy_only=False)
+                 & pc.fill_null(pc.greater(w, 0.0), False)
+                 .to_numpy(zero_copy_only=False))
+        vals = pc.cast(col.fill_null(0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints((vals.astype(np.uint64)
+                       + np.uint64(seed)).view(np.int64))
+        u = ((h >> np.uint64(11)).astype(np.float64) * 2.0 + 1.0) \
+            / float(1 << 54)
+        wv = pc.fill_null(w, 1.0).to_numpy(zero_copy_only=False)
+        score = np.log(u) / np.maximum(wv, 1e-300)
+        return batch.filter(pa.array(valid)).append_column(
+            "__ws", pa.array(score[valid], pa.float64()))
+
+    best = top_k(ds.map_batches(scored, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                 ["__ws", key_column], [True, False], k)
+    return best.drop_columns(["__ws"])

@@ -3213,3 +3213,36 @@ def test_melt_unpivots_with_nulls():
         {"id": 2, "variable": "a", "value": None},
         {"id": 2, "variable": "b", "value": 8.0},
     ]
+
+
+def test_weighted_sample_deterministic_and_weighted():
+    """A-Res weighted sample: exact DuckDB parity (same splitmix
+    uniform, same score), determinism across runs, and heavy weights
+    dominating the draw."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import (splitmix64_sql,
+                                                   weighted_sample)
+
+    n = 1000
+    w = np.where(np.arange(n) < 100, 100.0, 1.0)
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    ds = _ray().data.from_arrow(t).repartition(4)
+    a = weighted_sample(ds, "id", "w", k=200)
+    b = weighted_sample(ds, "id", "w", k=200)
+    ids_a = sorted(a["id"].to_pylist())
+    assert ids_a == sorted(b["id"].to_pylist())  # deterministic
+    heavy = sum(1 for i in ids_a if i < 100)
+    assert heavy >= 90  # 100x weight -> nearly all heavy rows win
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(r[0] for r in con.sql(f"""
+        WITH s AS (
+            SELECT id, ln((2.0 * ({splitmix64_sql('id')} >> 11) + 1)
+                       / 18014398509481984.0) / w AS score
+            FROM t WHERE w > 0)
+        SELECT id FROM s ORDER BY score DESC, id LIMIT 200
+    """).fetchall())
+    assert ids_a == want
