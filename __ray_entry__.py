@@ -1371,6 +1371,18 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_capped_per_lang(sf_dir: str):
+    """Corpus domain cap: at most 40 docs per language, chosen by a
+    deterministic hash draw (engine/rank.py cap_per_group) — the
+    mergeable grouped top-k over the hash order, no RNG state."""
+    from json_schema_ray.engine.rank import cap_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = cap_per_group(ds, ["lang"], "doc_id", k=40)
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_orders_weighted_sample(sf_dir: str):
     """Deterministic weighted sample (Efraimidis-Spirakis A-Res with
     a splitmix64-derived uniform): 100 orders drawn with probability
@@ -2100,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_throttled": q_events_throttled,
         "cust_top_order": q_cust_top_order,
         "orders_weighted_sample": q_orders_weighted_sample,
+        "docs_capped_per_lang": q_docs_capped_per_lang,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2415,6 +2428,15 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "docs_capped_per_lang": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY CAST({splitmix64_sql('doc_id')}
+                                         AS DOUBLE), doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 40 ORDER BY doc_id
         """,
         "orders_weighted_sample": f"""
             WITH s AS (

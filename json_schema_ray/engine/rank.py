@@ -1603,3 +1603,37 @@ def grouped_string_agg(ds, key: str, ord_col: str, val_col: str,
 
     return grouped.map_batches(decode, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def cap_per_group(ds, keys: List[str], id_column: str, k: int,
+                  seed: int = 0):
+    """Keep at most ``k`` rows per group, chosen by a deterministic
+    hash draw — the corpus-curation domain cap ("at most k documents
+    per source/domain") that bounds any one group's contribution
+    without an RNG or a full shuffle of the group's rows. Selection
+    is ``row_number() OVER (PARTITION BY keys ORDER BY
+    CAST(splitmix64(id+seed) AS DOUBLE), id) <= k`` — repeatable across runs,
+    resumes, and cluster sizes. Rides :func:`grouped_top_k`'s
+    mergeable per-block reduction (the appended ``rn`` is dropped;
+    the hash column never ships further than the top-k sort)."""
+    from ..state.sketches import hash_ints
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = batch[id_column].combine_chunks()
+        vals = pc.cast(col.fill_null(0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints((vals.astype(np.uint64)
+                       + np.uint64(seed)).view(np.int64))
+        # float64 of the uint64 hash: the top-k machinery orders
+        # float64 keys, and SQL mirrors with CAST(h AS DOUBLE) so
+        # both sides share one total order (ties -> id tiebreak)
+        return batch.append_column(
+            "__h", pa.array(h.astype(np.float64), pa.float64()))
+
+    capped = grouped_top_k(
+        ds.map_batches(add_hash, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys, "__h", k, descending=False, tiebreak=id_column)
+    return capped.map_batches(
+        lambda b: b.drop_columns(["__h", "rn"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -3246,3 +3246,34 @@ def test_weighted_sample_deterministic_and_weighted():
         SELECT id FROM s ORDER BY score DESC, id LIMIT 200
     """).fetchall())
     assert ids_a == want
+
+
+def test_cap_per_group_matches_duckdb():
+    """Hash-draw domain cap == SQL row_number over the CAST-to-DOUBLE
+    splitmix order, with a null group and a group under the cap."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import cap_per_group
+    from json_schema_ray.engine.relational import splitmix64_sql
+
+    n = 300
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "g": pa.array((["a"] * 150 + ["b"] * 140 + [None] * 8
+                       + ["tiny"] * 2), pa.string()),
+    })
+    out = cap_per_group(_ray().data.from_arrow(t).repartition(4),
+                        ["g"], "id", k=5, seed=7)
+    got = sorted(((r["g"] or "", r["id"]) for r in out.take_all()))
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted((g or "", i) for i, g in con.sql(f"""
+        SELECT id, g FROM (
+            SELECT id, g, row_number() OVER (PARTITION BY g
+                ORDER BY CAST({splitmix64_sql('id', 7)} AS DOUBLE),
+                         id) AS rn
+            FROM t) WHERE rn <= 5
+    """).fetchall())
+    assert got == want
+    assert sum(1 for g, _ in got if g == "tiny") == 2  # under-cap kept
