@@ -1371,6 +1371,18 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_user_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (engine/window.py
+    cohort_retention): distinct (user, week) pairs via a combiner +
+    one pairs-sized shuffle, per-user cohort = min(week), pairs and
+    cohorts re-united with the two-big-sides sort-merge join, then a
+    weeks^2-sized count — nothing event-sized after the first pass."""
+    from json_schema_ray.engine.window import cohort_retention
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
 def q_docs_capped_per_lang(sf_dir: str):
     """Corpus domain cap: at most 40 docs per language, chosen by a
     deterministic hash draw (engine/rank.py cap_per_group) — the
@@ -2113,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_top_order": q_cust_top_order,
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_capped_per_lang": q_docs_capped_per_lang,
+        "user_cohort_retention": q_user_cohort_retention,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2428,6 +2441,21 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "user_cohort_retention": """
+            WITH pw AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::TIMESTAMP AS week
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ), c AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM pw GROUP BY 1
+            )
+            SELECT c.cohort_week, pw.week,
+                   count(*)::BIGINT AS n_users
+            FROM pw JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "docs_capped_per_lang": f"""
             SELECT doc_id, lang FROM (

@@ -465,3 +465,63 @@ def throttle_by_gap(ds, keys, ts: str = "ts", gap=None,
 
     return lagged.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def cohort_retention(ds, key: str = "user_id", ts: str = "ts"):
+    """Cohort retention matrix — the standard product-analytics /
+    corpus-freshness rollup: users are cohorted by the ISO week of
+    their first event; each (cohort_week, week) cell counts the
+    cohort's users still active that week.
+
+    Distributed shape (nothing is ever event-sized after step 1):
+
+    1. distinct (key, week) activity pairs — per-batch Arrow
+       group-by combiner, then ONE pairs-sized shuffle;
+    2. cohort = min(week) per key, a second pairs-sized groupby;
+    3. pairs x cohorts re-united with the two-big-sides sort-merge
+       join (both are user-sized; no broadcast assumption);
+    4. (cohort_week, week) counts via the pre-aggregate combiner —
+       the output is weeks^2-sized.
+
+    Week truncation is ``pc.floor_temporal(week_starts_monday)`` ==
+    DuckDB ``date_trunc('week', ...)``. NULL keys/timestamps are
+    ignored. Returns a driver-side table
+    (cohort_week, week, n_users) — weeks^2-bounded by construction."""
+    from ray.data.aggregate import Count
+
+    from .relational import grouped_aggregate, sort_merge_join
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch[key]),
+                       pc.is_valid(batch[ts]))
+        t = batch.select([key, ts]).filter(mask)
+        week = pc.floor_temporal(t[ts], unit="week",
+                                 week_starts_monday=True)
+        return pa.TableGroupBy(
+            pa.table({key: t[key], "week": week}),
+            [key, "week"]).aggregate([])
+
+    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby([key, "week"]) \
+        .aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda b: b.drop_columns(["__c"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+
+    cohorts = pairs.groupby(key).min("week").map_batches(
+        lambda b: pa.table({key: b[key],
+                            "cohort_week": b["min(week)"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = sort_merge_join(pairs, cohorts, key, key,
+                             value_columns=["cohort_week"])
+    out = grouped_aggregate(joined, ["cohort_week", "week"],
+                            [(None, "count")])
+    if out is None:
+        return pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
+                         "week": pa.array([], pa.timestamp("us")),
+                         "n_users": pa.array([], pa.int64())})
+    return pa.table({"cohort_week": out["cohort_week"],
+                     "week": out["week"],
+                     "n_users": out["rows_count"].cast(pa.int64())}) \
+        .sort_by([("cohort_week", "ascending"), ("week", "ascending")])

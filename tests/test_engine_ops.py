@@ -3277,3 +3277,43 @@ def test_cap_per_group_matches_duckdb():
     """).fetchall())
     assert got == want
     assert sum(1 for g, _ in got if g == "tiny") == 2  # under-cap kept
+
+
+def test_cohort_retention_matches_duckdb():
+    """Distributed cohort matrix == SQL distinct-pairs + min-week
+    cohort + join + count, across a multi-block event stream with
+    null users and timestamps."""
+    import datetime as dt
+
+    import duckdb
+
+    from json_schema_ray.engine.window import cohort_retention
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(minutes=int(m))
+          for m in rng.integers(0, 60 * 24 * 40, n)]
+    users = rng.integers(0, 40, n).astype(object)
+    users[:20] = None
+    ts[5] = None
+    t = pa.table({"user_id": pa.array(users.tolist(), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    got = cohort_retention(
+        _ray().data.from_arrow(t).repartition(5)).to_pylist()
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = [dict(zip(["cohort_week", "week", "n_users"], r))
+            for r in con.sql("""
+        WITH pw AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts)::TIMESTAMP AS week
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), c AS (SELECT user_id, min(week) AS cohort_week
+                 FROM pw GROUP BY 1)
+        SELECT c.cohort_week, pw.week, count(*)::BIGINT
+        FROM pw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()]
+    assert got == want
