@@ -1371,6 +1371,20 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_embedding_nn_join(sf_dir: str):
+    """KNN self-join (k=1): each vector's nearest other vector by
+    cosine (engine/similarity.py nearest_neighbor_join) — normalized
+    corpus broadcast once, slab-wise matmul probes, fixed-point
+    ranking so the SQL QUALIFY oracle is order-identical."""
+    from json_schema_ray.engine.similarity import nearest_neighbor_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = nearest_neighbor_join(ds)
+    schema = pa.schema([("vec_id", pa.int64()), ("nn_id", pa.int64()),
+                        ("cosine_e6", pa.int64())])
+    return _collect(out, schema).sort_by([("vec_id", "ascending")])
+
+
 def q_user_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix (engine/window.py
     cohort_retention): distinct (user, week) pairs via a combiner +
@@ -2126,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_weighted_sample": q_orders_weighted_sample,
         "docs_capped_per_lang": q_docs_capped_per_lang,
         "user_cohort_retention": q_user_cohort_retention,
+        "embedding_nn_join": q_embedding_nn_join,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2441,6 +2456,20 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "embedding_nn_join": """
+            WITH s AS (
+                SELECT a.vec_id, b.vec_id AS nn_id,
+                       CAST(floor(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5)
+                           AS BIGINT) AS cosine_e6
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id)
+            SELECT vec_id, nn_id, cosine_e6 FROM s
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine_e6 DESC, nn_id) = 1
+            ORDER BY vec_id
         """,
         "user_cohort_retention": """
             WITH pw AS (

@@ -417,3 +417,81 @@ def query_ann_index(index_dir: str, query: np.ndarray, k: int = 10,
     return knn_bruteforce(candidates, query, k=k, id_column=id_column,
                           embedding_column=embedding_column,
                           exclude_ids=exclude_ids)
+
+
+def nearest_neighbor_join(ds, id_column: str = "vec_id",
+                          embedding_column: str = "embedding",
+                          col_block: int = 65536):
+    """KNN self-join, k=1: every vector gets its single nearest
+    neighbour (cosine) among all OTHER vectors — the semantic-dedup
+    candidate step. Ranking uses the fixed-point score
+    ``floor(cos*1e6+0.5)`` with id-ascending tie-break so the
+    distributed result is totally ordered and oracle-identical to
+    the SQL ``QUALIFY row_number() = 1`` form.
+
+    Shape mirrors :func:`embedding_near_dup_exact`: the normalized
+    corpus broadcasts once through the object store, each batch
+    probes it slab-wise (``col_block`` columns at a time, bounded
+    memory) keeping one running (best score, best id) pair per row —
+    O(n^2) compute is the operator's definition; beyond
+    broadcast-sized corpora use the IVF index and probe per cell.
+    Returns a Dataset of (id, nn_id, cosine_e6)."""
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for batch in ds.select_columns([id_column, embedding_column]) \
+            .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows:
+            ids_parts.append(np.asarray(batch[id_column].to_pylist(),
+                                        dtype=np.int64))
+            mat_parts.append(_batch_matrix(batch[embedding_column])
+                             .astype(np.float64))
+    empty = pa.table({id_column: pa.array([], pa.int64()),
+                      "nn_id": pa.array([], pa.int64()),
+                      "cosine_e6": pa.array([], pa.int64())})
+    if not ids_parts:
+        return ray.data.from_arrow(empty)
+    all_ids = np.concatenate(ids_parts)
+    all_m = _normalize(np.concatenate(mat_parts))
+    handle = ray.put((all_ids, all_m))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids_r, m_r = ray.get(handle)
+        m = _normalize(_batch_matrix(batch[embedding_column])
+                       .astype(np.float64))
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        best = np.full(n, np.iinfo(np.int64).min, np.int64)
+        best_id = np.full(n, np.iinfo(np.int64).max, np.int64)
+        for clo in range(0, len(ids_r), col_block):
+            chi = min(clo + col_block, len(ids_r))
+            e6 = np.floor(m @ m_r[clo:chi].T * 1e6 + 0.5) \
+                .astype(np.int64)
+            # a row never matches itself
+            e6[ids[:, None] == ids_r[None, clo:chi]] = \
+                np.iinfo(np.int64).min
+            j = np.argmax(e6, axis=1)
+            cand = e6[np.arange(n), j]
+            cand_id = ids_r[clo + j]
+            # ties inside the slab: argmax takes the first = lowest
+            # id only if ids_r is sorted; resolve explicitly
+            tie = e6 == cand[:, None]
+            cand_id = np.where(
+                tie.any(axis=1),
+                np.min(np.where(tie, ids_r[None, clo:chi],
+                                np.iinfo(np.int64).max), axis=1),
+                cand_id)
+            upd = (cand > best) | ((cand == best) & (cand_id < best_id))
+            best = np.where(upd, cand, best)
+            best_id = np.where(upd, cand_id, best_id)
+        ok = best > np.iinfo(np.int64).min
+        return pa.table({
+            id_column: pa.array(ids[ok], pa.int64()),
+            "nn_id": pa.array(best_id[ok], pa.int64()),
+            "cosine_e6": pa.array(best[ok], pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

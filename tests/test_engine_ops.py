@@ -3317,3 +3317,37 @@ def test_cohort_retention_matches_duckdb():
         FROM pw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
     """).fetchall()]
     assert got == want
+
+
+def test_nearest_neighbor_join_matches_bruteforce():
+    """Slab-wise broadcast NN self-join == numpy brute force with the
+    same fixed-point (score desc, id asc) total order, across blocks
+    and a slab size that forces multi-slab merges."""
+    from json_schema_ray.engine.similarity import nearest_neighbor_join
+
+    rng = np.random.default_rng(9)
+    n, d = 120, 8
+    m = rng.normal(size=(n, d))
+    m[7] = m[3] * 2.0  # exact-direction duplicate pair
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row.tolist() for row in m],
+                              pa.list_(pa.float32())),
+    })
+    out = nearest_neighbor_join(
+        _ray().data.from_arrow(t).repartition(4), col_block=17)
+    got = {r["vec_id"]: (r["nn_id"], r["cosine_e6"])
+           for r in out.take_all()}
+
+    mm = m.astype(np.float32).astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    e6 = np.floor(mm @ mm.T * 1e6 + 0.5).astype(np.int64)
+    np.fill_diagonal(e6, np.iinfo(np.int64).min)
+    want = {}
+    for i in range(n):
+        best = e6[i].max()
+        nn = int(min(j for j in range(n) if e6[i, j] == best))
+        want[int(ids[i])] = (nn, int(best))
+    assert got == want
+    assert got[3][0] == 7 and got[3][1] == 1000000
