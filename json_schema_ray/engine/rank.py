@@ -343,7 +343,7 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
             .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
-        kk = _group_key_expr(kept, keys).to_pylist()
+        kk = _group_key_expr(kept, [key]).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         cols = [kept[o].to_pylist() for o in outs] + \
@@ -504,7 +504,7 @@ def windowed_sum(ds, key: str, ts: str, value: str, tiebreak: str,
             .iter_batches(batch_format="pyarrow"):
         if not kept.num_rows:
             continue
-        kk = _group_key_expr(kept, keys).to_pylist()
+        kk = _group_key_expr(kept, [key]).to_pylist()
         tsv = _order_np(kept, ts, descending=False)
         tbv = _order_np(kept, tiebreak, descending=False)
         vals = kept[out].to_pylist()
