@@ -58,6 +58,13 @@ EXTRA_QUERIES = [
     "lineitems_small_parts",   # bloom pre-filter + exact semi verify
     "negbal_highvalue_full",   # full outer sort-merge join
     "docs_lang_source_cube",   # CUBE: one input shuffle + re-aggs
+    "docs_bigram_lm",          # two-pass LM train + broadcast score
+    "events_throttled",        # LAG-based windowed event dedup
+    "lang_top_terms",          # grouped heavy hitters over terms
+    "user_cohort_retention",   # pairs shuffle + sort-merge join + count
+    "embedding_nn_join",       # broadcast slab-wise cosine NN join
+    "docs_capped_per_lang",    # hash-draw domain cap (grouped top-k)
+    "orders_weighted_sample",  # A-Res weighted sample, partial top-k
 ]
 
 

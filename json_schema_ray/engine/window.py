@@ -501,12 +501,17 @@ def cohort_retention(ds, key: str = "user_id", ts: str = "ts"):
             pa.table({key: t[key], "week": week}),
             [key, "week"]).aggregate([])
 
+    # materialize the (small, pairs-sized) activity set ONCE: three
+    # consumers follow (cohort groupby, join left side, and the
+    # join's schema probes, which would otherwise re-execute the
+    # whole event scan + shuffle per probe)
     pairs = ds.map_batches(pairs_partial, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby([key, "week"]) \
         .aggregate(Count(alias_name="__c")) \
         .map_batches(lambda b: b.drop_columns(["__c"]),
-                     batch_format="pyarrow", zero_copy_batch=True)
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
 
     cohorts = pairs.groupby(key).min("week").map_batches(
         lambda b: pa.table({key: b[key],
