@@ -1371,6 +1371,32 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """Approx distinct users per event type via the grouped HLL
+    sketch aggregate (engine/stats.py grouped_approx_distinct): one
+    fixed-size register row per (key, block), elementwise-max merge.
+    Approximate by construction -> rows-only here; the error-bound
+    and merge-determinism evidence is the unit test, and
+    user_event_type_diversity is the exact twin."""
+    from json_schema_ray.engine.stats import grouped_approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = grouped_approx_distinct(ds, "event_type", "user_id", p=12)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_approx": pc.cast(
+                pc.round(b["n_approx"]), pa.int64()),
+        })
+
+    out = out.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    schema = pa.schema([("event_type", pa.string()),
+                        ("n_approx", pa.int64())])
+    return _collect(out, schema).sort_by([("event_type", "ascending")])
+
+
 def q_embedding_nn_join(sf_dir: str):
     """KNN self-join (k=1): each vector's nearest other vector by
     cosine (engine/similarity.py nearest_neighbor_join) — normalized
@@ -2141,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_capped_per_lang": q_docs_capped_per_lang,
         "user_cohort_retention": q_user_cohort_retention,
         "embedding_nn_join": q_embedding_nn_join,
+        "approx_users_by_type": q_approx_users_by_type,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,

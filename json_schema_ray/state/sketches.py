@@ -18,6 +18,23 @@ from __future__ import annotations
 import numpy as np
 
 
+def hll_bucket_rank(hashes: np.ndarray, p: int):
+    """Vectorized HLL decomposition of uint64 hashes: (bucket index
+    from the top p bits, rank = leading-zero count of the remaining
+    bits + 1, capped by a guard bit at 64-p+1)."""
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    # low bits shifted up, with a guard bit so rank <= 64-p+1
+    rest = (h << np.uint64(p)) | np.uint64(1 << (p - 1))
+    # rank = leading zero count + 1, via floor(log2)
+    nz = rest != 0
+    fl = np.zeros(len(h), dtype=np.float64)
+    fl[nz] = np.floor(np.log2(rest[nz].astype(np.float64)))
+    lzc = np.where(nz, 63 - fl.astype(np.int64), 64)
+    rank = (lzc + 1).astype(np.uint8)
+    return idx, rank
+
+
 class HyperLogLog:
     __slots__ = ("p", "m", "registers")
 
@@ -29,16 +46,7 @@ class HyperLogLog:
 
     def add_hashed(self, hashes: np.ndarray) -> None:
         """Add pre-hashed uint64 values (vectorized)."""
-        h = hashes.astype(np.uint64, copy=False)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        # low bits shifted up, with a guard bit so rank <= 64-p+1
-        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
-        # rank = leading zero count + 1, via floor(log2)
-        nz = rest != 0
-        fl = np.zeros(len(h), dtype=np.float64)
-        fl[nz] = np.floor(np.log2(rest[nz].astype(np.float64)))
-        lzc = np.where(nz, 63 - fl.astype(np.int64), 64)
-        rank = (lzc + 1).astype(np.uint8)
+        idx, rank = hll_bucket_rank(hashes, self.p)
         np.maximum.at(self.registers, idx, rank)
 
     def add(self, values) -> None:

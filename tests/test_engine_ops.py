@@ -3351,3 +3351,43 @@ def test_nearest_neighbor_join_matches_bruteforce():
         want[int(ids[i])] = (nn, int(best))
     assert got == want
     assert got[3][0] == 7 and got[3][1] == 1000000
+
+
+def test_grouped_approx_distinct_bounds_and_determinism():
+    """Grouped HLL sketch aggregate: per-group estimates equal a
+    single-process HyperLogLog over the same values (merge order
+    can't change elementwise max), and sit within the p=12 error
+    bound of the exact distinct counts; NULL keys form a group,
+    NULL values don't count."""
+    from collections import defaultdict
+
+    from json_schema_ray.engine.stats import (_hash_column,
+                                              grouped_approx_distinct)
+    from json_schema_ray.state.sketches import HyperLogLog
+
+    rng = np.random.default_rng(21)
+    n = 20000
+    vals = rng.integers(0, 3000, n).astype(object)
+    vals[:50] = None
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y", None], n).tolist(),
+                      pa.string()),
+        "v": pa.array(vals.tolist(), pa.int64()),
+    })
+    out = {r["g"]: r["n_approx"]
+           for r in grouped_approx_distinct(
+               _ray().data.from_arrow(t).repartition(5),
+               "g", "v", p=12).take_all()}
+
+    groups = defaultdict(list)
+    exact = defaultdict(set)
+    for g, v in zip(t["g"].to_pylist(), t["v"].to_pylist()):
+        if v is not None:
+            groups[g].append(v)
+            exact[g].add(v)
+    assert set(out) == set(groups)
+    for g, vv in groups.items():
+        hll = HyperLogLog(12)
+        hll.add_hashed(_hash_column(pa.array(vv, pa.int64())))
+        assert out[g] == hll.estimate()  # merge-order independent
+        assert abs(out[g] - len(exact[g])) / len(exact[g]) < 0.05
