@@ -1371,6 +1371,19 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel over event types (engine/window.py
+    funnel_user_counts): one pass per step — step filter, sort-merge
+    join with the previous step's per-user earliest-completion
+    table, grouped min. Greedy/earliest-time funnel semantics with
+    strict time order."""
+    from json_schema_ray.engine.window import funnel_user_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    return funnel_user_counts(ds, steps)
+
+
 def q_approx_users_by_type(sf_dir: str):
     """Approx distinct users per event type via the grouped HLL
     sketch aggregate (engine/stats.py grouped_approx_distinct): one
@@ -2168,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cohort_retention": q_user_cohort_retention,
         "embedding_nn_join": q_embedding_nn_join,
         "approx_users_by_type": q_approx_users_by_type,
+        "event_funnel": q_event_funnel,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2519,6 +2533,27 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY 1
+            )
+            SELECT 1::BIGINT AS step, 'view' AS event_type,
+                   count(*)::BIGINT AS n_keys FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+            ORDER BY step
         """,
         "embedding_nn_join": """
             WITH s AS (

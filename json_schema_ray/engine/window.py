@@ -530,3 +530,84 @@ def cohort_retention(ds, key: str = "user_id", ts: str = "ts"):
                      "week": out["week"],
                      "n_users": out["rows_count"].cast(pa.int64())}) \
         .sort_by([("cohort_week", "ascending"), ("week", "ascending")])
+
+
+def funnel_user_counts(ds, steps, key: str = "user_id",
+                       ts: str = "ts", type_col: str = "event_type"):
+    """Ordered-funnel analysis: for the step sequence ``steps``
+    (event types), count the keys that completed each prefix in
+    strict time order — step j counts keys with some step-j event
+    STRICTLY AFTER their earliest completion time of step j-1 (the
+    greedy/earliest-time funnel, the standard product-analytics
+    definition; ties at the same timestamp do NOT advance).
+
+    Shape: one pass per step (k is small and fixed). Each pass
+    filters the input to that step's events (step 1 pre-aggregates
+    per-block per-key minima — lossless with no threshold; later
+    steps only dedupe exact (key, ts) repeats, since any event could
+    be the first one past the yet-unjoined threshold), joins the
+    previous step's per-key threshold table with the two-big-sides
+    sort-merge join — no broadcast assumption — and re-reduces to
+    the new per-key earliest-completion table. Driver holds only the
+    k counts. NULL keys/timestamps never advance a funnel.
+
+    Returns a driver-side table (step:int64 1-based, event_type,
+    n_keys) — k rows by construction."""
+    from ray.data.aggregate import Min
+
+    from .relational import (null_safe_grouped_aggregate,
+                             sort_merge_join)
+
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence")
+
+    def step_events(step_val, min_only):
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.and_(pc.is_valid(batch[key]),
+                        pc.is_valid(batch[ts])),
+                pc.equal(batch[type_col], step_val))
+            t = batch.select([key, ts]).filter(pc.fill_null(mask, False))
+            if min_only:
+                # step 1 has no threshold: the per-block per-key min
+                # is a lossless combiner
+                g = pa.TableGroupBy(t, key).aggregate([(ts, "min")])
+                return pa.table({key: g[key], ts: g[f"{ts}_min"]})
+            # later steps filter by a per-key threshold AFTER the
+            # join, so any event could be the first qualifying one —
+            # reduce only exact (key, ts) duplicates per block
+            g = pa.TableGroupBy(t, [key, ts]).aggregate([])
+            return g.select([key, ts])
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    counts = []
+    thresholds = None  # Dataset of (key, __thr): earliest completion
+    for j, step_val in enumerate(steps):
+        ev = step_events(step_val, min_only=(j == 0))
+        if j == 0:
+            merged = null_safe_grouped_aggregate(
+                ev, [key], [Min(ts, alias_name="__thr")], ["__thr"])
+        else:
+            # keep only events strictly after the key's previous
+            # threshold, then take the earliest per key
+            joined = sort_merge_join(ev, thresholds, key, key,
+                                     value_columns=["__thr"])
+
+            def after(batch: pa.Table) -> pa.Table:
+                m = pc.greater(batch[ts], batch["__thr"])
+                return batch.filter(pc.fill_null(m, False)) \
+                    .drop_columns(["__thr"])
+
+            merged = null_safe_grouped_aggregate(
+                joined.map_batches(after, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                [key], [Min(ts, alias_name="__thr")], ["__thr"])
+        thresholds = merged.materialize()
+        counts.append(thresholds.count())
+
+    return pa.table({
+        "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+        "event_type": pa.array(list(steps), pa.string()),
+        "n_keys": pa.array(counts, pa.int64()),
+    })

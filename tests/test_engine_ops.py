@@ -3391,3 +3391,61 @@ def test_grouped_approx_distinct_bounds_and_determinism():
         hll.add_hashed(_hash_column(pa.array(vv, pa.int64())))
         assert out[g] == hll.estimate()  # merge-order independent
         assert abs(out[g] - len(exact[g])) / len(exact[g]) < 0.05
+
+
+def test_funnel_user_counts_matches_duckdb():
+    """Greedy ordered funnel == the SQL chained min-after-threshold
+    form, across blocks, with nulls, a step no one completes, and
+    same-timestamp ties that must NOT advance."""
+    import datetime as dt
+
+    import duckdb
+
+    from json_schema_ray.engine.window import funnel_user_counts
+
+    base = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1: clean A -> B -> C
+        (1, at(0), "A"), (1, at(10), "B"), (1, at(20), "C"),
+        # user 2: B before A only -> stops at A
+        (2, at(5), "B"), (2, at(6), "A"),
+        # user 3: A and B at the SAME ts -> tie must not advance
+        (3, at(0), "A"), (3, at(0), "B"), (3, at(9), "C"),
+        # user 4: A -> B, no C
+        (4, at(1), "A"), (4, at(2), "B"),
+        # nulls never advance
+        (None, at(0), "A"), (5, None, "A"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = funnel_user_counts(
+        _ray().data.from_arrow(t).repartition(4),
+        ["A", "B", "C"]).to_pylist()
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = [dict(zip(["step", "event_type", "n_keys"], r))
+            for r in con.sql("""
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type='A' AND user_id IS NOT NULL
+                      AND ts IS NOT NULL GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s1 USING (user_id)
+               WHERE e.event_type='B' AND e.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN s2 USING (user_id)
+               WHERE e.event_type='C' AND e.ts > s2.t GROUP BY 1)
+        SELECT 1::BIGINT AS step, 'A' AS event_type,
+               count(*)::BIGINT AS n_keys FROM s1
+        UNION ALL SELECT 2, 'B', count(*) FROM s2
+        UNION ALL SELECT 3, 'C', count(*) FROM s3 ORDER BY step
+    """).fetchall()]
+    assert got == want
+    assert [r["n_keys"] for r in got] == [4, 2, 1]
