@@ -2345,42 +2345,6 @@ def _minhash_oracle_sql() -> str:
     """
 
 
-def _lang_id_oracle_sql() -> str:
-    """Confusion-matrix oracle for the LanguageId heuristic: marker
-    counts reproduced with DuckDB's RE2 regexp_extract_all (verified
-    count-for-count equal to pc.count_substring_regex), argmax with
-    numpy's first-index tie semantics as an ordered CASE."""
-    import re as _re
-
-    from json_schema_ray.engine.text import _LANG_MARKERS
-
-    langs = [l for l, w in _LANG_MARKERS.items() if w]  # en de fr es
-    score_exprs = []
-    for lang in langs:
-        pat = ("(?i)\\b(" + "|".join(
-            map(_re.escape, _LANG_MARKERS[lang])) + ")\\b")
-        score_exprs.append(
-            f"coalesce(length(regexp_extract_all(text, '{pat}')), 0)"
-            f" AS s_{lang}")
-    score_exprs.append(
-        "5 * coalesce(length(regexp_extract_all(text, '[一-鿿]')), 0)"
-        " AS s_zh")
-    order = langs + ["zh"]
-    total = " + ".join(f"s_{l}" for l in order)
-    case = [f"WHEN {total} = 0 THEN 'unknown'"]
-    for i, l in enumerate(order[:-1]):
-        conds = " AND ".join(f"s_{l} >= s_{m}" for m in order[i + 1:])
-        case.append(f"WHEN {conds} THEN '{l}'")
-    case_sql = "CASE " + " ".join(case) + f" ELSE '{order[-1]}' END"
-    return f"""
-        WITH s AS (SELECT lang, {", ".join(score_exprs)}
-                   FROM documents),
-        p AS (SELECT lang, {case_sql} AS lang_pred FROM s)
-        SELECT lang, lang_pred, count(*)::BIGINT AS cnt
-        FROM p GROUP BY 1, 2 ORDER BY 1, 2
-    """
-
-
 def _mixture_sample_oracle_sql() -> str:
     """docs_mixture_sample recomputed in SQL: the SAME uint64
     thresholds the engine compares against (relational.py
@@ -3066,7 +3030,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, score_e6 FROM scored WHERE rn <= 3
             ORDER BY doc_id, score_e6 DESC, term
         """,
-        "lang_id_accuracy": _lang_id_oracle_sql(),
         "docs_bigram_lm": r"""
             WITH arr AS (
                 SELECT doc_id,

@@ -1626,9 +1626,14 @@ def cap_per_group(ds, keys: List[str], id_column: str, k: int,
                        + np.uint64(seed)).view(np.int64))
         # float64 of the uint64 hash: the top-k machinery orders
         # float64 keys, and SQL mirrors with CAST(h AS DOUBLE) so
-        # both sides share one total order (ties -> id tiebreak)
-        return batch.append_column(
-            "__h", pa.array(h.astype(np.float64), pa.float64()))
+        # both sides share one total order (ties -> id tiebreak).
+        # NULL ids hash to NULL (ranked last, as SQL splitmix64(NULL)
+        # is NULL with NULLS LAST); among several NULL-id rows the
+        # pick is unspecified on both sides.
+        harr = pa.array(h.astype(np.float64), pa.float64())
+        harr = pc.if_else(pc.is_null(col),
+                          pa.scalar(None, pa.float64()), harr)
+        return batch.append_column("__h", harr)
 
     capped = grouped_top_k(
         ds.map_batches(add_hash, batch_format="pyarrow",

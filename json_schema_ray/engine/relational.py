@@ -1865,8 +1865,25 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
     shuffle: the same per-block partial top-k + O(k*blocks) driver
     merge as :func:`top_k`, repeatable across runs and resumes.
     Rows with null keys or null/non-positive weights never win; ties
-    (score, then key) are totally ordered."""
+    (score, then key) are totally ordered.
+
+    Float discipline: block-level pruning scores with numpy's
+    vectorized log (up to 2 ulps off libm — a candidate is lost only
+    if it sits within that of its block's k-th score), and the final
+    k are re-ranked DRIVER-SIDE over the <= k x n_blocks candidates
+    with ``math.log``, bitwise-equal to DuckDB ``ln``, so the
+    decision boundary matches the SQL oracle exactly."""
+    import math
+
     from ..state.sketches import hash_ints
+
+    def _u(col: pa.Array) -> np.ndarray:
+        vals = pc.cast(col.fill_null(0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints((vals.astype(np.uint64)
+                       + np.uint64(seed)).view(np.int64))
+        return ((h >> np.uint64(11)).astype(np.float64) * 2.0 + 1.0) \
+            / float(1 << 54)
 
     def scored(batch: pa.Table) -> pa.Table:
         col = batch[key_column].combine_chunks()
@@ -1874,18 +1891,24 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
         valid = (pc.is_valid(col).to_numpy(zero_copy_only=False)
                  & pc.fill_null(pc.greater(w, 0.0), False)
                  .to_numpy(zero_copy_only=False))
-        vals = pc.cast(col.fill_null(0), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        h = hash_ints((vals.astype(np.uint64)
-                       + np.uint64(seed)).view(np.int64))
-        u = ((h >> np.uint64(11)).astype(np.float64) * 2.0 + 1.0) \
-            / float(1 << 54)
         wv = pc.fill_null(w, 1.0).to_numpy(zero_copy_only=False)
-        score = np.log(u) / np.maximum(wv, 1e-300)
+        score = np.log(_u(col)) / np.maximum(wv, 1e-300)
         return batch.filter(pa.array(valid)).append_column(
             "__ws", pa.array(score[valid], pa.float64()))
 
     best = top_k(ds.map_batches(scored, batch_format="pyarrow",
                                 zero_copy_batch=True),
                  ["__ws", key_column], [True, False], k)
-    return best.drop_columns(["__ws"])
+    best = best.drop_columns(["__ws"])
+    if best.num_rows == 0:
+        return best
+    # exact re-rank of the candidate set with libm log
+    u = _u(best[key_column].combine_chunks())
+    wv = pc.cast(best[weight_column], pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    exact = np.array([math.log(x) for x in u]) / wv
+    order = pc.sort_indices(pa.table({
+        "__ws": pa.array(exact, pa.float64()),
+        key_column: best[key_column]}),
+        sort_keys=[("__ws", "descending"), (key_column, "ascending")])
+    return best.take(order[:k])

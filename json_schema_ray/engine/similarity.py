@@ -442,8 +442,9 @@ def nearest_neighbor_join(ds, id_column: str = "vec_id",
     for batch in ds.select_columns([id_column, embedding_column]) \
             .iter_batches(batch_format="pyarrow"):
         if batch.num_rows:
-            ids_parts.append(np.asarray(batch[id_column].to_pylist(),
-                                        dtype=np.int64))
+            ids_parts.append(
+                batch[id_column].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64))
             mat_parts.append(_batch_matrix(batch[embedding_column])
                              .astype(np.float64))
     empty = pa.table({id_column: pa.array([], pa.int64()),
@@ -461,7 +462,8 @@ def nearest_neighbor_join(ds, id_column: str = "vec_id",
         ids_r, m_r = ray.get(handle)
         m = _normalize(_batch_matrix(batch[embedding_column])
                        .astype(np.float64))
-        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
         best = np.full(n, np.iinfo(np.int64).min, np.int64)
         best_id = np.full(n, np.iinfo(np.int64).max, np.int64)

@@ -528,8 +528,10 @@ def _hash_column(col: pa.ChunkedArray) -> np.ndarray:
         return hash_ints(arr.to_numpy(zero_copy_only=False)
                          .astype(np.int64))
     if pa.types.is_floating(t):
-        return hash_ints(arr.to_numpy(zero_copy_only=False)
-                         .view(np.int64))
+        # widen to float64 first (float32 can't view as int64) and
+        # fold -0.0 onto 0.0 so SQL-equal values hash equal
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64) + 0.0
+        return hash_ints(v.view(np.int64))
     if pa.types.is_timestamp(t):
         return hash_ints(pc.cast(arr, pa.int64())
                          .to_numpy(zero_copy_only=False))

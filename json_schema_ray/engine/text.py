@@ -838,11 +838,10 @@ def bigram_lm_scores(ds, id_column: str = "doc_id",
     ctx_h, w1_lp = ctx_h[order], w1_lp[order]
     ctx_denom = denom[order]
 
-    ph = _pair_hashes(hash_string_array(model["w1"]),
-                      hash_string_array(model["w2"]))
+    mh1 = hash_string_array(model["w1"])
+    ph = _pair_hashes(mh1, hash_string_array(model["w2"]))
     cnt = model["sum(c)"].to_numpy(zero_copy_only=False) \
         .astype(np.float64)
-    mh1 = hash_string_array(model["w1"])
     pos = np.searchsorted(ctx_h, mh1)
     pos = np.minimum(pos, max(len(ctx_h) - 1, 0)) \
         if len(ctx_h) else pos

@@ -448,6 +448,9 @@ def throttle_by_gap(ds, keys, ts: str = "ts", gap=None,
     is its key's first row."""
     from .rank import lag_column
 
+    if gap is None:
+        raise ValueError("throttle_by_gap: gap is required (duration"
+                         " in the ts column's units)")
     lagged = lag_column(ds, keys, ts, value=ts, tiebreak=tiebreak,
                         out="__prev_ts")
 

@@ -3449,3 +3449,26 @@ def test_funnel_user_counts_matches_duckdb():
     """).fetchall()]
     assert got == want
     assert [r["n_keys"] for r in got] == [4, 2, 1]
+
+
+def test_grouped_approx_distinct_float32_and_null_ids_capped():
+    """Regressions from review: float32 value columns hash without
+    crashing (widened to float64, -0.0 folded), and cap_per_group
+    ranks NULL ids last like SQL's NULL splitmix order."""
+    from json_schema_ray.engine.rank import cap_per_group
+    from json_schema_ray.engine.stats import grouped_approx_distinct
+
+    t = pa.table({"g": pa.array(["a"] * 5, pa.string()),
+                  "v": pa.array([1.5, -0.0, 0.0, None, 2.5],
+                                pa.float32())})
+    out = grouped_approx_distinct(_ray().data.from_arrow(t),
+                                  "g", "v", p=10).take_all()
+    # distinct non-null values: {1.5, 0.0, 2.5} (signed zeros equal)
+    assert len(out) == 1 and abs(out[0]["n_approx"] - 3) < 0.5
+
+    t2 = pa.table({"g": pa.array(["x"] * 4, pa.string()),
+                   "id": pa.array([1, 2, 3, None], pa.int64())})
+    kept = cap_per_group(_ray().data.from_arrow(t2), ["g"], "id",
+                         k=3).take_all()
+    ids = {r["id"] for r in kept}
+    assert None not in ids and len(ids) == 3  # NULL id ranked last
