@@ -1371,6 +1371,20 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_split_counts(sf_dir: str):
+    """Deterministic train/val/test split assignment
+    (engine/relational.py split_assign: exact uint64 hash cut
+    points, shuffle-free) rolled up to per-(lang, split) counts."""
+    from json_schema_ray.engine.relational import (grouped_aggregate,
+                                                   split_assign)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = split_assign(ds, "doc_id", [0.8, 0.1])
+    t = grouped_aggregate(out, ["lang", "split"], [(None, "count")])
+    return t.rename_columns(["lang", "split", "cnt"]).sort_by(
+        [("lang", "ascending"), ("split", "ascending")])
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered funnel over event types (engine/window.py
     funnel_user_counts): one pass per step — step filter, sort-merge
@@ -2182,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_nn_join": q_embedding_nn_join,
         "approx_users_by_type": q_approx_users_by_type,
         "event_funnel": q_event_funnel,
+        "docs_split_counts": q_docs_split_counts,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2345,6 +2360,27 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def _docs_split_oracle_sql() -> str:
+    """Train/val/test assignment recomputed with the exact integer
+    cut points split_assign uses."""
+    from json_schema_ray.engine.relational import (split_thresholds,
+                                                   splitmix64_sql)
+
+    c0, c1 = split_thresholds([0.8, 0.1])
+    h = splitmix64_sql("doc_id")
+    return f"""
+        WITH s AS (
+            SELECT lang,
+                   CASE WHEN doc_id IS NULL THEN NULL
+                        WHEN {h} < {c0} THEN 'train'
+                        WHEN {h} < {c1} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT lang, split, count(*)::BIGINT AS cnt
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 def _mixture_sample_oracle_sql() -> str:
     """docs_mixture_sample recomputed in SQL: the SAME uint64
     thresholds the engine compares against (relational.py
@@ -2498,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
         """,
+        "docs_split_counts": _docs_split_oracle_sql(),
         "event_funnel": """
             WITH s1 AS (
                 SELECT user_id, min(ts) AS t FROM events

@@ -1912,3 +1912,49 @@ def weighted_sample(ds, key_column: str, weight_column: str, k: int,
         key_column: best[key_column]}),
         sort_keys=[("__ws", "descending"), (key_column, "ascending")])
     return best.take(order[:k])
+
+
+def split_assign(ds, key_column: str, fractions,
+                 names=("train", "val", "test"), seed: int = 0,
+                 out: str = "split"):
+    """Deterministic dataset split — the train/val/test assignment
+    step: a row lands in split i when its uniform hash
+    ``splitmix64(key+seed)`` falls in that split's integer threshold
+    band (exact uint64 cut points, same construction as
+    :func:`mixture_sample`, so SQL oracles compare the SAME
+    integers). Shuffle-free per-batch column append; repeatable
+    across runs/resumes and consistent across tables sharing the
+    key. ``fractions`` are the first ``len(names)-1`` split sizes
+    (the last split takes the remainder); NULL keys get a NULL
+    split."""
+    from ..state.sketches import hash_ints
+
+    if len(fractions) != len(names) - 1:
+        raise ValueError("need len(names)-1 fractions"
+                         f" ({len(names) - 1}), got {len(fractions)}")
+    cuts = np.array([min(max(int(sum(fractions[:i + 1])
+                               * float(1 << 64)), 0), (1 << 64) - 1)
+                     for i in range(len(fractions))], dtype=np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch[key_column].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = pc.cast(col.fill_null(0), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints((vals.astype(np.uint64)
+                       + np.uint64(seed)).view(np.int64))
+        idx = np.searchsorted(cuts, h, side="right")
+        lab = np.asarray(list(names), dtype=object)[idx]
+        return batch.append_column(
+            out, pa.array(lab.tolist(), pa.string(),
+                          mask=~valid))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def split_thresholds(fractions) -> list:
+    """The exact uint64 cut points :func:`split_assign` uses, for
+    SQL oracles."""
+    return [min(max(int(sum(fractions[:i + 1]) * float(1 << 64)), 0),
+                (1 << 64) - 1) for i in range(len(fractions))]

@@ -3472,3 +3472,29 @@ def test_grouped_approx_distinct_float32_and_null_ids_capped():
                          k=3).take_all()
     ids = {r["id"] for r in kept}
     assert None not in ids and len(ids) == 3  # NULL id ranked last
+
+
+def test_split_assign_fractions_and_consistency():
+    """Deterministic splits: proportions near the requested
+    fractions, identical across runs and block layouts, NULL keys
+    get NULL split."""
+    from collections import Counter
+
+    from json_schema_ray.engine.relational import split_assign
+
+    n = 20000
+    ids = np.arange(n).astype(object)
+    ids[0] = None
+    t = pa.table({"id": pa.array(ids.tolist(), pa.int64())})
+    a = split_assign(_ray().data.from_arrow(t).repartition(3),
+                     "id", [0.8, 0.1]).take_all()
+    b = split_assign(_ray().data.from_arrow(t).repartition(7),
+                     "id", [0.8, 0.1]).take_all()
+    ga = {r["id"]: r["split"] for r in a}
+    gb = {r["id"]: r["split"] for r in b}
+    assert ga == gb  # layout-independent
+    assert ga[None] is None
+    c = Counter(v for k, v in ga.items() if k is not None)
+    assert abs(c["train"] / (n - 1) - 0.8) < 0.02
+    assert abs(c["val"] / (n - 1) - 0.1) < 0.02
+    assert abs(c["test"] / (n - 1) - 0.1) < 0.02
