@@ -1371,6 +1371,24 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_approx_price_quantiles(sf_dir: str):
+    """Approx per-status price quantiles via the mergeable t-digest
+    aggregate (engine/stats.py grouped_approx_quantiles) — the
+    one-scan alternative to the exact per-group sort. Approximate
+    and merge-order dependent -> rows-only; the error-bound evidence
+    is the unit test, user_value_quantiles is the exact twin."""
+    from json_schema_ray.engine.stats import grouped_approx_quantiles
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_totalprice"])
+    out = grouped_approx_quantiles(ds, "o_orderstatus",
+                                   "o_totalprice", qs=(0.5, 0.95))
+    schema = pa.schema([("o_orderstatus", pa.string()),
+                        ("q", pa.float64()), ("value", pa.float64())])
+    return _collect(out, schema).sort_by(
+        [("o_orderstatus", "ascending"), ("q", "ascending")])
+
+
 def q_docs_split_counts(sf_dir: str):
     """Deterministic train/val/test split assignment
     (engine/relational.py split_assign: exact uint64 hash cut
@@ -2197,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_by_type": q_approx_users_by_type,
         "event_funnel": q_event_funnel,
         "docs_split_counts": q_docs_split_counts,
+        "approx_price_quantiles": q_approx_price_quantiles,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,

@@ -571,15 +571,18 @@ def grouped_approx_distinct(ds, key: str, col: str, p: int = 12):
             return pa.table({key: pa.array([], kt),
                              "__regs": pa.array([], pa.binary())})
         g = t[key].combine_chunks().dictionary_encode()
-        codes = g.indices.to_numpy(zero_copy_only=False).copy()
-        n_dict = len(g.dictionary)
+        # null keys make .indices nullable (float64 + NaN via numpy):
+        # fill first, then route them to their own trailing group
         null_rows = pc.is_null(g).to_numpy(zero_copy_only=False)
+        codes = g.indices.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_dict = len(g.dictionary)
         has_null_group = bool(null_rows.any())
-        codes[null_rows] = n_dict  # nulls -> their own trailing group
+        codes[null_rows] = n_dict
         n_groups = n_dict + (1 if has_null_group else 0)
         bucket, rank = hll_bucket_rank(_hash_column(t[col]), p)
         regs = np.zeros((n_groups, m), np.uint8)
-        np.maximum.at(regs, (codes.astype(np.int64), bucket), rank)
+        np.maximum.at(regs, (codes, bucket), rank)
         keys_out = g.dictionary.cast(kt)
         if has_null_group:
             keys_out = pa.concat_arrays(
@@ -608,3 +611,90 @@ def grouped_approx_distinct(ds, key: str, col: str, p: int = 12):
         name="n_approx")
     return null_safe_grouped_aggregate(partials, [key], [hll_agg],
                                        ["n_approx"])
+
+
+def grouped_approx_quantiles(ds, key: str, col: str, qs=(0.5,),
+                             compression: int = 100):
+    """Approximate per-group quantiles as a mergeable t-digest
+    aggregate — the one-scan alternative to
+    :func:`rank.grouped_exact_quantiles` when the per-group sort is
+    the bottleneck (few groups, huge groups). Each block reduces to
+    ONE compressed digest per key it contains; a custom Ray
+    aggregate merges digests and the final map explodes the
+    requested quantiles. Estimates are t-digest-approximate AND
+    merge-order dependent in the last decimals — evidence is the
+    error-bound test vs exact, not a SQL hash. NULL values are
+    skipped; NULL keys form their own group. Returns
+    (key, q, value)."""
+    from ray.data.aggregate import AggregateFn
+
+    from .relational import null_safe_grouped_aggregate
+
+    qs = sorted(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kt = batch[key].type
+        t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "__td": pa.array([], pa.binary())})
+        g = t[key].combine_chunks().dictionary_encode()
+        null_rows = pc.is_null(g).to_numpy(zero_copy_only=False)
+        codes = g.indices.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_dict = len(g.dictionary)
+        has_null = bool(null_rows.any())
+        codes[null_rows] = n_dict
+        vals = pc.cast(t[col], pa.float64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(codes, kind="stable")
+        sc, sv = codes[order], vals[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sc[1:] != sc[:-1])))
+        ends = np.concatenate((starts[1:], [len(sc)]))
+        blobs = [None] * (n_dict + (1 if has_null else 0))
+        for s, e in zip(starts, ends):
+            td = TDigest(compression)
+            td.add(sv[s:e])
+            blobs[sc[s]] = td.serialize()
+        keys_out = g.dictionary.cast(kt)
+        if has_null:
+            keys_out = pa.concat_arrays([keys_out, pa.nulls(1, kt)])
+        return pa.table({key: keys_out,
+                         "__td": pa.array(blobs, pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _acc(acc, row):
+        td = TDigest.deserialize(row["__td"])
+        return td if acc is None else acc.merge(td)
+
+    td_agg = AggregateFn(
+        init=lambda k: None,
+        accumulate_row=_acc,
+        merge=lambda a, b: (b if a is None else
+                            a if b is None else a.merge(b)),
+        finalize=lambda a: b"" if a is None else a.serialize(),
+        name="__blob")
+    merged = null_safe_grouped_aggregate(partials, [key], [td_agg],
+                                         ["__blob"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        kt = batch[key].type
+        keys_rep, q_out, v_out = [], [], []
+        for i in range(batch.num_rows):
+            blob = batch["__blob"][i].as_py()
+            td = TDigest.deserialize(blob) if blob else TDigest()
+            for q in qs:
+                keys_rep.append(i)
+                q_out.append(q)
+                v_out.append(td.quantile(q))
+        return pa.table({
+            key: batch[key].take(pa.array(keys_rep, pa.int64())),
+            "q": pa.array(q_out, pa.float64()),
+            "value": pa.array(v_out, pa.float64()),
+        })
+
+    return merged.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)

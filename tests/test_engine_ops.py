@@ -3498,3 +3498,31 @@ def test_split_assign_fractions_and_consistency():
     assert abs(c["train"] / (n - 1) - 0.8) < 0.02
     assert abs(c["val"] / (n - 1) - 0.1) < 0.02
     assert abs(c["test"] / (n - 1) - 0.1) < 0.02
+
+
+def test_grouped_approx_quantiles_rank_error():
+    """Grouped t-digest quantiles: each estimate's true rank within
+    its group is close to the requested q across a multi-block input
+    with a null group and null values."""
+    from json_schema_ray.engine.stats import grouped_approx_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 30000
+    g = rng.choice(["a", "b", None], n, p=[0.6, 0.3, 0.1]).astype(object)
+    v = rng.lognormal(0, 1, n).astype(object)
+    v[:100] = None
+    t = pa.table({"g": pa.array(g.tolist(), pa.string()),
+                  "v": pa.array(v.tolist(), pa.float64())})
+    out = grouped_approx_quantiles(
+        _ray().data.from_arrow(t).repartition(6), "g", "v",
+        qs=(0.1, 0.5, 0.9)).take_all()
+    assert len(out) == 9
+
+    vals = {}
+    for gg, vv in zip(g.tolist(), v.tolist()):
+        if vv is not None:
+            vals.setdefault(gg, []).append(vv)
+    for r in out:
+        sv = np.sort(vals[r["g"]])
+        rank = np.searchsorted(sv, r["value"]) / len(sv)
+        assert abs(rank - r["q"]) < 0.03, (r, rank)
