@@ -1371,6 +1371,23 @@ def q_docs_above_p90(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_share_of_lang(sf_dir: str):
+    """Ratio-to-report window (SQL value / sum(value) OVER
+    (PARTITION BY key)) via engine/relational.py share_of_group:
+    group totals broadcast once, stateless scan — no row-sized
+    shuffle, no join. Fixed-point e6 so the one float division is
+    the only inexact step on both sides."""
+    from json_schema_ray.engine.relational import share_of_group
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    out = share_of_group(ds, "lang", "n_chars")
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("n_chars", pa.int64()),
+                        ("share_e6", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_approx_price_quantiles(sf_dir: str):
     """Approx per-status price quantiles via the mergeable t-digest
     aggregate (engine/stats.py grouped_approx_quantiles) — the
@@ -2216,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q_event_funnel,
         "docs_split_counts": q_docs_split_counts,
         "approx_price_quantiles": q_approx_price_quantiles,
+        "docs_share_of_lang": q_docs_share_of_lang,
         "lineitem_melted": q_lineitem_melted,
         "docs_above_p90": q_docs_above_p90,
         "user_event_entropy": q_user_event_entropy,
@@ -2552,6 +2570,14 @@ def oracle_sql() -> dict[str, str]:
         "orders_hash_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE {splitmix64_sql('o_orderkey', 3)} < {sample_thr}
+        """,
+        "docs_share_of_lang": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(floor(CAST(n_chars AS DOUBLE)
+                        / CAST(sum(n_chars) OVER (PARTITION BY lang)
+                               AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                       AS share_e6
+            FROM documents ORDER BY doc_id
         """,
         "docs_split_counts": _docs_split_oracle_sql(),
         "event_funnel": """

@@ -1958,3 +1958,87 @@ def split_thresholds(fractions) -> list:
     SQL oracles."""
     return [min(max(int(sum(fractions[:i + 1]) * float(1 << 64)), 0),
                 (1 << 64) - 1) for i in range(len(fractions))]
+
+
+def share_of_group(ds, key: str, value: str, out: str = "share_e6"):
+    """Ratio-to-report window: each row gains its value's share of
+    its group's total — SQL ``value / sum(value) OVER (PARTITION BY
+    key)`` — fixed-pointed to ``floor(x*1e6+0.5)`` BIGINT so the
+    division is the only float step and both engine and SQL compute
+    it from the SAME exact integers (int64 value sums).
+
+    Shape: a combiner-backed grouped SUM (group-sized), totals
+    broadcast ONCE through the object store as sorted key-hash +
+    total arrays, then a stateless scan — no row-sized shuffle, no
+    join. Requires an integer value column (exact sums); NULL values
+    contribute nothing and get a NULL share, NULL keys form their
+    own group, zero-total groups yield NULL (SQL NULL division)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.sketches import hash_ints, hash_string_array
+
+    def _key_hashes(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        if _is_string_type(arr.type):
+            h = hash_string_array(arr)
+        else:
+            h = hash_ints(pc.cast(arr.fill_null(0), pa.int64())
+                          .to_numpy(zero_copy_only=False))
+        # null keys get a reserved hash slot (collision-safe enough:
+        # the totals table is exact per key; hash only routes lookups)
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        h = h.copy()
+        h[null_mask] = np.uint64(0xD1B54A32D192ED03)
+        return h
+
+    def pre(batch: pa.Table) -> pa.Table:
+        # per-batch type check (Dataset.schema() on a lazy pipeline
+        # would execute it once extra just to inspect types)
+        if not pa.types.is_integer(batch[value].type):
+            raise ValueError("share_of_group requires an integer"
+                             " value column (exact distributed sums)")
+        g = pa.TableGroupBy(batch.select([key, value]), key) \
+            .aggregate([(value, "sum")])
+        return pa.table({key: g[key],
+                         "__t": g[f"{value}_sum"].cast(pa.int64())})
+
+    totals_parts = []
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], [Sum("__t", alias_name="__t")], ["__t"])
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            totals_parts.append(t)
+    if not totals_parts:
+        return ds.map_batches(
+            lambda b: b.append_column(out, pa.nulls(b.num_rows,
+                                                    pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+    totals = pa.concat_tables(totals_parts, promote_options="default")
+    th = _key_hashes(totals[key])
+    tv = totals["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(th)
+    handle = ray.put((th[order], tv[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, tot = ray.get(handle)
+        h = _key_hashes(batch[key])
+        pos = np.minimum(np.searchsorted(hs, h),
+                         max(len(hs) - 1, 0))
+        t = tot[pos].astype(np.float64)
+        v = pc.cast(batch[value], pa.float64()).combine_chunks()
+        vn = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
+        share = np.floor(vn / np.where(t == 0, np.nan, t) * 1e6 + 0.5)
+        ok = (~np.isnan(share)) \
+            & pc.is_valid(v).to_numpy(zero_copy_only=False)
+        return batch.append_column(out, pa.array(
+            np.where(ok, share, 0).astype(np.int64), pa.int64(),
+            mask=~ok))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

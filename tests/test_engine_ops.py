@@ -3526,3 +3526,34 @@ def test_grouped_approx_quantiles_rank_error():
         sv = np.sort(vals[r["g"]])
         rank = np.searchsorted(sv, r["value"]) / len(sv)
         assert abs(rank - r["q"]) < 0.03, (r, rank)
+
+
+def test_share_of_group_matches_duckdb():
+    """Ratio-to-report == SQL value/sum() OVER (PARTITION BY key),
+    with null keys, null values, and a zero-total group."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import share_of_group
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", None, None, "z"], pa.string()),
+        "v": pa.array([3, 7, 5, 2, None, 0], pa.int64()),
+    })
+    out = share_of_group(_ray().data.from_arrow(t).repartition(3),
+                         "g", "v").take_all()
+    got = sorted(((r["g"] or "", r["v"] if r["v"] is not None else -1,
+                   r["share_e6"]) for r in out))
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(((g or "", v if v is not None else -1, s)
+                   for g, v, s in con.sql("""
+        SELECT g, v,
+               CAST(floor(CAST(v AS DOUBLE)
+                    / CAST(sum(v) OVER (PARTITION BY g) AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS share_e6
+        FROM t
+    """).fetchall()))
+    assert got == want
+    # zero-total group 'z' yields NULL share on both sides
+    assert any(g == "z" and s is None for g, _, s in got)
