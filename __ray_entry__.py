@@ -1475,10 +1475,11 @@ def q_embedding_nn_join(sf_dir: str):
 
 def q_user_cohort_retention(sf_dir: str):
     """Weekly cohort retention matrix (engine/window.py
-    cohort_retention): distinct (user, week) pairs via a combiner +
-    one pairs-sized shuffle, per-user cohort = min(week), pairs and
-    cohorts re-united with the two-big-sides sort-merge join, then a
-    weeks^2-sized count — nothing event-sized after the first pass."""
+    cohort_retention): per-block (user -> sorted unique week blob)
+    partials, ONE groupby(user) with a mergeable union aggregate
+    (cohort = the union's first element — no min-groupby, no join),
+    then a weeks^2-sized count — two shuffles total, nothing
+    event-sized after the first combiner."""
     from json_schema_ray.engine.window import cohort_retention
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])

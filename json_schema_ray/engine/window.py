@@ -476,61 +476,101 @@ def cohort_retention(ds, key: str = "user_id", ts: str = "ts"):
     their first event; each (cohort_week, week) cell counts the
     cohort's users still active that week.
 
-    Distributed shape (nothing is ever event-sized after step 1):
+    Distributed shape — ONE lazy pipeline, TWO shuffles, nothing
+    event-sized past the first combiner (this replaced a five-
+    execution pairs-groupby + min-groupby + sort-merge-join chain
+    whose fixed per-execution costs dominated at bench scale):
 
-    1. distinct (key, week) activity pairs — per-batch Arrow
-       group-by combiner, then ONE pairs-sized shuffle;
-    2. cohort = min(week) per key, a second pairs-sized groupby;
-    3. pairs x cohorts re-united with the two-big-sides sort-merge
-       join (both are user-sized; no broadcast assumption);
-    4. (cohort_week, week) counts via the pre-aggregate combiner —
-       the output is weeks^2-sized.
+    1. per-block partial: ONE row per key present in the block —
+       its sorted unique activity weeks as an int64 blob
+       (vectorized dictionary_encode + lexsort + adjacent-dedupe);
+    2. ``groupby(key)`` with a mergeable union aggregate
+       (``np.union1d`` of sorted blobs) — the only key-sized
+       shuffle; the cohort is the union's FIRST element, so the
+       min-week groupby and the pairs×cohorts join both vanish;
+    3. explode (cohort_week, week) pairs and count them via the
+       pre-aggregate combiner — the second shuffle moves
+       weeks²-sized partials only.
 
     Week truncation is ``pc.floor_temporal(week_starts_monday)`` ==
     DuckDB ``date_trunc('week', ...)``. NULL keys/timestamps are
     ignored. Returns a driver-side table
     (cohort_week, week, n_users) — weeks^2-bounded by construction."""
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import AggregateFn
 
-    from .relational import grouped_aggregate, sort_merge_join
+    from .relational import grouped_aggregate
 
-    def pairs_partial(batch: pa.Table) -> pa.Table:
+    def weeks_partial(batch: pa.Table) -> pa.Table:
+        kt = batch[key].type
         mask = pc.and_(pc.is_valid(batch[key]),
                        pc.is_valid(batch[ts]))
         t = batch.select([key, ts]).filter(mask)
-        week = pc.floor_temporal(t[ts], unit="week",
-                                 week_starts_monday=True)
-        return pa.TableGroupBy(
-            pa.table({key: t[key], "week": week}),
-            [key, "week"]).aggregate([])
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], kt),
+                             "__weeks": pa.array([], pa.binary())})
+        wk = pc.floor_temporal(t[ts], unit="week",
+                               week_starts_monday=True) \
+            .cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t[key].combine_chunks().dictionary_encode()
+        codes = g.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)  # no nulls: filtered above
+        order = np.lexsort((wk, codes))
+        cs, ws = codes[order], wk[order]
+        keep = np.empty(len(cs), bool)
+        keep[0] = True
+        keep[1:] = (cs[1:] != cs[:-1]) | (ws[1:] != ws[:-1])
+        cs, ws = cs[keep], ws[keep]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], len(cs)]
+        return pa.table({
+            key: g.dictionary.take(pa.array(cs[starts])).cast(kt),
+            "__weeks": pa.array([ws[s:e].tobytes()
+                                 for s, e in zip(starts, ends)],
+                                pa.binary()),
+        })
 
-    # materialize the (small, pairs-sized) activity set ONCE: three
-    # consumers follow (cohort groupby, join left side, and the
-    # join's schema probes, which would otherwise re-execute the
-    # whole event scan + shuffle per probe)
-    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby([key, "week"]) \
-        .aggregate(Count(alias_name="__c")) \
-        .map_batches(lambda b: b.drop_columns(["__c"]),
-                     batch_format="pyarrow", zero_copy_batch=True) \
-        .materialize()
+    def _acc(acc, row):
+        w = np.frombuffer(row["__weeks"], np.int64)
+        return w.copy() if acc is None else np.union1d(acc, w)
 
-    cohorts = pairs.groupby(key).min("week").map_batches(
-        lambda b: pa.table({key: b[key],
-                            "cohort_week": b["min(week)"]}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    union_agg = AggregateFn(
+        init=lambda k: None,
+        accumulate_row=_acc,
+        merge=lambda a, b: (b if a is None else
+                            a if b is None else np.union1d(a, b)),
+        finalize=lambda a: b"" if a is None else a.tobytes(),
+        name="__weeks_u")
 
-    joined = sort_merge_join(pairs, cohorts, key, key,
-                             value_columns=["cohort_week"])
-    out = grouped_aggregate(joined, ["cohort_week", "week"],
+    merged = ds.map_batches(weeks_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(key).aggregate(union_agg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        arrs = [np.frombuffer(b, np.int64)
+                for b in batch["__weeks_u"].to_pylist() if b]
+        if not arrs:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week": pa.array([], pa.int64())})
+        lens = np.fromiter((a.size for a in arrs), np.int64,
+                           len(arrs))
+        cohort = np.repeat(
+            np.fromiter((a[0] for a in arrs), np.int64, len(arrs)),
+            lens)
+        return pa.table({"cohort_week": cohort,
+                         "week": np.concatenate(arrs)})
+
+    exploded = merged.map_batches(explode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    out = grouped_aggregate(exploded, ["cohort_week", "week"],
                             [(None, "count")])
     if out is None:
         return pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
                          "week": pa.array([], pa.timestamp("us")),
                          "n_users": pa.array([], pa.int64())})
-    return pa.table({"cohort_week": out["cohort_week"],
-                     "week": out["week"],
+    return pa.table({"cohort_week": out["cohort_week"]
+                     .cast(pa.timestamp("us")),
+                     "week": out["week"].cast(pa.timestamp("us")),
                      "n_users": out["rows_count"].cast(pa.int64())}) \
         .sort_by([("cohort_week", "ascending"), ("week", "ascending")])
 
