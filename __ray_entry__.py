@@ -1204,6 +1204,37 @@ def q_docs_pii_scrub(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_docs_url_domains(sf_dir: str):
+    """Per-domain URL accounting (engine/text.py url_domain_counts):
+    token-level first-match RE2 extraction (== regexp_extract_all —
+    matches can't span whitespace), per-block (doc, host) combiner,
+    ONE host-sized groupby. The raw corpus carries no URLs, so both
+    sides append deterministic ones: ``' see http://site<id%7>
+    .example.com/p/<id> via https://CDN<id%3>.Example.COM/a'`` —
+    the uppercase host exercises the lowercase normalization."""
+    from json_schema_ray.engine.text import url_domain_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m7 = pc.cast(pa.array(ids % 7), pa.string())
+        m3 = pc.cast(pa.array(ids % 3), pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"], " see http://site", m7, ".example.com/p/",
+            pc.cast(b["doc_id"], pa.string()),
+            " via https://CDN", m3, ".Example.COM/a", "")
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    out = url_domain_counts(
+        ds.map_batches(augment, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    schema = pa.schema([("domain", pa.string()),
+                        ("n_urls", pa.int64()),
+                        ("n_docs", pa.int64())])
+    return _collect(out, schema).sort_by([("domain", "ascending")])
+
+
 def q_events_next_value(sf_dir: str):
     from json_schema_ray.engine.rank import lead_column
 
@@ -2178,6 +2209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_source_cube": q_docs_lang_source_cube,
         "docs_decontamination": q_docs_decontamination,
         "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_url_domains": q_docs_url_domains,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -2861,6 +2893,29 @@ def oracle_sql() -> dict[str, str]:
                         / sum(cnt * chars) * 1000000 + 0.5) AS BIGINT)
                      AS dup_char_x1m
             FROM pg GROUP BY doc_id
+        """,
+        "docs_url_domains": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' see http://site' || (doc_id % 7)
+                          || '.example.com/p/' || doc_id
+                          || ' via https://CDN' || (doc_id % 3)
+                          || '.Example.COM/a' AS text
+              FROM documents
+            ), u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM aug
+            ), d AS (
+              SELECT doc_id,
+                     lower(regexp_extract(url,
+                           '^https?://([^/:?#\s]+)', 1)) AS domain
+              FROM u
+            )
+            SELECT domain, count(*)::BIGINT AS n_urls,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "docs_pii_scrub": r"""
             WITH aug AS (

@@ -938,3 +938,73 @@ def top_terms_per_group(ds, group_col: str = "lang",
         [group_col, "term"], [Sum("cnt", alias_name="cnt")], ["cnt"])
     return grouped_top_k(counts, [group_col], "cnt", k,
                          descending=True, tiebreak="term")
+
+
+_DOMAIN_REGEX = r"^https?://(?P<h>[^/:?#\s]+)"
+
+
+def url_domain_counts(ds, column: str = "text"):
+    """Per-domain URL statistics over the corpus — the canonical
+    web-pipeline rollup (C4/RefinedWeb-style per-host accounting
+    that feeds domain blocklists and per-domain caps): how many URL
+    mentions and how many distinct documents reference each host.
+
+    Extraction contract: a URL is a maximal whitespace-free run
+    starting at ``http(s)://`` — exactly DuckDB/RE2
+    ``regexp_extract_all(text, 'https?://[^\\s]+')``. The two agree
+    because a match cannot span whitespace and the greedy tail
+    consumes the rest of its token, so splitting on whitespace and
+    taking each token's FIRST embedded match finds the same set
+    (one vectorized RE2 pass, no Python per row). The host is the
+    authority up to the first ``/ : ? #``, lowercased; a malformed
+    authority (``http:///x``) yields the empty-string host exactly
+    like SQL ``regexp_extract``'s no-match ``''``.
+
+    Shape: per-block combiner (split -> first-match extract -> one
+    Arrow (doc, host) group-by, so the distinct-doc partial is exact
+    — documents never span blocks) then ONE host-sized groupby sum.
+    Returns a Dataset (domain, n_urls, n_docs)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, par = _flat_terms(batch, column)
+        empty = pa.table({"domain": pa.array([], pa.string()),
+                          "n_urls": pa.array([], pa.int64()),
+                          "n_docs": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        url = pc.struct_field(
+            pc.extract_regex(flat, pattern=r"(?P<u>https?://[^\s]+)"),
+            "u")
+        hit = pc.is_valid(url).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        url = url.filter(pa.array(hit))
+        host = pc.fill_null(
+            pc.utf8_lower(pc.struct_field(
+                pc.extract_regex(url, pattern=_DOMAIN_REGEX), "h")),
+            "")
+        per_doc = pa.TableGroupBy(
+            pa.table({"p": pa.array(par[hit], pa.int64()),
+                      "domain": host}),
+            ["p", "domain"]).aggregate([([], "count_all")])
+        per_host = pa.TableGroupBy(
+            pa.table({"domain": per_doc["domain"],
+                      "c": per_doc["count_all"]}),
+            ["domain"]).aggregate([("c", "sum"), ([], "count_all")])
+        return pa.table({
+            "domain": per_host["domain"],
+            "n_urls": per_host["c_sum"].cast(pa.int64()),
+            "n_docs": per_host["count_all"].cast(pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("domain").sum(["n_urls", "n_docs"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain": batch["domain"],
+            "n_urls": batch["sum(n_urls)"].cast(pa.int64()),
+            "n_docs": batch["sum(n_docs)"].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)

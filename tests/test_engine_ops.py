@@ -3557,3 +3557,50 @@ def test_share_of_group_matches_duckdb():
     assert got == want
     # zero-total group 'z' yields NULL share on both sides
     assert any(g == "z" and s is None for g, _, s in got)
+
+
+def test_url_domain_counts_matches_duckdb():
+    """Token-level first-match URL extraction == DuckDB
+    regexp_extract_all over the whole text, including mid-token
+    URLs, uppercase hosts, malformed authorities and null text."""
+    import duckdb
+
+    from json_schema_ray.engine.text import url_domain_counts
+
+    texts = [
+        "plain text no urls at all",
+        "see http://A.Example.com/x and http://a.example.com?q=1",
+        "dup http://a.example.com/y here",
+        "mid-token wraphttp://B.org/z trailing",
+        "https://secure.net/p http://a.example.com",
+        "malformed http:/// authority http://:8080/x",
+        None,
+        "punct (http://paren.io/a), tail http://paren.io",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = url_domain_counts(
+        _ray().data.from_arrow(t).repartition(3)).take_all()
+    got = sorted((r["domain"], r["n_urls"], r["n_docs"]) for r in out)
+
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(con.sql(r"""
+        WITH u AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text,
+                          'https?://[^\s]+')) AS url
+            FROM t
+        ), d AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url,
+                         '^https?://([^/:?#\s]+)', 1)) AS domain
+            FROM u
+        )
+        SELECT domain, count(*)::BIGINT AS n_urls,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM d GROUP BY 1
+    """).fetchall())
+    assert got == want
+    assert any(d == "" for d, _, _ in got)          # malformed host
+    assert any(d == "a.example.com" for d, _, _ in got)
