@@ -1335,6 +1335,17 @@ def q_docs_bigram_lm(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_lm_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus split (engine/text.py
+    lm_quality_buckets): bigram-LM scores ordered by the exact
+    double division logprob_e6 / n_bigrams (tiebreak doc_id) and
+    NTILE(3)-bucketed; per-bucket doc and bigram totals."""
+    from json_schema_ray.engine.text import lm_quality_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_quality_buckets(ds, "doc_id", "text", 3)
+
+
 def q_cust_top_order(sf_dir: str):
     """Per-customer arg-max: the orderkey of each customer's most
     expensive order (ties by orderkey). Pure composition of the
@@ -2255,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_token_counts": q_docs_bpe_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
         "docs_bigram_lm": q_docs_bigram_lm,
+        "docs_lm_buckets": q_docs_lm_buckets,
         "lang_top_terms": q_lang_top_terms,
         "events_throttled": q_events_throttled,
         "cust_top_order": q_cust_top_order,
@@ -2581,6 +2593,42 @@ def _fingerprint_sql() -> str:
         SELECT r.doc_id, coalesce(a.fp, '') AS fingerprint
         FROM raw r LEFT JOIN agg a USING (doc_id)
     """
+
+
+# The add-1 bigram LM scoring SQL (fixed-point per-pair log-probs so
+# document sums are exact integer sums — see engine/text.py
+# bigram_lm_scores). Shared by the docs_bigram_lm oracle and the
+# docs_lm_buckets CTE.
+_BIGRAM_LM_SQL = r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS f
+                FROM documents
+            ), big AS (
+                SELECT doc_id, unnest(f[1:len(f)-1]) AS w1,
+                       unnest(f[2:len(f)]) AS w2
+                FROM arr WHERE len(f) >= 2
+            ), bc AS (
+                SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
+            ), cc AS (
+                SELECT w1, CAST(sum(c) AS BIGINT) AS cw
+                FROM bc GROUP BY 1
+            ), v AS (
+                SELECT count(DISTINCT tok) AS v FROM
+                    (SELECT w1 AS tok FROM bc
+                     UNION SELECT w2 AS tok FROM bc)
+            ), lp AS (
+                SELECT bc.w1, bc.w2,
+                       CAST(floor(ln((bc.c + 1.0) / (cc.cw + 1.0 * v.v))
+                                  * 1e6 + 0.5) AS BIGINT) AS lp_e6
+                FROM bc JOIN cc USING (w1), v
+            )
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
+            FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+            GROUP BY b.doc_id ORDER BY b.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3168,35 +3216,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, score_e6 FROM scored WHERE rn <= 3
             ORDER BY doc_id, score_e6 DESC, term
         """,
-        "docs_bigram_lm": r"""
-            WITH arr AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(text, '\s+'),
-                                   x -> x <> '') AS f
-                FROM documents
-            ), big AS (
-                SELECT doc_id, unnest(f[1:len(f)-1]) AS w1,
-                       unnest(f[2:len(f)]) AS w2
-                FROM arr WHERE len(f) >= 2
-            ), bc AS (
-                SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2
-            ), cc AS (
-                SELECT w1, CAST(sum(c) AS BIGINT) AS cw
-                FROM bc GROUP BY 1
-            ), v AS (
-                SELECT count(DISTINCT tok) AS v FROM
-                    (SELECT w1 AS tok FROM bc
-                     UNION SELECT w2 AS tok FROM bc)
-            ), lp AS (
-                SELECT bc.w1, bc.w2,
-                       CAST(floor(ln((bc.c + 1.0) / (cc.cw + 1.0 * v.v))
-                                  * 1e6 + 0.5) AS BIGINT) AS lp_e6
-                FROM bc JOIN cc USING (w1), v
+        "docs_bigram_lm": _BIGRAM_LM_SQL,
+        "docs_lm_buckets": f"""
+            WITH scored AS ({_BIGRAM_LM_SQL}),
+            t AS (
+                SELECT n_bigrams,
+                       ntile(3) OVER (ORDER BY
+                           CAST(logprob_e6 AS DOUBLE) / n_bigrams,
+                           doc_id) AS bucket
+                FROM scored
             )
-            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(lp.lp_e6) AS BIGINT) AS logprob_e6
-            FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
-            GROUP BY b.doc_id ORDER BY b.doc_id
+            SELECT bucket, count(*)::BIGINT AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_total
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "cust_top_order": """
             SELECT o_custkey, o_orderkey AS top_orderkey FROM (

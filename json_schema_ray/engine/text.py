@@ -907,6 +907,58 @@ def bigram_lm_scores(ds, id_column: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def lm_quality_buckets(ds, id_column: str = "doc_id",
+                       column: str = "text", k: int = 3,
+                       alpha: float = 1.0, min_count: int = 1):
+    """CCNet-style corpus partitioning: score every document with
+    the corpus-trained bigram LM (:func:`bigram_lm_scores`), order
+    by per-bigram average log-prob ascending (worst-modeled docs
+    first) with the doc id as tiebreak, and split into ``k`` equal
+    NTILE buckets — the head/middle/tail split CCNet uses to select
+    training data by LM quality.
+
+    The ordering key is the exact double division
+    ``logprob_e6 / n_bigrams`` of two integers, so any SQL engine
+    orders identically (IEEE division, ties broken by id). NTILE
+    semantics are ANSI (first ``n % k`` buckets one row larger) via
+    :func:`rank.grouped_ntile` over ONE constant partition key —
+    a global doc-sized sort, exact like SQL; at 10^12 docs swap the
+    sort for :func:`stats.grouped_approx_quantiles` thresholds and
+    accept approximate bucket edges.
+
+    Returns a driver-side table
+    (bucket, n_docs, n_bigrams_total) — k rows."""
+    from .rank import grouped_ntile
+    from .relational import grouped_aggregate
+
+    scores = bigram_lm_scores(ds, id_column, column, alpha,
+                              min_count)
+
+    def add_order(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(batch["logprob_e6"], pa.float64()),
+                        pc.cast(batch["n_bigrams"], pa.float64()))
+        return batch \
+            .append_column("__avg", avg) \
+            .append_column("__g", pa.array(
+                np.zeros(batch.num_rows, np.int64)))
+
+    tiled = grouped_ntile(
+        scores.map_batches(add_order, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "__g", "__avg", id_column, k, out="bucket")
+    out = grouped_aggregate(tiled, ["bucket"],
+                            [(None, "count"), ("n_bigrams", "sum")])
+    if out is None:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_bigrams_total": pa.array([], pa.int64())})
+    return pa.table({
+        "bucket": out["bucket"].cast(pa.int64()),
+        "n_docs": out["rows_count"].cast(pa.int64()),
+        "n_bigrams_total": out["n_bigrams_sum"].cast(pa.int64())}) \
+        .sort_by([("bucket", "ascending")])
+
+
 def top_terms_per_group(ds, group_col: str = "lang",
                         column: str = "text", k: int = 5):
     """Top-k whitespace terms per group value (per-language

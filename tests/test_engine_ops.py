@@ -3604,3 +3604,39 @@ def test_url_domain_counts_matches_duckdb():
     assert got == want
     assert any(d == "" for d, _, _ in got)          # malformed host
     assert any(d == "a.example.com" for d, _, _ in got)
+
+
+def test_lm_quality_buckets_ansi_distribution():
+    """Bucket assignment == numpy recomputation from the operator's
+    own scores (order by avg logprob asc, doc_id tiebreak; first
+    n % k buckets one row larger), across blocks and with n % k != 0."""
+    from json_schema_ray.engine.text import (bigram_lm_scores,
+                                             lm_quality_buckets)
+
+    rng = np.random.default_rng(11)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(words, size=int(n)))
+             for n in rng.integers(2, 12, 11)]
+    t = pa.table({"doc_id": pa.array(range(11), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(3)
+    got = lm_quality_buckets(ds, k=4).to_pylist()
+
+    s = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in
+         bigram_lm_scores(_ray().data.from_arrow(t).repartition(3))
+         .iter_batches(batch_format="pyarrow")]).to_pydict()
+    avg = np.array(s["logprob_e6"], np.float64) / \
+        np.array(s["n_bigrams"], np.float64)
+    order = np.lexsort((np.array(s["doc_id"]), avg))
+    n, k = len(order), 4
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    nb = np.array(s["n_bigrams"])[order]
+    exp, pos = [], 0
+    for i, sz in enumerate(sizes):
+        exp.append({"bucket": i + 1, "n_docs": sz,
+                    "n_bigrams_total": int(nb[pos:pos + sz].sum())})
+        pos += sz
+    assert got == exp
+    assert sizes[0] > sizes[-1]  # n % k != 0 actually exercised
