@@ -61,10 +61,12 @@ EXTRA_QUERIES = [
     "docs_bigram_lm",          # two-pass LM train + broadcast score
     "events_throttled",        # LAG-based windowed event dedup
     "lang_top_terms",          # grouped heavy hitters over terms
-    "user_cohort_retention",   # pairs shuffle + sort-merge join + count
+    "user_cohort_retention",   # week-set union agg, two shuffles
     "embedding_nn_join",       # broadcast slab-wise cosine NN join
     "docs_capped_per_lang",    # hash-draw domain cap (grouped top-k)
     "orders_weighted_sample",  # A-Res weighted sample, partial top-k
+    "docs_url_domains",        # per-domain URL rollup, one RE2 pass
+    "docs_lm_buckets",         # LM-score NTILE corpus split
 ]
 
 

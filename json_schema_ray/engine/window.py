@@ -31,26 +31,30 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
     ts-granular result is lossless. NULL values don't contribute;
     a window with no non-null value yields NULL (SQL SUM).
 
-    Shape — a composition of three scale-vetted primitives, no new
-    boundary machinery: (1) pre-aggregated groupby to one row per
-    (key, ts); (2) per-key running sums (one sort + prefix scan +
-    O(n_blocks) carries); (3) an as-of BACKWARD self-join probing
-    ``ts - window - 1us`` so ``win(ts) = R(ts) - R(probe)`` — the
-    prefix-sum difference realizes the sliding frame without any
-    window-width carry, so a hot key never ships its timeline.
-    ``window`` is a ``datetime.timedelta`` or microseconds int;
-    ``ts`` must be temporal or integer with microsecond-integral
-    resolution (the probe subtracts in int64 microseconds)."""
+    Shape — TWO all-to-alls, no as-of machinery, no window-width
+    carries (hot keys never ship timelines): (1) per-block peer
+    combiner (no shuffle), then every (key, ts) partial emits a
+    CONTRIBUTION row at ``time = ts`` (kind 0) plus two zero-valued
+    probe rows — a WINDOW probe at ``time = ts - window - 1us``
+    (kind 1) and a READ probe at ``time = ts`` (kind 2); (2) ONE
+    null-safe sort by (key, time, kind) + the multi-column prefix
+    scan — probes sort after equal-time contributions, so the read
+    probe's running sum IS ``R(ts)`` and the window probe's IS
+    ``R(ts - window - 1us)``, sign-robust (no monotonicity
+    assumption) and peer-count-independent; (3) contributions drop
+    and a (key, ts)-sized groupby re-unites each ts's two probes
+    (MAX over the per-kind singleton) to emit
+    ``win(ts) = R(ts) - R(probe)`` — the prefix-sum difference
+    realizes the sliding frame. ``window`` is a
+    ``datetime.timedelta`` or microseconds int; ``ts`` must be
+    temporal or integer with microsecond-integral resolution (the
+    probe subtracts in int64 microseconds)."""
     import datetime
 
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max
 
     from .rank import _running_sums
-    from .relational import (
-        asof_join_backward_sorted,
-        null_safe_grouped_aggregate,
-        pre_aggregate,
-    )
+    from .relational import null_safe_grouped_aggregate, pre_aggregate
 
     win_us = int(window.total_seconds() * 1_000_000) \
         if isinstance(window, datetime.timedelta) else int(window)
@@ -67,41 +71,63 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
         ds.map_batches(prep, batch_format="pyarrow",
                        zero_copy_batch=True),
         [key, ts], [("__v", "sum"), ("__nv", "sum")])
-    per_ts = null_safe_grouped_aggregate(
-        pre, [key, ts],
-        [Sum("__v_sum", alias_name="__v"),
-         Sum("__nv_sum", alias_name="__nv")],
-        ["__v", "__nv"])
 
-    # (key, ts) is unique after the groupby, but the running-sum
-    # machinery wants a distinct tiebreak column name
-    with_tb = per_ts.map_batches(
-        lambda b: b.append_column("__tb", b[ts]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    run = _running_sums(with_tb, key, ts, [("__v", "__R"),
-                                           ("__nv", "__RC")], "__tb")
+    def expand(batch: pa.Table) -> pa.Table:
+        tt = batch[ts].type
+        n = batch.num_rows
+        v = pc.fill_null(batch["__v_sum"], 0.0)
+        nv = pc.fill_null(pc.cast(batch["__nv_sum"], pa.int64()), 0)
+        probe_t = pc.cast(
+            pc.subtract(pc.cast(batch[ts], pa.int64()),
+                        pa.scalar(win_us + 1, pa.int64())), tt)
+        zf = pa.array(np.zeros(n, np.float64))
+        zi = pa.array(np.zeros(n, np.int64))
+        contrib = pa.table({
+            key: batch[key], "__time": batch[ts],
+            "__kind": pa.array(np.zeros(n, np.int8)),
+            "__ots": batch[ts], "__v": v, "__nv": nv})
+        wprobe = pa.table({
+            key: batch[key], "__time": probe_t,
+            "__kind": pa.array(np.ones(n, np.int8)),
+            "__ots": batch[ts], "__v": zf, "__nv": zi})
+        rprobe = pa.table({
+            key: batch[key], "__time": batch[ts],
+            "__kind": pa.array(np.full(n, 2, np.int8)),
+            "__ots": batch[ts], "__v": zf, "__nv": zi})
+        return pa.concat_tables([contrib, wprobe, rprobe])
 
-    def probe_col(batch: pa.Table) -> pa.Table:
-        t_i = pc.cast(batch[ts], pa.int64())
-        p = pc.subtract(t_i, pa.scalar(win_us + 1, pa.int64()))
-        return batch.drop_columns(["__v", "__nv", "__tb"]) \
-            .append_column("__p", pc.cast(p, batch[ts].type))
-
-    left = run.map_batches(probe_col, batch_format="pyarrow",
+    both = pre.map_batches(expand, batch_format="pyarrow",
                            zero_copy_batch=True)
-    right = run.map_batches(
-        lambda b: pa.table({key: b[key], ts: b[ts], "__pR": b["__R"],
-                            "__pRC": b["__RC"]}),
-        batch_format="pyarrow", zero_copy_batch=True)
-    joined = asof_join_backward_sorted(left, right, key, key,
-                                       "__p", ts,
-                                       value_columns=["__pR", "__pRC"])
+    run = _running_sums(both, key, "__time",
+                        [("__v", "__R"), ("__nv", "__RC")], "__kind")
+
+    def split_kinds(batch: pa.Table) -> pa.Table:
+        probes = batch.filter(pc.greater(batch["__kind"], 0))
+        is_r = pc.equal(probes["__kind"], 2)
+        null_f = pa.scalar(None, pa.float64())
+        null_i = pa.scalar(None, pa.int64())
+        return pa.table({
+            key: probes[key], ts: probes["__ots"],
+            "__Rr": pc.if_else(is_r, probes["__R"], null_f),
+            "__RCr": pc.if_else(is_r, probes["__RC"], null_i),
+            "__Rp": pc.if_else(is_r, null_f, probes["__R"]),
+            "__RCp": pc.if_else(is_r, null_i, probes["__RC"])})
+
+    grouped = null_safe_grouped_aggregate(
+        run.map_batches(split_kinds, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        [key, ts],
+        [Max("__Rr", alias_name="__Rr", ignore_nulls=True),
+         Max("__RCr", alias_name="__RCr", ignore_nulls=True),
+         Max("__Rp", alias_name="__Rp", ignore_nulls=True),
+         Max("__RCp", alias_name="__RCp", ignore_nulls=True)],
+        ["__Rr", "__RCr", "__Rp", "__RCp"])
 
     def finish(batch: pa.Table) -> pa.Table:
-        r = pc.fill_null(batch["__R"], 0.0)
-        rc = pc.fill_null(batch["__RC"], 0)
-        pr = pc.fill_null(batch["__pR"], 0.0)
-        prc = pc.fill_null(batch["__pRC"], 0)
+        r = pc.fill_null(batch["__Rr"], 0.0)
+        rc = pc.fill_null(batch["__RCr"], 0)
+        pr = pc.fill_null(batch["__Rp"], 0.0)
+        prc = pc.fill_null(batch["__RCp"], 0)
         wc = pc.cast(pc.subtract(rc, prc), pa.int64())
         win = pc.if_else(pc.equal(wc, 0),
                          pa.scalar(None, pa.float64()),
@@ -109,8 +135,8 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
         return pa.table({key: batch[key], ts: batch[ts],
                          out: win, cnt_out: wc})
 
-    return joined.map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    return grouped.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",

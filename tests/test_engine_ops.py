@@ -3640,3 +3640,44 @@ def test_lm_quality_buckets_ansi_distribution():
         pos += sz
     assert got == exp
     assert sizes[0] > sizes[-1]  # n % k != 0 actually exercised
+
+
+def test_range_windowed_sum_negative_values():
+    """Sign-robustness: the probe-row design must not assume a
+    monotone prefix sum (negative contributions), including exact
+    (key, ts) peer duplicates split across blocks."""
+    import datetime
+
+    import duckdb
+
+    from json_schema_ray.engine.window import range_windowed_sum
+
+    rng = np.random.default_rng(77)
+    n = 600
+    base = np.int64(1_700_000_000_000_000)
+    # coarse grid => many exact (k, ts) peers spanning blocks
+    tsv = base + rng.integers(0, 40, size=n) * 60_000_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 4, size=n), pa.int64()),
+        "ts": pa.array(tsv, pa.timestamp("us")),
+        "v": pa.array([None if rng.random() < 0.1
+                       else float(x) for x in
+                       rng.integers(-50, 50, size=n)], pa.float64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(9)
+    out = range_windowed_sum(ds, "k", "ts", "v",
+                             datetime.timedelta(minutes=5)).take_all()
+    got = sorted((r["k"], r["ts"],
+                  None if r["range_sum"] is None
+                  else round(r["range_sum"], 6), r["range_cnt"])
+                 for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT DISTINCT k, ts,
+               round(sum(v) OVER w, 6) AS range_sum,
+               CAST(count(v) OVER w AS BIGINT) AS range_cnt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+            RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
+    """).fetchall())
+    assert got == want
