@@ -909,7 +909,8 @@ def bigram_lm_scores(ds, id_column: str = "doc_id",
 
 def lm_quality_buckets(ds, id_column: str = "doc_id",
                        column: str = "text", k: int = 3,
-                       alpha: float = 1.0, min_count: int = 1):
+                       alpha: float = 1.0, min_count: int = 1,
+                       approx: bool = False):
     """CCNet-style corpus partitioning: score every document with
     the corpus-trained bigram LM (:func:`bigram_lm_scores`), order
     by per-bigram average log-prob ascending (worst-modeled docs
@@ -922,12 +923,17 @@ def lm_quality_buckets(ds, id_column: str = "doc_id",
     orders identically (IEEE division, ties broken by id). NTILE
     semantics are ANSI (first ``n % k`` buckets one row larger) via
     :func:`rank.grouped_ntile` over ONE constant partition key —
-    a global doc-sized sort, exact like SQL; at 10^12 docs swap the
-    sort for :func:`stats.grouped_approx_quantiles` thresholds and
-    accept approximate bucket edges.
+    a global doc-sized sort, exact like SQL.
+
+    ``approx=True`` is the sort-free 10^12-doc path: ONE mergeable
+    t-digest pass (:func:`stats.grouped_approx_quantiles`) yields
+    the k-1 score thresholds, which broadcast into a stateless
+    bucket-assignment scan — no all-to-all over the scored docs at
+    all, at the cost of approximate bucket edges (sizes drift by
+    the digest error; ties at a threshold all land on one side).
 
     Returns a driver-side table
-    (bucket, n_docs, n_bigrams_total) — k rows."""
+    (bucket, n_docs, n_bigrams_total) — k rows (approx: <= k)."""
     from .rank import grouped_ntile
     from .relational import grouped_aggregate
 
@@ -942,10 +948,33 @@ def lm_quality_buckets(ds, id_column: str = "doc_id",
             .append_column("__g", pa.array(
                 np.zeros(batch.num_rows, np.int64)))
 
-    tiled = grouped_ntile(
-        scores.map_batches(add_order, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        "__g", "__avg", id_column, k, out="bucket")
+    if approx:
+        from .stats import grouped_approx_quantiles
+
+        scored = scores.map_batches(add_order,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .materialize()  # two consumers: digest pass + assign
+        qs = [i / k for i in range(1, k)]
+        th = sorted(
+            r["value"] for r in
+            grouped_approx_quantiles(scored, "__g", "__avg",
+                                     qs).take_all())
+        thr = np.asarray(th, np.float64)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            avg = batch["__avg"].to_numpy(zero_copy_only=False)
+            b = np.searchsorted(thr, avg, side="left") + 1
+            return batch.append_column(
+                "bucket", pa.array(b.astype(np.int64)))
+
+        tiled = scored.map_batches(assign, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        tiled = grouped_ntile(
+            scores.map_batches(add_order, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            "__g", "__avg", id_column, k, out="bucket")
     out = grouped_aggregate(tiled, ["bucket"],
                             [(None, "count"), ("n_bigrams", "sum")])
     if out is None:

@@ -3681,3 +3681,31 @@ def test_range_windowed_sum_negative_values():
             RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
     """).fetchall())
     assert got == want
+
+
+def test_lm_quality_buckets_approx_close_to_exact():
+    """Sort-free t-digest bucket path: same totals, bucket sizes
+    within a few percent of the exact NTILE split."""
+    from json_schema_ray.engine.text import lm_quality_buckets
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=int(n)))
+             for n in rng.integers(2, 30, 3000)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    exact = lm_quality_buckets(
+        _ray().data.from_arrow(t).repartition(6), k=4).to_pylist()
+    approx = lm_quality_buckets(
+        _ray().data.from_arrow(t).repartition(6), k=4,
+        approx=True).to_pylist()
+
+    assert sum(r["n_docs"] for r in approx) == \
+        sum(r["n_docs"] for r in exact) == len(texts)
+    assert sum(r["n_bigrams_total"] for r in approx) == \
+        sum(r["n_bigrams_total"] for r in exact)
+    ex = {r["bucket"]: r["n_docs"] for r in exact}
+    ap = {r["bucket"]: r["n_docs"] for r in approx}
+    for b in ex:
+        assert abs(ap.get(b, 0) - ex[b]) <= 0.1 * len(texts)
