@@ -46,9 +46,10 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
     (MAX over the per-kind singleton) to emit
     ``win(ts) = R(ts) - R(probe)`` — the prefix-sum difference
     realizes the sliding frame. ``window`` is a
-    ``datetime.timedelta`` or microseconds int; ``ts`` must be
-    temporal or integer with microsecond-integral resolution (the
-    probe subtracts in int64 microseconds)."""
+    ``datetime.timedelta`` or microseconds int; ``ts`` may be any
+    temporal unit (the probe subtracts in the column's own ticks —
+    a window that isn't a whole number of ticks raises) or an
+    integer column counted in microseconds."""
     import datetime
 
     from ray.data.aggregate import Max
@@ -77,9 +78,23 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
         n = batch.num_rows
         v = pc.fill_null(batch["__v_sum"], 0.0)
         nv = pc.fill_null(pc.cast(batch["__nv_sum"], pa.int64()), 0)
+        # the int64 view of a temporal column is in the column's OWN
+        # unit — convert the microsecond window into ticks (and probe
+        # 1 tick before the frame) or a non-"us" column silently gets
+        # a 1000x-wrong window
+        us_per_tick = {"s": 1_000_000, "ms": 1_000, "us": 1,
+                       "ns": None}.get(getattr(tt, "unit", "us"), 1)
+        if us_per_tick is None:  # ns: ticks are finer than us
+            win_ticks = win_us * 1_000
+        else:
+            if win_us % us_per_tick:
+                raise ValueError(
+                    f"window ({win_us}us) is not a whole number of"
+                    f" {tt} ticks")
+            win_ticks = win_us // us_per_tick
         probe_t = pc.cast(
             pc.subtract(pc.cast(batch[ts], pa.int64()),
-                        pa.scalar(win_us + 1, pa.int64())), tt)
+                        pa.scalar(win_ticks + 1, pa.int64())), tt)
         zf = pa.array(np.zeros(n, np.float64))
         zi = pa.array(np.zeros(n, np.int64))
         contrib = pa.table({

@@ -2892,6 +2892,54 @@ def test_range_windowed_sum_matches_duckdb():
     assert got == want
 
 
+def test_range_windowed_sum_ms_unit_matches_duckdb():
+    """A timestamp("ms") column must get the same 5-minute frame as
+    a "us" one — the probe offset converts to the column's own ticks
+    (regression: it used to subtract raw microseconds, i.e. a
+    1000x-too-small window on ms columns)."""
+    import datetime
+
+    import duckdb
+
+    from json_schema_ray.engine.window import range_windowed_sum
+
+    rng = np.random.default_rng(56)
+    n = 400
+    base = np.int64(1_700_000_000_000)
+    tsv = base + rng.integers(0, 3_600_000, size=n)  # 1h span, ms
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 4, size=n), pa.int64()),
+        "ts": pa.array(tsv, pa.timestamp("ms")),
+        "v": pa.array(rng.integers(0, 100, size=n).astype(float)),
+    })
+    ds = _ray().data.from_arrow(t).repartition(5)
+    out = range_windowed_sum(ds, "k", "ts", "v",
+                             datetime.timedelta(minutes=5)).take_all()
+    got = sorted((r["k"], r["ts"],
+                  None if r["range_sum"] is None
+                  else round(r["range_sum"], 6), r["range_cnt"])
+                 for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute("""
+        SELECT DISTINCT k, CAST(ts AS TIMESTAMP) AS ts,
+               round(sum(v) OVER w, 6) AS range_sum,
+               CAST(count(v) OVER w AS BIGINT) AS range_cnt
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+            RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)
+    """).fetchall())
+    assert got == want
+
+    import pytest
+
+    # the ValueError raises inside the map task, so Ray delivers it
+    # wrapped in RayTaskError — match on the message
+    with pytest.raises(Exception, match="whole number"):
+        range_windowed_sum(
+            ds, "k", "ts", "v",
+            datetime.timedelta(microseconds=1500)).take_all()
+
+
 def test_bloom_semi_join_exact_and_superset():
     import pyarrow.compute as pc
 
