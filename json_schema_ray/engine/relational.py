@@ -339,6 +339,42 @@ def salted_aggregate(ds, keys: List[str],
     return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
 
+def _int64_us(col):
+    """Int64 view of a temporal or integer column normalized to
+    MICROSECONDS regardless of the column's own unit — the raw int64
+    cast of a timestamp is in that column's ticks (and of a date32 in
+    DAYS), so absolute-microsecond window/tolerance constants and
+    cross-side comparisons in mixed-unit joins silently mis-scale
+    without this. Integer columns pass through (documented as already
+    microseconds); ns floor-divides (toward -inf) so pre-1970 values
+    keep floor-assignment semantics. Nulls are preserved."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    t = col.type
+    if pa.types.is_date32(t):
+        iv = pc.cast(pc.cast(arr, pa.int32()), pa.int64())
+        return pc.multiply_checked(
+            iv, pa.scalar(86_400_000_000, pa.int64()))
+    if pa.types.is_date64(t):  # int64 view is milliseconds
+        return pc.multiply_checked(pc.cast(arr, pa.int64()),
+                                   pa.scalar(1_000, pa.int64()))
+    iv = pc.cast(arr, pa.int64())
+    unit = getattr(t, "unit", None)
+    if unit in (None, "us"):
+        return iv
+    if unit == "s":
+        return pc.multiply_checked(iv, pa.scalar(1_000_000, pa.int64()))
+    if unit == "ms":
+        return pc.multiply_checked(iv, pa.scalar(1_000, pa.int64()))
+    # ns
+    nulls = pc.is_null(iv)
+    v = pc.fill_null(iv, 0).to_numpy(zero_copy_only=False)
+    has_null = pc.any(nulls).as_py() or False
+    return pa.array(v // 1000, pa.int64(),
+                    mask=nulls.to_numpy(zero_copy_only=False)
+                    if has_null else None)
+
+
 def asof_join_backward(ds, right_table: pa.Table, left_by: str,
                        right_by: str, left_time: str, right_time: str,
                        value_columns: List[str]):
@@ -362,7 +398,7 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
     rt = right_table.sort_by([(right_by, "ascending"),
                               (right_time, "ascending")])
     by_np = rt[right_by].to_numpy(zero_copy_only=False)
-    t_np = pc.cast(rt[right_time], pa.int64()).to_numpy(zero_copy_only=False)
+    t_np = _int64_us(rt[right_time]).to_numpy(zero_copy_only=False)
     if len(by_np):
         starts = np.concatenate(
             [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
@@ -379,7 +415,7 @@ def asof_join_backward(ds, right_table: pa.Table, left_by: str,
         index, values = ray.get(handle)
         n = batch.num_rows
         lb = batch[left_by].to_numpy(zero_copy_only=False)
-        lt = pc.cast(batch[left_time], pa.int64()) \
+        lt = _int64_us(batch[left_time]) \
             .to_numpy(zero_copy_only=False)
         # global position into the sorted right side; -1 = no match
         gpos = np.full(n, -1, dtype=np.int64)
@@ -444,7 +480,7 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
     rt = right_table.sort_by([(right_by, "ascending"),
                               (right_time, "ascending")])
     by_np = rt[right_by].to_numpy(zero_copy_only=False)
-    t_np = pc.cast(rt[right_time], pa.int64()).to_numpy(zero_copy_only=False)
+    t_np = _int64_us(rt[right_time]).to_numpy(zero_copy_only=False)
     if len(by_np):
         starts = np.concatenate(
             [[0], np.nonzero(by_np[1:] != by_np[:-1])[0] + 1, [len(by_np)]])
@@ -460,7 +496,7 @@ def range_join(ds, right_table: pa.Table, left_by: str, right_by: str,
     def probe(batch: pa.Table) -> pa.Table:
         index, values = ray.get(handle)
         lb = batch[left_by].to_numpy(zero_copy_only=False)
-        lt = pc.cast(batch[left_time], pa.int64()) \
+        lt = _int64_us(batch[left_time]) \
             .to_numpy(zero_copy_only=False)
         left_rows: list = []
         right_pos: list = []
@@ -1471,7 +1507,7 @@ def asof_join_forward_sorted(left_ds, right_ds, left_by: str,
 
     def negate(col: str):
         def f(batch: pa.Table) -> pa.Table:
-            t = pc.cast(batch[col], pa.int64())
+            t = _int64_us(batch[col])
             return batch.append_column(
                 tmp, pc.subtract(pa.scalar(0, pa.int64()), t))
         return f
@@ -1535,7 +1571,7 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
         for c in left_names:
             cols[c] = pa.nulls(n, left_schema_probe.field(c).type)
         cols[key_col] = pc.cast(batch[right_by], pa.string())
-        cols[t_col] = pc.cast(batch[right_time], pa.int64())
+        cols[t_col] = _int64_us(batch[right_time])
         cols[side_col] = pa.array(np.zeros(n, np.int8))
         for c in value_columns:
             cols[c] = batch[c]
@@ -1549,7 +1585,7 @@ def asof_join_backward_sorted(left_ds, right_ds, left_by: str,
         n = batch.num_rows
         cols = {c: batch[c] for c in left_names}
         cols[key_col] = pc.cast(batch[left_by], pa.string())
-        cols[t_col] = pc.cast(batch[left_time], pa.int64())
+        cols[t_col] = _int64_us(batch[left_time])
         cols[side_col] = pa.array(np.ones(n, np.int8))
         for c in value_columns:
             cols[c] = pa.nulls(n, value_types[c])

@@ -21,6 +21,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+from .relational import _int64_us
+
+
 def range_windowed_sum(ds, key: str, ts: str, value: str, window,
                        out: str = "range_sum",
                        cnt_out: str = "range_cnt"):
@@ -188,8 +191,7 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
             return pa.table(empty)
         keys_np = batch[key].combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        tsv = pc.cast(batch[ts], pa.int64()).combine_chunks() \
-            .to_numpy(zero_copy_only=False)
+        tsv = _int64_us(batch[ts]).to_numpy(zero_copy_only=False)
         # one vectorized pass over the sorted block: per-key-segment
         # event counts, session counts (adjacent-diff breaks), and
         # first/last timestamps
@@ -287,9 +289,7 @@ def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
     n_win = window_seconds // hop_seconds
 
     def assign(batch: pa.Table) -> pa.Table:
-        tsv = pc.cast(batch[ts], pa.int64())
-        if isinstance(tsv, pa.ChunkedArray):
-            tsv = tsv.combine_chunks()
+        tsv = _int64_us(batch[ts])
         valid = pc.is_valid(tsv).to_numpy(zero_copy_only=False)
         t_np = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
         base = (t_np // hop_us) * hop_us
@@ -325,9 +325,7 @@ def tumbling_window_counts(ds, ts: str = "ts", value: str = "value",
     win_us = window_seconds * 1_000_000
 
     def assign(batch: pa.Table) -> pa.Table:
-        tsv = pc.cast(batch[ts], pa.int64())
-        if isinstance(tsv, pa.ChunkedArray):
-            tsv = tsv.combine_chunks()
+        tsv = _int64_us(batch[ts])
         # FLOOR division (numpy // truncates toward -inf), matching
         # SQL floor(): pre-1970 (negative) timestamps land in the
         # window that CONTAINS them, not the one above

@@ -244,6 +244,50 @@ def test_sessionize_counts():
     assert rows[2]["n_sessions"] == 1
 
 
+def test_window_ops_unit_invariant():
+    """The same instants expressed as timestamp("us"), ("ms") and
+    ("s") columns must sessionize and window-aggregate identically —
+    the raw int64 view of a timestamp is in the column's OWN unit
+    (regression: gap/window math used to assume microseconds, so an
+    ms column got a 1000x-too-small gap)."""
+    from json_schema_ray.engine.window import (hopping_window_counts,
+                                               sessionize_counts,
+                                               tumbling_window_counts)
+
+    rng = np.random.default_rng(57)
+    n = 500
+    base_s = 1_700_000_000
+    secs = base_s + rng.integers(0, 5 * 86_400, size=n)
+
+    def run_all(unit, scale):
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 8, size=n) * 0
+                                + np.repeat(np.arange(10), 50)[:n],
+                                pa.int64()),
+            "ts": pa.array(secs * scale, pa.timestamp(unit)),
+            "value": pa.array(np.ones(n)),
+        })
+        ds = _ray().data.from_arrow(t).repartition(4)
+        sess = sorted(
+            (r["user_id"], r["n_events"], r["n_sessions"])
+            for r in sessionize_counts(ds, gap_seconds=3600.0)
+            .take_all())
+        tumb = sorted(
+            tuple(r.values())
+            for r in tumbling_window_counts(
+                ds, window_seconds=86_400).to_pylist())
+        hop = sorted(
+            tuple(r.values())
+            for r in hopping_window_counts(
+                ds, window_seconds=86_400,
+                hop_seconds=43_200).to_pylist())
+        return sess, tumb, hop
+
+    want = run_all("us", 1_000_000)
+    assert run_all("ms", 1_000) == want
+    assert run_all("s", 1) == want
+
+
 def test_drift_profile_roundtrip_and_psi():
     from json_schema_ray.engine.drift import ReferenceProfile, psi
 
@@ -2938,6 +2982,67 @@ def test_range_windowed_sum_ms_unit_matches_duckdb():
         range_windowed_sum(
             ds, "k", "ts", "v",
             datetime.timedelta(microseconds=1500)).take_all()
+
+
+def test_asof_and_range_join_mixed_time_units():
+    """Time comparisons normalize to microseconds on BOTH sides, so
+    an as-of join between a us left and an ms right (and a range join
+    over date32 with a day-scale microsecond window) resolves the
+    same instants correctly (regression: raw int64 ticks compared
+    us-vs-ms across sides / added raw microsecond constants to
+    date32 day counts)."""
+    import datetime
+
+    from json_schema_ray.engine.relational import (asof_join_backward,
+                                                   range_join)
+
+    base_us = 1_700_000_000_000_000
+    left = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "lt": pa.array([base_us + 5_000_000, base_us + 1_000_000,
+                        base_us + 5_000_000], pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "rt": pa.array([(base_us + 2_000_000) // 1000,
+                        (base_us + 4_000_000) // 1000,
+                        (base_us + 9_000_000) // 1000],
+                       pa.timestamp("ms")),
+        "val": pa.array([10.0, 20.0, 30.0]),
+    })
+    ds = _ray().data.from_arrow(left)
+    out = sorted(
+        (r["k"], r["lt"].second % 10, r["val"])
+        for r in asof_join_backward(ds, right, "k", "k", "lt", "rt",
+                                    ["val"]).take_all())
+    # k=1 @+5s -> latest right <= +5s is +4s (20.0); k=1 @+1s -> none;
+    # k=2 @+5s -> right is at +9s, in the future -> none
+    assert out == [(1, 1, None), (1, 5, 20.0), (2, 5, None)]
+
+    day_us = 86_400_000_000
+    epoch = datetime.date(1970, 1, 1)
+    dleft = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "lt": pa.array([epoch + datetime.timedelta(days=100),
+                        epoch + datetime.timedelta(days=200)],
+                       pa.date32()),
+    })
+    dright = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "rt": pa.array([epoch + datetime.timedelta(days=95),
+                        epoch + datetime.timedelta(days=98),
+                        epoch + datetime.timedelta(days=150)],
+                       pa.date32()),
+        "val": pa.array([1.0, 2.0, 3.0]),
+    })
+    got = sorted(
+        (r["k"], r["lt"].day, r["val"])
+        for r in range_join(_ray().data.from_arrow(dleft), dright,
+                            "k", "k", "lt", "rt",
+                            before_us=3 * day_us, after_us=0,
+                            value_columns=["val"]).take_all())
+    # day 100 window [97, 100] -> day 98 only; day 200 -> nothing
+    assert got == [(1, 11, 2.0)]
 
 
 def test_bloom_semi_join_exact_and_superset():
