@@ -416,6 +416,60 @@ def q_events_pivot_by_type(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_event_transition_violations(sf_dir: str):
+    """Protocol / state-machine validation (engine/keys.py
+    transition_violations): per user in (ts, event_id) order, a
+    'signup' may only be followed by view/click, an 'error' only by
+    view/signup, and a user's FIRST event must be signup or view.
+    Returns the violating rows — one LAG scan (single null-safe
+    sort, O(n_blocks) carries) plus a stateless vectorized filter."""
+    from json_schema_ray.engine.keys import transition_violations
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    out = transition_violations(
+        ds, "user_id", "ts", "event_type",
+        allowed={"signup": {"view", "click"},
+                 "error": {"view", "signup"}},
+        tiebreak="event_id", start={"signup", "view"})
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("prev_label", pa.string()),
+                        ("event_type", pa.string())])
+    return _collect(out, schema)
+
+
+def q_transcript_role_protocol(sf_dir: str):
+    """Role-sequence protocol over the transcript corpus: roles must
+    cycle user -> assistant -> tool -> system -> user and each
+    conversation must open with 'user'. The corrupted corpus's
+    injected bad_role turns ('narrator') surface as violations of
+    the incoming transition. Same transition_violations operator as
+    the oracle-checked events variant; no DuckDB view exists over
+    the generated transcript files, so this entry is rows-only."""
+    import ray
+
+    from json_schema_ray.engine.keys import transition_violations
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "turn_idx", "role"])
+    out = transition_violations(
+        ds, "conv_id", "turn_idx", "role",
+        allowed={"user": {"assistant"}, "assistant": {"tool"},
+                 "tool": {"system"}, "system": {"user"}},
+        tiebreak="turn_idx", start={"user"})
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("prev_label", pa.string()),
+                        ("role", pa.string())])
+    return _collect(out, schema)
+
+
 DOCUMENTS_SCHEMA = {
     "type": ["object"],
     "required": ["doc_id", "text", "lang", "source"],
@@ -2208,6 +2262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_spend": q_running_user_spend,
         "events_pivot_by_type": q_events_pivot_by_type,
         "events_prev_value": q_events_prev_value,
+        "event_transition_violations": q_event_transition_violations,
+        "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
@@ -2812,6 +2868,22 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lag_value
             FROM events
+        """,
+        "event_transition_violations": """
+            WITH lagged AS (
+                SELECT user_id, ts, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_label
+                FROM events
+            )
+            SELECT user_id, ts, prev_label, event_type
+            FROM lagged
+            WHERE (prev_label = 'signup' AND (event_type IS NULL
+                       OR event_type NOT IN ('view', 'click')))
+               OR (prev_label = 'error' AND (event_type IS NULL
+                       OR event_type NOT IN ('view', 'signup')))
+               OR (prev_label IS NULL AND (event_type IS NULL
+                       OR event_type NOT IN ('signup', 'view')))
         """,
         "events_next_value": """
             SELECT event_id, user_id,

@@ -433,3 +433,92 @@ def turn_ordering_violations(ds, group_key: str = "conv_id",
         "error_type": pa.array([r[1] for r in rows], pa.string()),
         "message": pa.array([r[2] for r in rows], pa.string()),
     }))
+
+
+def transition_violations(ds, key, order: str, label: str,
+                          allowed: dict, tiebreak: str,
+                          start=None):
+    """Protocol / state-machine validation over ordered per-key
+    sequences — the transcript-shaped generalization of turn
+    ordering: within each ``key``'s rows taken in ``(order,
+    tiebreak)`` order, the transition ``prev_label -> label`` must be
+    permitted. ``allowed`` maps a from-label to its permitted
+    successor labels; a from-label ABSENT from ``allowed`` permits
+    any successor (open-world: validate only the states you care
+    about). ``start``, if given, is the set of labels a key's FIRST
+    row may carry (None = any). A NULL label is open-world as a
+    FROM-state (its successor is never restricted) and fails as a
+    TO-state whenever its predecessor's successors are restricted or
+    (for first rows) ``start`` is set. First-of-key detection is
+    exact even when labels themselves are NULL: the lagged column is
+    sentinel-coalesced, so a NULL lag uniquely means "no
+    predecessor".
+
+    Returns the violating rows as a Dataset of
+    (key..., order, prev_label, label) — violation-sized, never
+    corpus-sized.
+
+    Scale shape: rides :func:`rank.lag_column` — ONE null-safe sort
+    with O(n_blocks) fixed-size carries (a hot key never ships its
+    timeline anywhere) — then a stateless vectorized filter: one
+    ``pc.equal`` + ``pc.is_in`` pair per restricted from-label (the
+    protocol alphabet is small and fixed), no per-row Python, no
+    driver state."""
+    from .rank import lag_column
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if tiebreak == order:
+        # the shift scan selects (order, tiebreak) as two columns —
+        # alias the duplicate so callers may pass the same column
+        # (e.g. a turn index that is both the order and the unique
+        # tiebreaker)
+        def alias(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__tb", batch[order])
+
+        ds = ds.map_batches(alias, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        tiebreak = "__tb"
+
+    # lag a sentinel-coalesced copy: a NULL lag must uniquely mean
+    # "first row of key", not "predecessor's label was NULL"
+    sentinel = "\x00__null_label__"
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__lab_nn",
+            pc.fill_null(pc.cast(batch[label], pa.string()), sentinel))
+
+    lagged = lag_column(
+        ds.map_batches(coalesce, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key, order, value="__lab_nn", tiebreak=tiebreak, out="__prev")
+
+    allowed_sets = {f: pa.array(sorted(set(s)), pa.string())
+                    for f, s in allowed.items()}
+    start_set = (pa.array(sorted(set(start)), pa.string())
+                 if start is not None else None)
+
+    def check(batch: pa.Table) -> pa.Table:
+        prev = batch["__prev"]
+        cur = batch[label]
+        n = batch.num_rows
+        bad = pa.array(np.zeros(n, bool))
+        for f, succ in allowed_sets.items():
+            is_f = pc.fill_null(pc.equal(prev, f), False)
+            ok = pc.fill_null(pc.is_in(cur, value_set=succ), False)
+            bad = pc.or_(bad, pc.and_(is_f, pc.invert(ok)))
+        if start_set is not None:
+            first = pc.is_null(prev)
+            ok0 = pc.fill_null(pc.is_in(cur, value_set=start_set),
+                               False)
+            bad = pc.or_(bad, pc.and_(first, pc.invert(ok0)))
+        out = batch.filter(bad)
+        prev_out = pc.if_else(
+            pc.fill_null(pc.equal(out["__prev"], sentinel), False),
+            pa.scalar(None, pa.string()), out["__prev"])
+        return out.select(keys + [order]) \
+            .append_column("prev_label", prev_out) \
+            .append_column(label, out[label])
+
+    return lagged.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -244,6 +244,47 @@ def test_sessionize_counts():
     assert rows[2]["n_sessions"] == 1
 
 
+def test_transition_violations_matches_bruteforce():
+    """Protocol validation over ordered per-key sequences vs a
+    driver-side replay: restricted from-labels, open-world labels,
+    a start set, NULL labels, multiblock input, and order==tiebreak
+    aliasing."""
+    from json_schema_ray.engine.keys import transition_violations
+
+    rng = np.random.default_rng(58)
+    n = 3000
+    labels = np.array(["a", "b", "c", "d"], dtype=object)
+    lab = labels[rng.integers(0, 4, size=n)]
+    lab[rng.random(n) < 0.03] = None
+    keys = rng.integers(0, 40, size=n)
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+        "lab": pa.array(lab.tolist(), pa.string()),
+    })
+    allowed = {"a": {"b", "c"}, "c": {"a"}}
+    start = {"a", "d"}
+    ds = _ray().data.from_arrow(t).repartition(6)
+    out = transition_violations(ds, "k", "o", "lab", allowed,
+                                tiebreak="o", start=start)
+    got = sorted((r["k"], r["o"], r["prev_label"], r["lab"])
+                 for r in out.take_all())
+
+    # driver replay
+    want = []
+    by_key: dict = {}
+    for k, o, v in sorted(zip(keys.tolist(), range(n), lab.tolist())):
+        prev = by_key.get(k, ("__first",))
+        if prev == ("__first",):
+            if v not in start:
+                want.append((k, o, None, v))
+        elif prev[0] in allowed and v not in allowed[prev[0]]:
+            want.append((k, o, prev[0], v))
+        by_key[k] = (v,)
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
 def test_window_ops_unit_invariant():
     """The same instants expressed as timestamp("us"), ("ms") and
     ("s") columns must sessionize and window-aggregate identically —
