@@ -53,7 +53,7 @@ EXTRA_QUERIES = [
     "events_prev_value",      # SQL LAG: one carry row per block
     "user_event_type_diversity_sorted",  # sorted exact distinct-per-key
     "user_event_ntile",        # row_number + ntile: sort + carries
-    "user_range_sum_1h",       # RANGE frame: prefix sums + as-of self-join
+    "user_range_sum_1h",       # RANGE frame: probe rows on one sort
     "user_first_last_value",   # arg-extremes as one hash aggregate
     "lineitems_small_parts",   # bloom pre-filter + exact semi verify
     "negbal_highvalue_full",   # full outer sort-merge join
@@ -67,6 +67,7 @@ EXTRA_QUERIES = [
     "orders_weighted_sample",  # A-Res weighted sample, partial top-k
     "docs_url_domains",        # per-domain URL rollup, one RE2 pass
     "docs_lm_buckets",         # LM-score NTILE corpus split
+    "event_transition_violations",  # protocol check: LAG + filter
 ]
 
 
