@@ -1932,6 +1932,19 @@ def q_doc_fingerprints(sf_dir: str):
     return t.select(["doc_id", "fingerprint"]).sort_by("doc_id")
 
 
+def q_docs_shared_spans(sf_dir: str):
+    """Cross-document repeated-span candidates (engine/text.py
+    shared_fingerprint_pairs): doc pairs sharing any of their 4
+    smallest 16-byte Rabin-Karp window hashes, with the shared-span
+    count — substring-level duplicate detection. One fingerprint
+    scan, one hash-sorted pairing pass, one pair-combiner groupby."""
+    from json_schema_ray.engine.text import shared_fingerprint_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = shared_fingerprint_pairs(ds)
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def q_multimodal_features(sf_dir: str):
     import ray
 
@@ -2358,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
         "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
+        "docs_shared_spans": q_docs_shared_spans,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "text_equality_aligned": q_text_equality_aligned,
@@ -2599,19 +2613,20 @@ def _knn_lsh_bucket_expr(n_planes: int = 8) -> str:
     return " + ".join(terms)
 
 
-def _fingerprint_sql() -> str:
-    """The winnowing fingerprint recomputed in pure SQL: UTF-8 bytes
-    via hex-pair extraction from ``encode(text)``, the Rabin-Karp
-    window hash (base 257, mod 2^61-1, window 16) as a 16-term
-    HUGEINT sum grouped by window start, then the 4 smallest distinct
-    hashes hex-joined — byte-identical to engine/text.py
-    ``fingerprint_batch``."""
+def _fingerprint_mins_cte() -> str:
+    """Shared CTE prefix: the winnowing fingerprint recomputed in
+    pure SQL — UTF-8 bytes via hex-pair extraction from
+    ``encode(text)``, the Rabin-Karp window hash (base 257,
+    mod 2^61-1, window 16) as a 16-term HUGEINT sum grouped by window
+    start, the 4 smallest distinct hashes per doc in ``mins`` —
+    byte-identical to engine/text.py ``fingerprint_batch`` /
+    ``shared_fingerprint_pairs``."""
     p = (1 << 61) - 1
     pows = [pow(257, k, p) for k in range(16)]
     offsets = ", ".join(f"({j}, {pows[15 - j]}::HUGEINT)"
                         for j in range(16))
     return f"""
-        WITH raw AS (
+        raw AS (
           SELECT doc_id, upper(hex(encode(text))) AS hx,
                  octet_length(encode(text)) AS n
           FROM documents WHERE text IS NOT NULL
@@ -2641,13 +2656,36 @@ def _fingerprint_sql() -> str:
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY h) AS rn
           FROM (SELECT DISTINCT doc_id, h FROM hashes)
-        ), agg AS (
+        ), mins AS (
+          SELECT doc_id, h FROM ranked WHERE rn <= 4
+        )
+    """
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+        WITH {_fingerprint_mins_cte()},
+        agg AS (
           SELECT doc_id,
                  string_agg(printf('%x', h), '-' ORDER BY h) AS fp
-          FROM ranked WHERE rn <= 4 GROUP BY doc_id
+          FROM mins GROUP BY doc_id
         )
         SELECT r.doc_id, coalesce(a.fp, '') AS fingerprint
         FROM raw r LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _shared_spans_sql() -> str:
+    """Docs pairing when any of their 4 smallest window hashes
+    collide, with the shared-span count — the SQL mirror of
+    engine/text.py ``shared_fingerprint_pairs``."""
+    return f"""
+        WITH {_fingerprint_mins_cte()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared
+        FROM mins a JOIN mins b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     """
 
 
@@ -2693,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
     sample_thr = int(0.05 * float(1 << 64))
     return {
         "doc_fingerprints": _fingerprint_sql(),
+        "docs_shared_spans": _shared_spans_sql(),
         "orders_price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,
                    quantile_disc(o_totalprice, 0.25) AS value FROM orders

@@ -1089,3 +1089,64 @@ def url_domain_counts(ds, column: str = "text"):
 
     return agg.map_batches(rename, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def shared_fingerprint_pairs(ds, id_column: str = "doc_id",
+                             column: str = "text", window: int = 16,
+                             keep: int = 4, max_bucket=None):
+    """Cross-document repeated-span candidates — substring-level
+    duplicate detection at candidate granularity (the winnowing
+    analogue of exact-substring training-data dedup): two documents
+    pair when they share any of their ``keep`` smallest ``window``-
+    byte Rabin-Karp hashes, i.e. when (with high probability) they
+    contain a common byte span. Returns (id_a, id_b, n_shared) with
+    ``id_a < id_b`` and ``n_shared`` = how many of the min-hash spans
+    collide — exact duplicates share all ``keep``.
+
+    Scale shape: the fingerprint scan (doc-parallel batched
+    Rabin-Karp, :func:`_rolling_hashes_batch`) emits at most ``keep``
+    (hash, id) rows per doc; pairing reuses the LSH bucket machinery
+    (ONE range-partitioned sort on the hash + vectorized interior
+    upper-triangle expansion + worker-side edge stitch,
+    :func:`dedup._bucket_candidate_pairs`), and one (id_a, id_b)
+    combiner groupby counts shared spans. Nothing doc-sized
+    shuffles twice; hot spans (boilerplate shared by m docs) cost
+    their true O(m^2) pairs inside one worker — cap with
+    ``max_bucket`` (surfaced, never silent) on boilerplate-heavy
+    corpora."""
+    from .dedup import _bucket_candidate_pairs
+    from .relational import grouped_aggregate
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[column].to_pylist()
+        ids = batch[id_column].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        datas = [None if t is None else
+                 np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                 for t in texts]
+        hashed = _rolling_hashes_batch(datas, window)
+        out_h, out_id = [], []
+        for i, h in enumerate(hashed):
+            if h is None or len(h) == 0:
+                continue
+            sm = np.unique(h)[:keep]
+            out_h.append(sm.astype(np.int64))  # < 2^61-1: sign-safe
+            out_id.append(np.full(len(sm), ids[i], dtype=np.int64))
+        if not out_h:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_column: pa.array([], pa.int64())})
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_h)),
+            id_column: pa.array(np.concatenate(out_id))})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    pairs = _bucket_candidate_pairs(rows, id_column, max_bucket,
+                                    distinct=False)
+    out = grouped_aggregate(pairs, ["id_a", "id_b"], [(None, "count")])
+    if out is None:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "n_shared": pa.array([], pa.int64())})
+    return pa.table({"id_a": out["id_a"], "id_b": out["id_b"],
+                     "n_shared": out["rows_count"].cast(pa.int64())})

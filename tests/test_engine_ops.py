@@ -244,6 +244,51 @@ def test_sessionize_counts():
     assert rows[2]["n_sessions"] == 1
 
 
+def test_shared_fingerprint_pairs_matches_bruteforce():
+    """Cross-doc repeated-span candidates vs a driver-side replay:
+    duplicated bases, unique docs, a None text and a sub-window doc,
+    multiblock input."""
+    from json_schema_ray.engine.text import (_rolling_hashes_batch,
+                                             shared_fingerprint_pairs)
+
+    rng = np.random.default_rng(60)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "lorem ipsum dolor sit amet consectetur adipiscing " * 2,
+            "pack my box with five dozen liquor jugs today ok " * 2]
+    texts = []
+    for i in range(120):
+        t = base[i % 3]
+        if i % 7 == 0:
+            t = t + f" unique suffix {i}"
+        elif i % 5 == 0:
+            t = (f"prefix {i} " + "".join(
+                chr(97 + c) for c in rng.integers(0, 26, 40)))
+        texts.append(t)
+    texts[10] = None
+    texts[11] = "short"
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(5)
+    out = shared_fingerprint_pairs(ds)
+    got = sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                     out["n_shared"].to_pylist()))
+
+    datas = [None if x is None else
+             np.frombuffer(x.encode(), np.uint8) for x in texts]
+    hs = _rolling_hashes_batch(datas, 16)
+    mins = {i: set(np.unique(h)[:4].tolist())
+            for i, h in enumerate(hs) if h is not None and len(h)}
+    want = []
+    ks = sorted(mins)
+    for ai, a in enumerate(ks):
+        for b in ks[ai + 1:]:
+            n = len(mins[a] & mins[b])
+            if n:
+                want.append((a, b, n))
+    assert got == sorted(want)
+    assert len(got) > 100  # the duplicated bases must actually pair
+
+
 def test_transition_violations_matches_bruteforce():
     """Protocol validation over ordered per-key sequences vs a
     driver-side replay: restricted from-labels, open-world labels,
