@@ -68,6 +68,7 @@ EXTRA_QUERIES = [
     "docs_url_domains",        # per-domain URL rollup, one RE2 pass
     "docs_lm_buckets",         # LM-score NTILE corpus split
     "event_transition_violations",  # protocol check: LAG + filter
+    "docs_shared_spans",       # repeated-span pairs via fingerprints
 ]
 
 
