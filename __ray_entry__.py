@@ -1289,6 +1289,40 @@ def q_docs_url_domains(sf_dir: str):
     return _collect(out, schema).sort_by([("domain", "ascending")])
 
 
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the corpus link graph
+    (engine/graph.py ``pagerank`` — the iterative-algorithm family):
+    edges are one (source, host) row per URL MENTION extracted with
+    the same RE2 contract as docs_url_domains (the corpus carries no
+    URLs, so both sides append the same deterministic ones). Ranks
+    are ALL-INTEGER fixed-point (scale 1e9, damping 85/100 as integer
+    ops, floor division), so three iterations reproduce bit-for-bit
+    in DuckDB ``//`` arithmetic — no float summation order anywhere.
+    Broadcast mode probes a node-sized rank vector per batch; the
+    driver-state-free sorted mode is differential-tested in
+    tests/test_graph.py."""
+    from json_schema_ray.engine.graph import pagerank, url_host_edges
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m7 = pc.cast(pa.array(ids % 7), pa.string())
+        m3 = pc.cast(pa.array(ids % 3), pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"], " see http://site", m7, ".example.com/p/",
+            pc.cast(b["doc_id"], pa.string()),
+            " via https://CDN", m3, ".Example.COM/a", "")
+        return pa.table({"source": b["source"], "text": aug})
+
+    edges = url_host_edges(
+        ds.map_batches(augment, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        src_column="source")
+    return pagerank(edges, n_iter=3)
+
+
 def q_events_next_value(sf_dir: str):
     from json_schema_ray.engine.rank import lead_column
 
@@ -2290,6 +2324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontamination": q_docs_decontamination,
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_url_domains": q_docs_url_domains,
+        "host_pagerank": q_host_pagerank,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -3075,6 +3110,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, count(*)::BIGINT AS n_urls,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "host_pagerank": r"""
+            WITH aug AS (
+              SELECT doc_id, source,
+                     text || ' see http://site' || (doc_id % 7)
+                          || '.example.com/p/' || doc_id
+                          || ' via https://CDN' || (doc_id % 3)
+                          || '.Example.COM/a' AS text
+              FROM documents
+            ), u AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM aug
+            ), edges AS (
+              SELECT source AS src,
+                     lower(regexp_extract(url,
+                           '^https?://([^/:?#\s]+)', 1)) AS dst
+              FROM u
+            ), nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ), deg AS (
+              SELECT src AS node, count(*)::BIGINT AS outdeg
+              FROM edges GROUP BY 1
+            ),
+            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+            s1 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r0 r ON r.node = e.src GROUP BY 1),
+            r1 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r1 r ON r.node = e.src GROUP BY 1),
+            r2 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r2 r ON r.node = e.src GROUP BY 1),
+            r3 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s3 USING (node))
+            SELECT node, rank AS rank_fp FROM r3 ORDER BY node
         """,
         "docs_pii_scrub": r"""
             WITH aug AS (

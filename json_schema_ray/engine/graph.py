@@ -1,0 +1,269 @@
+"""Iterative link-graph algorithms over edge-list Datasets.
+
+PageRank is the canonical corpus-quality signal for web-scale
+training-data pipelines (Common-Crawl-style per-host authority used
+to weight or filter documents). The engine computes it ALL-INTEGER
+(fixed-point ranks, floor division) so every iteration is
+deterministic, immune to float summation order, and bitwise
+reproducible in plain SQL — the same fixed-point-before-sum
+discipline the bigram LM scorer uses.
+
+Scale shape (per iteration): the corpus-sized work is ONE pass over
+the edge list (contribution = rank(src) // outdeg(src), combined
+per-block by dst before the shuffle) plus ONE node-sized groupby
+sum. Two realizations of the rank lookup:
+
+- ``mode="broadcast"`` — the rank vector is node-sized (hosts, not
+  documents: 10^7-ish for a web corpus vs 10^12 docs), so it is
+  broadcast once per iteration via ``ray.put`` and probed per batch
+  with ``pc.index_in``; the driver holds ONE int64 per node.
+- ``mode="sorted"`` — no driver state at all: the per-node quotient
+  table joins onto the edge list with
+  :func:`~json_schema_ray.engine.relational.sort_merge_join`
+  (two big sides), for graphs whose node table itself outgrows a
+  broadcast.
+
+Both modes produce identical tables (differential-tested); dangling
+nodes (no out-edges) evaporate their mass, the classic simplification,
+reproduced exactly by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def url_host_edges(ds, src_column: str = "source",
+                   text_column: str = "text"):
+    """Edge extraction: one (src, dst) row per URL MENTION, where
+    ``dst`` is the mentioned URL's lowercased host. Parallel edges
+    are kept (a host mentioned k times receives k contributions) —
+    exactly SQL ``unnest(regexp_extract_all(text,
+    'https?://[^\\s]+'))`` + ``lower(regexp_extract(url,
+    '^https?://([^/:?#\\s]+)', 1))``, the same extraction contract
+    :func:`~json_schema_ray.engine.text.url_domain_counts` proves
+    against DuckDB. Malformed authorities yield the empty-string
+    host, like SQL's no-match ``''``.
+    """
+    from .text import _flat_terms, _DOMAIN_REGEX
+
+    def extract(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.string()),
+                          "dst": pa.array([], pa.string())})
+        flat, par = _flat_terms(batch, text_column)
+        if len(flat) == 0:
+            return empty
+        url = pc.struct_field(
+            pc.extract_regex(flat, pattern=r"(?P<u>https?://[^\s]+)"),
+            "u")
+        hit = pc.is_valid(url).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        url = url.filter(pa.array(hit))
+        host = pc.fill_null(
+            pc.utf8_lower(pc.struct_field(
+                pc.extract_regex(url, pattern=_DOMAIN_REGEX), "h")),
+            "")
+        src = batch[src_column].cast(pa.string()) \
+            .take(pa.array(par[hit], pa.int64()))
+        return pa.table({"src": src, "dst": host})
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _node_degrees(edges, src: str, dst: str):
+    """(nodes, deg) as driver Arrow tables: every distinct node label
+    across both endpoints, and out-degree per src node. Node-sized —
+    the one structure PageRank legitimately holds per worker."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        # per-block combiner: (node, outdeg partial) for srcs plus
+        # zero-degree rows for dsts, one groupby away from final
+        sa = batch[src].cast(pa.string()).combine_chunks()
+        da = batch[dst].cast(pa.string()).combine_chunks()
+        both = pa.concat_arrays([sa, da])
+        o = np.zeros(len(both), np.int64)
+        o[:len(sa)] = 1
+        g = pa.TableGroupBy(
+            pa.table({"node": both, "o": pa.array(o)}),
+            ["node"]).aggregate([("o", "sum")])
+        return pa.table({"node": g["node"],
+                         "outdeg": g["o_sum"].cast(pa.int64())})
+
+    agg = edges.map_batches(endpoints, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("node").sum("outdeg")
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in agg.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return (pa.table({"node": pa.array([], pa.string()),
+                          "outdeg": pa.array([], pa.int64())}))
+    t = pa.concat_tables(parts, promote_options="default")
+    return pa.table({"node": t["node"],
+                     "outdeg": t["sum(outdeg)"].cast(pa.int64())}) \
+        .sort_by([("node", "ascending")])
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst",
+             n_iter: int = 3, scale: int = 10 ** 9,
+             damp_num: int = 85, damp_den: int = 100,
+             mode: str = "broadcast"):
+    """Fixed-point integer PageRank over an edge-list Dataset.
+
+    rank_0(v) = scale for every node (src or dst endpoint);
+    rank_{i+1}(v) = base + (damp_num * S_i(v)) // damp_den where
+    S_i(v) = sum over in-edges (u, v) of rank_i(u) // outdeg(u) and
+    base = ((damp_den - damp_num) * scale) // damp_den. All math is
+    int64 floor division on non-negative values, so DuckDB's ``//``
+    reproduces it bit for bit. Pick ``scale`` so
+    n_nodes * scale * damp_num stays under 2^63 (the per-node sum is
+    bounded by the total rank mass).
+
+    Returns a driver pyarrow Table (node:string, rank_fp:int64)
+    sorted by node — node-sized by construction.
+    """
+    import ray
+
+    if mode not in ("broadcast", "sorted"):
+        raise ValueError(f"mode must be broadcast|sorted, got {mode!r}")
+    base = ((damp_den - damp_num) * scale) // damp_den
+
+    deg_t = _node_degrees(edges, src, dst)
+    n = deg_t.num_rows
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "rank_fp": pa.array([], pa.int64())})
+    node_arr = deg_t["node"].combine_chunks()
+    outdeg = deg_t["outdeg"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    rank = np.full(n, scale, np.int64)
+
+    if mode == "sorted":
+        return _pagerank_sorted(edges, src, dst, deg_t, n_iter,
+                                scale, damp_num, damp_den, base)
+
+    for _ in range(n_iter):
+        # node-sized driver math: per-src contribution quotient
+        q = np.zeros(n, np.int64)
+        has_out = outdeg > 0
+        q[has_out] = rank[has_out] // outdeg[has_out]
+        handle = ray.put((node_arr, q))
+
+        def contrib(batch: pa.Table, h=handle) -> pa.Table:
+            nodes_r, q_r = ray.get(h)
+            idx = pc.index_in(batch[src].cast(pa.string()),
+                              value_set=nodes_r)
+            # every src endpoint is in the node table by construction
+            c = q_r[idx.to_numpy(zero_copy_only=False)]
+            g = pa.TableGroupBy(
+                pa.table({"node": batch[dst].cast(pa.string()),
+                          "c": pa.array(c)}),
+                ["node"]).aggregate([("c", "sum")])
+            return pa.table({"node": g["node"],
+                             "c": g["c_sum"].cast(pa.int64())})
+
+        s_parts = [pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+            for b in edges.map_batches(
+                contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node").sum("c")
+            .iter_batches(batch_format="pyarrow")]
+        s_parts = [t for t in s_parts if t.num_rows]
+        s = np.zeros(n, np.int64)
+        if s_parts:
+            st = pa.concat_tables(s_parts, promote_options="default")
+            idx = pc.index_in(st["node"].combine_chunks(),
+                              value_set=node_arr) \
+                .to_numpy(zero_copy_only=False)
+            s[idx] = st["sum(c)"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        rank = base + (damp_num * s) // damp_den
+
+    return pa.table({"node": node_arr,
+                     "rank_fp": pa.array(rank, pa.int64())})
+
+
+def _pagerank_sorted(edges, src, dst, deg_t, n_iter, scale,
+                     damp_num, damp_den, base):
+    """Driver-state-free realization: the rank table stays a Dataset;
+    each iteration is quotient-map -> sort-merge join onto the edge
+    list -> per-block dst combiner -> one node-sized groupby. The
+    driver only touches the FINAL node-sized result."""
+    import ray
+
+    from .relational import sort_merge_join
+
+    nodes_only = pa.table({"node": deg_t["node"]})
+    ranks = ray.data.from_arrow(pa.table({
+        "node": deg_t["node"],
+        "outdeg": deg_t["outdeg"],
+        "rank": pa.array(np.full(deg_t.num_rows, scale, np.int64)),
+    }))
+    zeros = ray.data.from_arrow(pa.table({
+        "node": nodes_only["node"],
+        "c": pa.array(np.zeros(deg_t.num_rows, np.int64)),
+    }))
+
+    for it in range(n_iter):
+        def quotient(batch: pa.Table) -> pa.Table:
+            r = batch["rank"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            o = batch["outdeg"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q = np.zeros(len(r), np.int64)
+            np.floor_divide(r, o, out=q, where=o > 0)
+            return pa.table({"qnode": batch["node"],
+                             "q": pa.array(q)})
+
+        q_ds = ranks.map_batches(quotient, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        joined = sort_merge_join(edges, q_ds, left_on=src,
+                                 right_on="qnode",
+                                 value_columns=["q"], how="inner")
+
+        def combine(batch: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(
+                pa.table({"node": batch[dst].cast(pa.string()),
+                          "c": batch["q"]}),
+                ["node"]).aggregate([("c", "sum")])
+            return pa.table({"node": g["node"],
+                             "c": g["c_sum"].cast(pa.int64())})
+
+        summed = joined.map_batches(combine, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .union(zeros).groupby("node").sum("c")
+
+        def next_rank(batch: pa.Table) -> pa.Table:
+            s = batch["sum(c)"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "node": batch["node"],
+                "rank": pa.array(base + (damp_num * s) // damp_den)})
+
+        ranks_next = summed.map_batches(
+            next_rank, batch_format="pyarrow", zero_copy_batch=True)
+        # re-attach the static out-degree for the next quotient pass
+        # (node-sized join) and bound lineage depth per iteration
+        if it < n_iter - 1:
+            ranks = sort_merge_join(
+                ranks_next,
+                ray.data.from_arrow(deg_t.rename_columns(
+                    ["dnode", "outdeg"])),
+                left_on="node", right_on="dnode",
+                value_columns=["outdeg"], how="inner").materialize()
+        else:
+            ranks = ranks_next
+
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in ranks.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    out = pa.concat_tables(parts, promote_options="default")
+    return pa.table({"node": out["node"],
+                     "rank_fp": out["rank"].cast(pa.int64())}) \
+        .sort_by([("node", "ascending")])
