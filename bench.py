@@ -69,6 +69,7 @@ EXTRA_QUERIES = [
     "docs_lm_buckets",         # LM-score NTILE corpus split
     "event_transition_violations",  # protocol check: LAG + filter
     "docs_shared_spans",       # repeated-span pairs via fingerprints
+    "host_pagerank",           # 3-iteration integer PageRank
 ]
 
 

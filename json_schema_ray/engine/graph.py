@@ -133,6 +133,12 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
         raise ValueError(f"mode must be broadcast|sorted, got {mode!r}")
     base = ((damp_den - damp_num) * scale) // damp_den
 
+    # the edge list is consumed once per iteration (plus once for
+    # degrees): pin it in the object store so the upstream corpus
+    # scan / extraction runs EXACTLY once, not n_iter+1 times —
+    # edges are host-graph-sized, far below the raw corpus, and the
+    # store spills if needed
+    edges = edges.materialize()
     deg_t = _node_degrees(edges, src, dst)
     n = deg_t.num_rows
     if n == 0:
