@@ -1289,6 +1289,47 @@ def q_docs_url_domains(sf_dir: str):
     return _collect(out, schema).sort_by([("domain", "ascending")])
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Snapshot-over-snapshot dedup (engine/dedup.py
+    ``incremental_dedup``): docs with doc_id % 3 == 0 play the
+    historic index (their content keys were admitted in prior
+    snapshots), the rest are the NEW delta. Survivors = min-doc_id
+    per content key within the delta whose key is absent from the
+    index. The index side is probed in ONE streaming pass against a
+    broadcast delta key set — never shuffled or collected, so the
+    shape holds when the index is corpus-lifetime-sized."""
+    from json_schema_ray.engine.dedup import incremental_dedup
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b["lang"], pc.cast(b["n_chars"], pa.string()), "|")
+        return pa.table({"doc_id": b["doc_id"], "key": key})
+
+    def read_keyed():
+        return _read(sf_dir, "documents",
+                     columns=["doc_id", "lang", "n_chars"]) \
+            .map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def is_index(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.array(b["doc_id"].to_numpy(zero_copy_only=False)
+                     % 3 == 0))
+
+    def is_delta(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pa.array(b["doc_id"].to_numpy(zero_copy_only=False)
+                     % 3 != 0))
+
+    index = read_keyed().map_batches(is_index, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    delta = read_keyed().map_batches(is_delta, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    out = incremental_dedup(delta, index, "key", "doc_id")
+    schema = pa.schema([("doc_id", pa.int64()), ("key", pa.string())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_host_pagerank(sf_dir: str):
     """Host-level PageRank over the corpus link graph
     (engine/graph.py ``pagerank`` — the iterative-algorithm family):
@@ -2325,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_url_domains": q_docs_url_domains,
         "host_pagerank": q_host_pagerank,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -3165,6 +3207,21 @@ def oracle_sql() -> dict[str, str]:
                             ::BIGINT AS rank
                    FROM nodes n LEFT JOIN s3 USING (node))
             SELECT node, rank AS rank_fp FROM r3 ORDER BY node
+        """,
+        "incremental_dedup_docs": r"""
+            WITH k AS (
+              SELECT doc_id, lang || '|' || n_chars AS key
+              FROM documents
+            ), idx AS (
+              SELECT DISTINCT key FROM k WHERE doc_id % 3 = 0
+            ), delta AS (
+              SELECT * FROM k WHERE doc_id % 3 <> 0
+            ), firsts AS (
+              SELECT min(doc_id) AS doc_id, key FROM delta GROUP BY key
+            )
+            SELECT doc_id, key FROM firsts f
+            WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.key = f.key)
+            ORDER BY doc_id
         """,
         "docs_pii_scrub": r"""
             WITH aug AS (

@@ -1215,3 +1215,77 @@ def exact_dedup_sorted(ds, content_keys: List[str], id_column: str):
     extra = pa.Table.from_pylist(clean).select(target.names) \
         .cast(target)
     return interior.union(ray.data.from_arrow(extra))
+
+
+def incremental_dedup(delta_ds, index_ds, key_column: str,
+                      id_column: str):
+    """Snapshot-over-snapshot exact dedup: the surviving rows of a
+    NEW corpus delta are the first-per-key rows (min ``id_column``)
+    within the delta whose ``key_column`` does not already exist in
+    the historic index — the canonical incremental-ingestion step of
+    a crawl pipeline, where the index holds every content key ever
+    admitted.
+
+    Scale shape: the index is the BIG side (all historic keys,
+    potentially corpus-lifetime-sized) and is never shuffled, never
+    broadcast, never collected — ONE streaming pass probes each
+    index block against the broadcast delta key set and emits only
+    its DISTINCT matched keys, so both driver-held sets (delta keys,
+    hit keys) are bounded by the delta, not the index. Within-delta
+    duplicates collapse through :func:`exact_dedup` (null-safe
+    grouping; null keys survive the anti-filter like SQL
+    ``NOT EXISTS``).
+    """
+    import ray
+
+    from .relational import _broadcast_key_set
+
+    survivors = exact_dedup(delta_ds, [key_column], id_column)
+    delta_keys = _broadcast_key_set(delta_ds, key_column)
+
+    def hit_keys(batch: pa.Table) -> pa.Table:
+        ktype = batch.schema.field(key_column).type
+        keys = ray.get(delta_keys)
+        col = batch[key_column].drop_null()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0 or len(keys) == 0:
+            return pa.table({key_column: pa.array([], ktype)})
+        m = pc.fill_null(pc.is_in(col, value_set=keys), False)
+        return pa.table({key_column: pc.unique(col.filter(m))})
+
+    hits = _broadcast_key_set(
+        index_ds.map_batches(hit_keys, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key_column)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        hit_arr = ray.get(hits)
+        if len(hit_arr) == 0:
+            return batch
+        mask = pc.fill_null(
+            pc.is_in(batch[key_column], value_set=hit_arr), False)
+        return batch.filter(pc.invert(mask))
+
+    return survivors.map_batches(anti, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def append_index_fragment(survivors_ds, index_dir: str, run_id: str,
+                          key_column: str) -> str:
+    """Persist a snapshot's admitted keys as ONE new hive partition
+    under ``index_dir/run_id=<run_id>/`` — the append-only layout
+    :func:`incremental_dedup` reads back with
+    ``ray.data.read_parquet(index_dir)``. Idempotent per run: re-
+    running the same ``run_id`` rewrites only its own partition, so
+    a resumed ingestion never duplicates index keys. Returns the
+    partition path."""
+    import os
+    import shutil
+
+    part = os.path.join(index_dir, f"run_id={run_id}")
+    if os.path.exists(part):
+        shutil.rmtree(part)
+    os.makedirs(part, exist_ok=True)
+    survivors_ds.select_columns([key_column]).write_parquet(part)
+    return part
