@@ -1289,6 +1289,27 @@ def q_docs_url_domains(sf_dir: str):
     return _collect(out, schema).sort_by([("domain", "ascending")])
 
 
+def q_weekly_active_users(sf_dir: str):
+    """Sliding-window distinct users (engine/window.py
+    ``hopping_distinct_counts``): 7-day windows hopping daily — the
+    DAU/WAU metric. Exact distinct via the (window, user) pair-dedupe
+    combiner; the 7x row expansion collapses per block before the
+    shuffle."""
+    from json_schema_ray.engine.window import hopping_distinct_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = hopping_distinct_counts(ds, ts="ts", entity="user_id",
+                                  window_seconds=7 * 86400,
+                                  hop_seconds=86400)
+    schema = pa.schema([("window_start_us", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    t = _collect(out, schema)
+    return pa.table({
+        "window_start_us": t["window_start_us"],
+        "n_distinct": t["n_distinct"].cast(pa.int64()),
+    }).sort_by([("window_start_us", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2367,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_domains": q_docs_url_domains,
         "host_pagerank": q_host_pagerank,
         "incremental_dedup_docs": q_incremental_dedup_docs,
+        "weekly_active_users": q_weekly_active_users,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -3222,6 +3244,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, key FROM firsts f
             WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.key = f.key)
             ORDER BY doc_id
+        """,
+        "weekly_active_users": r"""
+            SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                        * 86400000000
+                        - k.k * 86400000000 AS BIGINT)
+                     AS window_start_us,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events
+            CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) k
+            GROUP BY 1 ORDER BY 1
         """,
         "docs_pii_scrub": r"""
             WITH aug AS (

@@ -270,21 +270,14 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
     return interior.union(ray.data.from_arrow(edge_table))
 
 
-def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
-                          window_seconds: int = 86400,
-                          hop_seconds: int = 21600):
-    """Event-time hopping (sliding) window aggregate: windows of
-    ``window_seconds`` starting every ``hop_seconds`` (window must be
-    a multiple of hop). Each event lands in exactly window/hop
-    windows — assigned VECTORIZED per batch (one np.repeat expansion,
-    no per-row loop), pre-aggregated per block, then one small
-    shuffle over the window keys."""
+def _hopping_assign(ts: str, window_seconds: int, hop_seconds: int):
+    """Vectorized hopping-window assignment kernel shared by the
+    hopping aggregates: each row expands to its window/hop containing
+    windows (one np.repeat, no per-row loop), gaining a
+    ``window_start_us`` int64 column."""
     if window_seconds % hop_seconds:
         raise ValueError("window_seconds must be a multiple of "
                          "hop_seconds")
-    from .relational import grouped_aggregate
-
-    win_us = window_seconds * 1_000_000
     hop_us = hop_seconds * 1_000_000
     n_win = window_seconds // hop_seconds
 
@@ -306,10 +299,45 @@ def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
                        mask=null_mask if null_mask.any() else None)
         return out.append_column("window_start_us", win)
 
+    return assign
+
+
+def hopping_window_counts(ds, ts: str = "ts", value: str = "value",
+                          window_seconds: int = 86400,
+                          hop_seconds: int = 21600):
+    """Event-time hopping (sliding) window aggregate: windows of
+    ``window_seconds`` starting every ``hop_seconds`` (window must be
+    a multiple of hop). Each event lands in exactly window/hop
+    windows — assigned VECTORIZED per batch (one np.repeat expansion,
+    no per-row loop), pre-aggregated per block, then one small
+    shuffle over the window keys."""
+    from .relational import grouped_aggregate
+
+    assign = _hopping_assign(ts, window_seconds, hop_seconds)
     with_win = ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
     return grouped_aggregate(with_win, ["window_start_us"],
                              [(value, "sum"), (None, "count")])
+
+
+def hopping_distinct_counts(ds, ts: str = "ts",
+                            entity: str = "user_id",
+                            window_seconds: int = 7 * 86400,
+                            hop_seconds: int = 86400):
+    """Sliding-window EXACT distinct entities — the DAU/WAU family
+    ("7-day active users as of each day"). Window assignment is the
+    shared vectorized expansion; the distinct count rides
+    :func:`~json_schema_ray.engine.relational.grouped_distinct_count`,
+    whose per-block (window, entity) pair-dedupe combiner bounds the
+    first shuffle to one row per pair per block — the expansion
+    factor (window/hop) never reaches the wire for repeat-heavy
+    entities. Returns (window_start_us, n_distinct)."""
+    from .relational import grouped_distinct_count
+
+    assign = _hopping_assign(ts, window_seconds, hop_seconds)
+    with_win = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_distinct_count(with_win, "window_start_us", entity)
 
 
 def tumbling_window_counts(ds, ts: str = "ts", value: str = "value",
