@@ -1310,6 +1310,60 @@ def q_weekly_active_users(sf_dir: str):
     }).sort_by([("window_start_us", "ascending")])
 
 
+def q_docs_ranked_hosts(sf_dir: str):
+    """The curation pipeline PageRank exists FOR: per-doc host
+    authority. Composition: host graph -> 3-iteration integer
+    PageRank (node-sized result) -> broadcast rank lookup over each
+    doc's extracted hosts -> per-doc MAX host rank (documents never
+    span blocks, so the per-block groupby is exact) -> keep docs
+    (the score a curation pipeline thresholds or weights by). All
+    integer, hash-exact against the SQL oracle for every doc."""
+    import ray
+
+    from json_schema_ray.engine.graph import pagerank, url_host_edges
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m7 = pc.cast(pa.array(ids % 7), pa.string())
+        m3 = pc.cast(pa.array(ids % 3), pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"], " see http://site", m7, ".example.com/p/",
+            pc.cast(b["doc_id"], pa.string()),
+            " via https://CDN", m3, ".Example.COM/a", "")
+        return pa.table({"doc_id": b["doc_id"],
+                         "source": b["source"], "text": aug})
+
+    aug_ds = ds.map_batches(augment, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ranks = pagerank(url_host_edges(aug_ds, src_column="source"),
+                     n_iter=3)
+    handle = ray.put((ranks["node"].combine_chunks(),
+                      ranks["rank_fp"].to_numpy(zero_copy_only=False)))
+
+    doc_hosts = url_host_edges(aug_ds, src_column="doc_id")
+
+    def best_rank(batch: pa.Table) -> pa.Table:
+        nodes, rank_np = ray.get(handle)
+        idx = pc.index_in(batch["dst"], value_set=nodes) \
+            .to_numpy(zero_copy_only=False)
+        r = rank_np[idx]
+        g = pa.TableGroupBy(
+            pa.table({"doc_id": batch["src"].cast(pa.int64()),
+                      "r": pa.array(r)}),
+            ["doc_id"]).aggregate([("r", "max")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "best_host_rank_fp": g["r_max"]})
+
+    out = doc_hosts.map_batches(best_rank, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("best_host_rank_fp", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2389,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "weekly_active_users": q_weekly_active_users,
+        "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
         "building_segment_orders": q_building_segment_orders,
@@ -3244,6 +3299,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, key FROM firsts f
             WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.key = f.key)
             ORDER BY doc_id
+        """,
+        "docs_ranked_hosts": r"""
+            WITH aug AS (
+              SELECT doc_id, source,
+                     text || ' see http://site' || (doc_id % 7)
+                          || '.example.com/p/' || doc_id
+                          || ' via https://CDN' || (doc_id % 3)
+                          || '.Example.COM/a' AS text
+              FROM documents
+            ), u AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM aug
+            ), h AS (
+              SELECT doc_id, source,
+                     lower(regexp_extract(url,
+                           '^https?://([^/:?#\s]+)', 1)) AS dst
+              FROM u
+            ), edges AS (
+              SELECT source AS src, dst FROM h
+            ), nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ), deg AS (
+              SELECT src AS node, count(*)::BIGINT AS outdeg
+              FROM edges GROUP BY 1
+            ),
+            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+            s1 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r0 r ON r.node = e.src GROUP BY 1),
+            r1 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r1 r ON r.node = e.src GROUP BY 1),
+            r2 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r2 r ON r.node = e.src GROUP BY 1),
+            r3 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s3 USING (node))
+            SELECT h.doc_id,
+                   max(r3.rank)::BIGINT AS best_host_rank_fp
+            FROM h JOIN r3 ON r3.node = h.dst
+            GROUP BY 1 ORDER BY 1
         """,
         "weekly_active_users": r"""
             SELECT CAST(floor(epoch_us(ts) / 86400000000)
