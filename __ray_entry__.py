@@ -1364,6 +1364,28 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_approx_weekly_active_users(sf_dir: str):
+    """HLL sketch twin of weekly_active_users (engine/window.py
+    ``hopping_approx_distinct_counts``): one 2^p-byte register row
+    per (window, block) instead of the window/hop-times-wider exact
+    dedupe shuffle — the 100-TB realization. Approximate by
+    construction (rows-only check); its exact twin is oracle-checked
+    and the error-bound test pins the estimate within the HLL
+    tolerance."""
+    from json_schema_ray.engine.window import (
+        hopping_approx_distinct_counts,
+    )
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = hopping_approx_distinct_counts(
+        ds, ts="ts", entity="user_id",
+        window_seconds=7 * 86400, hop_seconds=86400)
+    schema = pa.schema([("window_start_us", pa.int64()),
+                        ("n_approx", pa.float64())])
+    return _collect(out, schema) \
+        .sort_by([("window_start_us", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2443,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "weekly_active_users": q_weekly_active_users,
+        "approx_weekly_active_users": q_approx_weekly_active_users,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,

@@ -721,3 +721,28 @@ def funnel_user_counts(ds, steps, key: str = "user_id",
         "event_type": pa.array(list(steps), pa.string()),
         "n_keys": pa.array(counts, pa.int64()),
     })
+
+
+def hopping_approx_distinct_counts(ds, ts: str = "ts",
+                                   entity: str = "user_id",
+                                   window_seconds: int = 7 * 86400,
+                                   hop_seconds: int = 86400,
+                                   p: int = 12):
+    """The sketch twin of :func:`hopping_distinct_counts` — sliding-
+    window APPROXIMATE distinct entities via the mergeable HLL
+    aggregate of
+    :func:`~json_schema_ray.engine.stats.grouped_approx_distinct`.
+    This is the 100-TB path: the exact variant's (window, entity)
+    dedupe shuffle is window/hop times wider than the input, while
+    here every block reduces to ONE 2^p-byte register row per window
+    it touches, so the shuffle is O(windows x blocks) regardless of
+    entity cardinality. ~1.6% standard error at the default p=12
+    (evidence: the error-bound test vs the exact twin, not a SQL
+    hash match). Returns (window_start_us, n_approx)."""
+    from .stats import grouped_approx_distinct
+
+    assign = _hopping_assign(ts, window_seconds, hop_seconds)
+    with_win = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_approx_distinct(with_win, "window_start_us",
+                                   entity, p=p)

@@ -929,6 +929,33 @@ def test_hopping_distinct_counts_matches_brute_force():
     assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1}
 
 
+def test_hopping_approx_distinct_within_hll_tolerance():
+    from json_schema_ray.engine.window import (
+        hopping_approx_distinct_counts,
+        hopping_distinct_counts,
+    )
+
+    hour = 3600 * 1_000_000
+    rng = np.random.default_rng(3)
+    n = 6000
+    t = pa.table({
+        "ts": pa.array((rng.integers(0, 4, n) * 3600 * 1_000_000
+                        + rng.integers(0, 3600_000_000, n))
+                       .astype("int64"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 2500, n), pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(5)
+    exact = {r["window_start_us"]: r["n_distinct"]
+             for r in hopping_distinct_counts(
+                 ds, window_seconds=7200, hop_seconds=3600).take_all()}
+    approx = {r["window_start_us"]: r["n_approx"]
+              for r in hopping_approx_distinct_counts(
+                  ds, window_seconds=7200, hop_seconds=3600).take_all()}
+    assert set(approx) == set(exact)
+    for w, e in exact.items():
+        assert abs(approx[w] - e) / e < 0.05  # ~3 sigma at p=12
+
+
 def test_multimodal_resize_and_frame_sampling():
     from json_schema_ray.engine.multimodal import (
         FrameSampler, ImageResizer, deterministic_fake_frames,
