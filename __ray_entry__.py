@@ -1364,6 +1364,19 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_user_value_mad(sf_dir: str):
+    """Per-user robust location/scale (engine/rank.py
+    ``grouped_median_mad``): median + MAD of event values — the
+    robust z-score gate's inputs. Two quantile sorts with a key-sized
+    median broadcast between; elementwise-double deviations, so both
+    outputs hash-match DuckDB quantile_disc exactly."""
+    from json_schema_ray.engine.rank import grouped_median_mad
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    return grouped_median_mad(ds, "user_id", "value", "event_id")
+
+
 def q_approx_weekly_active_users(sf_dir: str):
     """HLL sketch twin of weekly_active_users (engine/window.py
     ``hopping_approx_distinct_counts``): one 2^p-byte register row
@@ -2466,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
+        "user_value_mad": q_user_value_mad,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3382,6 +3396,19 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "user_value_mad": r"""
+            WITH med AS (
+              SELECT user_id, quantile_disc(value, 0.5) AS median
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            ), mad AS (
+              SELECT e.user_id,
+                     quantile_disc(abs(e.value - m.median), 0.5) AS mad
+              FROM events e JOIN med m ON m.user_id = e.user_id
+              WHERE e.value IS NOT NULL GROUP BY e.user_id
+            )
+            SELECT m.user_id, m.median, d.mad
+            FROM med m JOIN mad d USING (user_id) ORDER BY 1
         """,
         "weekly_active_users": r"""
             SELECT CAST(floor(epoch_us(ts) / 86400000000)

@@ -1642,3 +1642,87 @@ def cap_per_group(ds, keys: List[str], id_column: str, k: int,
     return capped.map_batches(
         lambda b: b.drop_columns(["__h", "rn"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_median_mad(ds, key: str, col: str, tiebreak: str):
+    """Per-group ROBUST location/scale: median (DuckDB
+    ``quantile_disc(col, 0.5)`` convention) and MAD = median of
+    ``|x - median|`` — the inputs of a robust z-score outlier gate,
+    which survives the heavy-tailed value distributions a plain
+    mean/stddev gate drowns in.
+
+    Shape: two :func:`grouped_exact_quantiles` passes (one sort
+    each); between them the per-key median table — key-sized, the
+    one structure this operator legitimately broadcasts — ships via
+    ``ray.put`` and fills each row's deviation vectorized
+    (``pc.index_in`` + take; NULL keys resolve against the NULL
+    group's own median). Deviations are elementwise doubles (no
+    summation order anywhere), so DuckDB reproduces both outputs
+    bit-for-bit. Returns a driver pyarrow Table
+    ``(key, median, mad)``, key-sized by construction."""
+    import ray
+
+    med_ds = grouped_exact_quantiles(ds, key, col, [0.5], tiebreak)
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in med_ds.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({key: pa.array([], pa.string()),
+                         "median": pa.array([], pa.float64()),
+                         "mad": pa.array([], pa.float64())})
+    med_t = pa.concat_tables(parts, promote_options="default")
+    key_arr = med_t[key].combine_chunks()
+    med_np = pc.cast(med_t["value"], pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    key_null = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
+    null_med = float(med_np[key_null][0]) if key_null.any() else None
+    handle = ray.put((key_arr, med_np, null_med))
+
+    def dev(batch: pa.Table) -> pa.Table:
+        keys_r, med_r, nmed = ray.get(handle)
+        idx = pc.index_in(batch[key], value_set=keys_r)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        have = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" \
+            else np.ones(len(idx_np), bool)
+        m = np.full(batch.num_rows, np.nan)
+        ii = np.where(have, np.nan_to_num(idx_np), 0).astype(np.int64)
+        m[have] = med_r[ii[have]]
+        if nmed is not None:
+            knull = pc.is_null(batch[key]) \
+                .to_numpy(zero_copy_only=False)
+            m[knull] = nmed
+        v = pc.cast(batch[col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        d = np.abs(v - m)
+        return pa.table({key: batch[key],
+                         "__dev": pa.array(d, pa.float64(),
+                                           mask=np.isnan(d)),
+                         tiebreak: batch[tiebreak]})
+
+    mad_ds = grouped_exact_quantiles(
+        ds.map_batches(dev, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key, "__dev", [0.5], tiebreak)
+    mparts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in mad_ds.iter_batches(batch_format="pyarrow")]
+    mparts = [t for t in mparts if t.num_rows]
+    mad_t = pa.concat_tables(mparts, promote_options="default")
+
+    idx = pc.index_in(mad_t[key], value_set=key_arr) \
+        .to_numpy(zero_copy_only=False)
+    mad_vals = np.full(len(key_arr), np.nan)
+    src = pc.cast(mad_t["value"], pa.float64()) \
+        .to_numpy(zero_copy_only=False)
+    m_null = pc.is_null(mad_t[key]).to_numpy(zero_copy_only=False)
+    ok = ~m_null
+    mad_vals[idx[ok].astype(np.int64)] = src[ok]
+    if m_null.any() and key_null.any():
+        mad_vals[np.nonzero(key_null)[0][0]] = src[m_null][0]
+    return pa.table({
+        key: key_arr,
+        "median": pa.array(med_np, pa.float64()),
+        "mad": pa.array(mad_vals, pa.float64(),
+                        mask=np.isnan(mad_vals)),
+    }).sort_by([(key, "ascending")])

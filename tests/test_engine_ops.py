@@ -929,6 +929,47 @@ def test_hopping_distinct_counts_matches_brute_force():
     assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1}
 
 
+def test_grouped_median_mad_matches_brute_force():
+    import collections
+    import math
+
+    from json_schema_ray.engine.rank import grouped_median_mad
+
+    rng = np.random.default_rng(5)
+    n = 500
+    keys = [None if i % 17 == 0 else f"u{i % 9}" for i in range(n)]
+    vals = rng.normal(10, 4, n)
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.float64()),
+                  "id": pa.array(range(n), pa.int64())})
+    got = grouped_median_mad(
+        _ray().data.from_arrow(t).repartition(4), "k", "v", "id")
+    gd = {r["k"]: (r["median"], r["mad"]) for r in got.to_pylist()}
+
+    def qdisc(xs):  # DuckDB quantile_disc(x, 0.5): 1-based ceil rank
+        xs = sorted(xs)
+        return xs[max(0, math.ceil(0.5 * len(xs)) - 1)]
+
+    groups = collections.defaultdict(list)
+    for k, v in zip(keys, vals):
+        groups[k].append(float(v))
+    assert len(gd) == len(groups)
+    for k, xs in groups.items():  # incl. the NULL-key group
+        med = qdisc(xs)
+        mad = qdisc([abs(x - med) for x in xs])
+        assert gd[k] == (med, mad)
+
+
+def test_grouped_median_mad_empty():
+    from json_schema_ray.engine.rank import grouped_median_mad
+
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64()),
+                  "id": pa.array([], pa.int64())})
+    out = grouped_median_mad(_ray().data.from_arrow(t), "k", "v", "id")
+    assert out.num_rows == 0
+
+
 def test_hopping_approx_distinct_within_hll_tolerance():
     from json_schema_ray.engine.window import (
         hopping_approx_distinct_counts,
