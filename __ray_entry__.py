@@ -1258,31 +1258,38 @@ def q_docs_pii_scrub(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def _augment_urls(b: pa.Table, keep) -> pa.Table:
+    """Deterministic URL augmentation shared by every URL-graph
+    query (the raw corpus carries no URLs): ``' see http://site
+    <id%7>.example.com/p/<id> via https://CDN<id%3>.Example.COM/a'``
+    — the uppercase host exercises lowercase normalization. The
+    oracle side is the shared ``_AUG_SQL`` CTE body; the two recipes
+    must stay byte-identical or hash parity breaks."""
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    m7 = pc.cast(pa.array(ids % 7), pa.string())
+    m3 = pc.cast(pa.array(ids % 3), pa.string())
+    aug = pc.binary_join_element_wise(
+        b["text"], " see http://site", m7, ".example.com/p/",
+        pc.cast(b["doc_id"], pa.string()),
+        " via https://CDN", m3, ".Example.COM/a", "")
+    cols = {c: b[c] for c in keep}
+    cols["text"] = aug
+    return pa.table(cols)
+
+
 def q_docs_url_domains(sf_dir: str):
     """Per-domain URL accounting (engine/text.py url_domain_counts):
     token-level first-match RE2 extraction (== regexp_extract_all —
     matches can't span whitespace), per-block (doc, host) combiner,
-    ONE host-sized groupby. The raw corpus carries no URLs, so both
-    sides append deterministic ones: ``' see http://site<id%7>
-    .example.com/p/<id> via https://CDN<id%3>.Example.COM/a'`` —
-    the uppercase host exercises the lowercase normalization."""
+    ONE host-sized groupby. URLs appended by ``_augment_urls`` on
+    both sides."""
     from json_schema_ray.engine.text import url_domain_counts
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def augment(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m7 = pc.cast(pa.array(ids % 7), pa.string())
-        m3 = pc.cast(pa.array(ids % 3), pa.string())
-        aug = pc.binary_join_element_wise(
-            b["text"], " see http://site", m7, ".example.com/p/",
-            pc.cast(b["doc_id"], pa.string()),
-            " via https://CDN", m3, ".Example.COM/a", "")
-        return pa.table({"doc_id": b["doc_id"], "text": aug})
-
     out = url_domain_counts(
-        ds.map_batches(augment, batch_format="pyarrow",
-                       zero_copy_batch=True))
+        ds.map_batches(lambda b: _augment_urls(b, ["doc_id"]),
+                       batch_format="pyarrow", zero_copy_batch=True))
     schema = pa.schema([("domain", pa.string()),
                         ("n_urls", pa.int64()),
                         ("n_docs", pa.int64())])
@@ -1324,20 +1331,9 @@ def q_docs_ranked_hosts(sf_dir: str):
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "source"])
-
-    def augment(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m7 = pc.cast(pa.array(ids % 7), pa.string())
-        m3 = pc.cast(pa.array(ids % 3), pa.string())
-        aug = pc.binary_join_element_wise(
-            b["text"], " see http://site", m7, ".example.com/p/",
-            pc.cast(b["doc_id"], pa.string()),
-            " via https://CDN", m3, ".Example.COM/a", "")
-        return pa.table({"doc_id": b["doc_id"],
-                         "source": b["source"], "text": aug})
-
-    aug_ds = ds.map_batches(augment, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    aug_ds = ds.map_batches(
+        lambda b: _augment_urls(b, ["doc_id", "source"]),
+        batch_format="pyarrow", zero_copy_batch=True)
     ranks = pagerank(url_host_edges(aug_ds, src_column="source"),
                      n_iter=3)
     handle = ray.put((ranks["node"].combine_chunks(),
@@ -1456,20 +1452,9 @@ def q_host_pagerank(sf_dir: str):
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "source"])
-
-    def augment(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        m7 = pc.cast(pa.array(ids % 7), pa.string())
-        m3 = pc.cast(pa.array(ids % 3), pa.string())
-        aug = pc.binary_join_element_wise(
-            b["text"], " see http://site", m7, ".example.com/p/",
-            pc.cast(b["doc_id"], pa.string()),
-            " via https://CDN", m3, ".Example.COM/a", "")
-        return pa.table({"source": b["source"], "text": aug})
-
     edges = url_host_edges(
-        ds.map_batches(augment, batch_format="pyarrow",
-                       zero_copy_batch=True),
+        ds.map_batches(lambda b: _augment_urls(b, ["source"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
         src_column="source")
     return pagerank(edges, n_iter=3)
 
@@ -2866,6 +2851,59 @@ def _fingerprint_sql() -> str:
     """
 
 
+# the SQL twin of _augment_urls — byte-identical recipe, shared by
+# every URL-graph oracle so the parity contract has ONE definition
+_AUG_SQL = r"""
+              SELECT doc_id, source,
+                     text || ' see http://site' || (doc_id % 7)
+                          || '.example.com/p/' || doc_id
+                          || ' via https://CDN' || (doc_id % 3)
+                          || '.Example.COM/a' AS text
+              FROM documents
+"""
+
+# the 3-iteration integer PageRank chain (graph.py pagerank with
+# scale 1e9, damping 85/100): expects an `edges`(src, dst) CTE in
+# scope, leaves `r3`(node, rank) in scope
+_PAGERANK_ITERS_SQL = r"""
+            nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ), deg AS (
+              SELECT src AS node, count(*)::BIGINT AS outdeg
+              FROM edges GROUP BY 1
+            ),
+            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
+            s1 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r0 r ON r.node = e.src GROUP BY 1),
+            r1 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r1 r ON r.node = e.src GROUP BY 1),
+            r2 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.dst AS node,
+                          sum(r.rank // d.outdeg)::BIGINT AS s
+                   FROM edges e
+                   JOIN deg d ON d.node = e.src
+                   JOIN r2 r ON r.node = e.src GROUP BY 1),
+            r3 AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
+                            ::BIGINT AS rank
+                   FROM nodes n LEFT JOIN s3 USING (node))
+"""
+
+
 def _shared_spans_sql() -> str:
     """Docs pairing when any of their 4 smallest window hashes
     collide, with the shared-span count — the SQL mirror of
@@ -3244,14 +3282,8 @@ def oracle_sql() -> dict[str, str]:
                      AS dup_char_x1m
             FROM pg GROUP BY doc_id
         """,
-        "docs_url_domains": r"""
-            WITH aug AS (
-              SELECT doc_id,
-                     text || ' see http://site' || (doc_id % 7)
-                          || '.example.com/p/' || doc_id
-                          || ' via https://CDN' || (doc_id % 3)
-                          || '.Example.COM/a' AS text
-              FROM documents
+        "docs_url_domains": rf"""
+            WITH aug AS ({_AUG_SQL}
             ), u AS (
               SELECT doc_id,
                      unnest(regexp_extract_all(text,
@@ -3267,14 +3299,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM d GROUP BY 1 ORDER BY 1
         """,
-        "host_pagerank": r"""
-            WITH aug AS (
-              SELECT doc_id, source,
-                     text || ' see http://site' || (doc_id % 7)
-                          || '.example.com/p/' || doc_id
-                          || ' via https://CDN' || (doc_id % 3)
-                          || '.Example.COM/a' AS text
-              FROM documents
+        "host_pagerank": rf"""
+            WITH aug AS ({_AUG_SQL}
             ), u AS (
               SELECT source,
                      unnest(regexp_extract_all(text,
@@ -3285,41 +3311,7 @@ def oracle_sql() -> dict[str, str]:
                      lower(regexp_extract(url,
                            '^https?://([^/:?#\s]+)', 1)) AS dst
               FROM u
-            ), nodes AS (
-              SELECT src AS node FROM edges
-              UNION SELECT dst FROM edges
-            ), deg AS (
-              SELECT src AS node, count(*)::BIGINT AS outdeg
-              FROM edges GROUP BY 1
-            ),
-            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
-            s1 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r0 r ON r.node = e.src GROUP BY 1),
-            r1 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s1 USING (node)),
-            s2 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r1 r ON r.node = e.src GROUP BY 1),
-            r2 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s2 USING (node)),
-            s3 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r2 r ON r.node = e.src GROUP BY 1),
-            r3 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s3 USING (node))
+            ), {_PAGERANK_ITERS_SQL}
             SELECT node, rank AS rank_fp FROM r3 ORDER BY node
         """,
         "incremental_dedup_docs": r"""
@@ -3337,14 +3329,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.key = f.key)
             ORDER BY doc_id
         """,
-        "docs_ranked_hosts": r"""
-            WITH aug AS (
-              SELECT doc_id, source,
-                     text || ' see http://site' || (doc_id % 7)
-                          || '.example.com/p/' || doc_id
-                          || ' via https://CDN' || (doc_id % 3)
-                          || '.Example.COM/a' AS text
-              FROM documents
+        "docs_ranked_hosts": rf"""
+            WITH aug AS ({_AUG_SQL}
             ), u AS (
               SELECT doc_id, source,
                      unnest(regexp_extract_all(text,
@@ -3357,58 +3343,29 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             ), edges AS (
               SELECT source AS src, dst FROM h
-            ), nodes AS (
-              SELECT src AS node FROM edges
-              UNION SELECT dst FROM edges
-            ), deg AS (
-              SELECT src AS node, count(*)::BIGINT AS outdeg
-              FROM edges GROUP BY 1
-            ),
-            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
-            s1 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r0 r ON r.node = e.src GROUP BY 1),
-            r1 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s1 USING (node)),
-            s2 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r1 r ON r.node = e.src GROUP BY 1),
-            r2 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s2 USING (node)),
-            s3 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r2 r ON r.node = e.src GROUP BY 1),
-            r3 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s3 USING (node))
+            ), {_PAGERANK_ITERS_SQL}
             SELECT h.doc_id,
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
         """,
         "user_value_mad": r"""
+            -- IS NOT DISTINCT FROM joins keep a NULL-user group
+            -- (the engine computes it; events has none today)
             WITH med AS (
               SELECT user_id, quantile_disc(value, 0.5) AS median
               FROM events WHERE value IS NOT NULL GROUP BY user_id
             ), mad AS (
               SELECT e.user_id,
                      quantile_disc(abs(e.value - m.median), 0.5) AS mad
-              FROM events e JOIN med m ON m.user_id = e.user_id
+              FROM events e
+              JOIN med m ON m.user_id IS NOT DISTINCT FROM e.user_id
               WHERE e.value IS NOT NULL GROUP BY e.user_id
             )
             SELECT m.user_id, m.median, d.mad
-            FROM med m JOIN mad d USING (user_id) ORDER BY 1
+            FROM med m
+            JOIN mad d ON d.user_id IS NOT DISTINCT FROM m.user_id
+            ORDER BY 1
         """,
         "weekly_active_users": r"""
             SELECT CAST(floor(epoch_us(ts) / 86400000000)

@@ -1240,6 +1240,11 @@ def incremental_dedup(delta_ds, index_ds, key_column: str,
 
     from .relational import _broadcast_key_set
 
+    # the delta is consumed three times (dedup groupby, key-set
+    # collect, keep-filter): pin it in the object store so its
+    # upstream scan runs ONCE — the delta is snapshot-sized, far
+    # below the index, and the store spills if needed
+    delta_ds = delta_ds.materialize()
     survivors = exact_dedup(delta_ds, [key_column], id_column)
     delta_keys = _broadcast_key_set(delta_ds, key_column)
 

@@ -144,14 +144,14 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     if n == 0:
         return pa.table({"node": pa.array([], pa.string()),
                          "rank_fp": pa.array([], pa.int64())})
+    if mode == "sorted":
+        return _pagerank_sorted(edges, src, dst, deg_t, n_iter,
+                                scale, damp_num, damp_den, base)
+
     node_arr = deg_t["node"].combine_chunks()
     outdeg = deg_t["outdeg"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     rank = np.full(n, scale, np.int64)
-
-    if mode == "sorted":
-        return _pagerank_sorted(edges, src, dst, deg_t, n_iter,
-                                scale, damp_num, damp_den, base)
 
     for _ in range(n_iter):
         # node-sized driver math: per-src contribution quotient

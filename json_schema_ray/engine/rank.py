@@ -1668,7 +1668,8 @@ def grouped_median_mad(ds, key: str, col: str, tiebreak: str):
         for b in med_ds.iter_batches(batch_format="pyarrow")]
     parts = [t for t in parts if t.num_rows]
     if not parts:
-        return pa.table({key: pa.array([], pa.string()),
+        ktype = ds.schema().base_schema.field(key).type
+        return pa.table({key: pa.array([], ktype),
                          "median": pa.array([], pa.float64()),
                          "mad": pa.array([], pa.float64())})
     med_t = pa.concat_tables(parts, promote_options="default")

@@ -915,18 +915,21 @@ def test_hopping_distinct_counts_matches_brute_force():
 
     hour = 3600 * 1_000_000
     # user 1 twice in the same hour (collapses), user 2 next hour,
-    # null entity never counted, negative ts windows still exact
+    # null entity never counted, negative ts windows still exact,
+    # null ts lands in the NULL window group (own distinct count)
     t = pa.table({
-        "ts": pa.array([0, 10, hour + 1, -1, 5], pa.timestamp("us")),
-        "user_id": pa.array([1, 1, 2, 1, None], pa.int64()),
+        "ts": pa.array([0, 10, hour + 1, -1, 5, None, None],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 1, None, 7, 7], pa.int64()),
     })
     out = hopping_distinct_counts(
         _ray().data.from_arrow(t).repartition(2), entity="user_id",
         window_seconds=7200, hop_seconds=3600)
     rows = {r["window_start_us"]: r["n_distinct"]
             for r in out.take_all()}
-    # brute force: u1@{0,-1h} twice, u1@{-1h,-2h}, u2@{1h,0}
-    assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1}
+    # brute force: u1@{0,-1h} twice, u1@{-1h,-2h}, u2@{1h,0};
+    # u7's two null-ts events collapse into one NULL-window distinct
+    assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1, None: 1}
 
 
 def test_grouped_median_mad_matches_brute_force():
