@@ -1360,6 +1360,18 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_embedding_gram(sf_dir: str):
+    """Fixed-point Gram matrix of the embedding corpus
+    (engine/similarity.py ``embedding_gram``): one d x d int64
+    matmul partial per block, merged additively — the whitening/PCA
+    statistic with zero float-order sensitivity, hash-exact vs the
+    unnest self-join SQL."""
+    from json_schema_ray.engine.similarity import embedding_gram
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_gram(ds)
+
+
 def q_user_value_mad(sf_dir: str):
     """Per-user robust location/scale (engine/rank.py
     ``grouped_median_mad``): median + MAD of event values — the
@@ -2465,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
+        "embedding_gram": q_embedding_gram,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3348,6 +3361,21 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_gram": r"""
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xi,
+                     i
+              FROM (SELECT vec_id, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+            )
+            SELECT a.i AS i, b.i AS j,
+                   sum(a.xi * b.xi)::BIGINT AS sxy_fp
+            FROM e a JOIN e b USING (vec_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "user_value_mad": r"""
             -- IS NOT DISTINCT FROM joins keep a NULL-user group

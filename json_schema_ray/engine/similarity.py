@@ -497,3 +497,56 @@ def nearest_neighbor_join(ds, id_column: str = "vec_id",
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def embedding_gram(ds, embedding_column: str = "embedding",
+                   scale: int = 10 ** 6):
+    """Fixed-point second-moment (Gram) matrix of an embedding
+    column — the statistic behind whitening / PCA in embedding-based
+    curation (SemDeDup-style pipelines): ``G[i, j] = sum over vectors
+    of q(v_i) * q(v_j)`` with ``q(x) = floor(x * scale + 0.5)``
+    int64 quantization (round-half-up, the same tie rule as SQL
+    ``floor(x * scale + 0.5)`` — NOT banker's rounding). All-integer
+    accumulation: NO float summation order anywhere, so DuckDB
+    reproduces every entry bit-for-bit.
+
+    Shape: each block reduces to ONE d x d int64 matmul partial
+    (``M.T @ M``, exact integer arithmetic) merged additively by
+    Ray's aggregate tree — the shuffle carries d^2 numbers per block
+    regardless of block size. NULL embeddings drop (SQL: unnest of
+    NULL emits no rows). Pick ``scale`` so ``n_vectors *
+    (v_max * scale)^2 < 2^63``. Returns a driver pyarrow Table
+    ``(i, j, sxy_fp)`` with 1-based dims, sorted — d^2-sized by
+    construction."""
+    from ray.data.aggregate import AggregateFn
+
+    def quantize(col) -> np.ndarray:
+        m = _batch_matrix(col).astype(np.float64)
+        return np.floor(m * scale + 0.5).astype(np.int64)
+
+    def acc_block(acc, block: pa.Table):
+        col = block[embedding_column]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return acc
+        q = quantize(col.filter(pa.array(valid)))
+        g = q.T @ q
+        return g if acc is None else acc + g
+
+    agg = AggregateFn(
+        init=lambda k: None,
+        accumulate_block=acc_block,
+        merge=lambda a, b: (b if a is None
+                            else a if b is None else a + b),
+        name="gram")
+    res = ds.aggregate(agg)
+    g = res["gram"] if res else None
+    if g is None:
+        return pa.table({"i": pa.array([], pa.int64()),
+                         "j": pa.array([], pa.int64()),
+                         "sxy_fp": pa.array([], pa.int64())})
+    d = g.shape[0]
+    ii, jj = np.divmod(np.arange(d * d, dtype=np.int64), d)
+    return pa.table({"i": pa.array(ii + 1),
+                     "j": pa.array(jj + 1),
+                     "sxy_fp": pa.array(g.ravel())})

@@ -932,6 +932,35 @@ def test_hopping_distinct_counts_matches_brute_force():
     assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1, None: 1}
 
 
+def test_embedding_gram_matches_numpy():
+    from json_schema_ray.engine.similarity import embedding_gram
+
+    rng = np.random.default_rng(9)
+    m = rng.normal(0, 0.2, (40, 5)).astype(np.float32)
+    rows = [list(r) for r in m] + [None]  # null embedding drops
+    t = pa.table({"embedding": pa.array(
+        rows, pa.list_(pa.float32()))})
+    got = embedding_gram(
+        _ray().data.from_arrow(t).repartition(3), scale=10 ** 6)
+    q = np.floor(m.astype(np.float64) * 10 ** 6 + 0.5) \
+        .astype(np.int64)
+    want = q.T @ q
+    gd = {(r["i"], r["j"]): r["sxy_fp"] for r in got.to_pylist()}
+    assert len(gd) == 25
+    for i in range(5):
+        for j in range(5):
+            assert gd[(i + 1, j + 1)] == want[i, j]
+
+
+def test_embedding_gram_empty():
+    from json_schema_ray.engine.similarity import embedding_gram
+
+    t = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+    out = embedding_gram(_ray().data.from_arrow(t))
+    assert out.num_rows == 0
+    assert out.column_names == ["i", "j", "sxy_fp"]
+
+
 def test_grouped_median_mad_matches_brute_force():
     import collections
     import math
