@@ -1360,6 +1360,28 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_events_value_winsorized(sf_dir: str):
+    """Per-user winsorization (engine/rank.py ``winsorize_by_group``):
+    event values clipped into their own user's [p01, p99]
+    quantile_disc band — one quantile sort + a key-sized threshold
+    broadcast + a stateless elementwise clip scan."""
+    from json_schema_ray.engine.rank import winsorize_by_group
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    out = winsorize_by_group(ds, "user_id", "value", "event_id",
+                             q_lo=0.01, q_hi=0.99)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "winsorized"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("winsorized", pa.float64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_embedding_gram(sf_dir: str):
     """Fixed-point Gram matrix of the embedding corpus
     (engine/similarity.py ``embedding_gram``): one d x d int64
@@ -2478,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
         "embedding_gram": q_embedding_gram,
+        "events_value_winsorized": q_events_value_winsorized,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3361,6 +3384,21 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_winsorized": r"""
+            WITH th AS (
+              SELECT user_id,
+                     quantile_disc(value, 0.01) AS lo,
+                     quantile_disc(value, 0.99) AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            )
+            SELECT e.event_id,
+                   CASE WHEN e.value IS NULL OR th.user_id IS NULL
+                        THEN e.value
+                        ELSE least(greatest(e.value, th.lo), th.hi)
+                   END AS winsorized
+            FROM events e LEFT JOIN th ON th.user_id = e.user_id
+            ORDER BY 1
         """,
         "embedding_gram": r"""
             WITH e AS (

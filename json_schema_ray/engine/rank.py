@@ -1727,3 +1727,67 @@ def grouped_median_mad(ds, key: str, col: str, tiebreak: str):
         "mad": pa.array(mad_vals, pa.float64(),
                         mask=np.isnan(mad_vals)),
     }).sort_by([(key, "ascending")])
+
+
+def winsorize_by_group(ds, key: str, col: str, tiebreak: str,
+                       q_lo: float = 0.01, q_hi: float = 0.99,
+                       out: str = "winsorized"):
+    """Per-group winsorization: clip ``col`` into its OWN group's
+    ``[quantile_disc(q_lo), quantile_disc(q_hi)]`` — the standard
+    heavy-tail feature clamp. One :func:`grouped_exact_quantiles`
+    pass computes both thresholds (one sort); the key-sized threshold
+    table broadcasts and a stateless scan clips vectorized
+    (elementwise min/max — no float summation, SQL-exact). NULL
+    values pass through NULL; rows whose key has no thresholds (all
+    values NULL in the group) pass through unclipped, and so do
+    NULL-KEY rows (SQL equality-join semantics: a NULL key matches
+    no threshold row). Appends ``out`` to the input rows."""
+    import ray
+
+    th_ds = grouped_exact_quantiles(ds, key, col, [q_lo, q_hi],
+                                    tiebreak)
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in th_ds.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if parts:
+        th = pa.concat_tables(parts, promote_options="default")
+        lo_t = th.filter(pc.equal(th["q"], pa.scalar(float(q_lo))))
+        hi_t = th.filter(pc.equal(th["q"], pa.scalar(float(q_hi))))
+        keys_arr = lo_t[key].combine_chunks()
+        lo_np = pc.cast(lo_t["value"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        # align hi rows to lo order (same key set by construction)
+        hidx = pc.index_in(hi_t[key], value_set=keys_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hi_np = np.empty_like(lo_np)
+        hi_np[hidx] = pc.cast(hi_t["value"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        keys_arr, lo_np, hi_np = pa.array([]), \
+            np.zeros(0), np.zeros(0)
+    handle = ray.put((keys_arr, lo_np, hi_np))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        keys_r, lo_r, hi_r = ray.get(handle)
+        v = pc.cast(batch[col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        w = v.copy()
+        if len(keys_r):
+            idx = pc.index_in(batch[key], value_set=keys_r) \
+                .to_numpy(zero_copy_only=False)
+            have = ~np.isnan(idx.astype(np.float64)) \
+                if idx.dtype.kind == "f" else np.ones(len(idx), bool)
+            ii = np.where(have, np.nan_to_num(
+                idx.astype(np.float64)), 0).astype(np.int64)
+            lo = np.where(have, lo_r[ii], -np.inf)
+            hi = np.where(have, hi_r[ii], np.inf)
+            w = np.minimum(np.maximum(v, lo), hi)
+        mask = np.isnan(w) if w.dtype.kind == "f" else None
+        return batch.append_column(
+            out, pa.array(w, pa.float64(),
+                          mask=mask if mask is not None and
+                          mask.any() else None))
+
+    return ds.map_batches(clip, batch_format="pyarrow",
+                          zero_copy_batch=True)

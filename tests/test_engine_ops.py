@@ -932,6 +932,43 @@ def test_hopping_distinct_counts_matches_brute_force():
     assert rows == {0: 2, -hour: 1, hour: 1, -2 * hour: 1, None: 1}
 
 
+def test_winsorize_by_group_matches_brute_force():
+    import math
+
+    from json_schema_ray.engine.rank import winsorize_by_group
+
+    rng = np.random.default_rng(13)
+    n = 400
+    keys = [f"u{i % 5}" for i in range(n)]
+    vals = rng.normal(0, 10, n)
+    vals[7] = np.nan  # null value passes through NULL
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.float64()),
+                  "id": pa.array(range(n), pa.int64())})
+    out = winsorize_by_group(
+        _ray().data.from_arrow(t).repartition(3),
+        "k", "v", "id", q_lo=0.1, q_hi=0.9)
+    got = {r["id"]: r["winsorized"] for r in out.take_all()}
+
+    def qdisc(xs, q):
+        xs = sorted(xs)
+        return xs[max(0, math.ceil(q * len(xs)) - 1)]
+
+    import collections
+    groups = collections.defaultdict(list)
+    for k, v in zip(keys, vals):
+        if not np.isnan(v):
+            groups[k].append(float(v))
+    th = {k: (qdisc(xs, 0.1), qdisc(xs, 0.9))
+          for k, xs in groups.items()}
+    for i, (k, v) in enumerate(zip(keys, vals)):
+        if np.isnan(v):
+            assert got[i] is None
+        else:
+            lo, hi = th[k]
+            assert got[i] == min(max(float(v), lo), hi)
+
+
 def test_embedding_gram_matches_numpy():
     from json_schema_ray.engine.similarity import embedding_gram
 
