@@ -1360,6 +1360,30 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_curation_summary(sf_dir: str):
+    """The full curation pipeline (pipelines/curation.py): quality
+    gate -> exact dedup -> near-dup cluster removal ->
+    decontamination -> split -> packing -> partitioned parquet.
+    Genuinely non-SQL (multi-stage, stateful, writes files): the
+    driver records the rows-only check; per-stage operators are
+    individually oracle-checked elsewhere. Returns (stage, rows)."""
+    import tempfile
+
+    from json_schema_ray.pipelines.curation import run_curation
+
+    out = tempfile.mkdtemp(prefix="curation_", dir="/tmp")
+    s = run_curation(sf_dir, out)
+    c = s["counts"]
+    stages = ["input", "after_quality", "after_exact_dedup",
+              "after_near_dedup", "after_decontamination"]
+    rows = [(st, int(c[st])) for st in stages]
+    rows += [(f"split_{k}", int(v))
+             for k, v in sorted(c["split_rows"].items())]
+    return pa.table({"stage": pa.array([r[0] for r in rows]),
+                     "rows": pa.array([r[1] for r in rows],
+                                      pa.int64())})
+
+
 def q_events_value_winsorized(sf_dir: str):
     """Per-user winsorization (engine/rank.py ``winsorize_by_group``):
     event values clipped into their own user's [p01, p99]
@@ -2501,6 +2525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_mad": q_user_value_mad,
         "embedding_gram": q_embedding_gram,
         "events_value_winsorized": q_events_value_winsorized,
+        "curation_summary": q_curation_summary,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,

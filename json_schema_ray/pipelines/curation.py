@@ -1,0 +1,194 @@
+"""End-to-end training-data curation — the workflow the operator
+families exist for, composed into one pipeline:
+
+    read -> quality gate -> exact dedup -> near-dup cluster removal
+         -> benchmark decontamination -> train/val/test split
+         -> sequence packing -> partitioned parquet + summary
+
+Every stage is one of the engine's individually-tested operators
+(quality: text.QualityScore actor pool; exact: dedup.exact_dedup;
+near-dup: dedup.minhash_dedup_pairs + connected_components;
+decontamination: dedup.build_ngram_blocklist + ngram_containment;
+split: relational.split_assign; packing: window.pack_items) — this
+module only composes and counts them. Stage survivors are
+materialized into the object store between filters so each stage's
+upstream runs once (at 10^12 docs the counts would instead fold into
+the resume manifest; the composition is otherwise scale-shaped:
+broadcast sides are eval/cluster/pair-sized, never corpus-sized).
+
+Output layout (resumable, one directory per split):
+
+    out_dir/split=train/*.parquet   (doc_id, text, lang, n_tokens)
+    out_dir/split=val/*.parquet
+    out_dir/split=test/*.parquet
+    out_dir/summary.json            per-stage row counts + params
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def run_curation(sf_dir: str, out_dir: str,
+                 quality_min: float = 0.55,
+                 langs=None,
+                 near_dup_threshold: float = 0.7,
+                 contamination_max: float = 0.5,
+                 fractions=(0.9, 0.05),
+                 pack_budget: int = 512,
+                 seed: int = 0) -> dict:
+    """Run the full curation pipeline over ``sf_dir``'s documents
+    table; returns the summary dict (also written to
+    ``out_dir/summary.json``). Deterministic: same inputs + params
+    => identical survivors, splits and bins."""
+    import ray
+
+    from ..engine.dedup import (
+        build_ngram_blocklist,
+        connected_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+        ngram_containment,
+    )
+    from ..engine.relational import split_assign
+    from ..engine.text import QualityScore, token_counts
+    from ..engine.window import pack_items
+
+    counts = {}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"])
+    counts["input"] = ds.count()
+
+    # 1. quality gate (actor-pool stage: patterns compile once per
+    # actor) + optional language allowlist
+    scored = ds.map_batches(QualityScore, batch_format="pyarrow",
+                            concurrency=2)
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.greater_equal(b["quality_score"],
+                             pa.scalar(float(quality_min))), False)
+        if langs is not None:
+            keep = pc.and_(keep, pc.fill_null(
+                pc.is_in(b["lang"],
+                         value_set=pa.array(list(langs))), False))
+        return b.filter(keep).select(["doc_id", "text", "lang"])
+
+    gated = scored.map_batches(quality_gate, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    counts["after_quality"] = gated.count()
+
+    # 2. exact dedup on the text itself (min doc_id survives);
+    # at corpus scale swap in exact_dedup_sorted (broadcast-free)
+    exact = exact_dedup(gated, ["text"], "doc_id").materialize()
+    counts["after_exact_dedup"] = exact.count()
+
+    # 3. near-dup clusters: MinHash+LSH candidates, exact Jaccard
+    # verify, connected components; keep each cluster's root (its
+    # minimum id), drop every other member
+    pairs = minhash_dedup_pairs(exact, "doc_id",
+                                threshold=near_dup_threshold)
+    if pairs.num_rows:
+        comp = connected_components(pairs)
+        drop = comp.filter(
+            pc.invert(pc.equal(comp["id"], comp["component"])))["id"]
+        drop_arr = drop.combine_chunks()
+        handle = ray.put(drop_arr)
+
+        def drop_members(b: pa.Table) -> pa.Table:
+            d = ray.get(handle)
+            return b.filter(pc.invert(pc.fill_null(
+                pc.is_in(b["doc_id"], value_set=d), False)))
+
+        near = exact.map_batches(drop_members, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    else:
+        near = exact
+    counts["near_dup_pairs"] = int(pairs.num_rows)
+    counts["after_near_dedup"] = near.count()
+
+    # 4. benchmark decontamination: the "eval set" is the
+    # deterministic doc_id % 20 == 0 slice (the repo's convention);
+    # docs sharing >= contamination_max of their 5-gram shingles
+    # with it drop. Zero-shingle docs (NULL containment) pass.
+    def eval_docs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    blocklist = build_ngram_blocklist(
+        near.map_batches(eval_docs, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    contam = ngram_containment(near, blocklist)
+
+    def decontaminate(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        is_eval = pa.array(ids % 20 == 0)
+        clean = pc.or_(
+            pc.is_null(b["containment"]),
+            pc.less(b["containment"],
+                    pa.scalar(float(contamination_max))))
+        return b.filter(pc.and_(pc.invert(is_eval),
+                                pc.fill_null(clean, True))) \
+            .select(["doc_id", "text", "lang"])
+
+    clean = contam.map_batches(decontaminate, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    counts["after_decontamination"] = clean.count()
+
+    # 5. deterministic split + token counts + per-split greedy
+    # packing into pack_budget-token bins
+    split = split_assign(clean, "doc_id", list(fractions), seed=seed)
+    with_tokens = token_counts(split)
+    bins = pack_items(with_tokens, "split", "doc_id", "n_tokens",
+                      pack_budget)
+    bin_rows = [t for t in bins.iter_batches(batch_format="pyarrow")]
+    bin_t = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in bin_rows if b.num_rows],
+        promote_options="default") if bin_rows else None
+    if bin_t is not None and bin_t.num_rows:
+        g = pa.TableGroupBy(bin_t.select(["split", "bin"]),
+                            ["split"]).aggregate([("bin", "max")])
+        counts["bins_per_split"] = {
+            s: int(m) + 1 for s, m in
+            zip(g["split"].to_pylist(), g["bin_max"].to_pylist())}
+    else:
+        counts["bins_per_split"] = {}
+
+    # 6. write survivors partitioned by split (resumable layout:
+    # one directory per split, atomic per-fragment files)
+    os.makedirs(out_dir, exist_ok=True)
+    packed = with_tokens.materialize()
+    for split_name in ("train", "val", "test"):
+        part = os.path.join(out_dir, f"split={split_name}")
+
+        def keep_split(b: pa.Table, s=split_name) -> pa.Table:
+            return b.filter(pc.fill_null(
+                pc.equal(b["split"], pa.scalar(s)), False))
+
+        sub = packed.map_batches(keep_split, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        n = sub.count()
+        counts.setdefault("split_rows", {})[split_name] = n
+        if n:
+            os.makedirs(part, exist_ok=True)
+            sub.drop_columns(["split"]).write_parquet(part)
+
+    summary = {
+        "params": {"quality_min": quality_min,
+                   "langs": list(langs) if langs else None,
+                   "near_dup_threshold": near_dup_threshold,
+                   "contamination_max": contamination_max,
+                   "fractions": list(fractions),
+                   "pack_budget": pack_budget, "seed": seed},
+        "counts": counts,
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+    return summary

@@ -1,0 +1,60 @@
+"""End-to-end curation pipeline (pipelines/curation.py): stage
+counts are monotone non-increasing through the filters, every stage
+engages on the sf0.001 corpus, the output layout is the resumable
+split-partitioned one, and the whole run is deterministic."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def curation_summary(ray_session, tmp_path_factory):
+    from json_schema_ray.pipelines.curation import run_curation
+
+    out = str(tmp_path_factory.mktemp("curation"))
+    summary = run_curation("/root/testdata/sf0.001", out)
+    return summary, out
+
+
+def test_stage_counts_monotone_and_engaged(curation_summary):
+    s, _ = curation_summary
+    c = s["counts"]
+    assert (c["input"] >= c["after_quality"]
+            >= c["after_exact_dedup"] >= c["after_near_dedup"]
+            >= c["after_decontamination"])
+    # every filter stage actually does something on this corpus
+    assert c["after_quality"] < c["input"]
+    assert c["near_dup_pairs"] > 0
+    assert c["after_near_dedup"] < c["after_exact_dedup"]
+    assert c["after_decontamination"] < c["after_near_dedup"]
+    assert sum(c["split_rows"].values()) == c["after_decontamination"]
+    assert c["bins_per_split"].keys() == c["split_rows"].keys()
+
+
+def test_output_layout_and_schema(curation_summary):
+    s, out = curation_summary
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f)["counts"] == s["counts"]
+    total = 0
+    for name, n in s["counts"]["split_rows"].items():
+        part = os.path.join(out, f"split={name}")
+        if n == 0:
+            continue
+        t = pq.read_table(part)
+        assert t.num_rows == n
+        assert {"doc_id", "text", "lang", "n_tokens"} <= \
+            set(t.column_names)
+        total += t.num_rows
+    assert total == s["counts"]["after_decontamination"]
+
+
+def test_deterministic_rerun(curation_summary, ray_session, tmp_path):
+    from json_schema_ray.pipelines.curation import run_curation
+
+    s, _ = curation_summary
+    s2 = run_curation("/root/testdata/sf0.001", str(tmp_path / "o2"))
+    assert s2["counts"] == s["counts"]
