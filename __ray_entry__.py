@@ -1453,6 +1453,44 @@ def q_approx_weekly_active_users(sf_dir: str):
         .sort_by([("window_start_us", "ascending")])
 
 
+def q_host_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank over the PRE-AGGREGATED host graph: mention
+    edges collapse to (src, dst, w=count) first — the realistic edge
+    layout after a corpus-scale edge-build — then contributions are
+    (rank * w) // W(src), all integer. The aggregation changes the
+    floor-division grouping, so this is a genuinely different result
+    from host_pagerank, hash-checked against the weighted SQL
+    chain."""
+    import ray
+
+    from json_schema_ray.engine.graph import pagerank, url_host_edges
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+    mentions = url_host_edges(
+        ds.map_batches(lambda b: _augment_urls(b, ["source"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        src_column="source")
+
+    def agg_w(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["src", "dst"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"src": g["src"], "dst": g["dst"],
+                         "w": g["count_all"].cast(pa.int64())})
+
+    edges = mentions.map_batches(agg_w, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["src", "dst"]).sum("w")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["src"], "dst": batch["dst"],
+                         "w": batch["sum(w)"].cast(pa.int64())})
+
+    edges = edges.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return pagerank(edges, n_iter=3, weight="w")
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2519,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_url_domains": q_docs_url_domains,
         "host_pagerank": q_host_pagerank,
+        "host_pagerank_weighted": q_host_pagerank_weighted,
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -2923,46 +2962,39 @@ _AUG_SQL = r"""
               FROM documents
 """
 
-# the 3-iteration integer PageRank chain (graph.py pagerank with
-# scale 1e9, damping 85/100): expects an `edges`(src, dst) CTE in
-# scope, leaves `r3`(node, rank) in scope
-_PAGERANK_ITERS_SQL = r"""
+def _pagerank_iters_sql(weighted: bool = False) -> str:
+    """The 3-iteration integer PageRank chain (graph.py pagerank,
+    scale 1e9, damping 85/100): expects an `edges`(src, dst[, w])
+    CTE in scope, leaves `r3`(node, rank) in scope. ``weighted``
+    switches to the (rank * w) // W(src) contribution, W = total
+    out-weight — graph.py's exact integer formula."""
+    deg = ("sum(w)::BIGINT" if weighted else "count(*)::BIGINT")
+    contrib = ("(r.rank * e.w) // d.outdeg" if weighted
+               else "r.rank // d.outdeg")
+    parts = [f"""
             nodes AS (
               SELECT src AS node FROM edges
               UNION SELECT dst FROM edges
             ), deg AS (
-              SELECT src AS node, count(*)::BIGINT AS outdeg
+              SELECT src AS node, {deg} AS outdeg
               FROM edges GROUP BY 1
             ),
-            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes),
-            s1 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
+            r0 AS (SELECT node, 1000000000::BIGINT AS rank FROM nodes)"""]
+    for i in range(1, 4):
+        parts.append(f""",
+            s{i} AS (SELECT e.dst AS node,
+                          sum({contrib})::BIGINT AS s
                    FROM edges e
                    JOIN deg d ON d.node = e.src
-                   JOIN r0 r ON r.node = e.src GROUP BY 1),
-            r1 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s1.s, 0)) // 100)
+                   JOIN r{i - 1} r ON r.node = e.src GROUP BY 1),
+            r{i} AS (SELECT n.node,
+                          (150000000 + (85 * COALESCE(s{i}.s, 0)) // 100)
                             ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s1 USING (node)),
-            s2 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r1 r ON r.node = e.src GROUP BY 1),
-            r2 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s2.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s2 USING (node)),
-            s3 AS (SELECT e.dst AS node,
-                          sum(r.rank // d.outdeg)::BIGINT AS s
-                   FROM edges e
-                   JOIN deg d ON d.node = e.src
-                   JOIN r2 r ON r.node = e.src GROUP BY 1),
-            r3 AS (SELECT n.node,
-                          (150000000 + (85 * COALESCE(s3.s, 0)) // 100)
-                            ::BIGINT AS rank
-                   FROM nodes n LEFT JOIN s3 USING (node))
-"""
+                   FROM nodes n LEFT JOIN s{i} USING (node))""")
+    return "".join(parts)
+
+
+_PAGERANK_ITERS_SQL = _pagerank_iters_sql()
 
 
 def _shared_spans_sql() -> str:
@@ -3373,6 +3405,22 @@ def oracle_sql() -> dict[str, str]:
                            '^https?://([^/:?#\s]+)', 1)) AS dst
               FROM u
             ), {_PAGERANK_ITERS_SQL}
+            SELECT node, rank AS rank_fp FROM r3 ORDER BY node
+        """,
+        "host_pagerank_weighted": rf"""
+            WITH aug AS ({_AUG_SQL}
+            ), u AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM aug
+            ), edges AS (
+              SELECT source AS src,
+                     lower(regexp_extract(url,
+                           '^https?://([^/:?#\s]+)', 1)) AS dst,
+                     count(*)::BIGINT AS w
+              FROM u GROUP BY 1, 2
+            ), {_pagerank_iters_sql(weighted=True)}
             SELECT node, rank AS rank_fp FROM r3 ORDER BY node
         """,
         "incremental_dedup_docs": r"""

@@ -74,10 +74,12 @@ def url_host_edges(ds, src_column: str = "source",
                           zero_copy_batch=True)
 
 
-def _node_degrees(edges, src: str, dst: str):
-    """(nodes, deg) as driver Arrow tables: every distinct node label
-    across both endpoints, and out-degree per src node. Node-sized —
-    the one structure PageRank legitimately holds per worker."""
+def _node_degrees(edges, src: str, dst: str,
+                  weight: str | None = None):
+    """(nodes, deg) as a driver Arrow table: every distinct node
+    label across both endpoints, and out-degree (or total out-WEIGHT
+    when ``weight`` is given) per src node. Node-sized — the one
+    structure PageRank legitimately holds per worker."""
 
     def endpoints(batch: pa.Table) -> pa.Table:
         # per-block combiner: (node, outdeg partial) for srcs plus
@@ -86,7 +88,11 @@ def _node_degrees(edges, src: str, dst: str):
         da = batch[dst].cast(pa.string()).combine_chunks()
         both = pa.concat_arrays([sa, da])
         o = np.zeros(len(both), np.int64)
-        o[:len(sa)] = 1
+        if weight is None:
+            o[:len(sa)] = 1
+        else:
+            o[:len(sa)] = pc.cast(batch[weight], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
         g = pa.TableGroupBy(
             pa.table({"node": both, "o": pa.array(o)}),
             ["node"]).aggregate([("o", "sum")])
@@ -112,7 +118,7 @@ def _node_degrees(edges, src: str, dst: str):
 def pagerank(edges, src: str = "src", dst: str = "dst",
              n_iter: int = 3, scale: int = 10 ** 9,
              damp_num: int = 85, damp_den: int = 100,
-             mode: str = "broadcast"):
+             mode: str = "broadcast", weight: str | None = None):
     """Fixed-point integer PageRank over an edge-list Dataset.
 
     rank_0(v) = scale for every node (src or dst endpoint);
@@ -123,6 +129,14 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     reproduces it bit for bit. Pick ``scale`` so
     n_nodes * scale * damp_num stays under 2^63 (the per-node sum is
     bounded by the total rank mass).
+
+    ``weight`` names an optional int64 edge-weight column (e.g. a
+    mention count from a pre-aggregated edge list): the contribution
+    becomes ``(rank_i(u) * w) // W(u)`` with ``W(u)`` the src's
+    total out-weight — same integer discipline, SQL-identical via
+    ``sum((r.rank * e.w) // d.outdeg)``. Unweighted parallel edges
+    are the degenerate w=1 case. Weights must be positive ints small
+    enough that ``scale * w`` fits int64.
 
     Returns a driver pyarrow Table (node:string, rank_fp:int64)
     sorted by node — node-sized by construction.
@@ -139,14 +153,15 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     # edges are host-graph-sized, far below the raw corpus, and the
     # store spills if needed
     edges = edges.materialize()
-    deg_t = _node_degrees(edges, src, dst)
+    deg_t = _node_degrees(edges, src, dst, weight)
     n = deg_t.num_rows
     if n == 0:
         return pa.table({"node": pa.array([], pa.string()),
                          "rank_fp": pa.array([], pa.int64())})
     if mode == "sorted":
         return _pagerank_sorted(edges, src, dst, deg_t, n_iter,
-                                scale, damp_num, damp_den, base)
+                                scale, damp_num, damp_den, base,
+                                weight)
 
     node_arr = deg_t["node"].combine_chunks()
     outdeg = deg_t["outdeg"].to_numpy(zero_copy_only=False) \
@@ -154,18 +169,28 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     rank = np.full(n, scale, np.int64)
 
     for _ in range(n_iter):
-        # node-sized driver math: per-src contribution quotient
-        q = np.zeros(n, np.int64)
-        has_out = outdeg > 0
-        q[has_out] = rank[has_out] // outdeg[has_out]
-        handle = ray.put((node_arr, q))
+        if weight is None:
+            # node-sized driver math: per-src contribution quotient
+            q = np.zeros(n, np.int64)
+            has_out = outdeg > 0
+            q[has_out] = rank[has_out] // outdeg[has_out]
+            handle = ray.put((node_arr, q, None))
+        else:
+            # per-edge quotient (rank * w) // W needs both factors
+            handle = ray.put((node_arr, rank, outdeg))
 
         def contrib(batch: pa.Table, h=handle) -> pa.Table:
-            nodes_r, q_r = ray.get(h)
+            nodes_r, a_r, w_r = ray.get(h)
             idx = pc.index_in(batch[src].cast(pa.string()),
                               value_set=nodes_r)
             # every src endpoint is in the node table by construction
-            c = q_r[idx.to_numpy(zero_copy_only=False)]
+            ii = idx.to_numpy(zero_copy_only=False)
+            if w_r is None:
+                c = a_r[ii]
+            else:
+                w = pc.cast(batch[weight], pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                c = (a_r[ii] * w) // w_r[ii]
             g = pa.TableGroupBy(
                 pa.table({"node": batch[dst].cast(pa.string()),
                           "c": pa.array(c)}),
@@ -195,11 +220,13 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
 
 
 def _pagerank_sorted(edges, src, dst, deg_t, n_iter, scale,
-                     damp_num, damp_den, base):
+                     damp_num, damp_den, base, weight=None):
     """Driver-state-free realization: the rank table stays a Dataset;
     each iteration is quotient-map -> sort-merge join onto the edge
     list -> per-block dst combiner -> one node-sized groupby. The
-    driver only touches the FINAL node-sized result."""
+    driver only touches the FINAL node-sized result. With ``weight``
+    the rank/out-weight pair rides the join and the per-edge
+    quotient (rank * w) // W happens in the combiner."""
     import ray
 
     from .relational import sort_merge_join
@@ -216,26 +243,47 @@ def _pagerank_sorted(edges, src, dst, deg_t, n_iter, scale,
     }))
 
     for it in range(n_iter):
-        def quotient(batch: pa.Table) -> pa.Table:
-            r = batch["rank"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            o = batch["outdeg"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            q = np.zeros(len(r), np.int64)
-            np.floor_divide(r, o, out=q, where=o > 0)
-            return pa.table({"qnode": batch["node"],
-                             "q": pa.array(q)})
+        if weight is None:
+            def quotient(batch: pa.Table) -> pa.Table:
+                r = batch["rank"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                o = batch["outdeg"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                q = np.zeros(len(r), np.int64)
+                np.floor_divide(r, o, out=q, where=o > 0)
+                return pa.table({"qnode": batch["node"],
+                                 "q": pa.array(q)})
+
+            carry_cols = ["q"]
+        else:
+            def quotient(batch: pa.Table) -> pa.Table:
+                return pa.table({"qnode": batch["node"],
+                                 "qrank": batch["rank"],
+                                 "qw": batch["outdeg"]})
+
+            carry_cols = ["qrank", "qw"]
 
         q_ds = ranks.map_batches(quotient, batch_format="pyarrow",
                                  zero_copy_batch=True)
         joined = sort_merge_join(edges, q_ds, left_on=src,
                                  right_on="qnode",
-                                 value_columns=["q"], how="inner")
+                                 value_columns=carry_cols,
+                                 how="inner")
 
         def combine(batch: pa.Table) -> pa.Table:
+            if weight is None:
+                c = batch["q"]
+            else:
+                r = pc.cast(batch["qrank"], pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                ww = pc.cast(batch["qw"], pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                w = pc.cast(batch[weight], pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+                c = pa.array((r * w) // ww)
             g = pa.TableGroupBy(
                 pa.table({"node": batch[dst].cast(pa.string()),
-                          "c": batch["q"]}),
+                          "c": c}),
                 ["node"]).aggregate([("c", "sum")])
             return pa.table({"node": g["node"],
                              "c": g["c_sum"].cast(pa.int64())})

@@ -72,6 +72,45 @@ def test_pagerank_randomized_multiblock_differential(ray_session):
     assert got_s == want
 
 
+def test_pagerank_weighted_matches_reference_both_modes(ray_session):
+    import ray
+
+    rng = np.random.default_rng(17)
+    n_edges, n_nodes = 200, 20
+    src = [f"n{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    w = [int(x) for x in rng.integers(1, 9, n_edges)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst,
+        "w": pa.array(w, pa.int64())})).repartition(5)
+
+    # brute force with the weighted integer formula:
+    # contribution = (rank(u) * w) // W(u)
+    nodes = sorted(set(src) | set(dst))
+    ni = {v: i for i, v in enumerate(nodes)}
+    W = np.zeros(len(nodes), np.int64)
+    for u, ww in zip(src, w):
+        W[ni[u]] += ww
+    rank = np.full(len(nodes), SCALE, np.int64)
+    for _ in range(3):
+        s = np.zeros(len(nodes), np.int64)
+        for u, v, ww in zip(src, dst, w):
+            s[ni[v]] += (rank[ni[u]] * ww) // W[ni[u]]
+        rank = BASE + (85 * s) // 100
+    want = {v: int(rank[ni[v]]) for v in nodes}
+
+    got_b = _as_dict(pagerank(ds, weight="w", mode="broadcast"))
+    got_s = _as_dict(pagerank(ds, weight="w", mode="sorted"))
+    assert got_b == want
+    assert got_s == want
+    # weight=1 everywhere degenerates to the unweighted operator
+    ones = ray.data.from_arrow(pa.table({
+        "src": src, "dst": dst,
+        "w": pa.array([1] * n_edges, pa.int64())})).repartition(5)
+    assert _as_dict(pagerank(ones, weight="w")) == \
+        _as_dict(pagerank(ds.drop_columns(["w"])))
+
+
 def test_pagerank_empty_and_bad_mode(ray_session):
     import ray
 
