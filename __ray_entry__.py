@@ -1453,6 +1453,22 @@ def q_approx_weekly_active_users(sf_dir: str):
         .sort_by([("window_start_us", "ascending")])
 
 
+def q_host_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the host graph
+    (engine/graph.py ``hits``): sources score as hubs, mentioned
+    hosts as authorities; max-normalized fixed-point, hash-exact vs
+    the HUGEINT SQL chain."""
+    from json_schema_ray.engine.graph import hits, url_host_edges
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "source"])
+    edges = url_host_edges(
+        ds.map_batches(lambda b: _augment_urls(b, ["source"]),
+                       batch_format="pyarrow", zero_copy_batch=True),
+        src_column="source")
+    return hits(edges, n_iter=3)
+
+
 def q_host_pagerank_weighted(sf_dir: str):
     """Weighted PageRank over the PRE-AGGREGATED host graph: mention
     edges collapse to (src, dst, w=count) first — the realistic edge
@@ -2558,6 +2574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_domains": q_docs_url_domains,
         "host_pagerank": q_host_pagerank,
         "host_pagerank_weighted": q_host_pagerank_weighted,
+        "host_hits": q_host_hits,
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -2997,6 +3014,33 @@ def _pagerank_iters_sql(weighted: bool = False) -> str:
 _PAGERANK_ITERS_SQL = _pagerank_iters_sql()
 
 
+def _hits_iters_sql(n_iter: int = 3) -> str:
+    """Integer HITS chain (graph.py hits, scale 1e9, max-
+    normalization): expects `edges`(src, dst) and `nodes`(node) CTEs
+    in scope, leaves `h{n}`(node, h) and `a{n}`(node, a) in scope.
+    Normalization multiplies before dividing, so the intermediate
+    rides HUGEINT exactly like the engine's Python-int math."""
+    parts = [f"""
+            h0 AS (SELECT node, 1000000000::HUGEINT AS h FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+            a{i}r AS (SELECT e.dst AS node, sum(h{i - 1}.h)::HUGEINT AS v
+                    FROM edges e
+                    JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY 1),
+            a{i} AS (SELECT n.node,
+                          (COALESCE(a{i}r.v, 0) * 1000000000
+                           // (SELECT max(v) FROM a{i}r))::HUGEINT AS a
+                   FROM nodes n LEFT JOIN a{i}r USING (node)),
+            h{i}r AS (SELECT e.src AS node, sum(a{i}.a)::HUGEINT AS v
+                    FROM edges e
+                    JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
+            h{i} AS (SELECT n.node,
+                          (COALESCE(h{i}r.v, 0) * 1000000000
+                           // (SELECT max(v) FROM h{i}r))::HUGEINT AS h
+                   FROM nodes n LEFT JOIN h{i}r USING (node))""")
+    return "".join(parts)
+
+
 def _shared_spans_sql() -> str:
     """Docs pairing when any of their 4 smallest window hashes
     collide, with the shared-span count — the SQL mirror of
@@ -3422,6 +3466,29 @@ def oracle_sql() -> dict[str, str]:
               FROM u GROUP BY 1, 2
             ), {_pagerank_iters_sql(weighted=True)}
             SELECT node, rank AS rank_fp FROM r3 ORDER BY node
+        """,
+        "host_hits": rf"""
+            WITH aug AS ({_AUG_SQL}
+            ), u AS (
+              SELECT source,
+                     unnest(regexp_extract_all(text,
+                            'https?://[^\s]+')) AS url
+              FROM aug
+            ), edges AS (
+              SELECT source AS src,
+                     lower(regexp_extract(url,
+                           '^https?://([^/:?#\s]+)', 1)) AS dst
+              FROM u
+            ), nodes AS (
+              SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges
+            ), {_hits_iters_sql(3)}
+            SELECT n.node, h3.h::BIGINT AS hub_fp,
+                   a3.a::BIGINT AS auth_fp
+            FROM nodes n
+            JOIN h3 ON h3.node = n.node
+            JOIN a3 ON a3.node = n.node
+            ORDER BY 1
         """,
         "incremental_dedup_docs": r"""
             WITH k AS (

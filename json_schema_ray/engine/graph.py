@@ -321,3 +321,91 @@ def _pagerank_sorted(edges, src, dst, deg_t, n_iter, scale,
     return pa.table({"node": out["node"],
                      "rank_fp": out["rank"].cast(pa.int64())}) \
         .sort_by([("node", "ascending")])
+
+
+def hits(edges, src: str = "src", dst: str = "dst",
+         n_iter: int = 3, scale: int = 10 ** 9):
+    """Fixed-point integer HITS (hubs & authorities) over an
+    edge-list Dataset — PageRank's companion signal: a node is a good
+    AUTHORITY when good hubs link to it, a good HUB when it links to
+    good authorities.
+
+    Per iteration (all int64, bit-reproducible in SQL):
+        a'(v) = sum over edges (u, v) of h(u);  a = (a' * scale) // max(a')
+        h'(u) = sum over edges (u, v) of a(v);  h = (h' * scale) // max(h')
+    starting from h = scale everywhere. Max-normalization (instead of
+    the classical L2) keeps every value integer and bounded by
+    ``scale``; the scalar max is a global aggregate, deterministic.
+    Nodes outside the max component simply score lower — the relative
+    ordering HITS exists for is preserved.
+
+    Shape: per half-iteration ONE edge-list pass with a per-block
+    combiner + ONE node-sized groupby (exactly PageRank's envelope);
+    the hub/authority vectors are node-sized broadcasts. Bound:
+    n_edges * scale must stay under 2^63.
+
+    Returns a driver pyarrow Table (node, hub_fp, auth_fp), sorted.
+    """
+    import ray
+
+    edges = edges.materialize()
+    deg_t = _node_degrees(edges, src, dst)
+    n = deg_t.num_rows
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "hub_fp": pa.array([], pa.int64()),
+                         "auth_fp": pa.array([], pa.int64())})
+    node_arr = deg_t["node"].combine_chunks()
+    hub = np.full(n, scale, np.int64)
+    auth = np.zeros(n, np.int64)
+
+    def spread(vec: np.ndarray, from_col: str, to_col: str):
+        """One edge pass: out[to] += vec[from], node-sized result."""
+        handle = ray.put((node_arr, vec))
+
+        def contrib(batch: pa.Table, h=handle) -> pa.Table:
+            nodes_r, v_r = ray.get(h)
+            idx = pc.index_in(batch[from_col].cast(pa.string()),
+                              value_set=nodes_r)
+            c = v_r[idx.to_numpy(zero_copy_only=False)]
+            g = pa.TableGroupBy(
+                pa.table({"node": batch[to_col].cast(pa.string()),
+                          "c": pa.array(c)}),
+                ["node"]).aggregate([("c", "sum")])
+            return pa.table({"node": g["node"],
+                             "c": g["c_sum"].cast(pa.int64())})
+
+        out = np.zeros(n, np.int64)
+        parts = [pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+            for b in edges.map_batches(
+                contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node").sum("c")
+            .iter_batches(batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        if parts:
+            st = pa.concat_tables(parts, promote_options="default")
+            ii = pc.index_in(st["node"].combine_chunks(),
+                             value_set=node_arr) \
+                .to_numpy(zero_copy_only=False)
+            out[ii] = st["sum(c)"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        return out
+
+    def norm(raw: np.ndarray) -> np.ndarray:
+        # x * scale can exceed int64 (raw is bounded by
+        # n_edges * scale): normalize in arbitrary-precision Python
+        # ints — node-sized driver math. SQL side: HUGEINT.
+        m = int(raw.max())
+        if m <= 0:
+            return raw
+        return np.array([x * scale // m for x in raw.tolist()],
+                        np.int64)
+
+    for _ in range(n_iter):
+        auth = norm(spread(hub, src, dst))
+        hub = norm(spread(auth, dst, src))
+
+    return pa.table({"node": node_arr,
+                     "hub_fp": pa.array(hub, pa.int64()),
+                     "auth_fp": pa.array(auth, pa.int64())})

@@ -138,6 +138,60 @@ def test_pagerank_hot_node_mass_conservation(ray_session):
     assert all(got[v] == BASE for v in leaves)
 
 
+def test_hits_matches_reference(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import hits
+
+    rng = np.random.default_rng(23)
+    n_edges, n_nodes = 300, 25
+    src = [f"n{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, n_nodes, n_edges)]
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst})) \
+        .repartition(4)
+
+    nodes = sorted(set(src) | set(dst))
+    ni = {v: i for i, v in enumerate(nodes)}
+    # reference in arbitrary-precision Python ints (x * SCALE can
+    # exceed int64 before the normalizing division)
+    hub = [SCALE] * len(nodes)
+    auth = [0] * len(nodes)
+    for _ in range(3):
+        a = [0] * len(nodes)
+        for u, v in zip(src, dst):
+            a[ni[v]] += hub[ni[u]]
+        m = max(a)
+        auth = [x * SCALE // m for x in a] if m > 0 else a
+        h = [0] * len(nodes)
+        for u, v in zip(src, dst):
+            h[ni[u]] += auth[ni[v]]
+        m = max(h)
+        hub = [x * SCALE // m for x in h] if m > 0 else h
+
+    got = hits(ds, n_iter=3)
+    gd = {r["node"]: (r["hub_fp"], r["auth_fp"])
+          for r in got.to_pylist()}
+    want = {v: (int(hub[ni[v]]), int(auth[ni[v]])) for v in nodes}
+    assert gd == want
+    # max-normalization bounds both vectors by scale, with at least
+    # one node AT scale on each side
+    assert max(h for h, _ in gd.values()) == SCALE
+    assert max(a for _, a in gd.values()) == SCALE
+
+
+def test_hits_empty(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import hits
+
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+    t = hits(empty)
+    assert t.num_rows == 0
+    assert t.column_names == ["node", "hub_fp", "auth_fp"]
+
+
 def test_url_host_edges_extraction(ray_session):
     import ray
 
