@@ -325,18 +325,44 @@ def hopping_distinct_counts(ds, ts: str = "ts",
                             window_seconds: int = 7 * 86400,
                             hop_seconds: int = 86400):
     """Sliding-window EXACT distinct entities — the DAU/WAU family
-    ("7-day active users as of each day"). Window assignment is the
-    shared vectorized expansion; the distinct count rides
-    :func:`~json_schema_ray.engine.relational.grouped_distinct_count`,
-    whose per-block (window, entity) pair-dedupe combiner bounds the
-    first shuffle to one row per pair per block — the expansion
-    factor (window/hop) never reaches the wire for repeat-heavy
-    entities. Returns (window_start_us, n_distinct)."""
+    ("7-day active users as of each day").
+
+    Shape: window membership depends only on the HOP BUCKET, so each
+    block first collapses to its distinct (hop_bucket, entity) pairs
+    (one vectorized groupby — the repeat factor of hot entities never
+    survives the block), THEN the window/hop-fold expansion runs on
+    that combiner output, and
+    :func:`~json_schema_ray.engine.relational.grouped_distinct_count`
+    finishes with the global (window, entity) dedupe + per-window
+    count. The expansion factor multiplies combiner-sized rows, not
+    input rows. NULL timestamps keep SQL semantics (their pairs land
+    in the NULL window); NULL entities are dropped by the final
+    COUNT(DISTINCT). Returns (window_start_us, n_distinct)."""
     from .relational import grouped_distinct_count
 
-    assign = _hopping_assign(ts, window_seconds, hop_seconds)
-    with_win = ds.map_batches(assign, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of "
+                         "hop_seconds")
+    hop_us = hop_seconds * 1_000_000
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        tsv = _int64_us(batch[ts])
+        valid = pc.is_valid(tsv).to_numpy(zero_copy_only=False)
+        t_np = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
+        base = (t_np // hop_us) * hop_us
+        hop = pa.array(base, pa.int64(),
+                       mask=None if valid.all() else ~valid)
+        g = pa.TableGroupBy(
+            pa.table({"__hop": hop, entity: batch[entity]}),
+            ["__hop", entity]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(bucket_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    # hop-bucket int64 doubles as the assignment timestamp (us)
+    assign = _hopping_assign("__hop", window_seconds, hop_seconds)
+    with_win = pairs.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)
     return grouped_distinct_count(with_win, "window_start_us", entity)
 
 
