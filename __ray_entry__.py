@@ -1360,6 +1360,44 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_lang_dup_rates(sf_dir: str):
+    """Per-language exact-duplication rate — the corpus-health rollup
+    a dedup pass is judged by: docs, distinct texts, and the
+    duplicate fraction (fixed-point x1e6). Composition of
+    grouped_distinct_count (pair-dedupe combiner) + a count
+    aggregate; lang-sized join on the driver."""
+    from json_schema_ray.engine.relational import grouped_distinct_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    nd = _collect(grouped_distinct_count(ds, "lang", "text"),
+                  pa.schema([("lang", pa.string()),
+                             ("n_distinct", pa.int64())]))
+
+    def ones(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["lang"]), ["lang"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    tot = _collect(
+        ds.map_batches(ones, batch_format="pyarrow",
+                       zero_copy_batch=True).groupby("lang").sum("n"),
+        pa.schema([("lang", pa.string()), ("sum(n)", pa.int64())]))
+    idx = pc.index_in(nd["lang"], value_set=tot["lang"].combine_chunks())
+    n_docs = tot["sum(n)"].combine_chunks().take(idx)
+    import numpy as np
+
+    nd_np = nd["n_distinct"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_np = n_docs.to_numpy(zero_copy_only=False).astype(np.int64)
+    rate = ((n_np - nd_np) * 10 ** 6) // n_np
+    return pa.table({
+        "lang": nd["lang"],
+        "n_docs": pa.array(n_np),
+        "n_distinct": pa.array(nd_np),
+        "dup_x1m": pa.array(rate),
+    }).sort_by([("lang", "ascending")])
+
+
 def q_curation_summary(sf_dir: str):
     """The full curation pipeline (pipelines/curation.py): quality
     gate -> exact dedup -> near-dup cluster removal ->
@@ -2582,6 +2620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "events_value_winsorized": q_events_value_winsorized,
         "curation_summary": q_curation_summary,
+        "lang_dup_rates": q_lang_dup_rates,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3524,6 +3563,13 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "lang_dup_rates": r"""
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS n_distinct,
+                   ((count(*) - count(DISTINCT text)) * 1000000)
+                     // count(*) AS dup_x1m
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         "events_value_winsorized": r"""
             WITH th AS (
