@@ -70,6 +70,11 @@ EXTRA_QUERIES = [
     "event_transition_violations",  # protocol check: LAG + filter
     "docs_shared_spans",       # repeated-span pairs via fingerprints
     "host_pagerank",           # 3-iteration integer PageRank
+    "incremental_dedup_docs",  # snapshot-over-snapshot dedup
+    "weekly_active_users",     # exact sliding-window distinct
+    "approx_weekly_active_users",  # HLL twin: register-row shuffle
+    "user_value_mad",          # robust median+MAD gate
+    "embedding_gram",          # int64 matmul partials aggregate
 ]
 
 
