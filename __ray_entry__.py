@@ -1366,24 +1366,16 @@ def q_lang_dup_rates(sf_dir: str):
     duplicate fraction (fixed-point x1e6). Composition of
     grouped_distinct_count (pair-dedupe combiner) + a count
     aggregate; lang-sized join on the driver."""
-    from json_schema_ray.engine.relational import grouped_distinct_count
+    from json_schema_ray.engine.relational import (
+        grouped_aggregate, grouped_distinct_count)
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
     nd = _collect(grouped_distinct_count(ds, "lang", "text"),
                   pa.schema([("lang", pa.string()),
                              ("n_distinct", pa.int64())]))
-
-    def ones(b: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(b.select(["lang"]), ["lang"]) \
-            .aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "n"])
-
-    tot = _collect(
-        ds.map_batches(ones, batch_format="pyarrow",
-                       zero_copy_batch=True).groupby("lang").sum("n"),
-        pa.schema([("lang", pa.string()), ("sum(n)", pa.int64())]))
+    tot = grouped_aggregate(ds, ["lang"], [(None, "count")])
     idx = pc.index_in(nd["lang"], value_set=tot["lang"].combine_chunks())
-    n_docs = tot["sum(n)"].combine_chunks().take(idx)
+    n_docs = tot["rows_count"].combine_chunks().take(idx)
     import numpy as np
 
     nd_np = nd["n_distinct"].to_numpy(zero_copy_only=False) \
@@ -1405,12 +1397,16 @@ def q_curation_summary(sf_dir: str):
     Genuinely non-SQL (multi-stage, stateful, writes files): the
     driver records the rows-only check; per-stage operators are
     individually oracle-checked elsewhere. Returns (stage, rows)."""
+    import shutil
     import tempfile
 
     from json_schema_ray.pipelines.curation import run_curation
 
     out = tempfile.mkdtemp(prefix="curation_", dir="/tmp")
-    s = run_curation(sf_dir, out)
+    try:
+        s = run_curation(sf_dir, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     c = s["counts"]
     stages = ["input", "after_quality", "after_exact_dedup",
               "after_near_dedup", "after_decontamination"]

@@ -135,8 +135,12 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     becomes ``(rank_i(u) * w) // W(u)`` with ``W(u)`` the src's
     total out-weight — same integer discipline, SQL-identical via
     ``sum((r.rank * e.w) // d.outdeg)``. Unweighted parallel edges
-    are the degenerate w=1 case. Weights must be positive ints small
-    enough that ``scale * w`` fits int64.
+    are the degenerate w=1 case. Weights must be positive ints, and
+    the overflow bound tightens to
+    ``n_nodes * scale * max_weight * damp_num < 2^63`` — ranks grow
+    toward the total mass (n_nodes * scale), and rank * w multiplies
+    that (numpy int64 wraps silently; DuckDB raises). Shrink
+    ``scale`` accordingly for heavy weights.
 
     Returns a driver pyarrow Table (node:string, rank_fp:int64)
     sorted by node — node-sized by construction.

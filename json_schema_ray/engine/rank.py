@@ -1752,6 +1752,10 @@ def winsorize_by_group(ds, key: str, col: str, tiebreak: str,
     parts = [t for t in parts if t.num_rows]
     if parts:
         th = pa.concat_tables(parts, promote_options="default")
+        # drop the NULL-key group's thresholds: pc.index_in MATCHES a
+        # null needle against a null in the value set, which would
+        # clip NULL-key rows — SQL's equality join never matches them
+        th = th.filter(pc.is_valid(th[key]))
         lo_t = th.filter(pc.equal(th["q"], pa.scalar(float(q_lo))))
         hi_t = th.filter(pc.equal(th["q"], pa.scalar(float(q_hi))))
         keys_arr = lo_t[key].combine_chunks()

@@ -522,6 +522,10 @@ def embedding_gram(ds, embedding_column: str = "embedding",
 
     def quantize(col) -> np.ndarray:
         m = _batch_matrix(col).astype(np.float64)
+        # a NULL ELEMENT inside a vector quantizes to 0 — exactly
+        # SQL's NULL-skip: a null xi nulls its products, which the
+        # SQL sum skips, the same as adding zero
+        np.nan_to_num(m, copy=False)
         return np.floor(m * scale + 0.5).astype(np.int64)
 
     def acc_block(acc, block: pa.Table):

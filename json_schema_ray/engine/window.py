@@ -340,9 +340,7 @@ def hopping_distinct_counts(ds, ts: str = "ts",
     COUNT(DISTINCT). Returns (window_start_us, n_distinct)."""
     from .relational import grouped_distinct_count
 
-    if window_seconds % hop_seconds:
-        raise ValueError("window_seconds must be a multiple of "
-                         "hop_seconds")
+    # (the multiple-of-hop contract is validated by _hopping_assign)
     hop_us = hop_seconds * 1_000_000
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:

@@ -56,7 +56,7 @@ def run_curation(sf_dir: str, out_dir: str,
         ngram_containment,
     )
     from ..engine.relational import split_assign
-    from ..engine.text import QualityScore, token_counts
+    from ..engine.text import quality_scores
     from ..engine.window import pack_items
 
     counts = {}
@@ -66,9 +66,9 @@ def run_curation(sf_dir: str, out_dir: str,
     counts["input"] = ds.count()
 
     # 1. quality gate (actor-pool stage: patterns compile once per
-    # actor) + optional language allowlist
-    scored = ds.map_batches(QualityScore, batch_format="pyarrow",
-                            concurrency=2)
+    # actor) + optional language allowlist; n_tokens rides along so
+    # the packing stage never re-tokenizes
+    scored = quality_scores(ds, concurrency=2)
 
     def quality_gate(b: pa.Table) -> pa.Table:
         keep = pc.fill_null(
@@ -78,7 +78,8 @@ def run_curation(sf_dir: str, out_dir: str,
             keep = pc.and_(keep, pc.fill_null(
                 pc.is_in(b["lang"],
                          value_set=pa.array(list(langs))), False))
-        return b.filter(keep).select(["doc_id", "text", "lang"])
+        return b.filter(keep).select(
+            ["doc_id", "text", "lang", "n_tokens"])
 
     gated = scored.map_batches(quality_gate, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
@@ -135,31 +136,27 @@ def run_curation(sf_dir: str, out_dir: str,
                     pa.scalar(float(contamination_max))))
         return b.filter(pc.and_(pc.invert(is_eval),
                                 pc.fill_null(clean, True))) \
-            .select(["doc_id", "text", "lang"])
+            .select(["doc_id", "text", "lang", "n_tokens"])
 
     clean = contam.map_batches(decontaminate, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
     counts["after_decontamination"] = clean.count()
 
-    # 5. deterministic split + token counts + per-split greedy
-    # packing into pack_budget-token bins
-    split = split_assign(clean, "doc_id", list(fractions), seed=seed)
-    with_tokens = token_counts(split)
+    # 5. deterministic split + per-split greedy packing into
+    # pack_budget-token bins (n_tokens carried from the quality scan)
+    with_tokens = split_assign(clean, "doc_id", list(fractions),
+                               seed=seed)
     bins = pack_items(with_tokens, "split", "doc_id", "n_tokens",
                       pack_budget)
-    bin_rows = [t for t in bins.iter_batches(batch_format="pyarrow")]
-    bin_t = pa.concat_tables(
-        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
-         else b for b in bin_rows if b.num_rows],
-        promote_options="default") if bin_rows else None
-    if bin_t is not None and bin_t.num_rows:
-        g = pa.TableGroupBy(bin_t.select(["split", "bin"]),
-                            ["split"]).aggregate([("bin", "max")])
-        counts["bins_per_split"] = {
-            s: int(m) + 1 for s, m in
-            zip(g["split"].to_pylist(), g["bin_max"].to_pylist())}
-    else:
-        counts["bins_per_split"] = {}
+    # bins-per-split stays a DISTRIBUTED reduction (splits-sized
+    # result) — never pull the per-doc bin rows to the driver
+    counts["bins_per_split"] = {
+        name: 0 for name in ("train", "val", "test")}
+    for row in bins.groupby("split").max("bin") \
+            .iter_rows():
+        if row["split"] is not None:
+            counts["bins_per_split"][row["split"]] = \
+                int(row["max(bin)"]) + 1
 
     # 6. write survivors partitioned by split (resumable layout:
     # one directory per split, atomic per-fragment files)

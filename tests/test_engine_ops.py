@@ -969,6 +969,28 @@ def test_winsorize_by_group_matches_brute_force():
             assert got[i] == min(max(float(v), lo), hi)
 
 
+def test_winsorize_null_keys_pass_through_unclipped():
+    # SQL equality-join semantics: a NULL key matches no threshold
+    # row, even though the quantile pass computes a NULL-key group
+    # (pc.index_in WOULD match a null needle against a null in the
+    # value set — the operator must filter the null threshold out)
+    from json_schema_ray.engine.rank import winsorize_by_group
+
+    t = pa.table({
+        "k": pa.array(["a"] * 10 + [None] * 10, pa.string()),
+        "v": pa.array([float(i) for i in range(10)] * 2,
+                      pa.float64()),
+        "id": pa.array(range(20), pa.int64())})
+    out = winsorize_by_group(_ray().data.from_arrow(t), "k", "v",
+                             "id", q_lo=0.2, q_hi=0.8)
+    got = {r["id"]: r["winsorized"] for r in out.take_all()}
+    for i in range(10, 20):  # null-key rows: unclipped originals
+        assert got[i] == float(i - 10)
+    # "a" rows clip into [quantile_disc(.2), quantile_disc(.8)] =
+    # [values[ceil(.2*10)-1], values[ceil(.8*10)-1]] = [1.0, 7.0]
+    assert got[0] == 1.0 and got[9] == 7.0
+
+
 def test_embedding_gram_matches_numpy():
     from json_schema_ray.engine.similarity import embedding_gram
 
