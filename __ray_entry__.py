@@ -1360,6 +1360,25 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_weighted_avg_price(sf_dir: str):
+    """Quantity-weighted mean extended price per return flag
+    (engine/relational.py ``grouped_weighted_mean``): per-element
+    fixed-point quantization before any sum, one combiner + one
+    key-sized groupby — hash-exact integer output."""
+    from json_schema_ray.engine.relational import grouped_weighted_mean
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity"])
+    out = grouped_weighted_mean(ds, "l_returnflag",
+                                "l_extendedprice", "l_quantity")
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("wmean_fp", pa.int64()),
+                        ("w_sum", pa.int64())])
+    return _collect(out, schema) \
+        .sort_by([("l_returnflag", "ascending")])
+
+
 def q_lang_dup_rates(sf_dir: str):
     """Per-language exact-duplication rate — the corpus-health rollup
     a dedup pass is judged by: docs, distinct texts, and the
@@ -2617,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": q_events_value_winsorized,
         "curation_summary": q_curation_summary,
         "lang_dup_rates": q_lang_dup_rates,
+        "weighted_avg_price": q_weighted_avg_price,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3559,6 +3579,22 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "weighted_avg_price": r"""
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 1000000 + 0.5)
+                          AS BIGINT) AS qv,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS qw
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+            )
+            SELECT l_returnflag,
+                   (sum(qv * qw)::BIGINT // sum(qw)::BIGINT)
+                     AS wmean_fp,
+                   sum(qw)::BIGINT AS w_sum
+            FROM q GROUP BY 1 ORDER BY 1
         """,
         "lang_dup_rates": r"""
             SELECT lang, count(*)::BIGINT AS n_docs,

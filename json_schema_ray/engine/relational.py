@@ -2078,3 +2078,62 @@ def share_of_group(ds, key: str, value: str, out: str = "share_e6"):
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_weighted_mean(ds, key: str, value: str, weight: str,
+                          scale: int = 10 ** 6,
+                          out: str = "wmean_fp"):
+    """Per-group weighted mean, ALL-INTEGER: value quantizes per
+    element to ``floor(v * scale + 0.5)`` int64 (SQL's exact tie
+    rule), weights round the same way, and the mean is
+    ``sum(q(v) * w) // sum(w)`` — fixed-point-before-sum, so the
+    result is summation-order-free and hash-exact vs DuckDB.
+    NULL values/weights drop pairwise (SQL: a null product leaves
+    the sum); a group whose weights sum to zero yields NULL.
+
+    Shape: per-block (key)-combiner reduces to two int64 partial
+    sums per key per block; ONE key-sized groupby finishes. Returns
+    a Dataset of (key, out, w_sum)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(batch[weight], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~(np.isnan(v) | np.isnan(w))
+        qv = np.zeros(len(v), np.int64)
+        qw = np.zeros(len(v), np.int64)
+        qv[ok] = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        qw[ok] = np.floor(w[ok] + 0.5).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({key: batch[key],
+                      "__vw": pa.array(qv * qw),
+                      "__w": pa.array(qw)}),
+            [key]).aggregate([("__vw", "sum"), ("__w", "sum")])
+        return pa.table({key: g[key],
+                         "__vw": g["__vw_sum"].cast(pa.int64()),
+                         "__w": g["__w_sum"].cast(pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key],
+        [Sum("__vw", alias_name="__vw"), Sum("__w", alias_name="__w")],
+        ["__vw", "__w"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vw = pc.fill_null(batch["__vw"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = pc.fill_null(batch["__w"], 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.zeros(len(w), np.int64)
+        np.floor_divide(vw, w, out=m, where=w != 0)
+        return pa.table({
+            key: batch[key],
+            out: pa.array(m, pa.int64(),
+                          mask=(w == 0) if (w == 0).any() else None),
+            "w_sum": pa.array(w)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -969,6 +969,35 @@ def test_winsorize_by_group_matches_brute_force():
             assert got[i] == min(max(float(v), lo), hi)
 
 
+def test_grouped_weighted_mean_matches_brute_force():
+    from json_schema_ray.engine.relational import grouped_weighted_mean
+
+    rng = np.random.default_rng(29)
+    n = 300
+    keys = [f"g{i % 4}" for i in range(n)]
+    vals = rng.normal(100, 30, n)
+    wts = rng.integers(1, 9, n).astype(float)
+    vals[5] = np.nan  # null pair drops
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "v": pa.array(vals, pa.float64()),
+                  "w": pa.array(wts, pa.float64())})
+    out = grouped_weighted_mean(
+        _ray().data.from_arrow(t).repartition(3), "k", "v", "w")
+    got = {r["k"]: (r["wmean_fp"], r["w_sum"]) for r in out.take_all()}
+
+    import collections
+    acc = collections.defaultdict(lambda: [0, 0])
+    for k, v, w in zip(keys, vals, wts):
+        if np.isnan(v) or np.isnan(w):
+            continue
+        qv = int(np.floor(v * 10 ** 6 + 0.5))
+        qw = int(np.floor(w + 0.5))
+        acc[k][0] += qv * qw
+        acc[k][1] += qw
+    want = {k: (vw // sw, sw) for k, (vw, sw) in acc.items()}
+    assert got == want
+
+
 def test_winsorize_null_keys_pass_through_unclipped():
     # SQL equality-join semantics: a NULL key matches no threshold
     # row, even though the quantile pass computes a NULL-key group
