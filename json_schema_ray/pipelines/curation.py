@@ -22,6 +22,10 @@ Output layout (resumable, one directory per split):
     out_dir/split=val/*.parquet
     out_dir/split=test/*.parquet
     out_dir/summary.json            per-stage row counts + params
+    out_dir/stages/<name>/          (checkpoint=True) stage survivors
+    out_dir/stages/<name>.done      marker + stage metadata, written
+                                    AFTER the data; resume=True skips
+                                    the intact checkpoint prefix
 """
 
 from __future__ import annotations
@@ -41,12 +45,22 @@ def run_curation(sf_dir: str, out_dir: str,
                  contamination_max: float = 0.5,
                  fractions=(0.9, 0.05),
                  pack_budget: int = 512,
-                 seed: int = 0) -> dict:
+                 seed: int = 0,
+                 checkpoint: bool = False,
+                 resume: bool = False) -> dict:
     """Run the full curation pipeline over ``sf_dir``'s documents
     table; returns the summary dict (also written to
     ``out_dir/summary.json``). Deterministic: same inputs + params
-    => identical survivors, splits and bins."""
+    => identical survivors, splits and bins.
+
+    ``checkpoint=True`` persists each filter stage's survivors as
+    parquet under ``out_dir/stages/<name>/`` with a ``<name>.done``
+    marker written only AFTER the data; ``resume=True`` then reads
+    completed stages back instead of recomputing, so a killed run
+    re-does at most its one in-flight stage — the stage-granular
+    analogue of the validation job's per-fragment manifests."""
     import ray
+    import shutil
 
     from ..engine.dedup import (
         build_ngram_blocklist,
@@ -60,6 +74,43 @@ def run_curation(sf_dir: str, out_dir: str,
     from ..engine.window import pack_items
 
     counts = {}
+    stage_meta = {}
+    os.makedirs(out_dir, exist_ok=True)
+
+    chain_dirty = False  # once a stage recomputes, every DOWNSTREAM
+    # checkpoint is stale (it was derived from the old upstream) and
+    # must be ignored — markers only short-circuit an intact prefix
+
+    def stage(name, compute):
+        """Materialize a filter stage; with checkpointing, persist
+        it and (on resume) read a completed stage back. ``compute``
+        returns (lazy_ds, meta_dict)."""
+        nonlocal chain_dirty
+        sdir = os.path.join(out_dir, "stages", name)
+        marker = os.path.join(out_dir, "stages", f"{name}.done")
+        if checkpoint and resume and not chain_dirty \
+                and os.path.exists(marker) and os.path.isdir(sdir) \
+                and any(f.endswith(".parquet")
+                        for f in os.listdir(sdir)):
+            # (an empty stage writes no parquet files and therefore
+            # never short-circuits — it recomputes, which is cheap)
+            with open(marker) as f:
+                stage_meta[name] = json.load(f)
+            return ray.data.read_parquet(sdir)
+        chain_dirty = True
+        made, meta = compute()
+        made = made.materialize()
+        stage_meta[name] = meta
+        if checkpoint:
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(sdir, exist_ok=True)
+            made.write_parquet(sdir)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, marker)
+        return made
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang"])
@@ -81,37 +132,45 @@ def run_curation(sf_dir: str, out_dir: str,
         return b.filter(keep).select(
             ["doc_id", "text", "lang", "n_tokens"])
 
-    gated = scored.map_batches(quality_gate, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    gated = stage(
+        "quality_gate",
+        lambda: (scored.map_batches(quality_gate,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True), {}))
     counts["after_quality"] = gated.count()
 
     # 2. exact dedup on the text itself (min doc_id survives);
     # at corpus scale swap in exact_dedup_sorted (broadcast-free)
-    exact = exact_dedup(gated, ["text"], "doc_id").materialize()
+    exact = stage(
+        "exact_dedup",
+        lambda: (exact_dedup(gated, ["text"], "doc_id"), {}))
     counts["after_exact_dedup"] = exact.count()
 
     # 3. near-dup clusters: MinHash+LSH candidates, exact Jaccard
     # verify, connected components; keep each cluster's root (its
     # minimum id), drop every other member
-    pairs = minhash_dedup_pairs(exact, "doc_id",
-                                threshold=near_dup_threshold)
-    if pairs.num_rows:
+    def near_compute():
+        pairs = minhash_dedup_pairs(exact, "doc_id",
+                                    threshold=near_dup_threshold)
+        meta = {"near_dup_pairs": int(pairs.num_rows)}
+        if not pairs.num_rows:
+            return exact, meta
         comp = connected_components(pairs)
         drop = comp.filter(
             pc.invert(pc.equal(comp["id"], comp["component"])))["id"]
-        drop_arr = drop.combine_chunks()
-        handle = ray.put(drop_arr)
+        handle = ray.put(drop.combine_chunks())
 
         def drop_members(b: pa.Table) -> pa.Table:
             d = ray.get(handle)
             return b.filter(pc.invert(pc.fill_null(
                 pc.is_in(b["doc_id"], value_set=d), False)))
 
-        near = exact.map_batches(drop_members, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
-    else:
-        near = exact
-    counts["near_dup_pairs"] = int(pairs.num_rows)
+        return exact.map_batches(drop_members, batch_format="pyarrow",
+                                 zero_copy_batch=True), meta
+
+    near = stage("near_dedup", near_compute)
+    counts["near_dup_pairs"] = stage_meta["near_dedup"][
+        "near_dup_pairs"]
     counts["after_near_dedup"] = near.count()
 
     # 4. benchmark decontamination: the "eval set" is the
@@ -122,24 +181,27 @@ def run_curation(sf_dir: str, out_dir: str,
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % 20 == 0))
 
-    blocklist = build_ngram_blocklist(
-        near.map_batches(eval_docs, batch_format="pyarrow",
-                         zero_copy_batch=True))
-    contam = ngram_containment(near, blocklist)
-
     def decontaminate(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         is_eval = pa.array(ids % 20 == 0)
-        clean = pc.or_(
+        clean_mask = pc.or_(
             pc.is_null(b["containment"]),
             pc.less(b["containment"],
                     pa.scalar(float(contamination_max))))
         return b.filter(pc.and_(pc.invert(is_eval),
-                                pc.fill_null(clean, True))) \
+                                pc.fill_null(clean_mask, True))) \
             .select(["doc_id", "text", "lang", "n_tokens"])
 
-    clean = contam.map_batches(decontaminate, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    def clean_compute():
+        blocklist = build_ngram_blocklist(
+            near.map_batches(eval_docs, batch_format="pyarrow",
+                             zero_copy_batch=True))
+        contam = ngram_containment(near, blocklist)
+        return contam.map_batches(decontaminate,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True), {}
+
+    clean = stage("decontaminate", clean_compute)
     counts["after_decontamination"] = clean.count()
 
     # 5. deterministic split + per-split greedy packing into

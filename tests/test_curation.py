@@ -58,3 +58,36 @@ def test_deterministic_rerun(curation_summary, ray_session, tmp_path):
     s, _ = curation_summary
     s2 = run_curation("/root/testdata/sf0.001", str(tmp_path / "o2"))
     assert s2["counts"] == s["counts"]
+
+
+def test_checkpoint_resume(curation_summary, ray_session, tmp_path):
+    """Stage checkpoints: a resumed run reads completed stages back
+    (identical summary, no recompute), and invalidating one marker
+    recomputes that stage and everything downstream — but never the
+    intact prefix."""
+    from json_schema_ray.pipelines.curation import run_curation
+
+    s, _ = curation_summary
+    out = str(tmp_path / "ck")
+    s1 = run_curation("/root/testdata/sf0.001", out, checkpoint=True)
+    assert s1["counts"] == s["counts"]
+    gate_marker = os.path.join(out, "stages", "quality_gate.done")
+    near_marker = os.path.join(out, "stages", "near_dedup.done")
+    t_gate = os.path.getmtime(gate_marker)
+    t_near = os.path.getmtime(near_marker)
+
+    s2 = run_curation("/root/testdata/sf0.001", out, checkpoint=True,
+                      resume=True)
+    assert s2["counts"] == s1["counts"]
+    # nothing recomputed: markers untouched
+    assert os.path.getmtime(gate_marker) == t_gate
+    assert os.path.getmtime(near_marker) == t_near
+
+    # kill the near-dedup checkpoint: it and decontaminate recompute,
+    # the quality/exact prefix does not
+    os.remove(near_marker)
+    s3 = run_curation("/root/testdata/sf0.001", out, checkpoint=True,
+                      resume=True)
+    assert s3["counts"] == s1["counts"]
+    assert os.path.getmtime(gate_marker) == t_gate
+    assert os.path.getmtime(near_marker) > t_near
