@@ -1360,6 +1360,38 @@ def q_docs_ranked_hosts(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_line_dedup(sf_dir: str):
+    """RefinedWeb-style repeated-line removal (engine/text.py
+    ``drop_repeated_lines``): the raw corpus has no newlines, so both
+    sides build the same deterministic 3-line structure — two text
+    halves around a middle line that is shared boilerplate for even
+    doc_ids ('accept cookies to continue', ~250 docs, dropped at
+    max_docs=5) and unique for odd ones (kept). Hash-exact cleaned
+    texts."""
+    from json_schema_ray.engine.text import drop_repeated_lines
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lineify(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mid = pc.if_else(
+            pa.array(ids % 2 == 0),
+            pa.scalar("accept cookies to continue"),
+            pc.binary_join_element_wise(
+                "unique-", pc.cast(b["doc_id"], pa.string()), ""))
+        text = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(b["text"], 0, 50), mid,
+            pc.utf8_slice_codeunits(b["text"], 50, 100), "\n")
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    out = drop_repeated_lines(
+        ds.map_batches(lineify, batch_format="pyarrow",
+                       zero_copy_batch=True), max_docs=5)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("text_clean", pa.string())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_weighted_avg_price(sf_dir: str):
     """Quantity-weighted mean extended price per return flag
     (engine/relational.py ``grouped_weighted_mean``): per-element
@@ -2637,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_summary": q_curation_summary,
         "lang_dup_rates": q_lang_dup_rates,
         "weighted_avg_price": q_weighted_avg_price,
+        "docs_line_dedup": q_docs_line_dedup,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3579,6 +3612,35 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "docs_line_dedup": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     substr(text, 1, 50) || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'accept cookies to continue'
+                          ELSE 'unique-' || doc_id END
+                     || chr(10) || substr(text, 51, 50) AS text
+              FROM documents
+            ), l AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(
+                       string_split(text, chr(10)), 1) AS i
+              FROM aug
+            ), freq AS (
+              SELECT line FROM l
+              GROUP BY line HAVING count(DISTINCT doc_id) > 5
+            ), kept AS (
+              SELECT doc_id, line, i FROM l
+              WHERE line NOT IN (SELECT line FROM freq)
+            )
+            SELECT a.doc_id,
+                   COALESCE(string_agg(k.line, chr(10)
+                                       ORDER BY k.i), '')
+                     AS text_clean
+            FROM aug a LEFT JOIN kept k USING (doc_id)
+            GROUP BY a.doc_id ORDER BY a.doc_id
         """,
         "weighted_avg_price": r"""
             WITH q AS (

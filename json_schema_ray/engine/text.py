@@ -1150,3 +1150,102 @@ def shared_fingerprint_pairs(ds, id_column: str = "doc_id",
                          "n_shared": pa.array([], pa.int64())})
     return pa.table({"id_a": out["id_a"], "id_b": out["id_b"],
                      "n_shared": out["rows_count"].cast(pa.int64())})
+
+
+def drop_repeated_lines(ds, id_column: str = "doc_id",
+                        text_column: str = "text",
+                        max_docs: int = 5,
+                        out: str = "text_clean"):
+    """RefinedWeb/Falcon-style LINE-wise dedup across the corpus: a
+    newline-separated line occurring in MORE than ``max_docs``
+    distinct documents is boilerplate (cookie banners, nav bars,
+    footers) and is dropped from every document; surviving lines
+    rejoin in their original order.
+
+    Shape: pass 1 splits per batch (one RE2-free ``split_pattern``)
+    and emits per-block DISTINCT (line_hash, doc) pairs; the global
+    distinct-doc count per line hash rides
+    :func:`~json_schema_ray.engine.relational.grouped_distinct_count`
+    (ONE hash-keyed groupby); the frequent-line hashes broadcast —
+    bounded by lines that cross the threshold, i.e. corpus-frequent
+    boilerplate, sparse by construction. Pass 2 re-splits, drops
+    member lines by a sorted-array ``np.searchsorted`` probe, and
+    reassembles each doc vectorized (ListArray offsets +
+    ``pc.binary_join``). Membership is by 64-bit line hash (a
+    collision could drop an innocent line; at < 2^32 distinct
+    boilerplate lines the probability is negligible). NULL texts
+    pass through NULL; a doc whose every line drops becomes ``""``.
+    Returns (id, out) rows."""
+    import ray
+
+    from ..state.sketches import hash_string_array
+    from .relational import grouped_distinct_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[text_column].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lines = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+        flat = pc.list_flatten(lines)
+        par = pc.list_parent_indices(lines) \
+            .to_numpy(zero_copy_only=False)
+        keep = valid[par]
+        h = hash_string_array(flat)[keep]
+        docs = batch[id_column].combine_chunks() \
+            .take(pa.array(par[keep], pa.int64()))
+        g = pa.TableGroupBy(
+            pa.table({"h": pa.array(h.astype(np.int64)),
+                      "d": docs}),
+            ["h", "d"]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    freq = grouped_distinct_count(pairs, "h", "d")
+
+    def over(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["n_distinct"],
+                       pa.scalar(int(max_docs)))
+        return pa.table({"h": batch["h"].filter(m)})
+
+    drop_chunks = []
+    for b in freq.map_batches(over, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            drop_chunks.append(
+                b["h"].to_numpy(zero_copy_only=False))
+    drop = np.sort(np.concatenate(drop_chunks).astype(np.int64)) \
+        if drop_chunks else np.zeros(0, np.int64)
+    handle = ray.put(drop)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        d = ray.get(handle)
+        col = batch[text_column].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lines = pc.split_pattern(pc.fill_null(col, ""), pattern="\n")
+        flat = pc.list_flatten(lines)
+        par = pc.list_parent_indices(lines) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_string_array(flat).astype(np.int64)
+        if len(d):
+            pos = np.searchsorted(d, h)
+            pos[pos == len(d)] = 0
+            member = d[pos] == h
+        else:
+            member = np.zeros(len(h), bool)
+        keep = ~member
+        n = batch.num_rows
+        cnt = np.bincount(par[keep], minlength=n)
+        offsets = np.concatenate(
+            [[0], np.cumsum(cnt)]).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)))
+        joined = pc.binary_join(kept_list, "\n")
+        cleaned = pc.if_else(pa.array(valid), joined,
+                             pa.scalar(None, pa.string()))
+        return pa.table({id_column: batch[id_column],
+                         out: cleaned})
+
+    return ds.map_batches(rebuild, batch_format="pyarrow",
+                          zero_copy_batch=True)

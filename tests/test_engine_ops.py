@@ -969,6 +969,32 @@ def test_winsorize_by_group_matches_brute_force():
             assert got[i] == min(max(float(v), lo), hi)
 
 
+def test_drop_repeated_lines():
+    from json_schema_ray.engine.text import drop_repeated_lines
+
+    docs = ["\n".join([f"unique-{i}-a", "SHARED BOILERPLATE",
+                       f"unique-{i}-b"]) for i in range(20)]
+    docs += [None, "only-once\nSHARED BOILERPLATE", ""]
+    t = pa.table({
+        "doc_id": pa.array(list(range(20)) + [90, 91, 92], pa.int64()),
+        "text": pa.array(docs, pa.string())})
+    out = drop_repeated_lines(
+        _ray().data.from_arrow(t).repartition(3), max_docs=5)
+    rows = {r["doc_id"]: r["text_clean"] for r in out.take_all()}
+    assert rows[0] == "unique-0-a\nunique-0-b"  # boilerplate dropped
+    assert rows[90] is None                     # null passes NULL
+    assert rows[91] == "only-once"
+    # "" splits to one empty line in only one doc -> kept
+    assert rows[92] == ""
+    # a doc left with zero lines would become "": force it
+    all_shared = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["BANNER"] * 10, pa.string())})
+    out2 = drop_repeated_lines(
+        _ray().data.from_arrow(all_shared), max_docs=5)
+    assert all(r["text_clean"] == "" for r in out2.take_all())
+
+
 def test_grouped_weighted_mean_matches_brute_force():
     from json_schema_ray.engine.relational import grouped_weighted_mean
 
