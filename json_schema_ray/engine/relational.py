@@ -2087,9 +2087,16 @@ def grouped_weighted_mean(ds, key: str, value: str, weight: str,
     element to ``floor(v * scale + 0.5)`` int64 (SQL's exact tie
     rule), weights round the same way, and the mean is
     ``sum(q(v) * w) // sum(w)`` — fixed-point-before-sum, so the
-    result is summation-order-free and hash-exact vs DuckDB.
-    NULL values/weights drop pairwise (SQL: a null product leaves
-    the sum); a group whose weights sum to zero yields NULL.
+    result is summation-order-free and hash-exact vs DuckDB. The
+    division TRUNCATES toward zero, exactly DuckDB ``//`` on
+    integers (which truncates: ``-7 // 2 = -3`` there — NOT Python
+    floor). NULL values/weights drop pairwise, and so do pairs whose
+    rounded weight is <= 0 (weights are counts/sizes by contract);
+    a group with no surviving pairs is ABSENT from the result,
+    matching a SQL pre-filtered GROUP BY. Overflow envelope: pick
+    ``scale`` so ``n_rows_per_group * v_max * scale * w_max``
+    stays under 2^63 — numpy wraps silently past it while DuckDB
+    rides HUGEINT.
 
     Shape: per-block (key)-combiner reduces to two int64 partial
     sums per key per block; ONE key-sized groupby finishes. Returns
@@ -2106,6 +2113,9 @@ def grouped_weighted_mean(ds, key: str, value: str, weight: str,
         qw = np.zeros(len(v), np.int64)
         qv[ok] = np.floor(v[ok] * scale + 0.5).astype(np.int64)
         qw[ok] = np.floor(w[ok] + 0.5).astype(np.int64)
+        nonpos = qw <= 0
+        qv[nonpos] = 0
+        qw[nonpos] = 0
         g = pa.TableGroupBy(
             pa.table({key: batch[key],
                       "__vw": pa.array(qv * qw),
@@ -2127,12 +2137,14 @@ def grouped_weighted_mean(ds, key: str, value: str, weight: str,
             .to_numpy(zero_copy_only=False).astype(np.int64)
         w = pc.fill_null(batch["__w"], 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.zeros(len(w), np.int64)
-        np.floor_divide(vw, w, out=m, where=w != 0)
+        has = w > 0
+        vw, w = vw[has], w[has]
+        # DuckDB // truncates toward zero on integers — NOT floor
+        m = np.sign(vw) * (np.abs(vw) // np.maximum(w, 1))
+        t = batch.filter(pa.array(has))
         return pa.table({
-            key: batch[key],
-            out: pa.array(m, pa.int64(),
-                          mask=(w == 0) if (w == 0).any() else None),
+            key: t[key],
+            out: pa.array(m, pa.int64()),
             "w_sum": pa.array(w)})
 
     return agg.map_batches(finish, batch_format="pyarrow",

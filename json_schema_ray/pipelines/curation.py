@@ -73,13 +73,30 @@ def run_curation(sf_dir: str, out_dir: str,
     from ..engine.text import quality_scores
     from ..engine.window import pack_items
 
+    if resume and not checkpoint:
+        raise ValueError("resume=True requires checkpoint=True "
+                         "(there are no checkpoints to resume from)")
+
     counts = {}
     stage_meta = {}
     os.makedirs(out_dir, exist_ok=True)
 
+    _STAGES = ["quality_gate", "exact_dedup", "near_dedup",
+               "decontaminate"]
+    # a checkpoint is only valid for the exact parameters and input
+    # it was computed under — a resume with changed settings must
+    # recompute, not silently serve stale survivors
+    params_sig = json.dumps(
+        [sf_dir, quality_min, sorted(langs) if langs else None,
+         near_dup_threshold, contamination_max, list(fractions),
+         seed], sort_keys=True)
+
     chain_dirty = False  # once a stage recomputes, every DOWNSTREAM
     # checkpoint is stale (it was derived from the old upstream) and
     # must be ignored — markers only short-circuit an intact prefix
+
+    def _marker(name):
+        return os.path.join(out_dir, "stages", f"{name}.done")
 
     def stage(name, compute):
         """Materialize a filter stage; with checkpointing, persist
@@ -87,7 +104,7 @@ def run_curation(sf_dir: str, out_dir: str,
         returns (lazy_ds, meta_dict)."""
         nonlocal chain_dirty
         sdir = os.path.join(out_dir, "stages", name)
-        marker = os.path.join(out_dir, "stages", f"{name}.done")
+        marker = _marker(name)
         if checkpoint and resume and not chain_dirty \
                 and os.path.exists(marker) and os.path.isdir(sdir) \
                 and any(f.endswith(".parquet")
@@ -95,19 +112,40 @@ def run_curation(sf_dir: str, out_dir: str,
             # (an empty stage writes no parquet files and therefore
             # never short-circuits — it recomputes, which is cheap)
             with open(marker) as f:
-                stage_meta[name] = json.load(f)
-            return ray.data.read_parquet(sdir)
+                saved = json.load(f)
+            if saved.get("__params_sig") == params_sig:
+                stage_meta[name] = saved["meta"]
+                # materialize so downstream consumers don't re-scan
+                # the checkpoint parquet once per consumption
+                return ray.data.read_parquet(sdir).materialize()
+        if checkpoint and not chain_dirty:
+            # first recompute of the chain: stale downstream markers
+            # on DISK must die too, or a crash between stages would
+            # resurrect mixed-generation checkpoints on the next run
+            for later in _STAGES[_STAGES.index(name):]:
+                try:
+                    os.remove(_marker(later))
+                except FileNotFoundError:
+                    pass
         chain_dirty = True
         made, meta = compute()
         made = made.materialize()
         stage_meta[name] = meta
         if checkpoint:
+            # marker dies BEFORE the data is touched: a kill during
+            # write_parquet leaves partial parquet with no marker,
+            # never a stale marker over partial data
+            try:
+                os.remove(marker)
+            except FileNotFoundError:
+                pass
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(sdir, exist_ok=True)
             made.write_parquet(sdir)
             tmp = marker + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(meta, f)
+                json.dump({"__params_sig": params_sig, "meta": meta},
+                          f)
             os.replace(tmp, marker)
         return made
 

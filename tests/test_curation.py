@@ -91,3 +91,38 @@ def test_checkpoint_resume(curation_summary, ray_session, tmp_path):
     assert s3["counts"] == s1["counts"]
     assert os.path.getmtime(gate_marker) == t_gate
     assert os.path.getmtime(near_marker) > t_near
+
+
+def test_checkpoint_resume_guards(curation_summary, ray_session,
+                                  tmp_path):
+    """Resume safety: param changes void checkpoints (no stale
+    survivors under new settings), a marker over gutted data never
+    short-circuits (kill-mid-write shape), and resume without
+    checkpoint is an error."""
+    import glob
+
+    import pytest
+
+    from json_schema_ray.pipelines.curation import run_curation
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "ck")
+    s1 = run_curation(sf, out, checkpoint=True)
+
+    with pytest.raises(ValueError):
+        run_curation(sf, out, resume=True)
+
+    # kill-mid-write shape: stage parquet gutted, marker left behind
+    # -> the stage recomputes instead of loading the empty dir
+    ddir = os.path.join(out, "stages", "decontaminate")
+    for f in glob.glob(os.path.join(ddir, "*.parquet")):
+        os.remove(f)
+    s2 = run_curation(sf, out, checkpoint=True, resume=True)
+    assert s2["counts"] == s1["counts"]
+    assert glob.glob(os.path.join(ddir, "*.parquet"))
+
+    # changed params: the signature mismatch voids EVERY checkpoint;
+    # a stricter gate must produce fewer survivors, not stale ones
+    s3 = run_curation(sf, out, checkpoint=True, resume=True,
+                      quality_min=0.95)
+    assert s3["counts"]["after_quality"] < s1["counts"]["after_quality"]

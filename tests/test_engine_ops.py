@@ -1001,7 +1001,12 @@ def test_grouped_weighted_mean_matches_brute_force():
     rng = np.random.default_rng(29)
     n = 300
     keys = [f"g{i % 4}" for i in range(n)]
+    # group g3 gets NEGATIVE values so the weighted sum goes negative
+    # and the DuckDB-style TRUNCATING division (-7 // 2 = -3 there,
+    # not Python's floor -4) is actually exercised
     vals = rng.normal(100, 30, n)
+    for i in range(3, n, 4):
+        vals[i] = -abs(vals[i]) - 0.3
     wts = rng.integers(1, 9, n).astype(float)
     vals[5] = np.nan  # null pair drops
     t = pa.table({"k": pa.array(keys, pa.string()),
@@ -1018,9 +1023,19 @@ def test_grouped_weighted_mean_matches_brute_force():
             continue
         qv = int(np.floor(v * 10 ** 6 + 0.5))
         qw = int(np.floor(w + 0.5))
+        if qw <= 0:
+            continue
         acc[k][0] += qv * qw
         acc[k][1] += qw
-    want = {k: (vw // sw, sw) for k, (vw, sw) in acc.items()}
+
+    def truncdiv(a, b):  # DuckDB // semantics
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    want = {k: (truncdiv(vw, sw), sw) for k, (vw, sw) in acc.items()
+            if sw > 0}
+    assert any(vw < 0 for vw, _ in
+               [(acc[k][0], 0) for k in acc])  # negative sum present
     assert got == want
 
 
