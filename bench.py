@@ -75,6 +75,7 @@ EXTRA_QUERIES = [
     "approx_weekly_active_users",  # HLL twin: register-row shuffle
     "user_value_mad",          # robust median+MAD gate
     "embedding_gram",          # int64 matmul partials aggregate
+    "docs_line_dedup",         # repeated-line boilerplate scrub
 ]
 
 
