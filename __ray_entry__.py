@@ -1392,6 +1392,29 @@ def q_docs_line_dedup(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_events_value_minmax(sf_dir: str):
+    """Per-user min-max feature scaling
+    (engine/relational.py ``minmax_normalize_by_group``):
+    fixed-point [0, 1e6] normalization, degenerate groups NULL —
+    hash-exact integers vs the SQL min/max window."""
+    from json_schema_ray.engine.relational import (
+        minmax_normalize_by_group,
+    )
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    out = minmax_normalize_by_group(ds, "user_id", "value")
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "norm_fp"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("norm_fp", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_weighted_avg_price(sf_dir: str):
     """Quantity-weighted mean extended price per return flag
     (engine/relational.py ``grouped_weighted_mean``): per-element
@@ -2670,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dup_rates": q_lang_dup_rates,
         "weighted_avg_price": q_weighted_avg_price,
         "docs_line_dedup": q_docs_line_dedup,
+        "events_value_minmax": q_events_value_minmax,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3612,6 +3636,25 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_minmax": r"""
+            WITH q AS (
+              SELECT event_id, user_id,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(floor(value * 1000000 + 0.5)
+                                    AS BIGINT) END AS qv
+              FROM events
+            ), th AS (
+              SELECT user_id, min(qv) AS lo, max(qv) AS hi
+              FROM q WHERE qv IS NOT NULL GROUP BY user_id
+            )
+            SELECT q.event_id,
+                   CASE WHEN q.qv IS NULL OR th.user_id IS NULL
+                             OR th.hi = th.lo THEN NULL
+                        ELSE ((q.qv - th.lo) * 1000000)
+                             // (th.hi - th.lo) END AS norm_fp
+            FROM q LEFT JOIN th ON th.user_id = q.user_id
+            ORDER BY 1
         """,
         "docs_line_dedup": r"""
             WITH aug AS (

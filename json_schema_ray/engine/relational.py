@@ -2149,3 +2149,84 @@ def grouped_weighted_mean(ds, key: str, value: str, weight: str,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def minmax_normalize_by_group(ds, key: str, value: str,
+                              scale: int = 10 ** 6,
+                              out: str = "norm_fp"):
+    """Per-group min-max feature scaling, fixed-point:
+    ``norm = ((q(v) - q(min)) * scale) // (q(max) - q(min))`` with
+    ``q(x) = floor(x * scale + 0.5)`` int64 — all-integer, so the
+    [0, scale] output hash-matches SQL exactly (non-negative
+    numerator/denominator: floor == trunc, no // dialect gap).
+    NULL values stay NULL; a degenerate group (min == max, incl.
+    singletons) yields NULL like SQL's NULL division guard.
+
+    Shape: one grouped min/max aggregate (per-block combiner,
+    key-sized result broadcast via ``ray.put``) + one stateless
+    scan appending ``out``."""
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    def quant(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.floor(v * scale + 0.5)
+        return pa.table({
+            key: batch[key],
+            "__q": pa.array(q, pa.float64(),
+                            mask=np.isnan(q) if np.isnan(q).any()
+                            else None)})
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(quant, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key],
+        [Min("__q", alias_name="__lo", ignore_nulls=True),
+         Max("__q", alias_name="__hi", ignore_nulls=True)],
+        ["__lo", "__hi"])
+
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in agg.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if parts:
+        th = pa.concat_tables(parts, promote_options="default")
+        th = th.filter(pc.is_valid(th[key]))  # equality-join parity
+        keys_arr = th[key].combine_chunks()
+        lo = pc.cast(th["__lo"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        hi = pc.cast(th["__hi"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+    else:
+        keys_arr = pa.array([])
+        lo = hi = np.zeros(0)
+    handle = ray.put((keys_arr, lo.astype(np.int64),
+                      hi.astype(np.int64)))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        keys_r, lo_r, hi_r = ray.get(handle)
+        v = pc.cast(batch[value], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        q = np.floor(v * scale + 0.5)
+        res = np.full(batch.num_rows, np.nan)
+        if len(keys_r):
+            idx = pc.index_in(batch[key], value_set=keys_r) \
+                .to_numpy(zero_copy_only=False)
+            have = ~np.isnan(idx.astype(np.float64)) \
+                if idx.dtype.kind == "f" \
+                else np.ones(len(idx), bool)
+            ii = np.where(have, np.nan_to_num(
+                idx.astype(np.float64)), 0).astype(np.int64)
+            span = hi_r[ii] - lo_r[ii]
+            ok = have & ~np.isnan(q) & (span > 0)
+            num = (q[ok].astype(np.int64) - lo_r[ii[ok]]) * scale
+            res[ok] = num // span[ok]
+        m = np.isnan(res)
+        return batch.append_column(
+            out, pa.array(np.nan_to_num(res).astype(np.int64),
+                          pa.int64(), mask=m if m.any() else None))
+
+    return ds.map_batches(norm, batch_format="pyarrow",
+                          zero_copy_batch=True)

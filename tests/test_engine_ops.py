@@ -969,6 +969,27 @@ def test_winsorize_by_group_matches_brute_force():
             assert got[i] == min(max(float(v), lo), hi)
 
 
+def test_minmax_normalize_by_group():
+    from json_schema_ray.engine.relational import (
+        minmax_normalize_by_group,
+    )
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b", None, "c"],
+                      pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 10.0, None, 5.0, 7.0],
+                      pa.float64()),
+        "id": pa.array(range(7), pa.int64())})
+    out = minmax_normalize_by_group(
+        _ray().data.from_arrow(t).repartition(2), "k", "v")
+    got = {r["id"]: r["norm_fp"] for r in out.take_all()}
+    assert got[0] == 0 and got[1] == 500000 and got[2] == 1000000
+    assert got[3] is None   # singleton non-null group: degenerate
+    assert got[4] is None   # null value
+    assert got[5] is None   # null key: no threshold row (SQL join)
+    assert got[6] is None   # singleton group
+
+
 def test_drop_repeated_lines():
     from json_schema_ray.engine.text import drop_repeated_lines
 
