@@ -1392,6 +1392,49 @@ def q_docs_line_dedup(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_events_value_outliers(sf_dir: str):
+    """The robust z-score gate IN ACTION (composition of
+    grouped_median_mad): an event is an outlier when
+    ``|v - median| > 3 * 1.4826 * MAD`` for its user. Comparison is
+    all-integer after e6 quantization — ``|qv - qmed| * 10000 >
+    3 * 14826 * qmad`` — so the flagged id set hash-matches SQL
+    exactly. Returns only the outlier rows."""
+    import numpy as np
+
+    import ray
+
+    from json_schema_ray.engine.rank import grouped_median_mad
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    mm = grouped_median_mad(ds, "user_id", "value", "event_id")
+    keys = mm["user_id"].combine_chunks()
+    qmed = np.floor(mm["median"].to_numpy(zero_copy_only=False)
+                    * 10 ** 6 + 0.5).astype(np.int64)
+    qmad = np.floor(mm["mad"].to_numpy(zero_copy_only=False)
+                    * 10 ** 6 + 0.5).astype(np.int64)
+    handle = ray.put((keys, qmed, qmad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        k, med_r, mad_r = ray.get(handle)
+        idx = pc.index_in(b["user_id"], value_set=k) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        qv = np.floor(v * 10 ** 6 + 0.5)
+        dev = np.abs(qv - med_r[idx])
+        hot = dev * 10000 > 3 * 14826 * mad_r[idx]
+        hot &= ~np.isnan(v)
+        return b.filter(pa.array(hot)) \
+            .select(["event_id", "user_id", "value"])
+
+    out = ds.map_batches(flag, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("value", pa.float64())])
+    return _collect(out, schema).sort_by([("event_id", "ascending")])
+
+
 def q_events_value_minmax(sf_dir: str):
     """Per-user min-max feature scaling
     (engine/relational.py ``minmax_normalize_by_group``):
@@ -2694,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_price": q_weighted_avg_price,
         "docs_line_dedup": q_docs_line_dedup,
         "events_value_minmax": q_events_value_minmax,
+        "events_value_outliers": q_events_value_outliers,
         "docs_ranked_hosts": q_docs_ranked_hosts,
         "user_value_quantiles": q_user_value_quantiles,
         "custkeys_without_orders": q_custkeys_without_orders,
@@ -3636,6 +3680,33 @@ def oracle_sql() -> dict[str, str]:
                    max(r3.rank)::BIGINT AS best_host_rank_fp
             FROM h JOIN r3 ON r3.node = h.dst
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_outliers": r"""
+            WITH med AS (
+              SELECT user_id, quantile_disc(value, 0.5) AS median
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            ), mad AS (
+              SELECT e.user_id,
+                     quantile_disc(abs(e.value - m.median), 0.5) AS mad
+              FROM events e
+              JOIN med m ON m.user_id = e.user_id
+              WHERE e.value IS NOT NULL GROUP BY e.user_id
+            ), q AS (
+              SELECT e.event_id, e.user_id, e.value,
+                     CAST(floor(e.value * 1000000 + 0.5) AS BIGINT)
+                       AS qv,
+                     CAST(floor(m.median * 1000000 + 0.5) AS BIGINT)
+                       AS qmed,
+                     CAST(floor(d.mad * 1000000 + 0.5) AS BIGINT)
+                       AS qmad
+              FROM events e
+              JOIN med m ON m.user_id = e.user_id
+              JOIN mad d ON d.user_id = e.user_id
+              WHERE e.value IS NOT NULL
+            )
+            SELECT event_id, user_id, value FROM q
+            WHERE abs(qv - qmed) * 10000 > 3 * 14826 * qmad
+            ORDER BY 1
         """,
         "events_value_minmax": r"""
             WITH q AS (
