@@ -1124,32 +1124,24 @@ def q_user_range_sum_1h(sf_dir: str):
     over the trailing 1 hour, one row per distinct (user, ts)
     (engine/window.py range_windowed_sum — prefix sums + an as-of
     backward self-join realize the sliding frame with no
-    window-width carries). Sums ship as floor(x*1e4+0.5) BIGINT."""
+    window-width carries). Values quantize to floor(v*1e4+0.5)
+    BIGINT per element BEFORE the prefix scan (fixed-point-before-
+    sum: exact integer prefix sums, no float cancellation), matching
+    the oracle's sum of the same integers."""
     import datetime
 
     from json_schema_ray.engine.window import range_windowed_sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     out = range_windowed_sum(ds, "user_id", "ts", "value",
-                             datetime.timedelta(hours=1))
-
-    def scale(b: pa.Table) -> pa.Table:
-        v = b["range_sum"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        e4 = np.floor(v * 1e4 + 0.5)
-        return pa.table({
-            "user_id": b["user_id"], "ts": b["ts"],
-            "range_sum_e4": pa.array(
-                [None if np.isnan(x) else int(x) for x in e4],
-                pa.int64()),
-            "range_cnt": b["range_cnt"]})
+                             datetime.timedelta(hours=1),
+                             out="range_sum_e4", scale=10 ** 4)
 
     schema = pa.schema([("user_id", pa.int64()),
                         ("ts", pa.timestamp("us")),
                         ("range_sum_e4", pa.int64()),
                         ("range_cnt", pa.int64())])
-    return _collect(out.map_batches(scale, batch_format="pyarrow",
-                                    zero_copy_batch=True), schema)
+    return _collect(out, schema)
 
 
 def q_user_value_ranks(sf_dir: str):
@@ -3482,11 +3474,11 @@ def oracle_sql() -> dict[str, str]:
         "customer_rollup": """
             SELECT c_mktsegment,
                    CAST(c_nationkey AS BIGINT) AS c_nationkey,
-                   sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
-                     AS sum_bal100,
-                   CASE grouping(c_mktsegment, c_nationkey)
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_bal100,
+                   CAST(CASE grouping(c_mktsegment, c_nationkey)
                         WHEN 0 THEN 0 WHEN 1 THEN 1
-                        ELSE 2 END AS lvl
+                        ELSE 2 END AS BIGINT) AS lvl
             FROM customer
             GROUP BY ROLLUP (c_mktsegment, c_nationkey)
         """,
@@ -3496,18 +3488,22 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
               FROM events)
             SELECT event_id, user_id,
-                   sum(v) OVER w AS win_sum,
-                   count(v) OVER w AS win_cnt
+                   CAST(sum(v) OVER w AS BIGINT) AS win_sum,
+                   CAST(count(v) OVER w AS BIGINT) AS win_cnt
             FROM e WINDOW w AS (PARTITION BY user_id
               ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "user_range_sum_1h": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v,
+                     value
+              FROM events)
             SELECT DISTINCT user_id, ts,
-                   CAST(floor(sum(value) OVER w * 1e4 + 0.5)
-                        AS BIGINT) AS range_sum_e4,
+                   CAST(sum(v) OVER w AS BIGINT) AS range_sum_e4,
                    CAST(count(value) OVER w AS BIGINT) AS range_cnt
-            FROM events
+            FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                           AND CURRENT ROW)
@@ -3862,11 +3858,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot_by_type": """
             SELECT user_id,
-              coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS cnt_click,
-              coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS cnt_error,
-              coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS cnt_purchase,
-              coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS cnt_signup,
-              coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS cnt_view
+              CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS cnt_click,
+              CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS cnt_error,
+              CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS cnt_purchase,
+              CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS cnt_signup,
+              CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS cnt_view
             FROM events GROUP BY user_id
         """,
         "pricing_summary": """

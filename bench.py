@@ -173,7 +173,7 @@ def run_bench() -> None:
     # per-core throughput swings ~30% between runs, so round-over-round
     # comparisons should use these fields, not raw seconds
     queries_norm = {k: round(v / calib, 3) for k, v in queries.items()}
-    print(json.dumps({
+    headline = {
         "metric": "headline suite wall time "
                   f"(incl. {flag['turns']} validated turns @ "
                   f"{flag['turns_per_sec']:.0f} turns/s)",
@@ -185,11 +185,17 @@ def run_bench() -> None:
         "turns_per_sec": round(flag["turns_per_sec"], 1),
         "calib_sec": calib,
         "value_norm": round(total / calib, 3),
-        "queries_norm": queries_norm,
-        "extra_queries": extra,
-        "extra_queries_norm": {k: round(v / calib, 3)
-                               for k, v in extra.items()},
-    }))
+    }
+    # Full record (incl. the 31 extra queries) first; the FINAL line is a
+    # compact headline-only JSON so the driver's tail window can always
+    # parse it (round 3's single giant line was truncated mid-record).
+    print(json.dumps({**headline,
+                      "queries_norm": queries_norm,
+                      "extra_queries": extra,
+                      "extra_queries_norm": {k: round(v / calib, 3)
+                                             for k, v in extra.items()}}))
+    sys.stdout.flush()
+    print(json.dumps(headline))
     ray.shutdown()
 
 

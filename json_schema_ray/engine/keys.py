@@ -500,7 +500,11 @@ def transition_violations(ds, key, order: str, label: str,
 
     def check(batch: pa.Table) -> pa.Table:
         prev = batch["__prev"]
-        cur = batch[label]
+        # mirror the coalesce step's cast: the allowed/start sets are
+        # string arrays, so a dictionary- or int-typed label column
+        # must compare as strings too (pc.is_in on a non-string cur
+        # would error or silently never match)
+        cur = pc.cast(batch[label], pa.string())
         n = batch.num_rows
         bad = pa.array(np.zeros(n, bool))
         for f, succ in allowed_sets.items():

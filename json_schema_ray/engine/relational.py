@@ -2004,30 +2004,16 @@ def share_of_group(ds, key: str, value: str, out: str = "share_e6"):
     it from the SAME exact integers (int64 value sums).
 
     Shape: a combiner-backed grouped SUM (group-sized), totals
-    broadcast ONCE through the object store as sorted key-hash +
-    total arrays, then a stateless scan — no row-sized shuffle, no
-    join. Requires an integer value column (exact sums); NULL values
-    contribute nothing and get a NULL share, NULL keys form their
-    own group, zero-total groups yield NULL (SQL NULL division)."""
+    broadcast ONCE through the object store as the EXACT key array +
+    totals (``pc.index_in`` lookup — no hash routing, so two live
+    keys can never collide onto each other's total), then a
+    stateless scan — no row-sized shuffle, no join. Requires an
+    integer value column (exact sums); NULL values contribute
+    nothing and get a NULL share, NULL keys form their own group
+    (``index_in`` matches the value-set's null slot), zero-total
+    groups yield NULL (SQL NULL division)."""
     import ray
     from ray.data.aggregate import Sum
-
-    from ..state.sketches import hash_ints, hash_string_array
-
-    def _key_hashes(col) -> np.ndarray:
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        if _is_string_type(arr.type):
-            h = hash_string_array(arr)
-        else:
-            h = hash_ints(pc.cast(arr.fill_null(0), pa.int64())
-                          .to_numpy(zero_copy_only=False))
-        # null keys get a reserved hash slot (collision-safe enough:
-        # the totals table is exact per key; hash only routes lookups)
-        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        h = h.copy()
-        h[null_mask] = np.uint64(0xD1B54A32D192ED03)
-        return h
 
     def pre(batch: pa.Table) -> pa.Table:
         # per-batch type check (Dataset.schema() on a lazy pipeline
@@ -2056,17 +2042,16 @@ def share_of_group(ds, key: str, value: str, out: str = "share_e6"):
                                                     pa.int64())),
             batch_format="pyarrow", zero_copy_batch=True)
     totals = pa.concat_tables(totals_parts, promote_options="default")
-    th = _key_hashes(totals[key])
+    keys_arr = totals[key].combine_chunks()
     tv = totals["__t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(th)
-    handle = ray.put((th[order], tv[order]))
+    handle = ray.put((keys_arr, tv))
 
     def score(batch: pa.Table) -> pa.Table:
-        hs, tot = ray.get(handle)
-        h = _key_hashes(batch[key])
-        pos = np.minimum(np.searchsorted(hs, h),
-                         max(len(hs) - 1, 0))
-        t = tot[pos].astype(np.float64)
+        ks, tot = ray.get(handle)
+        idx = pc.index_in(batch[key].combine_chunks(), value_set=ks)
+        found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        t = np.where(found, tot[pos], 0).astype(np.float64)
         v = pc.cast(batch[value], pa.float64()).combine_chunks()
         vn = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
         share = np.floor(vn / np.where(t == 0, np.nan, t) * 1e6 + 0.5)

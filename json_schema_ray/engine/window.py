@@ -26,7 +26,8 @@ from .relational import _int64_us
 
 def range_windowed_sum(ds, key: str, ts: str, value: str, window,
                        out: str = "range_sum",
-                       cnt_out: str = "range_cnt"):
+                       cnt_out: str = "range_cnt",
+                       scale: int = None):
     """SQL ``sum(value) OVER (PARTITION BY key ORDER BY ts RANGE
     BETWEEN window PRECEDING AND CURRENT ROW)`` (plus the matching
     ``count(value)``), one output row per DISTINCT ``(key, ts)`` —
@@ -52,7 +53,18 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
     ``datetime.timedelta`` or microseconds int; ``ts`` may be any
     temporal unit (the probe subtracts in the column's own ticks —
     a window that isn't a whole number of ticks raises) or an
-    integer column counted in microseconds."""
+    integer column counted in microseconds.
+
+    Exactness: with ``scale`` set, each value quantizes to
+    ``floor(v * scale + 0.5)`` BEFORE the prefix scan (the repo's
+    fixed-point-before-sum discipline), every prefix sum is an
+    integer represented exactly in float64, and the difference of
+    two exact integers is exact — no cancellation, hash-stable vs a
+    SQL oracle that sums the same quantized integers; ``out`` is
+    then int64. Envelope: any key's FULL-HISTORY prefix sum must
+    stay under 2^53 (|sum(v)| * scale < 9e15). Without ``scale``
+    the sum is raw float64 prefix differences (last-ulp sensitive
+    vs direct-summation oracles)."""
     import datetime
 
     from ray.data.aggregate import Max
@@ -67,6 +79,10 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
 
     def prep(batch: pa.Table) -> pa.Table:
         v = pc.cast(batch[value], pa.float64())
+        if scale is not None:
+            # quantize per element BEFORE any summation: prefix sums
+            # become exact integer-valued floats (<= 2^53 envelope)
+            v = pc.floor(pc.add(pc.multiply(v, float(scale)), 0.5))
         return pa.table({
             key: batch[key], ts: batch[ts], "__v": v,
             "__nv": pc.cast(pc.is_valid(v), pa.int64())})
@@ -150,6 +166,10 @@ def range_windowed_sum(ds, key: str, ts: str, value: str, window,
         win = pc.if_else(pc.equal(wc, 0),
                          pa.scalar(None, pa.float64()),
                          pc.subtract(r, pr))
+        if scale is not None:
+            # exact integer-valued floats -> int64 (round is a no-op
+            # numerically; it guards the cast against -0.0 etc.)
+            win = pc.cast(pc.round(win), pa.int64())
         return pa.table({key: batch[key], ts: batch[ts],
                          out: win, cnt_out: wc})
 
@@ -528,9 +548,12 @@ def throttle_by_gap(ds, keys, ts: str = "ts", gap=None,
     de-bounce for event streams (repeated clicks, retried tool
     calls) ahead of sessionization or training-data extraction.
 
-    ``gap`` compares in the ts column's own units: a ``pa.duration``
-    / integer microseconds for timestamp columns, a plain number for
-    numeric ones. Rides :func:`rank.lag_column`'s one null-safe sort
+    ``gap`` for timestamp columns is a ``pa.duration`` scalar (used
+    as-is) or an integer in MICROSECONDS — converted into the ts
+    column's own ticks, raising if not a whole number of ticks (so
+    an s/ms-unit column can't silently get a 1e6/1e3x-wrong gap);
+    for numeric ts columns it is a plain number in the column's
+    units. Rides :func:`rank.lag_column`'s one null-safe sort
     with O(n_blocks) fixed-size carries — no per-key state, no
     driver-side timeline.
 
@@ -548,8 +571,26 @@ def throttle_by_gap(ds, keys, ts: str = "ts", gap=None,
     def keep(batch: pa.Table) -> pa.Table:
         t, p = batch[ts], batch["__prev_ts"]
         if pa.types.is_timestamp(t.type):
-            g = gap if isinstance(gap, pa.Scalar) else pa.scalar(
-                int(gap), pa.duration(t.type.unit))
+            if isinstance(gap, pa.Scalar):
+                g = gap
+            else:
+                # an integer gap is MICROSECONDS (as documented);
+                # pa.duration(unit) counts the column's own ticks, so
+                # convert us -> ticks or an s/ms column silently gets
+                # a 1e6/1e3x-too-large gap (the unit-bug class
+                # range_windowed_sum guards against)
+                gap_us = int(gap)
+                us_per_tick = {"s": 1_000_000, "ms": 1_000, "us": 1,
+                               "ns": None}[t.type.unit]
+                if us_per_tick is None:  # ns ticks are finer than us
+                    gap_ticks = gap_us * 1_000
+                else:
+                    if gap_us % us_per_tick:
+                        raise ValueError(
+                            f"gap ({gap_us}us) is not a whole number"
+                            f" of {t.type} ticks")
+                    gap_ticks = gap_us // us_per_tick
+                g = pa.scalar(gap_ticks, pa.duration(t.type.unit))
         else:
             g = pa.scalar(gap, t.type)
         mask = pc.or_kleene(pc.is_null(p),

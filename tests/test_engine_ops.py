@@ -330,6 +330,39 @@ def test_transition_violations_matches_bruteforce():
     assert len(got) > 0
 
 
+def test_transition_violations_dictionary_label_column():
+    """A dictionary-encoded label column must produce the same
+    violations as the plain-string one (the current-label side used
+    to hit pc.is_in uncast while the lag side was cast to string)."""
+    from json_schema_ray.engine.keys import transition_violations
+
+    rng = np.random.default_rng(59)
+    n = 800
+    labels = np.array(["a", "b", "c"], dtype=object)
+    lab = labels[rng.integers(0, 3, size=n)].tolist()
+    keys = rng.integers(0, 10, size=n)
+    base = {
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(np.arange(n), pa.int64()),
+    }
+    t_str = pa.table({**base, "lab": pa.array(lab, pa.string())})
+    t_dict = pa.table({**base, "lab": pa.array(lab, pa.string())
+                       .dictionary_encode()})
+    allowed = {"a": {"b"}, "b": {"a", "c"}}
+    kw = dict(order="o", label="lab", allowed=allowed, tiebreak="o",
+              start={"a"})
+    got_str = sorted((r["k"], r["o"], r["prev_label"], str(r["lab"]))
+                     for r in transition_violations(
+                         _ray().data.from_arrow(t_str).repartition(4),
+                         "k", **kw).take_all())
+    got_dict = sorted((r["k"], r["o"], r["prev_label"], str(r["lab"]))
+                      for r in transition_violations(
+                          _ray().data.from_arrow(t_dict).repartition(4),
+                          "k", **kw).take_all())
+    assert got_str == got_dict
+    assert len(got_str) > 0
+
+
 def test_window_ops_unit_invariant():
     """The same instants expressed as timestamp("us"), ("ms") and
     ("s") columns must sessionize and window-aggregate identically —
@@ -3703,6 +3736,39 @@ def test_throttle_by_gap_matches_duckdb():
     """).fetchall()]
     assert got == want
     assert 0 < len(got) < n
+
+
+def test_throttle_by_gap_ms_unit_column():
+    """An integer gap is MICROSECONDS regardless of the ts column's
+    unit: a ms-unit column must produce the same keep-set as the
+    same instants in us (the silent 1e3x-too-large-gap bug class),
+    and a gap that isn't a whole number of ticks must raise."""
+    from json_schema_ray.engine.window import throttle_by_gap
+
+    rng = np.random.default_rng(12)
+    n = 300
+    ms = rng.integers(0, 3_600_000, n) * 1000  # whole ms, in us
+    base = {
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+    }
+    t_us = pa.table({**base, "ts": pa.array(ms, pa.int64()).cast(
+        pa.timestamp("us"))})
+    t_ms = pa.table({**base, "ts": pa.array(ms // 1000, pa.int64())
+                     .cast(pa.timestamp("ms"))})
+    kw = dict(keys=["user_id"], ts="ts", gap=300_000_000,
+              tiebreak="event_id")
+    got_us = sorted(r["event_id"] for r in throttle_by_gap(
+        _ray().data.from_arrow(t_us).repartition(4), **kw).take_all())
+    got_ms = sorted(r["event_id"] for r in throttle_by_gap(
+        _ray().data.from_arrow(t_ms).repartition(4), **kw).take_all())
+    assert got_us == got_ms
+    assert 0 < len(got_us) < n
+
+    import pytest
+    with pytest.raises(Exception, match="whole number"):
+        throttle_by_gap(_ray().data.from_arrow(t_ms), ["user_id"],
+                        "ts", gap=1_500, tiebreak="event_id").take_all()
 
 
 def test_melt_unpivots_with_nulls():

@@ -79,7 +79,19 @@ def main():
         ok_rows = res.num_rows == oracle.num_rows
         ok_cols = sorted(res.column_names) == sorted(oracle.column_names)
         ok_vals = ok_rows and ok_cols and canonical(res) == canonical(oracle)
-        if ok_rows and ok_cols and ok_vals:
+        # The driver's value hash is TYPE-sensitive (int64 vs decimal128
+        # mismatch even when values agree — the round-3 HUGEINT pitfall),
+        # so compare name-sorted dtypes too.
+        ok_types = ok_cols and (
+            [str(res.schema.field(c).type) for c in sorted(res.column_names)]
+            == [str(oracle.schema.field(c).type)
+                for c in sorted(oracle.column_names)])
+        if ok_rows and ok_cols and ok_vals and not ok_types:
+            print(f"FAIL {name}: values match but dtypes differ "
+                  f"(driver hash would mismatch): "
+                  f"{[(c, str(res.schema.field(c).type), str(oracle.schema.field(c).type)) for c in sorted(res.column_names) if str(res.schema.field(c).type) != str(oracle.schema.field(c).type)]}")
+            n_fail += 1
+        elif ok_rows and ok_cols and ok_vals:
             print(f"PASS {name}: {res.num_rows} rows [{dt:.1f}s]")
             n_pass += 1
         else:
