@@ -154,15 +154,6 @@ class MinHasher:
         h = (np.multiply.outer(self.a, x) + self.b[:, None]) % _MERSENNE
         return h.min(axis=1)
 
-    def _doc_shingles(self, text: str) -> list:
-        words = text.split()
-        k = self.shingle_k
-        if not words:
-            return []
-        if len(words) < k:
-            return [" ".join(words)]
-        return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-
     def signatures_batch(self, texts) -> tuple:
         """Vectorized batch path: ALL shingle strings of the batch are
         hashed in one call, the (n_perm x n_shingles) minhash matrix
@@ -174,22 +165,16 @@ class MinHasher:
         Returns ``(kept_row_indices, signatures)`` with ``signatures``
         of shape ``(n_kept, n_perm)``; zero-shingle docs are dropped.
         """
-        shingles: list = []
-        offsets = [0]
-        kept: list = []
-        for i, text in enumerate(texts):
-            if text is None:
-                continue
-            sh = self._doc_shingles(text)
-            if not sh:
-                continue
-            shingles.extend(sh)
-            offsets.append(len(shingles))
-            kept.append(i)
-        if not kept:
+        doc_ids, shingles = _flat_word_shingles(texts, self.shingle_k)
+        if not len(doc_ids):
             return [], np.zeros((0, self.n_perm), dtype=np.uint64)
+        # doc_ids are sorted/grouped: kept docs + their segment offsets
+        newdoc = np.concatenate([[True], doc_ids[1:] != doc_ids[:-1]])
+        kept = doc_ids[newdoc].tolist()
+        seg_starts = np.nonzero(newdoc)[0]
+        offs = np.concatenate([seg_starts,
+                               [len(doc_ids)]]).astype(np.int64)
         x = _duck_hash_strings(shingles).astype(np.uint64) % _MERSENNE
-        offs = np.asarray(offsets, dtype=np.int64)
         sigs = np.empty((len(kept), self.n_perm), dtype=np.uint64)
         # chunk on document boundaries so reduceat segments stay whole
         start_doc = 0
@@ -265,33 +250,98 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def _flat_word_shingles(texts, k: int):
+    """Vectorized word-k-gram shingle assembly for a whole batch —
+    no per-text Python: ONE ``utf8_split_whitespace`` (its empty
+    tokens from leading/trailing/repeated whitespace are mask-
+    filtered so word lists match Python ``str.split()``), then the
+    flat word array joined through ``k`` shifted ZERO-COPY slices
+    with ``binary_join_element_wise`` and a take of the in-document
+    start positions; docs with 1..k-1 words get their whole text as
+    one shingle via ``binary_join`` over a list view of the same
+    flat array. Shingle strings are byte-identical to
+    ``" ".join(text.split()[i:i+k])`` (the :func:`shingle_set` /
+    DuckDB-oracle contract).
+
+    Returns ``(doc_ids, shingles)``: int64 doc indices sorted
+    ascending (grouped per doc) and the aligned ``pa.StringArray``;
+    None/empty texts contribute nothing."""
+    n = len(texts)
+    if isinstance(texts, pa.ChunkedArray):
+        arr = pc.fill_null(pc.cast(texts.combine_chunks(),
+                                   pa.string()), "")
+    elif isinstance(texts, pa.Array):
+        arr = pc.fill_null(pc.cast(texts, pa.string()), "")
+    else:
+        arr = pa.array([t if t is not None else "" for t in texts],
+                       pa.string())
+    empty = (np.zeros(0, dtype=np.int64),
+             pa.array([], pa.string()))
+    if n == 0:
+        return empty
+    words = pc.utf8_split_whitespace(arr)
+    parent = pc.list_parent_indices(words) \
+        .to_numpy(zero_copy_only=False)
+    flat0 = pc.list_flatten(words)
+    nonempty = pc.not_equal(flat0, "")
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    flat = flat0.filter(nonempty)
+    doc_of = parent[ne_np].astype(np.int64)
+    counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offs[-1])
+    if total == 0:
+        return empty
+    doc_parts: list = []
+    sh_parts: list = []
+    big = np.nonzero(counts >= k)[0]
+    if len(big) and total >= k:
+        cand = pc.binary_join_element_wise(
+            *[flat.slice(i, total - k + 1) for i in range(k)], " ")
+        m = counts[big] - k + 1
+        tot = int(m.sum())
+        seg0 = np.concatenate([[0], np.cumsum(m)[:-1]])
+        starts = np.repeat(offs[big], m) \
+            + np.arange(tot, dtype=np.int64) - np.repeat(seg0, m)
+        doc_parts.append(np.repeat(big, m))
+        sh_parts.append(cand.take(pa.array(starts, pa.int64())))
+    small = np.nonzero((counts > 0) & (counts < k))[0]
+    if len(small):
+        wc = counts[small]
+        tot = int(wc.sum())
+        seg0 = np.concatenate([[0], np.cumsum(wc)[:-1]])
+        pos = np.repeat(offs[small], wc) \
+            + np.arange(tot, dtype=np.int64) - np.repeat(seg0, wc)
+        vals = flat.take(pa.array(pos, pa.int64()))
+        loffs = np.concatenate([[0], np.cumsum(wc)]).astype(np.int32)
+        la = pa.ListArray.from_arrays(pa.array(loffs, pa.int32()),
+                                      vals)
+        doc_parts.append(small)
+        sh_parts.append(pc.binary_join(la, " "))
+    doc_ids = np.concatenate(doc_parts)
+    shingles = pa.concat_arrays([p.combine_chunks()
+                                 if isinstance(p, pa.ChunkedArray)
+                                 else p for p in sh_parts])
+    order = np.argsort(doc_ids, kind="stable")
+    if len(doc_parts) > 1:
+        doc_ids = doc_ids[order]
+        shingles = shingles.take(pa.array(order, pa.int64()))
+    return doc_ids, shingles
+
+
 def shingle_sets_batch(texts, k: int = 5):
-    """Sorted-unique shingle hash sets for a batch of texts, all
-    hashed in ONE vectorized call (the batch analogue of
-    :func:`shingle_set`). Returns ``(offsets, values)`` — int64
-    offsets of length ``len(texts) + 1`` into a uint64 value array;
-    None/empty texts get empty segments."""
-    shingles: list = []
-    counts: list = []
-    for t in texts:
-        words = t.split() if t is not None else []
-        if not words:
-            counts.append(0)
-            continue
-        if len(words) < k:
-            sh = [" ".join(words)]
-        else:
-            sh = [" ".join(words[i:i + k])
-                  for i in range(len(words) - k + 1)]
-        shingles.extend(sh)
-        counts.append(len(sh))
-    n = len(counts)
-    if not shingles:
+    """Sorted-unique shingle hash sets for a batch of texts —
+    shingles assembled vectorized (:func:`_flat_word_shingles`) and
+    hashed in ONE call (the batch analogue of :func:`shingle_set`).
+    Returns ``(offsets, values)`` — int64 offsets of length
+    ``len(texts) + 1`` into a uint64 value array; None/empty texts
+    get empty segments."""
+    n = len(texts)
+    doc, shingles = _flat_word_shingles(texts, k)
+    if not len(doc):
         return (np.zeros(n + 1, dtype=np.int64),
                 np.zeros(0, dtype=np.uint64))
     values = _duck_hash_strings(shingles)
-    doc = np.repeat(np.arange(n, dtype=np.int64),
-                    np.asarray(counts, dtype=np.int64))
     order = np.lexsort((values, doc))
     values, doc = values[order], doc[order]
     keep = np.concatenate([[True], (doc[1:] != doc[:-1])
@@ -888,8 +938,9 @@ def _duck_hash_strings(values) -> np.ndarray:
     if not len(values):
         return np.zeros(0, dtype=np.uint64)
     con = _duck_con()
-    con.register("__tok_t", pa.table({"t": pa.array(values,
-                                                    pa.string())}))
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(values, pa.string())
+    con.register("__tok_t", pa.table({"t": arr}))
     out = con.execute("SELECT hash(t) AS h FROM __tok_t").arrow()["h"]
     return out.combine_chunks().to_numpy(zero_copy_only=False) \
         .astype(np.uint64)

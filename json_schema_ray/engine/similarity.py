@@ -215,19 +215,31 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                              block_rows: int = 1024):
     """Near-duplicate vector pairs: LSH-bucket, then exact cosine
     inside each bucket only. Returns a DATASET of (id_a, id_b,
-    cosine) — pairs stream out of the bucket workers; nothing is
+    cosine) — pairs stream out of the workers; nothing row-sized is
     accumulated on the driver (callers collect/sort only final,
     sparse results).
 
-    Scale shape: each vector lands in exactly ONE bucket, so every
-    pair is generated exactly once (no cross-group dedup needed).
-    Inside a bucket the all-pairs cosine runs BLOCK-WISE
-    (``block_rows`` rows of the similarity matrix at a time), so a
-    hot bucket of any size is processed in bounded memory; the
-    quadratic *compute* inside a bucket is inherent to the operator —
-    bound it by raising ``n_planes`` (bucket count 2^n_planes) for
-    larger corpora, which shrinks expected bucket size linearly in
-    corpus growth."""
+    Scale shape (the dedup.py ``_bucket_candidate_pairs`` sort +
+    interior-segment + edge-stitch machinery, adapted to carry
+    vectors): each vector lands in exactly ONE bucket, so every pair
+    is generated exactly once. ONE range-partitioned sort on
+    ``bucket`` co-locates members; every bucket segment INTERIOR to
+    a sorted batch computes its upper-triangle cosine right there,
+    slab-wise. The first/last segment of each batch — the only ones
+    that can straddle a block boundary, and therefore where any HOT
+    bucket lives — emit their member rows instead; those edge
+    members broadcast ONCE through the object store as a normalized
+    matrix and a second batched probe computes batch-rows x
+    same-bucket-columns sims slab-wise, so a 10k-vector (or 10M-
+    vector) bucket never lands in a single worker's input: per-task
+    memory is O(batch x col_block) regardless of bucket size, and
+    the quadratic COMPUTE (inherent to the operator) spreads across
+    the probe tasks. Envelope: the edge-member matrix
+    (O(straddling + hot-bucket members x dim x 8B)) must fit the
+    object store — the same broadcast contract as
+    :func:`embedding_near_dup_exact`, but over the sparse edge set,
+    not the corpus. Bound expected bucket size by raising
+    ``n_planes`` (bucket count 2^n_planes) as the corpus grows."""
     first = ds.take(1)
     import ray
 
@@ -245,38 +257,136 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95,
                                    n_planes=n_planes, seed=seed),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_column].to_pylist(), dtype=np.int64)
+    srt = bucketed.sort("bucket")
+    col_block = 64 * block_rows
+
+    def _segment_cosine(ids: np.ndarray, m: np.ndarray,
+                        outs: tuple) -> None:
+        """Upper-triangle slab-wise cosine for ONE in-batch segment
+        (ids pre-sorted ascending, m normalized rows in id order)."""
+        out_a, out_b, out_c = outs
         n = len(ids)
-        if n < 2:
-            return empty
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        m = _normalize(_batch_matrix(group[embedding_column])
-                       .astype(np.float64))[order]
-        out_a: list = []
-        out_b: list = []
-        out_c: list = []
-        col_block = 64 * block_rows
         for lo in range(0, n, block_rows):
             hi = min(lo + block_rows, n)
-            # only columns j > row i matter; restrict to j >= lo and
-            # slab the columns so memory is O(block_rows x col_block)
             for clo in range(lo, n, col_block):
                 chi = min(clo + col_block, n)
                 sims = m[lo:hi] @ m[clo:chi].T
                 ri, ci = np.nonzero(sims >= threshold)
                 keep = (clo + ci) > (lo + ri)  # strict upper triangle
                 ri, ci = ri[keep], ci[keep]
-                out_a.extend(ids[lo + ri].tolist())
-                out_b.extend(ids[clo + ci].tolist())
-                out_c.extend(sims[ri, ci].tolist())
-        return pa.table({"id_a": pa.array(out_a, pa.int64()),
-                         "id_b": pa.array(out_b, pa.int64()),
-                         "cosine": pa.array(out_c, pa.float64())})
+                out_a.append(ids[lo + ri])
+                out_b.append(ids[clo + ci])
+                out_c.append(sims[ri, ci])
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs,
-                                                 batch_format="pyarrow")
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema([
+            ("id_a", pa.int64()), ("id_b", pa.int64()),
+            ("cosine", pa.float64()), ("bucket", pa.int64()),
+            ("__emb", pa.list_(pa.float64())),
+            ("__edge", pa.bool_())])
+        if n == 0:
+            return schema.empty_table()
+        b = batch["bucket"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ids_all = np.asarray(batch[id_column].to_pylist(),
+                             dtype=np.int64)
+        mat = _normalize(_batch_matrix(batch[embedding_column])
+                         .astype(np.float64))
+        change = np.nonzero(b[1:] != b[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        g = len(starts)
+        outs: tuple = ([], [], [])
+        sizes = ends - starts
+        for gi in np.nonzero(sizes >= 2)[0]:
+            if gi == 0 or gi == g - 1:
+                continue  # edge segments route to the probe pass
+            s, e = starts[gi], ends[gi]
+            order = np.argsort(ids_all[s:e], kind="stable")
+            _segment_cosine(ids_all[s:e][order], mat[s:e][order], outs)
+        parts = []
+        if outs[0]:
+            ia = np.concatenate(outs[0])
+            parts.append(pa.table({
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(np.concatenate(outs[1]), pa.int64()),
+                "cosine": pa.array(np.concatenate(outs[2]),
+                                   pa.float64()),
+                "bucket": pa.nulls(len(ia), pa.int64()),
+                "__emb": pa.nulls(len(ia), pa.list_(pa.float64())),
+                "__edge": pa.array(np.zeros(len(ia), bool))}))
+        eidx = np.concatenate(
+            [np.arange(starts[0], ends[0]),
+             np.arange(starts[g - 1], ends[g - 1])]) if g > 1 \
+            else np.arange(starts[0], ends[0])
+        if len(eidx):
+            emb = pc.cast(batch[embedding_column].combine_chunks(),
+                          pa.list_(pa.float64())).take(pa.array(eidx))
+            parts.append(pa.table({
+                "id_a": pa.array(ids_all[eidx], pa.int64()),
+                "id_b": pa.nulls(len(eidx), pa.int64()),
+                "cosine": pa.nulls(len(eidx), pa.float64()),
+                "bucket": pa.array(b[eidx], pa.int64()),
+                "__emb": emb,
+                "__edge": pa.array(np.ones(len(eidx), bool))}))
+        return pa.concat_tables(parts) if parts \
+            else schema.empty_table()
+
+    scanned = srt.map_batches(block_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["__edge"]))
+        return kept.select(["id_a", "id_b", "cosine"])
+
+    pairs = scanned.map_batches(interior_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # edge members: O(2 segments/batch + hot-bucket members) rows;
+    # broadcast their normalized matrix once, probe in bounded batches
+    edge_tables = []
+    for batch in scanned.iter_batches(batch_format="pyarrow"):
+        kept = batch.filter(batch["__edge"])
+        if kept.num_rows:
+            edge_tables.append(kept.select(["bucket", "id_a", "__emb"]))
+    if not edge_tables:
+        return pairs
+    et = pa.concat_tables(edge_tables, promote_options="default")
+    e_b = et["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+    e_ids = et["id_a"].combine_chunks().to_numpy(zero_copy_only=False)
+    e_m = _normalize(_batch_matrix(et["__emb"]).astype(np.float64))
+    handle = ray.put((e_b, e_ids, e_m))
+
+    def edge_probe(batch: pa.Table) -> pa.Table:
+        bs_r, ids_r, m_r = ray.get(handle)
+        bs = batch["bucket"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ids = batch["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        m = _normalize(_batch_matrix(batch["__emb"]).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        n_all = len(ids_r)
+        for clo in range(0, n_all, col_block):
+            chi = min(clo + col_block, n_all)
+            sims = m @ m_r[clo:chi].T
+            ri, ci = np.nonzero(sims >= threshold)
+            keep = (ids_r[clo + ci] > ids[ri]) \
+                & (bs_r[clo + ci] == bs[ri])  # same bucket, i < j
+            ri, ci = ri[keep], ci[keep]
+            out_a.append(ids[ri])
+            out_b.append(ids_r[clo + ci])
+            out_c.append(sims[ri, ci])
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
+
+    edge_ds = ray.data.from_arrow(et).map_batches(
+        edge_probe, batch_format="pyarrow", batch_size=block_rows)
+    return pairs.union(edge_ds)
 
 
 def embedding_near_dup_exact(ds, threshold: float = 0.45,

@@ -538,8 +538,12 @@ def test_shingle_sets_batch_matches_scalar_and_jaccard():
     rng = random.Random(23)
     vocab = [f"w{i}" for i in range(30)]
     texts = [None, "", "one", "a b c d e",
+             "  lead and\ttab\nnewline   runs  ",   # messy whitespace
+             "  unicode spaces　here x y z q",
+             " \t\n ",                               # whitespace-only
              " ".join(rng.choices(vocab, k=rng.randrange(0, 120)))
-             ] + [" ".join(rng.choices(vocab, k=rng.randrange(0, 120)))
+             ] + [rng.choice([" ", "  ", "\t", "\n"]).join(
+                      rng.choices(vocab, k=rng.randrange(0, 120)))
                   for _ in range(40)]
     offsets, values = shingle_sets_batch(texts, 5)
     for i, t in enumerate(texts):
@@ -625,6 +629,33 @@ def test_simhash_batch_matches_scalar():
     finally:
         dd._SHINGLE_CHUNK = old
     assert got2.tolist() == want
+
+
+def test_minhash_signatures_batch_matches_scalar():
+    """MinHasher.signatures_batch (vectorized Arrow shingle assembly)
+    must be bit-identical to the per-doc scalar signature(), incl.
+    None/empty/short docs and messy whitespace."""
+    import random
+
+    from json_schema_ray.engine.dedup import MinHasher
+
+    rng = random.Random(37)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [None, "", "one two", "  lead\ttab\nnl  ",
+             " \t ", "exactly five words in here"
+             ] + [rng.choice([" ", "  ", "\t"]).join(
+                      rng.choices(vocab, k=rng.randrange(0, 80)))
+                  for _ in range(50)]
+    mh = MinHasher(n_perm=16, seed=7, shingle_k=5)
+    kept, sigs = mh.signatures_batch(texts)
+    want_kept, want_sigs = [], []
+    for i, t in enumerate(texts):
+        s = mh.signature(t) if t is not None else None
+        if s is not None:
+            want_kept.append(i)
+            want_sigs.append(s)
+    assert list(kept) == want_kept
+    assert np.array_equal(sigs, np.asarray(want_sigs))
 
 
 def test_minhash_bucket_cap_guards_hot_buckets():
