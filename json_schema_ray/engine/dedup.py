@@ -497,8 +497,6 @@ def _bucket_candidate_pairs(rows, id_column: str,
     verify, whose duplicate factor is bounded by n_bands) pass
     ``distinct=False`` and skip that shuffle.
     """
-    import ray
-
     srt = rows.sort("bucket")
 
     def block_pairs(batch: pa.Table) -> pa.Table:
@@ -563,45 +561,46 @@ def _bucket_candidate_pairs(rows, id_column: str,
     pairs = scanned.map_batches(interior_only, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    # edge buckets: collected member rows arrive bucket-sorted (block
-    # order); pair them in ONE worker pass (from_arrow keeps the
-    # table one block; batch_size=None = whole block per batch)
-    edge_tables = []
-    for batch in scanned.iter_batches(batch_format="pyarrow"):
-        kept = batch.filter(batch["__edge"])
-        if kept.num_rows:
-            edge_tables.append(kept.select(["bucket", "id_a"]))
-    if edge_tables:
-        et = pa.concat_tables(edge_tables, promote_options="default")
+    # edge buckets: member rows stay IN the lazy pipeline (no driver
+    # collection / extra execution): filter -> repartition(1) pulls
+    # the O(2 segments/batch + hot buckets) edge rows into one block,
+    # and edge_pairs sorts that block itself (order-independent) and
+    # expands each bucket's upper triangle in ONE worker pass
+    def edge_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["__edge"]).select(["bucket", "id_a"])
 
-        def edge_pairs(batch: pa.Table) -> pa.Table:
-            b = batch["bucket"].combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            ids = batch["id_a"].combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            n = len(b)
-            if n == 0:
-                return _empty_pairs()
-            change = np.nonzero(b[1:] != b[:-1])[0] + 1
-            starts = np.concatenate([[0], change])
-            ends = np.concatenate([change, [n]])
-            ia_parts, ib_parts = [], []
-            for s, e in zip(starts, ends):
-                if e - s < 2:
-                    continue
-                ia, ib = _segment_pairs(ids[s:e], max_bucket, b[s])
-                ia_parts.append(ia)
-                ib_parts.append(ib)
-            if not ia_parts:
-                return _empty_pairs()
-            return pa.table({
-                "id_a": pa.array(np.concatenate(ia_parts), pa.int64()),
-                "id_b": pa.array(np.concatenate(ib_parts), pa.int64()),
-            })
+    def edge_pairs(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ids = batch["id_a"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(b)
+        if n == 0:
+            return _empty_pairs()
+        order = np.lexsort((ids, b))
+        b, ids = b[order], ids[order]
+        change = np.nonzero(b[1:] != b[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ia, ib = _segment_pairs(ids[s:e], max_bucket, b[s])
+            ia_parts.append(ia)
+            ib_parts.append(ib)
+        if not ia_parts:
+            return _empty_pairs()
+        return pa.table({
+            "id_a": pa.array(np.concatenate(ia_parts), pa.int64()),
+            "id_b": pa.array(np.concatenate(ib_parts), pa.int64()),
+        })
 
-        edge_ds = ray.data.from_arrow(et).map_batches(
-            edge_pairs, batch_format="pyarrow", batch_size=None)
-        pairs = pairs.union(edge_ds)
+    edge_ds = scanned.map_batches(edge_only, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .repartition(1).map_batches(edge_pairs, batch_format="pyarrow",
+                                    batch_size=None)
+    pairs = pairs.union(edge_ds)
     if not distinct:
         return pairs
     deduped = pairs.groupby(["id_a", "id_b"]).count()

@@ -1107,15 +1107,19 @@ def shared_fingerprint_pairs(ds, id_column: str = "doc_id",
     Rabin-Karp, :func:`_rolling_hashes_batch`) emits at most ``keep``
     (hash, id) rows per doc; pairing reuses the LSH bucket machinery
     (ONE range-partitioned sort on the hash + vectorized interior
-    upper-triangle expansion + worker-side edge stitch,
-    :func:`dedup._bucket_candidate_pairs`), and one (id_a, id_b)
-    combiner groupby counts shared spans. Nothing doc-sized
-    shuffles twice; hot spans (boilerplate shared by m docs) cost
-    their true O(m^2) pairs inside one worker — cap with
-    ``max_bucket`` (surfaced, never silent) on boilerplate-heavy
-    corpora."""
+    upper-triangle expansion + in-pipeline edge stitch,
+    :func:`dedup._bucket_candidate_pairs`); shared-span counts come
+    from per-block partial (id_a, id_b) counts merged ONCE on the
+    driver — the result (and therefore the merge) is bounded by the
+    distinct candidate-pair count, which this operator returns as a
+    driver table anyway, and skipping the Aggregate all-to-all
+    removes its multi-second fixed cost (the whole operator is TWO
+    Ray executions: the materialize inside the pair machinery and
+    the counting consume). Nothing doc-sized shuffles twice; hot
+    spans (boilerplate shared by m docs) cost their true O(m^2)
+    pairs inside one worker — cap with ``max_bucket`` (surfaced,
+    never silent) on boilerplate-heavy corpora."""
     from .dedup import _bucket_candidate_pairs
-    from .relational import grouped_aggregate
 
     def fp_rows(batch: pa.Table) -> pa.Table:
         texts = batch[column].to_pylist()
@@ -1143,13 +1147,30 @@ def shared_fingerprint_pairs(ds, id_column: str = "doc_id",
                           zero_copy_batch=True)
     pairs = _bucket_candidate_pairs(rows, id_column, max_bucket,
                                     distinct=False)
-    out = grouped_aggregate(pairs, ["id_a", "id_b"], [(None, "count")])
-    if out is None:
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["id_a", "id_b"]),
+                            ["id_a", "id_b"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"id_a": g["id_a"], "id_b": g["id_b"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b
+             for b in pairs.map_batches(pair_counts,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "n_shared": pa.array([], pa.int64())})
-    return pa.table({"id_a": out["id_a"], "id_b": out["id_b"],
-                     "n_shared": out["rows_count"].cast(pa.int64())})
+    merged = pa.TableGroupBy(
+        pa.concat_tables(parts, promote_options="default"),
+        ["id_a", "id_b"]).aggregate([("n", "sum")])
+    return pa.table({"id_a": merged["id_a"], "id_b": merged["id_b"],
+                     "n_shared": merged["n_sum"].cast(pa.int64())})
 
 
 def drop_repeated_lines(ds, id_column: str = "doc_id",
