@@ -445,8 +445,9 @@ def q_transcript_role_protocol(sf_dir: str):
     conversation must open with 'user'. The corrupted corpus's
     injected bad_role turns ('narrator') surface as violations of
     the incoming transition. Same transition_violations operator as
-    the oracle-checked events variant; no DuckDB view exists over
-    the generated transcript files, so this entry is rows-only."""
+    the oracle-checked events variant; the oracle SQL reads the SAME
+    deterministic cached corpus directly by parquet path (DuckDB
+    read_parquet), generated on demand by oracle_sql() itself."""
     import ray
 
     from json_schema_ray.engine.keys import transition_violations
@@ -3239,6 +3240,18 @@ _BIGRAM_LM_SQL = r"""
 """
 
 
+def _protocol_corpus_glob() -> str:
+    """Parquet glob of the deterministic transcript corpus at the
+    driver's correctness scale (sf0.01 -> 60,000 turns), generated
+    on demand (pure numpy/pyarrow, no Ray) so the oracle SQL can
+    read it whether or not the query ran first."""
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(
+        _transcript_turns("/root/testdata/sf0.01"), violation_rate=0.01)
+    return os.path.join(path, "*.parquet")
+
+
 def oracle_sql() -> dict[str, str]:
     from json_schema_ray.engine.relational import splitmix64_sql
 
@@ -3443,6 +3456,30 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        # reads the SAME deterministic transcript corpus the query
+        # uses, by parquet path (no registered view needed); the
+        # helper generates the cached corpus if absent. Driver
+        # correctness runs at sf0.01 -> 60,000 turns.
+        "transcript_role_protocol": f"""
+            WITH lagged AS (
+                SELECT conv_id, turn_idx, role,
+                       lag(role) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx, turn_idx) AS prev_label
+                FROM read_parquet('{_protocol_corpus_glob()}')
+            )
+            SELECT conv_id, turn_idx, prev_label, role
+            FROM lagged
+            WHERE (prev_label IS NULL AND (role IS NULL
+                       OR role <> 'user'))
+               OR (prev_label = 'user' AND (role IS NULL
+                       OR role <> 'assistant'))
+               OR (prev_label = 'assistant' AND (role IS NULL
+                       OR role <> 'tool'))
+               OR (prev_label = 'tool' AND (role IS NULL
+                       OR role <> 'system'))
+               OR (prev_label = 'system' AND (role IS NULL
+                       OR role <> 'user'))
         """,
         "docs_decontamination": """
             WITH words AS (

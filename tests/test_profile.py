@@ -79,3 +79,84 @@ def test_bounded_distinct_caps(ray_session):
     got = _bounded_distinct(ray.data.from_arrow(t).repartition(4),
                             ["c"], cap=8)
     assert got["c"] is None  # 50 distinct > 8: reported as over-cap
+
+
+def _synth_shaped_corpus():
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    n = 400
+    uuids = [("%08x-%04x-%04x-%04x-%012x" % (
+        rng.integers(0, 2**32), rng.integers(0, 2**16),
+        rng.integers(0, 2**16), rng.integers(0, 2**16),
+        rng.integers(0, 2**48))) for _ in range(n)]
+    emails = [f"user{i}@example{i % 7}.com" for i in range(n)]
+    stamps = [f"2024-0{1 + i % 9}-1{i % 9}T0{i % 9}:1{i % 5}:2{i % 7}Z"
+              for i in range(n)]
+    codes = [f"AB-{1000 + i}" if i % 2 else f"{10 + i}-AB"
+             for i in range(n)]  # divergent token order: no claim
+    skus = [f"SKU-{10000 + i}" for i in range(n)]  # one shape
+    return pa.table({
+        "id": pa.array(uuids, pa.string()),
+        "email": pa.array(emails, pa.string()),
+        "created": pa.array(stamps, pa.string()),
+        "sku": pa.array(skus, pa.string()),
+        "code": pa.array(codes, pa.string()),
+    })
+
+
+def test_suggested_schema_format_and_pattern_hints(ray_session):
+    """Format hints (uuid/email/date-time) and shape-pattern
+    candidates are detected on a bounded sample, VERIFIED corpus-wide
+    (a single mismatching value kills the claim), and the resulting
+    schema's checks catch planted drift rows."""
+    import ray
+
+    t = _synth_shaped_corpus()
+    ds = ray.data.from_arrow(t).repartition(4)
+    schema = suggest_schema(ds)
+    props = schema["properties"]
+    assert props["id"]["format"] == "uuid"
+    assert props["email"]["format"] == "email"
+    assert props["created"]["format"] == "date-time"
+    assert props["sku"].get("pattern") == "^[A-Z]{3}-[0-9]{5}$"
+    assert "pattern" not in props["code"]  # mixed shapes: no claim
+    assert "format" not in props["code"]
+
+    s = jsr.parse_bang(schema)  # round-trips the repo's own parser
+    s.expand_references_bang()
+
+    # the profiled corpus itself stays violation-free
+    plan = compile_plan_for(schema, t.schema)
+    v = violations_dataset(ds, plan)
+    assert sum(b.num_rows
+               for b in v.iter_batches(batch_format="pyarrow")) == 0
+
+    # planted drift rows trip the new format/pattern checks
+    bad = pa.table({
+        "id": pa.array(["not-a-uuid"], pa.string()),
+        "email": pa.array(["user@@bad"], pa.string()),
+        "created": pa.array(["2024-13-99"], pa.string()),
+        "sku": pa.array(["SKU-12"], pa.string()),
+        "code": pa.array(["whatever"], pa.string()),
+    })
+    plan_bad = compile_plan_for(schema, bad.schema)
+    rows = [r for b in violations_dataset(
+        ray.data.from_arrow(bad), plan_bad)
+        .iter_batches(batch_format="pyarrow") for r in b.to_pylist()]
+    bad_cols = {r["path"].split("/")[-1] for r in rows}
+    assert {"id", "email", "created", "sku"} <= bad_cols
+
+
+def test_format_claim_killed_by_single_mismatch(ray_session):
+    """One off-format value anywhere in the corpus must suppress the
+    format hint (the sample said uuid; the verify pass disagrees)."""
+    import ray
+
+    t = _synth_shaped_corpus()
+    col = t["id"].to_pylist()
+    col[-1] = "zz-not-a-uuid"  # beyond the sample window
+    t2 = t.set_column(t.schema.get_field_index("id"), "id",
+                      pa.array(col, pa.string()))
+    schema = suggest_schema(ray.data.from_arrow(t2).repartition(4))
+    assert "format" not in schema["properties"]["id"]
