@@ -1651,6 +1651,45 @@ def q_host_pagerank_weighted(sf_dir: str):
     return pagerank(edges, n_iter=3, weight="w")
 
 
+def q_docs_snapshot_diff(sf_dir: str):
+    """Snapshot-over-snapshot table diff (engine/relational.py
+    ``snapshot_diff``): old = documents minus every 7th doc; new =
+    documents minus every 11th doc with n_chars bumped on every 5th.
+    added/removed/changed via ONE sort + interior/edge classify — no
+    join; SQL twin is the FULL OUTER JOIN + IS DISTINCT FROM CASE."""
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def mk_old(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 7 != 0))
+
+    def mk_new(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(ids % 11 != 0))
+        ids_k = kept["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        bump = pa.array(ids_k % 5 == 0)
+        n_chars = pc.if_else(bump, pc.add(kept["n_chars"], 1),
+                             kept["n_chars"])
+        return kept.set_column(
+            kept.column_names.index("n_chars"), "n_chars", n_chars)
+
+    old_ds = ds.map_batches(mk_old, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    new_ds = ds.map_batches(mk_new, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = snapshot_diff(old_ds, new_ds, ["doc_id"],
+                        ["lang", "n_chars"])
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("change", pa.string())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2720,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank_weighted": q_host_pagerank_weighted,
         "host_hits": q_host_hits,
         "incremental_dedup_docs": q_incremental_dedup_docs,
+        "docs_snapshot_diff": q_docs_snapshot_diff,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
@@ -3456,6 +3496,25 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "docs_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 7 <> 0
+            ), new AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                            ELSE n_chars END AS n_chars
+                FROM documents WHERE doc_id % 11 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR (o.lang IS DISTINCT FROM n.lang)
+               OR (o.n_chars IS DISTINCT FROM n.n_chars)
         """,
         # reads the SAME deterministic transcript corpus the query
         # uses, by parquet path (no registered view needed); the

@@ -4314,3 +4314,86 @@ def test_lm_quality_buckets_approx_close_to_exact():
     ap = {r["bucket"]: r["n_docs"] for r in approx}
     for b in ex:
         assert abs(ap.get(b, 0) - ex[b]) <= 0.1 * len(texts)
+
+
+def _diff_bruteforce(old_rows, new_rows, compare):
+    got = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in new_rows:
+            got[k] = "removed"
+        elif k not in old_rows:
+            got[k] = "added"
+        elif any(old_rows[k][c] != new_rows[k][c] for c in compare):
+            got[k] = "changed"
+    return got
+
+
+def test_snapshot_diff_matches_bruteforce():
+    """added/removed/changed vs a dict-based reference, across
+    multiblock inputs with NULL keys, NULL compare values (SQL
+    IS DISTINCT FROM: NULL==NULL), int + string key types."""
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    rng = np.random.default_rng(91)
+    n = 3000
+    ids = np.arange(n)
+    old_keep = rng.random(n) > 0.1
+    new_keep = rng.random(n) > 0.1
+    v_old = rng.integers(0, 5, n).astype(object)
+    v_old[rng.random(n) < 0.05] = None
+    v_new = v_old.copy()
+    flip = rng.random(n) < 0.2
+    v_new[flip] = rng.integers(5, 9, int(flip.sum())).astype(object)
+    null_flip = rng.random(n) < 0.03
+    v_new[null_flip] = None
+    s_old = np.array([f"s{i % 4}" for i in range(n)], dtype=object)
+    s_new = s_old.copy()
+    s_new[rng.random(n) < 0.1] = "zz"
+
+    def tab(keep, v, s):
+        m = np.nonzero(keep)[0]
+        return pa.table({
+            "k": pa.array(ids[m], pa.int64()),
+            "v": pa.array(v[m].tolist(), pa.int64()),
+            "s": pa.array(s[m].tolist(), pa.string())})
+
+    t_old, t_new = tab(old_keep, v_old, s_old), tab(new_keep, v_new, s_new)
+    out = snapshot_diff(_ray().data.from_arrow(t_old).repartition(7),
+                        _ray().data.from_arrow(t_new).repartition(5),
+                        ["k"], ["v", "s"])
+    got = {r["k"]: r["change"] for r in out.take_all()}
+
+    old_rows = {r["k"]: r for r in t_old.to_pylist()}
+    new_rows = {r["k"]: r for r in t_new.to_pylist()}
+    want = _diff_bruteforce(old_rows, new_rows, ["v", "s"])
+    assert got == want
+    assert {"added", "removed", "changed"} <= set(got.values())
+
+
+def test_snapshot_diff_string_and_null_keys():
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    t_old = pa.table({"k": pa.array(["a", "b", None], pa.string()),
+                      "v": pa.array([1, 2, 3], pa.int64())})
+    t_new = pa.table({"k": pa.array(["b", "c", None], pa.string()),
+                      "v": pa.array([2, 9, 4], pa.int64())})
+    out = snapshot_diff(_ray().data.from_arrow(t_old),
+                        _ray().data.from_arrow(t_new), ["k"], ["v"])
+    got = {r["k"]: r["change"] for r in out.take_all()}
+    # b unchanged -> absent; NULL key groups with itself (changed)
+    assert got == {"a": "removed", "c": "added", None: "changed"}
+
+
+def test_snapshot_diff_duplicate_key_raises():
+    import pytest
+
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    t_old = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "v": pa.array([1, 2], pa.int64())})
+    t_new = pa.table({"k": pa.array([2], pa.int64()),
+                      "v": pa.array([3], pa.int64())})
+    with pytest.raises(Exception, match="snapshot_diff"):
+        snapshot_diff(_ray().data.from_arrow(t_old),
+                      _ray().data.from_arrow(t_new),
+                      ["k"], ["v"]).take_all()
