@@ -1690,6 +1690,24 @@ def q_docs_snapshot_diff(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_pack_contiguous(sf_dir: str):
+    """GPT-style contiguous sequence packing (engine/window.py
+    ``pack_contiguous``): the corpus concatenates into one stream in
+    doc_id order, 4096-char training sequences; each doc reports the
+    sequences it spans and its offset in the first. One constant-key
+    prefix scan (the hot-key case cumulative_sum is built for)."""
+    from json_schema_ray.engine.window import pack_contiguous
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = pack_contiguous(ds, "doc_id", "n_chars", 4096)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_chars", pa.int64()),
+                        ("pack_first", pa.int64()),
+                        ("pack_last", pa.int64()),
+                        ("pack_offset", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2760,6 +2778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "docs_snapshot_diff": q_docs_snapshot_diff,
+        "docs_pack_contiguous": q_docs_pack_contiguous,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
@@ -3496,6 +3515,21 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "docs_pack_contiguous": """
+            WITH f AS (
+                SELECT doc_id, n_chars FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), c AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS r
+                FROM f)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST((r - n_chars) // 4096 AS BIGINT) AS pack_first,
+                   CAST((r - 1) // 4096 AS BIGINT) AS pack_last,
+                   CAST((r - n_chars) % 4096 AS BIGINT) AS pack_offset
+            FROM c
         """,
         "docs_snapshot_diff": """
             WITH old AS (

@@ -811,3 +811,56 @@ def hopping_approx_distinct_counts(ds, ts: str = "ts",
                               zero_copy_batch=True)
     return grouped_approx_distinct(with_win, "window_start_us",
                                    entity, p=p)
+
+
+def pack_contiguous(ds, order: str, size: str, budget: int):
+    """GPT-style contiguous sequence packing: documents taken in
+    global ``order`` concatenate into ONE token stream; training
+    sequence k owns stream interval ``[k*budget, (k+1)*budget)``.
+    Every surviving row gains ``pack_first`` / ``pack_last`` (the
+    sequences it lands in — a doc longer than the remaining room
+    spans several) and ``pack_offset`` (its start offset inside
+    ``pack_first``). Rows with NULL or non-positive ``size`` are
+    DROPPED (they occupy no stream space; SQL twin filters the
+    same). ``order`` must be globally unique and numeric/temporal.
+
+    Shape: one constant-key :func:`rank.cumulative_sum` — the single
+    stream IS the hot-key case that machinery is built for
+    (O(n_blocks) fixed-size carries, never a timeline) — then a
+    stateless integer scan: with inclusive running sum R and size s,
+    ``pack_first = (R-s) // budget``, ``pack_last = (R-1) //
+    budget``, ``pack_offset = (R-s) % budget``. Sizes quantize
+    exactly (int64 through float64 prefix sums; total stream length
+    must stay under 2^53)."""
+    from .rank import cumulative_sum
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[size]),
+                    pc.greater(batch[size], 0))
+        t = batch.select([order, size]).filter(pc.fill_null(m, False))
+        n = t.num_rows
+        return t.append_column(
+            "__k", pa.array(np.zeros(n, np.int8))) \
+            .append_column("__tb", t[order])
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    run = cumulative_sum(pre, "__k", order, size, tiebreak="__tb")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = pc.cast(pc.round(batch["running_sum"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.cast(batch[size], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        prev = r - s
+        return pa.table({
+            order: batch[order], size: batch[size],
+            "pack_first": pa.array(prev // budget, pa.int64()),
+            "pack_last": pa.array((r - 1) // budget, pa.int64()),
+            "pack_offset": pa.array(prev % budget, pa.int64())})
+
+    return run.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

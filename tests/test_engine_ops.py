@@ -4397,3 +4397,47 @@ def test_snapshot_diff_duplicate_key_raises():
         snapshot_diff(_ray().data.from_arrow(t_old),
                       _ray().data.from_arrow(t_new),
                       ["k"], ["v"]).take_all()
+
+
+def test_pack_contiguous_matches_bruteforce():
+    """GPT-style stream packing vs a python cumsum reference: docs
+    spanning several packs, NULL/zero sizes dropped, multiblock."""
+    from json_schema_ray.engine.window import pack_contiguous
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    sizes = rng.integers(1, 900, n).astype(object)
+    sizes[rng.random(n) < 0.04] = None
+    sizes[rng.random(n) < 0.03] = 0
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_tok": pa.array(sizes.tolist(), pa.int64())})
+    budget = 512
+    out = pack_contiguous(
+        _ray().data.from_arrow(t).repartition(6),
+        "doc_id", "n_tok", budget)
+    got = {r["doc_id"]: (r["pack_first"], r["pack_last"],
+                         r["pack_offset"])
+           for r in out.take_all()}
+
+    run = 0
+    want = {}
+    for i in range(n):
+        s = sizes[i]
+        if s is None or s <= 0:
+            continue
+        want[i] = (run // budget, (run + s - 1) // budget,
+                   run % budget)
+        run += s
+    assert got == want
+    assert any(a != b for a, b, _ in got.values())  # spanning docs
+
+
+def test_pack_contiguous_rejects_bad_budget():
+    import pytest
+
+    from json_schema_ray.engine.window import pack_contiguous
+
+    t = pa.table({"i": pa.array([1], pa.int64()),
+                  "s": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="budget"):
+        pack_contiguous(_ray().data.from_arrow(t), "i", "s", 0)
