@@ -2668,6 +2668,26 @@ def q_doc_dup_clusters(sf_dir: str):
     }).sort_by([("doc_id", "ascending")])
 
 
+def q_doc_dedup_keep_best(sf_dir: str):
+    """Quality-aware dedup retention (engine/dedup.py
+    ``dedup_keep_best``): within each exact n-gram-Jaccard duplicate
+    cluster keep the longest document (n_chars, ties to smallest
+    doc_id; NULL length loses); singletons keep themselves. The
+    verdict covers every document — the operator a curation pipeline
+    actually applies after near-dup detection."""
+    from json_schema_ray.engine.dedup import (dedup_keep_best,
+                                              ngram_jaccard_dedup_pairs)
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_dedup_pairs(ds, "doc_id", threshold=0.5)
+    out = dedup_keep_best(ds, pairs, "doc_id", "n_chars")
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("component", pa.int64()),
+                        ("kept", pa.bool_())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_drift_events_psi(sf_dir: str):
     """Categorical PSI drift between the first and last 15 days of
     the events stream — the same ReferenceProfile/psi code path as
@@ -2869,6 +2889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitems_small_parts": q_lineitems_small_parts,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_keep_best": q_doc_dedup_keep_best,
         "orders_segment_join_sorted": q_orders_segment_join_sorted,
         "drift_events_psi": q_drift_events_psi,
         "doc_fingerprints": q_doc_fingerprints,
@@ -4643,6 +4664,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.component, s.cluster_size
             FROM comp c JOIN sizes s USING (component)
             ORDER BY c.doc_id
+        """,
+        "doc_dedup_keep_best": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+            ), edges AS (
+                SELECT id_a AS n, id_b AS m FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT n, n AS m FROM edges
+                UNION
+                SELECT e.n, r.m
+                FROM edges e JOIN reach r ON e.m = r.n
+            ), comp AS (
+                SELECT n AS doc_id, min(m) AS component
+                FROM reach GROUP BY n
+            ), win AS (
+                SELECT c.component, c.doc_id,
+                       row_number() OVER (PARTITION BY c.component
+                         ORDER BY d.n_chars DESC NULLS LAST,
+                                  c.doc_id) AS rn
+                FROM comp c JOIN documents d USING (doc_id)
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   (c.doc_id IS NULL OR w.rn = 1) AS kept
+            FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.doc_id
+            LEFT JOIN win w ON w.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "drift_events_psi": """
             WITH bounds AS (

@@ -1344,3 +1344,99 @@ def append_index_fragment(survivors_ds, index_dir: str, run_id: str,
     os.makedirs(part, exist_ok=True)
     survivors_ds.select_columns([key_column]).write_parquet(part)
     return part
+
+
+def dedup_keep_best(ds, pairs, id_column: str = "doc_id",
+                    quality: str = "n_chars"):
+    """Quality-aware dedup retention — the policy step real pipelines
+    run after near-dup detection: within each connected component of
+    the duplicate-pair graph keep exactly ONE document, the highest
+    ``quality`` (NULL quality sorts lowest; ties break to the
+    smallest id); documents outside every pair keep themselves.
+    Returns a Dataset of (id_column, component, kept) covering EVERY
+    input document (singletons carry their own id as component).
+
+    Scale shape: the component label table is O(duplicate docs) (the
+    :func:`connected_components` contract) and broadcasts ONCE; one
+    stateless scan collects the (component, id, quality) rows of
+    clustered docs — again O(dup docs), the action set the policy
+    must rank anyway — winners resolve vectorized on the driver
+    (lexsort, one pass), and a second stateless scan emits the
+    verdict per document. Nothing corpus-sized leaves the workers."""
+    import ray
+
+    comp = connected_components(pairs)
+    if comp.num_rows == 0:
+        def all_kept(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column]
+            return pa.table({
+                id_column: ids,
+                "component": pc.cast(ids, pa.int64()),
+                "kept": pa.array(np.ones(batch.num_rows, bool))})
+        return ds.map_batches(all_kept, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    lab_ids = comp["id"].combine_chunks()
+    lab_comp = comp["component"].combine_chunks() \
+        .to_numpy(zero_copy_only=False)
+    h_members = ray.put((lab_ids, lab_comp))
+
+    def member_quality(batch: pa.Table) -> pa.Table:
+        ids_r, comp_r = ray.get(h_members)
+        idx = pc.index_in(batch[id_column], value_set=ids_r)
+        found = pc.is_valid(idx)
+        kept_rows = batch.filter(found)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        pos = pos[found.to_numpy(zero_copy_only=False)]
+        q = pc.cast(kept_rows[quality], pa.float64())
+        return pa.table({
+            "component": pa.array(comp_r[pos], pa.int64()),
+            "m_id": pc.cast(kept_rows[id_column], pa.int64()),
+            "q": q})
+
+    parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+             else b
+             for b in ds.map_batches(member_quality,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    mem = pa.concat_tables(parts, promote_options="default") \
+        if parts else pa.table({"component": pa.array([], pa.int64()),
+                                "m_id": pa.array([], pa.int64()),
+                                "q": pa.array([], pa.float64())})
+    c = mem["component"].to_numpy(zero_copy_only=False)
+    mi = mem["m_id"].to_numpy(zero_copy_only=False)
+    qv = pc.fill_null(mem["q"], -np.inf).to_numpy(zero_copy_only=False)
+    # per component: max quality, ties -> min id. Sort by
+    # (component, -q, id) and take each component's first row.
+    order = np.lexsort((mi, -qv, c))
+    cs, ws = c[order], mi[order]
+    first = np.concatenate([[True], cs[1:] != cs[:-1]]) \
+        if len(cs) else np.zeros(0, bool)
+    winners = np.sort(ws[first]) if len(cs) else np.zeros(0, np.int64)
+    h_winners = ray.put(winners)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        ids_r, comp_r = ray.get(h_members)
+        win = ray.get(h_winners)
+        idx = pc.index_in(batch[id_column], value_set=ids_r)
+        found = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+        own = pc.cast(batch[id_column], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        component = np.where(found, comp_r[pos], own)
+        p = np.searchsorted(win, own) if len(win) \
+            else np.zeros(len(own), np.int64)
+        is_winner = (p < len(win)) & (len(win) > 0)
+        is_winner = np.where(is_winner,
+                             win[np.minimum(p, max(len(win) - 1, 0))]
+                             == own, False)
+        kept = ~found | is_winner
+        return pa.table({
+            id_column: batch[id_column],
+            "component": pa.array(component, pa.int64()),
+            "kept": pa.array(kept)})
+
+    return ds.map_batches(verdict, batch_format="pyarrow",
+                          zero_copy_batch=True)

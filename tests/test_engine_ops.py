@@ -4441,3 +4441,61 @@ def test_pack_contiguous_rejects_bad_budget():
                   "s": pa.array([1], pa.int64())})
     with pytest.raises(ValueError, match="budget"):
         pack_contiguous(_ray().data.from_arrow(t), "i", "s", 0)
+
+
+def test_dedup_keep_best_matches_union_find():
+    """Keep-best-per-cluster vs a python union-find reference:
+    max quality wins, ties to smallest id, NULL quality loses,
+    singletons keep themselves."""
+    from json_schema_ray.engine.dedup import dedup_keep_best
+
+    rng = np.random.default_rng(41)
+    n = 500
+    q = rng.integers(0, 100, n).astype(object)
+    q[rng.random(n) < 0.1] = None
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(q.tolist(), pa.int64())})
+    m = 160
+    pairs = pa.table({
+        "id_a": pa.array(rng.integers(0, n, m), pa.int64()),
+        "id_b": pa.array(rng.integers(0, n, m), pa.int64())})
+    import pyarrow.compute as _pc
+    pairs = pairs.filter(_pc.not_equal(pairs["id_a"], pairs["id_b"]))
+
+    out = dedup_keep_best(
+        _ray().data.from_arrow(docs).repartition(5), pairs)
+    got = {r["doc_id"]: (r["component"], r["kept"])
+           for r in out.take_all()}
+
+    # union-find reference
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].to_pylist(),
+                    pairs["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clustered = set(pairs["id_a"].to_pylist()) \
+        | set(pairs["id_b"].to_pylist())
+    comp_of = {i: find(i) for i in clustered}
+    best: dict = {}
+    for i in sorted(clustered):
+        c = comp_of[i]
+        qual = -float("inf") if q[i] is None else q[i]
+        if c not in best or qual > best[c][0]:
+            best[c] = (qual, i)
+    want = {}
+    for i in range(n):
+        if i in clustered:
+            want[i] = (comp_of[i], best[comp_of[i]][1] == i)
+        else:
+            want[i] = (i, True)
+    assert got == want
+    assert sum(1 for _, k in got.values() if not k) > 0
