@@ -45,6 +45,9 @@ HEADLINE_QUERIES = [
 # (NOT in "value"), so round-over-round totals stay like-for-like
 # while new operator families still get recorded numbers
 EXTRA_QUERIES = [
+    "docs_snapshot_diff",     # join-free added/removed/changed diff
+    "docs_pack_contiguous",   # GPT-style stream packing (prefix scan)
+    "doc_dedup_keep_best",    # keep-best-per-dup-cluster retention
     "top3_orders_per_cust",   # grouped top-k: sort + edge merge
     "running_user_spend",     # running totals: sort + carry stitch
     "user_value_quantiles",   # exact per-group quantiles
