@@ -975,16 +975,37 @@ def lm_quality_buckets(ds, id_column: str = "doc_id",
             scores.map_batches(add_order, batch_format="pyarrow",
                                zero_copy_batch=True),
             "__g", "__avg", id_column, k, out="bucket")
-    out = grouped_aggregate(tiled, ["bucket"],
-                            [(None, "count"), ("n_bigrams", "sum")])
-    if out is None:
+    # k-row result: per-block partials + one driver-side vectorized
+    # merge beat a Ray Aggregate all-to-all (its fixed cost dominates
+    # at bucket-count cardinality — the shared_fingerprint_pairs
+    # precedent)
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["bucket", "n_bigrams"]),
+                            "bucket") \
+            .aggregate([([], "count_all"), ("n_bigrams", "sum")])
+        return pa.table({
+            "bucket": g["bucket"].cast(pa.int64()),
+            "n": g["count_all"].cast(pa.int64()),
+            "b": g["n_bigrams_sum"].cast(pa.int64())})
+
+    parts = [pa.Table.from_batches([t]) if isinstance(t, pa.RecordBatch)
+             else t
+             for t in tiled.map_batches(bucket_partial,
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)
+             .iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
         return pa.table({"bucket": pa.array([], pa.int64()),
                          "n_docs": pa.array([], pa.int64()),
                          "n_bigrams_total": pa.array([], pa.int64())})
+    m = pa.TableGroupBy(
+        pa.concat_tables(parts, promote_options="default"),
+        "bucket").aggregate([("n", "sum"), ("b", "sum")])
     return pa.table({
-        "bucket": out["bucket"].cast(pa.int64()),
-        "n_docs": out["rows_count"].cast(pa.int64()),
-        "n_bigrams_total": out["n_bigrams_sum"].cast(pa.int64())}) \
+        "bucket": m["bucket"],
+        "n_docs": m["n_sum"].cast(pa.int64()),
+        "n_bigrams_total": m["b_sum"].cast(pa.int64())}) \
         .sort_by([("bucket", "ascending")])
 
 
