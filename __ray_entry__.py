@@ -85,7 +85,8 @@ def q_pricing_summary(sf_dir: str):
                         "l_extendedprice"])
     t = grouped_aggregate(ds, ["l_returnflag", "l_linestatus"],
                           [("l_quantity", "sum"),
-                           ("l_extendedprice", "sum"), (None, "count")])
+                           ("l_extendedprice", "sum"), (None, "count")],
+                          driver_merge=True)  # 6 groups
     t = t.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
                           "sum_base_price", "count_order"])
     return _round_col(t, "sum_base_price", 2)
@@ -115,7 +116,8 @@ def q_orders_by_segment(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = broadcast_hash_join(orders, customer, "o_custkey", "c_custkey")
     t = grouped_aggregate(joined, ["c_mktsegment"],
-                          [("o_totalprice", "sum"), (None, "count")])
+                          [("o_totalprice", "sum"), (None, "count")],
+                          driver_merge=True)  # 5 segments
     t = t.rename_columns(["c_mktsegment", "total_price", "n_orders"])
     return _round_col(t, "total_price", 2)
 
@@ -155,7 +157,8 @@ def q_events_by_type(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     t = grouped_aggregate(ds, ["event_type"],
-                          [("value", "sum"), (None, "count")])
+                          [("value", "sum"), (None, "count")],
+                          driver_merge=True)  # 5 event types
     t = t.rename_columns(["event_type", "total_value", "cnt"])
     return _round_col(t, "total_value", 2)
 
@@ -1483,7 +1486,8 @@ def q_lang_dup_rates(sf_dir: str):
     nd = _collect(grouped_distinct_count(ds, "lang", "text"),
                   pa.schema([("lang", pa.string()),
                              ("n_distinct", pa.int64())]))
-    tot = grouped_aggregate(ds, ["lang"], [(None, "count")])
+    tot = grouped_aggregate(ds, ["lang"], [(None, "count")],
+                            driver_merge=True)  # 5 langs
     idx = pc.index_in(nd["lang"], value_set=tot["lang"].combine_chunks())
     n_docs = tot["rows_count"].combine_chunks().take(idx)
     import numpy as np
@@ -1804,7 +1808,8 @@ def q_lang_id_accuracy(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     pred = language_id(ds)
-    t = grouped_aggregate(pred, ["lang", "lang_pred"], [(None, "count")])
+    t = grouped_aggregate(pred, ["lang", "lang_pred"],
+                          [(None, "count")], driver_merge=True)  # 25
     return t.rename_columns(["lang", "lang_pred", "cnt"]).sort_by([
         ("lang", "ascending"), ("lang_pred", "ascending")])
 
@@ -1994,7 +1999,8 @@ def q_docs_split_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     out = split_assign(ds, "doc_id", [0.8, 0.1])
-    t = grouped_aggregate(out, ["lang", "split"], [(None, "count")])
+    t = grouped_aggregate(out, ["lang", "split"], [(None, "count")],
+                          driver_merge=True)  # 15 groups
     return t.rename_columns(["lang", "split", "cnt"]).sort_by(
         [("lang", "ascending"), ("split", "ascending")])
 

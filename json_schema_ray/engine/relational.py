@@ -51,10 +51,43 @@ def pre_aggregate(ds, keys: List[str],
 
 
 def grouped_aggregate(ds, keys: List[str],
-                      aggs: Sequence[Tuple[str, str]]) -> "pa.Table":
+                      aggs: Sequence[Tuple[str, str]],
+                      driver_merge: bool = False) -> "pa.Table":
     """Full pre-agg -> shuffle -> re-agg pipeline, materialized
-    (results are group-sized, small by construction)."""
+    (results are group-sized, small by construction).
+
+    ``driver_merge=True`` is the LOW-CARDINALITY fast path: the
+    per-block partials (groups x blocks rows) stream to the driver
+    and merge in ONE Arrow groupby, skipping the Ray Aggregate
+    all-to-all whose fixed cost dominates when groups number in the
+    dozens (status codes, languages, calendar buckets). Only opt in
+    when groups x blocks is driver-safe — at 10^6 groups x 10^5
+    blocks the default shuffle path is the correct one. Results are
+    dtype-identical to the shuffle path (int64 sums/counts,
+    type-preserving min/max, NULL keys form their own group)."""
     partial = pre_aggregate(ds, keys, aggs)
+    if driver_merge:
+        tables = [pa.Table.from_batches([b])
+                  if isinstance(b, pa.RecordBatch) else b
+                  for b in partial.iter_batches(batch_format="pyarrow")]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        merged = pa.concat_tables(tables, promote_options="default")
+        arrow_aggs = []
+        renames = {}
+        for col, fn in aggs:
+            src = f"{col or 'rows'}_{fn}"
+            afn = "sum" if fn in ("sum", "count") else fn
+            arrow_aggs.append((src, afn))
+            renames[f"{src}_{afn}"] = src
+        g = pa.TableGroupBy(merged, keys).aggregate(arrow_aggs)
+        g = g.rename_columns([renames.get(c, c)
+                              for c in g.column_names])
+        # match the shuffle path's column order (keys, then aggs in
+        # declaration order) — callers rename positionally
+        return g.select(list(keys) + [f"{c or 'rows'}_{f}"
+                                      for c, f in aggs])
     # re-aggregate: sum of partial sums/counts, min of mins, max of maxs
     from ray.data.aggregate import Max, Min, Sum
 
