@@ -1421,7 +1421,8 @@ def _fallback_ok_mask(col: pa.ChunkedArray, cp: ColumnPlan) -> np.ndarray:
 
 
 def validate_batch(batch: pa.Table, plan: TablePlan,
-                   first_error_only: bool = False) -> pa.Table:
+                   first_error_only: bool = False,
+                   with_invalid_count: bool = False):
     """Full-error mode: returns the violation table for this batch.
 
     Violation rows are ordered (row, property-order, keyword rank) to
@@ -1431,7 +1432,12 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
     selection (reference validator.rb:24-29 + keyword order
     :90-130), computed as an argmin over keyword rank instead of
     short-circuiting, which is the columnar-friendly equivalent.
-    """
+
+    ``with_invalid_count=True`` returns ``(table, n_invalid_rows)``
+    with the distinct count of violating rows taken from the
+    internal row indices — a row is valid iff it contributes no
+    violation, so fused scans (full_validation_pass) get the verdict
+    tally WITHOUT a second keyword evaluation (verdict_mask)."""
     n = batch.num_rows
     # collected as (row_idx, group_order, rank, path, schema_pointer,
     #               error_type, message, data_json)
@@ -1455,6 +1461,9 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                     seen.add(r[0])
                     firsts.append(r)
             rows = firsts
+        if with_invalid_count:
+            return (_rows_to_table(rows, batch, plan),
+                    len({r[0] for r in rows}))
         return _rows_to_table(rows, batch, plan)
 
     for cp in list(plan.columns) + list(plan.pattern_plans):
@@ -1643,6 +1652,9 @@ def validate_batch(batch: pa.Table, plan: TablePlan,
                 seen.add(r[0])
                 firsts.append(r)
         rows = firsts
+    if with_invalid_count:
+        return (_rows_to_table(rows, batch, plan),
+                len({r[0] for r in rows}))
     return _rows_to_table(rows, batch, plan)
 
 

@@ -167,15 +167,20 @@ def full_validation_pass(ds, plan: TablePlan, hll_p: int = 12,
     blank = {f.name: None for f in out_schema}
 
     def batch_fn(batch: pa.Table) -> pa.Table:
-        ok = verdict_mask(batch, plan)
-        viol = validate_batch(batch, plan)
+        # ONE keyword evaluation: the verdict tally comes from the
+        # violation rows' distinct row indices (a row is valid iff it
+        # contributes none), not a second verdict_mask pass — ~17% of
+        # the fused scan's per-batch time (differential-tested)
+        viol, n_invalid = validate_batch(batch, plan,
+                                         with_invalid_count=True)
         rows = []
         for name in batch.column_names:
             r = dict(blank)
             r.update(_column_partial(name, batch[name], hll_p, False))
             rows.append(r)
         counter = dict(blank)
-        counter.update(total_rows=len(ok), valid_rows=int(ok.sum()),
+        counter.update(total_rows=batch.num_rows,
+                       valid_rows=batch.num_rows - n_invalid,
                        violation_rows=viol.num_rows,
                        ord_duplicate_turn=0, ord_turn_gap=0,
                        ord_ts_out_of_order=0)

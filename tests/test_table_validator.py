@@ -738,3 +738,23 @@ def test_full_validation_pass_unsorted_input():
     for k in ("total_rows", "valid_rows", "invalid_rows",
               "violation_rows", "ordering_violation_counts"):
         assert unsorted_res[k] == sorted_res[k], k
+
+
+def test_invalid_count_matches_verdict_mask():
+    """validate_batch(with_invalid_count=True) must agree with
+    verdict_mask row-for-row: a row is valid iff it contributes no
+    violation row (the fused-scan contract that lets the single-scan
+    job skip the second keyword evaluation)."""
+    from json_schema_ray.engine.table_validator import (
+        compile_table_plan, validate_batch, verdict_mask)
+    from json_schema_ray.engine.validate import compile_plan_for
+    from json_schema_ray.sources.transcripts import (
+        VALIDATION_SCHEMA, generate_transcripts)
+
+    t = generate_transcripts(20_000, seed=7, violation_rate=0.05)
+    plan = compile_plan_for(VALIDATION_SCHEMA, t.schema,
+                            key_columns=["conv_id", "turn_idx"])
+    ok = verdict_mask(t, plan)
+    viol, n_invalid = validate_batch(t, plan, with_invalid_count=True)
+    assert n_invalid == int((~ok).sum())
+    assert viol.num_rows >= n_invalid > 0
