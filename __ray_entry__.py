@@ -1655,6 +1655,25 @@ def q_host_pagerank_weighted(sf_dir: str):
     return pagerank(edges, n_iter=3, weight="w")
 
 
+def q_lineitem_qty_price_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extended
+    price (engine/stats.py grouped_corr): e2 fixed-point sufficient
+    statistics, ONE key-sized groupby, final combination in
+    arbitrary-precision ints == SQL HUGEINT, two float roundings
+    mirrored in the oracle -> hash-exact corr_e6."""
+    from json_schema_ray.engine.stats import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity",
+                        "l_extendedprice"])
+    out = grouped_corr(ds, "l_returnflag", "l_quantity",
+                       "l_extendedprice", scale=100)
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("n", pa.int64()), ("corr_e6", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("l_returnflag", "ascending")])
+
+
 def q_docs_snapshot_diff(sf_dir: str):
     """Snapshot-over-snapshot table diff (engine/relational.py
     ``snapshot_diff``): old = documents minus every 7th doc; new =
@@ -2805,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "docs_snapshot_diff": q_docs_snapshot_diff,
         "docs_pack_contiguous": q_docs_pack_contiguous,
+        "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
@@ -3542,6 +3562,37 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "lineitem_qty_price_corr": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                         AS qx,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS qy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(qx) AS HUGEINT) AS sx,
+                       CAST(sum(qy) AS HUGEINT) AS sy,
+                       CAST(sum(qx * qx) AS HUGEINT) AS sxx,
+                       CAST(sum(qy * qy) AS HUGEINT) AS syy,
+                       CAST(sum(qx * qy) AS HUGEINT) AS sxy
+                FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n < 2 OR (n*sxx - sx*sx) * (n*syy - sy*sy)
+                             <= 0 THEN NULL
+                        ELSE CAST(floor(
+                          CAST(n*sxy - sx*sy AS DOUBLE)
+                          / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy)
+                                      AS DOUBLE))
+                          * 1e6 + 0.5) AS BIGINT)
+                   END AS corr_e6
+            FROM s
         """,
         "docs_pack_contiguous": """
             WITH f AS (

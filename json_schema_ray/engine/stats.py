@@ -698,3 +698,80 @@ def grouped_approx_quantiles(ds, key: str, col: str, qs=(0.5,),
 
     return merged.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
+                 out: str = "corr_e6"):
+    """Per-group Pearson correlation, fixed-point-before-sum: both
+    columns quantize per element to ``floor(v * scale + 0.5)`` int64,
+    the six sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) combine
+    per block and merge in ONE key-sized groupby, and the final
+    combination ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2))`` runs in ARBITRARY-PRECISION Python ints (== SQL
+    HUGEINT — int64 would overflow the n*S products) with exactly
+    TWO float roundings (numerator -> double, denominator product ->
+    double, mirroring ``CAST(... AS DOUBLE)`` placement in the
+    oracle) so the e6 fixed-point result is hash-exact vs DuckDB.
+    Rows with a NULL on either side drop pairwise; groups with n < 2
+    or zero variance yield NULL. The finish pass is a Python loop
+    over GROUP rows (result-sized by construction, never input-
+    sized). Envelope: per-key sum(q^2) must stay under 2^63 (the
+    int64 partial merge); the cross products are exact beyond that.
+
+    Returns a Dataset of (key, n, out)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[x]), pc.is_valid(batch[y]))
+        t = batch.select([key, x, y]).filter(m)
+        qx = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t[x], pa.float64()), float(scale)), 0.5)),
+            pa.int64())
+        qy = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t[y], pa.float64()), float(scale)), 0.5)),
+            pa.int64())
+        base = pa.table({
+            key: t[key], "__n": pa.array(np.ones(t.num_rows, np.int64)),
+            "__sx": qx, "__sy": qy,
+            "__sxx": pc.multiply(qx, qx), "__syy": pc.multiply(qy, qy),
+            "__sxy": pc.multiply(qx, qy)})
+        g = pa.TableGroupBy(base, key).aggregate(
+            [(c, "sum") for c in
+             ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")])
+        return pa.table({key: g[key]} | {
+            c: g[f"{c}_sum"].cast(pa.int64())
+            for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")})
+
+    cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], [Sum(c, alias_name=c) for c in cols], cols)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_n, out_c = [], []
+        rows = batch.to_pylist()  # GROUP rows: result-sized
+        for r in rows:
+            n, sx, sy = r["__n"], r["__sx"], r["__sy"]
+            sxx, syy, sxy = r["__sxx"], r["__syy"], r["__sxy"]
+            out_n.append(n)
+            if n is None or n < 2:
+                out_c.append(None)
+                continue
+            num = n * sxy - sx * sy          # exact (python int)
+            d = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            if d <= 0:
+                out_c.append(None)
+                continue
+            corr = float(num) / math.sqrt(float(d))
+            out_c.append(int(math.floor(corr * 1e6 + 0.5)))
+        return pa.table({key: batch[key],
+                         "n": pa.array(out_n, pa.int64()),
+                         out: pa.array(out_c, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -4499,3 +4499,58 @@ def test_dedup_keep_best_matches_union_find():
             want[i] = (i, True)
     assert got == want
     assert sum(1 for _, k in got.values() if not k) > 0
+
+
+def test_grouped_corr_matches_reference():
+    """Fixed-point grouped Pearson vs (a) an exact python-int
+    replica of the engine arithmetic and (b) np.corrcoef on the
+    quantized values (1e-6-scale agreement), with NULLs dropping
+    pairwise and a zero-variance group yielding NULL."""
+    import math
+
+    from json_schema_ray.engine.stats import grouped_corr
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    k = rng.integers(0, 5, n)
+    xv = rng.normal(50, 10, n)
+    yv = 3.0 * xv + rng.normal(0, 5, n)
+    xo = xv.astype(object); yo = yv.astype(object)
+    xo[rng.random(n) < 0.05] = None
+    yo[rng.random(n) < 0.05] = None
+    ko = np.array([f"g{i}" for i in k], dtype=object)
+    ko[k == 4] = "flat"
+    xo[k == 4] = 7.0   # zero variance group
+    t = pa.table({"k": pa.array(ko.tolist(), pa.string()),
+                  "x": pa.array(xo.tolist(), pa.float64()),
+                  "y": pa.array(yo.tolist(), pa.float64())})
+    out = grouped_corr(_ray().data.from_arrow(t).repartition(6),
+                       "k", "x", "y", scale=100)
+    got = {r["k"]: (r["n"], r["corr_e6"]) for r in out.take_all()}
+
+    byg: dict = {}
+    for kk, xx, yy in zip(ko.tolist(), xo.tolist(), yo.tolist()):
+        if xx is None or yy is None:
+            continue
+        byg.setdefault(kk, []).append(
+            (int(math.floor(xx * 100 + 0.5)),
+             int(math.floor(yy * 100 + 0.5))))
+    for g, pairs in byg.items():
+        nn = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxx = sum(p[0] * p[0] for p in pairs)
+        syy = sum(p[1] * p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        d = (nn * sxx - sx * sx) * (nn * syy - sy * sy)
+        if nn < 2 or d <= 0:
+            want = None
+        else:
+            want = int(math.floor(float(nn * sxy - sx * sy)
+                                  / math.sqrt(float(d)) * 1e6 + 0.5))
+        assert got[g] == (nn, want), g
+        if want is not None:
+            qx = np.array([p[0] for p in pairs], float)
+            qy = np.array([p[1] for p in pairs], float)
+            ref = np.corrcoef(qx, qy)[0, 1]
+            assert abs(want / 1e6 - ref) < 1e-5
+    assert got["flat"][1] is None
