@@ -1717,12 +1717,15 @@ def q_docs_pack_contiguous(sf_dir: str):
     """GPT-style contiguous sequence packing (engine/window.py
     ``pack_contiguous``): the corpus concatenates into one stream in
     doc_id order, 4096-char training sequences; each doc reports the
-    sequences it spans and its offset in the first. One constant-key
-    prefix scan (the hot-key case cumulative_sum is built for)."""
+    sequences it spans and its offset in the first. The corpus is
+    stored doc_id-sorted, so the presorted path applies: NO
+    all-to-all — one light block-stat pass, broadcast base offsets,
+    one per-block scan (sortedness VERIFIED, raises if violated)."""
     from json_schema_ray.engine.window import pack_contiguous
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    out = pack_contiguous(ds, "doc_id", "n_chars", 4096)
+    out = pack_contiguous(ds, "doc_id", "n_chars", 4096,
+                          presorted=True)
     schema = pa.schema([("doc_id", pa.int64()),
                         ("n_chars", pa.int64()),
                         ("pack_first", pa.int64()),

@@ -813,7 +813,8 @@ def hopping_approx_distinct_counts(ds, ts: str = "ts",
                                    entity, p=p)
 
 
-def pack_contiguous(ds, order: str, size: str, budget: int):
+def pack_contiguous(ds, order: str, size: str, budget: int,
+                    presorted: bool = False):
     """GPT-style contiguous sequence packing: documents taken in
     global ``order`` concatenate into ONE token stream; training
     sequence k owns stream interval ``[k*budget, (k+1)*budget)``.
@@ -831,7 +832,19 @@ def pack_contiguous(ds, order: str, size: str, budget: int):
     ``pack_first = (R-s) // budget``, ``pack_last = (R-1) //
     budget``, ``pack_offset = (R-s) % budget``. Sizes quantize
     exactly (int64 through float64 prefix sums; total stream length
-    must stay under 2^53)."""
+    must stay under 2^53).
+
+    ``presorted=True`` is the sort-free path for input already
+    globally ordered by ``order`` (the common case: corpora stored
+    in id order): the filtered (order, size) projection materializes
+    once (stable blocks), ONE light pass emits a fixed-size
+    (first, last, sum) row per block, the driver VERIFIES strict
+    block ordering (raising if the input isn't actually sorted) and
+    broadcasts exclusive base offsets, and a second per-block scan
+    adds base + in-block cumsum — no all-to-all at all, exact int64
+    arithmetic throughout."""
+    import ray
+
     from .rank import cumulative_sum
 
     if budget <= 0:
@@ -846,13 +859,7 @@ def pack_contiguous(ds, order: str, size: str, budget: int):
             "__k", pa.array(np.zeros(n, np.int8))) \
             .append_column("__tb", t[order])
 
-    pre = ds.map_batches(prep, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    run = cumulative_sum(pre, "__k", order, size, tiebreak="__tb")
-
-    def finish(batch: pa.Table) -> pa.Table:
-        r = pc.cast(pc.round(batch["running_sum"]), pa.int64()) \
-            .to_numpy(zero_copy_only=False)
+    def emit(batch: pa.Table, r: np.ndarray) -> pa.Table:
         s = pc.cast(batch[size], pa.int64()) \
             .to_numpy(zero_copy_only=False)
         prev = r - s
@@ -861,6 +868,81 @@ def pack_contiguous(ds, order: str, size: str, budget: int):
             "pack_first": pa.array(prev // budget, pa.int64()),
             "pack_last": pa.array((r - 1) // budget, pa.int64()),
             "pack_offset": pa.array(prev % budget, pa.int64())})
+
+    if presorted:
+        def prep_sorted(batch: pa.Table) -> pa.Table:
+            m = pc.and_(pc.is_valid(batch[size]),
+                        pc.greater(batch[size], 0))
+            return batch.select([order, size]) \
+                .filter(pc.fill_null(m, False))
+
+        def _order_np(batch: pa.Table) -> np.ndarray:
+            o = batch[order]
+            if pa.types.is_timestamp(o.type):
+                o = pc.cast(o, pa.int64())
+            return o.combine_chunks().to_numpy(zero_copy_only=False)
+
+        pre_m = ds.map_batches(prep_sorted, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+        def block_stat(batch: pa.Table) -> pa.Table:
+            schema = pa.schema([("f", pa.int64()), ("l", pa.int64()),
+                                ("s", pa.int64())])
+            if batch.num_rows == 0:
+                return schema.empty_table()
+            o = _order_np(batch)
+            if len(o) > 1 and not (o[1:] > o[:-1]).all():
+                raise ValueError(
+                    "pack_contiguous(presorted=True): input is not"
+                    f" strictly sorted by {order!r} within a block")
+            s = pc.cast(batch[size], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({"f": pa.array([int(o[0])], pa.int64()),
+                             "l": pa.array([int(o[-1])], pa.int64()),
+                             "s": pa.array([int(s.sum())], pa.int64())})
+
+        stats = [r for b in pre_m.map_batches(
+            block_stat, batch_format="pyarrow", batch_size=None)
+            .iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()]
+        if not stats:
+            return ray.data.from_arrow(pa.schema(
+                [(order, pa.int64()), (size, pa.int64()),
+                 ("pack_first", pa.int64()), ("pack_last", pa.int64()),
+                 ("pack_offset", pa.int64())]).empty_table())
+        stats.sort(key=lambda r: r["f"])
+        firsts = np.array([r["f"] for r in stats], np.int64)
+        lasts = np.array([r["l"] for r in stats], np.int64)
+        if (lasts[:-1] >= firsts[1:]).any():
+            raise ValueError(
+                "pack_contiguous(presorted=True): blocks overlap in"
+                f" {order!r} — input is not globally sorted")
+        sums = np.array([r["s"] for r in stats], np.int64)
+        bases = np.concatenate([[0], np.cumsum(sums)[:-1]])
+        handle = ray.put((firsts, bases))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return emit(batch, np.zeros(0, np.int64))
+            fs, bs = ray.get(handle)
+            o = _order_np(batch)
+            idx = np.searchsorted(fs, o[0])
+            base = int(bs[idx])
+            s = pc.cast(batch[size], pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return emit(batch, base + np.cumsum(s))
+
+        return pre_m.map_batches(assign, batch_format="pyarrow",
+                                 batch_size=None)
+
+    pre = ds.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    run = cumulative_sum(pre, "__k", order, size, tiebreak="__tb")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = pc.cast(pc.round(batch["running_sum"]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return emit(batch, r)
 
     return run.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)

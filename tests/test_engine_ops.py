@@ -4554,3 +4554,33 @@ def test_grouped_corr_matches_reference():
             ref = np.corrcoef(qx, qy)[0, 1]
             assert abs(want / 1e6 - ref) < 1e-5
     assert got["flat"][1] is None
+
+
+def test_pack_contiguous_presorted_matches_sorted_path():
+    """presorted=True (no all-to-all) must agree exactly with the
+    sort-based path on sorted input, and raise on unsorted input."""
+    import pytest
+
+    from json_schema_ray.engine.window import pack_contiguous
+
+    rng = np.random.default_rng(21)
+    n = 1500
+    sizes = rng.integers(1, 700, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "n_tok": pa.array(sizes, pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(5)
+    a = sorted((r["doc_id"], r["pack_first"], r["pack_last"],
+                r["pack_offset"])
+               for r in pack_contiguous(ds, "doc_id", "n_tok",
+                                        512).take_all())
+    b = sorted((r["doc_id"], r["pack_first"], r["pack_last"],
+                r["pack_offset"])
+               for r in pack_contiguous(ds, "doc_id", "n_tok", 512,
+                                        presorted=True).take_all())
+    assert a == b
+
+    shuffled = t.take(pa.array(rng.permutation(n)))
+    with pytest.raises(Exception, match="sorted"):
+        pack_contiguous(_ray().data.from_arrow(shuffled).repartition(5),
+                        "doc_id", "n_tok", 512,
+                        presorted=True).take_all()
