@@ -3350,14 +3350,19 @@ _BIGRAM_LM_SQL = r"""
 
 
 def _protocol_corpus_glob() -> str:
-    """Parquet glob of the deterministic transcript corpus at the
-    driver's correctness scale (sf0.01 -> 60,000 turns), generated
-    on demand (pure numpy/pyarrow, no Ray) so the oracle SQL can
-    read it whether or not the query ran first."""
+    """Parquet glob of the deterministic transcript corpus the
+    transcript_role_protocol oracle reads. Scale comes from
+    JSR_PROTOCOL_SF_DIR (set by tools/check_oracle.py to its sf_dir)
+    and defaults to the driver's correctness scale (sf0.01 ->
+    60,000 turns), so query and oracle always read the SAME corpus.
+    Generation is on demand + cached (pure numpy/pyarrow, no Ray):
+    the deliberate side effect keeps the oracle order-proof — DuckDB
+    can run it whether or not the query ran first."""
     from json_schema_ray.pipelines.flagship import transcripts_path
 
+    sf_dir = os.environ.get("JSR_PROTOCOL_SF_DIR", "/root/testdata/sf0.01")
     path = transcripts_path(
-        _transcript_turns("/root/testdata/sf0.01"), violation_rate=0.01)
+        _transcript_turns(sf_dir), violation_rate=0.01)
     return os.path.join(path, "*.parquet")
 
 
@@ -3639,7 +3644,7 @@ def oracle_sql() -> dict[str, str]:
             WITH lagged AS (
                 SELECT conv_id, turn_idx, role,
                        lag(role) OVER (PARTITION BY conv_id
-                         ORDER BY turn_idx, turn_idx) AS prev_label
+                         ORDER BY turn_idx) AS prev_label
                 FROM read_parquet('{_protocol_corpus_glob()}')
             )
             SELECT conv_id, turn_idx, prev_label, role

@@ -322,8 +322,8 @@ def _flat_word_shingles(texts, k: int):
     shingles = pa.concat_arrays([p.combine_chunks()
                                  if isinstance(p, pa.ChunkedArray)
                                  else p for p in sh_parts])
-    order = np.argsort(doc_ids, kind="stable")
     if len(doc_parts) > 1:
+        order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
         shingles = shingles.take(pa.array(order, pa.int64()))
     return doc_ids, shingles

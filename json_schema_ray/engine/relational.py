@@ -2292,18 +2292,20 @@ def snapshot_diff(old_ds, new_ds, keys: List[str], compare: List[str],
         .sort(group_cols + ["__side"])
 
     def _newseg(batch: pa.Table) -> np.ndarray:
+        # Arrow compares throughout: a numpy round-trip would coerce
+        # nullable int64 keys to float64 and merge distinct keys
+        # >= 2^53 into one segment
         n = batch.num_rows
         newseg = np.zeros(n, bool)
         newseg[0] = True
         for g in group_cols:
             col = batch[g].combine_chunks()
-            a = col.to_numpy(zero_copy_only=False)
-            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-            diff = a[1:] != a[:-1]
-            # null-safe: NULL == NULL for grouping
-            diff = np.where(valid[1:] & valid[:-1], diff,
-                            valid[1:] != valid[:-1])
-            newseg[1:] |= diff
+            a, b = col.slice(1), col.slice(0, n - 1)
+            # null-safe IS DISTINCT FROM: NULL == NULL for grouping
+            ne = pc.fill_null(pc.not_equal(a, b), True)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            newseg[1:] |= pc.and_(ne, pc.invert(both_null)) \
+                .to_numpy(zero_copy_only=False)
         return newseg
 
     def _null_safe_ne(col: pa.Array, i0: np.ndarray,
@@ -2315,21 +2317,22 @@ def snapshot_diff(old_ds, new_ds, keys: List[str], compare: List[str],
         return pc.and_(ne, pc.invert(both_null)) \
             .to_numpy(zero_copy_only=False)
 
-    def _classify(batch: pa.Table, interior_only: bool) -> tuple:
-        """Returns (verdict_table, edge_member_table)."""
+    def _classify(batch: pa.Table, interior_only: bool) -> pa.Table:
+        """Verdict table over this block's segments (interior
+        segments only when ``interior_only``)."""
         empty_v = pa.schema(
             [(g, batch[g].type) for g in group_cols]
             + [(out, pa.string())]).empty_table()
         n = batch.num_rows
         if n == 0:
-            return empty_v, batch.slice(0, 0)
+            return empty_v
         newseg = _newseg(batch)
         starts = np.nonzero(newseg)[0]
         ends = np.concatenate([starts[1:], [n]])
         g = len(starts)
         if interior_only and g <= 2:
             # every segment touches a boundary: all rows are edge
-            return empty_v, batch
+            return empty_v
         lo = 1 if interior_only else 0
         hi = g - 1 if interior_only else g
         s_in, e_in = starts[lo:hi], ends[lo:hi]
@@ -2361,32 +2364,33 @@ def snapshot_diff(old_ds, new_ds, keys: List[str], compare: List[str],
                 if not is_ch:
                     keep[vmap[s]] = False
         take_idx = s_in[keep]
-        vt = batch.select(group_cols) \
+        return batch.select(group_cols) \
             .take(pa.array(take_idx, pa.int64())) \
             .append_column(out, pa.array(verdicts[keep].tolist(),
                                          pa.string()))
-        if interior_only:
-            eidx = np.concatenate([np.arange(starts[0], ends[0]),
-                                   np.arange(starts[-1], ends[-1])])
-            edge = batch.take(pa.array(eidx, pa.int64()))
-        else:
-            edge = batch.slice(0, 0)
-        return vt, edge
 
     def interior(batch: pa.Table) -> pa.Table:
-        vt, _ = _classify(batch, interior_only=True)
-        return vt
+        return _classify(batch, interior_only=True)
 
     def edge_rows(batch: pa.Table) -> pa.Table:
-        _, e = _classify(batch, interior_only=True)
-        return e
+        # boundary extraction needs only the segment bounds — no
+        # verdict/compare work (that runs once, in interior/stitch)
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        starts = np.nonzero(_newseg(batch))[0]
+        if len(starts) <= 2:
+            return batch  # every segment touches a boundary
+        eidx = np.concatenate([np.arange(0, starts[1]),
+                               np.arange(starts[-1], n)])
+        return batch.take(pa.array(eidx, pa.int64()))
 
     def stitch(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return _classify(batch, interior_only=False)[0]
+            return _classify(batch, interior_only=False)
         srt = batch.sort_by([(g, "ascending") for g in group_cols]
                             + [("__side", "ascending")])
-        return _classify(srt, interior_only=False)[0]
+        return _classify(srt, interior_only=False)
 
     scanned = both.materialize()
     verdicts = scanned.map_batches(interior, batch_format="pyarrow",

@@ -715,8 +715,12 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
     Rows with a NULL on either side drop pairwise; groups with n < 2
     or zero variance yield NULL. The finish pass is a Python loop
     over GROUP rows (result-sized by construction, never input-
-    sized). Envelope: per-key sum(q^2) must stay under 2^63 (the
-    int64 partial merge); the cross products are exact beyond that.
+    sized). The squared/cross products are summed as hi/lo 32-bit
+    halves (p >> 32 and p & 0xffffffff, each an int64 sum) and
+    reconstructed exactly as Python ints at finish — a straight
+    int64 sum of q^2 values wraps silently around ~10^5 rows/key at
+    q ~ 10^7 (sf >= ~0.2 for l_extendedprice at scale=100).
+    Envelope: per key, sum(|q|) < 2^63 and n < 2^31 rows.
 
     Returns a Dataset of (key, n, out)."""
     import math
@@ -724,6 +728,8 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
     from ray.data.aggregate import Sum
 
     from .relational import null_safe_grouped_aggregate
+
+    _MASK = (1 << 32) - 1
 
     def partial(batch: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(batch[x]), pc.is_valid(batch[y]))
@@ -734,19 +740,27 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
         qy = pc.cast(pc.floor(pc.add(pc.multiply(
             pc.cast(t[y], pa.float64()), float(scale)), 0.5)),
             pa.int64())
+        prods = {"__sxx": pc.multiply(qx, qx),
+                 "__syy": pc.multiply(qy, qy),
+                 "__sxy": pc.multiply(qx, qy)}
         base = pa.table({
             key: t[key], "__n": pa.array(np.ones(t.num_rows, np.int64)),
-            "__sx": qx, "__sy": qy,
-            "__sxx": pc.multiply(qx, qx), "__syy": pc.multiply(qy, qy),
-            "__sxy": pc.multiply(qx, qy)})
+            "__sx": qx, "__sy": qy} | {
+            # arithmetic >> keeps p == hi*2^32 + lo exact for
+            # negative cross products too (lo is the non-negative
+            # low word)
+            f"{c}{suf}": arr
+            for c, p in prods.items()
+            for suf, arr in (("h", pc.shift_right(p, 32)),
+                             ("l", pc.bit_wise_and(p, _MASK)))})
+        cols = [c for c in base.column_names if c != key]
         g = pa.TableGroupBy(base, key).aggregate(
-            [(c, "sum") for c in
-             ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")])
+            [(c, "sum") for c in cols])
         return pa.table({key: g[key]} | {
-            c: g[f"{c}_sum"].cast(pa.int64())
-            for c in ("__n", "__sx", "__sy", "__sxx", "__syy", "__sxy")})
+            c: g[f"{c}_sum"].cast(pa.int64()) for c in cols})
 
-    cols = ["__n", "__sx", "__sy", "__sxx", "__syy", "__sxy"]
+    cols = ["__n", "__sx", "__sy",
+            "__sxxh", "__sxxl", "__syyh", "__syyl", "__sxyh", "__sxyl"]
     agg = null_safe_grouped_aggregate(
         ds.map_batches(partial, batch_format="pyarrow",
                        zero_copy_batch=True),
@@ -757,11 +771,13 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
         rows = batch.to_pylist()  # GROUP rows: result-sized
         for r in rows:
             n, sx, sy = r["__n"], r["__sx"], r["__sy"]
-            sxx, syy, sxy = r["__sxx"], r["__syy"], r["__sxy"]
             out_n.append(n)
             if n is None or n < 2:
                 out_c.append(None)
                 continue
+            sxx = (r["__sxxh"] << 32) + r["__sxxl"]
+            syy = (r["__syyh"] << 32) + r["__syyl"]
+            sxy = (r["__sxyh"] << 32) + r["__sxyl"]
             num = n * sxy - sx * sy          # exact (python int)
             d = (n * sxx - sx * sx) * (n * syy - sy * sy)
             if d <= 0:

@@ -885,8 +885,16 @@ def pack_contiguous(ds, order: str, size: str, budget: int,
         pre_m = ds.map_batches(prep_sorted, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
 
+        def _f_l_type(t: pa.DataType) -> pa.DataType:
+            # keep the order column's own numeric type for the block
+            # first/last stats: int(o[0]) truncation on a float order
+            # column produced false "blocks overlap" errors and
+            # misrouted searchsorted lookups in assign()
+            return pa.int64() if pa.types.is_timestamp(t) else t
+
         def block_stat(batch: pa.Table) -> pa.Table:
-            schema = pa.schema([("f", pa.int64()), ("l", pa.int64()),
+            otype = _f_l_type(batch.schema.field(order).type)
+            schema = pa.schema([("f", otype), ("l", otype),
                                 ("s", pa.int64())])
             if batch.num_rows == 0:
                 return schema.empty_table()
@@ -897,8 +905,8 @@ def pack_contiguous(ds, order: str, size: str, budget: int,
                     f" strictly sorted by {order!r} within a block")
             s = pc.cast(batch[size], pa.int64()) \
                 .to_numpy(zero_copy_only=False)
-            return pa.table({"f": pa.array([int(o[0])], pa.int64()),
-                             "l": pa.array([int(o[-1])], pa.int64()),
+            return pa.table({"f": pa.array([o[0].item()], otype),
+                             "l": pa.array([o[-1].item()], otype),
                              "s": pa.array([int(s.sum())], pa.int64())})
 
         stats = [r for b in pre_m.map_batches(
@@ -911,8 +919,8 @@ def pack_contiguous(ds, order: str, size: str, budget: int,
                  ("pack_first", pa.int64()), ("pack_last", pa.int64()),
                  ("pack_offset", pa.int64())]).empty_table())
         stats.sort(key=lambda r: r["f"])
-        firsts = np.array([r["f"] for r in stats], np.int64)
-        lasts = np.array([r["l"] for r in stats], np.int64)
+        firsts = np.asarray([r["f"] for r in stats])
+        lasts = np.asarray([r["l"] for r in stats])
         if (lasts[:-1] >= firsts[1:]).any():
             raise ValueError(
                 "pack_contiguous(presorted=True): blocks overlap in"

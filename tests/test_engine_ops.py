@@ -4584,3 +4584,94 @@ def test_pack_contiguous_presorted_matches_sorted_path():
         pack_contiguous(_ray().data.from_arrow(shuffled).repartition(5),
                         "doc_id", "n_tok", 512,
                         presorted=True).take_all()
+
+
+def test_pack_contiguous_presorted_float_order():
+    """Float order column across blocks: block first/last stats must
+    keep the column's dtype — int() truncation made adjacent blocks
+    whose boundary values share an integer part look overlapping
+    (false 'blocks overlap') and misrouted the searchsorted base
+    lookup in assign()."""
+    from json_schema_ray.engine.window import pack_contiguous
+
+    rng = np.random.default_rng(33)
+    n = 1200
+    order = 0.5 + 0.2 * np.arange(n)   # many same-int block seams
+    sizes = rng.integers(1, 700, n)
+    t = pa.table({"ts": pa.array(order, pa.float64()),
+                  "n_tok": pa.array(sizes, pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(7)
+    a = sorted((r["ts"], r["pack_first"], r["pack_last"],
+                r["pack_offset"])
+               for r in pack_contiguous(ds, "ts", "n_tok",
+                                        512).take_all())
+    b = sorted((r["ts"], r["pack_first"], r["pack_last"],
+                r["pack_offset"])
+               for r in pack_contiguous(ds, "ts", "n_tok", 512,
+                                        presorted=True).take_all())
+    assert a == b
+
+
+def test_snapshot_diff_large_int64_keys_with_nulls():
+    """Nullable int64 keys >= 2^53: a numpy float64 round-trip in the
+    segment detector would compare 2^53 == 2^53+1 and emit one
+    'changed' row instead of removed+added."""
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    big = 1 << 53
+    t_old = pa.table({"k": pa.array([big, None], pa.int64()),
+                      "v": pa.array([1, 3], pa.int64())})
+    t_new = pa.table({"k": pa.array([big + 1, None], pa.int64()),
+                      "v": pa.array([2, 3], pa.int64())})
+    out = snapshot_diff(_ray().data.from_arrow(t_old),
+                        _ray().data.from_arrow(t_new), ["k"], ["v"])
+    got = {r["k"]: r["change"] for r in out.take_all()}
+    assert got == {big: "removed", big + 1: "added"}
+
+
+def test_grouped_corr_no_int64_overflow():
+    """Per-key sum(q^2) beyond 2^63: the hi/lo split partials must
+    stay exact where a straight int64 sum wraps silently."""
+    import math
+
+    from json_schema_ray.engine.stats import grouped_corr
+
+    # q ~ 2.5e9 -> q^2 ~ 6.25e18; two of them already exceed 2^63
+    xs = [2.5e7, 2.6e7, 2.4e7, 2.55e7]
+    ys = [2.45e7, 2.65e7, 2.35e7, 2.6e7]
+    t = pa.table({"k": pa.array(["g"] * 4, pa.string()),
+                  "x": pa.array(xs, pa.float64()),
+                  "y": pa.array(ys, pa.float64())})
+    out = grouped_corr(_ray().data.from_arrow(t), "k", "x", "y",
+                       scale=100)
+    [row] = out.take_all()
+
+    q = [(int(math.floor(x * 100 + 0.5)),
+          int(math.floor(y * 100 + 0.5))) for x, y in zip(xs, ys)]
+    nn = len(q)
+    sx = sum(a for a, _ in q); sy = sum(b for _, b in q)
+    sxx = sum(a * a for a, _ in q); syy = sum(b * b for _, b in q)
+    sxy = sum(a * b for a, b in q)
+    assert sxx > (1 << 63)  # the test exercises the overflow regime
+    want = int(math.floor(
+        float(nn * sxy - sx * sy)
+        / math.sqrt(float((nn * sxx - sx * sx) * (nn * syy - sy * sy)))
+        * 1e6 + 0.5))
+    assert (row["n"], row["corr_e6"]) == (nn, want)
+
+
+def test_shingle_batch_scalar_parity_control_chars():
+    """U+001C..U+001F are whitespace to BOTH Python str.split() and
+    pyarrow utf8_split_whitespace (utf8proc) — pin the batch==scalar
+    contract on them explicitly."""
+    from json_schema_ray.engine.dedup import (shingle_set,
+                                              shingle_sets_batch)
+
+    texts = ["a\x1cb c d e f", "a\x1d\x1e\x1fb c d e f g",
+             "plain text with six words", "", None]
+    offs, vals = shingle_sets_batch(texts, 5)
+    for i, txt in enumerate(texts):
+        want = (shingle_set(txt, 5) if txt
+                else np.zeros(0, np.uint64))
+        got = np.sort(vals[offs[i]:offs[i + 1]])
+        assert np.array_equal(np.sort(want), got), txt

@@ -42,6 +42,10 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracles whose SQL reads a generated corpus by path (e.g.
+    # transcript_role_protocol) must build it at THIS sf, not the
+    # driver default, or row counts diverge at sf != 0.01
+    os.environ["JSR_PROTOCOL_SF_DIR"] = sf_dir
 
     ray.init(address="local", num_cpus=16, include_dashboard=False,
              ignore_reinit_error=True)
