@@ -1734,6 +1734,31 @@ def q_docs_pack_contiguous(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_orders_lineitem_reconcile(sf_dir: str):
+    """Cross-table aggregate reconciliation (engine/keys.py
+    ``reconcile_aggregate``): every order's o_totalprice must equal
+    the fixed-point sum of its lineitems' l_extendedprice; emits
+    only violations — in this corpus every joined order mismatches
+    (the synthetic totalprice is independent of the lineitems) and
+    ~1.7% of orders have no lineitems, so the hash compare proves
+    the distributed per-key child sums exact. No join: child rows
+    pre-combine per block, one tagged sort, interior/edge stitch."""
+    from json_schema_ray.engine.keys import reconcile_aggregate
+
+    parent = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+    child = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice"])
+    out = reconcile_aggregate(parent, child, "o_orderkey",
+                              "l_orderkey", "o_totalprice",
+                              "l_extendedprice", scale=100, tol=0)
+    schema = pa.schema([("o_orderkey", pa.int64()),
+                        ("expected", pa.int64()),
+                        ("actual", pa.int64()),
+                        ("status", pa.string())])
+    return _collect(out, schema).sort_by([("o_orderkey", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2827,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": q_incremental_dedup_docs,
         "docs_snapshot_diff": q_docs_snapshot_diff,
         "docs_pack_contiguous": q_docs_pack_contiguous,
+        "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -3635,6 +3661,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL
                OR (o.lang IS DISTINCT FROM n.lang)
                OR (o.n_chars IS DISTINCT FROM n.n_chars)
+        """,
+        "orders_lineitem_reconcile": """
+            WITH p AS (
+                SELECT o_orderkey AS k,
+                       CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS expected
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+            ), c AS (
+                SELECT l_orderkey AS k,
+                       CAST(sum(CAST(floor(l_extendedprice * 100
+                                           + 0.5) AS BIGINT))
+                            AS BIGINT) AS actual
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT COALESCE(p.k, c.k) AS o_orderkey,
+                   p.expected, c.actual,
+                   CASE WHEN p.k IS NULL THEN 'orphan_children'
+                        WHEN c.k IS NULL THEN 'no_children'
+                        ELSE 'mismatch' END AS status
+            FROM p FULL OUTER JOIN c ON p.k = c.k
+            WHERE p.k IS NULL OR c.k IS NULL
+               OR abs(p.expected - c.actual) > 0
+            ORDER BY o_orderkey
         """,
         # reads the SAME deterministic transcript corpus the query
         # uses, by parquet path (no registered view needed); the

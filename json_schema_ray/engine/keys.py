@@ -526,3 +526,163 @@ def transition_violations(ds, key, order: str, label: str,
 
     return lagged.map_batches(check, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def reconcile_aggregate(parent_ds, child_ds, parent_key: str,
+                        child_key: str, parent_col: str,
+                        child_col: str, scale: int = 100,
+                        tol: int = 0):
+    """Cross-table aggregate reconciliation — the numeric sibling of
+    referential integrity: every ``parent_key`` row's ``parent_col``
+    must equal the SUM of its child rows' ``child_col`` (both
+    quantized to ``floor(v * scale + 0.5)`` int64 fixed-point, the
+    repo's fixed-point-before-sum discipline) within ``tol``
+    fixed-point units. Emits ONLY violations: ``mismatch`` (both
+    sides present, |expected - actual| > tol), ``no_children``
+    (parent without child rows) and ``orphan_children`` (child rows
+    without a parent — the classic FK hole, here with the amount
+    attached). Rows with a NULL key or NULL value drop on both
+    sides (mirrored in the SQL oracle). A parent key appearing twice
+    raises — reconciliation over duplicate parents is ill-defined.
+
+    Scale shape: NO join. Child rows pre-combine per block
+    (``pa.TableGroupBy`` sum — a hot parent key contributes at most
+    one partial row per child block), parent rows tag side 0 /
+    child partials side 1, and the union runs through ONE
+    range-partitioned sort on (key, side); each key's rows are then
+    adjacent with the parent row FIRST, so interior segments
+    classify vectorized in-block (prefix-sum ``reduceat`` over the
+    side mask and value column) and only each block's first/last
+    segment — O(blocks) partial rows, never corpus-sized — re-unites
+    through a ``repartition(1)`` stitch, the snapshot_diff / dedup
+    edge discipline. Envelope: per-key sum(|q|) < 2^63.
+
+    Returns a Dataset of (parent_key, expected, actual, status)."""
+    import ray  # noqa: F401  (parity with sibling operators)
+
+    def _quant(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(col, pa.float64()), float(scale)), 0.5)),
+            pa.int64())
+
+    def prep_parent(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[parent_key]),
+                    pc.is_valid(batch[parent_col]))
+        t = batch.select([parent_key, parent_col]).filter(m)
+        return pa.table({
+            "__k": t[parent_key], "__v": _quant(t[parent_col]),
+            "__side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def prep_child(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[child_key]),
+                    pc.is_valid(batch[child_col]))
+        t = batch.select([child_key, child_col]).filter(m)
+        base = pa.table({"__k": t[child_key],
+                         "__v": _quant(t[child_col])})
+        g = pa.TableGroupBy(base, "__k").aggregate([("__v", "sum")])
+        return pa.table({
+            "__k": g["__k"], "__v": g["__v_sum"].cast(pa.int64()),
+            "__side": pa.array(np.ones(g.num_rows, np.int8))})
+
+    both = parent_ds.map_batches(prep_parent, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .union(child_ds.map_batches(prep_child, batch_format="pyarrow",
+                                    zero_copy_batch=True)) \
+        .sort(["__k", "__side"])
+
+    def _newseg(batch: pa.Table) -> np.ndarray:
+        n = batch.num_rows
+        newseg = np.zeros(n, bool)
+        newseg[0] = True
+        col = batch["__k"].combine_chunks()
+        # keys are non-null by prep; Arrow compare keeps int64 exact
+        newseg[1:] |= pc.not_equal(col.slice(1), col.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        return newseg
+
+    def classify(batch: pa.Table, interior_only: bool) -> pa.Table:
+        empty = pa.schema(
+            [("__k", batch.schema.field("__k").type),
+             ("expected", pa.int64()), ("actual", pa.int64()),
+             ("status", pa.string())]).empty_table()
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        newseg = _newseg(batch)
+        starts = np.nonzero(newseg)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        g = len(starts)
+        if interior_only and g <= 2:
+            return empty
+        lo = 1 if interior_only else 0
+        hi = g - 1 if interior_only else g
+        s_in, e_in = starts[lo:hi], ends[lo:hi]
+        side = batch["__side"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        v = batch["__v"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        pre_par = np.concatenate([[0], np.cumsum(side == 0)])
+        n_par = pre_par[e_in] - pre_par[s_in]
+        if (n_par > 1).any():
+            raise ValueError(
+                "reconcile_aggregate: duplicate parent key — a"
+                f" {parent_key!r} value appears more than once")
+        pre_cnt = np.concatenate([[0], np.cumsum(side == 1)])
+        n_child = pre_cnt[e_in] - pre_cnt[s_in]
+        pre_sum = np.concatenate(
+            [[0], np.cumsum(np.where(side == 1, v, 0))])
+        csum = pre_sum[e_in] - pre_sum[s_in]
+        has_par = n_par == 1
+        has_child = n_child > 0
+        # parent sorts first within its segment (side 0 < 1)
+        expected = np.where(has_par, v[s_in], 0)
+        bad = np.where(
+            ~has_par, 1, np.where(~has_child, 2, np.where(
+                np.abs(expected - csum) > tol, 3, 0)))
+        keep = bad > 0
+        labels = np.array(["", "orphan_children", "no_children",
+                           "mismatch"])
+        return pa.table({
+            "__k": batch["__k"].take(pa.array(s_in[keep], pa.int64())),
+            "expected": pa.array(expected[keep],
+                                 mask=~has_par[keep]),
+            "actual": pa.array(csum[keep], mask=~has_child[keep]),
+            "status": pa.array(labels[bad[keep]].tolist(),
+                               pa.string())})
+
+    def interior(batch: pa.Table) -> pa.Table:
+        return classify(batch, interior_only=True)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        starts = np.nonzero(_newseg(batch))[0]
+        if len(starts) <= 2:
+            return batch
+        eidx = np.concatenate([np.arange(0, starts[1]),
+                               np.arange(starts[-1], n)])
+        return batch.take(pa.array(eidx, pa.int64()))
+
+    def stitch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return classify(batch, interior_only=False)
+        srt = batch.sort_by([("__k", "ascending"),
+                             ("__side", "ascending")])
+        return classify(srt, interior_only=False)
+
+    scanned = both.materialize()
+    verdicts = scanned.map_batches(interior, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+        .union(scanned.map_batches(edge_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .repartition(1)
+               .map_batches(stitch, batch_format="pyarrow",
+                            batch_size=None))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [parent_key, "expected", "actual", "status"])
+
+    return verdicts.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)

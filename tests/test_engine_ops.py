@@ -4675,3 +4675,112 @@ def test_shingle_batch_scalar_parity_control_chars():
                 else np.zeros(0, np.uint64))
         got = np.sort(vals[offs[i]:offs[i + 1]])
         assert np.array_equal(np.sort(want), got), txt
+
+
+def test_reconcile_aggregate_matches_bruteforce():
+    """Parent-vs-child-sum reconciliation against a dict reference:
+    mismatch / no_children / orphan_children across multiblock
+    inputs, NULL keys and values dropped, tolerance honored, a hot
+    child key spanning blocks summed exactly."""
+    from json_schema_ray.engine.keys import reconcile_aggregate
+
+    rng = np.random.default_rng(55)
+    n_par = 400
+    pk = np.arange(n_par)
+    pv = rng.uniform(10, 500, n_par)
+    # children: most parents get 1-5 rows; key 7 is hot (2000 rows);
+    # keys 9000+ are orphans; parents 0-19 get no children
+    ck, cv = [], []
+    for k in pk[20:]:
+        for _ in range(int(rng.integers(1, 6))):
+            ck.append(int(k)); cv.append(float(rng.uniform(1, 120)))
+    ck += [7] * 2000; cv += rng.uniform(0.5, 2.0, 2000).tolist()
+    ck += [9001, 9001, 9002]; cv += [5.0, 6.0, 7.0]
+    # exact matches for some parents: child sum == parent value
+    for k in (50, 51, 52):
+        ck.append(int(k)); cv.append(0.0)
+    pv_obj = pv.astype(object); pk_obj = pk.astype(object)
+    pv_obj[30] = None; pk_obj[31] = None  # dropped rows
+    ck_obj = np.array(ck, object); cv_obj = np.array(cv, object)
+    cv_obj[5] = None; ck_obj[6] = None
+
+    def q(x):
+        import math
+        return int(math.floor(x * 100 + 0.5))
+
+    exp = {}
+    for k, v in zip(pk_obj.tolist(), pv_obj.tolist()):
+        if k is None or v is None:
+            continue
+        exp[k] = q(v)
+    act: dict = {}
+    for k, v in zip(ck_obj.tolist(), cv_obj.tolist()):
+        if k is None or v is None:
+            continue
+        act[k] = act.get(k, 0) + q(v)
+    # make parents 50-52 reconcile exactly via the 0.0 rows above
+    for k in (50, 51, 52):
+        cv_obj[len(cv) - 3 + (k - 50)] = (exp[k] - act[k]) / 100.0
+    act = {}
+    for k, v in zip(ck_obj.tolist(), cv_obj.tolist()):
+        if k is None or v is None:
+            continue
+        act[k] = act.get(k, 0) + q(v)
+
+    tol = 0
+    want = {}
+    for k in set(exp) | set(act):
+        e, a = exp.get(k), act.get(k)
+        if e is None:
+            want[k] = (None, a, "orphan_children")
+        elif a is None:
+            want[k] = (e, None, "no_children")
+        elif abs(e - a) > tol:
+            want[k] = (e, a, "mismatch")
+
+    t_par = pa.table({"o_k": pa.array(pk_obj.tolist(), pa.int64()),
+                      "o_v": pa.array(pv_obj.tolist(), pa.float64())})
+    t_ch = pa.table({"l_k": pa.array(ck_obj.tolist(), pa.int64()),
+                     "l_v": pa.array(cv_obj.tolist(), pa.float64())})
+    out = reconcile_aggregate(
+        _ray().data.from_arrow(t_par).repartition(6),
+        _ray().data.from_arrow(t_ch).repartition(9),
+        "o_k", "l_k", "o_v", "l_v", scale=100, tol=tol)
+    got = {r["o_k"]: (r["expected"], r["actual"], r["status"])
+           for r in out.take_all()}
+    assert got == want
+    assert got[7][2] == "mismatch"          # hot key summed exactly
+    assert got[9001] == (None, 1100, "orphan_children")
+    assert all(k not in got for k in (50, 51, 52))  # reconciled
+    assert {s for _, _, s in got.values()} == {
+        "mismatch", "no_children", "orphan_children"}
+
+
+def test_reconcile_aggregate_duplicate_parent_raises():
+    import pytest
+
+    from json_schema_ray.engine.keys import reconcile_aggregate
+
+    t_par = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "v": pa.array([2.0, 3.0], pa.float64())})
+    t_ch = pa.table({"k": pa.array([1], pa.int64()),
+                     "v": pa.array([2.0], pa.float64())})
+    with pytest.raises(Exception, match="duplicate parent"):
+        reconcile_aggregate(_ray().data.from_arrow(t_par),
+                            _ray().data.from_arrow(t_ch),
+                            "k", "k", "v", "v").take_all()
+
+
+def test_reconcile_aggregate_tolerance():
+    from json_schema_ray.engine.keys import reconcile_aggregate
+
+    t_par = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([10.00, 10.00], pa.float64())})
+    t_ch = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
+                     "v": pa.array([10.02, 5.00, 5.30], pa.float64())})
+    out = reconcile_aggregate(_ray().data.from_arrow(t_par),
+                              _ray().data.from_arrow(t_ch),
+                              "k", "k", "v", "v", scale=100, tol=5)
+    got = {r["k"]: (r["expected"], r["actual"], r["status"])
+           for r in out.take_all()}
+    assert got == {2: (1000, 1030, "mismatch")}  # key 1 within tol
