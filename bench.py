@@ -79,6 +79,8 @@ EXTRA_QUERIES = [
     "user_value_mad",          # robust median+MAD gate
     "embedding_gram",          # int64 matmul partials aggregate
     "docs_line_dedup",         # repeated-line boilerplate scrub
+    "lineitem_qty_price_corr",  # overflow-proof grouped Pearson
+    "orders_lineitem_reconcile",  # parent-vs-child-sum validation
 ]
 
 
