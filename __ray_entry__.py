@@ -1759,6 +1759,22 @@ def q_orders_lineitem_reconcile(sf_dir: str):
     return _collect(out, schema).sort_by([("o_orderkey", "ascending")])
 
 
+def q_docs_source_lang_fd(sf_dir: str):
+    """Functional-dependency check (engine/keys.py
+    ``functional_dependency_violations``): flag sources that publish
+    in more than one language — the FD source -> lang as a
+    column-consistency gate. One null-safe sort with O(blocks)
+    carries, then a stateless filter on the distinct counts."""
+    from json_schema_ray.engine.keys import (
+        functional_dependency_violations)
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    out = functional_dependency_violations(ds, "source", "lang")
+    schema = pa.schema([("source", pa.string()),
+                        ("n_distinct", pa.int64())])
+    return _collect(out, schema).sort_by([("source", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2853,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_diff": q_docs_snapshot_diff,
         "docs_pack_contiguous": q_docs_pack_contiguous,
         "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
+        "docs_source_lang_fd": q_docs_source_lang_fd,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -3661,6 +3678,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL
                OR (o.lang IS DISTINCT FROM n.lang)
                OR (o.n_chars IS DISTINCT FROM n.n_chars)
+        """,
+        "docs_source_lang_fd": """
+            SELECT source,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+            FROM documents
+            WHERE lang IS NOT NULL
+            GROUP BY source
+            HAVING count(DISTINCT lang) > 1
+            ORDER BY source
         """,
         "orders_lineitem_reconcile": """
             WITH p AS (

@@ -81,6 +81,7 @@ EXTRA_QUERIES = [
     "docs_line_dedup",         # repeated-line boilerplate scrub
     "lineitem_qty_price_corr",  # overflow-proof grouped Pearson
     "orders_lineitem_reconcile",  # parent-vs-child-sum validation
+    "docs_source_lang_fd",     # functional-dependency violations
 ]
 
 

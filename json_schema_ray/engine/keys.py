@@ -686,3 +686,30 @@ def reconcile_aggregate(parent_ds, child_ds, parent_key: str,
 
     return verdicts.map_batches(rename, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def functional_dependency_violations(ds, determinant: str,
+                                     dependent: str):
+    """Functional-dependency check — the column-level consistency
+    sibling of uniqueness: the FD ``determinant -> dependent`` holds
+    when every determinant value maps to exactly ONE distinct
+    non-null dependent value; emit the determinant values that map
+    to more than one, with the distinct count. NULL dependent values
+    don't count (SQL ``count(DISTINCT ...)``); NULL determinants
+    form their own group.
+
+    Scale shape: rides
+    :func:`relational.grouped_distinct_count_sorted` — ONE null-safe
+    range-partitioned sort with O(blocks) fixed-size carries (a hot
+    determinant never ships its rows anywhere twice) — then a
+    stateless filter. Returns (determinant, n_distinct),
+    violation-sized."""
+    from .relational import grouped_distinct_count_sorted
+
+    counts = grouped_distinct_count_sorted(ds, determinant, dependent)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_distinct"], 1))
+
+    return counts.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -4784,3 +4784,39 @@ def test_reconcile_aggregate_tolerance():
     got = {r["k"]: (r["expected"], r["actual"], r["status"])
            for r in out.take_all()}
     assert got == {2: (1000, 1030, "mismatch")}  # key 1 within tol
+
+
+def test_functional_dependency_violations():
+    """source -> lang FD vs a dict reference: multi-valued
+    determinants surface with exact distinct counts, single-valued
+    and null-dependent-only determinants don't, NULL determinant
+    groups on its own, multiblock."""
+    from json_schema_ray.engine.keys import (
+        functional_dependency_violations)
+
+    rng = np.random.default_rng(8)
+    n = 5000
+    det = np.array([f"s{i}" for i in rng.integers(0, 40, n)],
+                   dtype=object)
+    det[rng.random(n) < 0.02] = None
+    dep = np.array([f"L{i}" for i in rng.integers(0, 6, n)],
+                   dtype=object)
+    dep[rng.random(n) < 0.05] = None
+    # s0 is single-valued; s1 has only NULL dependents
+    dep[det == "s0"] = "Lx"
+    dep[det == "s1"] = None
+    t = pa.table({"src": pa.array(det.tolist(), pa.string()),
+                  "lang": pa.array(dep.tolist(), pa.string())})
+    out = functional_dependency_violations(
+        _ray().data.from_arrow(t).repartition(7), "src", "lang")
+    got = {r["src"]: r["n_distinct"] for r in out.take_all()}
+
+    want: dict = {}
+    for d, v in zip(det.tolist(), dep.tolist()):
+        if v is None:
+            continue
+        want.setdefault(d, set()).add(v)
+    want = {k: len(s) for k, s in want.items() if len(s) > 1}
+    assert got == want
+    assert "s0" not in got and "s1" not in got
+    assert None in got or None not in want
