@@ -1775,6 +1775,35 @@ def q_docs_source_lang_fd(sf_dir: str):
     return _collect(out, schema).sort_by([("source", "ascending")])
 
 
+def q_daily_volume_anomalies(sf_dir: str):
+    """Partition-volume anomaly gate (north-rule drift family,
+    composition): per-day event counts from the tumbling-window
+    scan, then the robust z-score gate ``|n - median| * 10000 >
+    3 * 14826 * MAD`` over the DAY-COUNT table — days whose volume
+    departs from the corpus's typical day surface (e.g. truncated
+    first/last partitions, ingestion gaps). The count table is
+    day-sized (bounded), so the median/MAD step runs on the driver
+    with DuckDB's ``quantile_disc`` convention
+    (``sorted[ceil(q*n) - 1]``) — the corpus-sized work is the one
+    tumbling-count scan."""
+    import math
+
+    from json_schema_ray.engine.window import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = tumbling_window_counts(ds, window_seconds=86400)
+    t = t.rename_columns(["window_start_us", "value_sum", "n_events"])
+    n = t["n_events"].to_pylist()
+    s = sorted(n)
+    med = s[max(0, math.ceil(0.5 * len(s)) - 1)]
+    devs = sorted(abs(v - med) for v in n)
+    mad = devs[max(0, math.ceil(0.5 * len(devs)) - 1)]
+    keep = [abs(v - med) * 10000 > 3 * 14826 * mad for v in n]
+    out = t.filter(pa.array(keep)) \
+        .select(["window_start_us", "n_events"])
+    return out.sort_by([("window_start_us", "ascending")])
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Snapshot-over-snapshot dedup (engine/dedup.py
     ``incremental_dedup``): docs with doc_id % 3 == 0 play the
@@ -2870,6 +2899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_contiguous": q_docs_pack_contiguous,
         "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
         "docs_source_lang_fd": q_docs_source_lang_fd,
+        "daily_volume_anomalies": q_daily_volume_anomalies,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -3678,6 +3708,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL
                OR (o.lang IS DISTINCT FROM n.lang)
                OR (o.n_chars IS DISTINCT FROM n.n_chars)
+        """,
+        "daily_volume_anomalies": """
+            WITH c AS (
+                SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                            * 86400000000 AS BIGINT) AS window_start_us,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1
+            ), m AS (
+                SELECT quantile_disc(n_events, 0.5) AS med FROM c
+            ), d AS (
+                SELECT quantile_disc(abs(n_events - m.med), 0.5) AS mad
+                FROM c, m
+            )
+            SELECT c.window_start_us, c.n_events
+            FROM c, m, d
+            WHERE abs(c.n_events - m.med) * 10000 > 3 * 14826 * d.mad
+            ORDER BY window_start_us
         """,
         "docs_source_lang_fd": """
             SELECT source,

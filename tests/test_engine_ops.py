@@ -4820,3 +4820,45 @@ def test_functional_dependency_violations():
     assert got == want
     assert "s0" not in got and "s1" not in got
     assert None in got or None not in want
+
+
+def test_daily_volume_anomalies_flags_planted_spike(tmp_path):
+    """The robust day-volume gate on a corpus with a planted 40x
+    spike day and a truncated final day: exactly those days flag,
+    and the values hash-match the DuckDB twin on the same file."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(4)
+    base = 1_700_000_000_000_000  # us, midnight-aligned below
+    base -= base % 86_400_000_000
+    ts, n_days, per_day = [], 30, 200
+    for d in range(n_days):
+        k = per_day
+        if d == 10:
+            k = per_day * 40      # spike
+        if d == n_days - 1:
+            k = 3                 # truncated tail
+        day0 = base + d * 86_400_000_000
+        ts.extend((day0 + np.sort(
+            rng.integers(0, 86_400_000_000, k))).tolist())
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(rng.uniform(0, 1, len(ts)), pa.float64())})
+    import pyarrow.parquet as pq
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = entry.q_daily_volume_anomalies(str(tmp_path))
+    flagged = {r["window_start_us"]: r["n_events"]
+               for r in got.to_pylist()}
+    assert flagged == {base + 10 * 86_400_000_000: per_day * 40,
+                       base + 29 * 86_400_000_000: 3}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path / 'events.parquet'}'")
+    oracle = con.sql(entry.oracle_sql()["daily_volume_anomalies"]) \
+        .arrow().to_pylist()
+    assert {r["window_start_us"]: r["n_events"]
+            for r in oracle} == flagged
