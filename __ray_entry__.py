@@ -1775,6 +1775,25 @@ def q_docs_source_lang_fd(sf_dir: str):
     return _collect(out, schema).sort_by([("source", "ascending")])
 
 
+def q_events_unterminated(sf_dir: str):
+    """Terminal-state protocol check (engine/keys.py
+    ``accept_state_violations``): a user's event stream must END in
+    'purchase' or 'signup'; users whose last event (by ts, event_id)
+    is anything else surface with that label. Arg-max as ONE
+    combinable hash aggregate — no sort, hot users reduce per
+    block."""
+    from json_schema_ray.engine.keys import accept_state_violations
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    out = accept_state_violations(
+        ds, "user_id", "ts", "event_type",
+        accept={"purchase", "signup"}, tiebreak="event_id")
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("last_label", pa.string())])
+    return _collect(out, schema).sort_by([("user_id", "ascending")])
+
+
 def q_daily_volume_anomalies(sf_dir: str):
     """Partition-volume anomaly gate (north-rule drift family,
     composition): per-day event counts from the tumbling-window
@@ -2900,6 +2919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
         "docs_source_lang_fd": q_docs_source_lang_fd,
         "daily_volume_anomalies": q_daily_volume_anomalies,
+        "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
         "approx_weekly_active_users": q_approx_weekly_active_users,
@@ -3708,6 +3728,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL
                OR (o.lang IS DISTINCT FROM n.lang)
                OR (o.n_chars IS DISTINCT FROM n.n_chars)
+        """,
+        "events_unterminated": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC NULLS FIRST,
+                                    event_id DESC NULLS FIRST) AS rn
+                FROM events
+            )
+            SELECT user_id, event_type AS last_label
+            FROM ranked
+            WHERE rn = 1
+              AND (event_type IS NULL
+                   OR event_type NOT IN ('purchase', 'signup'))
+            ORDER BY user_id
         """,
         "daily_volume_anomalies": """
             WITH c AS (

@@ -713,3 +713,90 @@ def functional_dependency_violations(ds, determinant: str,
 
     return counts.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def accept_state_violations(ds, key, order: str, label: str,
+                            accept, tiebreak: str):
+    """Terminal-state check completing the protocol family
+    (:func:`transition_violations` covers transitions and ``start``;
+    this covers the END): each key's LAST ``label`` row — by
+    ``(order, tiebreak)``, SQL ascending NULLS LAST, i.e. SQL
+    ``row_number() OVER (... ORDER BY order DESC, tiebreak DESC) = 1``
+    on non-null orders — must carry a label in ``accept``; keys whose
+    conversation never reaches an accepted terminal state surface
+    with that last label. A NULL last label always violates.
+
+    Scale shape: NO sort. The (order, tiebreak) pair encodes into a
+    fixed-width order-preserving hex prefix with the label riding as
+    payload (the :func:`relational.grouped_first_last` trick), so
+    arg-max is a plain combinable aggregate: one encoded MAX per key
+    per block (``pa.TableGroupBy``), ONE hash-aggregate MAX merge,
+    then a stateless decode + set filter. Hot keys reduce inside
+    every block. ``order`` / ``tiebreak`` must be integer or
+    timestamp columns.
+
+    Returns a Dataset of (key, last_label), violation-sized."""
+    from ray.data.aggregate import Max
+
+    from .relational import null_safe_grouped_aggregate
+
+    def _sortable_u64(arr: pa.ChunkedArray) -> tuple:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not (pa.types.is_integer(arr.type)
+                or pa.types.is_timestamp(arr.type)):
+            raise TypeError(
+                "accept_state_violations: order/tiebreak must be"
+                f" integer or timestamp, got {arr.type}")
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(pc.cast(arr, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return v.view(np.uint64) ^ np.uint64(1 << 63), valid
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import binascii
+
+        t = batch.select([key, order, tiebreak, label])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({key: pa.array([], t[key].type),
+                             "__enc": pa.array([], pa.string())})
+        o_u, o_valid = _sortable_u64(t[order])
+        t_u, t_valid = _sortable_u64(t[tiebreak])
+        buf = np.empty((n, 18), np.uint8)
+        buf[:, 0] = (~o_valid).view(np.uint8)  # NULLS LAST
+        buf[:, 1:9] = o_u.astype(">u8").view(np.uint8).reshape(n, 8)
+        buf[:, 9] = (~t_valid).view(np.uint8)  # NULLS LAST
+        buf[:, 10:18] = t_u.astype(">u8").view(np.uint8).reshape(n, 8)
+        hexed = np.frombuffer(binascii.hexlify(buf.tobytes()),
+                              dtype="S36")
+        prefix = pa.array(hexed.astype("U36"))
+        lab = pc.cast(t[label].combine_chunks()
+                      if isinstance(t[label], pa.ChunkedArray)
+                      else t[label], pa.string())
+        payload = pc.if_else(
+            pc.is_null(lab), pa.scalar("n"),
+            pc.binary_join_element_wise("v", lab, ""))
+        enc = pc.binary_join_element_wise(prefix, payload, "")
+        base = pa.table({key: t[key], "__enc": enc})
+        g = pa.TableGroupBy(base, key).aggregate([("__enc", "max")])
+        return g.rename_columns([key, "__enc"])
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], [Max("__enc", alias_name="__enc")], ["__enc"])
+
+    accept_arr = pa.array(sorted(set(accept)), pa.string())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        payload = pc.utf8_slice_codeunits(batch["__enc"], 36)
+        lab = pc.if_else(pc.equal(payload, "n"),
+                         pa.scalar(None, pa.string()),
+                         pc.utf8_slice_codeunits(payload, 1))
+        ok = pc.fill_null(pc.is_in(lab, value_set=accept_arr), False)
+        out = pa.table({key: batch[key], "last_label": lab})
+        return out.filter(pc.invert(ok))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -4862,3 +4862,43 @@ def test_daily_volume_anomalies_flags_planted_spike(tmp_path):
         .arrow().to_pylist()
     assert {r["window_start_us"]: r["n_events"]
             for r in oracle} == flagged
+
+
+def test_accept_state_violations_matches_bruteforce():
+    """Last-label-by-(order, tiebreak) terminal-state check vs a dict
+    reference: NULL labels violate, NULL orders sort LAST (can win),
+    accepted keys absent, multiblock, a hot key spanning blocks."""
+    from json_schema_ray.engine.keys import accept_state_violations
+
+    rng = np.random.default_rng(12)
+    n = 6000
+    keys = rng.integers(0, 300, n)
+    keys[:2000] = 7  # hot key
+    order = rng.integers(0, 10**9, n).astype(object)
+    order[rng.random(n) < 0.01] = None
+    tb = np.arange(n)  # unique tiebreak
+    labels = np.array(["open", "working", "done", "cancelled"],
+                      object)[rng.integers(0, 4, n)]
+    labels[rng.random(n) < 0.02] = None
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "o": pa.array(order.tolist(), pa.int64()),
+                  "tb": pa.array(tb, pa.int64()),
+                  "lab": pa.array(labels.tolist(), pa.string())})
+    accept = {"done", "cancelled"}
+    out = accept_state_violations(
+        _ray().data.from_arrow(t).repartition(8),
+        "k", "o", "lab", accept, tiebreak="tb")
+    got = {r["k"]: r["last_label"] for r in out.take_all()}
+
+    best: dict = {}
+    for k, o, b, l in zip(keys.tolist(), order.tolist(),
+                          tb.tolist(), labels.tolist()):
+        # ascending NULLS LAST == null order is the largest
+        rank = (1 if o is None else 0, o if o is not None else 0, b)
+        if k not in best or rank > best[k][0]:
+            best[k] = (rank, l)
+    want = {k: l for k, (_, l) in best.items()
+            if l is None or l not in accept}
+    assert got == want
+    assert any(v is None for v in got.values()) or \
+        not any(l is None for l in labels.tolist())
