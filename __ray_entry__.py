@@ -2242,22 +2242,17 @@ def q_lang_top_terms(sf_dir: str):
 def q_user_event_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type mix — two mergeable
     groupbys, no row-sized shuffle after the combiner (engine/stats.py
-    grouped_entropy). Entropy ships as floor(x*1e6+0.5) BIGINT."""
+    grouped_entropy). Fixed-point-before-sum: the per-(user, type)
+    ``floor(c * ln(c) * 1e6 + 0.5)`` int64 terms make the shuffle
+    merge order-free and the oracle hash-exact BY CONSTRUCTION (the
+    float path's sum order only happened to agree at small scale)."""
     from json_schema_ray.engine.stats import grouped_entropy
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
     out = grouped_entropy(ds, "user_id", "event_type")
-
-    def scale(b: pa.Table) -> pa.Table:
-        ent = b["entropy"].combine_chunks().to_numpy(zero_copy_only=False)
-        return b.drop_columns(["entropy"]).append_column(
-            "entropy_e6", pa.array(
-                np.floor(ent * 1e6 + 0.5).astype(np.int64)))
-
     schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
                         ("entropy_e6", pa.int64())])
-    return _collect(out.map_batches(scale, batch_format="pyarrow",
-                                    zero_copy_batch=True), schema)
+    return _collect(out, schema)
 
 
 def q_events_zscore(sf_dir: str):
@@ -4531,12 +4526,18 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (
                 SELECT user_id, event_type, count(*) AS cnt
                 FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+            ), t AS (
+                SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(CAST(floor(cnt * ln(CAST(cnt AS DOUBLE))
+                                           * 1e6 + 0.5) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM c GROUP BY user_id
             )
-            SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n,
-                   CAST(floor((ln(sum(cnt))
-                        - sum(cnt * ln(cnt)) / sum(cnt)) * 1e6 + 0.5)
-                        AS BIGINT) AS entropy_e6
-            FROM c GROUP BY user_id
+            SELECT user_id, n,
+                   CAST(floor((ln(CAST(n AS DOUBLE))
+                        - CAST(s AS DOUBLE) / 1000000.0 / n)
+                        * 1e6 + 0.5) AS BIGINT) AS entropy_e6
+            FROM t
         """,
         "events_zscore": """
             SELECT event_id, event_type,

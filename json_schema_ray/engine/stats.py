@@ -393,69 +393,6 @@ def histogram(ds, column: str, n_bins: int, lo: float,
     })
 
 
-def grouped_entropy(ds, key: str, col: str):
-    """Shannon entropy (natural log) of the ``col`` value distribution
-    per ``key``: one row ``(key, n, entropy)`` per group, with
-    ``entropy = ln(n) - sum(c * ln c) / n`` over the per-value counts
-    ``c`` — algebraically identical to ``-sum(p ln p)`` but mergeable
-    (the two inner sums are plain additive partials). NULL ``col``
-    values are excluded (SQL ``count(*) ... WHERE col IS NOT NULL``
-    semantics); a key whose values are all NULL disappears.
-
-    Scale shape: one combiner groupby ``(key, col) -> cnt`` (the only
-    all-to-all that sees row-sized data, and it pre-aggregates inside
-    ``map_batches`` first), then a second groupby over the DISTINCT
-    value table — ``sum(cnt)`` and ``sum(cnt * ln cnt)`` per key —
-    whose input is already reduced to group x value cardinality. No
-    per-group Python, no driver materialization; a key with millions
-    of distinct values contributes that many tiny count rows, never
-    its raw rows.
-    """
-    from ray.data.aggregate import Sum
-
-    from .rank import _count_agg
-    from .relational import null_safe_grouped_aggregate
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return batch.select([key, col]).filter(pc.is_valid(batch[col]))
-
-    counts = null_safe_grouped_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        [key, col], [_count_agg()], ["cnt"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        cnt = batch["cnt"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table({
-            key: batch[key],
-            "__n": pa.array(cnt.astype(np.int64)),
-            "__clnc": pa.array(cnt * np.log(cnt), pa.float64()),
-        })
-
-    per_key = null_safe_grouped_aggregate(
-        counts.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        [key], [Sum("__n", alias_name="__n"),
-                Sum("__clnc", alias_name="__clnc")],
-        ["__n", "__clnc"])
-
-    def project(batch: pa.Table) -> pa.Table:
-        n = batch["__n"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        clnc = batch["__clnc"].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        ent = np.log(n) - clnc / n
-        return pa.table({
-            key: batch[key],
-            "n": pa.array(n.astype(np.int64)),
-            "entropy": pa.array(ent, pa.float64()),
-        })
-
-    return per_key.map_batches(project, batch_format="pyarrow",
-                               zero_copy_batch=True)
-
-
 def grouped_zscore(ds, key: str, col: str, out: str = "z"):
     """Row-level standardization: every row gains ``out`` =
     ``(col - mean) / stddev`` over its ``key`` group (SQL
@@ -788,6 +725,91 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
         return pa.table({key: batch[key],
                          "n": pa.array(out_n, pa.int64()),
                          out: pa.array(out_c, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def grouped_entropy(ds, key: str, col: str, out: str = "entropy_e6"):
+    """Per-group Shannon entropy (nats) of a categorical column's
+    distribution — the label-diversity / mode-collapse gate a
+    curation pipeline runs per source, per user, or per shard.
+
+    Fixed-point-before-sum: entropy decomposes as ``ln(n) -
+    (1/n) * sum_v c_v * ln(c_v)`` over the per-(key, value) counts
+    ``c_v``, so the only per-value float work quantizes INDEPENDENTLY
+    to ``floor(c * ln(c) * 1e6 + 0.5)`` int64 terms whose sum is
+    order-free — no float accumulation across the shuffle. ``ln`` is
+    evaluated with ``math.log`` through a unique-count LUT per batch
+    (np.log's SIMD path differs from libm in the last ulp and would
+    break hash parity with DuckDB ``ln``; counts repeat heavily so
+    the LUT loop is tiny). The finish combines the two integer
+    sufficient statistics per key with exactly the oracle's float
+    expression ``ln(n) - (s / 1e6) / n``.
+
+    Shape: per-block (key, value) pair counts combine BEFORE the
+    first shuffle (pair-cardinality exchange), terms reduce again per
+    block, and the second shuffle is key-sized. NULL values drop
+    (``WHERE col IS NOT NULL``); NULL keys form their own group.
+    Envelope: per key ``sum(c * ln(c) * 1e6) < 2^63`` — safe to
+    ~3e11 rows per key.
+
+    Returns a Dataset of (key, n, out).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
+        g = pa.TableGroupBy(t, [key, col]).aggregate(
+            [([], "count_all")])
+        return pa.table({key: g[key], col: g[col],
+                         "__c": g["count_all"].cast(pa.int64())})
+
+    pairs = null_safe_grouped_aggregate(
+        ds.map_batches(pair_counts, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key, col], [Sum("__c", alias_name="__c")], ["__c"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        c = batch["__c"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        # math.log, not np.log: libm == DuckDB ln bit-exact
+        lut = np.fromiter(
+            (math.floor(float(u) * math.log(float(u)) * 1e6 + 0.5)
+             for u in uniq), np.int64, len(uniq))
+        t = pa.table({key: batch[key], "__n": batch["__c"],
+                      "__s": pa.array(lut[inv] if len(c) else
+                                      np.empty(0, np.int64))})
+        g = pa.TableGroupBy(t, key).aggregate(
+            [("__n", "sum"), ("__s", "sum")])
+        return pa.table({key: g[key],
+                         "__n": g["__n_sum"].cast(pa.int64()),
+                         "__s": g["__s_sum"].cast(pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        pairs.map_batches(terms, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        [key], [Sum("__n", alias_name="__n"),
+                Sum("__s", alias_name="__s")], ["__n", "__s"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["__n"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        s = batch["__s"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        ent = [None if nv is None or nv <= 0 else
+               int(math.floor(
+                   (math.log(float(nv)) - float(sv) / 1e6 / float(nv))
+                   * 1e6 + 0.5))
+               for nv, sv in zip(n.tolist(), s.tolist())]
+        return pa.table({key: batch[key],
+                         "n": batch["__n"],
+                         out: pa.array(ent, pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)

@@ -2894,15 +2894,25 @@ def test_grouped_entropy_matches_duckdb():
     key = lambda r: (r[0] is None, r)
     for blocks in (1, 9):
         ds = _ray().data.from_arrow(t).repartition(blocks)
-        got = sorted(((r["u"], r["n"], round(r["entropy"], 9))
+        got = sorted(((r["u"], r["n"], r["entropy_e6"])
                       for r in grouped_entropy(ds, "u", "ev")
                       .take_all()), key=key)
-        want = sorted(((u, nn, round(e, 9)) for u, nn, e in duckdb.sql(
+        # fixed-point mirror: hash-EXACT, no rounding slop — the
+        # engine quantizes each c*ln(c) term before the order-free
+        # integer sum, and DuckDB reproduces the same expression
+        want = sorted(((u, nn, e) for u, nn, e in duckdb.sql(
             """WITH c AS (SELECT u, ev, count(*) AS cnt FROM t
-                          WHERE ev IS NOT NULL GROUP BY 1, 2)
-               SELECT u, CAST(sum(cnt) AS BIGINT),
-                      ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)
-               FROM c GROUP BY u""").fetchall()), key=key)
+                          WHERE ev IS NOT NULL GROUP BY 1, 2),
+                    s AS (SELECT u, CAST(sum(cnt) AS BIGINT) AS n,
+                            CAST(sum(CAST(floor(cnt *
+                                ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS s
+                          FROM c GROUP BY u)
+               SELECT u, n,
+                      CAST(floor((ln(CAST(n AS DOUBLE))
+                           - CAST(s AS DOUBLE) / 1000000.0 / n)
+                           * 1e6 + 0.5) AS BIGINT)
+               FROM s""").fetchall()), key=key)
         assert got == want, blocks
 
 
@@ -4902,3 +4912,57 @@ def test_accept_state_violations_matches_bruteforce():
     assert got == want
     assert any(v is None for v in got.values()) or \
         not any(l is None for l in labels.tolist())
+
+
+def test_grouped_entropy_matches_reference():
+    """Fixed-point grouped Shannon entropy vs a brute-force python
+    reference using the same term quantization, plus a scipy-free
+    float sanity bound; NULL values drop, NULL keys form their own
+    group, single-value groups land at ~0."""
+    import math
+
+    from json_schema_ray.engine.stats import grouped_entropy
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    k = rng.integers(0, 6, n)
+    ko = np.array([f"g{i}" for i in k], dtype=object)
+    ko[k == 5] = None               # NULL key group
+    vals = rng.choice(["a", "b", "c", "d"], n,
+                      p=[0.6, 0.25, 0.1, 0.05]).astype(object)
+    vals[rng.random(n) < 0.04] = None   # dropped rows
+    vals[k == 4] = "only"               # single-category group
+    t = pa.table({"k": pa.array(ko.tolist(), pa.string()),
+                  "v": pa.array(vals.tolist(), pa.string())})
+    out = grouped_entropy(_ray().data.from_arrow(t).repartition(7),
+                          "k", "v")
+    got = {r["k"]: (r["n"], r["entropy_e6"]) for r in out.take_all()}
+
+    counts: dict = {}
+    for kk, vv in zip(ko.tolist(), vals.tolist()):
+        if vv is None:
+            continue
+        counts.setdefault(kk, {}).setdefault(vv, 0)
+        counts[kk][vv] += 1
+    assert set(got) == set(counts)
+    for g, cs in counts.items():
+        nn = sum(cs.values())
+        s = sum(int(math.floor(float(c) * math.log(float(c))
+                               * 1e6 + 0.5)) for c in cs.values())
+        want = int(math.floor(
+            (math.log(float(nn)) - float(s) / 1e6 / float(nn))
+            * 1e6 + 0.5))
+        assert got[g] == (nn, want), g
+        # float sanity: matches -sum(p ln p) to rounding error
+        ref = -sum((c / nn) * math.log(c / nn) for c in cs.values())
+        assert abs(want / 1e6 - ref) < 1e-4
+    assert abs(got["g4"][1]) <= 1   # single category ~ 0 nats
+
+
+def test_grouped_entropy_empty_input():
+    from json_schema_ray.engine.stats import grouped_entropy
+
+    t = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.string())})
+    out = grouped_entropy(_ray().data.from_arrow(t), "k", "v")
+    assert out.take_all() == []
