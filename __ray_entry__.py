@@ -442,6 +442,27 @@ def q_event_transition_violations(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_event_markov_matrix(sf_dir: str):
+    """Empirical Markov transition matrix (engine/keys.py
+    transition_counts) — the mining twin of the protocol check
+    above: per user in (ts, event_id) order, count every observed
+    prev_type -> type transition (first events land in prev NULL,
+    matching SQL lag()). One lag scan (single null-safe sort,
+    O(n_blocks) carries) + an alphabet²-sized count exchange."""
+    from json_schema_ray.engine.keys import transition_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    out = transition_counts(ds, "user_id", "ts", "event_type",
+                            tiebreak="event_id")
+    schema = pa.schema([("prev_label", pa.string()),
+                        ("label", pa.string()),
+                        ("n", pa.int64())])
+    t = _collect(out, schema)
+    return t.sort_by([("prev_label", "ascending"),
+                      ("label", "ascending")])
+
+
 def q_transcript_role_protocol(sf_dir: str):
     """Role-sequence protocol over the transcript corpus: roles must
     cycle user -> assistant -> tool -> system -> user and each
@@ -781,6 +802,39 @@ def q_user_sessions(sf_dir: str):
     schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
                         ("n_sessions", pa.int64())])
     return _collect(out, schema)
+
+
+def q_user_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gap statistics (burstiness / liveness
+    profile): count, sum, min and max of the microsecond gaps
+    between a user's consecutive events in (ts, event_id) order.
+    Composition: ONE rank.lag_column scan (single null-safe sort,
+    O(n_blocks) carries) + a key-sized grouped_aggregate — every
+    statistic is an INTEGER (microsecond ticks), so the shuffle
+    merge order can't move a bit. First events (NULL gap) drop,
+    like the SQL twin's WHERE gap IS NOT NULL."""
+    from json_schema_ray.engine.rank import lag_column
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id"])
+    lagged = lag_column(ds, "user_id", "ts", value="ts",
+                        tiebreak="event_id", out="__prev_ts")
+
+    def gaps(b: pa.Table) -> pa.Table:
+        gap = pc.cast(pc.subtract(b["ts"], b["__prev_ts"]),
+                      pa.int64())
+        t = b.append_column("gap", gap)
+        return t.filter(pc.is_valid(gap)).select(["user_id", "gap"])
+
+    gds = lagged.map_batches(gaps, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    t = grouped_aggregate(gds, ["user_id"],
+                          [(None, "count"), ("gap", "sum"),
+                           ("gap", "min"), ("gap", "max")])
+    t = t.rename_columns(["user_id", "n_gaps", "sum_gap_us",
+                          "min_gap_us", "max_gap_us"])
+    return t.sort_by([("user_id", "ascending")])
 
 
 def q_daily_event_volume(sf_dir: str):
@@ -2891,6 +2945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": q_events_pivot_by_type,
         "events_prev_value": q_events_prev_value,
         "event_transition_violations": q_event_transition_violations,
+        "event_markov_matrix": q_event_markov_matrix,
+        "user_interarrival_stats": q_user_interarrival_stats,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -3658,6 +3714,30 @@ def oracle_sql() -> dict[str, str]:
                    lead(value) OVER (PARTITION BY user_id
                      ORDER BY ts, event_id) AS lead_value
             FROM events
+        """,
+        "event_markov_matrix": """
+            WITH l AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_label,
+                       event_type AS label
+                FROM events
+            )
+            SELECT prev_label, label, CAST(count(*) AS BIGINT) AS n
+            FROM l GROUP BY prev_label, label
+        """,
+        "user_interarrival_stats": """
+            WITH l AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS gap
+                FROM events
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM l WHERE gap IS NOT NULL GROUP BY user_id
         """,
         "lineitem_qty_price_corr": """
             WITH q AS (

@@ -800,3 +800,81 @@ def accept_state_violations(ds, key, order: str, label: str,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def transition_counts(ds, key, order: str, label: str,
+                      tiebreak: str):
+    """Empirical Markov transition matrix over ordered per-key
+    sequences — the mining twin of :func:`transition_violations`:
+    instead of checking ``prev_label -> label`` against a declared
+    protocol, COUNT every observed transition so the protocol (or a
+    drifted one) can be read off the data. First rows of a key count
+    under ``prev_label = NULL``, and — exactly like SQL ``lag()``
+    over a nullable label — a predecessor whose label was NULL also
+    lands in ``prev_label = NULL``: the two collapse into ONE group.
+    A NULL label on the CURRENT side is its own category (SQL GROUP
+    BY keeps a NULL group).
+
+    Returns a Dataset of (prev_label, label, n) — alphabet²-sized.
+
+    Scale shape: rides :func:`rank.lag_column` (ONE null-safe sort,
+    O(n_blocks) fixed-size carries; a hot key never ships its
+    timeline anywhere), then per-block pair-count combiners feed a
+    groupby whose input is alphabet² x n_blocks tiny rows — the
+    count exchange never sees row-sized data."""
+    from ray.data.aggregate import Sum
+
+    from .rank import lag_column
+    from .relational import null_safe_grouped_aggregate
+
+    if tiebreak == order:
+        def alias(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__tb", batch[order])
+
+        ds = ds.map_batches(alias, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        tiebreak = "__tb"
+
+    sentinel = "\x00__null_label__"
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__lab_nn",
+            pc.fill_null(pc.cast(batch[label], pa.string()), sentinel))
+
+    lagged = lag_column(
+        ds.map_batches(coalesce, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key, order, value="__lab_nn", tiebreak=tiebreak, out="__prev")
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        # SQL lag() can't distinguish "no predecessor" from
+        # "predecessor's label was NULL" — both are NULL — so both
+        # map onto the SAME sentinel before counting (the coalesced
+        # lag already carries the sentinel for NULL labels; a NULL
+        # lag means first-of-key and joins it)
+        cur = pc.fill_null(pc.cast(batch[label], pa.string()),
+                           sentinel)
+        prev = pc.fill_null(batch["__prev"], sentinel)
+        t = pa.table({"__p": prev, "__c": cur})
+        g = pa.TableGroupBy(t, ["__p", "__c"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"__p": g["__p"], "__c": g["__c"],
+                         "__n": g["count_all"].cast(pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        lagged.map_batches(pair_counts, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["__p", "__c"], [Sum("__n", alias_name="__n")], ["__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        def dec(col):
+            return pc.if_else(pc.equal(col, sentinel),
+                              pa.scalar(None, pa.string()), col)
+
+        return pa.table({"prev_label": dec(batch["__p"]),
+                         "label": dec(batch["__c"]),
+                         "n": batch["__n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

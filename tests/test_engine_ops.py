@@ -4966,3 +4966,66 @@ def test_grouped_entropy_empty_input():
                   "v": pa.array([], pa.string())})
     out = grouped_entropy(_ray().data.from_arrow(t), "k", "v")
     assert out.take_all() == []
+
+
+def test_transition_counts_matches_duckdb():
+    """Markov transition matrix vs SQL lag()+GROUP BY: NULL labels
+    collapse with first-of-key on the prev side (SQL lag semantics)
+    but stay a distinct category on the cur side; hot key and
+    multi-block layouts agree."""
+    import duckdb
+
+    from json_schema_ray.engine.keys import transition_counts
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    u = rng.integers(0, 25, n)
+    u[:1500] = 3          # hot key
+    labs = rng.choice(["a", "b", "c"], n).astype(object)
+    labs[rng.random(n) < 0.06] = None
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "lab": pa.array(labs.tolist(), pa.string()),
+    })
+    want = sorted(duckdb.sql(
+        """WITH l AS (
+               SELECT lag(lab) OVER (PARTITION BY u
+                        ORDER BY ts, rid) AS p, lab AS c
+               FROM t)
+           SELECT p, c, CAST(count(*) AS BIGINT) FROM l
+           GROUP BY p, c""").fetchall(),
+        key=lambda r: (r[0] is None, r[0] or "", r[1] is None,
+                       r[1] or ""))
+    for blocks in (1, 8):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = transition_counts(ds, "u", "ts", "lab", tiebreak="rid")
+        got = sorted(((r["prev_label"], r["label"], r["n"])
+                      for r in out.take_all()),
+                     key=lambda r: (r[0] is None, r[0] or "",
+                                    r[1] is None, r[1] or ""))
+        assert got == want, blocks
+
+
+def test_transition_counts_single_rows_and_empty():
+    from json_schema_ray.engine.keys import transition_counts
+
+    t = pa.table({"u": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([0, 0], pa.int64()),
+                  "rid": pa.array([0, 1], pa.int64()),
+                  "lab": pa.array(["x", None], pa.string())})
+    out = transition_counts(_ray().data.from_arrow(t), "u", "ts",
+                            "lab", tiebreak="rid")
+    got = sorted(((r["prev_label"], r["label"], r["n"])
+                  for r in out.take_all()),
+                 key=lambda r: (r[1] is None, r[1] or ""))
+    assert got == [(None, "x", 1), (None, None, 1)]
+
+    e = pa.table({"u": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.int64()),
+                  "rid": pa.array([], pa.int64()),
+                  "lab": pa.array([], pa.string())})
+    out = transition_counts(_ray().data.from_arrow(e), "u", "ts",
+                            "lab", tiebreak="rid")
+    assert out.take_all() == []
