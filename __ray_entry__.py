@@ -463,6 +463,19 @@ def q_event_markov_matrix(sf_dir: str):
                       ("label", "ascending")])
 
 
+def q_event_type_overlap(sf_dir: str):
+    """Audience overlap between event types (engine/relational.py
+    category_overlap): distinct (user, type) pairs expand to
+    per-user type pairs through the one-sort + interior-segment +
+    edge-stitch pair machinery, then an alphabet²-sized count
+    exchange; jaccard_e6 is ALL-INTEGER (n_both*1e6 // union), so
+    the SQL self-join twin is hash-exact by construction."""
+    from json_schema_ray.engine.relational import category_overlap
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return category_overlap(ds, "user_id", "event_type")
+
+
 def q_transcript_role_protocol(sf_dir: str):
     """Role-sequence protocol over the transcript corpus: roles must
     cycle user -> assistant -> tool -> system -> user and each
@@ -2947,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_violations": q_event_transition_violations,
         "event_markov_matrix": q_event_markov_matrix,
         "user_interarrival_stats": q_user_interarrival_stats,
+        "event_type_overlap": q_event_type_overlap,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -3724,6 +3738,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT prev_label, label, CAST(count(*) AS BIGINT) AS n
             FROM l GROUP BY prev_label, label
+        """,
+        "event_type_overlap": """
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), n AS (
+                SELECT event_type, count(*) AS n FROM d GROUP BY 1
+            ), p AS (
+                SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+                       count(*) AS n_both
+                FROM d a JOIN d b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT cat_a, cat_b, CAST(na.n AS BIGINT) AS n_a,
+                   CAST(nb.n AS BIGINT) AS n_b,
+                   CAST(p.n_both AS BIGINT) AS n_both,
+                   CAST(p.n_both * 1000000
+                        // (na.n + nb.n - p.n_both) AS BIGINT)
+                     AS jaccard_e6
+            FROM p JOIN n na ON na.event_type = cat_a
+                 JOIN n nb ON nb.event_type = cat_b
         """,
         "user_interarrival_stats": """
             WITH l AS (

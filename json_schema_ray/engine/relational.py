@@ -2406,3 +2406,106 @@ def snapshot_diff(old_ds, new_ds, keys: List[str], compare: List[str],
 
     return verdicts.map_batches(decode, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def category_overlap(ds, entity: str, category: str):
+    """Audience-overlap (co-occurrence Jaccard) between every pair of
+    categories: for categories a < b, how many distinct entities
+    carry BOTH, and the Jaccard overlap of their entity sets — the
+    "which event types / sources / tags share an audience" analytic.
+    ``entity`` must be an integer column (hash string entities
+    first); ``category`` is a string drawn from a SMALL alphabet
+    (the output is alphabet²-sized). NULL entities and NULL
+    categories drop (SQL DISTINCT + inner-join semantics).
+
+    Returns a pyarrow Table (alphabet²-sized by construction) of
+    (cat_a, cat_b, n_a, n_b, n_both, jaccard_e6) with cat_a < cat_b
+    and ``jaccard_e6 = n_both * 1000000 // (n_a + n_b - n_both)`` —
+    ALL-INTEGER arithmetic end to end, so there is no float rounding
+    to mirror and the SQL twin is hash-exact by construction.
+
+    Scale shape: the corpus reduces to DISTINCT (entity, category)
+    rows via per-block dedupe + one pair-cardinality groupby BEFORE
+    anything quadratic; per-entity pair expansion rides
+    :func:`dedup._bucket_candidate_pairs` (ONE sort on entity,
+    vectorized upper-triangle interior segments, O(blocks) edge
+    stitch — a hot entity expands in a worker, bounded by alphabet²,
+    never on the driver); the final count exchange is
+    alphabet²-sized. The only driver state is the category alphabet
+    and the per-category totals (alphabet-sized).
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _bucket_candidate_pairs
+
+    def distinct_block(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[entity]),
+                    pc.is_valid(batch[category]))
+        t = batch.select([entity, category]).filter(m)
+        g = pa.TableGroupBy(t, [entity, category]).aggregate(
+            [([], "count_all")])
+        return pa.table({entity: g[entity], category: g[category],
+                         "__c": g["count_all"].cast(pa.int64())})
+
+    pairs = null_safe_grouped_aggregate(
+        ds.map_batches(distinct_block, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [entity, category], [Sum("__c", alias_name="__c")],
+        ["__c"]).materialize()
+
+    # per-category distinct-entity totals: alphabet-sized, and the
+    # code assignment follows SORTED category order so integer pair
+    # order == the oracle's lexicographic cat_a < cat_b
+    per_cat = grouped_aggregate(pairs, [category],
+                                [(None, "count")])
+    if per_cat is None or per_cat.num_rows == 0:
+        return pa.table({
+            "cat_a": pa.array([], pa.string()),
+            "cat_b": pa.array([], pa.string()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "n_both": pa.array([], pa.int64()),
+            "jaccard_e6": pa.array([], pa.int64())})
+    per_cat = per_cat.sort_by([(category, "ascending")])
+    cats = per_cat[category].to_pylist()
+    totals = per_cat["rows_count"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cat_arr = pa.array(cats, pa.string())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        code = pc.cast(pc.index_in(batch[category],
+                                   value_set=cat_arr), pa.int64())
+        return pa.table({"bucket": pc.cast(batch[entity], pa.int64()),
+                         "id": code})
+
+    coded = pairs.map_batches(encode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    both = _bucket_candidate_pairs(coded, "id", distinct=False) \
+        .groupby(["id_a", "id_b"]).count()
+
+    tables = [pa.Table.from_batches([b])
+              if isinstance(b, pa.RecordBatch) else b
+              for b in both.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        merged = pa.table({"id_a": pa.array([], pa.int64()),
+                           "id_b": pa.array([], pa.int64()),
+                           "count()": pa.array([], pa.int64())})
+    else:
+        merged = pa.concat_tables(tables, promote_options="default")
+    ia = merged["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = merged["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nboth = merged.column(2).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    na, nb = totals[ia], totals[ib]
+    union = na + nb - nboth
+    jac = np.where(union > 0, nboth * 1000000 // np.maximum(union, 1),
+                   0).astype(np.int64)
+    cats_np = np.array(cats, dtype=object)
+    out = pa.table({
+        "cat_a": pa.array(cats_np[ia].tolist(), pa.string()),
+        "cat_b": pa.array(cats_np[ib].tolist(), pa.string()),
+        "n_a": pa.array(na), "n_b": pa.array(nb),
+        "n_both": pa.array(nboth),
+        "jaccard_e6": pa.array(jac)})
+    return out.sort_by([("cat_a", "ascending"), ("cat_b", "ascending")])

@@ -5029,3 +5029,54 @@ def test_transition_counts_single_rows_and_empty():
     out = transition_counts(_ray().data.from_arrow(e), "u", "ts",
                             "lab", tiebreak="rid")
     assert out.take_all() == []
+
+
+def test_category_overlap_matches_duckdb():
+    """Audience-overlap Jaccard vs the SQL self-join on distinct
+    (entity, category) pairs: duplicate rows collapse, NULLs drop,
+    integer jaccard_e6 is exact, pair order is lexicographic."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import category_overlap
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    ents = rng.integers(0, 300, n).astype(object)
+    ents[rng.random(n) < 0.02] = None
+    cats = rng.choice(["w", "x", "y", "z"], n,
+                      p=[0.5, 0.3, 0.15, 0.05]).astype(object)
+    cats[rng.random(n) < 0.03] = None
+    t = pa.table({"e": pa.array(ents.tolist(), pa.int64()),
+                  "c": pa.array(cats.tolist(), pa.string())})
+    want = sorted(duckdb.sql(
+        """WITH d AS (SELECT DISTINCT e, c FROM t
+                      WHERE e IS NOT NULL AND c IS NOT NULL),
+                n AS (SELECT c, count(*) AS n FROM d GROUP BY c),
+                p AS (SELECT a.c AS ca, b.c AS cb, count(*) AS nb2
+                      FROM d a JOIN d b ON a.e = b.e AND a.c < b.c
+                      GROUP BY 1, 2)
+           SELECT ca, cb, CAST(na.n AS BIGINT), CAST(nb.n AS BIGINT),
+                  CAST(nb2 AS BIGINT),
+                  CAST(nb2 * 1000000 // (na.n + nb.n - nb2) AS BIGINT)
+           FROM p JOIN n na ON na.c = ca JOIN n nb ON nb.c = cb
+           ORDER BY ca, cb""").fetchall())
+    for blocks in (1, 6):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = category_overlap(ds, "e", "c")
+        got = [tuple(r.values()) for r in out.to_pylist()]
+        assert got == want, blocks
+
+
+def test_category_overlap_empty_and_disjoint():
+    from json_schema_ray.engine.relational import category_overlap
+
+    e = pa.table({"e": pa.array([], pa.int64()),
+                  "c": pa.array([], pa.string())})
+    out = category_overlap(_ray().data.from_arrow(e), "e", "c")
+    assert out.num_rows == 0
+
+    # disjoint audiences: no pair rows at all (inner-join semantics)
+    t = pa.table({"e": pa.array([1, 2, 3], pa.int64()),
+                  "c": pa.array(["a", "b", "c"], pa.string())})
+    out = category_overlap(_ray().data.from_arrow(t), "e", "c")
+    assert out.num_rows == 0
