@@ -463,6 +463,44 @@ def q_event_markov_matrix(sf_dir: str):
                       ("label", "ascending")])
 
 
+def q_event_markov_probs(sf_dir: str):
+    """Conditional transition probabilities P(label | prev_label) —
+    the estimated Markov kernel: transition_counts plus a per-prev
+    row normalization done in pure INTEGER arithmetic on the
+    alphabet²-sized count table (p_e6 = n * 1e6 // row_total), so
+    the SQL window-sum twin is hash-exact by construction."""
+    from json_schema_ray.engine.keys import transition_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    out = transition_counts(ds, "user_id", "ts", "event_type",
+                            tiebreak="event_id")
+    schema = pa.schema([("prev_label", pa.string()),
+                        ("label", pa.string()),
+                        ("n", pa.int64())])
+    t = _collect(out, schema)
+    # alphabet²-sized: normalize per prev_label row driver-side
+    prev = t["prev_label"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = np.array(["\x00" if p is None else "v" + p for p in prev],
+                    dtype=object)
+    order = np.argsort(keys, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    ks, ns = keys[order], n[order]
+    starts = np.concatenate([[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1])
+    seg = np.concatenate([starts[1:], [len(ks)]]) - starts
+    totals_sorted = np.repeat(np.add.reduceat(ns, starts)
+                              if len(ns) else np.empty(0, np.int64),
+                              seg)
+    totals = totals_sorted[inv]
+    p_e6 = (n * 1000000 // np.maximum(totals, 1)).astype(np.int64)
+    t = t.append_column("row_total", pa.array(totals)) \
+        .append_column("p_e6", pa.array(p_e6))
+    return t.sort_by([("prev_label", "ascending"),
+                      ("label", "ascending")])
+
+
 def q_event_type_overlap(sf_dir: str):
     """Audience overlap between event types (engine/relational.py
     category_overlap): distinct (user, type) pairs expand to
@@ -848,6 +886,27 @@ def q_user_interarrival_stats(sf_dir: str):
     t = t.rename_columns(["user_id", "n_gaps", "sum_gap_us",
                           "min_gap_us", "max_gap_us"])
     return t.sort_by([("user_id", "ascending")])
+
+
+def q_user_session_table(sf_dir: str):
+    """Session-LEVEL table (engine/window.py session_table): one row
+    per 30-minute-gap session with start/end/duration/event-count —
+    the table engagement analyses aggregate. One null-safe sort;
+    interior sessions finalize vectorized per block; only the <= 2
+    boundary-touching sessions per block chain-merge on the driver
+    (O(n_blocks) state, hot-key-proof)."""
+    from json_schema_ray.engine.window import session_table
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_table(ds, "user_id", "ts", gap_seconds=1800.0)
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("session_start_us", pa.int64()),
+                        ("session_end_us", pa.int64()),
+                        ("n_events", pa.int64()),
+                        ("duration_us", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("user_id", "ascending"),
+         ("session_start_us", "ascending")])
 
 
 def q_daily_event_volume(sf_dir: str):
@@ -2961,6 +3020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_matrix": q_event_markov_matrix,
         "user_interarrival_stats": q_user_interarrival_stats,
         "event_type_overlap": q_event_type_overlap,
+        "event_markov_probs": q_event_markov_probs,
+        "user_session_table": q_user_session_table,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -3738,6 +3799,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT prev_label, label, CAST(count(*) AS BIGINT) AS n
             FROM l GROUP BY prev_label, label
+        """,
+        "user_session_table": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS tu,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL
+            ), f AS (
+                SELECT user_id, tu,
+                       CASE WHEN prev IS NULL
+                                 OR tu - prev > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), s AS (
+                SELECT user_id, tu,
+                       sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   CAST(min(tu) AS BIGINT) AS session_start_us,
+                   CAST(max(tu) AS BIGINT) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(tu) - min(tu) AS BIGINT) AS duration_us
+            FROM s GROUP BY user_id, sid
+        """,
+        "event_markov_probs": """
+            WITH l AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_label,
+                       event_type AS label
+                FROM events
+            ), c AS (
+                SELECT prev_label, label,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM l GROUP BY prev_label, label
+            )
+            SELECT prev_label, label, n,
+                   CAST(sum(n) OVER (PARTITION BY prev_label)
+                        AS BIGINT) AS row_total,
+                   CAST(n * 1000000 // sum(n) OVER (
+                        PARTITION BY prev_label) AS BIGINT) AS p_e6
+            FROM c
         """,
         "event_type_overlap": """
             WITH d AS (

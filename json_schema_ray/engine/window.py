@@ -954,3 +954,121 @@ def pack_contiguous(ds, order: str, size: str, budget: int,
 
     return run.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def session_table(ds, key: str = "user_id", ts: str = "ts",
+                  gap_seconds: float = 1800.0):
+    """Session-LEVEL realization of :func:`sessionize_counts`: one
+    row PER SESSION — (key, session_start_us, session_end_us,
+    n_events, duration_us) — where a new session starts when the gap
+    between a key's consecutive events strictly exceeds
+    ``gap_seconds``. This is the table downstream session-duration /
+    engagement analyses aggregate, not just the per-key counts.
+
+    Scale shape: ONE null-safe sort on (key, ts); within each sorted
+    block every session of an INTERIOR key segment — and every
+    boundary-UNTOUCHED session of an edge segment — finalizes
+    vectorized (adjacent-diff breaks, reduceat bounds). Only the
+    sessions actually touching a block boundary (<= 2 per block,
+    fixed-size (first, last, n) partials) stitch on the driver by
+    chain-merging ts-adjacent partials whose boundary gap <= gap —
+    O(n_blocks) driver state, independent of key heat. NULL-ts rows
+    drop (same documented semantics as sessionize_counts).
+    """
+    gap_us = gap_seconds * 1_000_000.0
+    from .relational import null_safe_sort
+
+    def drop_null_ts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[ts]))
+
+    proj = ds.select_columns([key, ts]).map_batches(
+        drop_null_ts, batch_format="pyarrow", zero_copy_batch=True)
+    sorted_ds = null_safe_sort(proj, [key], [ts])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ktype = batch[key].type
+        empty = {
+            key: pa.array([], ktype),
+            "session_start_us": pa.array([], pa.int64()),
+            "session_end_us": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "_edge": pa.array([], pa.bool_()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        keys_np = batch[key].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tsv = _int64_us(batch[ts]).to_numpy(zero_copy_only=False)
+        same = keys_np[1:] == keys_np[:-1]
+        brk = ~same | ((tsv[1:] - tsv[:-1]) > gap_us)
+        s_starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
+        s_ends = np.concatenate([s_starts[1:], [n]])
+        # a session is boundary-exposed iff it contains the block's
+        # first row and its key segment could continue the previous
+        # block, or contains the last row and could continue into
+        # the next — i.e. exactly the first and last session rows
+        m = len(s_starts)
+        exposed = np.zeros(m, dtype=bool)
+        exposed[0] = exposed[m - 1] = True
+        return pa.table({
+            key: pa.array(keys_np[s_starts].tolist(), ktype),
+            "session_start_us": pa.array(tsv[s_starts]),
+            "session_end_us": pa.array(tsv[s_ends - 1]),
+            "n_events": pa.array(s_ends - s_starts, pa.int64()),
+            "_edge": pa.array(exposed),
+        })
+
+    parts = sorted_ds.map_batches(per_batch, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    def interior_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.invert(batch["_edge"]))
+        kept = kept.drop_columns(["_edge"])
+        dur = pc.subtract(kept["session_end_us"],
+                          kept["session_start_us"])
+        return kept.append_column("duration_us", dur)
+
+    interior = parts.map_batches(interior_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # boundary sessions: <= 2 fixed-size partial rows per block
+    edge: dict = {}
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        em = batch["_edge"].to_numpy(zero_copy_only=False)
+        eidx = np.nonzero(em)[0]
+        if not len(eidx):
+            continue
+        sub = batch.take(pa.array(eidx))
+        for r in sub.to_pylist():
+            edge.setdefault(r[key], []).append(
+                (r["session_start_us"], r["session_end_us"],
+                 r["n_events"]))
+    rows = []
+    for k, segs in sorted(edge.items(),
+                          key=lambda kv: (kv[0] is None, str(kv[0]))):
+        segs.sort()
+        cur = list(segs[0])
+        for nxt in segs[1:]:
+            if (nxt[0] - cur[1]) <= gap_us:
+                cur[1] = max(cur[1], nxt[1])
+                cur[2] += nxt[2]
+            else:
+                rows.append((k, cur[0], cur[1], cur[2]))
+                cur = list(nxt)
+        rows.append((k, cur[0], cur[1], cur[2]))
+
+    import ray
+
+    if not rows:
+        return interior
+    ktype = parts.schema().base_schema.field(key).type
+    edge_table = pa.table({
+        key: pa.array([r[0] for r in rows], ktype),
+        "session_start_us": pa.array([r[1] for r in rows], pa.int64()),
+        "session_end_us": pa.array([r[2] for r in rows], pa.int64()),
+        "n_events": pa.array([r[3] for r in rows], pa.int64()),
+        "duration_us": pa.array([r[2] - r[1] for r in rows],
+                                pa.int64()),
+    })
+    return interior.union(ray.data.from_arrow(edge_table))

@@ -5080,3 +5080,66 @@ def test_category_overlap_empty_and_disjoint():
                   "c": pa.array(["a", "b", "c"], pa.string())})
     out = category_overlap(_ray().data.from_arrow(t), "e", "c")
     assert out.num_rows == 0
+
+
+def test_session_table_matches_duckdb():
+    """Session-level table vs the SQL window-cumsum sessionization:
+    strict > gap break, per-session min/max/count, hot key spanning
+    blocks, null-ts rows dropped."""
+    import duckdb
+
+    from json_schema_ray.engine.window import session_table
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    u = rng.integers(0, 40, n)
+    u[:2500] = 7          # hot key spanning blocks
+    base = rng.integers(0, 10**9, n) * 1000
+    tso = base.astype(object)
+    tso[rng.random(n) < 0.02] = None
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "ts": pa.array(tso.tolist(), pa.timestamp("us")),
+    })
+    want = sorted(duckdb.sql(
+        """WITH o AS (
+               SELECT u, epoch_us(ts) AS tu,
+                      lag(epoch_us(ts)) OVER (PARTITION BY u
+                        ORDER BY ts) AS prev
+               FROM t WHERE ts IS NOT NULL),
+            f AS (SELECT u, tu, CASE WHEN prev IS NULL
+                        OR tu - prev > 1800000000
+                        THEN 1 ELSE 0 END AS new_s FROM o),
+            s AS (SELECT u, tu, sum(new_s) OVER (PARTITION BY u
+                    ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+           SELECT u, CAST(min(tu) AS BIGINT),
+                  CAST(max(tu) AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(max(tu) - min(tu) AS BIGINT)
+           FROM s GROUP BY u, sid""").fetchall())
+    for blocks in (1, 8):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = session_table(ds, "u", "ts", gap_seconds=1800.0)
+        got = sorted((r["u"], r["session_start_us"],
+                      r["session_end_us"], r["n_events"],
+                      r["duration_us"]) for r in out.take_all())
+        assert got == want, blocks
+    # agreement with sessionize_counts on per-key session counts
+    from collections import Counter
+    from json_schema_ray.engine.window import sessionize_counts
+    cnt = Counter(r[0] for r in got)
+    sc = {r["u"]: r["n_sessions"]
+          for r in sessionize_counts(
+              _ray().data.from_arrow(t), "u", "ts",
+              gap_seconds=1800.0).take_all()}
+    assert dict(cnt) == sc
+
+
+def test_session_table_empty():
+    from json_schema_ray.engine.window import session_table
+
+    t = pa.table({"u": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.timestamp("us"))})
+    assert session_table(_ray().data.from_arrow(t),
+                         "u", "ts").take_all() == []
