@@ -1680,6 +1680,18 @@ def q_events_value_winsorized(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding mean/variance (engine/similarity.py
+    embedding_dim_stats): fixed-point e6 quantization, exact integer
+    sufficient statistics merged as python ints == SQL HUGEINT, the
+    two float finish expressions mirrored in the oracle — d*3
+    integers per block on the wire, never row-sized data."""
+    from json_schema_ray.engine.similarity import embedding_dim_stats
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_dim_stats(ds).sort_by([("dim", "ascending")])
+
+
 def q_embedding_gram(sf_dir: str):
     """Fixed-point Gram matrix of the embedding corpus
     (engine/similarity.py ``embedding_gram``): one d x d int64
@@ -3051,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_weekly_active_users": q_approx_weekly_active_users,
         "user_value_mad": q_user_value_mad,
         "embedding_gram": q_embedding_gram,
+        "embedding_dim_stats": q_embedding_dim_stats,
         "events_value_winsorized": q_events_value_winsorized,
         "curation_summary": q_curation_summary,
         "lang_dup_rates": q_lang_dup_rates,
@@ -4383,6 +4396,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS winsorized
             FROM events e LEFT JOIN th ON th.user_id = e.user_id
             ORDER BY 1
+        """,
+        "embedding_dim_stats": r"""
+            WITH e AS (
+              SELECT i,
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xi
+              FROM (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              WHERE x IS NOT NULL
+            ), s AS (
+              SELECT i, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(xi) AS HUGEINT) AS s,
+                     CAST(sum(xi * xi) AS HUGEINT) AS ss
+              FROM e GROUP BY i
+            )
+            SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+                   CAST(floor(CAST(s AS DOUBLE) / 1000000.0 / n
+                        * 1e6 + 0.5) AS BIGINT) AS mean_e6,
+                   CAST(floor(CAST(n * ss - s * s AS DOUBLE)
+                        / n / n / 1000000.0 / 1000000.0
+                        * 1e6 + 0.5) AS BIGINT) AS var_e6
+            FROM s
         """,
         "embedding_gram": r"""
             WITH e AS (

@@ -664,3 +664,90 @@ def embedding_gram(ds, embedding_column: str = "embedding",
     return pa.table({"i": pa.array(ii + 1),
                      "j": pa.array(jj + 1),
                      "sxy_fp": pa.array(g.ravel())})
+
+
+def embedding_dim_stats(ds, embedding_column: str = "embedding",
+                        scale: int = 10 ** 6):
+    """Per-DIMENSION mean / variance of an embedding column — the
+    feature-normalization statistic (whitening diagonals, dead-dim
+    detection) next to :func:`embedding_gram`'s full second-moment
+    matrix. Same fixed-point discipline: every element quantizes to
+    ``floor(x * scale + 0.5)`` int64, so the per-dim sufficient
+    statistics (n, sum, sum-of-squares) accumulate as exact integers
+    (per-block int64, merged in arbitrary-precision Python ints ==
+    SQL HUGEINT) and the ONLY float work is the finish's mirrored
+    ``mean = (S/scale)/n`` and ``var = (n*SS - S^2)/n/n/scale^2``
+    expressions — population variance, matching the SQL twin exactly.
+
+    Shape: each block reduces to THREE d-length integer vectors
+    merged additively by Ray's aggregate tree — d*3 numbers per
+    block on the wire regardless of block size; no shuffle of
+    row-sized data. NULL embeddings drop; a NULL ELEMENT drops from
+    ITS dimension only (SQL ``WHERE x IS NOT NULL`` after unnest).
+    Mixed embedding widths raise. Returns a driver pyarrow Table
+    (dim, n, mean_e6, var_e6) with 1-based dims — d-sized by
+    construction."""
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc, block: pa.Table):
+        col = block[embedding_column]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return acc
+        m = _batch_matrix(col.filter(pa.array(valid))) \
+            .astype(np.float64)
+        nanmask = np.isnan(m)
+        q = np.floor(np.nan_to_num(m) * scale + 0.5).astype(np.int64)
+        q[nanmask] = 0
+        part = ((~nanmask).sum(0, dtype=np.int64).tolist(),
+                q.sum(0, dtype=np.int64).tolist(),
+                (q * q).sum(0, dtype=np.int64).tolist())
+        if acc is None:
+            return part
+        if len(acc[0]) != len(part[0]):
+            raise ValueError(
+                f"mixed embedding widths: {len(acc[0])} vs "
+                f"{len(part[0])}")
+        return tuple([x + y for x, y in zip(a, b)]
+                     for a, b in zip(acc, part))
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if len(a[0]) != len(b[0]):
+            raise ValueError(
+                f"mixed embedding widths: {len(a[0])} vs {len(b[0])}")
+        return tuple([x + y for x, y in zip(p, q)]
+                     for p, q in zip(a, b))
+
+    agg = AggregateFn(init=lambda k: None,
+                      accumulate_block=acc_block,
+                      merge=merge, name="dimstats")
+    res = ds.aggregate(agg)
+    st = res["dimstats"] if res else None
+    if st is None:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "mean_e6": pa.array([], pa.int64()),
+                         "var_e6": pa.array([], pa.int64())})
+    ns, ss, sss = st
+    dims, out_n, means, vars_ = [], [], [], []
+    for i, (n, s, ss2) in enumerate(zip(ns, ss, sss)):
+        if n == 0:
+            continue
+        dims.append(i + 1)
+        out_n.append(n)
+        means.append(int(math.floor(
+            float(s) / float(scale) / float(n) * 1e6 + 0.5)))
+        num = n * ss2 - s * s      # exact python int == SQL HUGEINT
+        vars_.append(int(math.floor(
+            float(num) / float(n) / float(n)
+            / float(scale) / float(scale) * 1e6 + 0.5)))
+    return pa.table({"dim": pa.array(dims, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "mean_e6": pa.array(means, pa.int64()),
+                     "var_e6": pa.array(vars_, pa.int64())})

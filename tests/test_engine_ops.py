@@ -5143,3 +5143,80 @@ def test_session_table_empty():
                   "ts": pa.array([], pa.timestamp("us"))})
     assert session_table(_ray().data.from_arrow(t),
                          "u", "ts").take_all() == []
+
+
+def test_embedding_dim_stats_matches_duckdb():
+    """Per-dim fixed-point mean/var vs the SQL unnest twin: NULL
+    vectors drop, NULL elements drop from their dimension only,
+    multi-block merges stay exact (python-int sufficient stats)."""
+    import duckdb
+
+    from json_schema_ray.engine.similarity import embedding_dim_stats
+
+    rng = np.random.default_rng(19)
+    n, d = 900, 12
+    m = rng.normal(0, 0.4, (n, d))
+    rows = []
+    for i in range(n):
+        if i % 97 == 0:
+            rows.append(None)          # NULL vector
+            continue
+        v = m[i].tolist()
+        if i % 31 == 0:
+            v[i % d] = None            # NULL element
+        rows.append(v)
+    t = pa.table({"embedding": pa.array(
+        rows, pa.list_(pa.float32()))})
+    want = sorted(duckdb.sql(
+        """WITH e AS (
+               SELECT i,
+                      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT) AS xi
+               FROM (SELECT unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i
+                     FROM t)
+               WHERE x IS NOT NULL),
+            s AS (SELECT i, CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(xi) AS HUGEINT) AS s,
+                         CAST(sum(xi * xi) AS HUGEINT) AS ss
+                  FROM e GROUP BY i)
+           SELECT CAST(i AS BIGINT), CAST(n AS BIGINT),
+                  CAST(floor(CAST(s AS DOUBLE) / 1000000.0 / n
+                       * 1e6 + 0.5) AS BIGINT),
+                  CAST(floor(CAST(n * ss - s * s AS DOUBLE)
+                       / n / n / 1000000.0 / 1000000.0
+                       * 1e6 + 0.5) AS BIGINT)
+           FROM s""").fetchall())
+    for blocks in (1, 7):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = embedding_dim_stats(ds)
+        got = sorted((r["dim"], r["n"], r["mean_e6"], r["var_e6"])
+                     for r in out.to_pylist())
+        assert got == want, blocks
+        # float sanity on a dense dim (dim 2 has no planted nulls
+        # pattern guarantee, so compare against numpy on dim 1)
+    dense = np.array([r[0] for r in rows if r is not None
+                      and r[0] is not None])
+    qd = np.floor(dense.astype(np.float32).astype(np.float64)
+                  * 1e6 + 0.5) / 1e6
+    g1 = [r for r in got if r[0] == 1][0]
+    assert abs(g1[2] / 1e6 - qd.mean()) < 2e-6
+    assert abs(g1[3] / 1e6 - qd.var()) < 2e-6
+
+
+def test_embedding_dim_stats_empty_and_mixed_width():
+    import pytest as _pytest
+
+    from json_schema_ray.engine.similarity import embedding_dim_stats
+
+    e = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+    out = embedding_dim_stats(_ray().data.from_arrow(e))
+    assert out.num_rows == 0
+
+    a = pa.table({"embedding": pa.array([[1.0, 2.0]],
+                                        pa.list_(pa.float32()))})
+    b = pa.table({"embedding": pa.array([[1.0, 2.0, 3.0]],
+                                        pa.list_(pa.float32()))})
+    ds = _ray().data.from_arrow(a).union(_ray().data.from_arrow(b))
+    with _pytest.raises(Exception):
+        embedding_dim_stats(ds)
