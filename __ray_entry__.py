@@ -888,6 +888,55 @@ def q_user_interarrival_stats(sf_dir: str):
     return t.sort_by([("user_id", "ascending")])
 
 
+def q_signup_purchase_delay(sf_dir: str):
+    """Conversion delay: per user, microseconds from FIRST signup to
+    FIRST purchase (signed; users lacking either drop). Composition:
+    per-block conditional-min combiners -> ONE (user, type)-sized
+    Min exchange -> vectorized driver pivot of the user x 2 result —
+    all-integer timestamps end to end, hash-exact by construction."""
+    from ray.data.aggregate import Min
+
+    from json_schema_ray.engine.relational import \
+        null_safe_grouped_aggregate
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    kinds = pa.array(["signup", "purchase"], pa.string())
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(b["event_type"], value_set=kinds),
+                    pc.is_valid(b["ts"]))
+        t = b.filter(m)
+        g = pa.TableGroupBy(t, ["user_id", "event_type"]) \
+            .aggregate([("ts", "min")])
+        return pa.table({
+            "user_id": g["user_id"], "event_type": g["event_type"],
+            "first_us": g["ts_min"].cast(pa.int64())})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = null_safe_grouped_aggregate(
+        parts, ["user_id", "event_type"],
+        [Min("first_us", alias_name="first_us")], ["first_us"])
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("first_us", pa.int64())])
+    t = _collect(agg, schema)  # user x 2 rows: result-sized
+    users = t["user_id"].to_numpy(zero_copy_only=False)
+    kinds_np = t["event_type"].to_numpy(zero_copy_only=False)
+    firsts = t["first_us"].to_numpy(zero_copy_only=False)
+    su = {u: f for u, k, f in zip(users, kinds_np, firsts)
+          if k == "signup"}
+    out = sorted((int(u), int(su[u]), int(f), int(f - su[u]))
+                 for u, k, f in zip(users, kinds_np, firsts)
+                 if k == "purchase" and u in su)
+    return pa.table({
+        "user_id": pa.array([r[0] for r in out], pa.int64()),
+        "signup_us": pa.array([r[1] for r in out], pa.int64()),
+        "purchase_us": pa.array([r[2] for r in out], pa.int64()),
+        "delay_us": pa.array([r[3] for r in out], pa.int64())})
+
+
 def q_user_session_table(sf_dir: str):
     """Session-LEVEL table (engine/window.py session_table): one row
     per 30-minute-gap session with start/end/duration/event-count —
@@ -1690,6 +1739,20 @@ def q_embedding_dim_stats(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["embedding"])
     return embedding_dim_stats(ds).sort_by([("dim", "ascending")])
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (engine/similarity.py
+    grouped_embedding_centroids) — the class-mean statistic behind
+    centroid-based curation. labels x d integer pairs per block on
+    the wire; python-int merge == SQL HUGEINT; one mirrored float
+    finish per (label, dim)."""
+    from json_schema_ray.engine.similarity import \
+        grouped_embedding_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    out = grouped_embedding_centroids(ds)
+    return out.sort_by([("label", "ascending"), ("dim", "ascending")])
 
 
 def q_embedding_gram(sf_dir: str):
@@ -3034,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_overlap": q_event_type_overlap,
         "event_markov_probs": q_event_markov_probs,
         "user_session_table": q_user_session_table,
+        "signup_purchase_delay": q_signup_purchase_delay,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -3064,6 +3128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_mad": q_user_value_mad,
         "embedding_gram": q_embedding_gram,
         "embedding_dim_stats": q_embedding_dim_stats,
+        "label_centroids": q_label_centroids,
         "events_value_winsorized": q_events_value_winsorized,
         "curation_summary": q_curation_summary,
         "lang_dup_rates": q_lang_dup_rates,
@@ -3813,6 +3878,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_label, label, CAST(count(*) AS BIGINT) AS n
             FROM l GROUP BY prev_label, label
         """,
+        "signup_purchase_delay": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup'
+                                THEN epoch_us(ts) END) AS signup_us,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS purchase_us
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY user_id
+            )
+            SELECT user_id, CAST(signup_us AS BIGINT) AS signup_us,
+                   CAST(purchase_us AS BIGINT) AS purchase_us,
+                   CAST(purchase_us - signup_us AS BIGINT)
+                     AS delay_us
+            FROM f WHERE signup_us IS NOT NULL
+                  AND purchase_us IS NOT NULL
+        """,
         "user_session_table": """
             WITH o AS (
                 SELECT user_id, epoch_us(ts) AS tu,
@@ -4396,6 +4478,24 @@ def oracle_sql() -> dict[str, str]:
                    END AS winsorized
             FROM events e LEFT JOIN th ON th.user_id = e.user_id
             ORDER BY 1
+        """,
+        "label_centroids": r"""
+            WITH e AS (
+              SELECT label, i,
+                     CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xi
+              FROM (SELECT label, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              WHERE x IS NOT NULL
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(floor(CAST(sum(xi) AS DOUBLE) / 1000000.0
+                        / count(*) * 1e6 + 0.5) AS BIGINT)
+                     AS mean_e6
+            FROM e GROUP BY label, i
         """,
         "embedding_dim_stats": r"""
             WITH e AS (

@@ -751,3 +751,114 @@ def embedding_dim_stats(ds, embedding_column: str = "embedding",
                      "n": pa.array(out_n, pa.int64()),
                      "mean_e6": pa.array(means, pa.int64()),
                      "var_e6": pa.array(vars_, pa.int64())})
+
+
+def grouped_embedding_centroids(ds, label_column: str = "label",
+                                embedding_column: str = "embedding",
+                                scale: int = 10 ** 6):
+    """Per-label embedding centroid (class mean vector) — the
+    statistic behind centroid-based curation (SemDeDup-style cluster
+    pruning, IVF cell seeding, per-source embedding drift). Same
+    fixed-point discipline as :func:`embedding_dim_stats`: elements
+    quantize to ``floor(x * scale + 0.5)`` int64, per-(label, dim)
+    counts and sums accumulate as exact integers (python-int merge ==
+    SQL HUGEINT), and the single mirrored float finish is
+    ``mean = (S/scale)/n``. NULL labels form their own group (SQL
+    GROUP BY NULL); NULL vectors drop; a NULL element drops from its
+    dimension only. Mixed widths raise.
+
+    Shape: each block reduces to ``labels_in_block x d`` integer
+    pairs merged additively through Ray's aggregate tree — never
+    row-sized data; the label alphabet is assumed small (the output
+    is labels x d rows). Returns a driver pyarrow Table
+    (label, dim, n, mean_e6), 1-based dims."""
+    import math
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc, block: pa.Table):
+        col = block[embedding_column]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return acc
+        lab_arr = block[label_column].combine_chunks() \
+            .filter(pa.array(valid))
+        # type-stable label keys: a nullable int column must not leak
+        # float NaN keys (to_numpy would promote), so null rows route
+        # through an explicit mask and values decode per type
+        null_rows = pc.is_null(lab_arr).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(lab_arr.type):
+            vals = lab_arr.fill_null(0).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            dec = int
+        else:
+            vals = lab_arr.cast(pa.string()).fill_null("") \
+                .to_numpy(zero_copy_only=False)
+            dec = str
+        m = _batch_matrix(col.filter(pa.array(valid))) \
+            .astype(np.float64)
+        nanmask = np.isnan(m)
+        q = np.floor(np.nan_to_num(m) * scale + 0.5).astype(np.int64)
+        q[nanmask] = 0
+        acc = acc if acc is not None else {}
+
+        def add(lab, rows):
+            nd = (~nanmask[rows]).sum(0, dtype=np.int64).tolist()
+            sd = q[rows].sum(0, dtype=np.int64).tolist()
+            prev = acc.get(lab)
+            if prev is None:
+                acc[lab] = (nd, sd)
+            elif len(prev[0]) != len(nd):
+                raise ValueError("mixed embedding widths")
+            else:
+                acc[lab] = ([x + y for x, y in zip(prev[0], nd)],
+                            [x + y for x, y in zip(prev[1], sd)])
+
+        # labels are a small alphabet: one mask-reduce per label
+        for lab in np.unique(vals[~null_rows]):
+            add(dec(lab), (vals == lab) & ~null_rows)
+        if null_rows.any():
+            add(None, null_rows)
+        return acc
+
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        for lab, (nd, sd) in b.items():
+            prev = a.get(lab)
+            if prev is None:
+                a[lab] = (nd, sd)
+            else:
+                if len(prev[0]) != len(nd):
+                    raise ValueError("mixed embedding widths")
+                a[lab] = ([x + y for x, y in zip(prev[0], nd)],
+                          [x + y for x, y in zip(prev[1], sd)])
+        return a
+
+    agg = AggregateFn(init=lambda k: None,
+                      accumulate_block=acc_block,
+                      merge=merge, name="centroids")
+    res = ds.aggregate(agg)
+    st = res["centroids"] if res else None
+    if not st:
+        return pa.table({"label": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "mean_e6": pa.array([], pa.int64())})
+    labels, dims, out_n, means = [], [], [], []
+    for lab in sorted(st, key=lambda v: (v is None, v)):
+        nd, sd = st[lab]
+        for i, (n, s) in enumerate(zip(nd, sd)):
+            if n == 0:
+                continue
+            labels.append(lab)
+            dims.append(i + 1)
+            out_n.append(int(n))
+            means.append(int(math.floor(
+                float(s) / float(scale) / float(n) * 1e6 + 0.5)))
+    return pa.table({"label": pa.array(labels),
+                     "dim": pa.array(dims, pa.int64()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "mean_e6": pa.array(means, pa.int64())})

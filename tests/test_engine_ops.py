@@ -5220,3 +5220,55 @@ def test_embedding_dim_stats_empty_and_mixed_width():
     ds = _ray().data.from_arrow(a).union(_ray().data.from_arrow(b))
     with _pytest.raises(Exception):
         embedding_dim_stats(ds)
+
+
+def test_grouped_embedding_centroids_matches_duckdb():
+    """Per-label centroid vs SQL unnest GROUP BY (label, dim): NULL
+    labels form their own group, NULL vectors drop, NULL elements
+    drop per dimension, nullable-int labels stay ints."""
+    import duckdb
+
+    from json_schema_ray.engine.similarity import \
+        grouped_embedding_centroids
+
+    rng = np.random.default_rng(23)
+    n, d = 800, 8
+    m = rng.normal(0, 0.5, (n, d))
+    labs = rng.integers(0, 4, n).astype(object)
+    labs[rng.random(n) < 0.05] = None
+    rows = []
+    for i in range(n):
+        if i % 89 == 0:
+            rows.append(None)
+            continue
+        v = m[i].tolist()
+        if i % 37 == 0:
+            v[i % d] = None
+        rows.append(v)
+    t = pa.table({
+        "label": pa.array(labs.tolist(), pa.int32()),
+        "embedding": pa.array(rows, pa.list_(pa.float32()))})
+    want = sorted(duckdb.sql(
+        """WITH e AS (
+               SELECT label, i,
+                      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT) AS xi
+               FROM (SELECT label, unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i
+                     FROM t)
+               WHERE x IS NOT NULL)
+           SELECT label, CAST(i AS BIGINT),
+                  CAST(count(*) AS BIGINT),
+                  CAST(floor(CAST(sum(xi) AS DOUBLE) / 1000000.0
+                       / count(*) * 1e6 + 0.5) AS BIGINT)
+           FROM e GROUP BY label, i""").fetchall(),
+        key=lambda r: (r[0] is None, r[0] if r[0] is not None
+                       else 0, r[1]))
+    for blocks in (1, 5):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = grouped_embedding_centroids(ds)
+        got = sorted(((r["label"], r["dim"], r["n"], r["mean_e6"])
+                      for r in out.to_pylist()),
+                     key=lambda r: (r[0] is None, r[0] if r[0]
+                                    is not None else 0, r[1]))
+        assert got == want, blocks
