@@ -958,6 +958,38 @@ def q_user_session_table(sf_dir: str):
          ("session_start_us", "ascending")])
 
 
+def q_weekly_volume_delta(sf_dir: str):
+    """Period-over-period reporting: weekly event volume with the
+    previous week's count and the week-over-week change in e4
+    fixed-point ((n - prev) * 1e4 // prev — ALL-INTEGER, so the SQL
+    lag twin is hash-exact). Composition: tumbling_window_counts'
+    one combiner exchange produces the WEEK-SIZED table; the lag and
+    ratio run vectorized on that result (driver-side, bounded by
+    the number of weeks)."""
+    from json_schema_ray.engine.window import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = tumbling_window_counts(ds, window_seconds=7 * 86400)
+    t = t.rename_columns(["window_start_us", "value_sum", "n_events"])
+    t = t.sort_by([("window_start_us", "ascending")])
+    n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prev = np.concatenate([[0], n[:-1]])
+    has_prev = np.arange(len(n)) > 0
+    # DuckDB // TRUNCATES toward zero (not python floor): mirror via
+    # sign * (|q| // prev) so negative deltas agree
+    q = (n - prev) * 10000
+    delta = np.sign(q) * (np.abs(q) // np.maximum(prev, 1))
+    return pa.table({
+        "window_start_us": t["window_start_us"],
+        "n_events": pa.array(n),
+        "prev_events": pa.array(
+            [None if not h else int(p)
+             for h, p in zip(has_prev, prev)], pa.int64()),
+        "delta_e4": pa.array(
+            [None if (not h or p <= 0) else int(d)
+             for h, p, d in zip(has_prev, prev, delta)], pa.int64())})
+
+
 def q_daily_event_volume(sf_dir: str):
     from json_schema_ray.engine.window import tumbling_window_counts
 
@@ -3098,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov_probs": q_event_markov_probs,
         "user_session_table": q_user_session_table,
         "signup_purchase_delay": q_signup_purchase_delay,
+        "weekly_volume_delta": q_weekly_volume_delta,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -4766,6 +4799,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "weekly_volume_delta": """
+            WITH w AS (
+                SELECT CAST(floor(epoch_us(ts) / 604800000000)
+                            * 604800000000 AS BIGINT)
+                         AS window_start_us,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1
+            ), l AS (
+                SELECT window_start_us, n_events,
+                       lag(n_events) OVER (ORDER BY window_start_us)
+                         AS prev_events
+                FROM w
+            )
+            SELECT window_start_us, n_events, prev_events,
+                   CASE WHEN prev_events IS NULL OR prev_events <= 0
+                        THEN NULL
+                        ELSE CAST((n_events - prev_events) * 10000
+                             // prev_events AS BIGINT)
+                   END AS delta_e4
+            FROM l
         """,
         "hopping_event_volume": """
             SELECT CAST(floor(epoch_us(ts) / 21600000000)

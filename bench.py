@@ -82,6 +82,11 @@ EXTRA_QUERIES = [
     "lineitem_qty_price_corr",  # overflow-proof grouped Pearson
     "orders_lineitem_reconcile",  # parent-vs-child-sum validation
     "docs_source_lang_fd",     # functional-dependency violations
+    "user_session_table",      # session-level rows: sort + edge merge
+    "event_markov_matrix",     # transition counts: LAG + tiny exchange
+    "event_type_overlap",      # co-occurrence Jaccard via pair machinery
+    "user_event_entropy",      # fixed-point grouped Shannon entropy
+    "embedding_dim_stats",     # per-dim integer sufficient stats
 ]
 
 
