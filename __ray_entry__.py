@@ -2176,6 +2176,57 @@ def q_doc_quality(sf_dir: str):
     return t.sort_by("doc_id")
 
 
+def q_docs_quality_budget(sf_dir: str):
+    """Budget-constrained data selection: keep the highest-quality
+    documents (quality_x10k DESC, doc_id tiebreak) until the running
+    character budget (50k chars) is exhausted — the 'best data
+    under a token budget' curation selector. Composition: the
+    quality scan + ONE constant-key cumulative_sum (the hot-key
+    machinery is built for a single global key: two carry rows per
+    block, never the corpus) + a stateless threshold filter. The
+    running sum is integer-valued, so the SQL window twin is
+    hash-exact."""
+    from json_schema_ray.engine.rank import cumulative_sum
+    from json_schema_ray.engine.text import quality_scores
+
+    budget = 50_000
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "n_chars"])
+    scored = quality_scores(ds)
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = b["quality_score"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        qi = np.floor(q * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "quality_x10k": pa.array(qi),
+            "__negq": pa.array(-qi),
+            "sz": b["n_chars"],
+            "__k": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    ranked = scored.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    summed = cumulative_sum(ranked, "__k", "__negq", "sz",
+                            tiebreak="doc_id")
+
+    def keep(b: pa.Table) -> pa.Table:
+        r = pc.cast(b["running_sum"], pa.int64())
+        m = pc.and_(pc.is_valid(r), pc.less_equal(r, budget))
+        kept = b.filter(m)
+        return pa.table({
+            "doc_id": kept["doc_id"],
+            "quality_x10k": kept["quality_x10k"],
+            "cum_chars": pc.cast(kept["running_sum"], pa.int64())})
+
+    out = summed.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("quality_x10k", pa.int64()),
+                        ("cum_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_docs_bpe_token_counts(sf_dir: str):
     """Token counting with the BPE-ish word/number/punct splitter
     (both sides run the same RE2 engine, so non-overlapping match
@@ -3131,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_table": q_user_session_table,
         "signup_purchase_delay": q_signup_purchase_delay,
         "weekly_volume_delta": q_weekly_volume_delta,
+        "docs_quality_budget": q_docs_quality_budget,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -5015,6 +5067,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM events GROUP BY user_id HAVING count(*) >= 80
             ORDER BY 1
+        """,
+        "docs_quality_budget": """
+            WITH f AS (
+                SELECT doc_id, n_chars AS sz,
+                       CAST(length(text) AS DOUBLE) AS c_chars,
+                       CAST(length(regexp_extract_all(text, '\\S+'))
+                            AS DOUBLE) AS n_tok,
+                       CAST(length(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(length(regexp_extract_all(text,
+                            '(?i)\\b(a|an|and|as|at|by|for|in|is|it|of|on|or|that|the|this|to|with)\\b'))
+                            AS DOUBLE) AS n_stop,
+                       CAST(length(regexp_extract_all(text, '[A-Z]'))
+                            AS DOUBLE) AS n_upper
+                FROM documents
+            ), q AS (
+                SELECT doc_id, sz,
+                       CAST(floor(
+                         least(1.0, greatest(0.0,
+                           0.35 * least(n_tok / 50.0, 1.0)
+                           + 0.25 * least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+                           + 0.2 * (1 - least(n_punct / greatest(c_chars, 1.0) * 5, 1.0))
+                           + 0.2 * (1 - least(n_upper / greatest(c_chars, 1.0) * 5, 1.0))
+                         )) * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
+                FROM f
+            ), c AS (
+                SELECT doc_id, quality_x10k,
+                       sum(sz) OVER (ORDER BY quality_x10k DESC,
+                         doc_id ROWS UNBOUNDED PRECEDING) AS r
+                FROM q
+            )
+            SELECT doc_id, quality_x10k,
+                   CAST(r AS BIGINT) AS cum_chars
+            FROM c WHERE r <= 50000
         """,
         "dedup_docs_survivors": """
             SELECT doc_id, lang, n_chars FROM documents
