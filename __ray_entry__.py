@@ -958,6 +958,28 @@ def q_user_session_table(sf_dir: str):
          ("session_start_us", "ascending")])
 
 
+def q_user_weekly_type_diversity(sf_dir: str):
+    """Per-user sliding-window diversity (engine/window.py
+    keyed_hopping_distinct_counts): each user's 7-day distinct
+    event-type count as of each day — the keyed generalization of
+    weekly_active_users. Hot users collapse to distinct (hop, user,
+    type) triples per block BEFORE the 7x window expansion; the
+    global dedupe is one (window, user, type)-cardinality exchange."""
+    from json_schema_ray.engine.window import \
+        keyed_hopping_distinct_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+    out = keyed_hopping_distinct_counts(
+        ds, "ts", "user_id", "event_type",
+        window_seconds=7 * 86400, hop_seconds=86400)
+    schema = pa.schema([("window_start_us", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("n_distinct", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("window_start_us", "ascending"), ("user_id", "ascending")])
+
+
 def q_weekly_volume_delta(sf_dir: str):
     """Period-over-period reporting: weekly event volume with the
     previous week's count and the week-over-week change in e4
@@ -3183,6 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_purchase_delay": q_signup_purchase_delay,
         "weekly_volume_delta": q_weekly_volume_delta,
         "docs_quality_budget": q_docs_quality_budget,
+        "user_weekly_type_diversity": q_user_weekly_type_diversity,
         "transcript_role_protocol": q_transcript_role_protocol,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
@@ -4851,6 +4874,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS value_sum,
                    count(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        "user_weekly_type_diversity": """
+            SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                        * 86400000000
+                        - k.k * 86400000000 AS BIGINT)
+                     AS window_start_us,
+                   user_id,
+                   count(DISTINCT event_type)::BIGINT AS n_distinct
+            FROM events
+            CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS k) k
+            WHERE event_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "weekly_volume_delta": """
             WITH w AS (

@@ -1072,3 +1072,86 @@ def session_table(ds, key: str = "user_id", ts: str = "ts",
                                 pa.int64()),
     })
     return interior.union(ray.data.from_arrow(edge_table))
+
+
+def keyed_hopping_distinct_counts(ds, ts: str = "ts",
+                                  key: str = "user_id",
+                                  value: str = "event_type",
+                                  window_seconds: int = 7 * 86400,
+                                  hop_seconds: int = 86400):
+    """PER-KEY sliding-window exact distinct — "each user's 7-day
+    distinct event types as of each day": the keyed generalization
+    of :func:`hopping_distinct_counts` (whose output is corpus-wide).
+    The engagement-diversity / feature-freshness signal per entity.
+
+    Shape: window membership depends only on the HOP BUCKET, so each
+    block first collapses to its distinct (hop, key, value) triples
+    (hot keys never survive a block at their raw multiplicity), the
+    window/hop-fold expansion multiplies COMBINER-sized rows, a
+    second per-block dedupe collapses the fold overlap, and ONE
+    null-safe groupby on (window, key, value) finishes the global
+    dedupe; the per-(window, key) count is then a triple-cardinality
+    combiner + ONE (window, key)-sized exchange. NULL timestamps
+    land in the NULL window (SQL semantics); NULL values drop
+    (COUNT(DISTINCT)); NULL keys form their own group.
+
+    Returns a Dataset of (window_start_us, key, n_distinct)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import null_safe_grouped_aggregate
+
+    hop_us = hop_seconds * 1_000_000
+
+    def bucket_triples(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value]))
+        tsv = _int64_us(t[ts])
+        valid = pc.is_valid(tsv).to_numpy(zero_copy_only=False)
+        t_np = pc.fill_null(tsv, 0).to_numpy(zero_copy_only=False)
+        base = (t_np // hop_us) * hop_us
+        hop = pa.array(base, pa.int64(),
+                       mask=None if valid.all() else ~valid)
+        g = pa.TableGroupBy(
+            pa.table({"__hop": hop, key: t[key], value: t[value]}),
+            ["__hop", key, value]).aggregate([])
+        return g
+
+    triples = ds.map_batches(bucket_triples, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    assign = _hopping_assign("__hop", window_seconds, hop_seconds)
+
+    def expand_dedupe(batch: pa.Table) -> pa.Table:
+        w = assign(batch)
+        g = pa.TableGroupBy(
+            w.select(["window_start_us", key, value]),
+            ["window_start_us", key, value]).aggregate([])
+        return g.append_column(
+            "__c", pa.array(np.ones(g.num_rows, np.int64)))
+
+    expanded = triples.map_batches(expand_dedupe,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    distinct = null_safe_grouped_aggregate(
+        expanded, ["window_start_us", key, value],
+        [Sum("__c", alias_name="__c")], ["__c"])
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            batch.select(["window_start_us", key]),
+            ["window_start_us", key]).aggregate([([], "count_all")])
+        return pa.table({
+            "window_start_us": g["window_start_us"], key: g[key],
+            "__n": g["count_all"].cast(pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        distinct.map_batches(pair_counts, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["window_start_us", key], [Sum("__n", alias_name="__n")],
+        ["__n"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"window_start_us": batch["window_start_us"],
+                         key: batch[key],
+                         "n_distinct": batch["__n"]})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

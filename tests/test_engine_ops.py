@@ -5272,3 +5272,45 @@ def test_grouped_embedding_centroids_matches_duckdb():
                      key=lambda r: (r[0] is None, r[0] if r[0]
                                     is not None else 0, r[1]))
         assert got == want, blocks
+
+
+def test_keyed_hopping_distinct_matches_duckdb():
+    """Per-key sliding-window distinct vs the SQL hop-offset unnest
+    twin: NULL values drop, NULL ts lands in the NULL window, hot
+    keys collapse per block before expansion."""
+    import duckdb
+
+    from json_schema_ray.engine.window import \
+        keyed_hopping_distinct_counts
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    u = rng.integers(0, 30, n)
+    u[:2000] = 4
+    base = rng.integers(0, 20 * 86400, n).astype(np.int64) * 1_000_000
+    tso = base.astype(object)
+    tso[rng.random(n) < 0.02] = None
+    vals = rng.choice(["a", "b", "c", "d", "e"], n).astype(object)
+    vals[rng.random(n) < 0.03] = None
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "ts": pa.array(tso.tolist(), pa.timestamp("us")),
+        "v": pa.array(vals.tolist(), pa.string())})
+    want = sorted(duckdb.sql(
+        """SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                       * 86400000000
+                       - k.k * 86400000000 AS BIGINT) AS w,
+                  u, count(DISTINCT v)::BIGINT
+           FROM t CROSS JOIN (SELECT unnest([0,1,2]) AS k) k
+           WHERE v IS NOT NULL
+           GROUP BY 1, 2""").fetchall(),
+        key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+    for blocks in (1, 8):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        out = keyed_hopping_distinct_counts(
+            ds, "ts", "u", "v", window_seconds=3 * 86400,
+            hop_seconds=86400)
+        got = sorted(((r["window_start_us"], r["u"], r["n_distinct"])
+                      for r in out.take_all()),
+                     key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+        assert got == want, blocks
