@@ -2455,9 +2455,13 @@ def category_overlap(ds, entity: str, category: str):
 
     # per-category distinct-entity totals: alphabet-sized, and the
     # code assignment follows SORTED category order so integer pair
-    # order == the oracle's lexicographic cat_a < cat_b
+    # order == the oracle's lexicographic cat_a < cat_b.
+    # driver_merge: the input is the materialized distinct-pair set
+    # and the group count is the category alphabet — the documented
+    # low-cardinality fast path (alphabet x blocks partials), so the
+    # totals never pay a Ray Aggregate all-to-all
     per_cat = grouped_aggregate(pairs, [category],
-                                [(None, "count")])
+                                [(None, "count")], driver_merge=True)
     if per_cat is None or per_cat.num_rows == 0:
         return pa.table({
             "cat_a": pa.array([], pa.string()),
