@@ -5314,3 +5314,67 @@ def test_keyed_hopping_distinct_matches_duckdb():
                       for r in out.take_all()),
                      key=lambda r: (r[0] is None, r[0] or 0, r[1]))
         assert got == want, blocks
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_new_stitch_ops_randomized_differential(seed):
+    """Randomized multi-block differential for the round-4 boundary-
+    stitch operators (transition_counts, session_table): random key
+    skew, tie timestamps, NULL labels/ts, random block counts — each
+    compared against DuckDB on the same table. Guards the edge-merge
+    logic against alignment regressions beyond the single-seed
+    tests."""
+    import duckdb
+
+    from json_schema_ray.engine.keys import transition_counts
+    from json_schema_ray.engine.window import session_table
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 3000))
+    zipf = rng.zipf(1.5, n) % 17
+    ts = (rng.integers(0, 5 * 86400, n) * 1_000_000).astype(object)
+    ts[rng.random(n) < 0.03] = None
+    labs = rng.choice(["s", "t", "u"], n).astype(object)
+    labs[rng.random(n) < 0.08] = None
+    t = pa.table({
+        "u": pa.array(zipf.astype(np.int64), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "lab": pa.array(labs.tolist(), pa.string())})
+    blocks = int(rng.integers(2, 11))
+    ds = _ray().data.from_arrow(t).repartition(blocks)
+
+    got = sorted(((r["prev_label"], r["label"], r["n"])
+                  for r in transition_counts(
+                      ds, "u", "ts", "lab", tiebreak="rid")
+                  .take_all()),
+                 key=lambda r: (r[0] is None, r[0] or "",
+                                r[1] is None, r[1] or ""))
+    want = sorted(duckdb.sql(
+        """WITH l AS (SELECT lag(lab) OVER (PARTITION BY u
+                        ORDER BY ts, rid) AS p, lab AS c FROM t)
+           SELECT p, c, CAST(count(*) AS BIGINT) FROM l
+           GROUP BY p, c""").fetchall(),
+        key=lambda r: (r[0] is None, r[0] or "",
+                       r[1] is None, r[1] or ""))
+    assert got == want
+
+    got_s = sorted((r["u"], r["session_start_us"],
+                    r["session_end_us"], r["n_events"])
+                   for r in session_table(
+                       ds, "u", "ts", gap_seconds=3600.0).take_all())
+    want_s = sorted(duckdb.sql(
+        """WITH o AS (SELECT u, epoch_us(ts) AS tu,
+                        lag(epoch_us(ts)) OVER (PARTITION BY u
+                          ORDER BY ts) AS prev
+                      FROM t WHERE ts IS NOT NULL),
+             f AS (SELECT u, tu, CASE WHEN prev IS NULL
+                        OR tu - prev > 3600000000 THEN 1 ELSE 0 END
+                        AS new_s FROM o),
+             s AS (SELECT u, tu, sum(new_s) OVER (PARTITION BY u
+                     ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM f)
+           SELECT u, CAST(min(tu) AS BIGINT),
+                  CAST(max(tu) AS BIGINT), CAST(count(*) AS BIGINT)
+           FROM s GROUP BY u, sid""").fetchall())
+    assert got_s == want_s
