@@ -1378,24 +1378,71 @@ def null_safe_grouped_aggregate(partial_ds, keys: List[str], agg_objs,
                                zero_copy_batch=True)
 
 
+def _zero_scalar(t: pa.DataType):
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    return pa.scalar(0, t)
+
+
 def null_safe_sort(ds, keys: List[str], tail: List[str]):
-    """Range-partitioned sort tolerating null STRING key values: the
-    key columns travel as their shuffle-safe encodings (one column
-    per key) and are decoded back after the sort; ``tail`` columns
-    sort as-is (numeric nulls are orderable)."""
+    """Range-partitioned sort tolerating null KEY values of any type.
+    String keys travel as the invertible prefixed encoding; every
+    other key type gains an ``__gs{i}f`` is-null flag (int8, sorted
+    BEFORE the value at that key level) and its nulls filled with a
+    type-zero — Ray's range-partitioned sort DUPLICATES rows
+    nondeterministically when a primary sort column contains nulls
+    (observed on nullable int64 and timestamp keys: 800-row inputs
+    returned 830-930 rows, varying run to run), so NO key column may
+    reach the exchange nullable. The flag makes null keys one
+    CONTIGUOUS segment sorted after that level's non-null values
+    (position across groups is semantically irrelevant to the
+    partition-style callers); ``tail`` columns sort as-is (nullable
+    tails are unaffected by the Ray defect — verified empirically —
+    and rank callers rely on Ray's NULLS-LAST tail order)."""
     group_cols = [f"__gs{i}" for i in range(len(keys))]
 
     def encode(batch: pa.Table) -> pa.Table:
-        return encode_null_safe_keys(batch, keys)
+        out = encode_null_safe_keys(batch, keys)
+        # EVERY key gains a flag so the sort-column list is static
+        # (no lazy schema() peek, which would execute the upstream);
+        # for string keys the prefixed encoding is already non-null,
+        # so its flag is constant 0 and order is unchanged
+        for i in range(len(keys)):
+            c = f"__gs{i}"
+            col = out[c]
+            flag = pc.cast(pc.is_null(col), pa.int8())
+            filled = col if _is_string_type(col.type) else \
+                pc.fill_null(col, _zero_scalar(col.type))
+            out = out.set_column(out.column_names.index(c), c,
+                                 filled) \
+                .append_column(f"__gs{i}f", flag)
+        return out
+
+    sort_cols: List[str] = []
+    for i in range(len(keys)):
+        sort_cols += [f"__gs{i}f", f"__gs{i}"]
+    sort_cols += list(tail)
 
     def decode(batch: pa.Table) -> pa.Table:
-        others = [c for c in batch.column_names
+        out = batch
+        for i in range(len(keys)):
+            f = f"__gs{i}f"
+            c = f"__gs{i}"
+            col = out[c]
+            if not _is_string_type(col.type):
+                restored = pc.if_else(
+                    pc.equal(out[f], pa.scalar(1, pa.int8())),
+                    pa.scalar(None, col.type), col)
+                out = out.set_column(out.column_names.index(c), c,
+                                     restored)
+            out = out.drop_columns([f])
+        others = [c for c in out.column_names
                   if c not in group_cols]
-        return decode_null_safe_keys(batch, keys, others)
+        return decode_null_safe_keys(out, keys, others)
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True) \
-        .sort(group_cols + tail) \
+        .sort(sort_cols) \
         .map_batches(decode, batch_format="pyarrow",
                      zero_copy_batch=True)
 
@@ -2282,14 +2329,50 @@ def snapshot_diff(old_ds, new_ds, keys: List[str], compare: List[str],
             t = batch.select(need).append_column(
                 "__side", pa.array(np.full(batch.num_rows, side,
                                            np.int8)))
-            return encode_null_safe_keys(t, keys)
+            t = encode_null_safe_keys(t, keys)
+            # Ray's range-partitioned sort DUPLICATES rows when a
+            # primary sort column contains nulls (nullable int64 /
+            # timestamp keys) — ship every key column non-null
+            # through the exchange (is-null flag + type-zero fill)
+            # and restore right after the sort, so the scan logic
+            # below still sees the original nullable encoding
+            for i in range(len(keys)):
+                c = f"__gs{i}"
+                col = t[c]
+                flag = pc.cast(pc.is_null(col), pa.int8())
+                filled = col if _is_string_type(col.type) else \
+                    pc.fill_null(col, _zero_scalar(col.type))
+                t = t.set_column(t.column_names.index(c), c, filled) \
+                    .append_column(f"__gs{i}f", flag)
+            return t
         return fn
+
+    sort_cols: List[str] = []
+    for i in range(len(keys)):
+        sort_cols += [f"__gs{i}f", f"__gs{i}"]
+
+    def restore_nulls(batch: pa.Table) -> pa.Table:
+        out_t = batch
+        for i in range(len(keys)):
+            f = f"__gs{i}f"
+            c = f"__gs{i}"
+            col = out_t[c]
+            if not _is_string_type(col.type):
+                restored = pc.if_else(
+                    pc.equal(out_t[f], pa.scalar(1, pa.int8())),
+                    pa.scalar(None, col.type), col)
+                out_t = out_t.set_column(
+                    out_t.column_names.index(c), c, restored)
+            out_t = out_t.drop_columns([f])
+        return out_t
 
     both = old_ds.map_batches(tag(0), batch_format="pyarrow",
                               zero_copy_batch=True) \
         .union(new_ds.map_batches(tag(1), batch_format="pyarrow",
                                   zero_copy_batch=True)) \
-        .sort(group_cols + ["__side"])
+        .sort(sort_cols + ["__side"]) \
+        .map_batches(restore_nulls, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
     def _newseg(batch: pa.Table) -> np.ndarray:
         # Arrow compares throughout: a numpy round-trip would coerce

@@ -24,6 +24,25 @@ import pyarrow.compute as pc
 from .relational import _int64_us
 
 
+def _same_adjacent_keys(col) -> np.ndarray:
+    """Null-safe adjacent-equality for a sorted key column, as a
+    bool[n-1] numpy mask: NULL == NULL, because SQL PARTITION BY
+    groups null keys together — a numpy ``==`` on the converted
+    array would turn nullable-int nulls into NaN and split every
+    null-key row into its own segment."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n <= 1:
+        return np.zeros(0, bool)
+    a, b = col.slice(1), col.slice(0, n - 1)
+    eq = pc.fill_null(pc.equal(a, b), False) \
+        .to_numpy(zero_copy_only=False)
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b)) \
+        .to_numpy(zero_copy_only=False)
+    return eq | both_null
+
+
 def range_windowed_sum(ds, key: str, ts: str, value: str, window,
                        out: str = "range_sum",
                        cnt_out: str = "range_cnt",
@@ -209,16 +228,16 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
         }
         if n == 0:
             return pa.table(empty)
-        keys_np = batch[key].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
+        kcol = batch[key].combine_chunks()
         tsv = _int64_us(batch[ts]).to_numpy(zero_copy_only=False)
         # one vectorized pass over the sorted block: per-key-segment
         # event counts, session counts (adjacent-diff breaks), and
-        # first/last timestamps
-        change = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
+        # first/last timestamps. Null-safe key comparison: NULL keys
+        # form ONE group (SQL PARTITION BY), not one group per row
+        same = _same_adjacent_keys(kcol)
+        change = np.nonzero(~same)[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [n]])
-        same = keys_np[1:] == keys_np[:-1]
         brk = same & ((tsv[1:] - tsv[:-1]) > gap_us)
         cs = np.concatenate([[0], np.cumsum(brk)])
         # the block is sorted, so only its FIRST and LAST key segment
@@ -228,7 +247,7 @@ def sessionize_counts(ds, key: str = "user_id", ts: str = "ts",
         edge_g = np.zeros(g, dtype=bool)
         edge_g[0] = edge_g[g - 1] = True
         return pa.table({
-            key: pa.array(keys_np[starts].tolist(), ktype),
+            key: kcol.take(pa.array(starts, pa.int64())),
             "n_events": pa.array(ends - starts, pa.int64()),
             "n_sessions": pa.array(1 + cs[ends - 1] - cs[starts],
                                    pa.int64()),
@@ -997,10 +1016,10 @@ def session_table(ds, key: str = "user_id", ts: str = "ts",
         }
         if n == 0:
             return pa.table(empty)
-        keys_np = batch[key].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
+        kcol = batch[key].combine_chunks()
         tsv = _int64_us(batch[ts]).to_numpy(zero_copy_only=False)
-        same = keys_np[1:] == keys_np[:-1]
+        # null-safe: NULL keys form ONE group (SQL PARTITION BY)
+        same = _same_adjacent_keys(kcol)
         brk = ~same | ((tsv[1:] - tsv[:-1]) > gap_us)
         s_starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
         s_ends = np.concatenate([s_starts[1:], [n]])
@@ -1012,7 +1031,7 @@ def session_table(ds, key: str = "user_id", ts: str = "ts",
         exposed = np.zeros(m, dtype=bool)
         exposed[0] = exposed[m - 1] = True
         return pa.table({
-            key: pa.array(keys_np[s_starts].tolist(), ktype),
+            key: kcol.take(pa.array(s_starts, pa.int64())),
             "session_start_us": pa.array(tsv[s_starts]),
             "session_end_us": pa.array(tsv[s_ends - 1]),
             "n_events": pa.array(s_ends - s_starts, pa.int64()),

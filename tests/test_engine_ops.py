@@ -5378,3 +5378,122 @@ def test_new_stitch_ops_randomized_differential(seed):
                   CAST(max(tu) AS BIGINT), CAST(count(*) AS BIGINT)
            FROM s GROUP BY u, sid""").fetchall())
     assert got_s == want_s
+
+
+def test_session_ops_null_keys_group_together():
+    """NULL keys must form ONE partition (SQL PARTITION BY), not one
+    segment per row — nullable-int keys convert to NaN in numpy and
+    NaN != NaN would split them without the arrow-side comparison."""
+    import duckdb
+
+    from json_schema_ray.engine.window import (session_table,
+                                               sessionize_counts)
+
+    rng = np.random.default_rng(41)
+    n = 800
+    u = rng.integers(0, 5, n).astype(object)
+    u[rng.random(n) < 0.3] = None
+    ts = (rng.integers(0, 3 * 86400, n) * 1_000_000).astype(np.int64)
+    t = pa.table({"u": pa.array(u.tolist(), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    want = sorted(duckdb.sql(
+        """WITH o AS (SELECT u, epoch_us(ts) AS tu,
+                        lag(epoch_us(ts)) OVER (PARTITION BY u
+                          ORDER BY ts) AS prev FROM t),
+             f AS (SELECT u, tu, CASE WHEN prev IS NULL
+                        OR tu - prev > 3600000000 THEN 1 ELSE 0 END
+                        AS new_s FROM o),
+             s AS (SELECT u, tu, sum(new_s) OVER (PARTITION BY u
+                     ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM f)
+           SELECT u, CAST(min(tu) AS BIGINT),
+                  CAST(count(*) AS BIGINT)
+           FROM s GROUP BY u, sid""").fetchall(),
+        key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+    for blocks in (1, 6):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = sorted(((r["u"], r["session_start_us"], r["n_events"])
+                      for r in session_table(
+                          ds, "u", "ts", gap_seconds=3600.0)
+                      .take_all()),
+                     key=lambda r: (r[0] is None, r[0] or 0, r[1]))
+        assert got == want, blocks
+        sc = {r["u"]: (r["n_events"], r["n_sessions"])
+              for r in sessionize_counts(ds, "u", "ts",
+                                         gap_seconds=3600.0)
+              .take_all()}
+        from collections import Counter
+        cnt_sessions = Counter(r[0] for r in got)
+        cnt_events: dict = {}
+        for ukey, _s, ne in got:
+            cnt_events[ukey] = cnt_events.get(ukey, 0) + ne
+        assert {k: (cnt_events[k], cnt_sessions[k])
+                for k in cnt_sessions} == sc, blocks
+
+
+def test_null_safe_sort_nullable_int_key_no_duplication():
+    """Ray's range-partitioned sort DUPLICATES rows when a primary
+    sort column contains nulls (nullable int64/timestamp keys:
+    800-row inputs nondeterministically returned 830-930 rows).
+    null_safe_sort must ship every key column non-null (is-null flag
+    + type-zero fill) so row counts are exact and null keys form one
+    contiguous segment."""
+    from json_schema_ray.engine.relational import null_safe_sort
+
+    rng = np.random.default_rng(47)
+    n = 800
+    u = rng.integers(0, 5, n).astype(object)
+    u[rng.random(n) < 0.3] = None
+    ts = (rng.integers(0, 3 * 86400, n) * 1_000_000).astype(np.int64)
+    t = pa.table({"u": pa.array(u.tolist(), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    n_null = sum(1 for v in u.tolist() if v is None)
+    for trial in range(3):
+        ds = _ray().data.from_arrow(t).repartition(6)
+        s = null_safe_sort(ds, ["u"], ["ts"])
+        seq = []
+        for b in s.iter_batches(batch_format="pyarrow"):
+            col = b["u"].combine_chunks() if isinstance(
+                b["u"], pa.ChunkedArray) else b["u"]
+            seq.extend(None if not v.is_valid else v.as_py()
+                       for v in col)
+        assert len(seq) == n, trial
+        assert sum(1 for v in seq if v is None) == n_null, trial
+        # null keys contiguous (one run), keys non-decreasing
+        runs = [v for j, v in enumerate(seq)
+                if j == 0 or v != seq[j - 1]]
+        assert runs.count(None) == 1, trial
+        nn = [v for v in runs if v is not None]
+        assert nn == sorted(nn), trial
+
+
+def test_snapshot_diff_nullable_int_keys():
+    """snapshot_diff over a nullable INT key: the distributed sort
+    must not duplicate rows (Ray nullable-primary-key sort defect)
+    and the NULL key matches across snapshots (IS DISTINCT FROM)."""
+    from json_schema_ray.engine.relational import snapshot_diff
+
+    rng = np.random.default_rng(53)
+    n = 700
+    ids = np.arange(n).astype(object)
+    ids[0] = None                     # one NULL key, both snapshots
+    vals = rng.integers(0, 100, n)
+    old = pa.table({"k": pa.array(ids.tolist(), pa.int64()),
+                    "v": pa.array(vals, pa.int64())})
+    new_vals = vals.copy()
+    new_vals[1] += 5                  # k=1 changed
+    new_vals[0] += 7                  # NULL key changed
+    keep = np.ones(n, bool)
+    keep[2] = False                   # k=2 removed
+    new = pa.table({"k": pa.array(
+        (ids[keep]).tolist() + [10_000], pa.int64()),
+        "v": pa.array(np.concatenate([new_vals[keep], [1]]),
+                      pa.int64())})
+    for blocks in (1, 5):
+        o = _ray().data.from_arrow(old).repartition(blocks)
+        nn = _ray().data.from_arrow(new).repartition(blocks)
+        got = sorted(((r["k"], r["change"]) for r in
+                      snapshot_diff(o, nn, ["k"], ["v"]).take_all()),
+                     key=lambda r: (r[0] is None, r[0] or 0))
+        assert got == [(1, "changed"), (2, "removed"),
+                       (10000, "added"), (None, "changed")], blocks
