@@ -3175,6 +3175,30 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_events_expectations(sf_dir: str):
+    """Declarative data-contract report (engine/expectations.py
+    expectation_report): six row-local checks — not-null, set
+    membership, numeric range, regex, string length — evaluated over
+    events in ONE fused map_batches scan. Each block reduces to
+    n_checks counter rows; the driver folds n_checks x n_blocks
+    counters, never data. fail_e6 is the all-integer ppm failure
+    rate so the SQL twin is hash-exact."""
+    from json_schema_ray.engine import expectations as ex
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value", "props"])
+    return ex.expectation_report(ds, [
+        ex.not_null("user_id"),
+        ex.not_null("value"),
+        ex.in_set("event_type",
+                  ["click", "view", "purchase", "signup"],
+                  name="event_type_known"),
+        ex.between("value", lo=0.0, hi=400.0, name="value_range"),
+        ex.matches("props", r'^\{"k": [0-9]+\}$', name="props_shape"),
+        ex.str_length_between("props", lo=1, hi=9, name="props_len"),
+    ])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -3229,6 +3253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_reconcile": q_orders_lineitem_reconcile,
         "docs_source_lang_fd": q_docs_source_lang_fd,
         "daily_volume_anomalies": q_daily_volume_anomalies,
+        "events_expectations": q_events_expectations,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3778,6 +3803,40 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
+        "events_expectations": r"""
+            WITH base AS (
+              SELECT
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) - count(user_id) AS BIGINT) AS f_user,
+                CAST(count(*) - count(value) AS BIGINT) AS f_val,
+                CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                      AND event_type NOT IN
+                        ('click','view','purchase','signup')
+                      THEN 1 END), 0) AS BIGINT) AS f_set,
+                CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+                      AND (value < 0.0 OR value > 400.0)
+                      THEN 1 END), 0) AS BIGINT) AS f_range,
+                CAST(coalesce(sum(CASE WHEN props IS NOT NULL
+                      AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+                      THEN 1 END), 0) AS BIGINT) AS f_shape,
+                CAST(coalesce(sum(CASE WHEN props IS NOT NULL
+                      AND (length(props) < 1 OR length(props) > 9)
+                      THEN 1 END), 0) AS BIGINT) AS f_len
+              FROM events)
+            SELECT check_name, n_rows, n_failed,
+                   (n_failed * 1000000) // n_rows AS fail_e6,
+                   CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS passed
+            FROM (
+              SELECT 'event_type_known' AS check_name, n AS n_rows,
+                     f_set AS n_failed FROM base
+              UNION ALL SELECT 'props_len', n, f_len FROM base
+              UNION ALL SELECT 'props_shape', n, f_shape FROM base
+              UNION ALL SELECT 'user_id_not_null', n, f_user FROM base
+              UNION ALL SELECT 'value_not_null', n, f_val FROM base
+              UNION ALL SELECT 'value_range', n, f_range FROM base)
+            ORDER BY check_name
+        """,
         "orders_price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,
                    quantile_disc(o_totalprice, 0.25) AS value FROM orders

@@ -5497,3 +5497,65 @@ def test_snapshot_diff_nullable_int_keys():
                      key=lambda r: (r[0] is None, r[0] or 0))
         assert got == [(1, "changed"), (2, "removed"),
                        (10000, "added"), (None, "changed")], blocks
+
+
+# ---------------------------------------------------------------------------
+# expectation_report (engine/expectations.py)
+# ---------------------------------------------------------------------------
+
+def test_expectation_report_counts_and_null_contract():
+    from json_schema_ray.engine import expectations as ex
+
+    t = pa.table({
+        "v": pa.array([1.0, -2.0, None, 5.0, 100.0], pa.float64()),
+        "s": pa.array(["ok", "nope", None, "ok", "toolongvalue"]),
+    })
+    checks = [
+        ex.not_null("v"),
+        ex.between("v", lo=0.0, hi=10.0, name="v_range"),
+        ex.in_set("s", ["ok"], name="s_in"),
+        ex.matches("s", r"^o", name="s_match"),
+        ex.str_length_between("s", lo=1, hi=4, name="s_len"),
+    ]
+    for blocks in (1, 3):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["check_name"]: r for r in
+               ex.expectation_report(ds, checks).to_pylist()}
+        assert got["v_not_null"]["n_failed"] == 1
+        # nulls are skipped by non-not_null checks
+        assert got["v_range"]["n_failed"] == 2          # -2.0, 100.0
+        assert got["s_in"]["n_failed"] == 2             # nope, toolong
+        assert got["s_match"]["n_failed"] == 2          # nope, toolong
+        assert got["s_len"]["n_failed"] == 1            # toolongvalue
+        for r in got.values():
+            assert r["n_rows"] == 5
+            assert r["fail_e6"] == (r["n_failed"] * 1_000_000) // 5
+            assert r["passed"] == int(r["n_failed"] == 0)
+    # output is sorted by check name
+    names = [r["check_name"] for r in
+             ex.expectation_report(
+                 _ray().data.from_arrow(t), checks).to_pylist()]
+    assert names == sorted(names)
+
+
+def test_expectation_report_open_bounds_and_errors():
+    from json_schema_ray.engine import expectations as ex
+
+    t = pa.table({"v": pa.array([1, 2, 30], pa.int64())})
+    ds = _ray().data.from_arrow(t)
+    got = {r["check_name"]: r["n_failed"] for r in
+           ex.expectation_report(ds, [
+               ex.between("v", lo=2, name="v_ge2"),
+               ex.between("v", hi=2, name="v_le2"),
+           ]).to_pylist()}
+    assert got == {"v_ge2": 1, "v_le2": 1}
+
+    with pytest.raises(ValueError, match="empty contract"):
+        ex.expectation_report(ds, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        ex.expectation_report(ds, [ex.not_null("v"), ex.not_null("v")])
+    with pytest.raises(ValueError, match="at least one bound"):
+        ex.between("v")
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        ex.expectation_report(
+            ds, [{"kind": "bogus", "column": "v", "name": "x"}])
