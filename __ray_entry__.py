@@ -3175,6 +3175,24 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_docs_keyword_search(sf_dir: str):
+    """Boolean AND keyword search (engine/text.py keyword_search):
+    docs whose token set contains ALL of three query terms. Pure
+    row-local filter — one map_batches scan, no shuffle, per-row
+    uint64 term bitmask so duplicate occurrences can't
+    double-count."""
+    from json_schema_ray.engine.text import keyword_search
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    out = keyword_search(ds, ["spark", "merge", "window"],
+                         column="text", mode="all")
+    out = out.select_columns(["doc_id", "lang", "n_chars"])
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_events_expectations(sf_dir: str):
     """Declarative data-contract report (engine/expectations.py
     expectation_report): six row-local checks — not-null, set
@@ -3254,6 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_lang_fd": q_docs_source_lang_fd,
         "daily_volume_anomalies": q_daily_volume_anomalies,
         "events_expectations": q_events_expectations,
+        "docs_keyword_search": q_docs_keyword_search,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3803,6 +3822,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
+        "docs_keyword_search": r"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE list_contains(regexp_split_to_array(text, '\s+'),
+                                'spark')
+              AND list_contains(regexp_split_to_array(text, '\s+'),
+                                'merge')
+              AND list_contains(regexp_split_to_array(text, '\s+'),
+                                'window')
+            ORDER BY doc_id
+        """,
         "events_expectations": r"""
             WITH base AS (
               SELECT

@@ -1291,3 +1291,55 @@ def drop_repeated_lines(ds, id_column: str = "doc_id",
 
     return ds.map_batches(rebuild, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def keyword_search(ds, terms, column: str = "text",
+                   mode: str = "all"):
+    """Boolean keyword search: keep the rows whose whitespace-token
+    set contains ALL (``mode="all"``) or ANY (``mode="any"``) of the
+    query ``terms`` (exact token equality — the same
+    ``regexp_split_to_array(text, '\\s+')`` contract every text
+    oracle in this repo rides).
+
+    Scale shape: pure row-local filter — ONE ``map_batches`` scan,
+    no shuffle, nothing broadcast (the query is request-sized).
+    Per batch the tokens flatten once (`_flat_terms`), each matched
+    token maps to its query-term index via ``pc.index_in``, and a
+    per-row uint64 bitmask accumulates which terms were seen
+    (``np.bitwise_or.at``) — so duplicate occurrences can't
+    double-count and AND is one integer compare. NULL text never
+    matches (SQL ``list_contains(NULL, t)`` is NULL -> filtered).
+
+    Up to 64 terms (one bitmask word); raise beyond that rather than
+    silently truncating.
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("keyword_search: empty term list")
+    if len(set(terms)) != len(terms):
+        raise ValueError("keyword_search: duplicate terms")
+    if len(terms) > 64:
+        raise ValueError("keyword_search: more than 64 terms")
+    if mode not in ("all", "any"):
+        raise ValueError(f"keyword_search: bad mode {mode!r}")
+    term_arr = pa.array(terms, pa.string())
+    want = (np.uint64(1) << np.uint64(len(terms))) - np.uint64(1)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch
+        flat, par = _flat_terms(batch, column)
+        idx = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        mask = np.zeros(n, np.uint64)
+        if hit.any():
+            ti = idx.to_numpy(zero_copy_only=False)[hit] \
+                .astype(np.uint64)
+            np.bitwise_or.at(mask, par[hit],
+                             np.uint64(1) << ti)
+        keep = (mask == want) if mode == "all" else (mask != 0)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

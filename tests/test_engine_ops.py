@@ -5559,3 +5559,40 @@ def test_expectation_report_open_bounds_and_errors():
     with pytest.raises(ValueError, match="unknown expectation kind"):
         ex.expectation_report(
             ds, [{"kind": "bogus", "column": "v", "name": "x"}])
+
+
+# ---------------------------------------------------------------------------
+# keyword_search (engine/text.py)
+# ---------------------------------------------------------------------------
+
+def test_keyword_search_all_any_nulls_and_duplicates():
+    from json_schema_ray.engine.text import keyword_search
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",
+            "alpha alpha alpha",      # dup occurrences of ONE term
+            "beta  gamma",
+            None,
+            "",
+        ]),
+    })
+    for blocks in (1, 3):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got_all = sorted(r["doc_id"] for r in keyword_search(
+            ds, ["alpha", "beta"], mode="all").take_all())
+        assert got_all == [0]         # doc 1's repeats don't count twice
+        got_any = sorted(r["doc_id"] for r in keyword_search(
+            ds, ["alpha", "beta"], mode="any").take_all())
+        assert got_any == [0, 1, 2]   # null/empty text never matches
+
+    with pytest.raises(ValueError, match="empty term"):
+        keyword_search(_ray().data.from_arrow(t), [])
+    with pytest.raises(ValueError, match="duplicate"):
+        keyword_search(_ray().data.from_arrow(t), ["a", "a"])
+    with pytest.raises(ValueError, match="64"):
+        keyword_search(_ray().data.from_arrow(t),
+                       [f"t{i}" for i in range(65)])
+    with pytest.raises(ValueError, match="bad mode"):
+        keyword_search(_ray().data.from_arrow(t), ["a"], mode="xor")
