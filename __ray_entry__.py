@@ -3175,6 +3175,19 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_user_activity_skew(sf_dir: str):
+    """Partitioning-key skew profile (engine/stats.py
+    key_skew_report): one row — n_keys, n_rows, max / p50 / p90 /
+    p99 group sizes, hottest-key ppm share, mean group size. Exact
+    counts ride the combiner shuffle; the size distribution pays one
+    single-int-column sort. The pre-shuffle skew gate for the
+    salting decision."""
+    from json_schema_ray.engine.stats import key_skew_report
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return key_skew_report(ds, "user_id")
+
+
 def q_docs_keyword_search(sf_dir: str):
     """Boolean AND keyword search (engine/text.py keyword_search):
     docs whose token set contains ALL of three query terms. Pure
@@ -3273,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_volume_anomalies": q_daily_volume_anomalies,
         "events_expectations": q_events_expectations,
         "docs_keyword_search": q_docs_keyword_search,
+        "user_activity_skew": q_user_activity_skew,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3822,6 +3836,23 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
+        "user_activity_skew": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_count,
+                   CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_count,
+                   CAST(quantile_disc(cnt, 0.9) AS BIGINT) AS p90_count,
+                   CAST(quantile_disc(cnt, 0.99) AS BIGINT)
+                     AS p99_count,
+                   (CAST(max(cnt) AS BIGINT) * 1000000)
+                     // CAST(sum(cnt) AS BIGINT) AS top_share_e6,
+                   (CAST(sum(cnt) AS BIGINT) * 1000000)
+                     // CAST(count(*) AS BIGINT) AS avg_count_e6
+            FROM c
+        """,
         "docs_keyword_search": r"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE list_contains(regexp_split_to_array(text, '\s+'),

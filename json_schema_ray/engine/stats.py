@@ -813,3 +813,57 @@ def grouped_entropy(ds, key: str, col: str, out: str = "entropy_e6"):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def key_skew_report(ds, key: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
+    """Partitioning-key skew profile: ONE summary row describing how
+    rows distribute over ``key`` — n_keys, n_rows, max/quantile group
+    sizes, the hottest key's row share and the mean group size (both
+    ppm integers). The operational input to the salting / hot-key
+    decisions every wide stage in this engine makes (SURVEY §2.4 skew
+    salting): p99_count >> avg flags a salt-worthy key before the
+    shuffle that would discover it the hard way.
+
+    Scale shape: exact per-key counts via the standard
+    pre-aggregate -> keys-sized shuffle (a hot key reduces per block
+    first), materialized ONCE as a distributed key-sized Dataset —
+    never on the driver. The size distribution then pays one
+    single-column range-partitioned sort (`exact_quantiles`, DuckDB
+    quantile_disc convention) plus one count/sum/max aggregate; the
+    driver holds only the k quantile values and three counters. NULL
+    keys form their own group, exactly like SQL GROUP BY.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .relational import null_safe_grouped_aggregate, pre_aggregate
+
+    partial = pre_aggregate(ds.select_columns([key]), [key],
+                            [(None, "count")])
+    counts = null_safe_grouped_aggregate(
+        partial, [key], [Sum("rows_count", alias_name="cnt")],
+        ["cnt"]).materialize()
+
+    agg = counts.aggregate(Count(alias_name="n_keys"),
+                           Sum("cnt", alias_name="n_rows"),
+                           Max("cnt", alias_name="max_count"))
+    n_keys = int(agg["n_keys"]) if agg else 0
+    if n_keys == 0:
+        cols = (["n_keys", "n_rows", "max_count"]
+                + [f"p{str(q)[2:].ljust(2, '0')}_count" for q in qs]
+                + ["top_share_e6", "avg_count_e6"])
+        return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+    n_rows = int(agg["n_rows"])
+    max_count = int(agg["max_count"])
+
+    qt = exact_quantiles(counts, "cnt", qs=tuple(qs))
+    # counts are int64 < 2^53, so the float round trip is exact
+    qvals = {float(q): int(v) for q, v in
+             zip(qt["q"].to_pylist(), qt["value"].to_pylist())}
+
+    row = {"n_keys": n_keys, "n_rows": n_rows, "max_count": max_count}
+    for q in qs:
+        row[f"p{str(q)[2:].ljust(2, '0')}_count"] = qvals[float(q)]
+    row["top_share_e6"] = (max_count * 1_000_000) // n_rows
+    row["avg_count_e6"] = (n_rows * 1_000_000) // n_keys
+    return pa.Table.from_pylist(
+        [row], schema=pa.schema([(c, pa.int64()) for c in row]))

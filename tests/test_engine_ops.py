@@ -5596,3 +5596,30 @@ def test_keyword_search_all_any_nulls_and_duplicates():
                        [f"t{i}" for i in range(65)])
     with pytest.raises(ValueError, match="bad mode"):
         keyword_search(_ray().data.from_arrow(t), ["a"], mode="xor")
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report (engine/stats.py)
+# ---------------------------------------------------------------------------
+
+def test_key_skew_report_hot_key_nulls_and_empty():
+    from json_schema_ray.engine.stats import key_skew_report
+
+    # one hot key (900 rows), 99 singleton keys, 1 NULL-key row
+    keys = [7] * 900 + list(range(100, 199)) + [None]
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    for blocks in (1, 8):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        r = key_skew_report(ds, "k").to_pylist()[0]
+        assert r["n_keys"] == 101          # NULL is its own group
+        assert r["n_rows"] == 1000
+        assert r["max_count"] == 900
+        assert r["p50_count"] == 1
+        assert r["p99_count"] == 1         # rank ceil(.99*101)=100 -> 1
+        assert r["top_share_e6"] == 900_000
+        assert r["avg_count_e6"] == (1000 * 1_000_000) // 101
+
+    empty = _ray().data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64())}))
+    r0 = key_skew_report(empty, "k").to_pylist()[0]
+    assert r0["n_keys"] == 0 and r0["n_rows"] == 0
