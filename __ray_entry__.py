@@ -3175,6 +3175,79 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _kmeans_sql(k: int = 4, n_iter: int = 3,
+                scale: int = 1_000_000) -> str:
+    """Generated CTE chain mirroring kmeans_fixed_point exactly
+    (the pagerank/HITS iterative-SQL precedent): quantize -> init on
+    the k smallest ids -> per iteration assign (argmin dist, ties to
+    smallest cluster) + truncated-integer mean (DuckDB ``//``
+    truncates toward zero, == the engine's sign * (|s| // n))."""
+    parts = [f"""
+        WITH pt AS (
+          SELECT vec_id, CAST(i AS BIGINT) AS i,
+                 CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5)
+                      AS BIGINT) AS xq
+          FROM (SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings)
+        ),
+        init AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS BIGINT) AS cl, vec_id
+          FROM (SELECT DISTINCT vec_id FROM pt
+                ORDER BY vec_id LIMIT {k})
+        ),
+        c0 AS (SELECT init.cl, pt.i, pt.xq AS c
+               FROM init JOIN pt USING (vec_id))"""]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f""",
+        d{t} AS (
+          SELECT pt.vec_id, c.cl,
+                 sum((pt.xq - c.c) * (pt.xq - c.c)) AS dist
+          FROM pt JOIN c{p} c ON pt.i = c.i
+          GROUP BY pt.vec_id, c.cl),
+        a{t} AS (
+          SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM d{t}) WHERE rn = 1),
+        s{t} AS (
+          SELECT a.cl, pt.i, CAST(sum(pt.xq) AS HUGEINT) AS s,
+                 CAST(count(*) AS HUGEINT) AS n
+          FROM a{t} a JOIN pt USING (vec_id)
+          GROUP BY a.cl, pt.i),
+        c{t} AS (
+          SELECT p.cl, p.i,
+                 CAST(coalesce(CAST(s.s // s.n AS BIGINT), p.c)
+                      AS BIGINT) AS c
+          FROM c{p} p LEFT JOIN s{t} s
+            ON p.cl = s.cl AND p.i = s.i)""")
+    parts.append(f"""
+        SELECT c.cl AS cluster, c.i AS dim, c.c AS centroid_e,
+               CAST(coalesce(nn.n, 0) AS BIGINT) AS n
+        FROM c{n_iter} c LEFT JOIN (
+          SELECT cl, CAST(count(*) AS BIGINT) AS n
+          FROM a{n_iter} GROUP BY cl) nn ON c.cl = nn.cl
+        ORDER BY cluster, dim""")
+    return "".join(parts)
+
+
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed exact fixed-point k-means (engine/similarity.py
+    kmeans_fixed_point): 3 Lloyd iterations, k=4, all-integer e6
+    arithmetic — deterministic, float-order free, hash-exact vs the
+    generated iterative SQL twin. Quantized corpus materializes
+    once; each iteration is ONE scan emitting a k*d+k-integer
+    partial row per block; python-int driver merge == SQL
+    HUGEINT."""
+    from json_schema_ray.engine.similarity import kmeans_fixed_point
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_fixed_point(ds, k=4, n_iter=3)
+
+
 def q_user_activity_skew(sf_dir: str):
     """Partitioning-key skew profile (engine/stats.py
     key_skew_report): one row — n_keys, n_rows, max / p50 / p90 /
@@ -3287,6 +3360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expectations": q_events_expectations,
         "docs_keyword_search": q_docs_keyword_search,
         "user_activity_skew": q_user_activity_skew,
+        "embedding_kmeans": q_embedding_kmeans,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3836,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
+        "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "user_activity_skew": """
             WITH c AS (
               SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -862,3 +862,152 @@ def grouped_embedding_centroids(ds, label_column: str = "label",
                      "dim": pa.array(dims, pa.int64()),
                      "n": pa.array(out_n, pa.int64()),
                      "mean_e6": pa.array(means, pa.int64())})
+
+
+def kmeans_fixed_point(ds, k: int = 4, n_iter: int = 3,
+                       id_column: str = "vec_id",
+                       embedding_column: str = "embedding",
+                       scale: int = 1_000_000):
+    """Distributed EXACT Lloyd's k-means over the whole corpus, in
+    e-``scale`` fixed-point integers — deterministic, float-order
+    free, and bit-reproducible in SQL ``//`` arithmetic (the same
+    all-integer iterative discipline as graph.py pagerank/HITS).
+
+    Semantics (mirrored by the generated SQL twin):
+    - quantize once: ``xq = floor(float64(x) * scale + 0.5)`` int64;
+    - init: the quantized vectors of the ``k`` smallest ids;
+    - each iteration assigns every point to the argmin
+      squared-distance centroid (ties -> smallest cluster index,
+      np.argmin == SQL ``ORDER BY dist, cl``), then recomputes each
+      centroid as the truncated integer mean (DuckDB ``//``
+      truncates toward zero; mirrored via sign * (|s| // n));
+      clusters that go empty keep their previous centroid.
+
+    Scale shape: the quantized corpus materializes ONCE (object
+    store, never the driver — graph.py's edge-list precedent); each
+    iteration is ONE map_batches pass emitting a single
+    ``k x d + k``-integer partial row per block, merged on the
+    driver in arbitrary-precision Python ints (== SQL HUGEINT). The
+    broadcast is centroid-sized via ``ray.put``. Requires
+    ``scale * max|x| << 2^31`` so int64 gram terms can't wrap
+    (d * (2 * scale * max|x|)^2 < 2^63).
+
+    Returns (cluster, dim, centroid_e, n): k*d rows, dim 1-based
+    (SQL ``generate_subscripts`` convention), n = final-assignment
+    cluster sizes.
+    """
+    import ray
+
+    if k < 1 or n_iter < 1:
+        raise ValueError("kmeans_fixed_point: k, n_iter must be >= 1")
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        col = batch[embedding_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        valid = pc.is_valid(arr)
+        t = pa.table({"__id": batch[id_column], "__e": arr}) \
+            .filter(valid)
+        if t.num_rows == 0:
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             "__q": pa.array([], pa.list_(pa.int64()))})
+        e = t["__e"].combine_chunks()
+        offs = e.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths != widths[0]).any():
+            raise ValueError("kmeans: ragged embedding lengths")
+        flat = e.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = np.floor(flat * scale + 0.5).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs - offs[0], pa.int32()), pa.array(q))
+        return pa.table({"__id": t["__id"], "__q": lists})
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    # init: k globally-smallest ids — per-block k-smallest partials,
+    # driver picks among k x blocks candidate rows
+    def smallest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(
+            batch, k, sort_keys=[("__id", "ascending")])
+        return batch.take(idx)
+
+    cand = [r for b in qds.map_batches(
+                smallest, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(
+                    batch_format="pyarrow")
+            for r in pa.Table.from_batches(
+                [b] if isinstance(b, pa.RecordBatch) else b.to_batches()
+            ).to_pylist()]
+    cand.sort(key=lambda r: r["__id"])
+    if len(cand) < k:
+        raise ValueError(f"kmeans: {len(cand)} points < k={k}")
+    C = np.asarray([c["__q"] for c in cand[:k]], dtype=np.int64)
+    d = C.shape[1]
+
+    counts_final = [0] * k
+    for _ in range(n_iter):
+        handle = ray.put(C)
+
+        def partial(batch: pa.Table, _h=handle) -> pa.Table:
+            cent = ray.get(_h)
+            lists = batch["__q"].combine_chunks()
+            n = len(lists)
+            if n == 0:
+                return pa.table({
+                    "sums": pa.array([], pa.list_(pa.int64())),
+                    "counts": pa.array([], pa.list_(pa.int64()))})
+            X = lists.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(n, -1)
+            # argmin ||x - c||^2 == argmin |c|^2 - 2 x.c  (|x|^2 is
+            # constant per row); all-int64, no wrap by the documented
+            # scale bound
+            c2 = np.einsum("kd,kd->k", cent, cent)
+            score = c2[None, :] - 2 * (X @ cent.T)
+            assign = np.argmin(score, axis=1)
+            sums = np.zeros((k, X.shape[1]), np.int64)
+            np.add.at(sums, assign, X)
+            cnts = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table({
+                "sums": pa.array([sums.reshape(-1)],
+                                 pa.list_(pa.int64())),
+                "counts": pa.array([cnts], pa.list_(pa.int64()))})
+
+        acc_s = [[0] * d for _ in range(k)]
+        acc_n = [0] * k
+        for b in qds.map_batches(
+                partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+            t = pa.Table.from_batches(
+                [b] if isinstance(b, pa.RecordBatch) else b.to_batches())
+            for row in t.to_pylist():
+                s, cn = row["sums"], row["counts"]
+                for ci in range(k):
+                    acc_n[ci] += cn[ci]
+                    base = ci * d
+                    rowslice = s[base:base + d]
+                    tgt = acc_s[ci]
+                    for j in range(d):
+                        tgt[j] += rowslice[j]
+
+        newC = C.copy()
+        for ci in range(k):
+            n = acc_n[ci]
+            if n:
+                newC[ci] = [((abs(s) // n) * (1 if s >= 0 else -1))
+                            for s in acc_s[ci]]
+        C = newC
+        counts_final = acc_n
+
+    rows = {"cluster": [], "dim": [], "centroid_e": [], "n": []}
+    for ci in range(k):
+        for j in range(d):
+            rows["cluster"].append(ci)
+            rows["dim"].append(j + 1)
+            rows["centroid_e"].append(int(C[ci, j]))
+            rows["n"].append(counts_final[ci])
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in rows.items()})

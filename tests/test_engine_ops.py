@@ -5623,3 +5623,84 @@ def test_key_skew_report_hot_key_nulls_and_empty():
         pa.table({"k": pa.array([], pa.int64())}))
     r0 = key_skew_report(empty, "k").to_pylist()[0]
     assert r0["n_keys"] == 0 and r0["n_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fixed_point (engine/similarity.py)
+# ---------------------------------------------------------------------------
+
+def _kmeans_ref(X, k, n_iter, scale=1_000_000):
+    """Pure-python-int Lloyd reference with the documented tie /
+    truncation / empty-cluster semantics."""
+    import math
+    n, d = X.shape
+    Xq = [[int(math.floor(float(np.float32(x)) * scale + 0.5))
+           for x in row] for row in X]
+    C = [list(Xq[i]) for i in range(k)]
+    cnt = [0] * k
+    for _ in range(n_iter):
+        sums = [[0] * d for _ in range(k)]
+        cnt = [0] * k
+        for i in range(n):
+            best, bi = None, None
+            for c in range(k):
+                dist = sum((Xq[i][j] - C[c][j]) ** 2 for j in range(d))
+                if best is None or dist < best:
+                    best, bi = dist, c
+            cnt[bi] += 1
+            for j in range(d):
+                sums[bi][j] += Xq[i][j]
+        for c in range(k):
+            if cnt[c]:
+                C[c] = [(abs(s) // cnt[c]) * (1 if s >= 0 else -1)
+                        for s in sums[c]]
+    return {(c, j + 1): (C[c][j], cnt[c])
+            for c in range(k) for j in range(d)}
+
+
+def test_kmeans_fixed_point_differential_and_blocks():
+    from json_schema_ray.engine.similarity import kmeans_fixed_point
+
+    rng = np.random.default_rng(7)
+    n, d, k, it = 120, 6, 3, 3
+    X = rng.normal(size=(n, d)) * 0.4
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[float(np.float32(v)) for v in row]
+                               for row in X], pa.list_(pa.float32()))})
+    ref = _kmeans_ref(X, k, it)
+    for blocks in (1, 7):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {(r["cluster"], r["dim"]): (r["centroid_e"], r["n"])
+               for r in kmeans_fixed_point(
+                   ds, k=k, n_iter=it).to_pylist()}
+        assert got == ref, blocks
+
+
+def test_kmeans_fixed_point_empty_cluster_and_errors():
+    from json_schema_ray.engine.similarity import kmeans_fixed_point
+
+    # ids 0 and 1 are IDENTICAL points: every point ties to both
+    # init centroids, argmin tie -> cluster 0, so cluster 1 goes
+    # empty and must keep its init centroid with n=0
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0.5, 0.5]] * 4, pa.list_(pa.float32()))})
+    ds = _ray().data.from_arrow(t)
+    out = kmeans_fixed_point(ds, k=2, n_iter=2).to_pylist()
+    by_cl = {}
+    for r in out:
+        by_cl.setdefault(r["cluster"], []).append(r)
+    assert all(r["n"] == 4 for r in by_cl[0])
+    assert all(r["n"] == 0 for r in by_cl[1])
+    assert all(r["centroid_e"] == 500000 for r in out)
+
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_fixed_point(ds, k=10, n_iter=1)
+    ragged = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0.1, 0.2], [0.3]],
+                              pa.list_(pa.float32()))})
+    with pytest.raises(Exception, match="ragged"):
+        kmeans_fixed_point(
+            _ray().data.from_arrow(ragged), k=1, n_iter=1)
