@@ -87,6 +87,10 @@ EXTRA_QUERIES = [
     "event_type_overlap",      # co-occurrence Jaccard via pair machinery
     "user_event_entropy",      # fixed-point grouped Shannon entropy
     "embedding_dim_stats",     # per-dim integer sufficient stats
+    "events_expectations",     # fused data-contract check scan
+    "docs_keyword_search",     # boolean AND token search, no shuffle
+    "user_activity_skew",      # key-skew profile: counts + quantiles
+    "embedding_kmeans",        # exact fixed-point Lloyd iterations
 ]
 
 
