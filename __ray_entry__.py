@@ -3175,6 +3175,41 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_docs_cross_snapshot_dups(sf_dir: str):
+    """Cross-corpus near-dup JOIN (engine/dedup.py
+    cross_jaccard_join): which "new snapshot" docs (odd ids) are
+    near-copies (word-5-gram Jaccard >= 0.5) of the "old corpus"
+    (even ids) — the incremental-ingestion gate at near-dup
+    granularity. Side rides the id's low bit so the whole proven
+    single-corpus inverted-index pipeline runs unchanged; same-side
+    pairs drop from the result-sized pair table."""
+    import math
+
+    from json_schema_ray.engine.dedup import cross_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def parity(p: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(
+                pc.bit_wise_and(batch["doc_id"], 1), p))
+        return f
+
+    new_snap = ds.map_batches(parity(1), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    old_corp = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(parity(0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    t = cross_jaccard_join(new_snap, old_corp, "doc_id",
+                           threshold=0.5)
+    return pa.table({
+        "id_a": t["id_a"], "id_b": t["id_b"],
+        "jaccard_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["jaccard"].to_pylist()], pa.int64()),
+    })
+
+
 def _kmeans_sql(k: int = 4, n_iter: int = 3,
                 scale: int = 1_000_000) -> str:
     """Generated CTE chain mirroring kmeans_fixed_point exactly
@@ -3361,6 +3396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keyword_search": q_docs_keyword_search,
         "user_activity_skew": q_user_activity_skew,
         "embedding_kmeans": q_embedding_kmeans,
+        "docs_cross_snapshot_dups": q_docs_cross_snapshot_dups,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3911,6 +3947,41 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
+        "docs_cross_snapshot_dups": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(CAST(i AS DOUBLE) / (ca.c + cb.c - i)
+                              * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         "user_activity_skew": """
             WITH c AS (
               SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -814,6 +814,66 @@ def ngram_jaccard_dedup_pairs(ds, id_column: str,
                            text_column, threshold, shingle_k)
 
 
+def cross_jaccard_join(ds_a, ds_b, id_column: str,
+                       text_column: str = "text",
+                       threshold: float = 0.5,
+                       shingle_k: int = 5,
+                       max_bucket: Optional[int] = None) -> pa.Table:
+    """Near-duplicate JOIN across TWO corpora: every (a, b) pair with
+    n-gram Jaccard >= threshold where ``a`` comes from ``ds_a`` and
+    ``b`` from ``ds_b`` — the incremental-ingestion quality gate at
+    near-dup (not exact-key) granularity: "which NEW docs are
+    near-copies of the existing corpus". Exact recall, same
+    contract as :func:`ngram_jaccard_dedup_pairs`.
+
+    Scale shape: ids encode their side in the low bit
+    (``id*2 + side``), the tagged corpora union into ONE stream, and
+    the entire proven single-corpus pipeline runs unchanged (shingle
+    inverted index -> one-sort candidate pairing -> vectorized exact
+    verify); same-side pairs filter out of the result-sized pair
+    table at the end. No cross-corpus shuffle beyond the one the
+    single-corpus operator already pays. Requires non-negative ids
+    < 2^62 (checked per block).
+    """
+    import ray  # noqa: F401  (parity with module siblings)
+
+    def encode(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column]
+            if len(ids) and (pc.min(ids).as_py() or 0) < 0:
+                raise ValueError("cross_jaccard_join: negative ids")
+            if len(ids) and pc.max(ids).as_py() >= (1 << 62):
+                raise ValueError("cross_jaccard_join: ids >= 2^62")
+            enc = pc.add(pc.multiply(pc.cast(ids, pa.int64()), 2),
+                         side)
+            return pa.table({id_column: enc,
+                             text_column: batch[text_column]})
+        return f
+
+    combined = ds_a.map_batches(encode(0), batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .union(ds_b.map_batches(encode(1), batch_format="pyarrow",
+                                zero_copy_batch=True))
+    pairs = ngram_jaccard_dedup_pairs(
+        combined, id_column, text_column, threshold, shingle_k,
+        max_bucket)
+    if pairs.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    xa = pairs["id_a"].to_numpy(zero_copy_only=False)
+    xb = pairs["id_b"].to_numpy(zero_copy_only=False)
+    cross = (xa & 1) != (xb & 1)
+    xa, xb = xa[cross], xb[cross]
+    j = pairs["jaccard"].to_numpy(zero_copy_only=False)[cross]
+    a_val = np.where((xa & 1) == 0, xa, xb) >> 1    # side-0 member
+    b_val = np.where((xa & 1) == 0, xb, xa) >> 1    # side-1 member
+    order = np.lexsort((b_val, a_val))
+    return pa.table({"id_a": pa.array(a_val[order]),
+                     "id_b": pa.array(b_val[order]),
+                     "jaccard": pa.array(j[order])})
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering (connected components over the pair graph)
 # ---------------------------------------------------------------------------

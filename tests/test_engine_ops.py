@@ -5704,3 +5704,38 @@ def test_kmeans_fixed_point_empty_cluster_and_errors():
     with pytest.raises(Exception, match="ragged"):
         kmeans_fixed_point(
             _ray().data.from_arrow(ragged), k=1, n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# cross_jaccard_join (engine/dedup.py)
+# ---------------------------------------------------------------------------
+
+def test_cross_jaccard_join_sides_and_filtering():
+    from json_schema_ray.engine.dedup import cross_jaccard_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"   # 1 word off
+    other = "one two three four five six seven eight"
+    # corpus A: doc 5 ~ B's doc 5 (identical text, same raw id on
+    # both sides must still pair); doc 7 near-dups B's doc 2;
+    # A-internal dup (7 vs 9 identical) must NOT appear
+    a = pa.table({"doc_id": pa.array([5, 7, 9], pa.int64()),
+                  "text": pa.array([other, base, base])})
+    b = pa.table({"doc_id": pa.array([2, 5], pa.int64()),
+                  "text": pa.array([near, other])})
+    for blocks in (1, 2):
+        da = _ray().data.from_arrow(a).repartition(blocks)
+        db = _ray().data.from_arrow(b).repartition(blocks)
+        out = cross_jaccard_join(da, db, "doc_id", threshold=0.5)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in out.to_pylist()}
+        assert set(got) == {(5, 5), (7, 2), (9, 2)}, (blocks, got)
+        assert got[(5, 5)] == 1.0
+        # (7,2)/(9,2): 4 shared of (4 + 4 - ... ) word-5-gram sets
+        assert 0.5 <= got[(7, 2)] < 1.0
+
+    neg = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                    "text": pa.array(["x y z"])})
+    with pytest.raises(Exception, match="negative ids"):
+        cross_jaccard_join(_ray().data.from_arrow(neg),
+                           _ray().data.from_arrow(b), "doc_id")
