@@ -3175,6 +3175,23 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_embedding_kmeans_inertia(sf_dir: str):
+    """Clustering quality diagnostic (engine/similarity.py
+    kmeans_assign_stats): per-cluster size + EXACT integer inertia
+    under the final kmeans_fixed_point centroids. One extra scan;
+    each block ships 3k integers (counts + hi/lo-split distance
+    sums, the grouped_corr overflow discipline); python-int driver
+    fold == SQL HUGEINT."""
+    from json_schema_ray.engine.similarity import (
+        kmeans_assign_stats, kmeans_fixed_point)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_fixed_point(ds, k=4, n_iter=3)
+    return kmeans_assign_stats(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        cents)
+
+
 def q_docs_cross_snapshot_dups(sf_dir: str):
     """Cross-corpus near-dup JOIN (engine/dedup.py
     cross_jaccard_join): which "new snapshot" docs (odd ids) are
@@ -3211,7 +3228,7 @@ def q_docs_cross_snapshot_dups(sf_dir: str):
 
 
 def _kmeans_sql(k: int = 4, n_iter: int = 3,
-                scale: int = 1_000_000) -> str:
+                scale: int = 1_000_000, inertia: bool = False) -> str:
     """Generated CTE chain mirroring kmeans_fixed_point exactly
     (the pagerank/HITS iterative-SQL precedent): quantize -> init on
     the k smallest ids -> per iteration assign (argmin dist, ties to
@@ -3259,6 +3276,29 @@ def _kmeans_sql(k: int = 4, n_iter: int = 3,
                       AS BIGINT) AS c
           FROM c{p} p LEFT JOIN s{t} s
             ON p.cl = s.cl AND p.i = s.i)""")
+    if inertia:
+        # one more assignment under the FINAL centroids, keeping the
+        # min distance per point; empty clusters still emit a row
+        parts.append(f""",
+        dF AS (
+          SELECT pt.vec_id, c.cl,
+                 sum((pt.xq - c.c) * (pt.xq - c.c)) AS dist
+          FROM pt JOIN c{n_iter} c ON pt.i = c.i
+          GROUP BY pt.vec_id, c.cl),
+        aF AS (
+          SELECT vec_id, cl, dist FROM (
+            SELECT vec_id, cl, dist,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM dF) WHERE rn = 1)
+        SELECT s.cl AS cluster,
+               CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+               CAST(coalesce(g.inertia, 0) AS BIGINT) AS inertia
+        FROM (SELECT DISTINCT cl FROM c{n_iter}) s LEFT JOIN (
+          SELECT cl, count(*) AS n, sum(dist) AS inertia
+          FROM aF GROUP BY cl) g ON s.cl = g.cl
+        ORDER BY cluster""")
+        return "".join(parts)
     parts.append(f"""
         SELECT c.cl AS cluster, c.i AS dim, c.c AS centroid_e,
                CAST(coalesce(nn.n, 0) AS BIGINT) AS n
@@ -3397,6 +3437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_skew": q_user_activity_skew,
         "embedding_kmeans": q_embedding_kmeans,
         "docs_cross_snapshot_dups": q_docs_cross_snapshot_dups,
+        "embedding_kmeans_inertia": q_embedding_kmeans_inertia,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3947,6 +3988,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
+        "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
+                                                inertia=True),
         "docs_cross_snapshot_dups": """
             WITH words AS (
                 SELECT doc_id,

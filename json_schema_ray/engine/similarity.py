@@ -1011,3 +1011,85 @@ def kmeans_fixed_point(ds, k: int = 4, n_iter: int = 3,
             rows["n"].append(counts_final[ci])
     return pa.table({c: pa.array(v, pa.int64())
                      for c, v in rows.items()})
+
+
+def kmeans_assign_stats(ds, centroids: pa.Table,
+                        id_column: str = "vec_id",
+                        embedding_column: str = "embedding",
+                        scale: int = 1_000_000) -> pa.Table:
+    """Per-cluster assignment stats under FIXED centroids (the
+    ``(cluster, dim, centroid_e, ...)`` table
+    :func:`kmeans_fixed_point` returns): cluster sizes and the EXACT
+    integer inertia (sum of squared fixed-point distances) — the
+    convergence/quality diagnostic a mixture pipeline reads before
+    trusting the clustering.
+
+    Scale shape: ONE map_batches scan; each block emits a single
+    3k-integer partial row (counts + inertia split into hi/lo 32-bit
+    int64 halves, the grouped_corr overflow discipline — a block's
+    raw int64 distance sum can wrap at ~4e4 rows x d=64). Driver
+    folds python ints (== SQL HUGEINT). Ties and quantization follow
+    kmeans_fixed_point exactly.
+    """
+    import ray
+
+    ct = centroids.sort_by([("cluster", "ascending"),
+                            ("dim", "ascending")])
+    k = len(pc.unique(ct["cluster"]))
+    d = ct.num_rows // k
+    C = ct["centroid_e"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64).reshape(k, d)
+    handle = ray.put(C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cent = ray.get(handle)
+        col = batch[embedding_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        arr = arr.drop_null()
+        n = len(arr)
+        empty = pa.table({
+            "counts": pa.array([], pa.list_(pa.int64())),
+            "hi": pa.array([], pa.list_(pa.int64())),
+            "lo": pa.array([], pa.list_(pa.int64()))})
+        if n == 0:
+            return empty
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        X = np.floor(flat * scale + 0.5).astype(np.int64) \
+            .reshape(n, -1)
+        c2 = np.einsum("kd,kd->k", cent, cent)
+        score = c2[None, :] - 2 * (X @ cent.T)
+        assign = np.argmin(score, axis=1)
+        x2 = np.einsum("nd,nd->n", X, X)
+        dist = x2 + score[np.arange(n), assign]
+        kk = cent.shape[0]
+        cnts = np.bincount(assign, minlength=kk).astype(np.int64)
+        mask = np.uint64(0xFFFFFFFF)
+        du = dist.astype(np.uint64)
+        hi = np.zeros(kk, np.int64)
+        lo = np.zeros(kk, np.int64)
+        np.add.at(hi, assign, (du >> np.uint64(32)).astype(np.int64))
+        np.add.at(lo, assign, (du & mask).astype(np.int64))
+        return pa.table({"counts": pa.array([cnts],
+                                            pa.list_(pa.int64())),
+                         "hi": pa.array([hi], pa.list_(pa.int64())),
+                         "lo": pa.array([lo], pa.list_(pa.int64()))})
+
+    acc_n = [0] * k
+    acc_i = [0] * k
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches(
+            [b] if isinstance(b, pa.RecordBatch) else b.to_batches())
+        for row in t.to_pylist():
+            for ci in range(k):
+                acc_n[ci] += row["counts"][ci]
+                acc_i[ci] += (row["hi"][ci] << 32) + row["lo"][ci]
+
+    return pa.table({
+        "cluster": pa.array(range(k), pa.int64()),
+        "n": pa.array(acc_n, pa.int64()),
+        "inertia": pa.array(acc_i, pa.int64()),
+    })

@@ -5739,3 +5739,40 @@ def test_cross_jaccard_join_sides_and_filtering():
     with pytest.raises(Exception, match="negative ids"):
         cross_jaccard_join(_ray().data.from_arrow(neg),
                            _ray().data.from_arrow(b), "doc_id")
+
+
+def test_kmeans_assign_stats_matches_bruteforce():
+    from json_schema_ray.engine.similarity import (
+        kmeans_assign_stats, kmeans_fixed_point)
+
+    rng = np.random.default_rng(11)
+    n, d, k, it = 80, 5, 3, 2
+    X = rng.normal(size=(n, d)) * 0.4
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[float(np.float32(v)) for v in row]
+                               for row in X], pa.list_(pa.float32()))})
+    ds = _ray().data.from_arrow(t).repartition(4)
+    cents = kmeans_fixed_point(ds, k=k, n_iter=it)
+    got = {r["cluster"]: (r["n"], r["inertia"]) for r in
+           kmeans_assign_stats(ds, cents).to_pylist()}
+
+    # brute force under the SAME final centroids
+    import math
+    C = {}
+    for r in cents.to_pylist():
+        C.setdefault(r["cluster"], {})[r["dim"]] = r["centroid_e"]
+    Xq = [[int(math.floor(float(np.float32(x)) * 1_000_000 + 0.5))
+           for x in row] for row in X]
+    ref = {c: [0, 0] for c in range(k)}
+    for i in range(n):
+        best, bi = None, None
+        for c in range(k):
+            dist = sum((Xq[i][j] - C[c][j + 1]) ** 2 for j in range(d))
+            if best is None or dist < best:
+                best, bi = dist, c
+        ref[bi][0] += 1
+        ref[bi][1] += best
+    assert got == {c: tuple(v) for c, v in ref.items()}
+    # inertia is exact integers, all counted
+    assert sum(v[0] for v in got.values()) == n
