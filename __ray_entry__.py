@@ -3175,6 +3175,24 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_daily_volume_cusum(sf_dir: str):
+    """Sequential mean-shift changepoint gate (engine/drift.py
+    cusum_scan): two-sided integer CUSUM over the day-count table —
+    catches sustained small drifts the pointwise robust-z gate
+    (daily_volume_anomalies) can't. Corpus-sized work is the ONE
+    tumbling-count combiner scan; the recurrence runs on the
+    calendar-bounded day table. All-integer e6, hash-exact vs the
+    recursive-CTE twin."""
+    from json_schema_ray.engine.drift import cusum_scan
+    from json_schema_ray.engine.window import tumbling_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = tumbling_window_counts(ds, window_seconds=86400)
+    t = t.rename_columns(["window_start_us", "value_sum", "n_events"])
+    return cusum_scan(t.select(["window_start_us", "n_events"]),
+                      "window_start_us", "n_events")
+
+
 def q_embedding_kmeans_inertia(sf_dir: str):
     """Clustering quality diagnostic (engine/similarity.py
     kmeans_assign_stats): per-cluster size + EXACT integer inertia
@@ -3438,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": q_embedding_kmeans,
         "docs_cross_snapshot_dups": q_docs_cross_snapshot_dups,
         "embedding_kmeans_inertia": q_embedding_kmeans_inertia,
+        "daily_volume_cusum": q_daily_volume_cusum,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -3990,6 +4009,42 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "daily_volume_cusum": """
+            WITH RECURSIVE c AS (
+                SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                            * 86400000000 AS BIGINT) AS w,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), ord AS (
+                SELECT row_number() OVER (ORDER BY w) AS rn, w, n
+                FROM c
+            ), par AS (
+                SELECT mu_e6, mu_e6 * 1 // 8 AS kappa_e6,
+                       mu_e6 * 1 // 2 AS h_e6
+                FROM (SELECT (sum(n) * 1000000) // count(*) AS mu_e6
+                      FROM ord)
+            ), r AS (
+                SELECT o.rn, o.w, o.n,
+                       CAST(greatest(0, (o.n * 1000000 - p.mu_e6)
+                                        - p.kappa_e6) AS BIGINT) AS sp,
+                       CAST(greatest(0, -(o.n * 1000000 - p.mu_e6)
+                                        - p.kappa_e6) AS BIGINT) AS sn
+                FROM ord o, par p WHERE o.rn = 1
+                UNION ALL
+                SELECT o.rn, o.w, o.n,
+                       CAST(greatest(0, r.sp + (o.n * 1000000
+                            - p.mu_e6) - p.kappa_e6) AS BIGINT),
+                       CAST(greatest(0, r.sn - (o.n * 1000000
+                            - p.mu_e6) - p.kappa_e6) AS BIGINT)
+                FROM r JOIN ord o ON o.rn = r.rn + 1
+                CROSS JOIN par p
+            )
+            SELECT r.w AS window_start_us, r.n AS n_events,
+                   r.sp AS cusum_pos_e6, r.sn AS cusum_neg_e6,
+                   CAST(CASE WHEN r.sp > p.h_e6 OR r.sn > p.h_e6
+                        THEN 1 ELSE 0 END AS BIGINT) AS flag
+            FROM r, par p ORDER BY window_start_us
+        """,
         "docs_cross_snapshot_dups": """
             WITH words AS (
                 SELECT doc_id,

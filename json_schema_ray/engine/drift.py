@@ -149,3 +149,60 @@ class ReferenceProfile:
             digests={k: TDigest.deserialize(bytes.fromhex(v))
                      for k, v in data["digests"].items()},
         )
+
+
+def cusum_scan(t: pa.Table, order_col: str, value_col: str,
+               kappa_num: int = 1, kappa_den: int = 8,
+               h_num: int = 1, h_den: int = 2) -> pa.Table:
+    """Two-sided integer CUSUM (mean-shift changepoint detector)
+    over an ORDERED, BOUNDED series table — the drift-family
+    complement to the pointwise robust-z gate
+    (``daily_volume_anomalies``): CUSUM accumulates small sustained
+    departures that never individually cross a z threshold.
+
+    All-integer e6 arithmetic, hash-exact in a SQL recursive CTE:
+    ``mu_e6 = (sum(x) * 1e6) // n`` (truncated mean),
+    ``kappa_e6 = mu_e6 * kappa_num // kappa_den`` (allowance; the
+    default mu/8 absorbs Poisson-level noise at count scales while a
+    sustained ~20%+ level shift accumulates),
+    ``h_e6 = mu_e6 * h_num // h_den`` (decision threshold, default
+    mu/2),
+    ``S+ = max(0, S+ + (x*1e6 - mu_e6) - kappa_e6)``,
+    ``S- = max(0, S- - (x*1e6 - mu_e6) - kappa_e6)``,
+    ``flag = S+ > h_e6 OR S- > h_e6``.
+
+    Scale shape: the input is a window-count table (days/hours —
+    calendar-bounded, e.g. from ``window.tumbling_window_counts``'s
+    one distributed combiner scan), so this recurrence runs on the
+    driver over thousands of rows at most; the corpus-sized work is
+    the scan that produced the counts. Returns
+    (order_col, value_col, cusum_pos_e6, cusum_neg_e6, flag).
+    """
+    t = t.sort_by([(order_col, "ascending")])
+    xs = [int(v) for v in t[value_col].to_pylist()]
+    n = len(xs)
+    if n == 0:
+        return pa.table({
+            order_col: pa.array([], t[order_col].type),
+            value_col: pa.array([], pa.int64()),
+            "cusum_pos_e6": pa.array([], pa.int64()),
+            "cusum_neg_e6": pa.array([], pa.int64()),
+            "flag": pa.array([], pa.int64())})
+    mu_e6 = (sum(xs) * 1_000_000) // n
+    kappa_e6 = mu_e6 * kappa_num // kappa_den
+    h_e6 = mu_e6 * h_num // h_den
+    sp = sn = 0
+    pos, neg, flags = [], [], []
+    for x in xs:
+        dev = x * 1_000_000 - mu_e6
+        sp = max(0, sp + dev - kappa_e6)
+        sn = max(0, sn - dev - kappa_e6)
+        pos.append(sp)
+        neg.append(sn)
+        flags.append(int(sp > h_e6 or sn > h_e6))
+    return pa.table({
+        order_col: t[order_col],
+        value_col: pa.array(xs, pa.int64()),
+        "cusum_pos_e6": pa.array(pos, pa.int64()),
+        "cusum_neg_e6": pa.array(neg, pa.int64()),
+        "flag": pa.array(flags, pa.int64())})

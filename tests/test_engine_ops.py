@@ -5776,3 +5776,38 @@ def test_kmeans_assign_stats_matches_bruteforce():
     assert got == {c: tuple(v) for c, v in ref.items()}
     # inertia is exact integers, all counted
     assert sum(v[0] for v in got.values()) == n
+
+
+# ---------------------------------------------------------------------------
+# cusum_scan (engine/drift.py)
+# ---------------------------------------------------------------------------
+
+def test_cusum_scan_detects_sustained_shift():
+    from json_schema_ray.engine.drift import cusum_scan
+
+    # 20 steady days at 100, then 10 days at a modest sustained 130:
+    # no single day is a robust-z outlier, but CUSUM accumulates
+    base = [100] * 20 + [130] * 10
+    t = pa.table({"w": pa.array(range(30), pa.int64()),
+                  "n": pa.array(base, pa.int64())})
+    out = cusum_scan(t, "w", "n")
+    rows = out.to_pylist()
+
+    # python-int reference with identical truncation semantics
+    mu = (sum(base) * 1_000_000) // len(base)
+    kappa, h = mu * 1 // 8, mu * 1 // 2
+    sp = sn = 0
+    for i, x in enumerate(base):
+        dev = x * 1_000_000 - mu
+        sp = max(0, sp + dev - kappa)
+        sn = max(0, sn - dev - kappa)
+        assert rows[i]["cusum_pos_e6"] == sp
+        assert rows[i]["cusum_neg_e6"] == sn
+        assert rows[i]["flag"] == int(sp > h or sn > h)
+    assert any(r["flag"] for r in rows[20:])      # shift caught
+    assert not any(r["flag"] for r in rows[:20])  # steady run clean
+
+    empty = cusum_scan(t.slice(0, 0), "w", "n")
+    assert empty.num_rows == 0
+    assert empty.column_names == ["w", "n", "cusum_pos_e6",
+                                  "cusum_neg_e6", "flag"]
