@@ -3175,6 +3175,43 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_embedding_split_leakage(sf_dir: str):
+    """Train/test split-leakage gate (engine/similarity.py
+    embedding_cross_pairs): eval items (odd vec_ids) whose cosine
+    near-twin sits in the training split (even vec_ids). Train side
+    broadcasts once; eval side streams slab-wise. cosine ships
+    floor(x*1e6+0.5) BIGINT for the float-safe hash compare."""
+    import math
+
+    from json_schema_ray.engine.similarity import embedding_cross_pairs
+
+    def parity(p: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(
+                pc.bit_wise_and(batch["vec_id"], 1), p))
+        return f
+
+    test = _read(sf_dir, "embeddings",
+                 columns=["vec_id", "embedding"]) \
+        .map_batches(parity(1), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    train = _read(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding"]) \
+        .map_batches(parity(0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    out = embedding_cross_pairs(test, train, threshold=0.45)
+    schema = pa.schema([("id_q", pa.int64()), ("id_r", pa.int64()),
+                        ("cosine", pa.float64())])
+    t = _collect(out, schema)
+    t = pa.table({
+        "id_q": t["id_q"], "id_r": t["id_r"],
+        "cosine_e6": pa.array(
+            [int(math.floor(v * 1e6 + 0.5))
+             for v in t["cosine"].to_pylist()], pa.int64()),
+    })
+    return t.sort_by([("id_q", "ascending"), ("id_r", "ascending")])
+
+
 def q_daily_volume_cusum(sf_dir: str):
     """Sequential mean-shift changepoint gate (engine/drift.py
     cusum_scan): two-sided integer CUSUM over the day-count table —
@@ -3457,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cross_snapshot_dups": q_docs_cross_snapshot_dups,
         "embedding_kmeans_inertia": q_embedding_kmeans_inertia,
         "daily_volume_cusum": q_daily_volume_cusum,
+        "embedding_split_leakage": q_embedding_split_leakage,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4009,6 +4047,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "embedding_split_leakage": """
+            SELECT a.vec_id AS id_q, b.vec_id AS id_r,
+                   CAST(floor(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5)
+                       AS BIGINT) AS cosine_e6
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+            WHERE list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_q, id_r
+        """,
         "daily_volume_cusum": """
             WITH RECURSIVE c AS (
                 SELECT CAST(floor(epoch_us(ts) / 86400000000)

@@ -91,6 +91,10 @@ EXTRA_QUERIES = [
     "docs_keyword_search",     # boolean AND token search, no shuffle
     "user_activity_skew",      # key-skew profile: counts + quantiles
     "embedding_kmeans",        # exact fixed-point Lloyd iterations
+    "docs_cross_snapshot_dups",  # cross-corpus near-dup join
+    "embedding_kmeans_inertia",  # clustering quality diagnostic
+    "daily_volume_cusum",      # sequential changepoint gate
+    "embedding_split_leakage",  # train/test leakage at cosine level
 ]
 
 

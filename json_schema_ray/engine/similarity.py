@@ -1093,3 +1093,60 @@ def kmeans_assign_stats(ds, centroids: pa.Table,
         "n": pa.array(acc_n, pa.int64()),
         "inertia": pa.array(acc_i, pa.int64()),
     })
+
+
+def embedding_cross_pairs(ds_query, ds_ref, threshold: float = 0.45,
+                          id_column: str = "vec_id",
+                          embedding_column: str = "embedding",
+                          col_block: int = 65536):
+    """Thresholded cosine pairs ACROSS two corpora — the
+    train/test split-leakage gate at embedding granularity: every
+    (query, ref) pair with cosine >= threshold, e.g. eval items
+    whose near-twin sits in the training split (the embedding
+    analogue of dedup.cross_jaccard_join).
+
+    Shape: the REF side (the smaller split by convention) is
+    gathered and broadcast once via ``ray.put``; the query side
+    streams, each batch computing its rows x ref similarity
+    slab-wise (``col_block`` ref columns at a time, bounded memory).
+    No ordering constraint — sides are distinct by construction, so
+    every cross pair emits exactly once from its query row.
+    """
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for batch in ds_ref.select_columns([id_column, embedding_column]) \
+            .iter_batches(batch_format="pyarrow"):
+        if batch.num_rows:
+            ids_parts.append(np.asarray(batch[id_column].to_pylist(),
+                                        dtype=np.int64))
+            mat_parts.append(_batch_matrix(batch[embedding_column])
+                             .astype(np.float64))
+    empty = pa.table({"id_q": pa.array([], pa.int64()),
+                      "id_r": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not ids_parts:
+        return ray.data.from_arrow(empty)
+    ids_r_all = np.concatenate(ids_parts)
+    m_r_all = _normalize(np.concatenate(mat_parts))
+    handle = ray.put((ids_r_all, m_r_all))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids_r, m_r = ray.get(handle)
+        m = _normalize(_batch_matrix(batch[embedding_column])
+                       .astype(np.float64))
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        out_q, out_r, out_c = [], [], []
+        for clo in range(0, len(ids_r), col_block):
+            chi = min(clo + col_block, len(ids_r))
+            sims = m @ m_r[clo:chi].T
+            ri, ci = np.nonzero(sims >= threshold)
+            out_q.extend(ids[ri].tolist())
+            out_r.extend(ids_r[clo + ci].tolist())
+            out_c.extend(sims[ri, ci].tolist())
+        return pa.table({"id_q": pa.array(out_q, pa.int64()),
+                         "id_r": pa.array(out_r, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    return ds_query.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)

@@ -5811,3 +5811,30 @@ def test_cusum_scan_detects_sustained_shift():
     assert empty.num_rows == 0
     assert empty.column_names == ["w", "n", "cusum_pos_e6",
                                   "cusum_neg_e6", "flag"]
+
+
+def test_embedding_cross_pairs_sides_and_threshold():
+    from json_schema_ray.engine.similarity import embedding_cross_pairs
+
+    # q0 ~ r0 (identical), q1 orthogonal to both refs
+    q = pa.table({"vec_id": pa.array([10, 11], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    r = pa.table({"vec_id": pa.array([20, 21], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.7, 0.7]],
+                                        pa.list_(pa.float32()))})
+    for blocks in (1, 2):
+        dq = _ray().data.from_arrow(q).repartition(blocks)
+        dr = _ray().data.from_arrow(r).repartition(blocks)
+        got = {(x["id_q"], x["id_r"]): x["cosine"] for x in
+               embedding_cross_pairs(dq, dr, threshold=0.6)
+               .take_all()}
+        # q0-r0 cos=1, q0-r1 cos=.707, q1-r1 cos=.707; q1-r0 cos=0
+        assert set(got) == {(10, 20), (10, 21), (11, 21)}, blocks
+        assert abs(got[(10, 20)] - 1.0) < 1e-12
+        # within-side pairs never appear (q0 vs q1, r0 vs r1)
+
+    empty_ref = _ray().data.from_arrow(r.slice(0, 0))
+    out = embedding_cross_pairs(
+        _ray().data.from_arrow(q), empty_ref).take_all()
+    assert out == []
