@@ -3175,6 +3175,76 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-flavored star join: revenue by region across
+    lineitem x orders x customer x nation x region. Composition of
+    the engine's join realizations by side size: lineitem revenue
+    fixed-points PER ROW (house discipline — sums then commute);
+    orders picks up r_name through ONE broadcast of the dimension
+    chain (region x nation x customer — dimension-sized by TPC-H's
+    10:1; beyond worker heaps the same map rides sort_merge_join);
+    the two ORDER-keyed big sides join via sort_merge_join (no
+    broadcast of a fact side, and no order-granularity Aggregate —
+    the 150k-near-unique-group all-to-all costs more than the join's
+    own sort). Lineitem collapses to per-(block, order) PARTIAL rows
+    first — an Arrow combiner with NO shuffle (an order's items are
+    adjacent in generation order, so this is ~4x) — carrying an item
+    count so the final rollup still reports exact n_items; the
+    region rollup collapses to 5 rows per block before the driver
+    merge."""
+    from json_schema_ray.engine.relational import (
+        broadcast_hash_join, grouped_aggregate, sort_merge_join)
+
+    # per-row revenue: fixed-point BEFORE any sum (house discipline),
+    # then a shuffle-free per-block combiner to order granularity
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        r = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev100": pa.array(r)})
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate(
+            [("rev100", "sum"), ([], "count_all")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev100": g["rev100_sum"],
+                         "n_li": g["count_all"]})
+
+    rev_ds = li.map_batches(rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # dimension chain, driver-assembled (region 5 x nation 25 x
+    # customer rows — driver-read with pruned columns; three Ray
+    # executions for KB-sized dims is pure fixed overhead), broadcast
+    # once
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    dim = cust.join(nat, keys=["c_nationkey"],
+                    right_keys=["n_nationkey"]) \
+        .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"]) \
+        .select(["c_custkey", "r_name"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    ord_region = broadcast_hash_join(orders, dim, "o_custkey",
+                                     "c_custkey") \
+        .select_columns(["o_orderkey", "r_name"])
+
+    joined = sort_merge_join(rev_ds, ord_region, "l_orderkey",
+                             "o_orderkey", value_columns=["r_name"])
+    out = grouped_aggregate(joined, ["r_name"],
+                            [("rev100", "sum"), ("n_li", "sum")],
+                            driver_merge=True)
+    out = out.rename_columns(["r_name", "revenue100", "n_items"])
+    return out.sort_by([("r_name", "ascending")])
+
+
 def q_embedding_split_leakage(sf_dir: str):
     """Train/test split-leakage gate (engine/similarity.py
     embedding_cross_pairs): eval items (odd vec_ids) whose cosine
@@ -3495,6 +3565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_inertia": q_embedding_kmeans_inertia,
         "daily_volume_cusum": q_daily_volume_cusum,
         "embedding_split_leakage": q_embedding_split_leakage,
+        "revenue_by_region": q_revenue_by_region,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4047,6 +4118,19 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "revenue_by_region": """
+            SELECT r_name,
+                   CAST(sum(CAST(floor(l_extendedprice
+                        * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue100,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
         "embedding_split_leakage": """
             SELECT a.vec_id AS id_q, b.vec_id AS id_r,
                    CAST(floor(list_cosine_similarity(

@@ -95,6 +95,7 @@ EXTRA_QUERIES = [
     "embedding_kmeans_inertia",  # clustering quality diagnostic
     "daily_volume_cusum",      # sequential changepoint gate
     "embedding_split_leakage",  # train/test leakage at cosine level
+    "revenue_by_region",       # TPC-H Q5-style star join composition
 ]
 
 
