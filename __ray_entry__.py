@@ -3175,6 +3175,40 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_docs_jsonl_roundtrip(sf_dir: str):
+    """Source/sink format parity (SURVEY §2.1 read_file -> Ray
+    mapping): the documents corpus exports to JSONL via
+    ``ds.write_json`` (one file per block — the resumable-output
+    layout) and re-ingests via ``ray.data.read_json``; the per-lang
+    rollup over the ROUND-TRIPPED data must hash-match the oracle
+    computed from the original parquet view — proving the JSON
+    ingest path preserves values and nulls."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    out_dir = tempfile.mkdtemp(prefix="jsr_jsonl_")
+    try:
+        ds.write_json(out_dir)
+        back = ray.data.read_json(out_dir)
+        out = grouped_aggregate(
+            back, ["lang"],
+            [(None, "count"), ("n_chars", "sum"),
+             ("doc_id", "min"), ("doc_id", "max")],
+            driver_merge=True)
+        out = out.rename_columns(
+            ["lang", "n_docs", "n_chars_sum", "doc_id_min",
+             "doc_id_max"])
+        return out.sort_by([("lang", "ascending")])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_revenue_by_region(sf_dir: str):
     """TPC-H Q5-flavored star join: revenue by region across
     lineitem x orders x customer x nation x region. Composition of
@@ -3566,6 +3600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_volume_cusum": q_daily_volume_cusum,
         "embedding_split_leakage": q_embedding_split_leakage,
         "revenue_by_region": q_revenue_by_region,
+        "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4118,6 +4153,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "docs_jsonl_roundtrip": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                   CAST(min(doc_id) AS BIGINT) AS doc_id_min,
+                   CAST(max(doc_id) AS BIGINT) AS doc_id_max
+            FROM documents
+            GROUP BY lang ORDER BY lang
+        """,
         "revenue_by_region": """
             SELECT r_name,
                    CAST(sum(CAST(floor(l_extendedprice

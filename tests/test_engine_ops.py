@@ -5838,3 +5838,16 @@ def test_embedding_cross_pairs_sides_and_threshold():
     out = embedding_cross_pairs(
         _ray().data.from_arrow(q), empty_ref).take_all()
     assert out == []
+
+
+def test_jsonl_roundtrip_preserves_nulls_and_values(tmp_path):
+    import ray
+
+    t = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "s": pa.array(["a", None, "c"])})
+    d = str(tmp_path / "jl")
+    _ray().data.from_arrow(t).write_json(d)
+    back = ray.data.read_json(d).take_all()
+    got = sorted(((r["k"], r["s"]) for r in back),
+                 key=lambda x: (x[0] is None, x[0] or 0))
+    assert got == [(1, "a"), (3, "c"), (None, None)]
