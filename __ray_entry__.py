@@ -51,6 +51,17 @@ def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
     return t.set_column(i, col, pa.array(vals, pa.float64()))
 
 
+def _parity_filter(ds, column: str, p: int):
+    """Rows whose int ``column`` has parity ``p`` — the deterministic
+    snapshot/split device several cross-corpus queries share."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(
+            pc.bit_wise_and(batch[column], 1), p))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _collect(ds, empty_schema: pa.Schema = None) -> pa.Table:
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
               for b in ds.iter_batches(batch_format="pyarrow")]
@@ -3260,8 +3271,9 @@ def q_revenue_by_region(sf_dir: str):
     reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
                         columns=["r_regionkey", "r_name"])
     dim = cust.join(nat, keys=["c_nationkey"],
-                    right_keys=["n_nationkey"]) \
-        .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"]) \
+                    right_keys=["n_nationkey"], join_type="inner") \
+        .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"],
+              join_type="inner") \
         .select(["c_custkey", "r_name"])
 
     orders = _read(sf_dir, "orders",
@@ -3289,20 +3301,9 @@ def q_embedding_split_leakage(sf_dir: str):
 
     from json_schema_ray.engine.similarity import embedding_cross_pairs
 
-    def parity(p: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(
-                pc.bit_wise_and(batch["vec_id"], 1), p))
-        return f
-
-    test = _read(sf_dir, "embeddings",
-                 columns=["vec_id", "embedding"]) \
-        .map_batches(parity(1), batch_format="pyarrow",
-                     zero_copy_batch=True)
-    train = _read(sf_dir, "embeddings",
-                  columns=["vec_id", "embedding"]) \
-        .map_batches(parity(0), batch_format="pyarrow",
-                     zero_copy_batch=True)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    test = _parity_filter(ds, "vec_id", 1)
+    train = _parity_filter(ds, "vec_id", 0)
     out = embedding_cross_pairs(test, train, threshold=0.45)
     schema = pa.schema([("id_q", pa.int64()), ("id_r", pa.int64()),
                         ("cosine", pa.float64())])
@@ -3364,18 +3365,8 @@ def q_docs_cross_snapshot_dups(sf_dir: str):
     from json_schema_ray.engine.dedup import cross_jaccard_join
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def parity(p: int):
-        def f(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(
-                pc.bit_wise_and(batch["doc_id"], 1), p))
-        return f
-
-    new_snap = ds.map_batches(parity(1), batch_format="pyarrow",
-                              zero_copy_batch=True)
-    old_corp = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(parity(0), batch_format="pyarrow",
-                     zero_copy_batch=True)
+    new_snap = _parity_filter(ds, "doc_id", 1)
+    old_corp = _parity_filter(ds, "doc_id", 0)
     t = cross_jaccard_join(new_snap, old_corp, "doc_id",
                            threshold=0.5)
     return pa.table({

@@ -842,7 +842,7 @@ def cross_jaccard_join(ds_a, ds_b, id_column: str,
             ids = batch[id_column]
             if len(ids) and (pc.min(ids).as_py() or 0) < 0:
                 raise ValueError("cross_jaccard_join: negative ids")
-            if len(ids) and pc.max(ids).as_py() >= (1 << 62):
+            if len(ids) and (pc.max(ids).as_py() or 0) >= (1 << 62):
                 raise ValueError("cross_jaccard_join: ids >= 2^62")
             enc = pc.add(pc.multiply(pc.cast(ids, pa.int64()), 2),
                          side)

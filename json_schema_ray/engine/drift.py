@@ -178,6 +178,11 @@ def cusum_scan(t: pa.Table, order_col: str, value_col: str,
     the scan that produced the counts. Returns
     (order_col, value_col, cusum_pos_e6, cusum_neg_e6, flag).
     """
+    raw = t[value_col].to_pylist()
+    if any(v is None for v in raw):
+        raise ValueError("cusum_scan: null values in the series "
+                         "(aggregate counts can't be null; filter "
+                         "or fill first)")
     t = t.sort_by([(order_col, "ascending")])
     xs = [int(v) for v in t[value_col].to_pylist()]
     n = len(xs)
@@ -188,9 +193,14 @@ def cusum_scan(t: pa.Table, order_col: str, value_col: str,
             "cusum_pos_e6": pa.array([], pa.int64()),
             "cusum_neg_e6": pa.array([], pa.int64()),
             "flag": pa.array([], pa.int64())})
-    mu_e6 = (sum(xs) * 1_000_000) // n
-    kappa_e6 = mu_e6 * kappa_num // kappa_den
-    h_e6 = mu_e6 * h_num // h_den
+    def _trunc_div(a: int, b: int) -> int:
+        # DuckDB // truncates toward zero; python // floors — mirror
+        # the SQL twin on negative-sum series too
+        return (abs(a) // b) * (1 if a >= 0 else -1)
+
+    mu_e6 = _trunc_div(sum(xs) * 1_000_000, n)
+    kappa_e6 = _trunc_div(mu_e6 * kappa_num, kappa_den)
+    h_e6 = _trunc_div(mu_e6 * h_num, h_den)
     sp = sn = 0
     pos, neg, flags = [], [], []
     for x in xs:

@@ -945,6 +945,9 @@ def kmeans_fixed_point(ds, k: int = 4, n_iter: int = 3,
     cand.sort(key=lambda r: r["__id"])
     if len(cand) < k:
         raise ValueError(f"kmeans: {len(cand)} points < k={k}")
+    if len({len(c["__q"]) for c in cand}) > 1:
+        raise ValueError("kmeans: ragged embedding lengths "
+                         "across blocks")
     C = np.asarray([c["__q"] for c in cand[:k]], dtype=np.int64)
     d = C.shape[1]
 
@@ -962,6 +965,9 @@ def kmeans_fixed_point(ds, k: int = 4, n_iter: int = 3,
                     "counts": pa.array([], pa.list_(pa.int64()))})
             X = lists.flatten().to_numpy(zero_copy_only=False) \
                 .reshape(n, -1)
+            if X.shape[1] != cent.shape[1]:
+                raise ValueError("kmeans: ragged embedding lengths "
+                                 "across blocks")
             # argmin ||x - c||^2 == argmin |c|^2 - 2 x.c  (|x|^2 is
             # constant per row); all-int64, no wrap by the documented
             # scale bound
@@ -1058,6 +1064,9 @@ def kmeans_assign_stats(ds, centroids: pa.Table,
             .astype(np.float64)
         X = np.floor(flat * scale + 0.5).astype(np.int64) \
             .reshape(n, -1)
+        if X.shape[1] != cent.shape[1]:
+            raise ValueError("kmeans: embedding width differs from "
+                             "the centroid table's dim count")
         c2 = np.einsum("kd,kd->k", cent, cent)
         score = c2[None, :] - 2 * (X @ cent.T)
         assign = np.argmin(score, axis=1)
@@ -1114,9 +1123,17 @@ def embedding_cross_pairs(ds_query, ds_ref, threshold: float = 0.45,
     """
     import ray
 
+    def _valid_rows(batch: pa.Table) -> pa.Table:
+        # a null embedding contributes ZERO flat values, silently
+        # misaligning ids with the matrix rows — drop null rows first
+        keep = pc.and_(pc.is_valid(batch[id_column]),
+                       pc.is_valid(batch[embedding_column]))
+        return batch.filter(keep)
+
     ids_parts, mat_parts = [], []
     for batch in ds_ref.select_columns([id_column, embedding_column]) \
             .iter_batches(batch_format="pyarrow"):
+        batch = _valid_rows(batch)
         if batch.num_rows:
             ids_parts.append(np.asarray(batch[id_column].to_pylist(),
                                         dtype=np.int64))
@@ -1133,6 +1150,9 @@ def embedding_cross_pairs(ds_query, ds_ref, threshold: float = 0.45,
 
     def probe(batch: pa.Table) -> pa.Table:
         ids_r, m_r = ray.get(handle)
+        batch = _valid_rows(batch)
+        if batch.num_rows == 0:
+            return empty
         m = _normalize(_batch_matrix(batch[embedding_column])
                        .astype(np.float64))
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)

@@ -1323,7 +1323,8 @@ def keyword_search(ds, terms, column: str = "text",
     if mode not in ("all", "any"):
         raise ValueError(f"keyword_search: bad mode {mode!r}")
     term_arr = pa.array(terms, pa.string())
-    want = (np.uint64(1) << np.uint64(len(terms))) - np.uint64(1)
+    # python-int first: np.uint64(1) << 64 is shift-by-width UB
+    want = np.uint64((1 << len(terms)) - 1)
 
     def probe(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

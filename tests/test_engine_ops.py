@@ -5851,3 +5851,70 @@ def test_jsonl_roundtrip_preserves_nulls_and_values(tmp_path):
     got = sorted(((r["k"], r["s"]) for r in back),
                  key=lambda x: (x[0] is None, x[0] or 0))
     assert got == [(1, "a"), (3, "c"), (None, None)]
+
+
+def test_review_fixes_keyword64_nullemb_nullid_ragged():
+    from json_schema_ray.engine.dedup import cross_jaccard_join
+    from json_schema_ray.engine.similarity import (
+        embedding_cross_pairs, kmeans_fixed_point)
+    from json_schema_ray.engine.text import keyword_search
+
+    # exactly 64 terms: want mask must be all-ones, not 0/UB
+    toks = [f"t{i}" for i in range(64)]
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([" ".join(toks),
+                                    " ".join(toks[:63])])})
+    got = [r["doc_id"] for r in keyword_search(
+        _ray().data.from_arrow(t), toks, mode="all").take_all()]
+    assert got == [0]
+
+    # null embedding/id rows must drop, not misalign ids
+    q = pa.table({"vec_id": pa.array([1, 2, 3], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], None, [0.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    r = pa.table({"vec_id": pa.array([7, None], pa.int64()),
+                  "embedding": pa.array([[0.0, 1.0], [1.0, 0.0]],
+                                        pa.list_(pa.float32()))})
+    pairs = embedding_cross_pairs(_ray().data.from_arrow(q),
+                                  _ray().data.from_arrow(r),
+                                  threshold=0.9).take_all()
+    assert {(p["id_q"], p["id_r"]) for p in pairs} == {(3, 7)}
+
+    # all-null id block: clear contract error, not a TypeError
+    nulls = pa.table({"doc_id": pa.array([None, None], pa.int64()),
+                      "text": pa.array(["a b", "c d"])})
+    ok = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["a b"])})
+    with pytest.raises(Exception, match="negative|null|ids"):
+        cross_jaccard_join(_ray().data.from_arrow(nulls),
+                           _ray().data.from_arrow(ok), "doc_id")
+
+    # cross-block ragged widths: loud ValueError, not a shape crash
+    a = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                  "embedding": pa.array([[0.1] * 4] * 2,
+                                        pa.list_(pa.float32()))})
+    b = pa.table({"vec_id": pa.array([2, 3], pa.int64()),
+                  "embedding": pa.array([[0.1] * 5] * 2,
+                                        pa.list_(pa.float32()))})
+    ragged = _ray().data.from_arrow(a).union(
+        _ray().data.from_arrow(b))
+    with pytest.raises(Exception, match="ragged"):
+        kmeans_fixed_point(ragged, k=2, n_iter=1)
+
+
+def test_cusum_scan_negative_series_trunc_and_null_raise():
+    from json_schema_ray.engine.drift import cusum_scan
+
+    t = pa.table({"w": pa.array([0, 1, 2], pa.int64()),
+                  "n": pa.array([-1, 0, 0], pa.int64())})
+    out = cusum_scan(t, "w", "n").to_pylist()
+    # DuckDB-trunc mean: (-1000000)//3 -> -333333 (not floor -333334)
+    mu = -333333
+    kappa = 0        # trunc(mu/8) == 0 toward zero
+    sp = max(0, (-1 * 1_000_000 - mu) - kappa)
+    assert out[0]["cusum_pos_e6"] == sp
+
+    tn = pa.table({"w": pa.array([0], pa.int64()),
+                   "n": pa.array([None], pa.int64())})
+    with pytest.raises(ValueError, match="null values"):
+        cusum_scan(tn, "w", "n")
