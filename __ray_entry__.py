@@ -3186,6 +3186,38 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_events_daily_quota(sf_dir: str):
+    """Per-key-per-window ingestion quota: the FIRST 3 events per
+    (user, day) by (ts, event_id) — the rate-cap realization of
+    grouped_top_k (engine/rank.py) over a composite key, ascending.
+    Hot users reduce to <= k rows per (key, block) BEFORE the one
+    sort; the day column derives per batch (stateless)."""
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        day = pc.multiply(
+            pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                               86400000000.0)),
+            86400000000.0)
+        return batch.append_column(
+            "day_us", pc.cast(day, pa.int64()))
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = grouped_top_k(ds, ["user_id", "day_us"], "ts", 3,
+                        descending=False, tiebreak="event_id")
+    out = out.select_columns(["event_id", "user_id", "day_us", "rn"])
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("day_us", pa.int64()), ("rn", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("event_id", "ascending")])
+
+
 def q_docs_jsonl_roundtrip(sf_dir: str):
     """Source/sink format parity (SURVEY §2.1 read_file -> Ray
     mapping): the documents corpus exports to JSONL via
@@ -3592,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_split_leakage": q_embedding_split_leakage,
         "revenue_by_region": q_revenue_by_region,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+        "events_daily_quota": q_events_daily_quota,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4144,6 +4177,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "events_daily_quota": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(epoch_us(ts) / 86400000000)
+                          * 86400000000 AS BIGINT) AS day_us
+              FROM events)
+            SELECT event_id, user_id, day_us, CAST(rn AS BIGINT) AS rn
+            FROM (SELECT event_id, user_id, day_us,
+                         row_number() OVER (
+                           PARTITION BY user_id, day_us
+                           ORDER BY ts, event_id) AS rn
+                  FROM e)
+            WHERE rn <= 3
+            ORDER BY event_id
+        """,
         "docs_jsonl_roundtrip": """
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
