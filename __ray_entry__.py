@@ -3186,6 +3186,67 @@ def q_resumable_validation(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_docs_leakage_free_split(sf_dir: str):
+    """Leakage-free train/test split: near-dup CLUSTERS (not docs)
+    are the unit of assignment, so no duplicate pair can straddle
+    the split — the correct split discipline for training corpora.
+    Composition: ngram_jaccard_dedup_pairs -> connected_components
+    (labels O(dup docs), broadcast once) -> one scan hashing each
+    doc's component-or-self through splitmix64 against the 80%% cut;
+    the invariant (same component -> same split) holds by
+    construction. Output: per-split doc and dup-doc counts."""
+    import ray
+
+    from json_schema_ray.engine.dedup import (
+        connected_components, ngram_jaccard_dedup_pairs)
+    from json_schema_ray.state.sketches import hash_ints
+
+    thr = int(0.8 * float(1 << 64))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup_pairs(ds, "doc_id", threshold=0.5)
+    comp = connected_components(pairs)
+    ids = comp["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = comp["component"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(ids)
+    handle = ray.put((ids[order], labels[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cids, clabels = ray.get(handle)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        unit = d.copy()
+        is_dup = np.zeros(len(d), bool)
+        if len(cids):
+            pos = np.searchsorted(cids, d)
+            pos[pos == len(cids)] = 0
+            hit = cids[pos] == d
+            unit[hit] = clabels[pos[hit]]
+            is_dup = hit
+        split = (hash_ints(unit) >= np.uint64(thr)).astype(np.int64)
+        n0 = int((split == 0).sum())
+        return pa.table({
+            "split": pa.array([0, 1], pa.int64()),
+            "n_docs": pa.array([n0, len(d) - n0], pa.int64()),
+            "n_dup_docs": pa.array(
+                [int(is_dup[split == 0].sum()),
+                 int(is_dup[split == 1].sum())], pa.int64())})
+
+    acc = {0: [0, 0], 1: [0, 0]}
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches(
+            [b] if isinstance(b, pa.RecordBatch) else b.to_batches())
+        for row in t.to_pylist():
+            acc[row["split"]][0] += row["n_docs"]
+            acc[row["split"]][1] += row["n_dup_docs"]
+    return pa.table({
+        "split": pa.array([0, 1], pa.int64()),
+        "n_docs": pa.array([acc[0][0], acc[1][0]], pa.int64()),
+        "n_dup_docs": pa.array([acc[0][1], acc[1][1]], pa.int64())})
+
+
 def q_events_daily_quota(sf_dir: str):
     """Per-key-per-window ingestion quota: the FIRST 3 events per
     (user, day) by (ts, event_id) — the rate-cap realization of
@@ -3625,6 +3686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "events_daily_quota": q_events_daily_quota,
+        "docs_leakage_free_split": q_docs_leakage_free_split,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4177,6 +4239,74 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
         "embedding_kmeans_inertia": _kmeans_sql(k=4, n_iter=3,
                                                 inertia=True),
+        "docs_leakage_free_split": f"""
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+            ), edges AS (
+                SELECT id_a AS n, id_b AS m FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach AS (
+                SELECT n, n AS m FROM edges
+                UNION
+                SELECT e.n, r.m
+                FROM edges e JOIN reach r ON e.m = r.n
+            ), comp AS (
+                SELECT n AS doc_id, min(m) AS component
+                FROM reach GROUP BY n
+            ), unit AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS unit,
+                       CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END
+                         AS is_dup
+                FROM documents d LEFT JOIN comp c
+                  ON d.doc_id = c.doc_id
+            ), sp AS (
+                SELECT CASE WHEN {splitmix64_sql('unit')}
+                            < CAST({int(0.8 * float(1 << 64))}
+                                   AS UBIGINT)
+                       THEN 0 ELSE 1 END AS split, is_dup
+                FROM unit
+            )
+            SELECT v.split,
+                   CAST(coalesce(g.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(g.n_dup, 0) AS BIGINT) AS n_dup_docs
+            FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)))
+                 v(split)
+            LEFT JOIN (SELECT split, count(*) AS n_docs,
+                              sum(is_dup) AS n_dup
+                       FROM sp GROUP BY split) g
+              ON v.split = g.split
+            ORDER BY v.split
+        """,
         "events_daily_quota": """
             WITH e AS (
               SELECT event_id, user_id, ts,

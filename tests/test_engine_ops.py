@@ -5918,3 +5918,34 @@ def test_cusum_scan_negative_series_trunc_and_null_raise():
                    "n": pa.array([None], pa.int64())})
     with pytest.raises(ValueError, match="null values"):
         cusum_scan(tn, "w", "n")
+
+
+def test_leakage_free_split_invariant_no_cluster_straddles():
+    """Every near-dup pair must land in ONE split (the operator's
+    whole point) — verified against per-doc assignments recomputed
+    the same way the query assigns them."""
+    from json_schema_ray.engine.dedup import (
+        connected_components, ngram_jaccard_dedup_pairs)
+    from json_schema_ray.state.sketches import hash_ints
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts, n = [], 40
+    for i in range(n):
+        if i % 4 == 0 and i + 1 < n:
+            texts.append(base + f" x{i}")
+        elif i % 4 == 1:
+            texts.append(base + f" x{i - 1}")   # near-dup of i-1
+        else:
+            texts.append(" ".join(f"u{i}w{j}" for j in range(8)))
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = _ray().data.from_arrow(t).repartition(5)
+    pairs = ngram_jaccard_dedup_pairs(ds, "doc_id", threshold=0.5)
+    assert pairs.num_rows > 0
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).to_pylist()}
+    thr = int(0.8 * float(1 << 64))
+    split = {i: int(hash_ints(np.array(
+        [comp.get(i, i)], np.int64))[0] >= thr) for i in range(n)}
+    for r in pairs.to_pylist():
+        assert split[r["id_a"]] == split[r["id_b"]], r
