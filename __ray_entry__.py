@@ -3621,6 +3621,126 @@ def q_events_expectations(sf_dir: str):
     ])
 
 
+def q_docs_cdc_merge(sf_dir: str):
+    """Change-data-capture merge (LSM-style compaction): a base
+    snapshot plus a derived op log (updates, deletes, inserts with a
+    sequence number) collapse to latest-op-per-key in ONE combinable
+    aggregate — engine/relational.py grouped_first_last's arg-max
+    encoding, so hot keys reduce inside every block and nothing
+    sorts. Tombstones travel as payload -1 and drop in the final
+    stateless filter; the op log derives deterministically from the
+    corpus (doc_id%5 update, %7 delete, %11 insert under new ids) so
+    the SQL twin sees the identical stream."""
+    from json_schema_ray.engine.relational import grouped_first_last
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def ops(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nc = pc.fill_null(pc.cast(batch["n_chars"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        parts = [pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "__seq": pa.array(np.zeros(len(ids), np.int64)),
+            "__payload": pa.array(nc, pa.int64())})]
+        upd = ids % 5 == 0
+        if upd.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[upd], pa.int64()),
+                "__seq": pa.array(np.ones(int(upd.sum()), np.int64)),
+                "__payload": pa.array(nc[upd] + 1000, pa.int64())}))
+        dele = ids % 7 == 0
+        if dele.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[dele], pa.int64()),
+                "__seq": pa.array(
+                    np.full(int(dele.sum()), 2, np.int64)),
+                "__payload": pa.array(
+                    np.full(int(dele.sum()), -1, np.int64))}))
+        ins = ids % 11 == 0
+        if ins.any():
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[ins] + 10_000_000, pa.int64()),
+                "__seq": pa.array(np.ones(int(ins.sum()), np.int64)),
+                "__payload": pa.array(nc[ins] + 7, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    log = ds.map_batches(ops, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    merged = grouped_first_last(log, "doc_id", "__seq", "__seq",
+                                "__payload", last_out="__last")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        live = batch.filter(pc.greater_equal(batch["__last"], 0.0))
+        return pa.table({
+            "doc_id": live["doc_id"],
+            "n_chars": pc.cast(live["__last"], pa.int64())})
+
+    out = merged.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
+def q_user_twap(sf_dir: str):
+    """Time-weighted value aggregate per user (the TWAP shape):
+    every event's value is weighted by its holding interval — the
+    milliseconds until the user's NEXT event — realized as
+    engine/rank.py lead_column (one null-safe sort, ONE carry row
+    per block) followed by a combinable per-user sum. Fixed-point
+    discipline: value quantizes to e2 BEFORE the multiply, weights
+    are integer milliseconds, so partials merge order-free
+    (envelope: |sum(v_e2 * dt_ms)| < 2^63; at 100 TB the per-user
+    history is the bound, not the corpus). The last event of a user
+    has no interval and contributes nothing, exactly like SQL's
+    NULL-propagating lead()."""
+    from json_schema_ray.engine.rank import lead_column
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    led = lead_column(ds, "user_id", "ts", "ts", "event_id",
+                      out="__next_ts")
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64())
+        nt = pc.cast(batch["__next_ts"], pa.int64())
+        # events.ts is microsecond-unit; weight in whole ms
+        dt_ms = pc.divide(pc.subtract(nt, t), 1000)
+        v_e2 = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({
+            "user_id": batch["user_id"],
+            "__num": pc.multiply(v_e2, dt_ms),
+            "__den": dt_ms})
+
+    agg = null_safe_grouped_aggregate(
+        led.map_batches(weigh, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["user_id"],
+        [Sum("__num", alias_name="twap_num_e2", ignore_nulls=True),
+         Sum("__den", alias_name="span_ms", ignore_nulls=True)],
+        ["twap_num_e2", "span_ms"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "twap_num_e2": pc.cast(batch["twap_num_e2"], pa.int64()),
+            "span_ms": pc.cast(batch["span_ms"], pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("twap_num_e2", pa.int64()),
+                        ("span_ms", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -3687,6 +3807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "events_daily_quota": q_events_daily_quota,
         "docs_leakage_free_split": q_docs_leakage_free_split,
+        "docs_cdc_merge": q_docs_cdc_merge,
+        "user_twap": q_user_twap,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4234,6 +4356,46 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "docs_cdc_merge": """
+            WITH ops AS (
+                SELECT doc_id, 0 AS seq,
+                       CAST(coalesce(n_chars, 0) AS BIGINT) AS payload
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 1,
+                       CAST(coalesce(n_chars, 0) + 1000 AS BIGINT)
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 2, CAST(-1 AS BIGINT)
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 10000000, 1,
+                       CAST(coalesce(n_chars, 0) + 7 AS BIGINT)
+                FROM documents WHERE doc_id % 11 = 0
+            ), last AS (
+                SELECT doc_id, payload,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY seq DESC) AS rn
+                FROM ops
+            )
+            SELECT doc_id, payload AS n_chars
+            FROM last WHERE rn = 1 AND payload >= 0
+            ORDER BY doc_id
+        """,
+        "user_twap": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                        - epoch_us(ts)) // 1000 AS dt_ms
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(v * dt_ms) AS BIGINT) AS twap_num_e2,
+                   CAST(sum(dt_ms) AS BIGINT) AS span_ms
+            FROM e GROUP BY user_id ORDER BY user_id
+        """,
         "doc_fingerprints": _fingerprint_sql(),
         "docs_shared_spans": _shared_spans_sql(),
         "embedding_kmeans": _kmeans_sql(k=4, n_iter=3),
