@@ -3684,6 +3684,45 @@ def q_docs_cdc_merge(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_events_rolling_median(sf_dir: str):
+    """Per-user rolling median over the trailing 5 events — the
+    robust-smoothing twin of events_moving_sum, via engine/rank.py
+    windowed_median: one null-safe sort, a per-block vectorized
+    sliding-sort kernel, O(window * n_blocks) carries. Values
+    quantize to e2 BEFORE the sort (fixed-point discipline) and the
+    median ships DOUBLED (lower + upper middle) so it stays an exact
+    int64 against DuckDB's interpolated window median."""
+    from json_schema_ray.engine.rank import windowed_median
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "__v": v})
+
+    out = windowed_median(
+        ds.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "__v", "event_id", 5, out="med2_e2")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "med2_e2",
+                             "win_cnt"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("med2_e2", pa.int64()),
+                        ("win_cnt", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_user_twap(sf_dir: str):
     """Time-weighted value aggregate per user (the TWAP shape):
     every event's value is weighted by its holding interval — the
@@ -3809,6 +3848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_leakage_free_split": q_docs_leakage_free_split,
         "docs_cdc_merge": q_docs_cdc_merge,
         "user_twap": q_user_twap,
+        "events_rolling_median": q_events_rolling_median,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4381,6 +4421,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, payload AS n_chars
             FROM last WHERE rn = 1 AND payload >= 0
             ORDER BY doc_id
+        """,
+        "events_rolling_median": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(2 * median(v) OVER w AS BIGINT) AS med2_e2,
+                   CAST(count(v) OVER w AS BIGINT) AS win_cnt
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "user_twap": """
             WITH e AS (

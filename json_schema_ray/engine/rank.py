@@ -566,6 +566,200 @@ def windowed_sum(ds, key: str, ts: str, value: str, tiebreak: str,
                                zero_copy_batch=True)
 
 
+def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
+                    window_n: int, out: str = "med2",
+                    cnt_out: str = "win_cnt"):
+    """Per-key moving-window median, emitted DOUBLED so it stays an
+    exact integer: every row gains ``out`` = SQL ``2 * median(value)
+    OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN
+    window_n-1 PRECEDING AND CURRENT ROW)`` — the sum of the frame's
+    lower and upper middle non-null values (equal when the non-null
+    count is odd), plus ``cnt_out`` (non-null values in the frame;
+    NULL median when 0). For integer-valued inputs the result is an
+    exact int64, hash-stable against a SQL oracle's interpolated
+    ``median`` — quantize floats BEFORE calling (the repo's
+    fixed-point-before-sum discipline, here fixed-point-before-sort).
+    ``(ts, tiebreak)`` must be unique per key, numeric/temporal only
+    (the :func:`cumulative_sum` contract).
+
+    Shape mirrors :func:`windowed_sum`: one null-safe sort, then a
+    per-block vectorized kernel — ``sliding_window_view`` over the
+    block's value run, cross-segment and null positions masked to
+    +inf, ONE ``np.sort`` per block (O(n * w log w), w*n floats of
+    scratch: size ``window_n`` to the block, not the corpus) and a
+    take_along_axis gather of the two middles. Rows with
+    ``window_n - 1`` same-key in-block predecessors are final; only
+    each block's first <= window_n - 1 rows can reach across blocks
+    and recompute distributed from <= 2 * (window_n - 1) carry rows
+    per block (the tails of its first and last key segments, values
+    null-preserved). Driver state is O(window_n * n_blocks),
+    independent of any key's row count — unlike a sum, a median
+    cannot fold carries into a partial, so pending rows re-gather
+    their full <= window_n-value frame, still O(blocks * window_n)
+    total."""
+    if window_n < 1:
+        raise ValueError("windowed_median requires window_n >= 1")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .relational import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    tail = window_n - 1
+
+    def _med2(vals_sorted: np.ndarray, cnt: np.ndarray):
+        """(a + b) over pre-sorted rows whose first cnt entries are
+        the frame's valid values; garbage where cnt == 0."""
+        lo = np.maximum((cnt - 1) // 2, 0)
+        hi = np.maximum(cnt // 2, 0)
+        a = np.take_along_axis(vals_sorted, lo[:, None], 1)[:, 0]
+        b = np.take_along_axis(vals_sorted, hi[:, None], 1)[:, 0]
+        return a + b
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"windowed_median: order column {c!r} is a"
+                    " string; only numeric/temporal order columns"
+                    " carry across block boundaries")
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("__rt", pa.array([], pa.int8())) \
+                .append_column(out, pa.array([], pa.int64())) \
+                .append_column(cnt_out, pa.array([], pa.int64())) \
+                .append_column("__cv", pa.array([], pa.float64()))
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        varr = pc.cast(batch[value], pa.float64())
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        seg_ids = np.cumsum(newseg) - 1
+        starts = np.nonzero(newseg)[0]
+        vp = np.concatenate([np.zeros(tail, np.float64), v])
+        okp = np.concatenate([np.zeros(tail, bool), valid])
+        sgp = np.concatenate([np.full(tail, -1, np.int64), seg_ids])
+        sw_ok = (sliding_window_view(okp, window_n)
+                 & (sliding_window_view(sgp, window_n)
+                    == seg_ids[:, None]))
+        vals = np.where(sw_ok, sliding_window_view(vp, window_n),
+                        np.inf)
+        cnt = sw_ok.sum(1).astype(np.int64)
+        med2 = _med2(np.sort(vals, axis=1), cnt)
+        rt = np.zeros(n, np.int8)
+        first_seg = kk == kk[0]
+        in_seg = np.arange(n) - starts[seg_ids]
+        rt[first_seg & (in_seg < tail)] = 1
+        safe = np.where(cnt > 0, med2, 0.0)
+        out_t = batch.append_column("__rt", pa.array(rt)) \
+            .append_column(out, pa.array(
+                np.round(safe).astype(np.int64), pa.int64(),
+                mask=(cnt == 0))) \
+            .append_column(cnt_out, pa.array(cnt, pa.int64())) \
+            .append_column("__cv", pa.nulls(n, pa.float64()))
+        if tail == 0:
+            return out_t
+        # carry rows: the last <= tail rows of the first and the
+        # last key segments; __cv holds the row's OWN value
+        # (null-preserved) for the distributed recompute
+        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
+        rows: set = set()
+        for end in {first_end, n - 1}:
+            seg_start = int(starts[seg_ids[end]])
+            rows.update(range(max(seg_start, end - tail + 1), end + 1))
+        sel = sorted(rows)
+        ctab = batch.take(pa.array(sel)) \
+            .append_column("__rt", pa.array(
+                np.full(len(sel), 2, np.int8))) \
+            .append_column(out, pa.nulls(len(sel), pa.int64())) \
+            .append_column(cnt_out, pa.array(
+                np.zeros(len(sel), np.int64))) \
+            .append_column("__cv", varr.take(pa.array(sel)))
+        return pa.concat_tables([out_t, ctab])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, [key]).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        vals = kept["__cv"].to_pylist()
+        for kval, t, tb, vv in zip(kk, tsv, tbv, vals):
+            carry.setdefault(kval, []).append((float(t), float(tb), vv))
+
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        offsets[kval] = (
+            np.array([s[0] for s in segs], dtype=np.float64),
+            np.array([s[1] for s in segs], dtype=np.float64),
+            [s[2] for s in segs])
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt", "__cv"])
+        offs = ray.get(handle)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        med2 = pc.fill_null(kept[out].combine_chunks(), 0) \
+            .to_numpy(zero_copy_only=False).copy()
+        cnt = kept[cnt_out].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        if len(pend):
+            kk = _group_key_expr(kept, [key]) \
+                .to_numpy(zero_copy_only=False)
+            tsv = _order_np(kept, ts, descending=False)
+            tbv = _order_np(kept, tiebreak, descending=False)
+            # only the pending prefix's own values are ever gathered
+            inblock = pc.cast(kept[value], pa.float64()) \
+                .slice(int(pend[0]),
+                       int(pend[-1] - pend[0] + 1)).to_pylist()
+            kval = kk[pend[0]]  # all pending rows share the block's
+            # first key, and arrive in block order (j = in-seg index)
+            ext_vals: list = []
+            if kval in offs:
+                la, lb, vv = offs[kval]
+                pos0 = int(_boundaries_before(
+                    la, lb, tsv[pend[:1]], tbv[pend[:1]])[0])
+                ext_vals = vv[max(pos0 - tail, 0):pos0]
+            for j, i in enumerate(pend):
+                take = min(tail - j, len(ext_vals))
+                frame = ([] if take <= 0
+                         else ext_vals[len(ext_vals) - take:]) \
+                    + inblock[:j + 1]
+                fv = np.sort(np.array(
+                    [x for x in frame if x is not None], np.float64))
+                cnt[i] = len(fv)
+                if len(fv):
+                    med2[i] = int(round(
+                        fv[(len(fv) - 1) // 2] + fv[len(fv) // 2]))
+        oi = kept.column_names.index(out)
+        res = kept.set_column(oi, out, pa.array(
+            med2, pa.int64(), mask=(cnt == 0)))
+        ci = res.column_names.index(cnt_out)
+        res = res.set_column(ci, cnt_out, pa.array(cnt, pa.int64()))
+        return res.drop_columns(["__rt", "__cv"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def grouped_value_ranks(ds, key: str, col: str):
     """SQL ``rank()`` / ``dense_rank() OVER (PARTITION BY key ORDER
     BY col)`` profiled per DISTINCT value: returns one row per

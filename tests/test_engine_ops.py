@@ -2657,6 +2657,86 @@ def test_windowed_sum_hot_key_tiny_blocks_carry_chain():
         assert (s, c) == (float(expect), expect), rid
 
 
+def test_windowed_median_matches_duckdb_rows_frame():
+    import duckdb
+
+    from json_schema_ray.engine.rank import windowed_median
+
+    rng = np.random.default_rng(58)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 15, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 4000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.07 else int(x)
+                       for x in rng.integers(-50, 50, n)], pa.int64()),
+    })
+    for blocks, w in ((1, 3), (11, 5), (11, 1), (7, 8)):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: (r["med2"], r["win_cnt"]) for r in
+               windowed_median(ds, "k", "ts", "v", "rid", w).take_all()}
+        want = {r[0]: (r[1], r[2]) for r in duckdb.sql(f"""
+            SELECT rid,
+                   CAST(2 * median(v) OVER w AS BIGINT),
+                   count(v) OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid
+              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+            """).fetchall()}
+        assert got == want, (blocks, w)
+
+
+def test_windowed_median_hot_key_tiny_blocks_carry_chain():
+    from json_schema_ray.engine.rank import windowed_median
+
+    # one key, 64 blocks of ~47 rows, window 7 > some block tails:
+    # pending frames must chain through earlier blocks' carries;
+    # v = rid makes every frame's median analytic
+    n = 3000
+    w = 7
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "ts": pa.array(np.arange(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(64)
+    out = {r["rid"]: (r["med2"], r["win_cnt"]) for r in
+           windowed_median(ds, "k", "ts", "v", "rid", w).take_all()}
+    assert len(out) == n
+    for rid, (m2, c) in out.items():
+        frame = list(range(max(0, rid - w + 1), rid + 1))
+        expect = frame[(len(frame) - 1) // 2] + frame[len(frame) // 2]
+        assert (m2, c) == (expect, len(frame)), rid
+
+
+def test_windowed_median_all_null_frames_and_seed_sweep():
+    import duckdb
+
+    from json_schema_ray.engine.rank import windowed_median
+
+    for seed in (3, 17, 91):
+        rng = np.random.default_rng(seed)
+        n = 1200
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 4, n), pa.int64()),
+            "ts": pa.array(rng.permutation(n), pa.int64()),
+            "rid": pa.array(np.arange(n), pa.int64()),
+            # heavy null rate: whole frames go empty -> NULL median
+            "v": pa.array([None if rng.random() < 0.6 else int(x)
+                           for x in rng.integers(-9, 9, n)],
+                          pa.int64()),
+        })
+        ds = _ray().data.from_arrow(t).repartition(9)
+        got = {r["rid"]: (r["med2"], r["win_cnt"]) for r in
+               windowed_median(ds, "k", "ts", "v", "rid", 4).take_all()}
+        want = {r[0]: (r[1], r[2]) for r in duckdb.sql("""
+            SELECT rid,
+                   CAST(2 * median(v) OVER w AS BIGINT),
+                   count(v) OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            """).fetchall()}
+        assert got == want, seed
+
+
 def test_rollup_aggregate_matches_duckdb():
     import duckdb
 
