@@ -3684,6 +3684,44 @@ def q_docs_cdc_merge(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_host_triangles(sf_dir: str):
+    """Per-host triangle counts over the host co-mention graph
+    (engine/graph.py triangle_counts): hosts cited by the SAME
+    document connect, and triangles — the clustering signal link-spam
+    filters key on — are counted by degree-ordered compact-forward
+    search: orient every edge low-degree -> high-degree (out-degree
+    then bounded by O(sqrt(E)) whatever the skew), expand wedge
+    candidates via the sorted interior-segment + edge-stitch
+    machinery, close them with ONE distributed sort-merge join
+    against the packed edge set. Only the node table (hosts) touches
+    the driver — the pagerank envelope. The corpus carries no URLs,
+    so both sides append the same deterministic mod-97/89/83 hosts:
+    wide enough that the edge set is data-dependent, not complete."""
+    from json_schema_ray.engine.graph import (co_mention_pairs,
+                                              triangle_counts)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            b["text"],
+            " plus http://hub", pc.cast(pa.array(ids % 83),
+                                        pa.string()),
+            ".example.com/x see http://site",
+            pc.cast(pa.array(ids % 97), pa.string()),
+            ".example.com/p via https://cdn",
+            pc.cast(pa.array(ids % 89), pa.string()),
+            ".example.com/a", "")
+        return pa.table({"text": aug})
+
+    pairs = co_mention_pairs(
+        ds.map_batches(augment, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    return triangle_counts(pairs)
+
+
 def q_events_rolling_median(sf_dir: str):
     """Per-user rolling median over the trailing 5 events — the
     robust-smoothing twin of events_moving_sum, via engine/rank.py
@@ -3849,6 +3887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_merge": q_docs_cdc_merge,
         "user_twap": q_user_twap,
         "events_rolling_median": q_events_rolling_median,
+        "host_triangles": q_host_triangles,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4421,6 +4460,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, payload AS n_chars
             FROM last WHERE rn = 1 AND payload >= 0
             ORDER BY doc_id
+        """,
+        "host_triangles": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' plus http://hub' || (doc_id % 83)
+                            || '.example.com/x see http://site'
+                            || (doc_id % 97)
+                            || '.example.com/p via https://cdn'
+                            || (doc_id % 89)
+                            || '.example.com/a' AS text
+                FROM documents
+            ), u AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                              'https?://[^\s]+')) AS url
+                FROM aug
+            ), hosts AS (
+                SELECT DISTINCT doc_id, h FROM (
+                    SELECT doc_id,
+                           lower(regexp_extract(url,
+                                 '^https?://([^/:?#\s]+)', 1)) AS h
+                    FROM u) WHERE h <> ''
+            ), ed AS (
+                SELECT DISTINCT h1.h AS a, h2.h AS b
+                FROM hosts h1 JOIN hosts h2
+                  ON h1.doc_id = h2.doc_id AND h1.h < h2.h
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.a = e1.b
+                JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), m AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM m GROUP BY node ORDER BY node
         """,
         "events_rolling_median": """
             WITH e AS (

@@ -413,3 +413,295 @@ def hits(edges, src: str = "src", dst: str = "dst",
     return pa.table({"node": node_arr,
                      "hub_fp": pa.array(hub, pa.int64()),
                      "auth_fp": pa.array(auth, pa.int64())})
+
+
+def co_mention_pairs(ds, text_column: str = "text"):
+    """Within-row host co-mention edges: for every row, the DISTINCT
+    lowercased hosts of its URL mentions pair up (upper triangle by
+    host string), one (h_a, h_b) row per unordered pair — the
+    standard co-occurrence graph construction (hosts cited together
+    are related). Entirely batch-local: a document is one row, so
+    extraction, per-row dedup and pair expansion all happen in the
+    one vectorized scan — no shuffle. Pair expansion is the global
+    repeat/offset formula across ALL row segments at once (no
+    per-row Python); malformed/empty hosts are dropped. Parallel
+    pairs across rows are kept (callers dedup globally —
+    :func:`triangle_counts` does)."""
+    from .text import _flat_terms, _DOMAIN_REGEX
+
+    empty = pa.table({"h_a": pa.array([], pa.string()),
+                      "h_b": pa.array([], pa.string())})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        flat, par = _flat_terms(batch, text_column)
+        if len(flat) == 0:
+            return empty
+        url = pc.struct_field(
+            pc.extract_regex(flat, pattern=r"(?P<u>https?://[^\s]+)"),
+            "u")
+        hit = pc.is_valid(url).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        host = pc.fill_null(
+            pc.utf8_lower(pc.struct_field(pc.extract_regex(
+                url.filter(pa.array(hit)), pattern=_DOMAIN_REGEX),
+                "h")), "")
+        hs = host.to_numpy(zero_copy_only=False)
+        rows = par[hit]
+        keep = hs != ""
+        hs, rows = hs[keep], rows[keep]
+        if len(hs) == 0:
+            return empty
+        # per-row distinct hosts, host-sorted within each row
+        order = np.lexsort((hs, rows))
+        hs, rows = hs[order], rows[order]
+        uniq = np.concatenate(
+            [[True], (rows[1:] != rows[:-1]) | (hs[1:] != hs[:-1])])
+        hs, rows = hs[uniq], rows[uniq]
+        n = len(hs)
+        # vectorized all-segments upper triangle: element at in-seg
+        # position p of a size-m segment leads m-1-p pairs
+        newseg = np.concatenate([[True], rows[1:] != rows[:-1]])
+        seg_ids = np.cumsum(newseg) - 1
+        starts = np.nonzero(newseg)[0]
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        c = (sizes[seg_ids] - 1
+             - (np.arange(n) - starts[seg_ids])).astype(np.int64)
+        total = int(c.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(n), c)
+        off = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(c)[:-1]]), c)
+        return pa.table({"h_a": pa.array(hs[rep]),
+                         "h_b": pa.array(hs[rep + 1 + off])})
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _center_wedges(oriented, n_nodes: int):
+    """(a, b) rank-oriented distinct edges -> wedge candidates
+    (center a, packed id-canonical key of the b-pair). Same shape as
+    dedup's bucket pairing: ONE sort on the center co-locates each
+    adjacency list, interior segments expand their upper triangle
+    vectorized, and the <= 2 boundary segments per block stitch in
+    one worker-side pass — a hot center's O(d^2) pair blow-up happens
+    in a worker, never the driver, and degree orientation bounds d by
+    O(sqrt(E))."""
+    srt = oriented.sort("a")
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "__wk": pa.array([], pa.int64()),
+                      "__edge": pa.array([], pa.bool_())})
+
+    def pack(center: np.ndarray, x: np.ndarray, y: np.ndarray):
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table({
+            "u": pa.array(center, pa.int64()),
+            "__wk": pa.array(lo * n_nodes + hi, pa.int64()),
+            "__edge": pa.array(np.zeros(len(lo), bool))})
+
+    def seg_expand(a: np.ndarray, b: np.ndarray, interior_only: bool,
+                   g_first: int, g_last: int):
+        n = len(a)
+        change = np.nonzero(a[1:] != a[:-1])[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [n]])
+        parts = []
+        edge_idx = []
+        for s, e in zip(starts, ends):
+            is_boundary = interior_only and (s == g_first or
+                                             e == g_last)
+            if is_boundary:
+                edge_idx.append(np.arange(s, e))
+                continue
+            if e - s < 2:
+                continue
+            m = e - s
+            bb = np.sort(b[s:e])
+            cnt = np.arange(m - 1, -1, -1, dtype=np.int64)
+            total = m * (m - 1) // 2
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            ia = np.repeat(bb, cnt)
+            ib = bb[np.arange(total, dtype=np.int64)
+                    - np.repeat(offs, cnt)
+                    + np.repeat(np.arange(1, m + 1, dtype=np.int64),
+                                cnt)]
+            parts.append(pack(np.full(total, a[s], np.int64), ia, ib))
+        return parts, edge_idx
+
+    def block_wedges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        a = batch["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        parts, edge_idx = seg_expand(a, b, True, 0, n)
+        if edge_idx:
+            ei = np.concatenate(edge_idx)
+            parts.append(pa.table({
+                "u": pa.array(a[ei] * n_nodes + b[ei], pa.int64()),
+                "__wk": pa.array(b[ei], pa.int64()),
+                "__edge": pa.array(np.ones(len(ei), bool))}))
+        return pa.concat_tables(parts) if parts else empty
+
+    scanned = srt.map_batches(block_wedges, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    interior = scanned.map_batches(
+        lambda t: t.filter(pc.invert(t["__edge"]))
+        .select(["u", "__wk"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def edge_wedges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["__edge"])
+        if t.num_rows == 0:
+            return empty.select(["u", "__wk"])
+        packed = t["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        a = packed // n_nodes
+        b = t["__wk"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        parts, _ = seg_expand(a, b, False, -1, -1)
+        if not parts:
+            return empty.select(["u", "__wk"])
+        return pa.concat_tables(parts).select(["u", "__wk"])
+
+    stitched = scanned.map_batches(
+        lambda t: t.filter(t["__edge"]),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .repartition(1) \
+        .map_batches(edge_wedges, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return interior.union(stitched)
+
+
+def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b"):
+    """Per-node triangle counts over an undirected graph given as a
+    stream of (possibly parallel, possibly reversed) string endpoint
+    pairs. Classic degree-ordered compact-forward counting:
+
+    1. ONE groupby dedups to the distinct undirected edge set
+       (lexicographic (lo, hi) canonical form; self-loops dropped).
+    2. Node labels + distinct-edge degrees collect to a DRIVER table
+       — node-sized, the same envelope :func:`pagerank` holds
+       (hosts, not documents) — assigning integer ids and the
+       (degree, id) total order.
+    3. Every edge orients low-rank -> high-rank; each node's
+       out-adjacency is then O(sqrt(E)) long regardless of skew.
+    4. Wedge candidates (center u, neighbor pair key) expand via the
+       sorted interior-segment + edge-stitch machinery
+       (:func:`_center_wedges`), and ONE distributed sort-merge join
+       against the packed edge-key set closes them — every match is
+       exactly one triangle, found exactly once.
+    5. A final groupby over the 3 member ids per triangle yields the
+       counts; only nodes in >= 1 triangle appear.
+
+    Packing bound: n_nodes^2 must fit int64 (n_nodes < 3e9).
+    Returns a driver pyarrow Table (node, n_triangles), node-sorted.
+    """
+    import ray
+
+    from .relational import sort_merge_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        sa = batch[src].cast(pa.string()).combine_chunks()
+        da = batch[dst].cast(pa.string()).combine_chunks()
+        lo = pc.min_element_wise(sa, da)
+        hi = pc.max_element_wise(sa, da)
+        t = pa.table({"lo": lo, "hi": hi}).filter(
+            pc.not_equal(lo, hi))
+        # per-block combiner: distinct within the block
+        g = pa.TableGroupBy(t, ["lo", "hi"]).aggregate([([], "count_all")])
+        return g.select(["lo", "hi"])
+
+    distinct = pairs.map_batches(canon, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby(["lo", "hi"]).count() \
+        .map_batches(lambda t: t.select(["lo", "hi"]),
+                     batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    empty_out = pa.table({"node": pa.array([], pa.string()),
+                          "n_triangles": pa.array([], pa.int64())})
+    deg_t = _node_degrees(distinct, "lo", "hi")
+    n_nodes = deg_t.num_rows
+    if n_nodes == 0:
+        return empty_out
+    node_arr = deg_t["node"].combine_chunks()
+    # undirected degree = in + out over the distinct canonical edges
+    outdeg = deg_t["outdeg"].to_numpy(zero_copy_only=False)
+    indeg = np.zeros(n_nodes, np.int64)
+    hi_counts = _node_degrees(
+        distinct.map_batches(
+            lambda t: pa.table({"lo": t["hi"], "hi": t["lo"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "lo", "hi")
+    ii = pc.index_in(hi_counts["node"].combine_chunks(),
+                     value_set=node_arr).to_numpy(zero_copy_only=False)
+    indeg[ii] = hi_counts["outdeg"].to_numpy(zero_copy_only=False)
+    deg = outdeg + indeg
+    # rank = position in the (degree, id) total order
+    rank = np.empty(n_nodes, np.int64)
+    rank[np.lexsort((np.arange(n_nodes), deg))] = \
+        np.arange(n_nodes, dtype=np.int64)
+    handle = ray.put((node_arr, rank))
+
+    def orient(batch: pa.Table, h=handle) -> pa.Table:
+        nodes_r, rank_r = ray.get(h)
+        li = pc.index_in(batch["lo"].combine_chunks(),
+                         value_set=nodes_r) \
+            .to_numpy(zero_copy_only=False)
+        hi_ = pc.index_in(batch["hi"].combine_chunks(),
+                          value_set=nodes_r) \
+            .to_numpy(zero_copy_only=False)
+        swap = rank_r[li] > rank_r[hi_]
+        return pa.table({
+            "a": pa.array(np.where(swap, hi_, li), pa.int64()),
+            "b": pa.array(np.where(swap, li, hi_), pa.int64())})
+
+    oriented = distinct.map_batches(orient, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+    wedges = _center_wedges(oriented, n_nodes)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pa.table({
+            "__ek": pa.array(lo * n_nodes + hi, pa.int64()),
+            "one": pa.array(np.ones(len(a), np.int8))})
+
+    keys = oriented.map_batches(edge_keys, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    closed = sort_merge_join(wedges, keys, "__wk", "__ek",
+                             ["one"], how="inner")
+
+    def member_counts(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        wk = batch["__wk"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        members = np.concatenate([u, wk // n_nodes, wk % n_nodes])
+        g = pa.TableGroupBy(
+            pa.table({"id": pa.array(members, pa.int64())}),
+            ["id"]).aggregate([([], "count_all")])
+        return pa.table({"id": g["id"],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in closed.map_batches(
+            member_counts, batch_format="pyarrow",
+            zero_copy_batch=True)
+        .groupby("id").sum("c").iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return empty_out
+    st = pa.concat_tables(parts, promote_options="default")
+    ids = st["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "node": node_arr.take(pa.array(ids)),
+        "n_triangles": st["sum(c)"].cast(pa.int64()),
+    }).sort_by([("node", "ascending")])

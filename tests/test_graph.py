@@ -209,3 +209,100 @@ def test_url_host_edges_extraction(ray_session):
     # authority yields the empty-string host like SQL regexp_extract
     assert pairs == [("s1", "a.com"), ("s1", "a.com"),
                      ("s1", "b.com"), ("s3", "")]
+
+
+def _tri_reference(edges):
+    """Dict node -> triangle count by brute force over the distinct
+    undirected edge set."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in sorted(adj[x]):
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    for m in (x, y, z):
+                        counts[m] = counts.get(m, 0) + 1
+    return counts
+
+
+def test_triangle_counts_randomized_differential(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import triangle_counts
+
+    for seed, n_nodes, n_pairs, blocks in (
+            (5, 12, 120, 1), (6, 30, 300, 7), (7, 60, 500, 13)):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n_nodes, n_pairs)
+        b = rng.integers(0, n_nodes, n_pairs)
+        edges = [(f"h{x}", f"h{y}") for x, y in zip(a, b)]
+        t = pa.table({"h_a": pa.array([e[0] for e in edges]),
+                      "h_b": pa.array([e[1] for e in edges])})
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = dict(zip(*[c.to_pylist() for c in
+                         triangle_counts(ds).columns]))
+        assert got == _tri_reference(edges), (seed, blocks)
+
+
+def test_triangle_counts_hot_center_complete_graph(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import triangle_counts
+
+    # K12: every node sits in C(11,2) = 55 triangles; tiny blocks
+    # force the wedge expansion through the edge-stitch path
+    n = 12
+    pairs = [(f"v{i:02d}", f"v{j:02d}")
+             for i in range(n) for j in range(i + 1, n)]
+    t = pa.table({"h_a": pa.array([p[0] for p in pairs]),
+                  "h_b": pa.array([p[1] for p in pairs])})
+    ds = ray.data.from_arrow(t).repartition(16)
+    got = dict(zip(*[c.to_pylist() for c in
+                     triangle_counts(ds).columns]))
+    assert got == {f"v{i:02d}": 55 for i in range(n)}
+
+
+def test_triangle_counts_self_loops_parallel_and_empty(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import triangle_counts
+
+    t = pa.table({
+        "h_a": pa.array(["a", "a", "b", "a", "c", "c", "d"]),
+        "h_b": pa.array(["b", "b", "a", "c", "b", "c", "d"])})
+    got = dict(zip(*[c.to_pylist() for c in
+                     triangle_counts(ray.data.from_arrow(t)).columns]))
+    # one triangle (a, b, c); self-loops and parallel/reversed
+    # duplicates must not inflate it
+    assert got == {"a": 1, "b": 1, "c": 1}
+    empty = pa.table({"h_a": pa.array([], pa.string()),
+                      "h_b": pa.array([], pa.string())})
+    assert triangle_counts(
+        ray.data.from_arrow(empty)).num_rows == 0
+
+
+def test_co_mention_pairs_extraction(ray_session):
+    import ray
+
+    from json_schema_ray.engine.graph import co_mention_pairs
+
+    t = pa.table({"text": pa.array([
+        "see http://A.com/x and https://b.com/y plus http://a.com/z",
+        "only http://solo.com/1 here",
+        "no urls at all",
+        None,
+        "http://x.com/1 http://y.com/2 http://z.com/3",
+    ])})
+    out = co_mention_pairs(ray.data.from_arrow(t)).take_all()
+    pairs = sorted((r["h_a"], r["h_b"]) for r in out)
+    # row 0: hosts {a.com, b.com} (case-folded, deduped) -> 1 pair;
+    # row 4: 3 hosts -> 3 pairs; singleton/empty/null rows -> none
+    assert pairs == [("a.com", "b.com"), ("x.com", "y.com"),
+                     ("x.com", "z.com"), ("y.com", "z.com")]
