@@ -3684,6 +3684,70 @@ def q_docs_cdc_merge(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_top_quality_per_lang(sf_dir: str):
+    """Per-language quality-percentile gate — the canonical curation
+    filter 'keep each language's top 25% by length' (a global cut
+    would drown low-resource languages): SQL ``percent_rank() OVER
+    (PARTITION BY lang ORDER BY n_chars DESC) <= 0.25``. Because
+    percent_rank is monotone in the order column, the kept set per
+    language IS a value threshold — so the rank table
+    (engine/rank.py grouped_value_ranks, one combiner groupby + one
+    sort, O(blocks) carries) reduces to one cutoff value per
+    language, broadcast into a final stateless filter scan. The
+    25%-of-(N-1) cut evaluates in exact integers on both sides; ties
+    at the cutoff keep together, exactly like rank()."""
+    from json_schema_ray.engine.rank import grouped_value_ranks
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "n_chars"])
+
+    def non_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["n_chars"]))
+
+    docs_nn = docs.map_batches(non_null, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    counts = grouped_aggregate(docs_nn, ["lang"], [(None, "count")],
+                               driver_merge=True)
+    n_by_lang = dict(zip(counts["lang"].to_pylist(),
+                         counts["rows_count"].to_pylist()))
+    ranks = grouped_value_ranks(docs_nn, "lang", "n_chars")
+
+    def kept_values(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        n = np.array([n_by_lang.get(lv, 0) for lv in langs], np.int64)
+        rk = batch["rank"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        # ascending rank -> descending: rows above v = N - rank - cnt + 1
+        rk_desc = n - rk - cnt + 2
+        keep = (rk_desc - 1) * 100 <= 25 * (n - 1)
+        return batch.filter(pa.array(keep)).select(["lang", "n_chars"])
+
+    cut_t = grouped_aggregate(
+        ranks.map_batches(kept_values, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["lang"], [("n_chars", "min")], driver_merge=True)
+    cutoff = dict(zip(cut_t["lang"].to_pylist(),
+                      cut_t["n_chars_min"].to_pylist()))
+
+    def final_filter(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        thr = np.array([cutoff.get(lv, np.iinfo(np.int64).max)
+                        for lv in langs], np.int64)
+        nc = pc.fill_null(pc.cast(batch["n_chars"], pa.int64()),
+                          np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(nc >= thr))
+
+    out = docs.map_batches(final_filter, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_host_triangles(sf_dir: str):
     """Per-host triangle counts over the host co-mention graph
     (engine/graph.py triangle_counts): hosts cited by the SAME
@@ -3888,6 +3952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_twap": q_user_twap,
         "events_rolling_median": q_events_rolling_median,
         "host_triangles": q_host_triangles,
+        "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4459,6 +4524,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, payload AS n_chars
             FROM last WHERE rn = 1 AND payload >= 0
+            ORDER BY doc_id
+        """,
+        "docs_top_quality_per_lang": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars DESC) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT doc_id, lang, n_chars FROM r
+            WHERE (rk - 1) * 100 <= 25 * (n - 1)
             ORDER BY doc_id
         """,
         "host_triangles": r"""
