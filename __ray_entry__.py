@@ -3825,6 +3825,45 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_rolling_extrema(sf_dir: str):
+    """Per-user rolling min/max band over the trailing 5 events —
+    the volatility/range gate companion of events_rolling_median,
+    via engine/rank.py windowed_extrema (the shared _windowed_rows
+    harness: one null-safe sort, an O(n * w) masked min/max kernel,
+    O(window * n_blocks) carries). Values quantize to e2 before the
+    sort so both extrema are exact int64."""
+    from json_schema_ray.engine.rank import windowed_extrema
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "__v": v})
+
+    out = windowed_extrema(
+        ds.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "__v", "event_id", 5,
+        min_out="min_e2", max_out="max_e2")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "min_e2",
+                             "max_e2", "win_cnt"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("min_e2", pa.int64()), ("max_e2", pa.int64()),
+                        ("win_cnt", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_user_twap(sf_dir: str):
     """Time-weighted value aggregate per user (the TWAP shape):
     every event's value is weighted by its holding interval — the
@@ -3953,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_median": q_events_rolling_median,
         "host_triangles": q_host_triangles,
         "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
+        "events_rolling_extrema": q_events_rolling_extrema,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4584,6 +4624,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id,
                    CAST(2 * median(v) OVER w AS BIGINT) AS med2_e2,
+                   CAST(count(v) OVER w AS BIGINT) AS win_cnt
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_rolling_extrema": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   min(v) OVER w AS min_e2,
+                   max(v) OVER w AS max_e2,
                    CAST(count(v) OVER w AS BIGINT) AS win_cnt
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id

@@ -96,6 +96,12 @@ EXTRA_QUERIES = [
     "daily_volume_cusum",      # sequential changepoint gate
     "embedding_split_leakage",  # train/test leakage at cosine level
     "revenue_by_region",       # TPC-H Q5-style star join composition
+    "docs_cdc_merge",          # CDC upsert/delete compaction
+    "user_twap",               # time-weighted value via lead + sum
+    "events_rolling_median",   # sliding-sort window median kernel
+    "host_triangles",          # degree-ordered triangle counting
+    "docs_top_quality_per_lang",  # per-lang percentile gate
+    "events_rolling_extrema",  # rolling min/max band, shared harness
 ]
 
 

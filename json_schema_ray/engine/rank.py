@@ -566,39 +566,31 @@ def windowed_sum(ds, key: str, ts: str, value: str, tiebreak: str,
                                zero_copy_batch=True)
 
 
-def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
-                    window_n: int, out: str = "med2",
-                    cnt_out: str = "win_cnt"):
-    """Per-key moving-window median, emitted DOUBLED so it stays an
-    exact integer: every row gains ``out`` = SQL ``2 * median(value)
-    OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN
-    window_n-1 PRECEDING AND CURRENT ROW)`` — the sum of the frame's
-    lower and upper middle non-null values (equal when the non-null
-    count is odd), plus ``cnt_out`` (non-null values in the frame;
-    NULL median when 0). For integer-valued inputs the result is an
-    exact int64, hash-stable against a SQL oracle's interpolated
-    ``median`` — quantize floats BEFORE calling (the repo's
-    fixed-point-before-sum discipline, here fixed-point-before-sort).
-    ``(ts, tiebreak)`` must be unique per key, numeric/temporal only
-    (the :func:`cumulative_sum` contract).
+def _windowed_rows(ds, key: str, ts: str, value: str, tiebreak: str,
+                   window_n: int, outs, block_kernel, pending_fn,
+                   cnt_out: str):
+    """Shared harness for order-sensitive ROWS-frame window operators
+    whose per-frame statistic cannot fold into a combinable partial
+    (median, min/max, ...): one null-safe sort, a vectorized
+    ``sliding_window_view`` kernel per block, and the
+    :func:`windowed_sum` carry discipline — only each block's first
+    <= window_n - 1 rows can reach across blocks, recomputing
+    distributed from <= 2 * (window_n - 1) null-preserved carry rows
+    per block (the tails of its first and last key segments). Driver
+    state is O(window_n * n_blocks), independent of any key's size.
 
-    Shape mirrors :func:`windowed_sum`: one null-safe sort, then a
-    per-block vectorized kernel — ``sliding_window_view`` over the
-    block's value run, cross-segment and null positions masked to
-    +inf, ONE ``np.sort`` per block (O(n * w log w), w*n floats of
-    scratch: size ``window_n`` to the block, not the corpus) and a
-    take_along_axis gather of the two middles. Rows with
-    ``window_n - 1`` same-key in-block predecessors are final; only
-    each block's first <= window_n - 1 rows can reach across blocks
-    and recompute distributed from <= 2 * (window_n - 1) carry rows
-    per block (the tails of its first and last key segments, values
-    null-preserved). Driver state is O(window_n * n_blocks),
-    independent of any key's row count — unlike a sum, a median
-    cannot fold carries into a partial, so pending rows re-gather
-    their full <= window_n-value frame, still O(blocks * window_n)
-    total."""
+    ``outs`` is the ordered list of output column names (int64;
+    quantize float inputs BEFORE calling — the repo's fixed-point
+    discipline). ``block_kernel(vals, sw_ok, cnt) -> {name: float
+    ndarray}`` sees each row's frame as a (n, window_n) slab with
+    invalid positions masked to +inf (``sw_ok`` marks valid);
+    ``pending_fn(frame) -> tuple`` recomputes one boundary row from
+    its SORTED non-null frame values (never called on empty frames —
+    empty frames emit NULL). ``(ts, tiebreak)`` must be unique per
+    key, numeric/temporal only (the :func:`cumulative_sum`
+    contract)."""
     if window_n < 1:
-        raise ValueError("windowed_median requires window_n >= 1")
+        raise ValueError("windowed_* requires window_n >= 1")
     from numpy.lib.stride_tricks import sliding_window_view
 
     from .relational import null_safe_sort
@@ -606,27 +598,19 @@ def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
     sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
     tail = window_n - 1
 
-    def _med2(vals_sorted: np.ndarray, cnt: np.ndarray):
-        """(a + b) over pre-sorted rows whose first cnt entries are
-        the frame's valid values; garbage where cnt == 0."""
-        lo = np.maximum((cnt - 1) // 2, 0)
-        hi = np.maximum(cnt // 2, 0)
-        a = np.take_along_axis(vals_sorted, lo[:, None], 1)[:, 0]
-        b = np.take_along_axis(vals_sorted, hi[:, None], 1)[:, 0]
-        return a + b
-
     def scan(batch: pa.Table) -> pa.Table:
         for c in (ts, tiebreak):
             if _is_str(batch[c].type):
                 raise ValueError(
-                    f"windowed_median: order column {c!r} is a"
-                    " string; only numeric/temporal order columns"
-                    " carry across block boundaries")
+                    f"windowed op: order column {c!r} is a string;"
+                    " only numeric/temporal order columns carry"
+                    " across block boundaries")
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("__rt", pa.array([], pa.int8())) \
-                .append_column(out, pa.array([], pa.int64())) \
-                .append_column(cnt_out, pa.array([], pa.int64())) \
+            t = batch.append_column("__rt", pa.array([], pa.int8()))
+            for name in outs:
+                t = t.append_column(name, pa.array([], pa.int64()))
+            return t.append_column(cnt_out, pa.array([], pa.int64())) \
                 .append_column("__cv", pa.array([], pa.float64()))
         kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
         varr = pc.cast(batch[value], pa.float64())
@@ -646,17 +630,18 @@ def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
         vals = np.where(sw_ok, sliding_window_view(vp, window_n),
                         np.inf)
         cnt = sw_ok.sum(1).astype(np.int64)
-        med2 = _med2(np.sort(vals, axis=1), cnt)
+        stats = block_kernel(vals, sw_ok, cnt)
         rt = np.zeros(n, np.int8)
         first_seg = kk == kk[0]
         in_seg = np.arange(n) - starts[seg_ids]
         rt[first_seg & (in_seg < tail)] = 1
-        safe = np.where(cnt > 0, med2, 0.0)
-        out_t = batch.append_column("__rt", pa.array(rt)) \
-            .append_column(out, pa.array(
+        out_t = batch.append_column("__rt", pa.array(rt))
+        for name in outs:
+            safe = np.where(cnt > 0, stats[name], 0.0)
+            out_t = out_t.append_column(name, pa.array(
                 np.round(safe).astype(np.int64), pa.int64(),
-                mask=(cnt == 0))) \
-            .append_column(cnt_out, pa.array(cnt, pa.int64())) \
+                mask=(cnt == 0)))
+        out_t = out_t.append_column(cnt_out, pa.array(cnt, pa.int64())) \
             .append_column("__cv", pa.nulls(n, pa.float64()))
         if tail == 0:
             return out_t
@@ -671,10 +656,12 @@ def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
         sel = sorted(rows)
         ctab = batch.take(pa.array(sel)) \
             .append_column("__rt", pa.array(
-                np.full(len(sel), 2, np.int8))) \
-            .append_column(out, pa.nulls(len(sel), pa.int64())) \
-            .append_column(cnt_out, pa.array(
-                np.zeros(len(sel), np.int64))) \
+                np.full(len(sel), 2, np.int8)))
+        for name in outs:
+            ctab = ctab.append_column(name, pa.nulls(len(sel),
+                                                     pa.int64()))
+        ctab = ctab.append_column(cnt_out, pa.array(
+            np.zeros(len(sel), np.int64))) \
             .append_column("__cv", varr.take(pa.array(sel)))
         return pa.concat_tables([out_t, ctab])
 
@@ -717,8 +704,9 @@ def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
         offs = ray.get(handle)
         rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
         pend = np.nonzero(rt == 1)[0]
-        med2 = pc.fill_null(kept[out].combine_chunks(), 0) \
-            .to_numpy(zero_copy_only=False).copy()
+        stats = {name: pc.fill_null(kept[name].combine_chunks(), 0)
+                 .to_numpy(zero_copy_only=False).copy()
+                 for name in outs}
         cnt = kept[cnt_out].combine_chunks() \
             .to_numpy(zero_copy_only=False).copy()
         if len(pend):
@@ -747,17 +735,76 @@ def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
                     [x for x in frame if x is not None], np.float64))
                 cnt[i] = len(fv)
                 if len(fv):
-                    med2[i] = int(round(
-                        fv[(len(fv) - 1) // 2] + fv[len(fv) // 2]))
-        oi = kept.column_names.index(out)
-        res = kept.set_column(oi, out, pa.array(
-            med2, pa.int64(), mask=(cnt == 0)))
-        ci = res.column_names.index(cnt_out)
-        res = res.set_column(ci, cnt_out, pa.array(cnt, pa.int64()))
-        return res.drop_columns(["__rt", "__cv"])
+                    res = pending_fn(fv)
+                    for name, val in zip(outs, res):
+                        stats[name][i] = val
+        for name in outs:
+            oi = kept.column_names.index(name)
+            kept = kept.set_column(oi, name, pa.array(
+                stats[name], pa.int64(), mask=(cnt == 0)))
+        ci = kept.column_names.index(cnt_out)
+        kept = kept.set_column(ci, cnt_out, pa.array(cnt, pa.int64()))
+        return kept.drop_columns(["__rt", "__cv"])
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def windowed_median(ds, key: str, ts: str, value: str, tiebreak: str,
+                    window_n: int, out: str = "med2",
+                    cnt_out: str = "win_cnt"):
+    """Per-key moving-window median, emitted DOUBLED so it stays an
+    exact integer: every row gains ``out`` = SQL ``2 * median(value)
+    OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN
+    window_n-1 PRECEDING AND CURRENT ROW)`` — the sum of the frame's
+    lower and upper middle non-null values (equal when the non-null
+    count is odd), plus ``cnt_out`` (non-null values in the frame;
+    NULL median when 0). For integer-valued inputs the result is an
+    exact int64, hash-stable against a SQL oracle's interpolated
+    ``median`` — quantize floats BEFORE calling. Shape: the
+    :func:`_windowed_rows` harness; the kernel is ONE ``np.sort``
+    per block over the (n, window_n) frame slab (O(n * w log w)) and
+    a take_along_axis gather of the two middles — unlike a sum, a
+    median cannot fold carries into a partial, so boundary rows
+    re-gather their full frame, still O(blocks * window_n) total."""
+
+    def kernel(vals, sw_ok, cnt):
+        srt = np.sort(vals, axis=1)
+        lo = np.maximum((cnt - 1) // 2, 0)
+        hi = np.maximum(cnt // 2, 0)
+        a = np.take_along_axis(srt, lo[:, None], 1)[:, 0]
+        b = np.take_along_axis(srt, hi[:, None], 1)[:, 0]
+        return {out: a + b}
+
+    def pending(fv):
+        return (int(round(fv[(len(fv) - 1) // 2] + fv[len(fv) // 2])),)
+
+    return _windowed_rows(ds, key, ts, value, tiebreak, window_n,
+                          [out], kernel, pending, cnt_out)
+
+
+def windowed_extrema(ds, key: str, ts: str, value: str, tiebreak: str,
+                     window_n: int, min_out: str = "win_min",
+                     max_out: str = "win_max",
+                     cnt_out: str = "win_cnt"):
+    """Per-key moving-window min AND max in one pass: every row gains
+    SQL ``min(value) OVER (PARTITION BY key ORDER BY ts, tiebreak
+    ROWS BETWEEN window_n-1 PRECEDING AND CURRENT ROW)`` and the
+    matching ``max``, plus the frame's non-null count (NULL extrema
+    when 0) — the rolling band trackers range/volatility gates key
+    on. Integer-valued inputs only (quantize floats first); shape is
+    the :func:`_windowed_rows` harness with an O(n * w) min/max
+    kernel (invalid frame positions masked to +/-inf)."""
+
+    def kernel(vals, sw_ok, cnt):
+        return {min_out: vals.min(axis=1),
+                max_out: np.where(sw_ok, vals, -np.inf).max(axis=1)}
+
+    def pending(fv):
+        return (int(fv[0]), int(fv[-1]))
+
+    return _windowed_rows(ds, key, ts, value, tiebreak, window_n,
+                          [min_out, max_out], kernel, pending, cnt_out)
 
 
 def grouped_value_ranks(ds, key: str, col: str):

@@ -6029,3 +6029,51 @@ def test_leakage_free_split_invariant_no_cluster_straddles():
         [comp.get(i, i)], np.int64))[0] >= thr) for i in range(n)}
     for r in pairs.to_pylist():
         assert split[r["id_a"]] == split[r["id_b"]], r
+
+
+def test_windowed_extrema_matches_duckdb_rows_frame():
+    import duckdb
+
+    from json_schema_ray.engine.rank import windowed_extrema
+
+    rng = np.random.default_rng(59)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 3000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1 else int(x)
+                       for x in rng.integers(-99, 99, n)], pa.int64()),
+    })
+    for blocks, w in ((1, 4), (9, 6), (13, 1)):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: (r["win_min"], r["win_max"], r["win_cnt"])
+               for r in windowed_extrema(
+                   ds, "k", "ts", "v", "rid", w).take_all()}
+        want = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(f"""
+            SELECT rid, min(v) OVER w, max(v) OVER w,
+                   count(v) OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid
+              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+            """).fetchall()}
+        assert got == want, (blocks, w)
+
+
+def test_windowed_extrema_cross_block_carry_chain():
+    from json_schema_ray.engine.rank import windowed_extrema
+
+    # one key split over 32 tiny blocks; alternating sign ramp makes
+    # every frame's min/max land on different offsets
+    n = 1500
+    w = 6
+    v = np.arange(n) * np.where(np.arange(n) % 2 == 0, 1, -1)
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "ts": pa.array(np.arange(n), pa.int64()),
+                  "rid": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(32)
+    got = {r["rid"]: (r["win_min"], r["win_max"]) for r in
+           windowed_extrema(ds, "k", "ts", "v", "rid", w).take_all()}
+    for rid in range(n):
+        frame = v[max(0, rid - w + 1):rid + 1]
+        assert got[rid] == (int(frame.min()), int(frame.max())), rid
