@@ -3825,6 +3825,64 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_user_decayed_value(sf_dir: str):
+    """Recency-weighted user value — the exponential-decay feature
+    every freshness-aware curation/ranking pipeline wants — made
+    EXACT: with a one-week half-life, weight = 2^-(whole weeks of
+    age), so scaling by 2^20 turns every weight into a left shift
+    and the per-user sum into pure int64 arithmetic (bit-for-bit
+    reproducible in SQL's ``<<``, no float pow anywhere). Events
+    older than 20 half-lives carry weight < 1 ulp of the scale and
+    drop (documented cutoff). Shape: one scalar max(ts) aggregate,
+    then a stateless weighting scan + ONE combinable per-user sum —
+    no sort, no window machinery. Envelope: sum(v_e2) * 2^20 per
+    user < 2^63."""
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    max_us = pc.cast(
+        pa.scalar(ds.max("ts")), pa.timestamp("us")).cast(
+        pa.int64()).as_py()
+    week_us = 7 * 86_400_000_000
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        age_w = pc.divide(
+            pc.subtract(pa.scalar(max_us, pa.int64()),
+                        pc.cast(batch["ts"], pa.int64())),
+            week_us).to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        keep = age_w <= 20
+        w = np.zeros(len(age_w), np.int64)
+        w[keep] = np.int64(1) << (20 - age_w[keep])
+        t = pa.table({"user_id": batch["user_id"],
+                      "__wv": pa.array(v * w, pa.int64())})
+        return t.filter(pa.array(keep))
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(weigh, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"],
+        [Sum("__wv", alias_name="decayed_e2_fp20",
+             ignore_nulls=True)],
+        ["decayed_e2_fp20"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "decayed_e2_fp20": pc.cast(batch["decayed_e2_fp20"],
+                                       pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("decayed_e2_fp20", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
 def q_events_rolling_extrema(sf_dir: str):
     """Per-user rolling min/max band over the trailing 5 events —
     the volatility/range gate companion of events_rolling_median,
@@ -3993,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_triangles": q_host_triangles,
         "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
         "events_rolling_extrema": q_events_rolling_extrema,
+        "user_decayed_value": q_user_decayed_value,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4628,6 +4687,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "user_decayed_value": """
+            WITH m AS (SELECT max(ts) AS mt FROM events),
+            e AS (
+                SELECT user_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       (epoch_us(mt) - epoch_us(ts))
+                           // 604800000000 AS age_w
+                FROM events, m
+            )
+            SELECT user_id,
+                   CAST(sum(v * (CAST(1 AS BIGINT) << (20 - age_w)))
+                        AS BIGINT) AS decayed_e2_fp20
+            FROM e WHERE age_w <= 20
+            GROUP BY user_id ORDER BY user_id
         """,
         "events_rolling_extrema": """
             WITH e AS (
