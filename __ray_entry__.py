@@ -3825,6 +3825,46 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_rolling_distinct(sf_dir: str):
+    """Short-horizon diversity gate: distinct values among each
+    user's trailing 8 events (SQL count(DISTINCT) OVER a ROWS
+    frame) — a user whose rolling distinct count collapses is
+    repeating itself, the classic bot/stuck-agent signal. Engine:
+    engine/rank.py windowed_distinct_count (the shared
+    _windowed_rows harness — one sort, per-frame sorted transition
+    count, O(window * n_blocks) carries); e2 fixed-point makes
+    equality testing exact."""
+    from json_schema_ray.engine.rank import windowed_distinct_count
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "__v": v})
+
+    out = windowed_distinct_count(
+        ds.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "__v", "event_id", 8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "win_distinct",
+                             "win_cnt"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("win_distinct", pa.int64()),
+                        ("win_cnt", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_user_decayed_value(sf_dir: str):
     """Recency-weighted user value — the exponential-decay feature
     every freshness-aware curation/ranking pipeline wants — made
@@ -4052,6 +4092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_quality_per_lang": q_docs_top_quality_per_lang,
         "events_rolling_extrema": q_events_rolling_extrema,
         "user_decayed_value": q_user_decayed_value,
+        "events_rolling_distinct": q_events_rolling_distinct,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4687,6 +4728,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_rolling_distinct": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(count(DISTINCT v) OVER w AS BIGINT)
+                       AS win_distinct,
+                   CAST(count(v) OVER w AS BIGINT) AS win_cnt
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
         """,
         "user_decayed_value": """
             WITH m AS (SELECT max(ts) AS mt FROM events),

@@ -2036,3 +2036,36 @@ def winsorize_by_group(ds, key: str, col: str, tiebreak: str,
 
     return ds.map_batches(clip, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def windowed_distinct_count(ds, key: str, ts: str, value: str,
+                            tiebreak: str, window_n: int,
+                            out: str = "win_distinct",
+                            cnt_out: str = "win_cnt"):
+    """Per-key moving-window DISTINCT count: every row gains ``out``
+    = SQL ``count(DISTINCT value) OVER (PARTITION BY key ORDER BY
+    ts, tiebreak ROWS BETWEEN window_n-1 PRECEDING AND CURRENT
+    ROW)`` plus the plain non-null frame count — the short-horizon
+    diversity signal (is this key suddenly repeating itself?) that
+    repetition/bot gates key on. One difference from SQL on EMPTY
+    frames (all window_n values null): SQL says 0, this op emits
+    NULL alongside ``cnt_out`` = 0 — coalesce if the SQL contract is
+    needed. Shape: the :func:`_windowed_rows` harness; the kernel
+    sorts each frame slab once and counts value transitions among
+    the valid prefix — O(n * w log w), no per-row Python."""
+
+    def kernel(vals, sw_ok, cnt):
+        srt = np.sort(vals, axis=1)
+        w = srt.shape[1]
+        base = (cnt > 0).astype(np.float64)
+        if w == 1:
+            return {out: base}
+        neq = srt[:, 1:] != srt[:, :-1]
+        in_prefix = np.arange(1, w)[None, :] < cnt[:, None]
+        return {out: base + (neq & in_prefix).sum(axis=1)}
+
+    def pending(fv):
+        return (len(np.unique(fv)),)
+
+    return _windowed_rows(ds, key, ts, value, tiebreak, window_n,
+                          [out], kernel, pending, cnt_out)

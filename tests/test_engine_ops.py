@@ -6077,3 +6077,34 @@ def test_windowed_extrema_cross_block_carry_chain():
     for rid in range(n):
         frame = v[max(0, rid - w + 1):rid + 1]
         assert got[rid] == (int(frame.min()), int(frame.max())), rid
+
+
+def test_windowed_distinct_count_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import windowed_distinct_count
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        # tiny value domain so frames repeat values constantly
+        "v": pa.array([None if rng.random() < 0.12 else int(x)
+                       for x in rng.integers(0, 5, n)], pa.int64()),
+    })
+    for blocks, w in ((1, 4), (8, 6), (15, 2)):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: (r["win_distinct"], r["win_cnt"]) for r in
+               windowed_distinct_count(
+                   ds, "k", "ts", "v", "rid", w).take_all()}
+        want = {}
+        for r in duckdb.sql(f"""
+            SELECT rid, count(DISTINCT v) OVER w, count(v) OVER w
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY ts, rid
+              ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+            """).fetchall():
+            # SQL says 0 distinct on empty frames; the op says NULL
+            want[r[0]] = (r[1] if r[2] else None, r[2])
+        assert got == want, (blocks, w)
