@@ -3825,6 +3825,72 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_drift_value_psi(sf_dir: str):
+    """NUMERIC drift — the companion of the categorical
+    drift_events_psi: the value column bins into quartiles of the
+    REFERENCE window (first 15 days, exact sort-based quantile_disc
+    edges via engine/stats.py exact_quantiles, fixed-point e2 so the
+    edges are exact integers), then ONE tagged scan counts the 4
+    bins in both windows (a (2 x 4)-row driver merge) and the stored
+    drift.psi contract scores the shift. PSI ships as
+    floor(x*1e6+0.5) BIGINT for a float-safe hash compare."""
+    import datetime
+    import math
+
+    from json_schema_ray.engine.drift import psi
+    from json_schema_ray.engine.relational import grouped_aggregate
+    from json_schema_ray.engine.stats import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value", "ts"])
+    split = ds.min("ts") + datetime.timedelta(days=15)
+
+    def quantized(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch["value"]))
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(b["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        is_ref = pc.less(b["ts"], pa.scalar(split, b["ts"].type))
+        return pa.table({"__v": v, "__ref": is_ref})
+
+    tagged = ds.map_batches(quantized, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    ref_only = tagged.map_batches(
+        lambda b: b.filter(b["__ref"]).select(["__v"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    edges = np.asarray(
+        exact_quantiles(ref_only, "__v",
+                        qs=(0.25, 0.5, 0.75))["value"].to_pylist(),
+        np.float64)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch["__v"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        # side='left': v == edge stays in the lower bin, exactly the
+        # SQL CASE v <= e1 / <= e2 / <= e3 ladder
+        return pa.table({
+            "win": batch["__ref"],
+            "bin": pa.array(np.searchsorted(edges, v, side="left")
+                            .astype(np.int64))})
+
+    counts = grouped_aggregate(
+        tagged.map_batches(binned, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["win", "bin"], [(None, "count")], driver_merge=True)
+    ref_hist: dict = {}
+    act_hist: dict = {}
+    for w, b, c in zip(counts["win"].to_pylist(),
+                       counts["bin"].to_pylist(),
+                       counts["rows_count"].to_pylist()):
+        (ref_hist if w else act_hist)[b] = c
+    v = psi(ref_hist, act_hist)
+    return pa.table({
+        "col": pa.array(["value"], pa.string()),
+        "metric": pa.array(["psi_q4"], pa.string()),
+        "psi_e6": pa.array([int(math.floor(v * 1e6 + 0.5))],
+                           pa.int64()),
+    })
+
+
 def q_events_rolling_distinct(sf_dir: str):
     """Short-horizon diversity gate: distinct values among each
     user's trailing 8 events (SQL count(DISTINCT) OVER a ROWS
@@ -4093,6 +4159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_extrema": q_events_rolling_extrema,
         "user_decayed_value": q_user_decayed_value,
         "events_rolling_distinct": q_events_rolling_distinct,
+        "drift_value_psi": q_drift_value_psi,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4728,6 +4795,45 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "drift_value_psi": """
+            WITH b AS (
+                SELECT min(ts) + INTERVAL 15 DAY AS split FROM events
+            ), e AS (
+                SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                       ts < (SELECT split FROM b) AS is_ref
+                FROM events WHERE value IS NOT NULL
+            ), q AS (
+                SELECT quantile_disc(v, 0.25) AS e1,
+                       quantile_disc(v, 0.5) AS e2,
+                       quantile_disc(v, 0.75) AS e3
+                FROM e WHERE is_ref
+            ), binned AS (
+                SELECT is_ref,
+                       CASE WHEN v <= e1 THEN 0
+                            WHEN v <= e2 THEN 1
+                            WHEN v <= e3 THEN 2
+                            ELSE 3 END AS bin
+                FROM e, q
+            ), rc AS (
+                SELECT bin, count(*) AS c FROM binned
+                WHERE is_ref GROUP BY bin
+            ), ac AS (
+                SELECT bin, count(*) AS c FROM binned
+                WHERE NOT is_ref GROUP BY bin
+            ), parts AS (
+                SELECT greatest(CAST(coalesce(r.c, 0) AS DOUBLE)
+                           / greatest((SELECT sum(c) FROM rc), 1),
+                           1e-6) AS pe,
+                       greatest(CAST(coalesce(a.c, 0) AS DOUBLE)
+                           / greatest((SELECT sum(c) FROM ac), 1),
+                           1e-6) AS pa
+                FROM rc r FULL OUTER JOIN ac a USING (bin)
+            )
+            SELECT 'value' AS col, 'psi_q4' AS metric,
+                   CAST(floor(sum((pa - pe) * ln(pa / pe)) * 1e6
+                              + 0.5) AS BIGINT) AS psi_e6
+            FROM parts
         """,
         "events_rolling_distinct": """
             WITH e AS (
