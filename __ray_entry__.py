@@ -3825,6 +3825,79 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_session_concurrency(sf_dir: str):
+    """Peak-load / capacity profile: how many sessions are OPEN at
+    every session-start instant — the classic sweep-line interval
+    overlap count, distributed: sessions (engine/window.py
+    session_table, closed intervals [start, end]) emit +1 at start
+    and -1 at end+1us; a groupby collapses deltas to UNIQUE
+    timestamps (making the global running sum order-free and the
+    timeline key-safe for carries), then ONE prefix scan
+    (engine/rank.py _running_sums, O(blocks) driver state on the
+    single global timeline) yields starts-minus-ends; rows with at
+    least one start are the answer. Equal-time starts count each
+    other (RANGE-peer semantics), a start exactly at another
+    session's end+1us does not."""
+    from json_schema_ray.engine.rank import _running_sums
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.engine.window import session_table
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sessions = session_table(ds, "user_id", "ts", 1800.0)
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        st = batch["session_start_us"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        en = batch["session_end_us"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        n = len(st)
+        one = np.ones(n, np.int64)
+        zero = np.zeros(n, np.int64)
+        return pa.table({
+            "t": pa.array(np.concatenate([st, en + 1]), pa.int64()),
+            "__s": pa.array(np.concatenate([one, zero])),
+            "__e": pa.array(np.concatenate([zero, one]))})
+
+    uniq = null_safe_grouped_aggregate(
+        sessions.map_batches(deltas, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["t"],
+        [Sum("__s", alias_name="__ns", ignore_nulls=True),
+         Sum("__e", alias_name="__ne", ignore_nulls=True)],
+        ["__ns", "__ne"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "__g": pa.array(np.zeros(n, np.int64)),
+            "t": batch["t"],
+            "__one": pa.array(np.ones(n, np.int64)),
+            "__ns": pc.cast(batch["__ns"], pa.float64()),
+            "__ne": pc.cast(batch["__ne"], pa.float64())})
+
+    run = _running_sums(
+        uniq.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        "__g", "t", [("__ns", "__S"), ("__ne", "__E")], "__one")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch["__ns"], 0.0))
+        return pa.table({
+            "start_us": kept["t"],
+            "n_starts": pc.cast(kept["__ns"], pa.int64()),
+            "concurrency": pc.cast(
+                pc.subtract(kept["__S"], kept["__E"]), pa.int64())})
+
+    schema = pa.schema([("start_us", pa.int64()),
+                        ("n_starts", pa.int64()),
+                        ("concurrency", pa.int64())])
+    return _collect(run.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("start_us", "ascending")])
+
+
 def q_drift_value_psi(sf_dir: str):
     """NUMERIC drift — the companion of the categorical
     drift_events_psi: the value column bins into quartiles of the
@@ -4160,6 +4233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decayed_value": q_user_decayed_value,
         "events_rolling_distinct": q_events_rolling_distinct,
         "drift_value_psi": q_drift_value_psi,
+        "session_concurrency": q_session_concurrency,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4795,6 +4869,44 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "session_concurrency": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS tu,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL
+            ), f AS (
+                SELECT user_id, tu,
+                       CASE WHEN prev IS NULL
+                                 OR tu - prev > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), s AS (
+                SELECT user_id, tu,
+                       sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            ), sess AS (
+                SELECT user_id, min(tu) AS st, max(tu) AS en
+                FROM s GROUP BY user_id, sid
+            ), d AS (
+                SELECT st AS t, 1 AS ds_, 0 AS de FROM sess
+                UNION ALL
+                SELECT en + 1, 0, 1 FROM sess
+            ), u AS (
+                SELECT t, sum(ds_) AS ns, sum(de) AS ne
+                FROM d GROUP BY t
+            ), r AS (
+                SELECT t, ns,
+                       sum(ns) OVER (ORDER BY t)
+                           - sum(ne) OVER (ORDER BY t) AS conc
+                FROM u
+            )
+            SELECT CAST(t AS BIGINT) AS start_us,
+                   CAST(ns AS BIGINT) AS n_starts,
+                   CAST(conc AS BIGINT) AS concurrency
+            FROM r WHERE ns > 0 ORDER BY start_us
         """,
         "drift_value_psi": """
             WITH b AS (
