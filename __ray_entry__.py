@@ -3825,6 +3825,111 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_corpus_integrity(sf_dir: str):
+    """Cross-modal corpus integrity gate — the contract check a
+    text+embedding training corpus needs before anything trains:
+    (1) documents with NO embedding row and (2) orphan embeddings
+    with no document, both as DISTRIBUTED set differences
+    (engine/relational.py except_distinct — two big sides, no
+    broadcast of a corpus-sized key set); (3) ragged vectors (length
+    differing from the corpus minimum — any raggedness flags) and
+    (4) null vectors, both from ONE stateless length scan folded to
+    per-block counters. Four (check, n_bad) rows."""
+    from json_schema_ray.engine.relational import except_distinct
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    missing = except_distinct(
+        docs, emb.map_batches(
+            lambda b: pa.table({"doc_id": b["vec_id"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"]).count()
+    orphan = except_distinct(
+        emb.map_batches(
+            lambda b: pa.table({"vec_id": b["vec_id"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(
+            lambda b: pa.table({"vec_id": b["doc_id"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["vec_id"]).count()
+
+    def lens(b: pa.Table) -> pa.Table:
+        e = b["embedding"]
+        return pa.table({
+            "len": pc.list_value_length(e),
+            "isnull": pc.cast(pc.is_null(e), pa.int64())})
+
+    lds = emb.map_batches(lens, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_null = int(lds.sum("isnull") or 0)
+    min_len = lds.min("len")
+
+    def ragged(b: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.cast(pc.fill_null(pc.not_equal(
+            b["len"], pa.scalar(min_len, b["len"].type)), False),
+            pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([int(bad)], pa.int64())})
+
+    n_ragged = sum(r["n"] for r in lds.map_batches(
+        ragged, batch_format="pyarrow",
+        zero_copy_batch=True).take_all())
+    return pa.table({
+        "chk": pa.array(["missing_embedding", "null_embedding",
+                         "orphan_embedding", "ragged_dim"],
+                        pa.string()),
+        "n_bad": pa.array([missing, n_null, orphan, n_ragged],
+                          pa.int64())})
+
+
+def q_parts_copurchase(sf_dir: str):
+    """Market-basket pair mining: the top-20 part pairs by the
+    number of orders carrying BOTH — the association signal
+    recommendation/dedup-blocking pipelines mine at corpus scale.
+    Shape: one groupby dedups (order, part), then the proven
+    one-sort interior-segment + edge-stitch pair machinery
+    (engine/dedup.py _bucket_candidate_pairs, bucket = order)
+    expands each order's <= C(13,2) pairs in-worker, one combinable
+    groupby counts pairs, and a per-block partial top-k merges on
+    the driver. Deterministic total order: (count DESC, part_a,
+    part_b)."""
+    from json_schema_ray.engine.dedup import _bucket_candidate_pairs
+    from json_schema_ray.engine.relational import pre_aggregate, top_k
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"])
+
+    def as_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"bucket": pc.cast(b["l_orderkey"], pa.int64()),
+                         "id": pc.cast(b["l_partkey"], pa.int64())})
+
+    rows = ds.map_batches(as_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    distinct = pre_aggregate(rows, ["bucket", "id"],
+                             [(None, "count")]) \
+        .groupby(["bucket", "id"]).count() \
+        .map_batches(lambda t: t.select(["bucket", "id"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _bucket_candidate_pairs(distinct, "id", distinct=False)
+    counts = pre_aggregate(pairs, ["id_a", "id_b"],
+                           [(None, "count")]) \
+        .groupby(["id_a", "id_b"]).sum("rows_count")
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_a": t["id_a"],
+            "part_b": t["id_b"],
+            "n_orders": pc.cast(t["sum(rows_count)"], pa.int64())})
+
+    top = top_k(counts.map_batches(norm, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                ["n_orders", "part_a", "part_b"],
+                [True, False, False], 20)
+    return top.sort_by([("n_orders", "descending"),
+                        ("part_a", "ascending"),
+                        ("part_b", "ascending")])
+
+
 def q_session_concurrency(sf_dir: str):
     """Peak-load / capacity profile: how many sessions are OPEN at
     every session-start instant — the classic sweep-line interval
@@ -4234,6 +4339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_distinct": q_events_rolling_distinct,
         "drift_value_psi": q_drift_value_psi,
         "session_concurrency": q_session_concurrency,
+        "parts_copurchase": q_parts_copurchase,
+        "corpus_integrity": q_corpus_integrity,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -4869,6 +4976,42 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "corpus_integrity": """
+            WITH ml AS (
+                SELECT min(len(embedding)) AS d FROM embeddings
+                WHERE embedding IS NOT NULL
+            )
+            SELECT 'missing_embedding' AS chk, CAST(count(*) AS BIGINT)
+                       AS n_bad
+            FROM (SELECT doc_id FROM documents
+                  EXCEPT SELECT vec_id FROM embeddings)
+            UNION ALL
+            SELECT 'null_embedding', CAST(count(*) AS BIGINT)
+            FROM embeddings WHERE embedding IS NULL
+            UNION ALL
+            SELECT 'orphan_embedding', CAST(count(*) AS BIGINT)
+            FROM (SELECT vec_id FROM embeddings
+                  EXCEPT SELECT doc_id FROM documents)
+            UNION ALL
+            SELECT 'ragged_dim', CAST(count(*) AS BIGINT)
+            FROM embeddings, ml
+            WHERE embedding IS NOT NULL AND len(embedding) <> d
+        """,
+        "parts_copurchase": """
+            WITH lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                FROM lp a JOIN lp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )
+            SELECT part_a, part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM pairs GROUP BY part_a, part_b
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
         """,
         "session_concurrency": """
             WITH o AS (

@@ -102,6 +102,9 @@ EXTRA_QUERIES = [
     "host_triangles",          # degree-ordered triangle counting
     "docs_top_quality_per_lang",  # per-lang percentile gate
     "events_rolling_extrema",  # rolling min/max band, shared harness
+    "session_concurrency",     # sweep-line interval overlap count
+    "parts_copurchase",        # market-basket pair mining
+    "drift_value_psi",         # numeric drift over quartile bins
 ]
 
 
