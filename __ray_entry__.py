@@ -3825,6 +3825,113 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_seasonal_residuals(sf_dir: str):
+    """Seasonality-adjusted volume monitor: each day's event count
+    against the mean of its weekday cohort (epoch-day mod 7 — the
+    same deterministic bucket both sides), residual in exact e6
+    fixed point (mean is a floor division of integers, never a
+    float). The day table is calendar-sized — thousands of rows at
+    ANY corpus scale — so the per-block daily partials driver-merge
+    (grouped_aggregate's documented low-cardinality path) and the
+    weekday means are driver math; the corpus itself is touched in
+    ONE counting scan."""
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"day_us": pa.array(
+            (us // 86_400_000_000) * 86_400_000_000, pa.int64())})
+
+    days = grouped_aggregate(
+        ds.map_batches(day_of, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["day_us"], [(None, "count")], driver_merge=True)
+    day_us = np.asarray(days["day_us"].to_pylist(), np.int64)
+    n = np.asarray(days["rows_count"].to_pylist(), np.int64)
+    wd = (day_us // 86_400_000_000) % 7
+    mean_e6 = np.empty(len(day_us), np.int64)
+    for w in np.unique(wd):
+        m = wd == w
+        mean_e6[m] = int(n[m].sum()) * 1_000_000 // int(m.sum())
+    order = np.argsort(day_us)
+    return pa.table({
+        "day_us": pa.array(day_us[order]),
+        "n_events": pa.array(n[order]),
+        "wd": pa.array(wd[order]),
+        "wd_mean_e6": pa.array(mean_e6[order]),
+        "resid_e6": pa.array(n[order] * 1_000_000 - mean_e6[order]),
+    })
+
+
+def q_docs_oov_rate(sf_dir: str):
+    """Out-of-vocabulary rate per document against the corpus top-500
+    vocabulary — the tokenizer-coverage gate an LM pipeline runs
+    before committing to a vocab: ONE term-count groupby (per-block
+    combiner first), a deterministic (count DESC, term) top-k that
+    driver-merges k-sized partials, then the vocabulary broadcasts
+    into a second stateless scan that bincounts per-doc token and
+    OOV totals — the corpus is read twice, shuffled never (term
+    counts move, vocabulary-sized). oov_e6 is an exact integer floor
+    division; token-less documents are absent (no denominator),
+    matching the SQL unnest."""
+    import ray
+
+    from json_schema_ray.engine.relational import pre_aggregate, top_k
+    from json_schema_ray.engine.text import _flat_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_terms(batch, "text")
+        return pa.table({"term": flat})
+
+    counts = pre_aggregate(
+        ds.map_batches(term_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["term"], [(None, "count")]) \
+        .groupby("term").sum("rows_count")
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t["term"],
+                         "cnt": pc.cast(t["sum(rows_count)"],
+                                        pa.int64())})
+
+    vocab_t = top_k(counts.map_batches(norm, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    ["cnt", "term"], [True, False], 500)
+    handle = ray.put(vocab_t["term"].combine_chunks())
+
+    def oov(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(handle)
+        flat, par = _flat_terms(batch, "text")
+        nrows = batch.num_rows
+        tot = np.bincount(par, minlength=nrows).astype(np.int64)
+        known = pc.fill_null(pc.is_in(flat, value_set=vocab), False) \
+            .to_numpy(zero_copy_only=False)
+        n_oov = tot - np.bincount(par[known],
+                                  minlength=nrows).astype(np.int64)
+        keep = tot > 0
+        ids = batch["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(tot[keep]),
+            "n_oov": pa.array(n_oov[keep]),
+            "oov_e6": pa.array(n_oov[keep] * 1_000_000 // tot[keep]),
+        })
+
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64()),
+                        ("n_oov", pa.int64()),
+                        ("oov_e6", pa.int64())])
+    return _collect(ds.map_batches(oov, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    schema).sort_by([("doc_id", "ascending")])
+
+
 def q_corpus_integrity(sf_dir: str):
     """Cross-modal corpus integrity gate — the contract check a
     text+embedding training corpus needs before anything trains:
@@ -3886,15 +3993,18 @@ def q_parts_copurchase(sf_dir: str):
     """Market-basket pair mining: the top-20 part pairs by the
     number of orders carrying BOTH — the association signal
     recommendation/dedup-blocking pipelines mine at corpus scale.
-    Shape: one groupby dedups (order, part), then the proven
-    one-sort interior-segment + edge-stitch pair machinery
-    (engine/dedup.py _bucket_candidate_pairs, bucket = order)
-    expands each order's <= C(13,2) pairs in-worker, one combinable
-    groupby counts pairs, and a per-block partial top-k merges on
-    the driver. Deterministic total order: (count DESC, part_a,
-    part_b)."""
+    Shape: NO hash groupby anywhere — raw (order, part) rows feed
+    the proven one-sort interior-segment + edge-stitch pair
+    machinery (engine/dedup.py _bucket_candidate_pairs, bucket =
+    order, within-bucket ``unique`` dedup, so the global
+    distinct-pairs shuffle disappears), pair occurrences then count
+    by the sort + adjacent-run scan (engine/keys.py key_run_counts
+    — the duplicate_lineitem_keys rewrite shape), and a per-block
+    partial top-k merges on the driver. Deterministic total order:
+    (count DESC, part_a, part_b)."""
     from json_schema_ray.engine.dedup import _bucket_candidate_pairs
-    from json_schema_ray.engine.relational import pre_aggregate, top_k
+    from json_schema_ray.engine.keys import key_run_counts
+    from json_schema_ray.engine.relational import top_k
 
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_partkey"])
@@ -3905,21 +4015,15 @@ def q_parts_copurchase(sf_dir: str):
 
     rows = ds.map_batches(as_rows, batch_format="pyarrow",
                           zero_copy_batch=True)
-    distinct = pre_aggregate(rows, ["bucket", "id"],
-                             [(None, "count")]) \
-        .groupby(["bucket", "id"]).count() \
-        .map_batches(lambda t: t.select(["bucket", "id"]),
-                     batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _bucket_candidate_pairs(distinct, "id", distinct=False)
-    counts = pre_aggregate(pairs, ["id_a", "id_b"],
-                           [(None, "count")]) \
-        .groupby(["id_a", "id_b"]).sum("rows_count")
+    pairs = _bucket_candidate_pairs(rows, "id", distinct=False,
+                                    unique=True)
+    counts = key_run_counts(pairs, ["id_a", "id_b"])
 
     def norm(t: pa.Table) -> pa.Table:
         return pa.table({
             "part_a": t["id_a"],
             "part_b": t["id_b"],
-            "n_orders": pc.cast(t["sum(rows_count)"], pa.int64())})
+            "n_orders": pc.cast(t["cnt"], pa.int64())})
 
     top = top_k(counts.map_batches(norm, batch_format="pyarrow",
                                    zero_copy_batch=True),

@@ -443,11 +443,13 @@ def _empty_pairs() -> pa.Table:
 
 
 def _segment_pairs(ids_np: np.ndarray, max_bucket: Optional[int],
-                   bucket_repr) -> tuple:
+                   bucket_repr, unique: bool = False) -> tuple:
     """Sorted upper-triangle (i<j) pair expansion for one bucket's
     member ids; applies the opt-in ``max_bucket`` truncation with a
-    loud warning. Returns (ia, ib) numpy arrays."""
-    ids = np.sort(ids_np)
+    loud warning. ``unique=True`` dedups ids within the bucket first
+    (callers feeding raw multi-occurrence rows skip their global
+    distinct shuffle). Returns (ia, ib) numpy arrays."""
+    ids = np.unique(ids_np) if unique else np.sort(ids_np)
     m = len(ids)
     if max_bucket is not None and m > max_bucket:
         dropped = m * (m - 1) // 2 - max_bucket * (max_bucket - 1) // 2
@@ -467,7 +469,8 @@ def _segment_pairs(ids_np: np.ndarray, max_bucket: Optional[int],
 
 def _bucket_candidate_pairs(rows, id_column: str,
                             max_bucket: Optional[int] = None,
-                            distinct: bool = True):
+                            distinct: bool = True,
+                            unique: bool = False):
     """Distributed (bucket, id) rows -> candidate (id_a, id_b)
     Dataset.
 
@@ -517,27 +520,50 @@ def _bucket_candidate_pairs(rows, id_column: str,
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [n]])
         g = len(starts)
-        ia_parts, ib_parts = [], []
-        # interior segments with >= 2 members only: collided buckets
-        # are sparse by LSH construction, so this loop is short
-        sizes = ends - starts
-        hot = np.nonzero(sizes >= 2)[0]
-        for gi in hot:
-            if gi == 0 or gi == g - 1:
-                continue
-            ia, ib = _segment_pairs(ids[starts[gi]:ends[gi]],
-                                    max_bucket, b[starts[gi]])
-            ia_parts.append(ia)
-            ib_parts.append(ib)
-        npairs = sum(len(x) for x in ia_parts)
         parts = []
-        if npairs:
-            parts.append(pa.table({
-                "id_a": pa.array(np.concatenate(ia_parts), pa.int64()),
-                "id_b": pa.array(np.concatenate(ib_parts), pa.int64()),
-                "bucket": pa.nulls(npairs, pa.int64()),
-                "__edge": pa.array(np.zeros(npairs, bool)),
-            }))
+        # vectorized ALL-interior-segments upper triangle (the global
+        # repeat/offset formula): a dense workload — every bucket hot,
+        # e.g. co-purchase orders — would otherwise pay one Python
+        # call per segment; LSH's sparse collisions ride the same path
+        inter_mask = (b != b[0]) & (b != b[-1])
+        if inter_mask.any():
+            order = np.lexsort((ids, b))
+            bs, vs = b[order], ids[order]
+            keep = inter_mask[order]
+            if unique:
+                dup = np.concatenate(
+                    [[False], (bs[1:] == bs[:-1]) & (vs[1:] == vs[:-1])])
+                keep &= ~dup
+            bs, vs = bs[keep], vs[keep]
+            m = len(bs)
+            if m:
+                nsg = np.concatenate([[True], bs[1:] != bs[:-1]])
+                sid = np.cumsum(nsg) - 1
+                sst = np.nonzero(nsg)[0]
+                ssz = np.diff(np.concatenate([sst, [m]]))
+                eff = ssz if max_bucket is None \
+                    else np.minimum(ssz, max_bucket)
+                if max_bucket is not None and (ssz > max_bucket).any():
+                    ti = np.nonzero(ssz > max_bucket)[0]
+                    dropped = int((ssz[ti] * (ssz[ti] - 1) // 2
+                                   - eff[ti] * (eff[ti] - 1) // 2).sum())
+                    logging.getLogger(__name__).warning(
+                        "%d interior buckets truncated to %d members "
+                        "(dropping %d candidate pairs); first: %r",
+                        len(ti), max_bucket, dropped, bs[sst[ti[0]]])
+                inseg = np.arange(m) - sst[sid]
+                c = np.maximum(eff[sid] - 1 - inseg, 0)
+                total = int(c.sum())
+                if total:
+                    rep = np.repeat(np.arange(m), c)
+                    off = np.arange(total) - np.repeat(
+                        np.concatenate([[0], np.cumsum(c)[:-1]]), c)
+                    parts.append(pa.table({
+                        "id_a": pa.array(vs[rep], pa.int64()),
+                        "id_b": pa.array(vs[rep + 1 + off], pa.int64()),
+                        "bucket": pa.nulls(total, pa.int64()),
+                        "__edge": pa.array(np.zeros(total, bool)),
+                    }))
         eidx = np.concatenate(
             [np.arange(starts[0], ends[0]),
              np.arange(starts[g - 1], ends[g - 1])]) if g > 1 \
@@ -586,7 +612,8 @@ def _bucket_candidate_pairs(rows, id_column: str,
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            ia, ib = _segment_pairs(ids[s:e], max_bucket, b[s])
+            ia, ib = _segment_pairs(ids[s:e], max_bucket, b[s],
+                                    unique=unique)
             ia_parts.append(ia)
             ib_parts.append(ib)
         if not ia_parts:

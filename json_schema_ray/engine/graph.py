@@ -577,32 +577,49 @@ def _center_wedges(oriented, n_nodes: int):
     return interior.union(stitched)
 
 
-def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b"):
+def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b",
+                    mode: str = "auto",
+                    broadcast_max_edges: int = 500_000):
     """Per-node triangle counts over an undirected graph given as a
     stream of (possibly parallel, possibly reversed) string endpoint
     pairs. Classic degree-ordered compact-forward counting:
 
-    1. ONE groupby dedups to the distinct undirected edge set
-       (lexicographic (lo, hi) canonical form; self-loops dropped).
+    1. ONE sort + run scan dedups to the distinct undirected edge
+       set (lexicographic (lo, hi) canonical form after a per-block
+       combiner; self-loops dropped) — :func:`~.keys.key_run_counts`,
+       no hash groupby.
     2. Node labels + distinct-edge degrees collect to a DRIVER table
        — node-sized, the same envelope :func:`pagerank` holds
        (hosts, not documents) — assigning integer ids and the
        (degree, id) total order.
     3. Every edge orients low-rank -> high-rank; each node's
        out-adjacency is then O(sqrt(E)) long regardless of skew.
-    4. Wedge candidates (center u, neighbor pair key) expand via the
-       sorted interior-segment + edge-stitch machinery
-       (:func:`_center_wedges`), and ONE distributed sort-merge join
-       against the packed edge-key set closes them — every match is
-       exactly one triangle, found exactly once.
-    5. A final groupby over the 3 member ids per triangle yields the
-       counts; only nodes in >= 1 triangle appear.
+    4. Wedges expand and close in one of TWO realizations (the
+       pagerank broadcast/sorted duality, differential-tested):
+       ``"broadcast"`` — the oriented edge set (<=
+       ``broadcast_max_edges``, checked when ``mode="auto"``)
+       collects once and the whole wedge-expand + packed-key
+       searchsorted closure runs as ONE vectorized driver pass
+       (edge-sized state, Sum d^2 <= E^1.5 wedge scratch — the
+       right shape for the node-bounded host graphs this exists
+       for); ``"sorted"`` — no driver edge state: wedge candidates
+       stream through the sorted interior-segment + edge-stitch
+       machinery (:func:`_center_wedges`) and ONE distributed
+       sort-merge join against the packed edge-key set closes them.
+       Every triangle is found exactly once at its lowest-rank
+       wedge in both modes.
+    5. Per-triangle member counts fold to the node-sized driver
+       table; only nodes in >= 1 triangle appear.
 
     Packing bound: n_nodes^2 must fit int64 (n_nodes < 3e9).
     Returns a driver pyarrow Table (node, n_triangles), node-sorted.
     """
+    if mode not in ("auto", "broadcast", "sorted"):
+        raise ValueError(f"mode must be auto|broadcast|sorted,"
+                         f" got {mode!r}")
     import ray
 
+    from .keys import key_run_counts
     from .relational import sort_merge_join
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -616,32 +633,46 @@ def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b"):
         g = pa.TableGroupBy(t, ["lo", "hi"]).aggregate([([], "count_all")])
         return g.select(["lo", "hi"])
 
-    distinct = pairs.map_batches(canon, batch_format="pyarrow",
-                                 zero_copy_batch=True) \
-        .groupby(["lo", "hi"]).count() \
+    # distinct undirected edges by ONE sort + run scan (key_run_counts
+    # — parallel pairs are near-unique after the per-block combiner,
+    # so a hash groupby would be pure overhead)
+    distinct = key_run_counts(
+        pairs.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["lo", "hi"]) \
         .map_batches(lambda t: t.select(["lo", "hi"]),
                      batch_format="pyarrow", zero_copy_batch=True) \
         .materialize()
 
     empty_out = pa.table({"node": pa.array([], pa.string()),
                           "n_triangles": pa.array([], pa.int64())})
-    deg_t = _node_degrees(distinct, "lo", "hi")
-    n_nodes = deg_t.num_rows
-    if n_nodes == 0:
+    # undirected degree over the distinct edges: ONE endpoint-melt
+    # pass with per-block combiners, merged driver-side (node-sized,
+    # the same envelope the rank/orientation tables already hold)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([batch["lo"].combine_chunks(),
+                                 batch["hi"].combine_chunks()])
+        g = pa.TableGroupBy(pa.table({"node": both}), ["node"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "deg": g["count_all"].cast(pa.int64())})
+
+    parts_d = [pa.Table.from_batches([bt]) if isinstance(
+        bt, pa.RecordBatch) else bt
+        for bt in distinct.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")]
+    parts_d = [t for t in parts_d if t.num_rows]
+    if not parts_d:
         return empty_out
+    deg_t = pa.TableGroupBy(
+        pa.concat_tables(parts_d, promote_options="default"),
+        ["node"]).aggregate([("deg", "sum")]) \
+        .sort_by([("node", "ascending")])
+    n_nodes = deg_t.num_rows
     node_arr = deg_t["node"].combine_chunks()
-    # undirected degree = in + out over the distinct canonical edges
-    outdeg = deg_t["outdeg"].to_numpy(zero_copy_only=False)
-    indeg = np.zeros(n_nodes, np.int64)
-    hi_counts = _node_degrees(
-        distinct.map_batches(
-            lambda t: pa.table({"lo": t["hi"], "hi": t["lo"]}),
-            batch_format="pyarrow", zero_copy_batch=True),
-        "lo", "hi")
-    ii = pc.index_in(hi_counts["node"].combine_chunks(),
-                     value_set=node_arr).to_numpy(zero_copy_only=False)
-    indeg[ii] = hi_counts["outdeg"].to_numpy(zero_copy_only=False)
-    deg = outdeg + indeg
+    deg = deg_t["deg_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
     # rank = position in the (degree, id) total order
     rank = np.empty(n_nodes, np.int64)
     rank[np.lexsort((np.arange(n_nodes), deg))] = \
@@ -663,6 +694,49 @@ def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b"):
 
     oriented = distinct.map_batches(orient, batch_format="pyarrow",
                                     zero_copy_batch=True).materialize()
+    if mode == "auto":
+        mode = "broadcast" if oriented.count() <= broadcast_max_edges \
+            else "sorted"
+    if mode == "broadcast":
+        et = pa.concat_tables(
+            [pa.Table.from_batches([bt]) if isinstance(
+                bt, pa.RecordBatch) else bt
+             for bt in oriented.iter_batches(batch_format="pyarrow")],
+            promote_options="default") if oriented.count() else None
+        if et is None or et.num_rows == 0:
+            return empty_out
+        a = et["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = et["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        # wedge expansion over every center's adjacency run (global
+        # repeat/offset formula), closure by ONE searchsorted against
+        # the packed id-canonical edge keys — all vectorized
+        nsg = np.concatenate([[True], a[1:] != a[:-1]])
+        sst = np.nonzero(nsg)[0]
+        sid = np.cumsum(nsg) - 1
+        ssz = np.diff(np.concatenate([sst, [len(a)]]))
+        c = ssz[sid] - 1 - (np.arange(len(a)) - sst[sid])
+        total = int(c.sum())
+        if total == 0:
+            return empty_out
+        rep = np.repeat(np.arange(len(a)), c)
+        off = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(c)[:-1]]), c)
+        x, y = b[rep], b[rep + 1 + off]
+        wk = np.minimum(x, y) * n_nodes + np.maximum(x, y)
+        pk = np.sort(np.minimum(a, b) * n_nodes + np.maximum(a, b))
+        pos = np.searchsorted(pk, wk)
+        hit = (pos < len(pk)) & (pk[np.minimum(pos, len(pk) - 1)] == wk)
+        members = np.concatenate([a[rep][hit], x[hit], y[hit]])
+        if len(members) == 0:
+            return empty_out
+        cnts = np.bincount(members, minlength=n_nodes)
+        nz = np.nonzero(cnts)[0]
+        return pa.table({
+            "node": node_arr.take(pa.array(nz, pa.int64())),
+            "n_triangles": pa.array(cnts[nz], pa.int64()),
+        }).sort_by([("node", "ascending")])
     wedges = _center_wedges(oriented, n_nodes)
 
     def edge_keys(batch: pa.Table) -> pa.Table:
@@ -690,18 +764,21 @@ def triangle_counts(pairs, src: str = "h_a", dst: str = "h_b"):
         return pa.table({"id": g["id"],
                          "c": g["count_all"].cast(pa.int64())})
 
+    # node-sized per-block partials merge driver-side (same envelope
+    # as the degree/rank tables) — no Ray groupby for a tiny table
     parts = [pa.Table.from_batches([b]) if isinstance(
         b, pa.RecordBatch) else b
         for b in closed.map_batches(
             member_counts, batch_format="pyarrow",
-            zero_copy_batch=True)
-        .groupby("id").sum("c").iter_batches(batch_format="pyarrow")]
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
     parts = [t for t in parts if t.num_rows]
     if not parts:
         return empty_out
-    st = pa.concat_tables(parts, promote_options="default")
+    st = pa.TableGroupBy(
+        pa.concat_tables(parts, promote_options="default"),
+        ["id"]).aggregate([("c", "sum")])
     ids = st["id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
         "node": node_arr.take(pa.array(ids)),
-        "n_triangles": st["sum(c)"].cast(pa.int64()),
+        "n_triangles": st["c_sum"].cast(pa.int64()),
     }).sort_by([("node", "ascending")])

@@ -28,22 +28,31 @@ from .relational import null_safe_sort  # re-export: sort-based checks
 
 def duplicate_keys(ds, keys: List[str]):
     """Dataset of (keys..., cnt) rows for key tuples appearing more
-    than once.
+    than once — :func:`key_run_counts` with ``min_count=2``."""
+    return key_run_counts(ds, keys, min_count=2)
 
-    Sort-based shape: uniqueness checks have (near-)unique keys, so
-    per-block pre-aggregation cannot shrink the exchange and
-    groupby's aggregation machinery is pure overhead — instead ONE
-    null-safe range-partitioned sort on the key tuple co-locates
-    equal keys, a vectorized adjacent-equal scan counts runs per
-    sorted batch (interior runs are final), and the first/last key
-    of each batch emits a fixed-size (keys..., local_count) partial;
-    the driver merges those O(blocks) partials and keeps merged
-    counts > 1."""
+
+def key_run_counts(ds, keys: List[str], min_count: int = 1):
+    """Dataset of (keys..., cnt) rows — one row per DISTINCT key
+    tuple with ``cnt >= min_count`` occurrences: the sort-based
+    count-per-key that replaces a hash groupby when keys are
+    (near-)unique, so per-block pre-aggregation cannot shrink the
+    exchange and the groupby's aggregation machinery is pure
+    overhead (the duplicate_lineitem_keys rewrite measured 7.5s ->
+    2.8s on exactly this shape).
+
+    Shape: ONE null-safe range-partitioned sort on the key tuple
+    co-locates equal keys, a vectorized adjacent-equal scan counts
+    runs per sorted batch (interior runs are final), and the
+    first/last key of each batch emits a fixed-size
+    (keys..., local_count) partial; the driver merges those
+    O(blocks) partials and keeps merged counts >= ``min_count``."""
     import ray
 
     from .relational import null_safe_sort
 
     srt = null_safe_sort(ds.select_columns(keys), keys, [])
+    min_count = int(min_count)
 
     def block_counts(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -63,7 +72,7 @@ def duplicate_keys(ds, keys: List[str]):
         cnt = ends - starts
         edge = np.zeros(g, dtype=bool)
         edge[0] = edge[g - 1] = True
-        keep = edge | (cnt > 1)
+        keep = edge | (cnt >= min_count)
         take = pa.array(starts[keep], pa.int64())
         out = batch.take(take)
         return out.append_column(
@@ -88,7 +97,8 @@ def duplicate_keys(ds, keys: List[str]):
         for r in kept.to_pylist():
             kt = tuple(r[k] for k in keys)
             edge[kt] = edge.get(kt, 0) + r["cnt"]
-    dup_rows = [kt + (c,) for kt, c in edge.items() if c > 1]
+    dup_rows = [kt + (c,) for kt, c in edge.items()
+                if c >= min_count]
     if not dup_rows:
         return interior
     base = scanned.schema().base_schema

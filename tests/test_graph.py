@@ -246,9 +246,11 @@ def test_triangle_counts_randomized_differential(ray_session):
         t = pa.table({"h_a": pa.array([e[0] for e in edges]),
                       "h_b": pa.array([e[1] for e in edges])})
         ds = ray.data.from_arrow(t).repartition(blocks)
-        got = dict(zip(*[c.to_pylist() for c in
-                         triangle_counts(ds).columns]))
-        assert got == _tri_reference(edges), (seed, blocks)
+        want = _tri_reference(edges)
+        for mode in ("broadcast", "sorted"):
+            got = dict(zip(*[c.to_pylist() for c in
+                             triangle_counts(ds, mode=mode).columns]))
+            assert got == want, (seed, blocks, mode)
 
 
 def test_triangle_counts_hot_center_complete_graph(ray_session):
@@ -264,9 +266,10 @@ def test_triangle_counts_hot_center_complete_graph(ray_session):
     t = pa.table({"h_a": pa.array([p[0] for p in pairs]),
                   "h_b": pa.array([p[1] for p in pairs])})
     ds = ray.data.from_arrow(t).repartition(16)
-    got = dict(zip(*[c.to_pylist() for c in
-                     triangle_counts(ds).columns]))
-    assert got == {f"v{i:02d}": 55 for i in range(n)}
+    for mode in ("sorted", "broadcast"):
+        got = dict(zip(*[c.to_pylist() for c in
+                         triangle_counts(ds, mode=mode).columns]))
+        assert got == {f"v{i:02d}": 55 for i in range(n)}, mode
 
 
 def test_triangle_counts_self_loops_parallel_and_empty(ray_session):
