@@ -4445,6 +4445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_concurrency": q_session_concurrency,
         "parts_copurchase": q_parts_copurchase,
         "corpus_integrity": q_corpus_integrity,
+        "events_seasonal_residuals": q_events_seasonal_residuals,
+        "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
         "weekly_active_users": q_weekly_active_users,
@@ -5080,6 +5082,53 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_seasonal_residuals": """
+            WITH d AS (
+                SELECT CAST(floor(epoch_us(ts) / 86400000000)
+                            * 86400000000 AS BIGINT) AS day_us,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            ), w AS (
+                SELECT day_us, n,
+                       (day_us // 86400000000) % 7 AS wd
+                FROM d
+            ), m AS (
+                SELECT wd,
+                       sum(n) * 1000000 // count(*) AS mean_e6
+                FROM w GROUP BY wd
+            )
+            SELECT w.day_us, CAST(w.n AS BIGINT) AS n_events,
+                   CAST(w.wd AS BIGINT) AS wd,
+                   CAST(m.mean_e6 AS BIGINT) AS wd_mean_e6,
+                   CAST(w.n * 1000000 - m.mean_e6 AS BIGINT)
+                       AS resid_e6
+            FROM w JOIN m USING (wd) ORDER BY w.day_us
+        """,
+        "docs_oov_rate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\s+'))
+                           AS term
+                FROM documents
+            ), t2 AS (
+                SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tc AS (
+                SELECT term, count(*) AS cnt FROM t2 GROUP BY term
+            ), vocab AS (
+                SELECT term FROM tc ORDER BY cnt DESC, term LIMIT 500
+            ), agg AS (
+                SELECT t2.doc_id, count(*) AS n_tokens,
+                       count(*) FILTER (WHERE v.term IS NULL)
+                           AS n_oov
+                FROM t2 LEFT JOIN vocab v USING (term)
+                GROUP BY t2.doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   CAST(n_oov * 1000000 // n_tokens AS BIGINT)
+                       AS oov_e6
+            FROM agg ORDER BY doc_id
         """,
         "corpus_integrity": """
             WITH ml AS (

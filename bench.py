@@ -105,6 +105,8 @@ EXTRA_QUERIES = [
     "session_concurrency",     # sweep-line interval overlap count
     "parts_copurchase",        # market-basket pair mining
     "drift_value_psi",         # numeric drift over quartile bins
+    "docs_oov_rate",           # vocab coverage: top-k + OOV scan
+    "corpus_integrity",        # cross-modal contract checks
 ]
 
 
