@@ -3825,6 +3825,83 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier gate: the 20 vectors farthest (squared
+    L2) from the corpus centroid — the cheap first-pass filter for
+    corrupt/mislabeled embeddings before clustering. ALL-INTEGER like
+    embedding_kmeans: values quantize to e3, the centroid travels as
+    raw per-dim SUMS (never a float mean), and each vector's distance
+    numerator sum((x*n - S)^2) is an exact int64 (envelope: e3 * n <
+    3e9, i.e. < ~5e5 vectors at |x| <= 1; the SQL twin is HUGEINT-
+    immune). Shape: one dim-sized partial-sum pass (64-row driver
+    merge), broadcast, one distance scan, per-block partial top-k."""
+    import ray
+
+    from json_schema_ray.engine.relational import top_k
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(batch: pa.Table):
+        emb = batch["embedding"].combine_chunks()
+        flat = pc.cast(pc.list_flatten(emb), pa.float64())
+        xi = pc.cast(pc.floor(pc.add(pc.multiply(flat, 1000.0), 0.5)),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        widths = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+        d = int(widths[0]) if len(widths) else 0
+        if len(widths) and not (widths == d).all():
+            raise ValueError("embedding_outliers requires uniform "
+                             "vector widths")
+        return xi.reshape(-1, d) if d else xi.reshape(0, 0)
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch["embedding"]))
+        x = quant(b)
+        if x.shape[0] == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "dim": pa.array(np.arange(x.shape[1], dtype=np.int64)),
+            "s": pa.array(x.sum(0, dtype=np.int64)),
+            "n": pa.array(np.full(x.shape[1], x.shape[0], np.int64))})
+
+    parts = [pa.Table.from_batches([b]) if isinstance(
+        b, pa.RecordBatch) else b
+        for b in ds.map_batches(partial_sums, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "dist2_fp": pa.array([], pa.int64())})
+    st = pa.TableGroupBy(
+        pa.concat_tables(parts, promote_options="default"),
+        ["dim"]).aggregate([("s", "sum"), ("n", "sum")]) \
+        .sort_by([("dim", "ascending")])
+    S = st["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(st["n_sum"][0].as_py())
+    handle = ray.put((S, n))
+
+    def dist(batch: pa.Table) -> pa.Table:
+        S_r, n_r = ray.get(handle)
+        b = batch.filter(pc.is_valid(batch["embedding"]))
+        x = quant(b)
+        if x.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dist2_fp": pa.array([], pa.int64())})
+        diff = x * n_r - S_r[None, :]
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "dist2_fp": pa.array((diff * diff).sum(1,
+                                                   dtype=np.int64))})
+
+    top = top_k(ds.map_batches(dist, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                ["dist2_fp", "vec_id"], [True, False], 20)
+    return top.sort_by([("dist2_fp", "descending"),
+                        ("vec_id", "ascending")])
+
+
 def q_events_seasonal_residuals(sf_dir: str):
     """Seasonality-adjusted volume monitor: each day's event count
     against the mean of its weekday cohort (epoch-day mod 7 — the
@@ -4446,6 +4523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase": q_parts_copurchase,
         "corpus_integrity": q_corpus_integrity,
         "events_seasonal_residuals": q_events_seasonal_residuals,
+        "embedding_outliers": q_embedding_outliers,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
@@ -5082,6 +5160,34 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "embedding_outliers": r"""
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT) AS xi,
+                       i
+                FROM (SELECT vec_id, unnest(embedding) AS x,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings
+                      WHERE embedding IS NOT NULL)
+            ), s AS (
+                SELECT i, CAST(sum(xi) AS HUGEINT) AS sd,
+                       CAST(count(DISTINCT vec_id) AS HUGEINT) AS nd
+                FROM e GROUP BY i
+            ), nn AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n
+                FROM embeddings WHERE embedding IS NOT NULL
+            ), d AS (
+                SELECT e.vec_id,
+                       sum((CAST(e.xi AS HUGEINT) * nn.n - s.sd)
+                           * (CAST(e.xi AS HUGEINT) * nn.n - s.sd))
+                           AS d2
+                FROM e JOIN s USING (i) CROSS JOIN nn
+                GROUP BY e.vec_id
+            )
+            SELECT vec_id, CAST(d2 AS BIGINT) AS dist2_fp
+            FROM d ORDER BY d2 DESC, vec_id LIMIT 20
         """,
         "events_seasonal_residuals": """
             WITH d AS (

@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "drift_value_psi",         # numeric drift over quartile bins
     "docs_oov_rate",           # vocab coverage: top-k + OOV scan
     "corpus_integrity",        # cross-modal contract checks
+    "embedding_outliers",      # integer centroid-distance top-k
 ]
 
 
