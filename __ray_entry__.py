@@ -3825,6 +3825,73 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_user_value_trend(sf_dir: str):
+    """Per-user value trend — the OLS slope of value against time,
+    the drift-per-entity signal engagement/quality monitors chart:
+    classic sufficient-statistics regression, ALL-EXACT: x = whole
+    seconds since the corpus min(ts), y = e2 fixed-point value, ONE
+    combinable per-user sum of (n, Sx, Sy, Sxy, Sxx) int64 partials
+    (envelope documented: span_s * |y|_e2 * n_user < 2^63), then the
+    slope numerator/denominator form in arbitrary-precision Python
+    ints INSIDE the per-batch finish over the group-sized table —
+    never a float until the final e9 quantization. Division
+    truncates toward zero, matching DuckDB's HUGEINT ``//``;
+    degenerate users (one event / zero time spread) emit NULL."""
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    min_us = pc.cast(
+        pa.scalar(ds.min("ts")), pa.timestamp("us")).cast(
+        pa.int64()).as_py()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch["value"]))
+        x = (pc.cast(b["ts"], pa.int64())
+             .to_numpy(zero_copy_only=False) - min_us) // 1_000_000
+        y = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(b["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "__n": pa.array(np.ones(len(x), np.int64)),
+            "__sx": pa.array(x), "__sy": pa.array(y),
+            "__sxy": pa.array(x * y), "__sxx": pa.array(x * x)})
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"],
+        [Sum(c, alias_name=c, ignore_nulls=True)
+         for c in ("__n", "__sx", "__sy", "__sxy", "__sxx")],
+        ["__n", "__sx", "__sy", "__sxy", "__sxx"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out_ids, out_slopes = [], []
+        for r in rows:
+            n, sx, sy = int(r["__n"]), int(r["__sx"]), int(r["__sy"])
+            sxy, sxx = int(r["__sxy"]), int(r["__sxx"])
+            den = n * sxx - sx * sx
+            if den == 0:
+                slope = None
+            else:
+                num = (n * sxy - sx * sy) * 1_000_000_000
+                q = abs(num) // abs(den)
+                slope = -q if (num < 0) != (den < 0) else q
+            out_ids.append(r["user_id"])
+            out_slopes.append(slope)
+        return pa.table({"user_id": pa.array(out_ids, pa.int64()),
+                         "slope_e9": pa.array(out_slopes, pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("slope_e9", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
 def q_embedding_outliers(sf_dir: str):
     """Embedding-space outlier gate: the 20 vectors farthest (squared
     L2) from the corpus centroid — the cheap first-pass filter for
@@ -4524,6 +4591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_integrity": q_corpus_integrity,
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "embedding_outliers": q_embedding_outliers,
+        "user_value_trend": q_user_value_trend,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
@@ -5160,6 +5228,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "user_value_trend": """
+            WITH m AS (SELECT min(epoch_us(ts)) AS mn FROM events),
+            e AS (
+                SELECT user_id,
+                       (epoch_us(ts) - mn) // 1000000 AS x,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                FROM events, m WHERE value IS NOT NULL
+            ), a AS (
+                SELECT user_id,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(x) AS HUGEINT) AS sx,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(x * y) AS HUGEINT) AS sxy,
+                       CAST(sum(x * x) AS HUGEINT) AS sxx
+                FROM e GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(((n * sxy - sx * sy)
+                                   * 1000000000)
+                                  // (n * sxx - sx * sx) AS BIGINT)
+                   END AS slope_e9
+            FROM a ORDER BY user_id
         """,
         "embedding_outliers": r"""
             WITH e AS (
