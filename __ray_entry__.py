@@ -3825,6 +3825,121 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_peak_hour_rate(sf_dir: str):
+    """Peak sustained rate per user — the max trailing-1-hour event
+    count, the statistic a rate-limiter or abuse gate is actually
+    about: engine/window.py range_windowed_sum's RANGE-frame count
+    (probe rows riding ONE sort, no as-of machinery, one row per
+    distinct (user, ts)) reduced by a combinable per-user MAX."""
+    import datetime
+
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.engine.window import range_windowed_sum
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    win = range_windowed_sum(ds, "user_id", "ts", "value",
+                             datetime.timedelta(hours=1))
+    agg = null_safe_grouped_aggregate(
+        win, ["user_id"],
+        [Max("range_cnt", alias_name="peak_1h", ignore_nulls=True)],
+        ["peak_1h"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": batch["user_id"],
+                         "peak_1h": pc.cast(batch["peak_1h"],
+                                            pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("peak_1h", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
+def q_orders_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic
+    recency/frequency/monetary quartile coding, realized exactly:
+    ONE per-customer combinable aggregate (last order timestamp,
+    order count, spend in e2 fixed point), three exact
+    quantile_disc quartile-edge computations over the
+    customer-sized table (engine/stats.py exact_quantiles — a
+    projected single-column sort each), and a final stateless scan
+    that codes each dimension 1-4 by the searchsorted-left ladder
+    (v <= edge stays low, the SQL CASE contract). Recency counts
+    whole days back from the corpus max order date, so every
+    boundary is an exact integer."""
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.engine.stats import exact_quantiles
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "__d": pc.cast(batch["o_orderdate"], pa.int64()),
+            "__m": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch["o_totalprice"], pa.float64()),
+                100.0), 0.5)), pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_custkey"],
+        [Max("__d", alias_name="__last", ignore_nulls=True),
+         Count(alias_name="__f"),
+         Sum("__m", alias_name="__spend", ignore_nulls=True)],
+        ["__last", "__f", "__spend"]).materialize()
+    max_d = int(pa.scalar(agg.max("__last")).as_py())
+
+    def rfm(batch: pa.Table) -> pa.Table:
+        last = pc.cast(batch["__last"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "__r": pa.array((max_d - last) // 86_400_000_000,
+                            pa.int64()),
+            "__f": pc.cast(batch["__f"], pa.int64()),
+            "__m": pc.cast(batch["__spend"], pa.int64())})
+
+    feats = agg.map_batches(rfm, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    edges = {}
+    for col in ("__r", "__f", "__m"):
+        edges[col] = np.asarray(
+            exact_quantiles(feats, col,
+                            qs=(0.25, 0.5, 0.75))["value"].to_pylist(),
+            np.float64)
+
+    def code(batch: pa.Table) -> pa.Table:
+        out = {"o_custkey": batch["o_custkey"]}
+        for col, name in (("__r", "r_q"), ("__f", "f_q"),
+                          ("__m", "m_q")):
+            v = batch[col].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            out[name] = pa.array(
+                np.searchsorted(edges[col], v, side="left") + 1,
+                pa.int64())
+        out["recency_days"] = batch["__r"]
+        out["n_orders"] = batch["__f"]
+        out["spend_e2"] = batch["__m"]
+        return pa.table(out)
+
+    schema = pa.schema([("o_custkey", pa.int64()),
+                        ("r_q", pa.int64()), ("f_q", pa.int64()),
+                        ("m_q", pa.int64()),
+                        ("recency_days", pa.int64()),
+                        ("n_orders", pa.int64()),
+                        ("spend_e2", pa.int64())])
+    return _collect(feats.map_batches(code, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                    schema).sort_by([("o_custkey", "ascending")])
+
+
 def q_user_value_trend(sf_dir: str):
     """Per-user value trend — the OLS slope of value against time,
     the drift-per-entity signal engagement/quality monitors chart:
@@ -4592,6 +4707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_residuals": q_events_seasonal_residuals,
         "embedding_outliers": q_embedding_outliers,
         "user_value_trend": q_user_value_trend,
+        "events_peak_hour_rate": q_events_peak_hour_rate,
+        "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
         "lineitem_qty_price_corr": q_lineitem_qty_price_corr,
@@ -5228,6 +5345,61 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_peak_hour_rate": """
+            WITH w AS (
+                SELECT DISTINCT user_id, ts,
+                       count(value) OVER (PARTITION BY user_id
+                           ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW) AS c
+                FROM events
+            )
+            SELECT user_id, CAST(max(c) AS BIGINT) AS peak_1h
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_rfm_segments": """
+            WITH a AS (
+                SELECT o_custkey,
+                       max(epoch_us(o_orderdate)) AS last_us,
+                       count(*) AS f,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS m
+                FROM orders GROUP BY o_custkey
+            ), b AS (
+                SELECT o_custkey,
+                       (SELECT max(last_us) FROM a) - last_us AS back,
+                       f, m
+                FROM a
+            ), c AS (
+                SELECT o_custkey, back // 86400000000 AS r, f, m
+                FROM b
+            ), q AS (
+                SELECT quantile_disc(r, 0.25) AS r1,
+                       quantile_disc(r, 0.5) AS r2,
+                       quantile_disc(r, 0.75) AS r3,
+                       quantile_disc(f, 0.25) AS f1,
+                       quantile_disc(f, 0.5) AS f2,
+                       quantile_disc(f, 0.75) AS f3,
+                       quantile_disc(m, 0.25) AS m1,
+                       quantile_disc(m, 0.5) AS m2,
+                       quantile_disc(m, 0.75) AS m3
+                FROM c
+            )
+            SELECT o_custkey,
+                   CAST(CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2
+                        WHEN r <= r3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS r_q,
+                   CAST(CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+                        WHEN f <= f3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS f_q,
+                   CAST(CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+                        WHEN m <= m3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS m_q,
+                   CAST(r AS BIGINT) AS recency_days,
+                   CAST(f AS BIGINT) AS n_orders,
+                   m AS spend_e2
+            FROM c, q ORDER BY o_custkey
         """,
         "user_value_trend": """
             WITH m AS (SELECT min(epoch_us(ts)) AS mn FROM events),
