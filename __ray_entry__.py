@@ -3825,6 +3825,87 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_docs_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty — what fraction of a doc's
+    distinct word-5-gram shingles appear in NO earlier document (by
+    doc_id) — the contribution score data-mixing pipelines weight
+    by (a doc whose shingles all appeared before adds nothing).
+    Pure composition of proven primitives over the DuckDB-hash
+    shingle contract (dedup.shingle_sets_batch == SQL
+    hash(shingle)): first-doc-per-shingle is ONE combinable arg-min
+    aggregate (grouped_first_last — no sort, hot shingles reduce in
+    every block), joined back to the (shingle, doc) pairs with the
+    two-big-sides sort-merge join, then one per-doc combinable sum.
+    novelty_e6 is an exact integer floor division."""
+    from json_schema_ray.engine.dedup import shingle_sets_batch
+    from json_schema_ray.engine.relational import (
+        grouped_first_last, null_safe_grouped_aggregate,
+        sort_merge_join)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        offsets, values = shingle_sets_batch(batch["text"], 5)
+        ids = batch["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, np.diff(offsets))
+        # int64 REINTERPRETATION of the uint64 hash: h is engine-
+        # internal (only equality/grouping), and signed keys keep the
+        # group-key encoding within Arrow int64
+        return pa.table({"h": pa.array(values.view(np.int64),
+                                       pa.int64()),
+                         "doc": pa.array(doc, pa.int64())})
+
+    rows = ds.map_batches(shingles, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    winners = grouped_first_last(rows, "h", "doc", "doc", "doc",
+                                 first_out="__fd")
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        return pa.table({"h2": t["h"],
+                         "first_doc": pc.cast(t["__fd"], pa.int64())})
+
+    joined = sort_merge_join(
+        rows, winners.map_batches(prep_right, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+        "h", "h2", ["first_doc"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc"],
+            "__novel": pc.cast(pc.equal(batch["doc"],
+                                        batch["first_doc"]),
+                               pa.int64()),
+            "__one": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    agg = null_safe_grouped_aggregate(
+        joined.map_batches(flag, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["doc_id"],
+        [Sum("__one", alias_name="n_shingles", ignore_nulls=True),
+         Sum("__novel", alias_name="n_novel", ignore_nulls=True)],
+        ["n_shingles", "n_novel"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = pc.cast(batch["n_shingles"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nv = pc.cast(batch["n_novel"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_shingles": pa.array(ns), "n_novel": pa.array(nv),
+            "novelty_e6": pa.array(nv * 1_000_000 // ns)})
+
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_shingles", pa.int64()),
+                        ("n_novel", pa.int64()),
+                        ("novelty_e6", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("doc_id", "ascending")])
+
+
 def q_events_peak_hour_rate(sf_dir: str):
     """Peak sustained rate per user — the max trailing-1-hour event
     count, the statistic a rate-limiter or abuse gate is actually
@@ -4708,6 +4789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": q_embedding_outliers,
         "user_value_trend": q_user_value_trend,
         "events_peak_hour_rate": q_events_peak_hour_rate,
+        "docs_ngram_novelty": q_docs_ngram_novelty,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
@@ -5345,6 +5427,39 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "docs_ngram_novelty": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS arr
+                FROM documents
+            ), shs AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), sh AS (
+                SELECT DISTINCT doc_id, hash(shingle) AS h FROM shs
+            ), f AS (
+                SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
+            ), agg AS (
+                SELECT sh.doc_id, count(*) AS n_shingles,
+                       count(*) FILTER (WHERE f.first_doc = sh.doc_id)
+                           AS n_novel
+                FROM sh JOIN f USING (h) GROUP BY sh.doc_id
+            )
+            SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(n_novel AS BIGINT) AS n_novel,
+                   CAST(n_novel * 1000000 // n_shingles AS BIGINT)
+                       AS novelty_e6
+            FROM agg ORDER BY doc_id
         """,
         "events_peak_hour_rate": """
             WITH w AS (
