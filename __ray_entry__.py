@@ -3825,6 +3825,146 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_orders_pareto_share(sf_dir: str):
+    """Revenue concentration (the Pareto check): what share of total
+    spend comes from customers at or above the spend p95 — exact:
+    per-customer spend in e2 fixed point (one combinable aggregate),
+    the p95 threshold via the sort-paying exact quantile_disc
+    (engine/stats.py), then ONE more pass over the customer-sized
+    table folds (top spend, total spend, top count) and the share
+    ships as an exact integer floor division e6."""
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.engine.stats import exact_quantiles
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "__m": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch["o_totalprice"], pa.float64()),
+                100.0), 0.5)), pa.int64())})
+
+    spend = null_safe_grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_custkey"],
+        [Sum("__m", alias_name="__spend", ignore_nulls=True)],
+        ["__spend"]).materialize()
+    thr = int(exact_quantiles(spend, "__spend",
+                              qs=(0.95,))["value"][0].as_py())
+
+    def fold(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["__spend"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        top = s >= thr
+        return pa.table({
+            "top_spend": pa.array([int(s[top].sum())], pa.int64()),
+            "total_spend": pa.array([int(s.sum())], pa.int64()),
+            "n_top": pa.array([int(top.sum())], pa.int64()),
+            "n_cust": pa.array([len(s)], pa.int64())})
+
+    parts = [r for r in spend.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True).take_all()]
+    top_spend = sum(r["top_spend"] for r in parts)
+    total = sum(r["total_spend"] for r in parts)
+    return pa.table({
+        "spend_p95_e2": pa.array([thr], pa.int64()),
+        "n_top": pa.array([sum(r["n_top"] for r in parts)],
+                          pa.int64()),
+        "n_cust": pa.array([sum(r["n_cust"] for r in parts)],
+                           pa.int64()),
+        "top_share_e6": pa.array(
+            [top_spend * 1_000_000 // total if total else None],
+            pa.int64())})
+
+
+def q_events_value_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event values — the
+    repetitiveness/stickiness signal (a bot emitting the same value
+    scores ~1): SIGNED SQUARED Pearson corr of (y_t, y_{t-1}) from
+    EXACT integer sufficient statistics — engine/rank.py lag_column
+    pairs each value with its predecessor (one sort, one carry row
+    per block), a combinable per-user sum folds (n, Sx, Sy, Sxy,
+    Sxx, Syy), and the finish forms corr2_e6 = sign(num) *
+    (num^2 * 1e6) // (dx * dy) in arbitrary-precision Python ints.
+    Squaring instead of sqrt keeps BOTH sides integer-exact: with e1
+    quantization every intermediate fits DuckDB HUGEINT (envelope:
+    (n * Sxy)^2 * 1e6 < 1.7e38, i.e. |y|_e1 * sqrt(n_user) < ~3e7).
+    Degenerate users (< 2 pairs or zero variance) emit NULL."""
+    from json_schema_ray.engine.rank import lag_column
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 10.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "__v": v})
+
+    lagged = lag_column(
+        ds.map_batches(quantize, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "__v", "event_id", out="__pv")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.is_valid(batch["__v"]),
+                                 pc.is_valid(batch["__pv"])))
+        y = b["__v"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = b["__pv"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "__n": pa.array(np.ones(len(y), np.int64)),
+            "__sx": pa.array(x), "__sy": pa.array(y),
+            "__sxy": pa.array(x * y), "__sxx": pa.array(x * x),
+            "__syy": pa.array(y * y)})
+
+    agg = null_safe_grouped_aggregate(
+        lagged.map_batches(partials, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["user_id"],
+        [Sum(c, alias_name=c, ignore_nulls=True)
+         for c in ("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")],
+        ["__n", "__sx", "__sy", "__sxy", "__sxx", "__syy"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_ids, out_corr = [], []
+        for r in batch.to_pylist():
+            n = int(r["__n"] or 0)
+            if n < 2:
+                out_ids.append(r["user_id"])
+                out_corr.append(None)
+                continue
+            sx, sy = int(r["__sx"]), int(r["__sy"])
+            sxy, sxx, syy = (int(r["__sxy"]), int(r["__sxx"]),
+                             int(r["__syy"]))
+            num = n * sxy - sx * sy
+            d = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            if d == 0:
+                corr = None
+            else:
+                q = (num * num * 1_000_000) // d
+                corr = -q if num < 0 else q
+            out_ids.append(r["user_id"])
+            out_corr.append(corr)
+        return pa.table({"user_id": pa.array(out_ids, pa.int64()),
+                         "corr2_e6": pa.array(out_corr, pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("corr2_e6", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
 def q_docs_ngram_novelty(sf_dir: str):
     """Per-document n-gram novelty — what fraction of a doc's
     distinct word-5-gram shingles appear in NO earlier document (by
@@ -4790,6 +4930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": q_user_value_trend,
         "events_peak_hour_rate": q_events_peak_hour_rate,
         "docs_ngram_novelty": q_docs_ngram_novelty,
+        "orders_pareto_share": q_orders_pareto_share,
+        "events_value_autocorr": q_events_value_autocorr,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
@@ -5427,6 +5569,64 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_pareto_share": """
+            WITH s AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS spend
+                FROM orders GROUP BY o_custkey
+            ), t AS (
+                SELECT quantile_disc(spend, 0.95) AS thr FROM s
+            )
+            SELECT (SELECT thr FROM t) AS spend_p95_e2,
+                   CAST(count(*) FILTER (WHERE spend >= thr)
+                        AS BIGINT) AS n_top,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(CAST(sum(spend) FILTER (WHERE spend >= thr)
+                             AS HUGEINT) * 1000000
+                        // CAST(sum(spend) AS HUGEINT) AS BIGINT)
+                       AS top_share_e6
+            FROM s, t
+        """,
+        "events_value_autocorr": """
+            WITH q AS (
+                SELECT user_id, event_id, ts,
+                       CAST(floor(value * 10 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), l AS (
+                SELECT user_id, v AS y,
+                       lag(v) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS x
+                FROM q
+            ), p AS (
+                SELECT user_id,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(x) AS HUGEINT) AS sx,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(x * y) AS HUGEINT) AS sxy,
+                       CAST(sum(x * x) AS HUGEINT) AS sxx,
+                       CAST(sum(y * y) AS HUGEINT) AS syy
+                FROM l WHERE x IS NOT NULL AND y IS NOT NULL
+                GROUP BY user_id
+            )
+            SELECT user_id,
+                   CASE WHEN n < 2 OR (n * sxx - sx * sx)
+                             * (n * syy - sy * sy) = 0 THEN NULL
+                        ELSE CAST(
+                          CASE WHEN n * sxy - sx * sy < 0 THEN
+                            -(((n * sxy - sx * sy)
+                               * (n * sxy - sx * sy) * 1000000)
+                              // ((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)))
+                          ELSE
+                            (((n * sxy - sx * sy)
+                              * (n * sxy - sx * sy) * 1000000)
+                             // ((n * sxx - sx * sx)
+                                 * (n * syy - sy * sy)))
+                          END AS BIGINT)
+                   END AS corr2_e6
+            FROM p ORDER BY user_id
         """,
         "docs_ngram_novelty": r"""
             WITH words AS (
