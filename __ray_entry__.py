@@ -3825,6 +3825,49 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_value_locf(sf_dir: str):
+    """Gap repair by forward fill (LOCF) — the telemetry/feature
+    maintenance primitive: values at deterministically-derived gap
+    positions (event_id % 7 == 0, the corpus carries no nulls) fill
+    from the user's most recent earlier value via engine/rank.py
+    grouped_forward_fill: one null-safe sort, a single global
+    max-accumulate per block, <= 2 carry rows per block. Leading
+    gaps (no earlier value) stay NULL, exactly SQL's last_value
+    IGNORE NULLS. Values e2-quantized before nulling so parity is
+    integer-exact."""
+    from json_schema_ray.engine.rank import grouped_forward_fill
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def gap(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        ids = batch["event_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        v = pc.if_else(pa.array(ids % 7 == 0),
+                       pa.scalar(None, pa.int64()), v)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "__v": v})
+
+    out = grouped_forward_fill(
+        ds.map_batches(gap, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "ts", "__v", "event_id", out="v_filled_e2")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id", "user_id", "v_filled_e2"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("v_filled_e2", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def q_orders_pareto_share(sf_dir: str):
     """Revenue concentration (the Pareto check): what share of total
     spend comes from customers at or above the spend p95 — exact:
@@ -4932,6 +4975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_novelty": q_docs_ngram_novelty,
         "orders_pareto_share": q_orders_pareto_share,
         "events_value_autocorr": q_events_value_autocorr,
+        "events_value_locf": q_events_value_locf,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
@@ -5569,6 +5613,21 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_value_locf": """
+            WITH g AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE CAST(floor(value * 100 + 0.5)
+                                      AS BIGINT) END AS v
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS v_filled_e2
+            FROM g ORDER BY event_id
         """,
         "orders_pareto_share": """
             WITH s AS (

@@ -108,6 +108,9 @@ EXTRA_QUERIES = [
     "docs_oov_rate",           # vocab coverage: top-k + OOV scan
     "corpus_integrity",        # cross-modal contract checks
     "embedding_outliers",      # integer centroid-distance top-k
+    "docs_ngram_novelty",      # first-occurrence shingle fraction
+    "events_value_locf",       # grouped forward fill (LOCF)
+    "user_value_trend",        # integer OLS slope per user
 ]
 
 

@@ -2069,3 +2069,142 @@ def windowed_distinct_count(ds, key: str, ts: str, value: str,
 
     return _windowed_rows(ds, key, ts, value, tiebreak, window_n,
                           [out], kernel, pending, cnt_out)
+
+
+def grouped_forward_fill(ds, key, ts: str, value: str, tiebreak: str,
+                         out: str = "filled"):
+    """SQL ``last_value(value IGNORE NULLS) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak ROWS UNBOUNDED PRECEDING AND CURRENT
+    ROW)`` — per-key forward fill (LOCF), the gap-repair primitive
+    for telemetry/feature streams; value may be ANY type (string
+    states fill as naturally as numerics). Rows before a key's first
+    non-null stay NULL.
+
+    Shape: one null-safe sort, then a per-block vectorized fill —
+    ONE global max-accumulate of last-valid indices, with a
+    segment-start comparison masking cross-key leakage (no per-
+    segment Python) — plus <= 2 carry rows per block (the LAST
+    non-null of its first and last key segments). Only rows before
+    their block's first in-segment non-null are pending; they all
+    share the block's first key and fill from the latest earlier
+    carry in one broadcast lookup. Driver state is O(n_blocks).
+    ``(ts, tiebreak)`` must be unique per key, numeric/temporal only
+    (the :func:`cumulative_sum` contract)."""
+    from .relational import null_safe_sort
+
+    keys = [key] if isinstance(key, str) else list(key)
+    sorted_ds = null_safe_sort(ds, keys, [ts, tiebreak])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"grouped_forward_fill: order column {c!r} is a"
+                    " string; only numeric/temporal order columns"
+                    " carry across block boundaries")
+        n = batch.num_rows
+        varr = batch[value]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        if n == 0:
+            return batch.append_column(out, pa.nulls(0, varr.type)) \
+                .append_column("__rt", pa.array([], pa.int8()))
+        kk = _group_key_expr(batch, keys).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        seg_ids = np.cumsum(newseg) - 1
+        starts = np.nonzero(newseg)[0]
+        idx = np.arange(n)
+        li = np.maximum.accumulate(np.where(valid, idx, -1))
+        ok = li >= starts[seg_ids]
+        filled = pc.if_else(
+            pa.array(ok), varr.take(pa.array(np.maximum(li, 0))),
+            pa.scalar(None, varr.type))
+        rt = np.zeros(n, np.int8)
+        # pending: first-segment rows with no in-block fill source
+        rt[(kk == kk[0]) & ~ok] = 1
+        out_t = batch.append_column(out, filled) \
+            .append_column("__rt", pa.array(rt))
+        # carries: the LAST non-null row of the first and last
+        # segments (their `out` already holds that value)
+        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
+        cidx = []
+        for end in {first_end, n - 1}:
+            seg_start = int(starts[seg_ids[end]])
+            seg_valid = np.nonzero(valid[seg_start:end + 1])[0]
+            if len(seg_valid):
+                cidx.append(seg_start + int(seg_valid[-1]))
+        if not cidx:
+            return out_t
+        sel = pa.array(sorted(set(cidx)), pa.int64())
+        ctab = batch.take(sel) \
+            .append_column(out, varr.take(sel)) \
+            .append_column("__rt", pa.array(
+                np.full(len(sel), 2, np.int8)))
+        return pa.concat_tables([out_t, ctab])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    carry: dict = {}
+    for kept in scanned.map_batches(
+            lambda t: t.filter(pc.equal(t["__rt"], 2)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, keys).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        vals = kept[out].to_pylist()
+        for kval, t, tb, vv in zip(kk, tsv, tbv, vals):
+            carry.setdefault(kval, []).append((float(t), float(tb), vv))
+
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        offsets[kval] = (
+            np.array([s[0] for s in segs], dtype=np.float64),
+            np.array([s[1] for s in segs], dtype=np.float64),
+            [s[2] for s in segs])
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt"])
+        offs = ray.get(handle)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        varr = kept[out]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        if len(pend):
+            kk = _group_key_expr(kept, keys) \
+                .to_numpy(zero_copy_only=False)
+            tsv = _order_np(kept, ts, descending=False)
+            tbv = _order_np(kept, tiebreak, descending=False)
+            kval = kk[pend[0]]  # pending rows share the block's
+            # first key; all precede its first in-block non-null
+            if kval in offs:
+                la, lb, vv = offs[kval]
+                # the latest carry strictly before EACH pending row
+                pos = _boundaries_before(la, lb, tsv[pend],
+                                         tbv[pend])
+                fill_i = [int(i) for i, p in zip(pend, pos) if p > 0]
+                fill_v = [vv[int(p) - 1] for p in pos if p > 0]
+                if fill_i:
+                    mask = np.zeros(n, bool)
+                    mask[fill_i] = True
+                    varr = pc.replace_with_mask(
+                        varr, pa.array(mask),
+                        pa.array(fill_v, varr.type))
+        i = kept.column_names.index(out)
+        return kept.set_column(i, out, varr).drop_columns(["__rt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -6108,3 +6108,49 @@ def test_windowed_distinct_count_matches_duckdb():
             # SQL says 0 distinct on empty frames; the op says NULL
             want[r[0]] = (r[1] if r[2] else None, r[2])
         assert got == want, (blocks, w)
+
+
+def test_grouped_forward_fill_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_forward_fill
+
+    rng = np.random.default_rng(71)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        # 70% nulls: long gaps that must fill across many blocks
+        "v": pa.array([None if rng.random() < 0.7 else int(x)
+                       for x in rng.integers(0, 99, n)], pa.int64()),
+    })
+    for blocks in (1, 7, 23):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: r["filled"] for r in grouped_forward_fill(
+            ds, "k", "ts", "v", "rid").take_all()}
+        want = {r[0]: r[1] for r in duckdb.sql("""
+            SELECT rid, last_value(v IGNORE NULLS) OVER (
+                PARTITION BY k ORDER BY ts, rid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            FROM t""").fetchall()}
+        assert got == want, blocks
+
+
+def test_grouped_forward_fill_strings_and_all_null_key():
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_forward_fill
+
+    t = pa.table({
+        "k": pa.array([0, 0, 0, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 3, 1, 2], pa.int64()),
+        "rid": pa.array(np.arange(8), pa.int64()),
+        "v": pa.array(["a", None, "b", None, None, None, None, "x"],
+                      pa.string()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(5)
+    got = {r["rid"]: r["filled"] for r in grouped_forward_fill(
+        ds, "k", "ts", "v", "rid").take_all()}
+    assert got == {0: "a", 1: "a", 2: "b", 3: None, 4: None,
+                   5: None, 6: None, 7: "x"}
