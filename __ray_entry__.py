@@ -3825,6 +3825,94 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_user_online_coverage(sf_dir: str):
+    """Merged-interval coverage (union of per-event presence
+    intervals [ts, ts + 5min]) per user — the gaps-and-islands
+    classic, realized by the OBSERVATION that intervals with hold H
+    merge exactly like sessions with gap H: engine/window.py
+    session_table (one sort, vectorized island detection, O(blocks)
+    boundary chain-merge) gives the islands, and covered time is
+    Sum(session_end - session_start + H) — all integer microseconds.
+    Output per user: island count and total covered time."""
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.engine.window import session_table
+    from ray.data.aggregate import Count, Sum
+
+    hold_us = 300_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    sessions = session_table(ds, "user_id", "ts",
+                             gap_seconds=hold_us / 1e6)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        dur = pc.add(pc.subtract(batch["session_end_us"],
+                                 batch["session_start_us"]),
+                     hold_us)
+        return pa.table({"user_id": batch["user_id"],
+                         "__c": pc.cast(dur, pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        sessions.map_batches(cover, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["user_id"],
+        [Count(alias_name="n_intervals"),
+         Sum("__c", alias_name="covered_us", ignore_nulls=True)],
+        ["n_intervals", "covered_us"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n_intervals": pc.cast(batch["n_intervals"], pa.int64()),
+            "covered_us": pc.cast(batch["covered_us"], pa.int64())})
+
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("n_intervals", pa.int64()),
+                        ("covered_us", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("user_id", "ascending")])
+
+
+def q_orders_price_by_date_decile(sf_dir: str):
+    """Calibration curve over the corpus timeline: orders split into
+    exact date deciles (engine/rank.py grouped_ntile over a constant
+    partition — the deliberate one-hot-key case its O(blocks)-carry
+    sort handles) and each decile reports its exact order count and
+    summed / floor-mean price in e2 fixed point — the binned-means
+    shape drift dashboards chart."""
+    from json_schema_ray.engine.rank import grouped_ntile
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "o_orderdate": batch["o_orderdate"],
+            "o_orderkey": batch["o_orderkey"],
+            "__p": pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.cast(batch["o_totalprice"], pa.float64()),
+                100.0), 0.5)), pa.int64())})
+
+    tiled = grouped_ntile(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "__g", "o_orderdate", "o_orderkey", 10, out="decile")
+    t = grouped_aggregate(tiled, ["decile"],
+                          [(None, "count"), ("__p", "sum")],
+                          driver_merge=True)
+    dec = t["decile"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t["rows_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["__p_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dec)
+    dec, n, s = dec[order], n[order], s[order]
+    return pa.table({
+        "decile": pa.array(dec), "n_orders": pa.array(n),
+        "sum_price_e2": pa.array(s),
+        "mean_price_e2": pa.array(s // n)})
+
+
 def q_events_value_locf(sf_dir: str):
     """Gap repair by forward fill (LOCF) — the telemetry/feature
     maintenance primitive: values at deterministically-derived gap
@@ -4976,6 +5064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto_share": q_orders_pareto_share,
         "events_value_autocorr": q_events_value_autocorr,
         "events_value_locf": q_events_value_locf,
+        "user_online_coverage": q_user_online_coverage,
+        "orders_price_by_date_decile": q_orders_price_by_date_decile,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
         "events_unterminated": q_events_unterminated,
@@ -5613,6 +5703,47 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "user_online_coverage": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS tu,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL
+            ), f AS (
+                SELECT user_id, tu,
+                       CASE WHEN prev IS NULL
+                                 OR tu - prev > 300000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), s AS (
+                SELECT user_id, tu,
+                       sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            ), sess AS (
+                SELECT user_id, max(tu) - min(tu) + 300000000 AS cov
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(cov) AS BIGINT) AS covered_us
+            FROM sess GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_price_by_date_decile": """
+            WITH t AS (
+                SELECT ntile(10) OVER (ORDER BY o_orderdate,
+                                       o_orderkey) AS decile,
+                       CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS p
+                FROM orders
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(p) AS BIGINT) AS sum_price_e2,
+                   CAST(sum(p) // count(*) AS BIGINT)
+                       AS mean_price_e2
+            FROM t GROUP BY decile ORDER BY decile
         """,
         "events_value_locf": """
             WITH g AS (
