@@ -3825,6 +3825,158 @@ def q_events_rolling_median(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_docs_template_clusters(sf_dir: str):
+    """Template/boilerplate cluster detection: documents whose
+    NORMALIZED skeleton (lowercased, alphanumeric word runs ->
+    'w', whitespace runs -> ' ' — only punctuation and word
+    STRUCTURE survive) is byte-identical group into one cluster — the
+    form-letter/mad-libs dedup pass exact dedup misses. The skeleton
+    hashes through the DuckDB hash() contract (collisions, if any,
+    reproduce identically in the oracle which also groups by
+    hash()); clusters of >= 2 surface via ONE sort + run scan
+    (key_run_counts — skeletons are near-unique, a hash groupby is
+    overhead), then only the clustered rows (cluster-sized, not
+    corpus-sized) re-aggregate for the min-doc representative."""
+    from json_schema_ray.engine.dedup import _duck_hash_strings
+    from json_schema_ray.engine.keys import key_run_counts
+    from json_schema_ray.engine.relational import (grouped_aggregate,
+                                                   semi_join)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def skeleton(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+        sk = pc.replace_substring_regex(
+            pc.replace_substring_regex(pc.utf8_lower(txt),
+                                       r"[a-z0-9]+", "w"),
+            r"\s+", " ")
+        h = _duck_hash_strings(sk).view(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "doc_id": batch["doc_id"]})
+
+    rows = ds.map_batches(skeleton, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    dup_h = key_run_counts(rows, ["h"], min_count=2)
+    clustered = semi_join(rows, dup_h, "h", "h")
+    t = grouped_aggregate(clustered, ["h"],
+                          [(None, "count"), ("doc_id", "min")],
+                          driver_merge=True)
+    if t is None:
+        return pa.table({"rep_doc": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    return pa.table({
+        "rep_doc": pc.cast(t["doc_id_min"], pa.int64()),
+        "n_docs": pc.cast(t["rows_count"], pa.int64()),
+    }).sort_by([("rep_doc", "ascending")])
+
+
+def q_parts_multi_supplier(sf_dir: str):
+    """Supply-chain fan-out: parts sourced from >= 4 distinct
+    suppliers — two chained sort + run scans (key_run_counts): the
+    first dedups (part, supplier) pairs, the second counts suppliers
+    per part; no hash groupby anywhere (both key spaces are
+    near-unique, the shape where aggregation machinery is pure
+    overhead)."""
+    from json_schema_ray.engine.keys import key_run_counts
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey"])
+    pairs = key_run_counts(ds, ["l_partkey", "l_suppkey"]) \
+        .map_batches(lambda t: t.select(["l_partkey"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    counts = key_run_counts(pairs, ["l_partkey"], min_count=4)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "n_suppliers": pc.cast(t["cnt"], pa.int64())})
+
+    schema = pa.schema([("l_partkey", pa.int64()),
+                        ("n_suppliers", pa.int64())])
+    return _collect(counts.map_batches(norm, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    schema).sort_by([("l_partkey", "ascending")])
+
+
+def q_nation_trade_matrix(sf_dir: str):
+    """TPC-H Q7-flavored trade matrix: lineitem revenue rolled up by
+    (customer nation, supplier nation). Join realizations by side
+    size, exactly the revenue_by_region discipline: revenue
+    fixed-points PER ROW then collapses per (block, order) with a
+    shuffle-free combiner — keeping the supplier nation (broadcast
+    supplier -> nation map, dimension-sized) in the combiner key —
+    the two ORDER-keyed big sides meet in ONE sort_merge_join, and
+    the customer-side nation rides a second dimension broadcast; the
+    25 x 25 rollup driver-merges."""
+    import ray
+
+    from json_schema_ray.engine.relational import (grouped_aggregate,
+                                                   sort_merge_join)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(),
+                    nation["n_name"].to_pylist()))
+    s_nation = {k: nmap[v] for k, v in
+                zip(supp["s_suppkey"].to_pylist(),
+                    supp["s_nationkey"].to_pylist())}
+    c_nation = {k: nmap[v] for k, v in
+                zip(cust["c_custkey"].to_pylist(),
+                    cust["c_nationkey"].to_pylist())}
+    sh = ray.put(s_nation)
+    ch = ray.put(c_nation)
+
+    def rev(batch: pa.Table) -> pa.Table:
+        sn = ray.get(sh)
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        r = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        snat = pa.array([sn.get(k) for k in
+                         batch["l_suppkey"].to_pylist()], pa.string())
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "supp_nation": snat, "rev100": pa.array(r)}) \
+            .filter(pc.is_valid(snat))  # inner-join semantics
+        g = pa.TableGroupBy(t, ["l_orderkey", "supp_nation"]) \
+            .aggregate([("rev100", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "supp_nation": g["supp_nation"],
+                         "rev100": g["rev100_sum"]})
+
+    rev_ds = li.map_batches(rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    joined = sort_merge_join(rev_ds, orders, "l_orderkey",
+                             "o_orderkey", ["o_custkey"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        cn = ray.get(ch)
+        cnat = pa.array([cn.get(k) for k in
+                         batch["o_custkey"].to_pylist()], pa.string())
+        return pa.table({"cust_nation": cnat,
+                         "supp_nation": batch["supp_nation"],
+                         "rev100": batch["rev100"]}) \
+            .filter(pc.is_valid(cnat))  # inner-join semantics
+
+    t = grouped_aggregate(
+        joined.map_batches(tag_cust, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cust_nation", "supp_nation"], [("rev100", "sum")],
+        driver_merge=True)
+    return pa.table({
+        "cust_nation": t["cust_nation"],
+        "supp_nation": t["supp_nation"],
+        "revenue_e2": pc.cast(t["rev100_sum"], pa.int64()),
+    }).sort_by([("cust_nation", "ascending"),
+                ("supp_nation", "ascending")])
+
+
 def q_user_online_coverage(sf_dir: str):
     """Merged-interval coverage (union of per-event presence
     intervals [ts, ts + 5min]) per user — the gaps-and-islands
@@ -5065,6 +5217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_autocorr": q_events_value_autocorr,
         "events_value_locf": q_events_value_locf,
         "user_online_coverage": q_user_online_coverage,
+        "docs_template_clusters": q_docs_template_clusters,
+        "parts_multi_supplier": q_parts_multi_supplier,
+        "nation_trade_matrix": q_nation_trade_matrix,
         "orders_price_by_date_decile": q_orders_price_by_date_decile,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
@@ -5703,6 +5858,43 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                 ORDER BY ts, event_id
                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "docs_template_clusters": r"""
+            WITH sk AS (
+                SELECT doc_id,
+                       hash(regexp_replace(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[a-z0-9]+', 'w', 'g'),
+                           '\s+', ' ', 'g')) AS h
+                FROM documents
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM sk GROUP BY h HAVING count(*) >= 2
+            ORDER BY rep_doc
+        """,
+        "parts_multi_supplier": """
+            SELECT l_partkey,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) >= 4
+            ORDER BY l_partkey
+        """,
+        "nation_trade_matrix": """
+            SELECT n1.n_name AS cust_nation,
+                   n2.n_name AS supp_nation,
+                   CAST(sum(CAST(floor(l_extendedprice
+                                       * (1 - l_discount) * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_e2
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "user_online_coverage": """
             WITH o AS (
