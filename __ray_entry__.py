@@ -557,6 +557,72 @@ def q_transcript_role_protocol(sf_dir: str):
     return _collect(out, schema)
 
 
+def q_transcript_turn_stats(sf_dir: str):
+    """Per-conversation shape profile over the transcript corpus —
+    the mix diagnostics a dialogue-data pipeline reports before
+    training: turn count, user/assistant turn counts, total and
+    null-text character volume, all from ONE combinable per-
+    conversation aggregate (conditional counters built per batch,
+    merged by sum — no sort, hot conversations reduce per block).
+    Oracle reads the SAME deterministic cached corpus by parquet
+    path, the transcript_role_protocol pattern."""
+    import ray
+
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.pipelines.flagship import transcripts_path
+    from ray.data.aggregate import Sum
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(files,
+                               columns=["conv_id", "role", "text"])
+
+    def counters(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        txt = batch["text"]
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "__n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "__u": pc.cast(pc.fill_null(pc.equal(role, "user"),
+                                        False), pa.int64()),
+            "__a": pc.cast(pc.fill_null(pc.equal(role, "assistant"),
+                                        False), pa.int64()),
+            "__c": pc.fill_null(pc.cast(pc.utf8_length(txt),
+                                        pa.int64()), 0),
+            "__nt": pc.cast(pc.is_null(txt), pa.int64())})
+
+    agg = null_safe_grouped_aggregate(
+        ds.map_batches(counters, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["conv_id"],
+        [Sum(c, alias_name=o, ignore_nulls=True) for c, o in
+         (("__n", "n_turns"), ("__u", "n_user"),
+          ("__a", "n_assistant"), ("__c", "n_chars"),
+          ("__nt", "n_null_text"))],
+        ["n_turns", "n_user", "n_assistant", "n_chars",
+         "n_null_text"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {"conv_id": batch["conv_id"]}
+        for c in ("n_turns", "n_user", "n_assistant", "n_chars",
+                  "n_null_text"):
+            cols[c] = pc.cast(batch[c], pa.int64())
+        return pa.table(cols)
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("n_turns", pa.int64()),
+                        ("n_user", pa.int64()),
+                        ("n_assistant", pa.int64()),
+                        ("n_chars", pa.int64()),
+                        ("n_null_text", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("conv_id", "ascending")])
+
+
 DOCUMENTS_SCHEMA = {
     "type": ["object"],
     "required": ["doc_id", "text", "lang", "source"],
@@ -5220,6 +5286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_template_clusters": q_docs_template_clusters,
         "parts_multi_supplier": q_parts_multi_supplier,
         "nation_trade_matrix": q_nation_trade_matrix,
+        "transcript_turn_stats": q_transcript_turn_stats,
         "orders_price_by_date_decile": q_orders_price_by_date_decile,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
@@ -7065,6 +7132,20 @@ def oracle_sql() -> dict[str, str]:
         # uses, by parquet path (no registered view needed); the
         # helper generates the cached corpus if absent. Driver
         # correctness runs at sf0.01 -> 60,000 turns.
+        "transcript_turn_stats": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (WHERE role = 'user')
+                        AS BIGINT) AS n_user,
+                   CAST(count(*) FILTER (WHERE role = 'assistant')
+                        AS BIGINT) AS n_assistant,
+                   CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+                       AS n_chars,
+                   CAST(count(*) FILTER (WHERE text IS NULL)
+                        AS BIGINT) AS n_null_text
+            FROM read_parquet('{_protocol_corpus_glob()}')
+            GROUP BY conv_id ORDER BY conv_id
+        """,
         "transcript_role_protocol": f"""
             WITH lagged AS (
                 SELECT conv_id, turn_idx, role,
