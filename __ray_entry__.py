@@ -623,6 +623,90 @@ def q_transcript_turn_stats(sf_dir: str):
                     schema).sort_by([("conv_id", "ascending")])
 
 
+def q_transcript_response_latency(sf_dir: str):
+    """Assistant response latency per conversation — the serving/
+    agent-quality signal: for every user -> assistant adjacent turn
+    pair, the timestamp gap, folded to per-conversation count, total
+    and floor-mean microseconds. ONE sort total: the predecessor's
+    (ts, role) travel through a single lag_column by packing role
+    into the timestamp's low bits (combined = ts_us * 8 + role_id —
+    exact, ts_us * 8 < 2^63), decoded after the shift — two lags
+    would pay the null-safe sort twice. Oracle reads the same cached
+    corpus by parquet path."""
+    import ray
+
+    from json_schema_ray.engine.rank import lag_column
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate)
+    from json_schema_ray.pipelines.flagship import transcripts_path
+    from ray.data.aggregate import Count, Sum
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "turn_idx", "role", "ts"])
+    roles = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        rid = pa.array([roles.get(r, 4) for r in
+                        batch["role"].to_pylist()], pa.int64())
+        tsu = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "conv_id": batch["conv_id"], "ts": batch["ts"],
+            "turn_idx": batch["turn_idx"],
+            "__rid": rid,
+            "__comb": pc.add(pc.multiply(tsu, 8), rid)})
+
+    lagged = lag_column(
+        ds.map_batches(encode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "conv_id", "ts", "__comb", "turn_idx", out="__prev")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        prev = batch["__prev"].combine_chunks()
+        pv = pc.fill_null(prev, -1).to_numpy(zero_copy_only=False)
+        rid = batch["__rid"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        tsu = pc.cast(batch["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (rid == 1) & (pv >= 0) & (pv % 8 == 0)
+        dt = tsu[keep] - pv[keep] // 8
+        return pa.table({
+            "conv_id": batch["conv_id"].filter(pa.array(keep)),
+            "__dt": pa.array(dt, pa.int64()),
+            "__one": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    agg = null_safe_grouped_aggregate(
+        lagged.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["conv_id"],
+        [Count(alias_name="n_responses"),
+         Sum("__dt", alias_name="total_latency_us",
+             ignore_nulls=True)],
+        ["n_responses", "total_latency_us"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n_responses"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.cast(batch["total_latency_us"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "n_responses": pa.array(n),
+            "total_latency_us": pa.array(s),
+            "mean_latency_us": pa.array(s // n)})
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("n_responses", pa.int64()),
+                        ("total_latency_us", pa.int64()),
+                        ("mean_latency_us", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("conv_id", "ascending")])
+
+
 DOCUMENTS_SCHEMA = {
     "type": ["object"],
     "required": ["doc_id", "text", "lang", "source"],
@@ -5287,6 +5371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_multi_supplier": q_parts_multi_supplier,
         "nation_trade_matrix": q_nation_trade_matrix,
         "transcript_turn_stats": q_transcript_turn_stats,
+        "transcript_response_latency": q_transcript_response_latency,
         "orders_price_by_date_decile": q_orders_price_by_date_decile,
         "orders_rfm_segments": q_orders_rfm_segments,
         "docs_oov_rate": q_docs_oov_rate,
@@ -7132,6 +7217,24 @@ def oracle_sql() -> dict[str, str]:
         # uses, by parquet path (no registered view needed); the
         # helper generates the cached corpus if absent. Driver
         # correctness runs at sf0.01 -> 60,000 turns.
+        "transcript_response_latency": f"""
+            WITH l AS (
+                SELECT conv_id, role, epoch_us(ts) AS tu,
+                       lag(role) OVER w AS prev_role,
+                       lag(epoch_us(ts)) OVER w AS prev_tu
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY ts, turn_idx)
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_responses,
+                   CAST(sum(tu - prev_tu) AS BIGINT)
+                       AS total_latency_us,
+                   CAST(sum(tu - prev_tu) // count(*) AS BIGINT)
+                       AS mean_latency_us
+            FROM l WHERE role = 'assistant' AND prev_role = 'user'
+            GROUP BY conv_id ORDER BY conv_id
+        """,
         "transcript_turn_stats": f"""
             SELECT conv_id,
                    CAST(count(*) AS BIGINT) AS n_turns,

@@ -111,6 +111,10 @@ EXTRA_QUERIES = [
     "docs_ngram_novelty",      # first-occurrence shingle fraction
     "events_value_locf",       # grouped forward fill (LOCF)
     "user_value_trend",        # integer OLS slope per user
+    "nation_trade_matrix",     # Q7: broadcasts + fact-fact join
+    "user_online_coverage",    # gaps-and-islands interval union
+    "transcript_turn_stats",   # per-conversation mix profile
+    "docs_template_clusters",  # word-shape skeleton dedup
 ]
 
 
