@@ -4073,22 +4073,26 @@ def q_nation_trade_matrix(sf_dir: str):
                          columns=["c_custkey", "c_nationkey"])
     nmap = dict(zip(nation["n_nationkey"].to_pylist(),
                     nation["n_name"].to_pylist()))
-    s_nation = {k: nmap[v] for k, v in
-                zip(supp["s_suppkey"].to_pylist(),
-                    supp["s_nationkey"].to_pylist())}
-    c_nation = {k: nmap[v] for k, v in
-                zip(cust["c_custkey"].to_pylist(),
-                    cust["c_nationkey"].to_pylist())}
-    sh = ray.put(s_nation)
-    ch = ray.put(c_nation)
+    # key array + aligned nation-name array: probed per batch with
+    # pc.index_in + take (the pagerank broadcast idiom) — never a
+    # per-row Python dict loop
+    sh = ray.put((supp["s_suppkey"].combine_chunks(),
+                  pa.array([nmap.get(v) for v in
+                            supp["s_nationkey"].to_pylist()],
+                           pa.string())))
+    ch = ray.put((cust["c_custkey"].combine_chunks(),
+                  pa.array([nmap.get(v) for v in
+                            cust["c_nationkey"].to_pylist()],
+                           pa.string())))
 
     def rev(batch: pa.Table) -> pa.Table:
-        sn = ray.get(sh)
+        skeys, snames = ray.get(sh)
         e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         d = batch["l_discount"].to_numpy(zero_copy_only=False)
         r = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
-        snat = pa.array([sn.get(k) for k in
-                         batch["l_suppkey"].to_pylist()], pa.string())
+        idx = pc.index_in(batch["l_suppkey"].combine_chunks(),
+                          value_set=skeys)
+        snat = snames.take(idx)
         t = pa.table({"l_orderkey": batch["l_orderkey"],
                       "supp_nation": snat, "rev100": pa.array(r)}) \
             .filter(pc.is_valid(snat))  # inner-join semantics
@@ -4106,9 +4110,10 @@ def q_nation_trade_matrix(sf_dir: str):
                              "o_orderkey", ["o_custkey"])
 
     def tag_cust(batch: pa.Table) -> pa.Table:
-        cn = ray.get(ch)
-        cnat = pa.array([cn.get(k) for k in
-                         batch["o_custkey"].to_pylist()], pa.string())
+        ckeys, cnames = ray.get(ch)
+        idx = pc.index_in(batch["o_custkey"].combine_chunks(),
+                          value_set=ckeys)
+        cnat = cnames.take(idx)
         return pa.table({"cust_nation": cnat,
                          "supp_nation": batch["supp_nation"],
                          "rev100": batch["rev100"]}) \
@@ -4403,17 +4408,18 @@ def q_docs_ngram_novelty(sf_dir: str):
     distinct word-5-gram shingles appear in NO earlier document (by
     doc_id) — the contribution score data-mixing pipelines weight
     by (a doc whose shingles all appeared before adds nothing).
-    Pure composition of proven primitives over the DuckDB-hash
-    shingle contract (dedup.shingle_sets_batch == SQL
-    hash(shingle)): first-doc-per-shingle is ONE combinable arg-min
-    aggregate (grouped_first_last — no sort, hot shingles reduce in
-    every block), joined back to the (shingle, doc) pairs with the
-    two-big-sides sort-merge join, then one per-doc combinable sum.
-    novelty_e6 is an exact integer floor division."""
+    Shingle keys are NEAR-UNIQUE, so first-occurrence membership is
+    the engine's sort-based arg-min flag (engine/keys.py
+    first_in_group — ONE sort + adjacent scan + O(blocks) boundary
+    lookups; the hash-aggregate + join realization measured 3.7x
+    slower on exactly this shape), over the DuckDB-hash shingle
+    contract (dedup.shingle_sets_batch == SQL hash(shingle));
+    per-doc totals then fold in one combinable sum. novelty_e6 is an
+    exact integer floor division."""
     from json_schema_ray.engine.dedup import shingle_sets_batch
+    from json_schema_ray.engine.keys import first_in_group
     from json_schema_ray.engine.relational import (
-        grouped_first_last, null_safe_grouped_aggregate,
-        sort_merge_join)
+        null_safe_grouped_aggregate)
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4431,30 +4437,18 @@ def q_docs_ngram_novelty(sf_dir: str):
                          "doc": pa.array(doc, pa.int64())})
 
     rows = ds.map_batches(shingles, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
-    winners = grouped_first_last(rows, "h", "doc", "doc", "doc",
-                                 first_out="__fd")
-
-    def prep_right(t: pa.Table) -> pa.Table:
-        return pa.table({"h2": t["h"],
-                         "first_doc": pc.cast(t["__fd"], pa.int64())})
-
-    joined = sort_merge_join(
-        rows, winners.map_batches(prep_right, batch_format="pyarrow",
-                                  zero_copy_batch=True),
-        "h", "h2", ["first_doc"])
+                          zero_copy_batch=True)
+    flagged = first_in_group(rows, ["h"], "doc", out="__f")
 
     def flag(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch["doc"],
-            "__novel": pc.cast(pc.equal(batch["doc"],
-                                        batch["first_doc"]),
-                               pa.int64()),
+            "__novel": pc.cast(batch["__f"], pa.int64()),
             "__one": pa.array(np.ones(batch.num_rows, np.int64))})
 
     agg = null_safe_grouped_aggregate(
-        joined.map_batches(flag, batch_format="pyarrow",
-                           zero_copy_batch=True),
+        flagged.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True),
         ["doc_id"],
         [Sum("__one", alias_name="n_shingles", ignore_nulls=True),
          Sum("__novel", alias_name="n_novel", ignore_nulls=True)],

@@ -888,3 +888,89 @@ def transition_counts(ds, key, order: str, label: str,
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def first_in_group(ds, keys: List[str], order: str,
+                   out: str = "is_first"):
+    """Flag each row that is its key group's MINIMUM-``order`` row —
+    the distributed arg-min membership test behind first-occurrence /
+    novelty scoring. The right shape for NEAR-UNIQUE keys (corpus
+    shingles, content hashes), where a hash aggregate's machinery is
+    pure overhead: ONE null-safe range-partitioned sort on
+    (keys..., order) co-locates each group, a vectorized
+    adjacent-equal scan flags in-block run heads, and only each
+    block's FIRST row is pending — it heads a run that may continue
+    an earlier block's, and every such predecessor run, by sorted
+    contiguity, ends at some earlier block's LAST row, so the
+    O(n_blocks) collected last-rows resolve all pending flags in one
+    broadcast lookup (pending is first iff no collected last-row of
+    its key has a smaller order). ``order`` must be unique per key
+    tuple and numeric/temporal."""
+    import ray
+
+    from .relational import null_safe_sort
+
+    srt = null_safe_sort(ds, keys, [order])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(out, pa.array([], pa.bool_())) \
+                .append_column("__rt", pa.array([], pa.int8()))
+        cols = [batch[k].combine_chunks().to_numpy(zero_copy_only=False)
+                for k in keys]
+        neq = np.zeros(n - 1, dtype=bool)
+        for c in cols:
+            neq |= c[1:] != c[:-1]
+        first = np.concatenate([[True], neq])
+        rt = np.zeros(n, np.int8)
+        rt[0] = 1  # only the block head can continue an earlier run
+        out_t = batch.append_column(out, pa.array(first)) \
+            .append_column("__rt", pa.array(rt))
+        carry = batch.slice(n - 1, 1) \
+            .append_column(out, pa.array([False])) \
+            .append_column("__rt", pa.array([2], pa.int8()))
+        return pa.concat_tables([out_t, carry])
+
+    scanned = srt.map_batches(scan, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # min order among each key's collected block-LAST rows
+    min_last: dict = {}
+    for kept in scanned.map_batches(
+            lambda t: t.filter(pc.equal(t["__rt"], 2)),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = list(zip(*[kept[k].to_pylist() for k in keys]))
+        ov = kept[order].to_pylist()
+        for kt, o in zip(kk, ov):
+            if kt not in min_last or o < min_last[kt]:
+                min_last[kt] = o
+
+    handle = ray.put(min_last)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt"])
+        rt = kept["__rt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        flags = kept[out].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        if len(pend):
+            ml = ray.get(handle)
+            i = int(pend[0])
+            kt = tuple(kept[k][i].as_py() for k in keys)
+            o = kept[order][i].as_py()
+            prev = ml.get(kt)
+            flags[i] = prev is None or not (prev < o)
+        oi = kept.column_names.index(out)
+        return kept.set_column(oi, out, pa.array(flags)) \
+            .drop_columns(["__rt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)

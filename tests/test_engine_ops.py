@@ -6154,3 +6154,39 @@ def test_grouped_forward_fill_strings_and_all_null_key():
         ds, "k", "ts", "v", "rid").take_all()}
     assert got == {0: "a", 1: "a", 2: "b", 3: None, 4: None,
                    5: None, 6: None, 7: "x"}
+
+
+def test_first_in_group_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.keys import first_in_group
+
+    rng = np.random.default_rng(81)
+    n = 6000
+    t = pa.table({
+        # near-unique keys with occasional heavy repeats
+        "k": pa.array(np.where(rng.random(n) < 0.1, 7,
+                               rng.integers(0, 4000, n)), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+    })
+    for blocks in (1, 9, 31):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {(r["k"], r["o"]): r["is_first"] for r in
+               first_in_group(ds, ["k"], "o").take_all()}
+        want = {(r[0], r[1]): r[2] for r in duckdb.sql("""
+            SELECT k, o, o = min(o) OVER (PARTITION BY k)
+            FROM t""").fetchall()}
+        assert got == want, blocks
+
+
+def test_first_in_group_one_key_tiny_blocks():
+    from json_schema_ray.engine.keys import first_in_group
+
+    # ONE key over 32 tiny blocks: exactly one row may win
+    n = 900
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "o": pa.array(np.arange(n)[::-1].copy(), pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(32)
+    rows = first_in_group(ds, ["k"], "o").take_all()
+    winners = [r["o"] for r in rows if r["is_first"]]
+    assert winners == [0] and len(rows) == n
