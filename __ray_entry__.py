@@ -13,6 +13,7 @@ input) have no oracle entry and get the weaker rows-only check.
 
 from __future__ import annotations
 
+import datetime
 import os
 from collections.abc import Callable
 from typing import Any
@@ -5274,6 +5275,115 @@ def q_user_twap(sf_dir: str):
                     schema).sort_by([("user_id", "ascending")])
 
 
+def q_events_global_seq(sf_dir: str):
+    """GLOBAL row_number() OVER (ORDER BY ts, event_id) — the
+    distributed zipWithIndex (engine/rank.py global_row_numbers).
+    One constant-key pass through the hot-key-proof running-count
+    machinery: range-partitioned sort + per-block prefix + O(blocks)
+    fixed-size carries; no block funnels through one worker even
+    though every row shares the partition key."""
+    from json_schema_ray.engine.rank import global_row_numbers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = global_row_numbers(ds, "ts", "event_id", out="seq")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "seq"])
+
+    schema = pa.schema([("event_id", pa.int64()), ("seq", pa.int64())])
+    return _collect(out.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
+def q_orders_pareto_frontier(sf_dir: str):
+    """2-D skyline over orders: maximize (o_totalprice,
+    o_orderdate) — "no later order was also more expensive"
+    (engine/relational.py pareto_frontier). Block-local frontiers
+    (one lexsort + run scan each) union to a driver-resolved global
+    frontier; dominance transitivity makes the union a superset, so
+    the result is EXACT. Price compares on the raw float column —
+    dominance is comparison-only, no arithmetic, so float parity
+    with the SQL NOT EXISTS twin is exact."""
+    from json_schema_ray.engine.relational import pareto_frontier
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    out = pareto_frontier(ds, "o_totalprice", "o_orderdate")
+    return out.select(["o_orderkey", "o_totalprice", "o_orderdate"]) \
+        .sort_by([("o_orderkey", "ascending")])
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-flavored returned-item report: top-20 customers by
+    revenue on returned lineitems within a one-quarter order window.
+    Composition by side size: lineitem filters l_returnflag = 'R'
+    in-batch and fixed-points revenue PER ROW
+    (price_e2 x (100 - disc_e2), exact int64 — house discipline),
+    collapsing to per-(block, order) partials with a shuffle-free
+    Arrow combiner; the two fact sides join via sort_merge_join
+    (orders pruned to the date window at scan time — the window
+    keeps ~4% of orders, so no broadcast of a fact side); customer
+    name attaches through ONE dimension broadcast; top-20 rides the
+    per-block partial top-k merge."""
+    from json_schema_ray.engine.relational import (
+        broadcast_hash_join, grouped_aggregate, sort_merge_join,
+        top_k)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(batch["l_returnflag"], "R"))
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        p_e2 = np.floor(e * 100 + 0.5).astype(np.int64)
+        d_e2 = np.floor(d * 100 + 0.5).astype(np.int64)
+        r = p_e2 * (100 - d_e2)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev_e4": pa.array(r)})
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate(
+            [("rev_e4", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev_e4": g["rev_e4_sum"]})
+
+    rev_ds = li.map_batches(rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["o_orderdate"],
+                                     pa.scalar(lo)),
+                    pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        return batch.filter(m).select(["o_orderkey", "o_custkey"])
+
+    ord_w = orders.map_batches(window, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    joined = sort_merge_join(rev_ds, ord_w, "l_orderkey",
+                             "o_orderkey", ["o_custkey"], how="inner")
+    per_cust = grouped_aggregate(
+        joined.map_batches(
+            lambda b: b.select(["o_custkey", "rev_e4"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], [("rev_e4", "sum")])
+    per_cust = per_cust.rename_columns(["o_custkey", "rev_e4"])
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    named = broadcast_hash_join(
+        ray.data.from_arrow(per_cust), cust, "o_custkey", "c_custkey")
+    top = top_k(named, ["rev_e4", "o_custkey"], [True, False], 20)
+    return pa.table({
+        "c_custkey": top["o_custkey"],
+        "c_name": top["c_name"],
+        "revenue_e4": pc.cast(top["rev_e4"], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5337,6 +5447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_volume_cusum": q_daily_volume_cusum,
         "embedding_split_leakage": q_embedding_split_leakage,
         "revenue_by_region": q_revenue_by_region,
+        "events_global_seq": q_events_global_seq,
+        "orders_pareto_frontier": q_orders_pareto_frontier,
+        "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
         "events_daily_quota": q_events_daily_quota,
         "docs_leakage_free_split": q_docs_leakage_free_split,
@@ -6622,6 +6735,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "events_global_seq": """
+            SELECT event_id,
+                   CAST(row_number() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) AS seq
+            FROM events
+        """,
+        "orders_pareto_frontier": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders o1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o2
+                WHERE o2.o_totalprice >= o1.o_totalprice
+                  AND o2.o_orderdate >= o1.o_orderdate
+                  AND (o2.o_totalprice > o1.o_totalprice
+                       OR o2.o_orderdate > o1.o_orderdate))
+            ORDER BY o_orderkey
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue_e4 DESC, c_custkey
+            LIMIT 20
         """,
         "embedding_split_leakage": """
             SELECT a.vec_id AS id_q, b.vec_id AS id_r,

@@ -961,6 +961,33 @@ def grouped_row_numbers(ds, key: str, ts: str, tiebreak: str,
                           zero_copy_batch=True)
 
 
+def global_row_numbers(ds, ts: str, tiebreak: str,
+                       out: str = "row_number"):
+    """SQL ``row_number() OVER (ORDER BY ts, tiebreak)`` — a GLOBAL
+    1-based enumeration of the whole dataset (the distributed
+    zipWithIndex). ``(ts, tiebreak)`` must be a total order.
+
+    Shape: :func:`grouped_row_numbers` with ONE constant partition
+    key. The carry machinery was built hot-key-proof (a key spanning
+    every block costs two fixed-size carry rows per block, verified
+    by the 200k single-conversation test), so the degenerate
+    all-rows-one-key case is exactly the shape it already handles:
+    one range-partitioned sort on (ts, tiebreak), a per-block prefix
+    scan, O(n_blocks) driver carries — no block ever funnels through
+    one worker."""
+    def const_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__gk", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    numbered = grouped_row_numbers(
+        ds.map_batches(const_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "__gk", ts, tiebreak, out=out)
+    return numbered.map_batches(
+        lambda b: b.drop_columns(["__gk"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_ntile(ds, key: str, ts: str, tiebreak: str, k: int,
                   out: str = "ntile", rn_out: str = "row_number"):
     """SQL ``ntile(k) OVER (PARTITION BY key ORDER BY ts,

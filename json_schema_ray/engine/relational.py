@@ -338,6 +338,78 @@ def top_k(ds, columns: List[str], descending, k: int) -> pa.Table:
     return merged.take(idx)
 
 
+def _skyline_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean mask of the rows NOT dominated under maximize-(p, d):
+    row i is dominated iff some j has ``p[j] >= p[i] and d[j] >= d[i]``
+    with at least one strict. Exact duplicates of a frontier point all
+    survive (neither dominates the other). One lexsort + run scan,
+    no Python loop."""
+    if p.dtype.kind == "M":
+        p = p.view("int64")
+    if d.dtype.kind == "M":
+        d = d.view("int64")
+    n = len(p)
+    if n == 0:
+        return np.zeros(0, bool)
+    # ascending lexsort reversed = descending by (p, then d) — avoids
+    # negating (int64 min / float precision hazards)
+    order = np.lexsort((d, p))[::-1]
+    ps, dsrt = p[order], d[order]
+    newrun = np.concatenate([[True], ps[1:] != ps[:-1]])
+    run_ids = np.cumsum(newrun) - 1
+    run_max_d = dsrt[newrun]  # d desc within a run: first = run max
+    prior = np.maximum.accumulate(run_max_d)
+    # exclusive prior-run max; first run has no prior, always beats it
+    beats_prior = np.concatenate(
+        [[True], run_max_d[1:] > prior[:-1]])
+    keep_sorted = (dsrt == run_max_d[run_ids]) & beats_prior[run_ids]
+    mask = np.zeros(n, bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_frontier(ds, x: str, y: str):
+    """2-D skyline: rows not dominated by any other row under
+    maximize-(``x``, ``y``) (flip a column's sign upstream to
+    minimize it). SQL twin: ``WHERE NOT EXISTS (SELECT 1 ... o2
+    WHERE o2.x >= o1.x AND o2.y >= o1.y AND (o2.x > o1.x OR
+    o2.y > o1.y))``. Rows with a NULL in either dimension can
+    neither dominate nor join the frontier and are dropped.
+
+    Shape: each block computes its LOCAL frontier with one
+    lexsort + run scan (:func:`_skyline_mask`); dominance is
+    transitive, so the union of block frontiers is a superset of the
+    global frontier, and one more :func:`_skyline_mask` pass over
+    that union resolves it on the driver. Driver state = sum of
+    block skyline sizes — O(log n) expected per block for
+    independent dimensions, and in the adversarial fully
+    anti-correlated case the skyline IS the output, a bound no exact
+    skyline operator can beat. Returns a pyarrow Table."""
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        batch = batch.filter(pc.and_(pc.is_valid(batch[x]),
+                                     pc.is_valid(batch[y])))
+        if batch.num_rows == 0:
+            return batch
+        p = batch[x].combine_chunks().to_numpy(zero_copy_only=False)
+        d = batch[y].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_skyline_mask(p, d)))
+
+    parts = ds.map_batches(local, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = [pa.Table.from_batches([b])
+              if isinstance(b, pa.RecordBatch) else b
+              for b in parts.iter_batches(batch_format="pyarrow")]
+    nonempty = [t for t in tables if t.num_rows]
+    if not nonempty:
+        return tables[0] if tables else pa.table({})
+    merged = pa.concat_tables(nonempty, promote_options="default")
+    p = merged[x].combine_chunks().to_numpy(zero_copy_only=False)
+    d = merged[y].combine_chunks().to_numpy(zero_copy_only=False)
+    return merged.filter(pa.array(_skyline_mask(p, d)))
+
+
 def salted_aggregate(ds, keys: List[str],
                      aggs: Sequence[Tuple[str, str]],
                      n_salts: int = 16) -> "pa.Table":

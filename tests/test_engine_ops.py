@@ -6190,3 +6190,81 @@ def test_first_in_group_one_key_tiny_blocks():
     rows = first_in_group(ds, ["k"], "o").take_all()
     winners = [r["o"] for r in rows if r["is_first"]]
     assert winners == [0] and len(rows) == n
+
+
+def test_global_row_numbers_matches_duckdb():
+    import duckdb
+
+    from json_schema_ray.engine.rank import global_row_numbers
+
+    rng = np.random.default_rng(71)
+    n = 3000
+    t = pa.table({
+        "ts": pa.array(rng.integers(0, 400, size=n), pa.int64()),
+        "eid": pa.array(rng.permutation(n), pa.int64()),
+    })
+    # many blocks: the single global "key" spans every one of them
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = global_row_numbers(ds, "ts", "eid", out="seq").take_all()
+    got = sorted((r["eid"], r["seq"]) for r in out)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(tuple(r) for r in con.execute(
+        "SELECT eid, row_number() OVER (ORDER BY ts, eid) FROM t"
+    ).fetchall())
+    assert got == want
+    assert {r["seq"] for r in out} == set(range(1, n + 1))
+
+
+def _brute_skyline(p, d):
+    keep = []
+    for i in range(len(p)):
+        dominated = any(
+            p[j] >= p[i] and d[j] >= d[i]
+            and (p[j] > p[i] or d[j] > d[i]) for j in range(len(p)))
+        keep.append(not dominated)
+    return keep
+
+
+def test_skyline_mask_matches_bruteforce():
+    from json_schema_ray.engine.relational import _skyline_mask
+
+    rng = np.random.default_rng(72)
+    for trial in range(8):
+        n = int(rng.integers(1, 60))
+        # small value range forces ties and exact duplicates
+        p = rng.integers(0, 6, size=n).astype(np.int64)
+        d = rng.integers(0, 6, size=n).astype(np.int64)
+        got = _skyline_mask(p, d).tolist()
+        assert got == _brute_skyline(p, d), (trial, p, d)
+    # fully anti-correlated: every point is on the frontier
+    x = np.arange(50, dtype=np.int64)
+    assert _skyline_mask(x, -x).all()
+    # empty
+    assert _skyline_mask(np.array([], np.int64),
+                         np.array([], np.int64)).tolist() == []
+
+
+def test_pareto_frontier_distributed_and_nulls():
+    from json_schema_ray.engine.relational import pareto_frontier
+
+    rng = np.random.default_rng(73)
+    n = 2000
+    p = rng.integers(0, 1000, size=n).astype(np.float64)
+    d = rng.integers(0, 1000, size=n)
+    pl = [None if rng.random() < 0.02 else float(v) for v in p]
+    t = pa.table({
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "x": pa.array(pl, pa.float64()),
+        "y": pa.array(d, pa.int64()),
+    })
+    ds = _ray().data.from_arrow(t).repartition(13)
+    out = pareto_frontier(ds, "x", "y")
+    got = sorted(out["rid"].to_pylist())
+    xs = [v if v is not None else -np.inf for v in pl]
+    keep = [i for i in range(n)
+            if pl[i] is not None and not any(
+                xs[j] >= xs[i] and d[j] >= d[i]
+                and (xs[j] > xs[i] or d[j] > d[i])
+                for j in range(n) if pl[j] is not None)]
+    assert got == keep
