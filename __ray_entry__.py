@@ -5384,6 +5384,37 @@ def q_returned_item_revenue(sf_dir: str):
         "revenue_e4": pc.cast(top["rev_e4"], pa.int64())})
 
 
+def q_events_type_weekday_chi2(sf_dir: str):
+    """Chi-square independence cells between event_type and weekday
+    (engine/drift.py contingency_chi2): per observed cell, exact
+    integer observed count plus expected count and chi-square
+    contribution under independence, e6 fixed point. Every emitted
+    float derives from exact integer margins with ONE double op
+    chain per cell (exp = rt*ct/n; d = obs-exp; contrib = d*d/exp),
+    mirrored verbatim in the SQL twin — no float sum ever crosses
+    block boundaries, so hash parity is deterministic. Weekday is
+    pure integer arithmetic ((epoch_day + 4) % 7, Sunday = 0): no
+    calendar function on either side."""
+    from json_schema_ray.engine.drift import contingency_chi2
+    from json_schema_ray.engine.relational import _int64_us
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        tu = _int64_us(batch["ts"]).to_numpy(zero_copy_only=False)
+        wd = (tu // 86_400_000_000 + 4) % 7
+        return pa.table({
+            "event_type": batch["event_type"],
+            "weekday": pa.array(wd.astype(np.int64))})
+
+    cells = contingency_chi2(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_type", "weekday")
+    return cells.sort_by([("event_type", "ascending"),
+                          ("weekday", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5448,6 +5479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_split_leakage": q_embedding_split_leakage,
         "revenue_by_region": q_revenue_by_region,
         "events_global_seq": q_events_global_seq,
+        "events_type_weekday_chi2": q_events_type_weekday_chi2,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -6735,6 +6767,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "events_type_weekday_chi2": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                          AS BIGINT) AS weekday
+              FROM events),
+            c AS (SELECT event_type, weekday,
+                         CAST(count(*) AS BIGINT) AS obs
+                  FROM e GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+            r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt
+                  FROM c GROUP BY 1),
+            cl AS (SELECT weekday, CAST(sum(obs) AS BIGINT) AS ct
+                   FROM c GROUP BY 1)
+            SELECT c.event_type, c.weekday, c.obs,
+                   CAST(floor(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                              / CAST(n AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS exp_e6,
+                   CAST(floor(
+                       (CAST(obs AS DOUBLE)
+                        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                       * (CAST(obs AS DOUBLE)
+                          - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                       / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                          / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) AS contrib_e6
+            FROM c
+            JOIN r ON c.event_type = r.event_type
+            JOIN cl ON c.weekday = cl.weekday
+            CROSS JOIN tot
         """,
         "events_global_seq": """
             SELECT event_id,

@@ -115,6 +115,9 @@ EXTRA_QUERIES = [
     "user_online_coverage",    # gaps-and-islands interval union
     "transcript_turn_stats",   # per-conversation mix profile
     "docs_template_clusters",  # word-shape skeleton dedup
+    "events_global_seq",       # distributed zipWithIndex
+    "orders_pareto_frontier",  # 2-D skyline, block frontiers
+    "returned_item_revenue",   # Q10: fact join + top-k report
 ]
 
 

@@ -60,9 +60,10 @@ def exact_dedup_groups(ds, content_keys: List[str], id_column: str):
     from .relational import null_safe_grouped_aggregate
 
     def pre(batch: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(batch.select(content_keys + [id_column]),
-                            content_keys)
-        t = g.aggregate([(id_column, "min"), ([], "count_all")])
+        from .relational import safe_groupby_aggregate
+        t = safe_groupby_aggregate(
+            batch.select(content_keys + [id_column]), content_keys,
+            [(id_column, "min"), ([], "count_all")])
         names = {f"{id_column}_min": "keep_id", "count_all": "n_copies"}
         return t.rename_columns([names.get(c, c) for c in t.column_names])
 

@@ -216,3 +216,88 @@ def cusum_scan(t: pa.Table, order_col: str, value_col: str,
         "cusum_pos_e6": pa.array(pos, pa.int64()),
         "cusum_neg_e6": pa.array(neg, pa.int64()),
         "flag": pa.array(flags, pa.int64())})
+
+
+def contingency_chi2(ds, a: str, b: str) -> pa.Table:
+    """Chi-square independence cells between two categorical columns:
+    for every observed (a, b) cell — observed count, expected count
+    under independence, and the cell's chi-square contribution, both
+    as ``floor(x * 1e6 + 0.5)`` fixed point. The statistic itself is
+    ``sum(contrib_e6) / 1e6`` (left to the caller so no float sum
+    crosses the wire; every emitted number is computed from exact
+    integer totals with ONE double divide per cell, deterministic
+    regardless of summation order — the SQL twin mirrors the same
+    double ops).
+
+    Shape: per-block (a, b) combiner counts -> one cell-sized
+    groupby; row/column margins derive from the merged cell table on
+    the driver (cells = |a| x |b|, drift-check-sized by
+    construction). NULL categories form their own cell like SQL
+    GROUP BY. Rows with a NULL in either column are dropped BEFORE
+    counting only if drop_null were requested — they are kept here;
+    the oracle groups identically."""
+    from .relational import decode_null_safe_keys, encode_null_safe_keys
+
+    # string keys group via the invertible null-safe encoding: the
+    # Arrow grouper mis-splits NULL string groups on sliced
+    # (non-zero-offset) block views, so no raw nullable string column
+    # ever reaches a TableGroupBy here
+    def pre(batch: pa.Table) -> pa.Table:
+        enc = encode_null_safe_keys(batch.select([a, b]), [a, b])
+        g = pa.TableGroupBy(enc, ["__gs0", "__gs1"])
+        t = g.aggregate([([], "count_all")])
+        return t.rename_columns(["__gs0", "__gs1", "obs"])
+
+    parts = ds.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tables = [pa.Table.from_batches([bt])
+              if isinstance(bt, pa.RecordBatch) else bt
+              for bt in parts.iter_batches(batch_format="pyarrow")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({a: pa.array([]), b: pa.array([]),
+                         "obs": pa.array([], pa.int64()),
+                         "exp_e6": pa.array([], pa.int64()),
+                         "contrib_e6": pa.array([], pa.int64())})
+    merged = pa.concat_tables(
+        tables, promote_options="default").combine_chunks()
+    enc_cells = pa.TableGroupBy(merged, ["__gs0", "__gs1"]) \
+        .aggregate([("obs", "sum")])
+    cells = decode_null_safe_keys(
+        enc_cells.rename_columns(["__gs0", "__gs1", "obs_sum"]),
+        [a, b], ["obs_sum"])
+    obs = cells["obs_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(obs.sum())
+    # margins via index_in against the cell table's own key columns
+    av = cells[a].combine_chunks()
+    bv = cells[b].combine_chunks()
+    a_keys = pc.unique(av)
+    b_keys = pc.unique(bv)
+
+    def _codes(vals, keys):
+        # index_in maps a null needle to null, but NULL is a real
+        # category (unique() kept its slot) — point nulls at it
+        idx = pc.index_in(vals, value_set=keys)
+        if vals.null_count:
+            null_pos = int(np.nonzero(
+                pc.is_null(keys).to_numpy(zero_copy_only=False))[0][0])
+            idx = pc.fill_null(idx, null_pos)
+        return idx.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ai = _codes(av, a_keys)
+    bi = _codes(bv, b_keys)
+    rt = np.zeros(len(a_keys), np.int64)
+    np.add.at(rt, ai, obs)
+    ct = np.zeros(len(b_keys), np.int64)
+    np.add.at(ct, bi, obs)
+    # ONE double op chain per cell, mirrored verbatim by the SQL twin:
+    # exp = rt*ct/n ; d = obs - exp ; contrib = d*d/exp
+    exp = rt[ai].astype(np.float64) * ct[bi].astype(np.float64) / float(n)
+    d = obs.astype(np.float64) - exp
+    contrib = d * d / exp
+    return pa.table({
+        a: av, b: bv,
+        "obs": pa.array(obs, pa.int64()),
+        "exp_e6": pa.array(np.floor(exp * 1e6 + 0.5).astype(np.int64)),
+        "contrib_e6": pa.array(
+            np.floor(contrib * 1e6 + 0.5).astype(np.int64))})

@@ -1282,8 +1282,9 @@ def grouped_mode(ds, key: str, col: str):
     from .relational import null_safe_grouped_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .relational import safe_groupby_aggregate
         t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
-        g = pa.TableGroupBy(t, [key, col]).aggregate([([], "count_all")])
+        g = safe_groupby_aggregate(t, [key, col], [([], "count_all")])
         return g.rename_columns([key, col, "cnt"])
 
     counts = null_safe_grouped_aggregate(

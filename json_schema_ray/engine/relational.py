@@ -19,6 +19,46 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def safe_groupby_aggregate(t: pa.Table, keys, spec):
+    """Drop-in for ``pa.TableGroupBy(t, keys).aggregate(spec)``
+    guarded against a pyarrow 16.x MULTI-KEY grouper defect: with a
+    plain ``string``-typed key column CONTAINING NULLS alongside a
+    fixed-width key, the grouper emits DUPLICATE groups for the null
+    string's cells once the table is large enough (~40+ groups;
+    minimal repro in test_engine_ops.py
+    ``test_arrow_null_string_multikey_guard`` — 31 groups where 25
+    exist; large_string, str+str and int-first shapes are
+    unaffected). Any nullable string/large_string key in a multi-key
+    grouping is routed through the invertible ``"n"`` / ``"v"+value``
+    prefix encoding (the same trick the Ray exchange uses in
+    :func:`encode_null_safe_keys`) so no nullable string ever reaches
+    the grouper, then decoded back — output schema identical to the
+    raw call. Single-key and null-free inputs take the raw path."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    risky = [k for k in keys
+             if (pa.types.is_string(t[k].type)
+                 or pa.types.is_large_string(t[k].type))
+             and t[k].null_count > 0] if len(keys) > 1 else []
+    if not risky:
+        return pa.TableGroupBy(t, keys).aggregate(spec)
+    enc = t
+    for k in risky:
+        col = enc[k]
+        joined = pc.binary_join_element_wise(
+            "v", pc.cast(col, pa.string()), "")
+        d = pc.if_else(pc.is_null(col), pa.scalar("n"), joined)
+        enc = enc.set_column(enc.column_names.index(k), k, d)
+    g = pa.TableGroupBy(enc, keys).aggregate(spec)
+    for k in risky:
+        d = g[k]
+        dec = pc.if_else(pc.equal(d, "n"),
+                         pa.scalar(None, pa.string()),
+                         pc.utf8_slice_codeunits(d, 1))
+        g = g.set_column(g.column_names.index(k), k,
+                         pc.cast(dec, t[k].type))
+    return g
+
+
 def pre_aggregate(ds, keys: List[str],
                   aggs: Sequence[Tuple[str, str]]):
     """groupby(keys) with per-block partial aggregation.
@@ -32,10 +72,9 @@ def pre_aggregate(ds, keys: List[str],
     def partial(batch: pa.Table) -> pa.Table:
         needed = list(dict.fromkeys(
             keys + [c for c, _ in aggs if c and c in batch.column_names]))
-        g = pa.TableGroupBy(batch.select(needed), keys)
         spec = [(([], "count_all") if fn == "count" else (col, fn))
                 for col, fn in aggs]
-        t = g.aggregate(spec)
+        t = safe_groupby_aggregate(batch.select(needed), keys, spec)
         # normalize output: keys first, then one column per agg with a
         # stable "<col>_<fn>" name
         arrays = [t[k] for k in keys]
@@ -81,7 +120,7 @@ def grouped_aggregate(ds, keys: List[str],
             afn = "sum" if fn in ("sum", "count") else fn
             arrow_aggs.append((src, afn))
             renames[f"{src}_{afn}"] = src
-        g = pa.TableGroupBy(merged, keys).aggregate(arrow_aggs)
+        g = safe_groupby_aggregate(merged, keys, arrow_aggs)
         g = g.rename_columns([renames.get(c, c)
                               for c in g.column_names])
         # match the shuffle path's column order (keys, then aggs in
@@ -432,7 +471,6 @@ def salted_aggregate(ds, keys: List[str],
     if partial is None:
         return None
     # fold the salt away driver-side: the partial is (n_keys x salts)
-    g = pa.TableGroupBy(partial.drop_columns(["__salt"]), keys)
     spec = []
     renames = {}
     for col, fn in aggs:
@@ -440,7 +478,8 @@ def salted_aggregate(ds, keys: List[str],
         refn = "sum" if fn in ("sum", "count") else fn
         spec.append((src, refn))
         renames[f"{src}_{refn}"] = src
-    out = g.aggregate(spec)
+    out = safe_groupby_aggregate(partial.drop_columns(["__salt"]),
+                                 keys, spec)
     return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
 
@@ -1057,7 +1096,7 @@ def _distinct_set_op(left_ds, right_ds, left_on: List[str],
 
     def tag(on: List[str], is_left: bool):
         def f(batch: pa.Table) -> pa.Table:
-            u = pa.TableGroupBy(batch.select(on), on).aggregate([]) \
+            u = safe_groupby_aggregate(batch.select(on), on, []) \
                 .rename_columns(left_on)
             n = u.num_rows
             one = pa.array(np.ones(n, np.int8))
@@ -1888,7 +1927,7 @@ def grouped_distinct_count(ds, key: str, col: str):
 
     def uniq(batch: pa.Table) -> pa.Table:
         t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
-        return pa.TableGroupBy(t, [key, col]).aggregate([])
+        return safe_groupby_aggregate(t, [key, col], [])
 
     # the Count is a throwaway (Ray's groupby needs >= 1 agg); the
     # shuffle's purpose is the global (key, col) dedupe
@@ -2597,8 +2636,8 @@ def category_overlap(ds, entity: str, category: str):
         m = pc.and_(pc.is_valid(batch[entity]),
                     pc.is_valid(batch[category]))
         t = batch.select([entity, category]).filter(m)
-        g = pa.TableGroupBy(t, [entity, category]).aggregate(
-            [([], "count_all")])
+        g = safe_groupby_aggregate(t, [entity, category],
+                                   [([], "count_all")])
         return pa.table({entity: g[entity], category: g[category],
                          "__c": g["count_all"].cast(pa.int64())})
 

@@ -763,9 +763,10 @@ def grouped_entropy(ds, key: str, col: str, out: str = "entropy_e6"):
     from .relational import null_safe_grouped_aggregate
 
     def pair_counts(batch: pa.Table) -> pa.Table:
+        from .relational import safe_groupby_aggregate
         t = batch.select([key, col]).filter(pc.is_valid(batch[col]))
-        g = pa.TableGroupBy(t, [key, col]).aggregate(
-            [([], "count_all")])
+        g = safe_groupby_aggregate(t, [key, col],
+                                   [([], "count_all")])
         return pa.table({key: g[key], col: g[col],
                          "__c": g["count_all"].cast(pa.int64())})
 

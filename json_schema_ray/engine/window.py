@@ -389,9 +389,10 @@ def hopping_distinct_counts(ds, ts: str = "ts",
         base = (t_np // hop_us) * hop_us
         hop = pa.array(base, pa.int64(),
                        mask=None if valid.all() else ~valid)
-        g = pa.TableGroupBy(
+        from .relational import safe_groupby_aggregate
+        g = safe_groupby_aggregate(
             pa.table({"__hop": hop, entity: batch[entity]}),
-            ["__hop", entity]).aggregate([])
+            ["__hop", entity], [])
         return g
 
     pairs = ds.map_batches(bucket_pairs, batch_format="pyarrow",
@@ -770,7 +771,8 @@ def funnel_user_counts(ds, steps, key: str = "user_id",
             # later steps filter by a per-key threshold AFTER the
             # join, so any event could be the first qualifying one —
             # reduce only exact (key, ts) duplicates per block
-            g = pa.TableGroupBy(t, [key, ts]).aggregate([])
+            from .relational import safe_groupby_aggregate
+            g = safe_groupby_aggregate(t, [key, ts], [])
             return g.select([key, ts])
         return ds.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -1129,9 +1131,10 @@ def keyed_hopping_distinct_counts(ds, ts: str = "ts",
         base = (t_np // hop_us) * hop_us
         hop = pa.array(base, pa.int64(),
                        mask=None if valid.all() else ~valid)
-        g = pa.TableGroupBy(
+        from .relational import safe_groupby_aggregate
+        g = safe_groupby_aggregate(
             pa.table({"__hop": hop, key: t[key], value: t[value]}),
-            ["__hop", key, value]).aggregate([])
+            ["__hop", key, value], [])
         return g
 
     triples = ds.map_batches(bucket_triples, batch_format="pyarrow",
@@ -1139,10 +1142,11 @@ def keyed_hopping_distinct_counts(ds, ts: str = "ts",
     assign = _hopping_assign("__hop", window_seconds, hop_seconds)
 
     def expand_dedupe(batch: pa.Table) -> pa.Table:
+        from .relational import safe_groupby_aggregate
         w = assign(batch)
-        g = pa.TableGroupBy(
+        g = safe_groupby_aggregate(
             w.select(["window_start_us", key, value]),
-            ["window_start_us", key, value]).aggregate([])
+            ["window_start_us", key, value], [])
         return g.append_column(
             "__c", pa.array(np.ones(g.num_rows, np.int64)))
 
@@ -1154,9 +1158,10 @@ def keyed_hopping_distinct_counts(ds, ts: str = "ts",
         [Sum("__c", alias_name="__c")], ["__c"])
 
     def pair_counts(batch: pa.Table) -> pa.Table:
-        g = pa.TableGroupBy(
+        from .relational import safe_groupby_aggregate
+        g = safe_groupby_aggregate(
             batch.select(["window_start_us", key]),
-            ["window_start_us", key]).aggregate([([], "count_all")])
+            ["window_start_us", key], [([], "count_all")])
         return pa.table({
             "window_start_us": g["window_start_us"], key: g[key],
             "__n": g["count_all"].cast(pa.int64())})

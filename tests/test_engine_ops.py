@@ -6268,3 +6268,85 @@ def test_pareto_frontier_distributed_and_nulls():
                 and (xs[j] > xs[i] or d[j] > d[i])
                 for j in range(n) if pl[j] is not None)]
     assert got == keep
+
+
+def test_contingency_chi2_matches_bruteforce_with_nulls():
+    from json_schema_ray.engine.drift import contingency_chi2
+
+    rng = np.random.default_rng(74)
+    n = 1500
+    a = [None if rng.random() < 0.03 else f"t{int(v)}"
+         for v in rng.integers(0, 4, size=n)]
+    b = rng.integers(0, 5, size=n)
+    t = pa.table({"a": pa.array(a, pa.string()),
+                  "b": pa.array(b, pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(7)
+    out = contingency_chi2(ds, "a", "b")
+    got = {(r["a"], r["b"]): (r["obs"], r["exp_e6"], r["contrib_e6"])
+           for r in out.to_pylist()}
+    # brute force
+    from collections import Counter
+    cells = Counter(zip(a, b.tolist()))
+    rt = Counter(a)
+    ct = Counter(b.tolist())
+    assert set(got) == set(cells)
+    for (ka, kb), obs in cells.items():
+        exp = float(rt[ka]) * float(ct[kb]) / float(n)
+        d = float(obs) - exp
+        contrib = d * d / exp
+        want = (obs, int(np.floor(exp * 1e6 + 0.5)),
+                int(np.floor(contrib * 1e6 + 0.5)))
+        assert got[(ka, kb)] == want, (ka, kb)
+    # the statistic is the sum of contributions (sanity: nonnegative)
+    assert all(v[2] >= 0 for v in got.values())
+
+
+def test_arrow_null_string_multikey_guard():
+    """pyarrow 16.x TableGroupBy DUPLICATES null-string groups when
+    grouping on [string-with-nulls, fixed-width] keys at ~40+ groups
+    (raw repro kept here as documentation of the defect the engine
+    guards against). safe_groupby_aggregate must return exactly one
+    group per distinct key tuple, schema-identical to the raw call."""
+    import random
+
+    from json_schema_ray.engine.relational import safe_groupby_aggregate
+
+    random.seed(1)
+    pairs = [(a, b) for a in ["t0", "t1", "t2", "t3", None]
+             for b in range(5)] * 7
+    random.shuffle(pairs)
+    t = pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.string()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+        "obs": pa.array([1] * len(pairs), pa.int64())})
+    g = safe_groupby_aggregate(t, ["a", "b"], [("obs", "sum")])
+    assert g.num_rows == 25
+    got = {(r["a"], r["b"]): r["obs_sum"] for r in g.to_pylist()}
+    assert len(got) == 25 and all(v == 7 for v in got.values())
+    assert g.schema.field("a").type == pa.string()
+    # no-null and single-key paths stay raw and correct
+    import pyarrow.compute as _pc
+    t2 = t.set_column(0, "a", _pc.fill_null(t["a"], "tN"))
+    g2 = safe_groupby_aggregate(t2, ["a", "b"], [("obs", "sum")])
+    assert g2.num_rows == 25
+    g3 = safe_groupby_aggregate(t, ["a"], [("obs", "sum")])
+    assert g3.num_rows == 5
+
+
+def test_pre_aggregate_null_string_key_multikey():
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    import random
+    random.seed(2)
+    pairs = [(a, b) for a in ["x0", "x1", "x2", "x3", None]
+             for b in range(5)] * 9
+    random.shuffle(pairs)
+    t = pa.table({
+        "k": pa.array([p[0] for p in pairs], pa.string()),
+        "w": pa.array([p[1] for p in pairs], pa.int64()),
+        "v": pa.array([2] * len(pairs), pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(3)
+    out = grouped_aggregate(ds, ["k", "w"], [("v", "sum")])
+    assert out.num_rows == 25
+    got = {(r["k"], r["w"]): r["v_sum"] for r in out.to_pylist()}
+    assert all(v == 18 for v in got.values())
