@@ -5415,6 +5415,51 @@ def q_events_type_weekday_chi2(sf_dir: str):
                           ("weekday", "ascending")])
 
 
+def q_user_daily_dense_counts(sf_dir: str):
+    """Calendar densification: per-user daily event counts with the
+    missing days between a user's adjacent active days filled as
+    zero rows (engine/window.py densify_gaps). One grouped count,
+    then ONE null-safe sort whose blocks expand interior gaps
+    vectorized; the only boundary-straddling pair resolves from 2
+    fixed-size carry rows per block (O(blocks) driver state,
+    hot-user-proof). Day is pure integer arithmetic
+    (epoch_us // 86400e6) on both sides."""
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.engine.relational import (
+        _int64_us, null_safe_grouped_aggregate, pre_aggregate)
+    from json_schema_ray.engine.window import densify_gaps
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        tu = _int64_us(b["ts"]).to_numpy(zero_copy_only=False)
+        day = (tu // 86_400_000_000).astype(np.int64)
+        return pa.table({"user_id": b["user_id"],
+                         "day": pa.array(day)})
+
+    pre = pre_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id", "day"], [(None, "count")])
+    counts = null_safe_grouped_aggregate(
+        pre, ["user_id", "day"],
+        [Sum("rows_count", alias_name="cnt")], ["cnt"])
+
+    def fix(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "day": b["day"],
+                         "cnt": pc.cast(b["cnt"], pa.int64())})
+
+    dense = densify_gaps(
+        counts.map_batches(fix, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "user_id", "day", ["cnt"])
+    schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64()),
+                        ("cnt", pa.int64())])
+    return _collect(dense, schema).sort_by(
+        [("user_id", "ascending"), ("day", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5480,6 +5525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "events_global_seq": q_events_global_seq,
         "events_type_weekday_chi2": q_events_type_weekday_chi2,
+        "user_daily_dense_counts": q_user_daily_dense_counts,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -6767,6 +6813,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "user_daily_dense_counts": """
+            WITH c AS (
+              SELECT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM c GROUP BY 1),
+            g AS (SELECT user_id,
+                         unnest(generate_series(d0, d1)) AS day
+                  FROM b)
+            SELECT g.user_id, g.day,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+            FROM g LEFT JOIN c
+              ON g.user_id = c.user_id AND g.day = c.day
         """,
         "events_type_weekday_chi2": """
             WITH e AS (

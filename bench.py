@@ -118,6 +118,8 @@ EXTRA_QUERIES = [
     "events_global_seq",       # distributed zipWithIndex
     "orders_pareto_frontier",  # 2-D skyline, block frontiers
     "returned_item_revenue",   # Q10: fact join + top-k report
+    "events_type_weekday_chi2",  # independence cells, e6 fixed point
+    "user_daily_dense_counts",  # calendar gap-fill, sort + carries
 ]
 
 

@@ -1179,3 +1179,136 @@ def keyed_hopping_distinct_counts(ds, ts: str = "ts",
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def densify_gaps(ds, key: str, period: str, fill_cols):
+    """Gap-fill a per-(key, period) table: every input row survives,
+    and each missing integer period STRICTLY BETWEEN a key's adjacent
+    observed periods gains a row with 0 in every ``fill_cols`` column
+    (SQL twin: ``generate_series`` between per-key min/max LEFT JOIN
+    the observed rows). ``(key, period)`` must be unique — this
+    operator consumes the output of a grouped aggregate, which
+    guarantees it. NULL keys form their own group like SQL GROUP BY;
+    a NULL period raises (a grouped aggregate never produces one).
+
+    Shape: ONE null-safe range-partitioned sort on (key, period).
+    Interior adjacent pairs expand their gaps fully vectorized per
+    block (np.repeat over gap sizes, one arange subtraction — no
+    per-key Python). The only pair a block cannot see straddles its
+    boundary, and it is resolvable from each block's FIRST and LAST
+    row alone: 2 fixed-size carry rows per block, O(n_blocks) driver
+    state, hot-key-proof (a key spanning every block costs carries,
+    never its timeline). Driver-generated rows are bounded by the
+    cross-boundary missing periods — output-sized, the bound any
+    exact densification already pays."""
+    import ray
+
+    from .relational import null_safe_sort
+
+    fill_cols = list(fill_cols)
+    sorted_ds = null_safe_sort(ds, [key], [period])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out_cols = [key, period] + fill_cols
+        batch = batch.select(out_cols)
+        tagged = batch.append_column(
+            "__bt", pa.array(np.zeros(batch.num_rows, np.int8)))
+        n = batch.num_rows
+        if n == 0:
+            return tagged.append_column(
+                "__rt", pa.array([], pa.int8()))
+        pcol = batch[period]
+        if not pa.types.is_integer(pcol.type):
+            raise ValueError(
+                f"densify_gaps: period column {period!r} must be an"
+                f" integer period index, got {pcol.type}")
+        if pcol.null_count:
+            raise ValueError(
+                "densify_gaps: NULL period — feed the output of a"
+                " grouped aggregate")
+        pv = pc.cast(pcol, pa.int64()).to_numpy(zero_copy_only=False)
+        same = _same_adjacent_keys(batch[key])
+        d = pv[1:] - pv[:-1]
+        mask = same & (d > 1)
+        rt0 = tagged.append_column(
+            "__rt", pa.array(np.zeros(n, np.int8)))
+        # carry rows: the block's first and last row (__bt 0 = block
+        # first, 1 = block last) — the only rows the boundary stitch
+        # needs
+        carry = batch.take(pa.array([0, n - 1])).append_column(
+            "__bt", pa.array(np.array([0, 1], np.int8))).append_column(
+            "__rt", pa.array(np.full(2, 2, np.int8)))
+        if not mask.any():
+            return pa.concat_tables([rt0, carry])
+        reps = (d - 1)[mask]
+        starts = pv[:-1][mask] + 1
+        total = int(reps.sum())
+        offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        fill_p = np.repeat(starts, reps) + \
+            (np.arange(total) - np.repeat(offs, reps))
+        src = np.repeat(np.nonzero(mask)[0], reps)
+        fills = {key: batch[key].combine_chunks().take(
+            pa.array(src, pa.int64())),
+            period: pa.array(fill_p, pcol.type)}
+        for c in fill_cols:
+            fills[c] = pa.array(
+                np.zeros(total, np.int64)).cast(batch[c].type)
+        ft = pa.table(fills).append_column(
+            "__bt", pa.array(np.zeros(total, np.int8))).append_column(
+            "__rt", pa.array(np.zeros(total, np.int8)))
+        return pa.concat_tables([rt0, ft, carry])
+
+    scanned = sorted_ds.map_batches(expand, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carries = [pa.Table.from_batches([b])
+               if isinstance(b, pa.RecordBatch) else b
+               for b in scanned.map_batches(
+                   carry_only, batch_format="pyarrow",
+                   zero_copy_batch=True)
+               .iter_batches(batch_format="pyarrow")]
+    carries = [t for t in carries if t.num_rows]
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 0)) \
+            .drop_columns(["__bt", "__rt"])
+
+    kept = scanned.map_batches(keep_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    if not carries:
+        return kept
+    ct = pa.concat_tables(carries, promote_options="default")
+    idx = pc.sort_indices(ct, sort_keys=[
+        (key, "ascending"), (period, "ascending"),
+        ("__bt", "ascending")])
+    ct = ct.take(idx)
+    m = ct.num_rows
+    if m < 2:
+        return kept
+    pv = pc.cast(ct[period], pa.int64()).to_numpy(zero_copy_only=False)
+    bt = ct["__bt"].to_numpy(zero_copy_only=False)
+    same = _same_adjacent_keys(ct[key])
+    d = pv[1:] - pv[:-1]
+    # a cross-block gap is (block-LAST row) -> (next block's FIRST
+    # row) of the same key with a hole between them
+    mask = same & (d > 1) & (bt[:-1] == 1) & (bt[1:] == 0)
+    if not mask.any():
+        return kept
+    reps = (d - 1)[mask]
+    starts = pv[:-1][mask] + 1
+    total = int(reps.sum())
+    offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    fill_p = np.repeat(starts, reps) + \
+        (np.arange(total) - np.repeat(offs, reps))
+    src = np.repeat(np.nonzero(mask)[0], reps)
+    fills = {key: ct[key].combine_chunks().take(
+        pa.array(src, pa.int64())),
+        period: pa.array(fill_p, ct[period].type)}
+    for c in fill_cols:
+        fills[c] = pa.array(
+            np.zeros(total, np.int64)).cast(ct[c].type)
+    return kept.union(
+        __import__("ray").data.from_arrow(pa.table(fills)))

@@ -6350,3 +6350,46 @@ def test_pre_aggregate_null_string_key_multikey():
     assert out.num_rows == 25
     got = {(r["k"], r["w"]): r["v_sum"] for r in out.to_pylist()}
     assert all(v == 18 for v in got.values())
+
+
+def test_densify_gaps_matches_bruteforce():
+    from json_schema_ray.engine.window import densify_gaps
+
+    rng = np.random.default_rng(75)
+    rows = []
+    for k in list(range(12)) + [None]:
+        days = np.sort(rng.choice(np.arange(50, 120),
+                                  size=int(rng.integers(1, 30)),
+                                  replace=False))
+        for d in days:
+            rows.append((k, int(d), int(rng.integers(1, 9))))
+    # a hot key spanning every block
+    hot = np.sort(rng.choice(np.arange(0, 4000),
+                             size=900, replace=False))
+    rows += [(99, int(d), 1) for d in hot]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "day": pa.array([r[1] for r in rows], pa.int64()),
+        "cnt": pa.array([r[2] for r in rows], pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(17)
+    out = densify_gaps(ds, "k", "day", ["cnt"])
+    got = sorted(((r["k"], r["day"], r["cnt"]) for r in out.take_all()),
+                 key=lambda x: (x[0] is None, x[0] or 0, x[1]))
+    byk = {}
+    for r in rows:
+        byk.setdefault(r[0], []).append(r)
+    want = []
+    for k, rs in byk.items():
+        rs.sort(key=lambda r: r[1])
+        obs = {r[1]: r[2] for r in rs}
+        for d in range(rs[0][1], rs[-1][1] + 1):
+            want.append((k, d, obs.get(d, 0)))
+    want.sort(key=lambda x: (x[0] is None, x[0] or 0, x[1]))
+    assert got == want
+    # single-row input: nothing to fill
+    one = _ray().data.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "day": pa.array([7], pa.int64()),
+        "cnt": pa.array([3], pa.int64())}))
+    assert densify_gaps(one, "k", "day", ["cnt"]).take_all() == [
+        {"k": 1, "day": 7, "cnt": 3}]
