@@ -5460,6 +5460,64 @@ def q_user_daily_dense_counts(sf_dir: str):
         [("user_id", "ascending"), ("day", "ascending")])
 
 
+def q_events_nearest_error(sf_dir: str):
+    """Nearest-event-in-time enrichment: every event gains the SIGNED
+    microsecond delta to its user's nearest 'error' event (backward
+    delta <= 0 wins ties; an error event is its own nearest at 0 —
+    inclusive <= / >= on both sides). Composition of the engine's two
+    sorted as-of realizations (engine/relational.py
+    asof_join_backward_sorted / _forward_sorted): each is ONE
+    tag+union range-partitioned sort with a vectorized carry scan and
+    O(blocks) boundary stitch — no window-width timeline ever ships.
+    SQL twin uses RANGE-frame running max/min so timestamp ties match
+    the as-of joins' inclusive peer semantics."""
+    from json_schema_ray.engine.relational import (
+        _int64_us, asof_join_backward_sorted, asof_join_forward_sorted)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def errs(out_col):
+        def f(b: pa.Table) -> pa.Table:
+            e = b.filter(pc.equal(b["event_type"], "error"))
+            return pa.table({"user_id": e["user_id"], "ts": e["ts"],
+                             out_col: _int64_us(e["ts"])})
+        return f
+
+    left = ds.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    back = asof_join_backward_sorted(
+        left, ds.map_batches(errs("__prev"), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "user_id", "user_id", "ts", "ts", ["__prev"]).materialize()
+    both = asof_join_forward_sorted(
+        back, ds.map_batches(errs("__next"), batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "user_id", "user_id", "ts", "ts", ["__next"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        tu = _int64_us(b["ts"])
+        d_prev = pc.subtract(b["__prev"], tu)   # <= 0
+        d_next = pc.subtract(b["__next"], tu)   # >= 0
+        # tie -> backward; one-sided when the other is NULL
+        take_prev = pc.less_equal(pc.negate(d_prev), d_next)
+        nearest = pc.if_else(
+            pc.is_null(d_prev), d_next,
+            pc.if_else(pc.is_null(d_next), d_prev,
+                       pc.if_else(take_prev, d_prev, d_next)))
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "nearest_err_us": pc.cast(nearest, pa.int64())})
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("nearest_err_us", pa.int64())])
+    return _collect(both.map_batches(finish, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5526,6 +5584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_seq": q_events_global_seq,
         "events_type_weekday_chi2": q_events_type_weekday_chi2,
         "user_daily_dense_counts": q_user_daily_dense_counts,
+        "events_nearest_error": q_events_nearest_error,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -6813,6 +6872,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "events_nearest_error": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) AS tu
+              FROM events),
+            w AS (
+              SELECT event_id, user_id, tu,
+                     max(CASE WHEN event_type = 'error' THEN tu END)
+                         OVER (PARTITION BY user_id ORDER BY tu
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS prev_err,
+                     min(CASE WHEN event_type = 'error' THEN tu END)
+                         OVER (PARTITION BY user_id ORDER BY tu
+                               RANGE BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS next_err
+              FROM e)
+            SELECT event_id, user_id,
+                   CAST(CASE
+                     WHEN prev_err IS NULL AND next_err IS NULL
+                       THEN NULL
+                     WHEN next_err IS NULL THEN prev_err - tu
+                     WHEN prev_err IS NULL THEN next_err - tu
+                     WHEN tu - prev_err <= next_err - tu
+                       THEN prev_err - tu
+                     ELSE next_err - tu
+                   END AS BIGINT) AS nearest_err_us
+            FROM w
         """,
         "user_daily_dense_counts": """
             WITH c AS (

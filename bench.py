@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "returned_item_revenue",   # Q10: fact join + top-k report
     "events_type_weekday_chi2",  # independence cells, e6 fixed point
     "user_daily_dense_counts",  # calendar gap-fill, sort + carries
+    "events_nearest_error",    # bidirectional as-of enrichment
 ]
 
 
