@@ -5548,6 +5548,95 @@ def q_events_nearest_error(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_user_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts — the standard
+    inequality number for key-skew dashboards (0 = uniform load,
+    -> 1 = one user owns the corpus). Exact integer pipeline: ONE
+    grouped count, ONE global enumerate over (count, user) (the
+    hot-key-proof constant-key sort machinery), per-block int64
+    partial sums of (x, i*x), and a driver-side exact rational
+    finish ((2*S1 - (n+1)*S0) * 1e6 // (n*S0), Python ints ==
+    DuckDB HUGEINT //; numerator >= 0 so trunc == floor). Tie order
+    among equal counts cannot change S1 (equal x swap-invariant).
+    Envelope: per-block sum(i*x) must fit int64 — at 1e8 users the
+    partial accumulates in float-free int64 chunks of rank x count
+    < 2^63/block_rows, which holds through ~1e12 total events."""
+    from json_schema_ray.engine.rank import global_row_numbers
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate, pre_aggregate)
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def nn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["user_id"]))
+
+    pre = pre_aggregate(
+        ds.map_batches(nn, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [(None, "count")])
+    counts = null_safe_grouped_aggregate(
+        pre, ["user_id"], [Sum("rows_count", alias_name="x")], ["x"])
+    ranked = global_row_numbers(
+        counts.map_batches(
+            lambda b: pa.table({"user_id": b["user_id"],
+                                "x": pc.cast(b["x"], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "x", "user_id", out="i")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        i = b["i"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s0": pa.array([int(x.sum())], pa.int64()),
+            "s1": pa.array([int((i * x).sum())], pa.int64()),
+            "n": pa.array([len(x)], pa.int64())})
+
+    s0 = s1 = n = 0
+    for r in ranked.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all():
+        s0 += r["s0"]
+        s1 += r["s1"]
+        n += r["n"]
+    gini_e6 = ((2 * s1 - (n + 1) * s0) * 1_000_000) // (n * s0) \
+        if n and s0 else 0
+    return pa.table({"gini_e6": pa.array([gini_e6], pa.int64()),
+                     "n_users": pa.array([n], pa.int64())})
+
+
+def q_corpus_zipf_slope(sf_dir: str):
+    """Zipf fit of the corpus term-frequency curve: OLS slope of
+    ln(count) on ln(rank) over the top-1000 terms (healthy natural
+    text sits near -1; template/boilerplate corpora flatten). Rides
+    vocabulary()'s single vocabulary-sized shuffle + partial top-k;
+    the driver finish is exact — per-term ln via math.log (bitwise ==
+    DuckDB ln, see oracle-float-parity), e6 fixed point per element,
+    then pure-integer OLS with the sign-split trunc divide (DuckDB
+    // truncates toward zero and the slope is negative)."""
+    import math
+
+    from json_schema_ray.engine.text import vocabulary
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    v = vocabulary(ds, top_k=1000)
+    cnt = v["tf"].to_pylist()
+    n = len(cnt)
+    if n < 2:
+        return pa.table({"slope_e6": pa.array([0], pa.int64()),
+                         "n_terms": pa.array([n], pa.int64())})
+    xs = [math.floor(math.log(float(i)) * 1e6 + 0.5)
+          for i in range(1, n + 1)]
+    ys = [math.floor(math.log(float(c)) * 1e6 + 0.5) for c in cnt]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope_e6 = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+    return pa.table({"slope_e6": pa.array([slope_e6], pa.int64()),
+                     "n_terms": pa.array([n], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5615,6 +5704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_weekday_chi2": q_events_type_weekday_chi2,
         "user_daily_dense_counts": q_user_daily_dense_counts,
         "events_nearest_error": q_events_nearest_error,
+        "user_activity_gini": q_user_activity_gini,
+        "corpus_zipf_slope": q_corpus_zipf_slope,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -6902,6 +6993,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "user_activity_gini": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS x
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+            r AS (
+              SELECT x, CAST(row_number() OVER (ORDER BY x, user_id)
+                             AS BIGINT) AS i
+              FROM c),
+            s AS (
+              SELECT CAST(sum(x) AS HUGEINT) AS s0,
+                     CAST(sum(i * x) AS HUGEINT) AS s1,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM r)
+            SELECT CAST((2 * s1 - (n + 1) * s0) * 1000000
+                        // (n * s0) AS BIGINT) AS gini_e6,
+                   CAST(n AS BIGINT) AS n_users
+            FROM s
+        """,
+        "corpus_zipf_slope": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+              FROM documents),
+            c AS (
+              SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+              FROM toks WHERE t <> '' GROUP BY t),
+            k AS (
+              SELECT cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term) AS i
+              FROM c QUALIFY i <= 1000),
+            f AS (
+              SELECT CAST(floor(ln(CAST(i AS DOUBLE)) * 1e6 + 0.5)
+                          AS HUGEINT) AS x,
+                     CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5)
+                          AS HUGEINT) AS y
+              FROM k),
+            s AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM f)
+            SELECT CAST(CASE WHEN n * sxy - sx * sy < 0
+                        THEN -((sx * sy - n * sxy) * 1000000
+                               // (n * sxx - sx * sx))
+                        ELSE (n * sxy - sx * sy) * 1000000
+                             // (n * sxx - sx * sx)
+                        END AS BIGINT) AS slope_e6,
+                   CAST(n AS BIGINT) AS n_terms
+            FROM s
         """,
         "events_nearest_error": """
             WITH e AS (

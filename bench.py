@@ -121,6 +121,8 @@ EXTRA_QUERIES = [
     "events_type_weekday_chi2",  # independence cells, e6 fixed point
     "user_daily_dense_counts",  # calendar gap-fill, sort + carries
     "events_nearest_error",    # bidirectional as-of enrichment
+    "user_activity_gini",      # exact integer inequality index
+    "corpus_zipf_slope",       # term-frequency power-law fit
 ]
 
 
