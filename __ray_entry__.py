@@ -5637,6 +5637,178 @@ def q_corpus_zipf_slope(sf_dir: str):
                      "n_terms": pa.array([n], pa.int64())})
 
 
+def q_transcript_tool_usage(sf_dir: str):
+    """Per-conversation tool-usage profile over the transcript
+    corpus: turn count, tool-role turn count, DISTINCT tools used,
+    and the conversation's time span — the agent-trace diagnostics a
+    tool-use training pipeline gates on. JOIN-FREE two-shuffle
+    shape: counter rows (pipeline A) and the (conv, tool) distinct
+    pairs (pipeline B, per-block pair combiner then one dedupe
+    groupby mapped to n_tools=1 rows) UNION into ONE final grouped
+    Sum/Min/Max — no conv-sized driver join anywhere, so conversation
+    cardinality never lands on one node. Oracle reads the SAME cached
+    corpus by parquet path (transcript_role_protocol pattern)."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from json_schema_ray.engine.relational import (
+        _int64_us, null_safe_grouped_aggregate, safe_groupby_aggregate)
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "role", "tool", "ts"])
+
+    def counters(b: pa.Table) -> pa.Table:
+        tu = _int64_us(b["ts"])
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "__n": pa.array(np.ones(b.num_rows, np.int64)),
+            "__tt": pc.cast(pc.fill_null(
+                pc.equal(b["role"], "tool"), False), pa.int64()),
+            "__dt": pa.array(np.zeros(b.num_rows, np.int64)),
+            "__ts": tu})
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.select(["conv_id", "tool"]).filter(
+            pc.is_valid(b["tool"]))
+        return safe_groupby_aggregate(t, ["conv_id", "tool"], [])
+
+    # (conv, tool) global dedupe: per-block pair combiner -> ONE
+    # Max-merge groupby, then each surviving pair becomes one
+    # n_tools = 1 counter row
+    def pairs_tagged(b: pa.Table) -> pa.Table:
+        p = pairs(b)
+        return p.append_column(
+            "__one", pa.array(np.ones(p.num_rows, np.int8)))
+
+    deduped = null_safe_grouped_aggregate(
+        ds.map_batches(pairs_tagged, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["conv_id", "tool"], [Max("__one", alias_name="__one")],
+        ["__one"])
+
+    def tool_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "__n": pa.array(np.zeros(n, np.int64)),
+            "__tt": pa.array(np.zeros(n, np.int64)),
+            "__dt": pa.array(np.ones(n, np.int64)),
+            "__ts": pa.nulls(n, pa.int64())})
+
+    unioned = ds.map_batches(counters, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .union(deduped.map_batches(tool_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+    agg = null_safe_grouped_aggregate(
+        unioned, ["conv_id"],
+        [Sum("__n", alias_name="n_turns"),
+         Sum("__tt", alias_name="n_tool_turns"),
+         Sum("__dt", alias_name="n_tools"),
+         Min("__ts", alias_name="__t0", ignore_nulls=True),
+         Max("__ts", alias_name="__t1", ignore_nulls=True)],
+        ["n_turns", "n_tool_turns", "n_tools", "__t0", "__t1"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "n_turns": pc.cast(b["n_turns"], pa.int64()),
+            "n_tool_turns": pc.cast(b["n_tool_turns"], pa.int64()),
+            "n_tools": pc.cast(b["n_tools"], pa.int64()),
+            "span_us": pc.cast(pc.subtract(b["__t1"], b["__t0"]),
+                               pa.int64())})
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("n_turns", pa.int64()),
+                        ("n_tool_turns", pa.int64()),
+                        ("n_tools", pa.int64()),
+                        ("span_us", pa.int64())])
+    return _collect(agg.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("conv_id", "ascending")])
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-flavored shipping priority: top-10 unshipped orders
+    by open revenue for one customer segment. Composition by side
+    size: customer segment membership broadcasts once (dimension);
+    orders prune to the date window in-scan; lineitem filters
+    l_shipdate in-batch and fixed-points revenue per row before a
+    per-(block, order) combiner; the two fact sides meet in ONE
+    sort_merge_join; the final order-grained regroup + top-10 rides
+    the partial top-k merge with full deterministic tiebreak."""
+    from json_schema_ray.engine.relational import (
+        broadcast_hash_join, grouped_aggregate, sort_merge_join,
+        top_k)
+
+    cutoff = datetime.datetime(1996, 3, 15)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(cutoff)))
+        e = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        r = (np.floor(e * 100 + 0.5).astype(np.int64)
+             * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev_e4": pa.array(r)})
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate(
+            [("rev_e4", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_e4"])
+
+    rev_ds = li.map_batches(rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
+        .select(["c_custkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def window(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+
+    ord_w = broadcast_hash_join(
+        orders.map_batches(window, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        bld.append_column("__bld", pa.array(
+            np.ones(bld.num_rows, np.int8))),
+        "o_custkey", "c_custkey")
+
+    def keep_bld(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["__bld"])) \
+            .select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ord_b = ord_w.map_batches(keep_bld, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = sort_merge_join(
+        rev_ds, ord_b, "l_orderkey", "o_orderkey",
+        ["o_orderdate", "o_orderpriority"], how="inner")
+    per_order = grouped_aggregate(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("rev_e4", "sum")])
+    per_order = per_order.rename_columns(
+        ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_e4"])
+    import ray
+    top = top_k(ray.data.from_arrow(per_order),
+                ["rev_e4", "o_orderdate", "l_orderkey"],
+                [True, False, False], 10)
+    return pa.table({
+        "l_orderkey": top["l_orderkey"],
+        "revenue_e4": pc.cast(top["rev_e4"], pa.int64()),
+        "o_orderdate": pc.cast(top["o_orderdate"],
+                               pa.timestamp("us")),
+        "o_orderpriority": top["o_orderpriority"]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5706,6 +5878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_nearest_error": q_events_nearest_error,
         "user_activity_gini": q_user_activity_gini,
         "corpus_zipf_slope": q_corpus_zipf_slope,
+        "transcript_tool_usage": q_transcript_tool_usage,
+        "shipping_priority": q_shipping_priority,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -6993,6 +7167,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "transcript_tool_usage": f"""
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_tool_turns,
+                   CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts))
+                        AS BIGINT) AS span_us
+            FROM read_parquet('{_protocol_corpus_glob()}')
+            GROUP BY conv_id
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100
+                                               + 0.5) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "user_activity_gini": """
             WITH c AS (

@@ -123,6 +123,8 @@ EXTRA_QUERIES = [
     "events_nearest_error",    # bidirectional as-of enrichment
     "user_activity_gini",      # exact integer inequality index
     "corpus_zipf_slope",       # term-frequency power-law fit
+    "transcript_tool_usage",   # join-free per-conv tool profile
+    "shipping_priority",       # Q3: filters + fact join + top-k
 ]
 
 
