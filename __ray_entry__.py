@@ -5809,6 +5809,42 @@ def q_shipping_priority(sf_dir: str):
         "o_orderpriority": top["o_orderpriority"]})
 
 
+def q_lang_mixture_allocation(sf_dir: str):
+    """Training-mix budget allocation: split a 1,000-doc sampling
+    budget across languages proportionally to corpus counts with the
+    LARGEST-REMAINDER method (each language gets floor(B*cnt/total),
+    the leftover units go to the largest division remainders, ties
+    by language asc) — the standard exact-integer apportionment a
+    mixture-sampling pipeline feeds into mixture_thresholds. One
+    language-sized grouped count; the apportionment itself is pure
+    Python-int driver math (== DuckDB HUGEINT arithmetic; all
+    operands non-negative so // and % agree)."""
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    budget = 1000
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    t = grouped_aggregate(ds, ["lang"], [(None, "count")],
+                          driver_merge=True)
+    langs = t["lang"].to_pylist()
+    cnts = [int(v) for v in t["rows_count"].to_pylist()]
+    total = sum(cnts)
+    base = [budget * c // total for c in cnts]
+    rem = [budget * c % total for c in cnts]
+    extra = budget - sum(base)
+    order = sorted(range(len(langs)),
+                   key=lambda i: (-rem[i], langs[i] is None,
+                                  langs[i] or ""))
+    alloc = list(base)
+    for i in order[:extra]:
+        alloc[i] += 1
+    idx = sorted(range(len(langs)),
+                 key=lambda i: (langs[i] is None, langs[i] or ""))
+    return pa.table({
+        "lang": pa.array([langs[i] for i in idx], pa.string()),
+        "cnt": pa.array([cnts[i] for i in idx], pa.int64()),
+        "alloc": pa.array([alloc[i] for i in idx], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5880,6 +5916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_zipf_slope": q_corpus_zipf_slope,
         "transcript_tool_usage": q_transcript_tool_usage,
         "shipping_priority": q_shipping_priority,
+        "lang_mixture_allocation": q_lang_mixture_allocation,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -7167,6 +7204,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "lang_mixture_allocation": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+              FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            q AS (
+              SELECT lang, cnt,
+                     CAST(1000 * cnt // total AS BIGINT) AS base,
+                     CAST(1000 * cnt % total AS BIGINT) AS rem
+              FROM c, t),
+            l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS extra
+                  FROM q),
+            r AS (
+              SELECT lang, cnt, base,
+                     row_number() OVER (ORDER BY rem DESC, lang)
+                         AS rk
+              FROM q)
+            SELECT lang, cnt,
+                   CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0
+                        END AS BIGINT) AS alloc
+            FROM r, l ORDER BY lang
         """,
         "transcript_tool_usage": f"""
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
