@@ -3464,6 +3464,42 @@ def q_docs_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_events_csv_roundtrip(sf_dir: str):
+    """Source/sink format parity for CSV (SURVEY §2.1 source
+    breadth, the docs_jsonl_roundtrip pattern): integer-and-string
+    event columns export via ``ds.write_csv`` (one file per block)
+    and re-ingest via ``ray.data.read_csv``; the per-type rollup
+    over the round-tripped data must hash-match the oracle computed
+    from the original parquet view — proving the CSV path preserves
+    values. Columns are integers + strings only (CSV float
+    round-trips are format-dependent and belong to the parquet/JSON
+    paths)."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    out_dir = tempfile.mkdtemp(prefix="jsr_csv_")
+    try:
+        ds.write_csv(out_dir)
+        back = ray.data.read_csv(out_dir)
+        out = grouped_aggregate(
+            back, ["event_type"],
+            [(None, "count"), ("event_id", "sum"),
+             ("user_id", "min"), ("user_id", "max")],
+            driver_merge=True)
+        out = out.rename_columns(
+            ["event_type", "n_events", "event_id_sum",
+             "user_id_min", "user_id_max"])
+        return out.sort_by([("event_type", "ascending")])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_revenue_by_region(sf_dir: str):
     """TPC-H Q5-flavored star join: revenue by region across
     lineitem x orders x customer x nation x region. Composition of
@@ -5917,6 +5953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_tool_usage": q_transcript_tool_usage,
         "shipping_priority": q_shipping_priority,
         "lang_mixture_allocation": q_lang_mixture_allocation,
+        "events_csv_roundtrip": q_events_csv_roundtrip,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -7182,6 +7219,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM e)
             WHERE rn <= 3
             ORDER BY event_id
+        """,
+        "events_csv_roundtrip": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+                   CAST(min(user_id) AS BIGINT) AS user_id_min,
+                   CAST(max(user_id) AS BIGINT) AS user_id_max
+            FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
         "docs_jsonl_roundtrip": """
             SELECT lang,
