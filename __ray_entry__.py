@@ -5537,33 +5537,41 @@ def q_events_nearest_error(sf_dir: str):
     O(blocks) boundary stitch — no window-width timeline ever ships.
     SQL twin uses RANGE-frame running max/min so timestamp ties match
     the as-of joins' inclusive peer semantics."""
-    from json_schema_ray.engine.relational import (
-        _int64_us, asof_join_backward_sorted, asof_join_forward_sorted)
+    from json_schema_ray.engine.rank import grouped_forward_fill
+    from json_schema_ray.engine.relational import _int64_us
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "event_type", "ts"])
 
-    def errs(out_col):
-        def f(b: pa.Table) -> pa.Table:
-            e = b.filter(pc.equal(b["event_type"], "error"))
-            return pa.table({"user_id": e["user_id"], "ts": e["ts"],
-                             out_col: _int64_us(e["ts"])})
-        return f
+    # self-enrichment realization: prev-error is LOCF of
+    # (error ? ts : NULL) over (user, ts, id), next-error is the
+    # SAME fill on the negated axis — two sorts total, no as-of
+    # join machinery (the as-of composition ran 4x slower on pure
+    # execution count). ROWS-vs-RANGE peer nuance is value-neutral
+    # here: a same-ts error missed by one direction's positional
+    # frame is always seen by the other at delta 0, and 0 wins both
+    # tie rules.
+    def prep(b: pa.Table) -> pa.Table:
+        tu = _int64_us(b["ts"])
+        err = pc.if_else(
+            pc.fill_null(pc.equal(b["event_type"], "error"), False),
+            tu, pa.scalar(None, pa.int64()))
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "tu": tu, "err": err,
+            "neg": pc.subtract(zero, tu),
+            "negid": pc.subtract(zero, b["event_id"])})
 
-    left = ds.map_batches(
-        lambda b: b.select(["event_id", "user_id", "ts"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    back = asof_join_backward_sorted(
-        left, ds.map_batches(errs("__prev"), batch_format="pyarrow",
-                             zero_copy_batch=True),
-        "user_id", "user_id", "ts", "ts", ["__prev"]).materialize()
-    both = asof_join_forward_sorted(
-        back, ds.map_batches(errs("__next"), batch_format="pyarrow",
-                             zero_copy_batch=True),
-        "user_id", "user_id", "ts", "ts", ["__next"])
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    f1 = grouped_forward_fill(base, "user_id", "tu", "err",
+                              "event_id", out="__prev")
+    both = grouped_forward_fill(f1, "user_id", "neg", "err",
+                                "negid", out="__next")
 
     def finish(b: pa.Table) -> pa.Table:
-        tu = _int64_us(b["ts"])
+        tu = b["tu"]
         d_prev = pc.subtract(b["__prev"], tu)   # <= 0
         d_next = pc.subtract(b["__next"], tu)   # >= 0
         # tie -> backward; one-sided when the other is NULL
@@ -5881,6 +5889,27 @@ def q_lang_mixture_allocation(sf_dir: str):
         "alloc": pa.array([alloc[i] for i in idx], pa.int64())})
 
 
+def q_customer_name_near_dups(sf_dir: str):
+    """Record linkage over customer names: pairs within one edit of
+    each other, found by blocking on (length, 16-char prefix) and a
+    vectorized suffix-hamming verify (engine/dedup.py
+    blocked_hamming_pairs). The SQL twin states the REAL predicate —
+    ``levenshtein(a, b) <= 1`` inside equal-(length, prefix) blocks —
+    and the operator docstring carries the equal-length
+    hamming == levenshtein equivalence proof that lets the verify be
+    a byte compare instead of a DP. Blocking+verify is the canonical
+    record-linkage shape: candidates never leave their block, so the
+    all-pairs square never materializes."""
+    from json_schema_ray.engine.dedup import blocked_hamming_pairs
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    out = blocked_hamming_pairs(ds, "c_custkey", "c_name",
+                                prefix_len=16, max_hamming=1)
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5954,6 +5983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "lang_mixture_allocation": q_lang_mixture_allocation,
         "events_csv_roundtrip": q_events_csv_roundtrip,
+        "customer_name_near_dups": q_customer_name_near_dups,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -7250,6 +7280,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "customer_name_near_dups": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+            FROM customer a JOIN customer b
+              ON len(a.c_name) = len(b.c_name)
+             AND substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "lang_mixture_allocation": """
             WITH c AS (

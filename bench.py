@@ -125,6 +125,9 @@ EXTRA_QUERIES = [
     "corpus_zipf_slope",       # term-frequency power-law fit
     "transcript_tool_usage",   # join-free per-conv tool profile
     "shipping_priority",       # Q3: filters + fact join + top-k
+    "customer_name_near_dups",  # blocking + hamming record linkage
+    "lang_mixture_allocation",  # largest-remainder apportionment
+    "events_csv_roundtrip",    # CSV sink+source parity
 ]
 
 

@@ -1528,3 +1528,103 @@ def dedup_keep_best(ds, pairs, id_column: str = "doc_id",
 
     return ds.map_batches(verdict, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def blocked_hamming_pairs(ds, id_column: str, name_column: str,
+                          prefix_len: int, max_hamming: int = 1):
+    """Record linkage by BLOCKING + verify: candidate pairs share a
+    block key of ``(length, prefix_len-char prefix)`` and survive iff
+    their suffixes differ in at most ``max_hamming`` character
+    positions. For EQUAL-LENGTH strings hamming distance equals
+    Levenshtein distance whenever either is <= 1 (a single edit that
+    preserves length must be a substitution), so with
+    ``max_hamming = 1`` the output is exactly the SQL
+    ``levenshtein(a, b) <= 1`` pairs within equal-(length, prefix)
+    blocks — the provable-equivalence trick that keeps the verify a
+    pure vectorized byte compare instead of a DP.
+
+    Shape: block keys hash to int64 buckets and ride the proven
+    one-sort interior-segment + edge-stitch pair machinery
+    (:func:`_bucket_candidate_pairs`; each id lives in exactly ONE
+    bucket, so no distinct shuffle is needed); the verify gathers
+    names from ONE broadcast (keys, names) pair (dimension-sized —
+    callers at corpus scale block on richer prefixes so the
+    name table stays broadcastable, or swap the gather for a
+    sort-merge join) and checks prefix equality (hash-collision
+    guard) plus suffix hamming with per-character Arrow slice
+    equality — one kernel call per suffix position per length group,
+    no per-pair Python. Character-level (codeunit) comparison; NULL
+    names never pair. Returns (id_a, id_b) with id_a < id_b."""
+    import ray
+
+    def rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(pc.is_valid(batch[name_column]),
+                                 pc.is_valid(batch[id_column])))
+        nm = b[name_column].combine_chunks()
+        ln = pc.cast(pc.utf8_length(nm), pa.string())
+        pref = pc.utf8_slice_codeunits(nm, 0, prefix_len)
+        key = pc.binary_join_element_wise(ln, pref, "|")
+        h = _duck_hash_strings(key).view(np.int64)
+        return pa.table({"bucket": pa.array(h),
+                         id_column: b[id_column]})
+
+    pairs = _bucket_candidate_pairs(
+        ds.map_batches(rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        id_column, distinct=False)
+
+    # ONE broadcast of the (id, name) lookup
+    keys_chunks, name_chunks = [], []
+    for b in ds.map_batches(
+            lambda t: t.select([id_column, name_column]).filter(
+                pc.and_(pc.is_valid(t[name_column]),
+                        pc.is_valid(t[id_column]))),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        if t.num_rows:
+            keys_chunks.append(t[id_column].combine_chunks())
+            name_chunks.append(t[name_column].combine_chunks())
+    lookup = ray.put((
+        pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                          else c for c in keys_chunks]) if keys_chunks
+        else pa.array([], pa.int64()),
+        pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                          else c for c in name_chunks]) if name_chunks
+        else pa.array([], pa.string())))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ks, ns = ray.get(lookup)
+        na = ns.take(pc.index_in(batch["id_a"].combine_chunks(),
+                                 value_set=ks))
+        nb = ns.take(pc.index_in(batch["id_b"].combine_chunks(),
+                                 value_set=ks))
+        la = pc.utf8_length(na).to_numpy(zero_copy_only=False)
+        lb = pc.utf8_length(nb).to_numpy(zero_copy_only=False)
+        same_len = la == lb
+        same_pref = pc.equal(
+            pc.utf8_slice_codeunits(na, 0, prefix_len),
+            pc.utf8_slice_codeunits(nb, 0, prefix_len)) \
+            .to_numpy(zero_copy_only=False)
+        keep = same_len & same_pref
+        ham = np.zeros(batch.num_rows, np.int64)
+        for L in np.unique(la[keep]):
+            m = keep & (la == L)
+            for k in range(prefix_len, int(L)):
+                neq = pc.invert(pc.equal(
+                    pc.utf8_slice_codeunits(na, k, k + 1),
+                    pc.utf8_slice_codeunits(nb, k, k + 1))) \
+                    .to_numpy(zero_copy_only=False)
+                ham[m] += neq[m]
+        keep &= ham <= max_hamming
+        out = batch.filter(pa.array(keep))
+        lo = pc.min_element_wise(out["id_a"], out["id_b"])
+        hi = pc.max_element_wise(out["id_a"], out["id_b"])
+        return pa.table({"id_a": lo, "id_b": hi})
+
+    return pairs.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
