@@ -5703,18 +5703,31 @@ def q_transcript_tool_usage(sf_dir: str):
                             violation_rate=0.01)
     files = sorted(os.path.join(path, f) for f in os.listdir(path)
                    if f.endswith(".parquet"))
+    # both branches (counters + distinct pairs) consume the same
+    # 4-column read: materialize it once so the union does not scan
+    # the corpus twice
     ds = ray.data.read_parquet(
-        files, columns=["conv_id", "role", "tool", "ts"])
+        files, columns=["conv_id", "role", "tool", "ts"]).materialize()
 
     def counters(b: pa.Table) -> pa.Table:
-        tu = _int64_us(b["ts"])
-        return pa.table({
+        # per-block combiner: the shuffle ships one row per
+        # (conversation, block), never per turn
+        t = pa.table({
             "conv_id": b["conv_id"],
             "__n": pa.array(np.ones(b.num_rows, np.int64)),
             "__tt": pc.cast(pc.fill_null(
                 pc.equal(b["role"], "tool"), False), pa.int64()),
-            "__dt": pa.array(np.zeros(b.num_rows, np.int64)),
-            "__ts": tu})
+            "__ts": _int64_us(b["ts"])})
+        g = safe_groupby_aggregate(
+            t, ["conv_id"],
+            [("__n", "sum"), ("__tt", "sum"), ("__ts", "min"),
+             ("__ts", "max")])
+        n = g.num_rows
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "__n": g["__n_sum"], "__tt": g["__tt_sum"],
+            "__dt": pa.array(np.zeros(n, np.int64)),
+            "__t0": g["__ts_min"], "__t1": g["__ts_max"]})
 
     def pairs(b: pa.Table) -> pa.Table:
         t = b.select(["conv_id", "tool"]).filter(
@@ -5742,7 +5755,8 @@ def q_transcript_tool_usage(sf_dir: str):
             "__n": pa.array(np.zeros(n, np.int64)),
             "__tt": pa.array(np.zeros(n, np.int64)),
             "__dt": pa.array(np.ones(n, np.int64)),
-            "__ts": pa.nulls(n, pa.int64())})
+            "__t0": pa.nulls(n, pa.int64()),
+            "__t1": pa.nulls(n, pa.int64())})
 
     unioned = ds.map_batches(counters, batch_format="pyarrow",
                              zero_copy_batch=True) \
@@ -5753,8 +5767,8 @@ def q_transcript_tool_usage(sf_dir: str):
         [Sum("__n", alias_name="n_turns"),
          Sum("__tt", alias_name="n_tool_turns"),
          Sum("__dt", alias_name="n_tools"),
-         Min("__ts", alias_name="__t0", ignore_nulls=True),
-         Max("__ts", alias_name="__t1", ignore_nulls=True)],
+         Min("__t0", alias_name="__t0", ignore_nulls=True),
+         Max("__t1", alias_name="__t1", ignore_nulls=True)],
         ["n_turns", "n_tool_turns", "n_tools", "__t0", "__t1"])
 
     def finish(b: pa.Table) -> pa.Table:
