@@ -6393,3 +6393,44 @@ def test_densify_gaps_matches_bruteforce():
         "cnt": pa.array([3], pa.int64())}))
     assert densify_gaps(one, "k", "day", ["cnt"]).take_all() == [
         {"k": 1, "day": 7, "cnt": 3}]
+
+
+def test_blocked_hamming_pairs_matches_bruteforce():
+    from json_schema_ray.engine.dedup import blocked_hamming_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(77)
+    names = [f"Entity#{i:06d}" for i in range(300)]
+    # inject a different-length name and a null
+    names += ["Entity#99", None, "Entity#000300x"]
+    ids = list(range(len(names)))
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "name": pa.array(names, pa.string())})
+    ds = _ray().data.from_arrow(t).repartition(7)
+    P = 11  # block on (len, first 11 chars) -> last 2 digits free
+    out = blocked_hamming_pairs(ds, "id", "name", prefix_len=P,
+                                max_hamming=1)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.take_all())
+    want = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            if a is None or b is None or len(a) != len(b):
+                continue
+            if a[:P] != b[:P]:
+                continue
+            if lev(a, b) <= 1:
+                want.append((min(ids[i], ids[j]),
+                             max(ids[i], ids[j])))
+    assert got == sorted(want) and len(got) > 0
