@@ -5924,6 +5924,34 @@ def q_customer_name_near_dups(sf_dir: str):
         [("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def q_events_value_interp(sf_dir: str):
+    """Per-user LINEAR interpolation of missing event values — the
+    imputation step one past LOCF (engine/rank.py
+    grouped_linear_interpolate): each NULL value takes the
+    straight-line estimate between its user's nearest non-null
+    neighbors in (ts, event_id) order, e4 fixed point, all-integer
+    lerp (millisecond deltas, sign-split truncating division) so the
+    IGNORE-NULLS-window SQL twin is hash-exact. One-sided rows stay
+    NULL."""
+    from json_schema_ray.engine.rank import grouped_linear_interpolate
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_linear_interpolate(
+        ds, "user_id", "ts", "value", "event_id",
+        scale=10_000, out="v_interp_e4")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return b.select(["event_id", "user_id", "v_interp_e4"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("v_interp_e4", pa.int64())])
+    return _collect(out.map_batches(fin, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -5998,6 +6026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mixture_allocation": q_lang_mixture_allocation,
         "events_csv_roundtrip": q_events_csv_roundtrip,
         "customer_name_near_dups": q_customer_name_near_dups,
+        "events_value_interp": q_events_value_interp,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -7294,6 +7323,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "events_value_interp": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tu,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(floor(CAST(value AS DOUBLE)
+                                          * 1e4 + 0.5) AS BIGINT)
+                     END AS ve
+              FROM events),
+            w AS (
+              SELECT event_id, user_id, tu, ve,
+                     last_value(ve IGNORE NULLS) OVER pw AS vp,
+                     last_value(CASE WHEN ve IS NOT NULL THEN tu END
+                                IGNORE NULLS) OVER pw AS tp,
+                     first_value(ve IGNORE NULLS) OVER nw AS vn,
+                     first_value(CASE WHEN ve IS NOT NULL THEN tu
+                                 END IGNORE NULLS) OVER nw AS tn
+              FROM e WINDOW
+                pw AS (PARTITION BY user_id ORDER BY tu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW),
+                nw AS (PARTITION BY user_id ORDER BY tu, event_id
+                       ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING))
+            SELECT event_id, user_id,
+                   CAST(CASE
+                     WHEN ve IS NOT NULL THEN ve
+                     WHEN vp IS NULL OR vn IS NULL THEN NULL
+                     ELSE vp + CASE
+                       WHEN (tn - tp) // 1000 > 0 THEN
+                         CASE WHEN (vn - vp) * ((tu - tp) // 1000)
+                                   >= 0
+                           THEN ((vn - vp) * ((tu - tp) // 1000))
+                                // ((tn - tp) // 1000)
+                           ELSE -((-((vn - vp)
+                                     * ((tu - tp) // 1000)))
+                                  // ((tn - tp) // 1000))
+                         END
+                       ELSE 0
+                     END
+                   END AS BIGINT) AS v_interp_e4
+            FROM w
         """,
         "customer_name_near_dups": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b

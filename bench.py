@@ -128,6 +128,7 @@ EXTRA_QUERIES = [
     "customer_name_near_dups",  # blocking + hamming record linkage
     "lang_mixture_allocation",  # largest-remainder apportionment
     "events_csv_roundtrip",    # CSV sink+source parity
+    "events_value_interp",     # linear imputation, 4 LOCF passes
 ]
 
 

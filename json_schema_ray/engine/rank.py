@@ -2236,3 +2236,99 @@ def grouped_forward_fill(ds, key, ts: str, value: str, tiebreak: str,
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def grouped_linear_interpolate(ds, key, ts: str, value: str,
+                               tiebreak: str, scale: int = 10_000,
+                               out: str = "interp"):
+    """Per-key LINEAR interpolation of missing values: every NULL
+    ``value`` row gains the straight-line estimate between its key's
+    nearest non-null neighbors in ``(ts, tiebreak)`` order; non-null
+    rows keep their own (quantized) value; rows with no neighbor on
+    one side stay NULL — the imputation step one past LOCF
+    (:func:`grouped_forward_fill`). Output column ``out`` is
+    ``floor(v * scale + 0.5)`` int64 fixed point, and the arithmetic
+    is ALL integer — ``vp + sign_split((vn - vp) * dt_ms // dn_ms)``
+    with millisecond tick deltas and DuckDB-style truncating
+    division — so the SQL twin (IGNORE NULLS window frames + the
+    same integer expression) is hash-exact. Envelope:
+    |v_e| * gap_ms must stay under 2^63 (1e10 quantized units x
+    1e8 ms holds with 10x margin).
+
+    Shape: FOUR :func:`grouped_forward_fill` passes — (value, its
+    ts) forward and the same pair on the negated axis. The value
+    and value-ts columns share one validity mask, so each pass pair
+    picks the SAME source row by construction; each pass is one
+    null-safe sort + O(blocks) carries, nothing new to prove. A
+    fused two-direction single-sort variant is the optimization
+    path if this ever dominates a pipeline."""
+    from .relational import _int64_us
+
+    def prep(b: pa.Table) -> pa.Table:
+        tu = _int64_us(b[ts])
+        v = pc.cast(b[value], pa.float64())
+        ve = pc.cast(pc.floor(pc.add(pc.multiply(
+            v, float(scale)), 0.5)), pa.int64())
+        tv = pc.if_else(pc.is_valid(ve), tu, pa.scalar(None, pa.int64()))
+        zero = pa.scalar(0, pa.int64())
+        out_cols = {c: b[c] for c in b.column_names}
+        out_cols["__tu"] = tu
+        out_cols["__ve"] = ve
+        out_cols["__tv"] = tv
+        out_cols["__ntu"] = pc.subtract(zero, tu)
+        out_cols["__ntb"] = pc.subtract(
+            zero, pc.cast(b[tiebreak], pa.int64()))
+        return pa.table(out_cols)
+
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    f = grouped_forward_fill(base, key, "__tu", "__ve", tiebreak,
+                             out="__vp")
+    f = grouped_forward_fill(f, key, "__tu", "__tv", tiebreak,
+                             out="__tp")
+    f = grouped_forward_fill(f, key, "__ntu", "__ve", "__ntb",
+                             out="__vn")
+    f = grouped_forward_fill(f, key, "__ntu", "__tv", "__ntb",
+                             out="__tn")
+
+    def finish(b: pa.Table) -> pa.Table:
+        ve = b["__ve"].combine_chunks()
+        have = pc.is_valid(ve).to_numpy(zero_copy_only=False)
+        vp = b["__vp"].combine_chunks()
+        vn = b["__vn"].combine_chunks()
+        both = (pc.is_valid(vp).to_numpy(zero_copy_only=False)
+                & pc.is_valid(vn).to_numpy(zero_copy_only=False)
+                & ~have)
+        n = b.num_rows
+        res = np.zeros(n, np.int64)
+        ok = have | both
+        ven = pc.fill_null(ve, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        res[have] = ven[have]
+        if both.any():
+            vpn = pc.fill_null(vp, 0).to_numpy(zero_copy_only=False)
+            vnn = pc.fill_null(vn, 0).to_numpy(zero_copy_only=False)
+            tpn = pc.fill_null(b["__tp"], 0) \
+                .to_numpy(zero_copy_only=False)
+            tnn = pc.fill_null(b["__tn"], 0) \
+                .to_numpy(zero_copy_only=False)
+            tun = b["__tu"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            dt = (tun - tpn) // 1000
+            dn = (tnn - tpn) // 1000
+            dv = vnn - vpn
+            num = dv * dt
+            step = np.where(num >= 0,
+                            num // np.maximum(dn, 1),
+                            -((-num) // np.maximum(dn, 1)))
+            lerp = vpn + np.where(dn > 0, step, 0)
+            res[both] = lerp[both]
+        drop = [c for c in ("__tu", "__ve", "__tv", "__ntu", "__ntb",
+                            "__vp", "__tp", "__vn", "__tn")
+                if c in b.column_names]
+        return b.drop_columns(drop).append_column(
+            out, pa.array(np.where(ok, res, 0), pa.int64(),
+                          mask=~ok))
+
+    return f.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)

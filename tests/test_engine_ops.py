@@ -6434,3 +6434,50 @@ def test_blocked_hamming_pairs_matches_bruteforce():
                 want.append((min(ids[i], ids[j]),
                              max(ids[i], ids[j])))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_grouped_linear_interpolate_matches_bruteforce():
+    from json_schema_ray.engine.rank import grouped_linear_interpolate
+
+    rng = np.random.default_rng(78)
+    n = 1200
+    key = rng.integers(0, 9, size=n)
+    ts = rng.integers(0, 10_000_000_000, size=n)  # us
+    eid = rng.permutation(n)
+    vals = [None if rng.random() < 0.4 else
+            round(float(rng.normal(50, 20)), 3) for _ in range(n)]
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "tsu": pa.array(ts, pa.int64()),
+                  "eid": pa.array(eid, pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    ds = _ray().data.from_arrow(t).repartition(9)
+    out = grouped_linear_interpolate(ds, "k", "tsu", "v", "eid",
+                                     scale=10_000, out="ie4")
+    got = {r["eid"]: r["ie4"] for r in out.take_all()}
+
+    def trunc(a, b):
+        return (abs(a) // b) * (1 if a >= 0 else -1)
+
+    rows = sorted(zip(key.tolist(), ts.tolist(), eid.tolist(), vals))
+    byk = {}
+    for k, tu, e, v in rows:
+        byk.setdefault(k, []).append(
+            (tu, e, None if v is None else
+             int(np.floor(v * 1e4 + 0.5))))
+    for k, rs in byk.items():
+        for i, (tu, e, ve) in enumerate(rs):
+            if ve is not None:
+                assert got[e] == ve, e
+                continue
+            prevs = [(tu2, v2) for tu2, _, v2 in rs[:i + 1]
+                     if v2 is not None]
+            nexts = [(tu2, v2) for tu2, _, v2 in rs[i:]
+                     if v2 is not None]
+            if not prevs or not nexts:
+                assert got[e] is None, e
+                continue
+            tp, vp = prevs[-1]
+            tn, vn = nexts[0]
+            dt, dn = (tu - tp) // 1000, (tn - tp) // 1000
+            want = vp + (trunc((vn - vp) * dt, dn) if dn > 0 else 0)
+            assert got[e] == want, (e, got[e], want)
