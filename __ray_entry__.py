@@ -5952,6 +5952,90 @@ def q_events_value_interp(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_events_systematic_sample(sf_dir: str):
+    """Systematic (every k-th) sampling under a total order — the
+    deterministic complement to hash sampling: global enumerate by
+    (ts, event_id) via the constant-key carry machinery, keep rows
+    with seq % 50 == 1. Unlike a random sample this is
+    position-stratified: exactly one row per 50-row stripe of the
+    timeline."""
+    from json_schema_ray.engine.rank import global_row_numbers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = global_row_numbers(ds, "ts", "event_id", out="seq")
+
+    def keep(b: pa.Table) -> pa.Table:
+        seq = b["seq"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(seq % 50 == 1)) \
+            .select(["event_id", "seq"])
+
+    schema = pa.schema([("event_id", pa.int64()), ("seq", pa.int64())])
+    return _collect(out.map_batches(keep, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    schema).sort_by([("seq", "ascending")])
+
+
+def q_events_session_assignment(sf_dir: str):
+    """Event -> session lineage: every event gains its session's
+    START time (30-minute inactivity gap), the per-row tag that lets
+    any downstream aggregate group by session WITHOUT a join:
+    sessionization = LAG (gap test) + LOCF of the session-opening
+    timestamp — both proven one-sort + O(blocks)-carry primitives
+    (engine/rank.py lag_column, grouped_forward_fill). The SQL twin
+    is the same two windows (lag + IGNORE NULLS last_value) over
+    identical (ts, event_id) positional frames."""
+    from json_schema_ray.engine.rank import (grouped_forward_fill,
+                                             lag_column)
+    from json_schema_ray.engine.relational import _int64_us
+
+    gap_us = 1_800_000_000
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "tu": _int64_us(b["ts"])})
+
+    lagged = lag_column(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "tu", value="tu", tiebreak="event_id",
+        out="__prev")
+
+    def mark(b: pa.Table) -> pa.Table:
+        new = pc.or_kleene(
+            pc.is_null(b["__prev"]),
+            pc.greater(pc.subtract(b["tu"], b["__prev"]),
+                       pa.scalar(gap_us, pa.int64())))
+        start = pc.if_else(pc.fill_null(new, True), b["tu"],
+                           pa.scalar(None, pa.int64()))
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "tu": b["tu"], "__start": start})
+
+    marked = lagged.map_batches(mark, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    filled = grouped_forward_fill(marked, "user_id", "tu",
+                                  "__start", "event_id",
+                                  out="session_start_us")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "session_start_us": pc.cast(b["session_start_us"],
+                                        pa.int64())})
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("session_start_us", pa.int64())])
+    return _collect(filled.map_batches(fin, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                    schema).sort_by([("event_id", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -6027,6 +6111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_csv_roundtrip": q_events_csv_roundtrip,
         "customer_name_near_dups": q_customer_name_near_dups,
         "events_value_interp": q_events_value_interp,
+        "events_systematic_sample": q_events_systematic_sample,
+        "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
         "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
@@ -7323,6 +7409,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "events_systematic_sample": """
+            WITH r AS (
+              SELECT event_id,
+                     CAST(row_number() OVER (ORDER BY ts, event_id)
+                          AS BIGINT) AS seq
+              FROM events)
+            SELECT event_id, seq FROM r WHERE seq % 50 = 1
+            ORDER BY seq
+        """,
+        "events_session_assignment": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tu
+              FROM events),
+            l AS (
+              SELECT event_id, user_id, tu,
+                     lag(tu) OVER (PARTITION BY user_id
+                                   ORDER BY tu, event_id) AS prev
+              FROM e),
+            m AS (
+              SELECT event_id, user_id, tu,
+                     CASE WHEN prev IS NULL
+                               OR tu - prev > 1800000000
+                          THEN tu END AS start
+              FROM l)
+            SELECT event_id, user_id,
+                   CAST(last_value(start IGNORE NULLS)
+                        OVER (PARTITION BY user_id
+                              ORDER BY tu, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)
+                       AS session_start_us
+            FROM m
         """,
         "events_value_interp": """
             WITH e AS (

@@ -129,6 +129,7 @@ EXTRA_QUERIES = [
     "lang_mixture_allocation",  # largest-remainder apportionment
     "events_csv_roundtrip",    # CSV sink+source parity
     "events_value_interp",     # linear imputation, 4 LOCF passes
+    "events_session_assignment",  # lag + LOCF session lineage tag
 ]
 
 
