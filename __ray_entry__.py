@@ -1323,6 +1323,12 @@ def q_transcript_verdicts(sf_dir: str):
 
 
 def q_transcript_stats(sf_dir: str):
+    """Per-column stats over the transcript corpus (the north-rule
+    column-stats stage on its own input). The FULL mergeable-partial
+    column_stats pass runs; the returned projection is the
+    integer-exact (count, null_count) slice so the parquet-path
+    DuckDB oracle can hash-check it (the float moments are
+    oracle-checked on the orders/documents twins)."""
     import ray
 
     from json_schema_ray.engine.stats import column_stats
@@ -1330,7 +1336,10 @@ def q_transcript_stats(sf_dir: str):
 
     path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
     ds = ray.data.read_parquet(path)
-    return column_stats(ds)
+    stats = column_stats(ds)
+    return stats.select(["column", "count", "null_count"]) \
+        .rename_columns(["column", "cnt", "nulls"]) \
+        .sort_by([("column", "ascending")])
 
 
 def q_minhash_near_dups(sf_dir: str):
@@ -7515,6 +7524,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0
                         END AS BIGINT) AS alloc
             FROM r, l ORDER BY lang
+        """,
+        "transcript_stats": f"""
+            WITH t AS (
+              SELECT * FROM read_parquet('{_protocol_corpus_glob()}'))
+            SELECT 'conv_id' AS column, CAST(count(*) AS BIGINT)
+                       AS cnt,
+                   CAST(count(*) - count(conv_id) AS BIGINT) AS nulls
+            FROM t
+            UNION ALL SELECT 'role', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(role) AS BIGINT) FROM t
+            UNION ALL SELECT 'text', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(text) AS BIGINT) FROM t
+            UNION ALL SELECT 'tool', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(tool) AS BIGINT) FROM t
+            UNION ALL SELECT 'ts', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(ts) AS BIGINT) FROM t
+            UNION ALL SELECT 'turn_idx', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(turn_idx) AS BIGINT) FROM t
+            ORDER BY "column"
         """,
         "transcript_tool_usage": f"""
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
