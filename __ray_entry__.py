@@ -6045,6 +6045,41 @@ def q_events_session_assignment(sf_dir: str):
                     schema).sort_by([("event_id", "ascending")])
 
 
+def q_lineitem_weighted_median_price(sf_dir: str):
+    """Quantity-weighted EXACT median price per return flag
+    (engine/rank.py grouped_weighted_median): the smallest price
+    whose running quantity reaches half the flag's total — one sort
+    through the running-sum carry machinery, a group-sized totals
+    broadcast, a stateless threshold filter and one grouped MIN.
+    Price rides as e2 fixed point; quantities are exact ints."""
+    from json_schema_ray.engine.rank import grouped_weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity", "l_orderkey", "l_linenumber"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = pc.cast(b["l_linenumber"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": pa.array(np.floor(e * 100 + 0.5).astype(np.int64)),
+            "w": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "tb": pa.array(ok * 10 + ln)})
+
+    out = grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_returnflag", "v", "w", "tb", out="wmedian_e2")
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("wmedian_e2", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("l_returnflag", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -6121,6 +6156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_name_near_dups": q_customer_name_near_dups,
         "events_value_interp": q_events_value_interp,
         "events_systematic_sample": q_events_systematic_sample,
+        "lineitem_weighted_median_price": q_lineitem_weighted_median_price,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
@@ -7418,6 +7454,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "lineitem_weighted_median_price": """
+            WITH t AS (
+              SELECT l_returnflag,
+                     CAST(floor(l_extendedprice * 100 + 0.5)
+                          AS BIGINT) AS v,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+                     l_orderkey * 10 + l_linenumber AS tb
+              FROM lineitem),
+            w2 AS (
+              SELECT l_returnflag, v,
+                     sum(w) OVER (PARTITION BY l_returnflag
+                                  ORDER BY v, tb
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM t)
+            SELECT l_returnflag,
+                   CAST(min(v) AS BIGINT) AS wmedian_e2
+            FROM w2 WHERE 2 * cum >= tot
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "events_systematic_sample": """
             WITH r AS (

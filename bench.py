@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "events_csv_roundtrip",    # CSV sink+source parity
     "events_value_interp",     # linear imputation, 4 LOCF passes
     "events_session_assignment",  # lag + LOCF session lineage tag
+    "lineitem_weighted_median_price",  # exact weighted median
 ]
 
 

@@ -2332,3 +2332,81 @@ def grouped_linear_interpolate(ds, key, ts: str, value: str,
 
     return f.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def grouped_weighted_median(ds, key: str, value: str, weight: str,
+                            tiebreak: str, out: str = "wmedian"):
+    """EXACT weighted median per group: the smallest ``value`` whose
+    running weight (ordered by value) reaches half the group's total
+    — ``min(v) WHERE 2*cum >= tot`` in SQL terms. Integer weights
+    only (exact running sums); the selected value is returned as-is.
+    Tie runs of equal value are selection-invariant: whichever tied
+    row crosses the half-total line, the emitted value is the run's.
+
+    Shape: ONE null-safe sort by (key, value, tiebreak) drives the
+    multi-column running-sum machinery (:func:`_running_sums` — a
+    hot key costs two carry rows per block); group totals are
+    group-sized and broadcast once (``pc.index_in`` — exact, no hash
+    routing); qualifying rows filter statelessly and collapse with
+    one grouped MIN. NULL values don't vote (their weight is
+    skipped); NULL keys form their own group."""
+    import ray
+
+    from .relational import null_safe_grouped_aggregate
+    from ray.data.aggregate import Min, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch[weight], pa.int64())
+        # NULL values don't vote: zero their weight so cum skips them
+        w = pc.if_else(pc.is_valid(batch[value]), w,
+                       pa.scalar(0, pa.int64()))
+        return pa.table({key: batch[key], value: batch[value],
+                         tiebreak: batch[tiebreak], "__w": w})
+
+    base = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    rs = _running_sums(base, key, value, [("__w", "__cum")], tiebreak)
+
+    totals = null_safe_grouped_aggregate(
+        base.map_batches(lambda b: b.select([key, "__w"]),
+                         batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [key], [Sum("__w", alias_name="__tot")], ["__tot"])
+    tot_tables = [pa.Table.from_batches([b])
+                  if isinstance(b, pa.RecordBatch) else b
+                  for b in totals.iter_batches(batch_format="pyarrow")]
+    tot_tables = [t for t in tot_tables if t.num_rows]
+    if not tot_tables:
+        return null_safe_grouped_aggregate(
+            base.map_batches(
+                lambda b: b.select([key, value]).rename_columns(
+                    [key, out]).slice(0, 0),
+                batch_format="pyarrow", zero_copy_batch=True),
+            [key], [Min(out, alias_name=out)], [out])
+    tot = pa.concat_tables(tot_tables, promote_options="default")
+    tot_ref = ray.put(tot)
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([key, value]).rename_columns(
+                [key, out])
+        t = ray.get(tot_ref)
+        tv = t[key].combine_chunks()
+        idx = pc.index_in(batch[key].combine_chunks(), value_set=tv)
+        if batch[key].null_count:
+            null_pos = int(np.nonzero(pc.is_null(tv)
+                           .to_numpy(zero_copy_only=False))[0][0])
+            idx = pc.fill_null(idx, null_pos)
+        tot_v = pc.cast(t["__tot"], pa.float64()).combine_chunks() \
+            .take(idx).to_numpy(zero_copy_only=False)
+        cum = batch["__cum"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ok = (2.0 * cum >= tot_v) & \
+            pc.is_valid(batch[value]).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ok)).select([key, value]) \
+            .rename_columns([key, out])
+
+    return null_safe_grouped_aggregate(
+        rs.map_batches(qualify, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [key], [Min(out, alias_name=out)], [out])

@@ -6481,3 +6481,38 @@ def test_grouped_linear_interpolate_matches_bruteforce():
             dt, dn = (tu - tp) // 1000, (tn - tp) // 1000
             want = vp + (trunc((vn - vp) * dt, dn) if dn > 0 else 0)
             assert got[e] == want, (e, got[e], want)
+
+
+def test_grouped_weighted_median_matches_bruteforce():
+    from json_schema_ray.engine.rank import grouped_weighted_median
+
+    rng = np.random.default_rng(79)
+    n = 2000
+    key = rng.integers(0, 6, size=n)
+    key[:1200] = 0  # hot key spanning blocks
+    vals = [None if rng.random() < 0.05 else int(v)
+            for v in rng.integers(0, 500, size=n)]
+    w = rng.integers(0, 9, size=n)  # includes zero weights
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "v": pa.array(vals, pa.int64()),
+                  "w": pa.array(w, pa.int64()),
+                  "tb": pa.array(np.arange(n), pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(13)
+    out = grouped_weighted_median(ds, "k", "v", "w", "tb",
+                                  out="m").take_all()
+    got = {r["k"]: r["m"] for r in out}
+    byk = {}
+    for k, v, wi in zip(key.tolist(), vals, w.tolist()):
+        if v is not None:
+            byk.setdefault(k, []).append((v, wi))
+    for k, rs in byk.items():
+        rs.sort()
+        tot = sum(wi for _, wi in rs)
+        cum = 0
+        want = None
+        for v, wi in rs:
+            cum += wi
+            if 2 * cum >= tot:
+                want = v
+                break
+        assert got[k] == want, (k, got[k], want)
