@@ -737,12 +737,23 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
     left_names = list(left_schema_probe.names)
     right_schema = right_ds.schema().base_schema
     value_types = {c: right_schema.field(c).type for c in value_columns}
+    # exchange key type: SIGNED-integer pairs ride as native int64
+    # (the string detour cost real sort time on fact-fact joins —
+    # int64 range-sort + numpy segment compares are much cheaper);
+    # everything else unifies through the string cast as before.
+    # Unsigned 64-bit stays on the string path (uint64 > 2^63 wraps
+    # in an int64 exchange — the documented group-key pitfall).
+    lt_ = left_schema_probe.field(left_on).type
+    rt_ = right_schema.field(right_on).type
+    key_type = pa.int64() if (pa.types.is_signed_integer(lt_)
+                              and pa.types.is_signed_integer(rt_)) \
+        else pa.string()
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {c: pa.nulls(n, left_schema_probe.field(c).type)
                 for c in left_names}
-        cols[key_col] = pc.cast(batch[right_on], pa.string())
+        cols[key_col] = pc.cast(batch[right_on], key_type)
         cols[side_col] = pa.array(np.zeros(n, np.int8))
         for c in value_columns:
             cols[c] = batch[c]
@@ -751,7 +762,7 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         cols = {c: batch[c] for c in left_names}
-        cols[key_col] = pc.cast(batch[left_on], pa.string())
+        cols[key_col] = pc.cast(batch[left_on], key_type)
         cols[side_col] = pa.array(np.ones(n, np.int8))
         for c in value_columns:
             cols[c] = pa.nulls(n, value_types[c])
@@ -772,10 +783,19 @@ def sort_merge_join(left_ds, right_ds, left_on: str, right_on: str,
         ``interior_only`` the first/last key segments are skipped
         (returned as the edge row-index array)."""
         n = batch.num_rows
-        keys_np = batch[key_col].combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        key_valid = pc.is_valid(batch[key_col]) \
-            .to_numpy(zero_copy_only=False)
+        kc = batch[key_col].combine_chunks()
+        key_valid = pc.is_valid(kc).to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(kc.type):
+            # nullable int64 -> float64 NaN conversion would lose
+            # > 2^53 precision (two distinct keys could compare
+            # equal); fill nulls instead — null rows are never
+            # usable, and a zero-fill gluing a null run onto a
+            # key-0 segment is harmless because pairing uses only
+            # key_valid rows
+            keys_np = pc.fill_null(kc, 0) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            keys_np = kc.to_numpy(zero_copy_only=False)
         side = batch[side_col].combine_chunks() \
             .to_numpy(zero_copy_only=False)
         change = np.nonzero(keys_np[1:] != keys_np[:-1])[0] + 1
