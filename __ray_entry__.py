@@ -6080,6 +6080,38 @@ def q_lineitem_weighted_median_price(sf_dir: str):
         [("l_returnflag", "ascending")])
 
 
+def q_big_quantity_orders(sf_dir: str):
+    """TPC-H Q18-flavored large-volume order gate: orders whose TOTAL
+    lineitem quantity reaches a threshold no per-block partial can
+    decide alone (the combiner-vs-threshold loss class).
+    grouped_agg_sorted pre-combines per block (a hot order ships <= 1
+    partial row per block), range-sorts only the partials, finalizes
+    interior key segments vectorized in-block, stitches the O(blocks)
+    edge segments driver-side, and applies HAVING strictly after the
+    merge. Quantity rides as e2 fixed point (exact int64 sums)."""
+    from json_schema_ray.engine.relational import grouped_agg_sorted
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty_e2": pa.array(np.floor(q * 100 + 0.5)
+                               .astype(np.int64))})
+
+    out = grouped_agg_sorted(
+        li.map_batches(fp, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_orderkey", "qty_e2", agg="sum", having_min=20000,
+        out="sum_qty_e2")
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("sum_qty_e2", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("l_orderkey", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -6157,6 +6189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_interp": q_events_value_interp,
         "events_systematic_sample": q_events_systematic_sample,
         "lineitem_weighted_median_price": q_lineitem_weighted_median_price,
+        "big_quantity_orders": q_big_quantity_orders,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6739,6 +6772,16 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "big_quantity_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_qty_e2
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) >= 20000
+            ORDER BY l_orderkey
+        """,
         "docs_cdc_merge": """
             WITH ops AS (
                 SELECT doc_id, 0 AS seq,

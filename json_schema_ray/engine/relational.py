@@ -2727,3 +2727,104 @@ def category_overlap(ds, entity: str, category: str):
         "n_both": pa.array(nboth),
         "jaccard_e6": pa.array(jac)})
     return out.sort_by([("cat_a", "ascending"), ("cat_b", "ascending")])
+
+
+def grouped_agg_sorted(ds, key: str, value: str, agg: str = "sum",
+                       having_min=None, out: str = None):
+    """Exact ``agg(value) GROUP BY key`` (agg in sum|max|min) with an
+    optional ``HAVING agg >= having_min`` applied only AFTER full
+    aggregation — a threshold must never see a per-block partial
+    (the combiner-vs-threshold loss class), which is why the plain
+    pre-aggregate path can't express TPC-H Q18-style gates.
+
+    Scale shape: per-block partials combine first (a hot key ships
+    <= 1 row per block), ONE null-safe range-partitioned sort
+    co-locates each key's partials, interior key segments finalize
+    vectorized in-block (np ``reduceat``), and only each block's
+    first/last segment — O(blocks) fixed-size carry rows — stitches
+    driver-side. ``value`` must already be integer (the house
+    int64-fixed-point-before-sum discipline; per-key sum(|v|) must
+    stay < 2^63). NULL values drop (SQL aggregate semantics); NULL
+    keys form their own group. Returns a Dataset of (key, out),
+    group-sized (post-HAVING when ``having_min`` is given)."""
+    if agg not in ("sum", "max", "min"):
+        raise ValueError(f"agg must be sum|max|min, got {agg!r}")
+    out = out or f"{value}_{agg}"
+    reducer = {"sum": np.add, "max": np.maximum,
+               "min": np.minimum}[agg]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value]) \
+            .filter(pc.is_valid(batch[value]))
+        if not pa.types.is_integer(t.schema.field(value).type):
+            raise ValueError(
+                "grouped_agg_sorted: value must be integer "
+                f"fixed-point, got {t.schema.field(value).type}")
+        g = safe_groupby_aggregate(t, [key], [(value, agg)])
+        return pa.table({key: g[key],
+                         "__v": pc.cast(g[f"{value}_{agg}"],
+                                        pa.int64())})
+
+    sorted_ds = null_safe_sort(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True), [key], [])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from .rank import _group_key_expr
+        ktype = batch[key].type
+        empty = pa.table({key: pa.array([], ktype),
+                          out: pa.array([], pa.int64()),
+                          "__edge": pa.array([], pa.bool_())})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        kk = _group_key_expr(batch, [key]) \
+            .to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        v = batch["__v"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        totals = reducer.reduceat(v, starts)
+        g = len(starts)
+        edge = np.zeros(g, dtype=bool)
+        edge[0] = edge[g - 1] = True
+        return pa.table({
+            key: batch[key].take(pa.array(starts)),
+            out: pa.array(totals, pa.int64()),
+            "__edge": pa.array(edge)})
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch["__edge"]))
+        if having_min is not None:
+            t = t.filter(pc.greater_equal(t[out],
+                                          pa.scalar(int(having_min))))
+        return t.select([key, out])
+
+    interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    merge = {"sum": lambda a, b: a + b, "max": max,
+             "min": min}[agg]
+    edge: dict = {}
+    for kept in scanned.map_batches(
+            lambda b: b.filter(b["__edge"]), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for r in kept.to_pylist():
+            k = (r[key] is None, r[key])
+            edge[k] = r[out] if k not in edge \
+                else merge(edge[k], r[out])
+
+    import ray
+
+    rows = [(kv, t) for (_, kv), t in edge.items()
+            if having_min is None or t >= int(having_min)]
+    if not rows:
+        return interior_ds
+    ktype = scanned.schema().base_schema.field(key).type
+    extra = pa.table({
+        key: pa.array([r[0] for r in rows], ktype),
+        out: pa.array([r[1] for r in rows], pa.int64())})
+    return interior_ds.union(ray.data.from_arrow(extra))

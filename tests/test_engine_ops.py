@@ -6516,3 +6516,78 @@ def test_grouped_weighted_median_matches_bruteforce():
                 want = v
                 break
         assert got[k] == want, (k, got[k], want)
+
+
+def test_grouped_agg_sorted_matches_arrow_groupby():
+    import pyarrow.compute as pc
+
+    from json_schema_ray.engine.relational import grouped_agg_sorted
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = rng.integers(0, 400, n)
+    # ONE hot key owning a quarter of the corpus, plus null keys
+    keys[: n // 4] = 42
+    vals = rng.integers(-1000, 1000, n)
+    karr = pa.array(keys, pa.int64())
+    karr = pc.if_else(pa.array(rng.random(n) < 0.01), pa.nulls(
+        n, pa.int64()), karr)
+    varr = pc.if_else(pa.array(rng.random(n) < 0.01), pa.nulls(
+        n, pa.int64()), pa.array(vals, pa.int64()))
+    t = pa.table({"k": karr, "v": varr})
+    ds = _ray().data.from_arrow(t).repartition(13)
+
+    ref = t.filter(pc.is_valid(t["v"]))
+    g = pa.TableGroupBy(ref, "k").aggregate([("v", "sum"),
+                                             ("v", "max")])
+    want_sum = {}
+    want_max = {}
+    for r in g.to_pylist():
+        want_sum[r["k"]] = r["v_sum"]
+        want_max[r["k"]] = r["v_max"]
+
+    for agg, want in (("sum", want_sum), ("max", want_max)):
+        got = {}
+        for b in grouped_agg_sorted(ds, "k", "v", agg=agg,
+                                    out="t").iter_batches(
+                batch_format="pyarrow"):
+            for r in pa.Table.from_batches([b]).to_pylist() \
+                    if isinstance(b, pa.RecordBatch) else b.to_pylist():
+                assert r["k"] not in got, "duplicate group emitted"
+                got[r["k"]] = r["t"]
+        assert got == want, f"agg={agg}"
+
+    # HAVING applies only after full aggregation: thresholds that a
+    # per-block partial would miss must still pass
+    thr = int(np.percentile(list(want_sum.values()), 90))
+    got = {}
+    for b in grouped_agg_sorted(ds, "k", "v", agg="sum",
+                                having_min=thr, out="t") \
+            .iter_batches(batch_format="pyarrow"):
+        t2 = pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+        for r in t2.to_pylist():
+            got[r["k"]] = r["t"]
+    want_thr = {k: v for k, v in want_sum.items() if v >= thr}
+    assert got == want_thr
+
+
+def test_grouped_agg_sorted_string_keys_and_rejects_floats():
+    import pyarrow.compute as pc  # noqa: F401
+
+    from json_schema_ray.engine.relational import grouped_agg_sorted
+
+    t = pa.table({"k": pa.array(["a", "b", None, "a", "b", "a"]),
+                  "v": pa.array([1, 2, 3, 4, 5, None], pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(3)
+    got = {r["k"]: r["v_min"] for b in
+           grouped_agg_sorted(ds, "k", "v", agg="min").iter_batches(
+               batch_format="pyarrow")
+           for r in (pa.Table.from_batches([b]) if isinstance(
+               b, pa.RecordBatch) else b).to_pylist()}
+    assert got == {"a": 1, "b": 2, None: 3}
+
+    fds = _ray().data.from_arrow(
+        pa.table({"k": pa.array(["a"]), "v": pa.array([1.5])}))
+    with pytest.raises(Exception):
+        grouped_agg_sorted(fds, "k", "v").materialize()
