@@ -6080,6 +6080,36 @@ def q_lineitem_weighted_median_price(sf_dir: str):
         [("l_returnflag", "ascending")])
 
 
+def q_transcript_turn_integrity(sf_dir: str):
+    """Turn-ordering referential integrity over the transcript corpus
+    — the north-rule check itself, as a standalone oracled query:
+    within each conversation ``turn_idx`` must be a dense 0..n-1
+    sequence (late starts, gaps, duplicates violate) and ``ts`` must
+    be non-decreasing in turn order. Rides engine/keys.py
+    turn_ordering_violations: ONE range-partitioned sort on
+    (conv, turn, ts), vectorized adjacent-diff checks for interior
+    conversations, O(blocks) fixed-size edge partials stitched
+    driver-side (hot conversations never ship their timelines). The
+    oracle SQL reproduces the exact violation rows (types AND
+    message strings) from the same cached corpus by parquet path."""
+    import ray
+
+    from json_schema_ray.engine.keys import turn_ordering_violations
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "turn_idx", "ts"])
+    out = turn_ordering_violations(ds)
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("error_type", pa.string()),
+                        ("message", pa.string())])
+    return _collect(out, schema)
+
+
 def q_big_quantity_orders(sf_dir: str):
     """TPC-H Q18-flavored large-volume order gate: orders whose TOTAL
     lineitem quantity reaches a threshold no per-block partial can
@@ -6190,6 +6220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_systematic_sample": q_events_systematic_sample,
         "lineitem_weighted_median_price": q_lineitem_weighted_median_price,
         "big_quantity_orders": q_big_quantity_orders,
+        "transcript_turn_integrity": q_transcript_turn_integrity,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6772,6 +6803,36 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "transcript_turn_integrity": f"""
+            WITH s AS (
+                SELECT conv_id,
+                       CAST(turn_idx AS BIGINT) AS turn_idx,
+                       lag(CAST(turn_idx AS BIGINT)) OVER w AS pt,
+                       lag(ts) OVER w AS pts, ts,
+                       row_number() OVER w AS rn
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx, ts)
+            )
+            SELECT conv_id, 'turn_gap' AS error_type,
+                   'turn_idx sequence starts at ' || turn_idx
+                       || ', expected 0.' AS message
+            FROM s WHERE rn = 1 AND turn_idx <> 0
+            UNION ALL
+            SELECT DISTINCT conv_id, 'duplicate_turn',
+                   'turn_idx ' || turn_idx
+                       || ' appears more than once.'
+            FROM s WHERE pt = turn_idx
+            UNION ALL
+            SELECT conv_id, 'turn_gap',
+                   'turn_idx jumps from ' || pt || ' to '
+                       || turn_idx || '.'
+            FROM s WHERE pt IS NOT NULL AND turn_idx - pt > 1
+            UNION ALL
+            SELECT DISTINCT conv_id, 'ts_out_of_order',
+                   'ts is not non-decreasing in turn order.'
+            FROM s WHERE pts IS NOT NULL AND ts < pts
+        """,
         "big_quantity_orders": """
             SELECT l_orderkey,
                    CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
