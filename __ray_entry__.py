@@ -6080,6 +6080,85 @@ def q_lineitem_weighted_median_price(sf_dir: str):
         [("l_returnflag", "ascending")])
 
 
+def q_orders_benford(sf_dir: str):
+    """Benford leading-digit profile of o_totalprice — the classic
+    synthetic-data / fraud screen a data-quality pass reports.
+    Prices ride as e2 fixed point and the leading digit comes from
+    an Arrow decimal-string slice (exact — no float log10 whose
+    power-of-ten boundaries round differently per platform). Nine
+    groups: per-block combiner partials merge in ONE driver-side
+    Arrow groupby (grouped_aggregate driver_merge — groups x blocks
+    is trivially driver-safe); shares are exact integer division at
+    e6, so the wire carries only int64."""
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digit(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        e2 = np.floor(p * 100 + 0.5).astype(np.int64)
+        s = pc.cast(pa.array(e2), pa.string())
+        return pa.table({
+            "digit": pc.cast(pc.utf8_slice_codeunits(s, 0, 1),
+                             pa.int64())})
+
+    g = grouped_aggregate(
+        ds.map_batches(digit, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["digit"], [(None, "count")], driver_merge=True)
+    n = pc.cast(g["rows_count"], pa.int64())
+    total = int(pc.sum(n).as_py())
+    share = (n.to_numpy(zero_copy_only=False)
+             * 1_000_000) // total
+    out = pa.table({"digit": g["digit"], "n": n,
+                    "share_e6": pa.array(share.astype(np.int64))})
+    return out.sort_by([("digit", "ascending")])
+
+
+def q_user_cum_distinct_types(sf_dir: str):
+    """Expanding per-user distinct-event-type count: every event row
+    gains the number of DISTINCT event types its user has produced
+    up to and including that event (event_id order) — the analytic
+    behind breadth-of-usage curves. No per-user set state anywhere:
+    first-occurrence membership is the sort-based first_in_group
+    (one (user, type, id) sort + adjacent scan + O(blocks) boundary
+    lookups — the docs_ngram_novelty shape), and the expanding count
+    is the running-sum carry machinery over the 0/1 flags (one
+    (user, id) sort, O(blocks) driver state, hot users never ship
+    their timelines)."""
+    from json_schema_ray.engine.keys import first_in_group
+    from json_schema_ray.engine.rank import cumulative_sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    flagged = first_in_group(ds, ["user_id", "event_type"],
+                             "event_id", out="is_first")
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "nf": pc.cast(b["is_first"], pa.int64()),
+            "tb": b["event_id"]})
+
+    out = cumulative_sum(
+        flagged.map_batches(to_int, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "user_id", "event_id", "nf", "tb")
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "cum_types": pc.cast(b["running_sum"], pa.int64())})
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("user_id", pa.int64()),
+                        ("cum_types", pa.int64())])
+    return _collect(out.map_batches(project, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_transcript_turn_integrity(sf_dir: str):
     """Turn-ordering referential integrity over the transcript corpus
     — the north-rule check itself, as a standalone oracled query:
@@ -6221,6 +6300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median_price": q_lineitem_weighted_median_price,
         "big_quantity_orders": q_big_quantity_orders,
         "transcript_turn_integrity": q_transcript_turn_integrity,
+        "orders_benford": q_orders_benford,
+        "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
         "returned_item_revenue": q_returned_item_revenue,
@@ -6803,6 +6884,35 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "orders_benford": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(floor(
+                           o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders
+            ), g AS (
+                SELECT digit, CAST(count(*) AS BIGINT) AS n
+                FROM d GROUP BY digit
+            )
+            SELECT digit, n,
+                   CAST((n * 1000000) // CAST((SELECT sum(n) FROM g)
+                        AS BIGINT) AS BIGINT) AS share_e6
+            FROM g ORDER BY digit
+        """,
+        "user_cum_distinct_types": """
+            WITH f AS (
+                SELECT event_id, user_id,
+                       CASE WHEN row_number() OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY event_id) = 1
+                            THEN 1 ELSE 0 END AS nf
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(nf) OVER (PARTITION BY user_id
+                        ORDER BY event_id) AS BIGINT) AS cum_types
+            FROM f
+        """,
         "transcript_turn_integrity": f"""
             WITH s AS (
                 SELECT conv_id,
