@@ -3830,8 +3830,25 @@ def q_docs_cdc_merge(sf_dir: str):
     from json_schema_ray.engine.relational import grouped_first_last
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    log = ds.map_batches(_cdc_ops_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    merged = grouped_first_last(log, "doc_id", "__seq", "__seq",
+                                "__payload", last_out="__last")
 
-    def ops(batch: pa.Table) -> pa.Table:
+    def finish(batch: pa.Table) -> pa.Table:
+        live = batch.filter(pc.greater_equal(batch["__last"], 0.0))
+        return pa.table({
+            "doc_id": live["doc_id"],
+            "n_chars": pc.cast(live["__last"], pa.int64())})
+
+    out = merged.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_chars", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
+def _cdc_ops_batch(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].combine_chunks() \
             .to_numpy(zero_copy_only=False)
         nc = pc.fill_null(pc.cast(batch["n_chars"], pa.int64()), 0) \
@@ -3862,22 +3879,49 @@ def q_docs_cdc_merge(sf_dir: str):
                 "__payload": pa.array(nc[ins] + 7, pa.int64())}))
         return pa.concat_tables(parts)
 
-    log = ds.map_batches(ops, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    merged = grouped_first_last(log, "doc_id", "__seq", "__seq",
-                                "__payload", last_out="__last")
 
-    def finish(batch: pa.Table) -> pa.Table:
-        live = batch.filter(pc.greater_equal(batch["__last"], 0.0))
+def q_docs_scd2(sf_dir: str):
+    """Type-2 slowly-changing-dimension build over the deterministic
+    CDC op log (docs_cdc_merge's stream, shared generator): every
+    non-tombstone op becomes a VERSION row with a half-open validity
+    interval [valid_from, valid_to) where valid_to is the key's next
+    op sequence (NULL = still current) — tombstones close the
+    previous version's interval but emit no version themselves. ONE
+    lead_column pass (a (key, seq) sort + O(blocks) first-row
+    carries) builds every interval; no self-join, no per-key state."""
+    from json_schema_ray.engine.rank import lead_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    log = ds.map_batches(_cdc_ops_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def widen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "__seq": b["__seq"],
+            "__tb": b["__seq"], "__val": b["__seq"],
+            "__payload": b["__payload"]})
+
+    led = lead_column(
+        log.map_batches(widen, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "doc_id", "__seq", "__val", "__tb", out="valid_to")
+
+    def versions(b: pa.Table) -> pa.Table:
+        live = b.filter(pc.greater_equal(b["__payload"], 0))
         return pa.table({
             "doc_id": live["doc_id"],
-            "n_chars": pc.cast(live["__last"], pa.int64())})
+            "valid_from": pc.cast(live["__seq"], pa.int64()),
+            "valid_to": pc.cast(live["valid_to"], pa.int64()),
+            "n_chars": live["__payload"]})
 
-    out = merged.map_batches(finish, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    out = led.map_batches(versions, batch_format="pyarrow",
+                          zero_copy_batch=True)
     schema = pa.schema([("doc_id", pa.int64()),
+                        ("valid_from", pa.int64()),
+                        ("valid_to", pa.int64()),
                         ("n_chars", pa.int64())])
-    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+    return _collect(out, schema).sort_by(
+        [("doc_id", "ascending"), ("valid_from", "ascending")])
 
 
 def q_docs_top_quality_per_lang(sf_dir: str):
@@ -6301,6 +6345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_quantity_orders": q_big_quantity_orders,
         "transcript_turn_integrity": q_transcript_turn_integrity,
         "orders_benford": q_orders_benford,
+        "docs_scd2": q_docs_scd2,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -6884,6 +6929,34 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "docs_scd2": """
+            WITH ops AS (
+                SELECT doc_id, 0 AS seq,
+                       CAST(coalesce(n_chars, 0) AS BIGINT) AS payload
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 1,
+                       CAST(coalesce(n_chars, 0) + 1000 AS BIGINT)
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 2, CAST(-1 AS BIGINT)
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 10000000, 1,
+                       CAST(coalesce(n_chars, 0) + 7 AS BIGINT)
+                FROM documents WHERE doc_id % 11 = 0
+            ), led AS (
+                SELECT doc_id, seq, payload,
+                       lead(seq) OVER (PARTITION BY doc_id
+                                       ORDER BY seq) AS valid_to
+                FROM ops
+            )
+            SELECT doc_id, CAST(seq AS BIGINT) AS valid_from,
+                   CAST(valid_to AS BIGINT) AS valid_to,
+                   payload AS n_chars
+            FROM led WHERE payload >= 0
+            ORDER BY doc_id, valid_from
+        """,
         "orders_benford": """
             WITH d AS (
                 SELECT CAST(substr(CAST(CAST(floor(
