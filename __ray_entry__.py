@@ -6124,6 +6124,86 @@ def q_lineitem_weighted_median_price(sf_dir: str):
         [("l_returnflag", "ascending")])
 
 
+def q_lineitem_weighted_price_quartiles(sf_dir: str):
+    """Quantity-weighted EXACT price quartiles (p25/p50/p75) per
+    return flag, ALL THREE from ONE sort: grouped_weighted_quantiles
+    runs the weighted-median machinery once and each fraction only
+    adds a null-masked column into the final grouped MIN — the
+    one-pass generalization a reporting layer wants instead of three
+    median-shaped scans. Prices ride e2 fixed point, weights are
+    exact integer quantities."""
+    from json_schema_ray.engine.rank import grouped_weighted_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity", "l_orderkey", "l_linenumber"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = pc.cast(b["l_linenumber"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "v": pa.array(np.floor(e * 100 + 0.5).astype(np.int64)),
+            "w": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            "tb": pa.array(ok * 10 + ln)})
+
+    out = grouped_weighted_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_returnflag", "v", "w", "tb",
+        [(1, 4), (1, 2), (3, 4)],
+        ["wp25_e2", "wp50_e2", "wp75_e2"])
+    schema = pa.schema([("l_returnflag", pa.string()),
+                        ("wp25_e2", pa.int64()),
+                        ("wp50_e2", pa.int64()),
+                        ("wp75_e2", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("l_returnflag", "ascending")])
+
+
+def q_docs_readability(sf_dir: str):
+    """Per-document readability profile — word count, sentence-mark
+    count, vowel-run count (the classic syllable proxy) and a
+    Flesch-reading-ease score at e3 fixed point. Stateless
+    vectorized scan: three Arrow RE2 count_substring_regex kernels
+    per batch (DuckDB's regexp_extract_all is RE2 too, so counts
+    match exactly) and ONE mirrored float expression for the score
+    (div/mul/sub in the same IEEE order on both sides — verified
+    bit-exact), floored to int before anything crosses the wire."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        live = b.filter(pc.is_valid(b["text"]))
+        txt = live["text"]
+        w = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        fre = (206.835 - 1.015 * (w / np.maximum(s, 1))
+               - 84.6 * (v / np.maximum(w, 1)))
+        return pa.table({
+            "doc_id": live["doc_id"],
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(s),
+            "n_vowel_runs": pa.array(v),
+            "fre_e3": pa.array(np.floor(fre * 1000 + 0.5)
+                               .astype(np.int64))})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_words", pa.int64()),
+                        ("n_sentences", pa.int64()),
+                        ("n_vowel_runs", pa.int64()),
+                        ("fre_e3", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_orders_benford(sf_dir: str):
     """Benford leading-digit profile of o_totalprice — the classic
     synthetic-data / fraud screen a data-quality pass reports.
@@ -6346,6 +6426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_turn_integrity": q_transcript_turn_integrity,
         "orders_benford": q_orders_benford,
         "docs_scd2": q_docs_scd2,
+        "lineitem_weighted_price_quartiles":
+            q_lineitem_weighted_price_quartiles,
+        "docs_readability": q_docs_readability,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -6929,6 +7012,53 @@ def oracle_sql() -> dict[str, str]:
 
     sample_thr = int(0.05 * float(1 << 64))
     return {
+        "lineitem_weighted_price_quartiles": """
+            WITH e AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT) AS v,
+                       CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+                       l_orderkey * 10 + l_linenumber AS tb
+                FROM lineitem
+            ), r AS (
+                SELECT l_returnflag, v,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY v, tb
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                FROM e
+            )
+            SELECT l_returnflag,
+                   CAST(min(v) FILTER (WHERE 4 * cum >= tot)
+                        AS BIGINT) AS wp25_e2,
+                   CAST(min(v) FILTER (WHERE 2 * cum >= tot)
+                        AS BIGINT) AS wp50_e2,
+                   CAST(min(v) FILTER (WHERE 4 * cum >= 3 * tot)
+                        AS BIGINT) AS wp75_e2
+            FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_readability": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\S+'))
+                        AS BIGINT) AS n_words,
+                   CAST(length(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(length(regexp_extract_all(
+                        text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS n_vowel_runs,
+                   CAST(floor((206.835
+                        - 1.015 * (CAST(length(regexp_extract_all(
+                              text, '\S+')) AS BIGINT)
+                           / greatest(CAST(length(regexp_extract_all(
+                              text, '[.!?]+')) AS BIGINT), 1))
+                        - 84.6 * (CAST(length(regexp_extract_all(
+                              text, '[aeiouyAEIOUY]+')) AS BIGINT)
+                           / greatest(CAST(length(regexp_extract_all(
+                              text, '\S+')) AS BIGINT), 1)))
+                        * 1000 + 0.5) AS BIGINT) AS fre_e3
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY doc_id
+        """,
         "docs_scd2": """
             WITH ops AS (
                 SELECT doc_id, 0 AS seq,

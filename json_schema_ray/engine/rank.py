@@ -2338,22 +2338,43 @@ def grouped_weighted_median(ds, key: str, value: str, weight: str,
                             tiebreak: str, out: str = "wmedian"):
     """EXACT weighted median per group: the smallest ``value`` whose
     running weight (ordered by value) reaches half the group's total
-    — ``min(v) WHERE 2*cum >= tot`` in SQL terms. Integer weights
-    only (exact running sums); the selected value is returned as-is.
-    Tie runs of equal value are selection-invariant: whichever tied
-    row crosses the half-total line, the emitted value is the run's.
+    — ``min(v) WHERE 2*cum >= tot`` in SQL terms. The num/den = 1/2
+    case of :func:`grouped_weighted_quantiles` (shape documented
+    there). Tie runs of equal value are selection-invariant:
+    whichever tied row crosses the half-total line, the emitted
+    value is the run's."""
+    return grouped_weighted_quantiles(ds, key, value, weight,
+                                      tiebreak, [(1, 2)], [out])
+
+
+def grouped_weighted_quantiles(ds, key: str, value: str, weight: str,
+                               tiebreak: str, fracs, outs):
+    """EXACT weighted quantiles per group, every fraction in ONE
+    pass: for each ``(num, den)`` in ``fracs`` the smallest
+    ``value`` whose running weight (ordered by value) reaches
+    num/den of the group's total — ``min(v) WHERE den*cum >=
+    num*tot``. Integer weights only (exact running sums); selected
+    values return as-is.
 
     Shape: ONE null-safe sort by (key, value, tiebreak) drives the
     multi-column running-sum machinery (:func:`_running_sums` — a
     hot key costs two carry rows per block); group totals are
     group-sized and broadcast once (``pc.index_in`` — exact, no hash
-    routing); qualifying rows filter statelessly and collapse with
-    one grouped MIN. NULL values don't vote (their weight is
+    routing). Rows qualifying for ANY fraction filter statelessly
+    (each fraction contributes a null-masked copy of ``value``) and
+    collapse with one grouped MIN per fraction — extra fractions add
+    columns, never passes. NULL values don't vote (their weight is
     skipped); NULL keys form their own group."""
     import ray
 
     from .relational import null_safe_grouped_aggregate
     from ray.data.aggregate import Min, Sum
+
+    if not fracs or len(fracs) != len(outs):
+        raise ValueError("fracs and outs must align and be non-empty")
+    for num, den in fracs:
+        if den <= 0 or num <= 0 or num > den:
+            raise ValueError(f"fraction {num}/{den} outside (0, 1]")
 
     def prep(batch: pa.Table) -> pa.Table:
         w = pc.cast(batch[weight], pa.int64())
@@ -2376,20 +2397,25 @@ def grouped_weighted_median(ds, key: str, value: str, weight: str,
                   if isinstance(b, pa.RecordBatch) else b
                   for b in totals.iter_batches(batch_format="pyarrow")]
     tot_tables = [t for t in tot_tables if t.num_rows]
+    mins = [Min(o, alias_name=o) for o in outs]
+
+    def empty_out(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for o in outs:
+            cols[o] = b[value]
+        return pa.table(cols).slice(0, 0)
+
     if not tot_tables:
         return null_safe_grouped_aggregate(
-            base.map_batches(
-                lambda b: b.select([key, value]).rename_columns(
-                    [key, out]).slice(0, 0),
-                batch_format="pyarrow", zero_copy_batch=True),
-            [key], [Min(out, alias_name=out)], [out])
+            base.map_batches(empty_out, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            [key], mins, list(outs))
     tot = pa.concat_tables(tot_tables, promote_options="default")
     tot_ref = ray.put(tot)
 
     def qualify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.select([key, value]).rename_columns(
-                [key, out])
+            return empty_out(batch)
         t = ray.get(tot_ref)
         tv = t[key].combine_chunks()
         idx = pc.index_in(batch[key].combine_chunks(), value_set=tv)
@@ -2401,12 +2427,21 @@ def grouped_weighted_median(ds, key: str, value: str, weight: str,
             .take(idx).to_numpy(zero_copy_only=False)
         cum = batch["__cum"].combine_chunks() \
             .to_numpy(zero_copy_only=False)
-        ok = (2.0 * cum >= tot_v) & \
-            pc.is_valid(batch[value]).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(ok)).select([key, value]) \
-            .rename_columns([key, out])
+        valid = pc.is_valid(batch[value]) \
+            .to_numpy(zero_copy_only=False)
+        oks = [(float(den) * cum >= float(num) * tot_v) & valid
+               for num, den in fracs]
+        any_ok = np.logical_or.reduce(oks)
+        kept = batch.filter(pa.array(any_ok))
+        vcol = kept[value]
+        null_scalar = pa.scalar(None, type=vcol.type)
+        cols = {key: kept[key]}
+        for ok, o in zip(oks, outs):
+            cols[o] = pc.if_else(pa.array(ok[any_ok]), vcol,
+                                 null_scalar)
+        return pa.table(cols)
 
     return null_safe_grouped_aggregate(
         rs.map_batches(qualify, batch_format="pyarrow",
                        zero_copy_batch=True),
-        [key], [Min(out, alias_name=out)], [out])
+        [key], mins, list(outs))

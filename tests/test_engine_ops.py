@@ -6591,3 +6591,51 @@ def test_grouped_agg_sorted_string_keys_and_rejects_floats():
         pa.table({"k": pa.array(["a"]), "v": pa.array([1.5])}))
     with pytest.raises(Exception):
         grouped_agg_sorted(fds, "k", "v").materialize()
+
+
+def test_grouped_weighted_quantiles_matches_bruteforce():
+    from json_schema_ray.engine.rank import grouped_weighted_quantiles
+
+    rng = np.random.default_rng(83)
+    n = 2000
+    key = rng.integers(0, 6, size=n)
+    key[:1200] = 0  # hot key spanning blocks
+    vals = [None if rng.random() < 0.05 else int(v)
+            for v in rng.integers(0, 500, size=n)]
+    w = rng.integers(0, 9, size=n)  # includes zero weights
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "v": pa.array(vals, pa.int64()),
+                  "w": pa.array(w, pa.int64()),
+                  "tb": pa.array(np.arange(n), pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(13)
+    fracs = [(1, 4), (1, 2), (3, 4), (1, 1)]
+    outs = ["q25", "q50", "q75", "q100"]
+    out = grouped_weighted_quantiles(ds, "k", "v", "w", "tb",
+                                     fracs, outs).take_all()
+    got = {r["k"]: [r[o] for o in outs] for r in out}
+    byk = {}
+    for k, v, wi in zip(key.tolist(), vals, w.tolist()):
+        if v is not None:
+            byk.setdefault(k, []).append((v, wi))
+    for k, rs in byk.items():
+        rs.sort()
+        tot = sum(wi for _, wi in rs)
+        for fi, (num, den) in enumerate(fracs):
+            cum = 0
+            want = None
+            for v, wi in rs:
+                cum += wi
+                if den * cum >= num * tot:
+                    want = v
+                    break
+            assert got[k][fi] == want, (k, fracs[fi], got[k][fi], want)
+    # quantiles are monotone per key
+    for k, qs in got.items():
+        present = [q for q in qs if q is not None]
+        assert present == sorted(present), (k, qs)
+
+    with pytest.raises(ValueError):
+        grouped_weighted_quantiles(ds, "k", "v", "w", "tb",
+                                   [(3, 2)], ["bad"])
+    with pytest.raises(ValueError):
+        grouped_weighted_quantiles(ds, "k", "v", "w", "tb", [], [])
