@@ -6204,6 +6204,78 @@ def q_docs_readability(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_bm25(sf_dir: str):
+    """BM25 ranking of the corpus for a fixed query (k1=1.2,
+    b=0.75) — the search-scoring sibling of tfidf_top_terms. Two
+    passes: (1) a combiner scan reduces each block to ONE row of
+    exact integer corpus stats (doc count, total words, per-term
+    document frequencies) merged driver-side — O(blocks) rows ever
+    leave a worker; (2) a stateless scoring scan with the idf
+    constants baked in. Every float expression (idf = ln(1 +
+    (N-df+0.5)/(df+0.5)), the tf normalization, the term sum) is
+    mirrored operation-for-operation in the SQL twin, so the e6
+    floor hashes bit-exact; math.log == DuckDB ln."""
+    import math
+
+    TERMS = ["scan", "merge", "vector"]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(bt: pa.Table) -> pa.Table:
+        live = bt.filter(pc.is_valid(bt["text"]))
+        txt = live["text"]
+        w = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        row = {"n": pa.array([live.num_rows], pa.int64()),
+               "s": pa.array([int(w.sum())], pa.int64())}
+        for i, term in enumerate(TERMS):
+            tf = pc.count_substring_regex(txt, rf"\b{term}\b") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            row[f"df{i}"] = pa.array([int((tf > 0).sum())],
+                                     pa.int64())
+        return pa.table(row)
+
+    n = s = 0
+    df = [0] * len(TERMS)
+    for bt in ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in (pa.Table.from_batches([bt]) if isinstance(
+                bt, pa.RecordBatch) else bt).to_pylist():
+            n += r["n"]
+            s += r["s"]
+            for i in range(len(TERMS)):
+                df[i] += r[f"df{i}"]
+    avgdl = s / n
+    idf = [math.log(1 + (n - df[i] + 0.5) / (df[i] + 0.5))
+           for i in range(len(TERMS))]
+
+    def score(bt: pa.Table) -> pa.Table:
+        live = bt.filter(pc.is_valid(bt["text"]))
+        txt = live["text"]
+        dl = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = dl / avgdl
+        total = np.zeros(len(dl), np.float64)
+        any_hit = np.zeros(len(dl), bool)
+        for i, term in enumerate(TERMS):
+            tf = pc.count_substring_regex(txt, rf"\b{term}\b") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            any_hit |= tf > 0
+            total = total + idf[i] * (
+                (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ratio)))
+        out = pa.table({
+            "doc_id": live["doc_id"],
+            "score_e6": pa.array(np.floor(total * 1e6 + 0.5)
+                                 .astype(np.int64))})
+        return out.filter(pa.array(any_hit))
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("score_e6", pa.int64())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_orders_benford(sf_dir: str):
     """Benford leading-digit profile of o_totalprice — the classic
     synthetic-data / fraud screen a data-quality pass reports.
@@ -6429,6 +6501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_price_quartiles":
             q_lineitem_weighted_price_quartiles,
         "docs_readability": q_docs_readability,
+        "docs_bm25": q_docs_bm25,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7036,6 +7109,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) FILTER (WHERE 4 * cum >= 3 * tot)
                         AS BIGINT) AS wp75_e2
             FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_bm25": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, '\S+'))
+                            AS BIGINT) AS dl,
+                       CAST(length(regexp_extract_all(
+                            text, '\bscan\b')) AS BIGINT) AS tf0,
+                       CAST(length(regexp_extract_all(
+                            text, '\bmerge\b')) AS BIGINT) AS tf1,
+                       CAST(length(regexp_extract_all(
+                            text, '\bvector\b')) AS BIGINT) AS tf2
+                FROM documents WHERE text IS NOT NULL
+            ), st AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS s,
+                       CAST(count(*) FILTER (WHERE tf0 > 0)
+                            AS BIGINT) AS df0,
+                       CAST(count(*) FILTER (WHERE tf1 > 0)
+                            AS BIGINT) AS df1,
+                       CAST(count(*) FILTER (WHERE tf2 > 0)
+                            AS BIGINT) AS df2
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(floor((
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                         * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25
+                            + 0.75 * (dl / (CAST(s AS DOUBLE) / n)))))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                         * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25
+                            + 0.75 * (dl / (CAST(s AS DOUBLE) / n)))))
+                     + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                         * ((tf2 * 2.2) / (tf2 + 1.2 * (0.25
+                            + 0.75 * (dl / (CAST(s AS DOUBLE) / n)))))
+                   ) * 1e6 + 0.5) AS BIGINT) AS score_e6
+            FROM d, st
+            WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+            ORDER BY doc_id
         """,
         "docs_readability": r"""
             SELECT doc_id,
