@@ -131,6 +131,14 @@ EXTRA_QUERIES = [
     "events_value_interp",     # linear imputation, 4 LOCF passes
     "events_session_assignment",  # lag + LOCF session lineage tag
     "lineitem_weighted_median_price",  # exact weighted median
+    "big_quantity_orders",     # Q18 HAVING gate on sorted partials
+    "transcript_turn_integrity",  # north-rule turn ordering, oracled
+    "orders_benford",          # leading-digit DQ screen
+    "user_cum_distinct_types",  # expanding distinct via first flags
+    "docs_scd2",               # SCD2 validity intervals, one lead pass
+    "lineitem_weighted_price_quartiles",  # 3 quantiles, one sort
+    "docs_readability",        # 3 RE2 kernels + mirrored float score
+    "docs_bm25",               # 2-pass BM25: int stats + scoring scan
 ]
 
 
