@@ -6204,6 +6204,72 @@ def q_docs_readability(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_small_quantity_part_revenue(sf_dir: str):
+    """TPC-H Q17-flavored correlated-aggregate gate: revenue from
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The correlated avg never becomes a float: qty <
+    0.2 * (sum/cnt) rewrites to the ALL-INTEGER 5*qty*cnt < sum
+    (cnt > 0, quantities e2 fixed point), so both sides hash
+    bit-exact. Composition: per-block part partials -> ONE part-sized
+    aggregate broadcast once (ray.put + index_in — part cardinality
+    is dimension-like; a fact-fact sort-merge join is the documented
+    fallback if parts ever outgrow worker heap) -> stateless filter
+    scan reduced to per-block (revenue, n) partials summed
+    driver-side. Output is ONE row."""
+    import ray
+
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty_e2": pa.array(np.floor(q * 100 + 0.5)
+                               .astype(np.int64)),
+            "price_e2": pa.array(np.floor(e * 100 + 0.5)
+                                 .astype(np.int64))})
+
+    fps = li.map_batches(fp, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    totals = grouped_aggregate(
+        fps, ["l_partkey"], [("qty_e2", "sum"), (None, "count")])
+    tot_ref = ray.put(pa.table({
+        "l_partkey": totals["l_partkey"],
+        "sq": pc.cast(totals["qty_e2_sum"], pa.int64()),
+        "c": pc.cast(totals["rows_count"], pa.int64())}))
+
+    def gate(b: pa.Table) -> pa.Table:
+        t = ray.get(tot_ref)
+        idx = pc.index_in(b["l_partkey"].combine_chunks(),
+                          value_set=t["l_partkey"].combine_chunks())
+        sq = t["sq"].combine_chunks().take(idx) \
+            .to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().take(idx) \
+            .to_numpy(zero_copy_only=False)
+        qty = b["qty_e2"].to_numpy(zero_copy_only=False)
+        price = b["price_e2"].to_numpy(zero_copy_only=False)
+        ok = 5 * qty * c < sq
+        return pa.table({
+            "revenue_e2": pa.array([int(price[ok].sum())],
+                                   pa.int64()),
+            "n": pa.array([int(ok.sum())], pa.int64())})
+
+    rev = n = 0
+    for bt in fps.map_batches(gate, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in (pa.Table.from_batches([bt]) if isinstance(
+                bt, pa.RecordBatch) else bt).to_pylist():
+            rev += r["revenue_e2"]
+            n += r["n"]
+    return pa.table({"revenue_e2": pa.array([rev], pa.int64()),
+                     "n": pa.array([n], pa.int64())})
+
+
 def q_docs_bm25(sf_dir: str):
     """BM25 ranking of the corpus for a fixed query (k1=1.2,
     b=0.75) — the search-scoring sibling of tfidf_top_terms. Two
@@ -6502,6 +6568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q_lineitem_weighted_price_quartiles,
         "docs_readability": q_docs_readability,
         "docs_bm25": q_docs_bm25,
+        "small_quantity_part_revenue": q_small_quantity_part_revenue,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7109,6 +7176,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) FILTER (WHERE 4 * cum >= 3 * tot)
                         AS BIGINT) AS wp75_e2
             FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "small_quantity_part_revenue": """
+            WITH s AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sq,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(coalesce(sum(CAST(floor(
+                       l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue_e2,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+            WHERE 5 * CAST(floor(l.l_quantity * 100 + 0.5)
+                      AS BIGINT) * s.c < s.sq
         """,
         "docs_bm25": r"""
             WITH d AS (

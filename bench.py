@@ -139,6 +139,7 @@ EXTRA_QUERIES = [
     "lineitem_weighted_price_quartiles",  # 3 quantiles, one sort
     "docs_readability",        # 3 RE2 kernels + mirrored float score
     "docs_bm25",               # 2-pass BM25: int stats + scoring scan
+    "small_quantity_part_revenue",  # Q17 all-integer correlated gate
 ]
 
 
