@@ -6204,6 +6204,68 @@ def q_docs_readability(sf_dir: str):
     return _collect(out, schema).sort_by([("doc_id", "ascending")])
 
 
+def q_docs_lang_imputed(sf_dir: str):
+    """Categorical imputation by group mode — fill a masked ``lang``
+    (every doc_id % 13 == 0 plays missing, the derived-corruption
+    precedent) with the MODAL lang of the doc's source, ties to the
+    smallest lang. (source, lang) counts are a driver-merged
+    combiner aggregate (sources x langs is tiny by construction —
+    alphabet-sized, not corpus-sized); the winner-per-source table
+    broadcasts once and the fill is a stateless index_in + if_else
+    scan. Sources whose every row is masked stay NULL."""
+    import ray
+
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        missing = pa.array(ids % 13 == 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang": pc.if_else(missing,
+                               pa.scalar(None, pa.string()),
+                               b["lang"]),
+            "source": b["source"]})
+
+    masked = ds.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    counts = grouped_aggregate(
+        masked.map_batches(
+            lambda b: b.filter(pc.and_(pc.is_valid(b["lang"]),
+                                       pc.is_valid(b["source"])))
+            .select(["source", "lang"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"], [(None, "count")], driver_merge=True)
+    mode: dict = {}
+    for r in counts.to_pylist():
+        cur = mode.get(r["source"])
+        cand = (-r["rows_count"], r["lang"])
+        if cur is None or cand < cur:
+            mode[r["source"]] = cand
+    src = pa.array(list(mode.keys()), pa.string())
+    win = pa.array([v[1] for v in mode.values()], pa.string())
+    ref = ray.put((src, win))
+
+    def fill(b: pa.Table) -> pa.Table:
+        s, w = ray.get(ref)
+        idx = pc.index_in(b["source"].combine_chunks(), value_set=s)
+        imput = pc.take(w, idx)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "lang_filled": pc.if_else(pc.is_valid(b["lang"]),
+                                      b["lang"], imput)})
+
+    out = masked.map_batches(fill, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("lang_filled", pa.string())])
+    return _collect(out, schema).sort_by([("doc_id", "ascending")])
+
+
 def q_small_quantity_part_revenue(sf_dir: str):
     """TPC-H Q17-flavored correlated-aggregate gate: revenue from
     lineitems whose quantity is below 20% of their part's average
@@ -6569,6 +6631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": q_docs_readability,
         "docs_bm25": q_docs_bm25,
         "small_quantity_part_revenue": q_small_quantity_part_revenue,
+        "docs_lang_imputed": q_docs_lang_imputed,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7176,6 +7239,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(v) FILTER (WHERE 4 * cum >= 3 * tot)
                         AS BIGINT) AS wp75_e2
             FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_lang_imputed": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN NULL
+                            ELSE lang END AS lang,
+                       source
+                FROM documents
+            ), c AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                FROM d
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY source, lang
+            ), m AS (
+                SELECT source, lang AS mode_lang FROM (
+                    SELECT source, lang,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY c DESC, lang) AS rn
+                    FROM c) WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(d.lang, m.mode_lang) AS lang_filled
+            FROM d LEFT JOIN m ON d.source = m.source
+            ORDER BY d.doc_id
         """,
         "small_quantity_part_revenue": """
             WITH s AS (

@@ -140,6 +140,7 @@ EXTRA_QUERIES = [
     "docs_readability",        # 3 RE2 kernels + mirrored float score
     "docs_bm25",               # 2-pass BM25: int stats + scoring scan
     "small_quantity_part_revenue",  # Q17 all-integer correlated gate
+    "docs_lang_imputed",       # group-mode categorical imputation
 ]
 
 
