@@ -6545,6 +6545,229 @@ def q_big_quantity_orders(sf_dir: str):
         [("l_orderkey", "ascending")])
 
 
+def q_transcript_boilerplate_turns(sf_dir: str):
+    """Cross-conversation boilerplate-turn detection over the
+    transcript corpus: turn texts appearing in >= 3 DISTINCT
+    conversations, with how many conversations and turns carry them —
+    the transcript-side analogue of docs_line_dedup (repeated-line
+    boilerplate), feeding a dedup/scrub decision. Two-stage shape,
+    both stages fronted by per-block Arrow combiners so the exchanges
+    ship (text, conv)-grain and text-grain rows, never raw turns:
+    (1) groupby (text, conv_id) summing the per-block pair counts,
+    (2) groupby text counting surviving pairs (= distinct convs) and
+    summing turns. Null texts group like SQL (their own group)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate, safe_groupby_aggregate)
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(files, columns=["conv_id", "text"])
+
+    def pair_combine(b: pa.Table) -> pa.Table:
+        t = b.append_column("__n", pa.array(
+            np.ones(b.num_rows, np.int64)))
+        g = safe_groupby_aggregate(t, ["text", "conv_id"],
+                                   [("__n", "sum")])
+        return g.rename_columns(["text", "conv_id", "__n"])
+
+    pairs = null_safe_grouped_aggregate(
+        ds.map_batches(pair_combine, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["text", "conv_id"], [Sum("__n", alias_name="__n")], ["__n"])
+
+    def conv_combine(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "text": b["text"],
+            "__c": pa.array(np.ones(b.num_rows, np.int64)),
+            "__n": pc.cast(b["__n"], pa.int64())})
+        g = safe_groupby_aggregate(t, ["text"],
+                                   [("__c", "sum"), ("__n", "sum")])
+        return g.rename_columns(["text", "__c", "__n"])
+
+    per_text = null_safe_grouped_aggregate(
+        pairs.map_batches(conv_combine, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["text"], [Sum("__c", alias_name="__c"),
+                   Sum("__n", alias_name="__n")], ["__c", "__n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "text": b["text"],
+            "n_convs": pc.cast(b["__c"], pa.int64()),
+            "n_turns": pc.cast(b["__n"], pa.int64())})
+        return t.filter(pc.greater_equal(t["n_convs"], 3))
+
+    out = per_text.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    schema = pa.schema([("text", pa.string()),
+                        ("n_convs", pa.int64()),
+                        ("n_turns", pa.int64())])
+    return _collect(out, schema)
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-flavored customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero bucket the
+    left outer join exists for. Shape: one distributed groupby
+    collapses the fact table to customer grain (per-block combiner
+    first), a per-block histogram combiner reduces that grain to
+    (c_count, n) partials, and the driver merges the tiny histogram.
+    The zero bucket is total customers (dimension-sized count) minus
+    the distinct custkeys seen — no join at all."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate, safe_groupby_aggregate)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        t = b.append_column("__n", pa.array(
+            np.ones(b.num_rows, np.int64)))
+        g = safe_groupby_aggregate(t, ["o_custkey"], [("__n", "sum")])
+        return g.rename_columns(["o_custkey", "__n"])
+
+    per_cust = null_safe_grouped_aggregate(
+        orders.map_batches(ones, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"], [Sum("__n", alias_name="__n")], ["__n"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        c = pc.cast(b["__n"], pa.int64())
+        t = pa.table({"c_count": c, "__h": pa.array(
+            np.ones(len(c), np.int64))})
+        g = pa.TableGroupBy(t, ["c_count"]).aggregate([("__h", "sum")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    partials = _collect(
+        per_cust.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]))
+    merged = pa.TableGroupBy(partials, ["c_count"]).aggregate(
+        [("custdist", "sum")]).rename_columns(["c_count", "custdist"])
+    n_cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"]).num_rows
+    n_zero = n_cust - int(pc.sum(merged["custdist"]).as_py() or 0)
+    if n_zero > 0:
+        merged = pa.concat_tables([merged, pa.table({
+            "c_count": pa.array([0], pa.int64()),
+            "custdist": pa.array([n_zero], pa.int64())})])
+    return merged.sort_by([("c_count", "ascending")])
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14-flavored promo revenue share: the percentage of
+    discounted lineitem revenue from PROMO-type parts. The part
+    dimension broadcasts ONCE as a (p_partkey -> is_promo) lookup
+    (ray.put, read per actor batch via pc.index_in); the lineitem
+    scan fixed-points revenue per row (e4 BIGINT) and each block
+    ships exactly one (promo, total) partial row; the driver sum and
+    the final share are Python-int exact (== DuckDB HUGEINT //)."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(
+        pc.equal(part["p_type"], "PROMO"))["p_partkey"].combine_chunks()
+    handle = ray.put(promo_keys)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(handle)
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.floor(e * 100 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        is_promo = pc.is_valid(pc.index_in(b["l_partkey"],
+                                           value_set=keys))
+        pm = is_promo.to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "promo_e4": pa.array([int(rev[pm].sum())], pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64())})
+
+    partials = _collect(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        pa.schema([("promo_e4", pa.int64()), ("total_e4", pa.int64())]))
+    promo = int(pc.sum(partials["promo_e4"]).as_py() or 0)
+    total = int(pc.sum(partials["total_e4"]).as_py() or 0)
+    share_e6 = 100 * promo * 1_000_000 // total if total else 0
+    return pa.table({
+        "promo_e4": pa.array([promo], pa.int64()),
+        "total_e4": pa.array([total], pa.int64()),
+        "promo_share_e6": pa.array([share_e6], pa.int64())})
+
+
+def q_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22-flavored dormant high-balance customers: per nation,
+    count and total balance of customers with above-average positive
+    account balance and NO RECENT orders (none since 2001-01-01 —
+    plain "no orders ever" is vacuous on this corpus, every customer
+    has some). The average comparison is the integer cross-multiply
+    acctbal_e2 * n_pos > sum_pos_e2 (no float division on either
+    side); the "no recent orders" side filters orders to the window
+    in-scan and broadcast-anti-joins (distinct recent custkeys are
+    customer-dimension-bounded); the final nation-grain aggregate is
+    a per-block combiner + one tiny driver merge."""
+    from json_schema_ray.engine.relational import (
+        anti_join, grouped_aggregate)
+
+    cust_t = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_acctbal"])
+    bal = cust_t["c_acctbal"].to_numpy(zero_copy_only=False)
+    pos = bal[bal > 0.0]
+    n_pos = int(pos.size)
+    sum_pos_e2 = int(np.floor(pos * 100 + 0.5).astype(np.int64).sum())
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        e2 = np.floor(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+            + 0.5).astype(np.int64)
+        keep = e2 * n_pos > sum_pos_e2
+        t = b.append_column("bal_e2", pa.array(e2))
+        return t.filter(pa.array(keep))
+
+    cutoff = datetime.datetime(2001, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(
+            b["o_orderdate"], pa.scalar(cutoff))).select(["o_custkey"])
+
+    dormant = anti_join(
+        cust.map_batches(rich, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        orders.map_batches(recent, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "c_custkey", "o_custkey")
+    t = grouped_aggregate(
+        dormant, ["c_nationkey"],
+        [(None, "count"), ("bal_e2", "sum")], driver_merge=True)
+    if t is None:
+        return pa.table({"nationkey": pa.array([], pa.int64()),
+                         "numcust": pa.array([], pa.int64()),
+                         "totacctbal_e2": pa.array([], pa.int64())})
+    return pa.table({
+        "nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        "numcust": pc.cast(t["rows_count"], pa.int64()),
+        "totacctbal_e2": pc.cast(t["bal_e2_sum"], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -6632,6 +6855,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": q_docs_bm25,
         "small_quantity_part_revenue": q_small_quantity_part_revenue,
         "docs_lang_imputed": q_docs_lang_imputed,
+        "transcript_boilerplate_turns": q_transcript_boilerplate_turns,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "global_sales_opportunity": q_global_sales_opportunity,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7437,6 +7664,67 @@ def oracle_sql() -> dict[str, str]:
             HAVING CAST(SUM(CAST(floor(l_quantity * 100 + 0.5)
                                  AS BIGINT)) AS BIGINT) >= 20000
             ORDER BY l_orderkey
+        """,
+        "transcript_boilerplate_turns": f"""
+            WITH p AS (
+                SELECT text, conv_id, CAST(count(*) AS BIGINT) AS n
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                GROUP BY text, conv_id)
+            SELECT text, CAST(count(*) AS BIGINT) AS n_convs,
+                   CAST(sum(n) AS BIGINT) AS n_turns
+            FROM p GROUP BY text
+            HAVING count(*) >= 3
+        """,
+        "customer_order_distribution": """
+            WITH c AS (
+                SELECT c_custkey,
+                       CAST(count(o_orderkey) AS BIGINT) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM c GROUP BY c_count
+            ORDER BY c_count
+        """,
+        "promo_revenue_share": """
+            WITH e AS (
+                SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev_e4,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+            s AS (
+                SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                                     THEN rev_e4 ELSE 0 END)
+                            AS BIGINT) AS promo_e4,
+                       CAST(sum(rev_e4) AS BIGINT) AS total_e4
+                FROM e)
+            SELECT promo_e4, total_e4,
+                   CAST(CAST(promo_e4 AS HUGEINT) * 100 * 1000000
+                        // CAST(total_e4 AS HUGEINT)
+                        AS BIGINT) AS promo_share_e6
+            FROM s
+        """,
+        "global_sales_opportunity": """
+            WITH s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_pos
+                FROM customer WHERE c_acctbal > 0.0)
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(floor(c_acctbal * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       AS totacctbal_e2
+            FROM customer, s
+            WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * s.n_pos > s.sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2001-01-01')
+            GROUP BY c_nationkey
         """,
         "docs_cdc_merge": """
             WITH ops AS (
