@@ -6768,6 +6768,236 @@ def q_global_sales_opportunity(sf_dir: str):
         "totacctbal_e2": pc.cast(t["bal_e2_sum"], pa.int64())})
 
 
+def q_purchase_attribution(sf_dir: str):
+    """First-touch attribution: every purchase event credits the
+    FIRST event type of its (user, 30-min-gap) session — the
+    composition a marketing/agent-behavior pipeline runs after
+    sessionization. Same LAG + LOCF realization as
+    events_session_assignment, except the forward-filled payload is
+    the session-opening event TYPE (grouped_forward_fill fills
+    strings as naturally as numerics); purchases then collapse
+    through a per-block combiner into a 5-row attribution table.
+    Values ride e4 fixed point, null values count as 0 on both
+    sides."""
+    from json_schema_ray.engine.rank import (grouped_forward_fill,
+                                             lag_column)
+    from json_schema_ray.engine.relational import (
+        _int64_us, grouped_aggregate)
+
+    gap_us = 1_800_000_000
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        ve = np.floor(np.where(np.isnan(v), 0.0, v) * 1e4
+                      + 0.5).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "tu": _int64_us(b["ts"]),
+                         "event_type": b["event_type"],
+                         "ve": pa.array(ve)})
+
+    lagged = lag_column(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "user_id", "tu", value="tu", tiebreak="event_id",
+        out="__prev")
+
+    def mark(b: pa.Table) -> pa.Table:
+        new = pc.or_kleene(
+            pc.is_null(b["__prev"]),
+            pc.greater(pc.subtract(b["tu"], b["__prev"]),
+                       pa.scalar(gap_us, pa.int64())))
+        ft = pc.if_else(pc.fill_null(new, True), b["event_type"],
+                        pa.scalar(None, pa.string()))
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"], "tu": b["tu"],
+                         "event_type": b["event_type"],
+                         "ve": b["ve"], "__ft": ft})
+
+    filled = grouped_forward_fill(
+        lagged.map_batches(mark, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        "user_id", "tu", "__ft", "event_id", out="first_touch")
+
+    def purchases(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({"first_touch": t["first_touch"],
+                         "ve": t["ve"]})
+
+    t = grouped_aggregate(
+        filled.map_batches(purchases, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["first_touch"], [(None, "count"), ("ve", "sum")],
+        driver_merge=True)
+    if t is None:
+        return pa.table({"first_touch": pa.array([], pa.string()),
+                         "n_purchases": pa.array([], pa.int64()),
+                         "value_e4": pa.array([], pa.int64())})
+    return pa.table({
+        "first_touch": t["first_touch"],
+        "n_purchases": pc.cast(t["rows_count"], pa.int64()),
+        "value_e4": pc.cast(t["ve_sum"], pa.int64())})
+
+
+def q_transcript_context_overflow(sf_dir: str):
+    """Context-budget enforcement over transcripts: per conversation,
+    the first turn_idx at which the running character total (turns
+    taken in turn_idx order) exceeds a 2,000-char context budget —
+    the truncation point a context-window packer needs, plus the
+    conversation's turn_idx count. Ill-formed NULL-turn_idx rows are
+    excluded on both sides (they're surfaced by
+    transcript_turn_integrity, not here). Shape: per-block
+    (conv, turn_idx) combiner -> one grouped sum (ties collapse so
+    the running order is well-defined), one keyed cumulative_sum
+    (O(blocks) carries), one conv-grain count+min aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.engine.rank import cumulative_sum
+    from json_schema_ray.engine.relational import (
+        grouped_aggregate, null_safe_grouped_aggregate,
+        safe_groupby_aggregate)
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    budget = 2000
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "turn_idx", "text"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["turn_idx"]))
+        t = pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "__ch": pc.cast(pc.fill_null(
+                pc.utf8_length(b["text"]), 0), pa.int64())})
+        g = safe_groupby_aggregate(t, ["conv_id", "turn_idx"],
+                                   [("__ch", "sum")])
+        return g.rename_columns(["conv_id", "turn_idx", "__ch"])
+
+    per_turn = null_safe_grouped_aggregate(
+        ds.map_batches(combine, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["conv_id", "turn_idx"], [Sum("__ch", alias_name="__ch")],
+        ["__ch"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        # (conv, turn_idx) is unique after the grouped sum; the
+        # machinery still needs a DISTINCT tiebreak column name
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            "__tb": b["turn_idx"],
+            "__ch": pc.cast(b["__ch"], pa.int64())})
+
+    cum = cumulative_sum(
+        per_turn.map_batches(to_int, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "conv_id", "turn_idx", "__ch", "__tb")
+
+    def mark(b: pa.Table) -> pa.Table:
+        over = pc.greater(b["running_sum"],
+                          pa.scalar(float(budget)))
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "__over_turn": pc.if_else(over, b["turn_idx"],
+                                      pa.scalar(None, pa.int64()))})
+
+    t = grouped_aggregate(
+        cum.map_batches(mark, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["conv_id"], [(None, "count"), ("__over_turn", "min")])
+    if t is None:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_turn_idx": pa.array([], pa.int64()),
+                         "first_overflow": pa.array([], pa.int64())})
+    return pa.table({
+        "conv_id": t["conv_id"],
+        "n_turn_idx": pc.cast(t["rows_count"], pa.int64()),
+        "first_overflow": pc.cast(t["__over_turn_min"], pa.int64())})
+
+
+def q_transcript_packing(sf_dir: str):
+    """Conversation-atomic sequence packing: conversations (taken in
+    conv-number order — the id's digits, unique across both id
+    spellings in the corpus) pack
+    contiguously into 8,192-char training sequences, each
+    conversation reporting the sequences it spans and its offset in
+    the first — docs_pack_contiguous lifted to the transcript corpus,
+    where the atom is a whole conversation, never a split turn.
+    Conv sizes come from one combiner-fronted grouped sum; packing
+    is the one-sort + O(blocks)-carry pack_contiguous scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.engine.relational import (
+        null_safe_grouped_aggregate, safe_groupby_aggregate)
+    from json_schema_ray.engine.window import pack_contiguous
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(files, columns=["conv_id", "text"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": b["conv_id"],
+            "__ch": pc.cast(pc.fill_null(
+                pc.utf8_length(b["text"]), 0), pa.int64())})
+        g = safe_groupby_aggregate(t, ["conv_id"], [("__ch", "sum")])
+        return g.rename_columns(["conv_id", "__ch"])
+
+    per_conv = null_safe_grouped_aggregate(
+        ds.map_batches(combine, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["conv_id"], [Sum("__ch", alias_name="__ch")], ["__ch"])
+
+    def order_key(b: pa.Table) -> pa.Table:
+        # ids mix 'conv-%08d' and 'conversation-%d' spellings and a
+        # conv number can appear under BOTH (id-format violations),
+        # so the unique stream order is (digits, spelling) packed
+        # into one int: digits*2 + alt-spelling bit
+        num = pc.cast(pc.replace_substring_regex(
+            b["conv_id"], pattern="[^0-9]", replacement=""),
+            pa.int64())
+        alt = pc.cast(pc.starts_with(b["conv_id"], "conversation-"),
+                      pa.int64())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "cid": pc.add(pc.multiply(num, pa.scalar(2, pa.int64())),
+                          alt),
+            "n_chars": pc.cast(b["__ch"], pa.int64())})
+
+    out = pack_contiguous(
+        per_conv.map_batches(order_key, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        "cid", "n_chars", 8192)
+
+    def fin(b: pa.Table) -> pa.Table:
+        # pack_contiguous projects to its (order, size) contract;
+        # the numeric conv id IS the key on both sides
+        t = b.select(["cid", "n_chars", "pack_first",
+                      "pack_last", "pack_offset"])
+        return t.rename_columns(["conv_num", "n_chars", "pack_first",
+                                 "pack_last", "pack_offset"])
+
+    schema = pa.schema([("conv_num", pa.int64()),
+                        ("n_chars", pa.int64()),
+                        ("pack_first", pa.int64()),
+                        ("pack_last", pa.int64()),
+                        ("pack_offset", pa.int64())])
+    return _collect(out.map_batches(fin, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -6859,6 +7089,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": q_customer_order_distribution,
         "promo_revenue_share": q_promo_revenue_share,
         "global_sales_opportunity": q_global_sales_opportunity,
+        "purchase_attribution": q_purchase_attribution,
+        "transcript_context_overflow": q_transcript_context_overflow,
+        "transcript_packing": q_transcript_packing,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7725,6 +7958,77 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey
+        """,
+        "transcript_context_overflow": f"""
+            WITH t AS (
+              SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                     CAST(sum(coalesce(length(text), 0)) AS BIGINT)
+                         AS ch
+              FROM read_parquet('{_protocol_corpus_glob()}')
+              WHERE turn_idx IS NOT NULL
+              GROUP BY conv_id, turn_idx),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     sum(ch) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx) AS cum
+              FROM t)
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turn_idx,
+                   CAST(min(turn_idx) FILTER (WHERE cum > 2000)
+                        AS BIGINT) AS first_overflow
+            FROM c GROUP BY conv_id
+        """,
+        "transcript_packing": f"""
+            WITH s AS (
+              SELECT conv_id,
+                     CAST(regexp_replace(conv_id, '[^0-9]', '', 'g')
+                          AS BIGINT) * 2
+                     + CASE WHEN conv_id LIKE 'conversation-%'
+                            THEN 1 ELSE 0 END AS cid,
+                     CAST(sum(coalesce(length(text), 0)) AS BIGINT)
+                         AS n_chars
+              FROM read_parquet('{_protocol_corpus_glob()}')
+              GROUP BY conv_id),
+            r AS (
+              SELECT cid, n_chars,
+                     sum(n_chars) OVER (ORDER BY cid) AS run
+              FROM s WHERE n_chars > 0)
+            SELECT cid AS conv_num, n_chars,
+                   CAST((run - n_chars) // 8192 AS BIGINT)
+                       AS pack_first,
+                   CAST((run - 1) // 8192 AS BIGINT) AS pack_last,
+                   CAST((run - n_chars) % 8192 AS BIGINT)
+                       AS pack_offset
+            FROM r
+        """,
+        "purchase_attribution": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS tu,
+                     event_type,
+                     CAST(floor(CAST(coalesce(value, 0) AS DOUBLE)
+                                * 1e4 + 0.5) AS BIGINT) AS ve
+              FROM events),
+            l AS (
+              SELECT *, lag(tu) OVER (PARTITION BY user_id
+                                      ORDER BY tu, event_id) AS prev
+              FROM e),
+            m AS (
+              SELECT *, CASE WHEN prev IS NULL
+                                  OR tu - prev > 1800000000
+                             THEN event_type END AS ft
+              FROM l),
+            f AS (
+              SELECT event_type, ve,
+                     last_value(ft IGNORE NULLS)
+                         OVER (PARTITION BY user_id
+                               ORDER BY tu, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS first_touch
+              FROM m)
+            SELECT first_touch,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(ve) AS BIGINT) AS value_e4
+            FROM f WHERE event_type = 'purchase'
+            GROUP BY first_touch
         """,
         "docs_cdc_merge": """
             WITH ops AS (
