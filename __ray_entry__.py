@@ -9385,7 +9385,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_docs_norm_key": """
             SELECT nfc_normalize(lower(trim(regexp_replace(
-                     text, '\s+', ' ', 'g')))) AS norm_text,
+                     text, '\\s+', ' ', 'g')))) AS norm_text,
                    min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,

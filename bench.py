@@ -141,6 +141,13 @@ EXTRA_QUERIES = [
     "docs_bm25",               # 2-pass BM25: int stats + scoring scan
     "small_quantity_part_revenue",  # Q17 all-integer correlated gate
     "docs_lang_imputed",       # group-mode categorical imputation
+    "transcript_boilerplate_turns",  # cross-conv repeated-turn scrub
+    "customer_order_distribution",   # Q13 zero-bucket histogram
+    "promo_revenue_share",     # Q14 broadcast flag + one-row partials
+    "global_sales_opportunity",  # Q22 windowed broadcast anti-join
+    "purchase_attribution",    # first-touch credit via lag + LOCF
+    "transcript_context_overflow",  # context-budget truncation point
+    "transcript_packing",      # conversation-atomic stream packing
 ]
 
 
