@@ -6998,6 +6998,22 @@ def q_transcript_packing(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_embedding_quantization(sf_dir: str):
+    """int8-style scalar-quantization audit of the embedding corpus
+    (engine/similarity.py embedding_quantization_stats): per-dim
+    min/max calibration range, quantized-code sum and total absolute
+    reconstruction error of a 254-level uniform quantizer — the
+    compression/recall tradeoff statistic an ANN index build needs.
+    Integer-exact end to end (e6 fixed point, round-half-up
+    rationals), so the audit hash-matches the SQL twin."""
+    from json_schema_ray.engine.similarity import \
+        embedding_quantization_stats
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_quantization_stats(ds) \
+        .sort_by([("dim", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -7092,6 +7108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": q_purchase_attribution,
         "transcript_context_overflow": q_transcript_context_overflow,
         "transcript_packing": q_transcript_packing,
+        "embedding_quantization": q_embedding_quantization,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7958,6 +7975,36 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey
+        """,
+        "embedding_quantization": """
+            WITH e AS (
+              SELECT CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS xi, i
+              FROM (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i
+                    FROM embeddings)
+              WHERE x IS NOT NULL
+            ), m AS (
+              SELECT i, min(xi) AS mn, max(xi) AS mx,
+                     max(xi) - min(xi) AS rng
+              FROM e GROUP BY i
+            ), q AS (
+              SELECT e.i, mn, mx, rng, xi,
+                     CASE WHEN rng > 0
+                          THEN ((xi - mn) * 508 + rng) // (2 * rng)
+                          ELSE 0 END AS code
+              FROM e JOIN m ON e.i = m.i
+            ), r AS (
+              SELECT i, mn, mx, code,
+                     abs(xi - (mn + (code * rng * 2 + 254) // 508))
+                         AS err
+              FROM q)
+            SELECT CAST(i AS BIGINT) AS dim,
+                   CAST(mn AS BIGINT) AS mn_e6,
+                   CAST(mx AS BIGINT) AS mx_e6,
+                   CAST(sum(code) AS BIGINT) AS q_sum,
+                   CAST(sum(err) AS BIGINT) AS abs_err_e6
+            FROM r GROUP BY i, mn, mx
         """,
         "transcript_context_overflow": f"""
             WITH t AS (

@@ -1170,3 +1170,124 @@ def embedding_cross_pairs(ds_query, ds_ref, threshold: float = 0.45,
 
     return ds_query.map_batches(probe, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def embedding_quantization_stats(ds, embedding_column: str = "embedding",
+                                 scale: int = 10 ** 6,
+                                 levels: int = 254):
+    """Per-dimension int8-style scalar quantization audit: min/max
+    calibration range plus the quantized-code sum and the total
+    absolute reconstruction error a ``levels``-level uniform
+    quantizer (the int8 ANN-compression standard) would incur.
+    Entirely integer-exact: elements quantize to ``floor(x * scale +
+    0.5)`` int64 first, the code is ``((xi-mn)*levels*2 + rng) //
+    (2*rng)`` (round-half-up on exact rationals) and the
+    reconstruction ``mn + (code*rng*2 + levels) // (2*levels)`` —
+    all operands non-negative so ``//`` == SQL ``//`` == floor,
+    making the audit hash-exact against a DuckDB twin.
+
+    Shape: two block-reduced passes over a materialized input (the
+    calibration min/max must exist before coding; the embedding
+    table is the corpus's small side). Each pass ships d-length
+    integer vectors per block — never row-sized data. NULL
+    embeddings drop; NULL elements drop from their dimension only.
+    Constant dims (rng == 0) code to 0 with 0 error. Returns a
+    driver pyarrow Table (dim 1-based, mn_e6, mx_e6, q_sum,
+    abs_err_e6) — d-sized by construction."""
+    from ray.data.aggregate import AggregateFn
+
+    ds = ds.materialize()
+    imin, imax = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+
+    def acc_range(acc, block: pa.Table):
+        col = block[embedding_column]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return acc
+        m = _batch_matrix(col.filter(pa.array(valid))) \
+            .astype(np.float64)
+        nanmask = np.isnan(m)
+        q = np.floor(np.nan_to_num(m) * scale + 0.5).astype(np.int64)
+        lo = np.where(nanmask, imax, q).min(0)
+        hi = np.where(nanmask, imin, q).max(0)
+        part = (lo.tolist(), hi.tolist())
+        if acc is None:
+            return part
+        if len(acc[0]) != len(part[0]):
+            raise ValueError(
+                f"mixed embedding widths: {len(acc[0])} vs "
+                f"{len(part[0])}")
+        return ([min(x, y) for x, y in zip(acc[0], part[0])],
+                [max(x, y) for x, y in zip(acc[1], part[1])])
+
+    def merge_range(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return ([min(x, y) for x, y in zip(a[0], b[0])],
+                [max(x, y) for x, y in zip(a[1], b[1])])
+
+    res = ds.aggregate(AggregateFn(init=lambda k: None,
+                                   accumulate_block=acc_range,
+                                   merge=merge_range, name="qrange"))
+    rng_st = res["qrange"] if res else None
+    empty = pa.table({"dim": pa.array([], pa.int64()),
+                      "mn_e6": pa.array([], pa.int64()),
+                      "mx_e6": pa.array([], pa.int64()),
+                      "q_sum": pa.array([], pa.int64()),
+                      "abs_err_e6": pa.array([], pa.int64())})
+    if rng_st is None:
+        return empty
+    mn = np.array(rng_st[0], np.int64)
+    mx = np.array(rng_st[1], np.int64)
+    dead = mn > mx                    # no valid value in the dim
+    mn = np.where(dead, 0, mn)
+    mx = np.where(dead, 0, mx)
+    rng = mx - mn
+
+    def acc_code(acc, block: pa.Table):
+        col = block[embedding_column]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return acc
+        m = _batch_matrix(col.filter(pa.array(valid))) \
+            .astype(np.float64)
+        nanmask = np.isnan(m)
+        xi = np.floor(np.nan_to_num(m) * scale + 0.5).astype(np.int64)
+        xi = np.where(nanmask, mn, xi)      # null element -> 0 code
+        safe = np.maximum(rng, 1)
+        code = ((xi - mn) * (2 * levels) + rng) // (2 * safe)
+        code = np.where(rng > 0, code, 0)
+        deq = mn + (code * rng * 2 + levels) // (2 * levels)
+        err = np.abs(xi - deq)
+        err = np.where(nanmask, 0, err)
+        code = np.where(nanmask, 0, code)
+        part = (code.sum(0, dtype=np.int64).tolist(),
+                err.sum(0, dtype=np.int64).tolist())
+        if acc is None:
+            return part
+        return tuple([x + y for x, y in zip(a, b)]
+                     for a, b in zip(acc, part))
+
+    def merge_code(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return tuple([x + y for x, y in zip(p, q)]
+                     for p, q in zip(a, b))
+
+    res2 = ds.aggregate(AggregateFn(init=lambda k: None,
+                                    accumulate_block=acc_code,
+                                    merge=merge_code, name="qcode"))
+    st = res2["qcode"] if res2 else None
+    if st is None:
+        return empty
+    d = len(mn)
+    return pa.table({
+        "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+        "mn_e6": pa.array(mn),
+        "mx_e6": pa.array(mx),
+        "q_sum": pa.array(np.array(st[0], np.int64)),
+        "abs_err_e6": pa.array(np.array(st[1], np.int64))})

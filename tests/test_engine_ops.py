@@ -6639,3 +6639,73 @@ def test_grouped_weighted_quantiles_matches_bruteforce():
                                    [(3, 2)], ["bad"])
     with pytest.raises(ValueError):
         grouped_weighted_quantiles(ds, "k", "v", "w", "tb", [], [])
+
+
+def test_embedding_quantization_matches_duckdb():
+    """int8-style quantization audit vs the SQL twin: NULL vectors
+    drop, NULL elements drop from their dimension only, a CONSTANT
+    dim codes to 0 with 0 error, multi-block range merges stay
+    exact."""
+    import duckdb
+
+    from json_schema_ray.engine.similarity import \
+        embedding_quantization_stats
+
+    rng = np.random.default_rng(23)
+    n, d = 700, 9
+    m = rng.normal(0, 0.7, (n, d))
+    m[:, 4] = 0.125                    # constant dim
+    rows = []
+    for i in range(n):
+        if i % 89 == 0:
+            rows.append(None)          # NULL vector
+            continue
+        v = m[i].tolist()
+        if i % 37 == 0:
+            v[i % d] = None            # NULL element
+        rows.append(v)
+    t = pa.table({"embedding": pa.array(
+        rows, pa.list_(pa.float32()))})
+    want = sorted(duckdb.sql(
+        """WITH e AS (
+               SELECT CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT) AS xi, i
+               FROM (SELECT unnest(embedding) AS x,
+                            generate_subscripts(embedding, 1) AS i
+                     FROM t)
+               WHERE x IS NOT NULL),
+            m AS (SELECT i, min(xi) AS mn, max(xi) AS mx,
+                         max(xi) - min(xi) AS rng
+                  FROM e GROUP BY i),
+            q AS (SELECT e.i, mn, mx, rng, xi,
+                         CASE WHEN rng > 0
+                              THEN ((xi - mn) * 508 + rng)
+                                   // (2 * rng)
+                              ELSE 0 END AS code
+                  FROM e JOIN m ON e.i = m.i),
+            r AS (SELECT i, mn, mx, code,
+                         abs(xi - (mn + (code * rng * 2 + 254)
+                                   // 508)) AS err
+                  FROM q)
+            SELECT CAST(i AS BIGINT), CAST(mn AS BIGINT),
+                   CAST(mx AS BIGINT), CAST(sum(code) AS BIGINT),
+                   CAST(sum(err) AS BIGINT)
+            FROM r GROUP BY i, mn, mx""").fetchall())
+    ds = _ray().data.from_arrow(t).repartition(7)
+    out = embedding_quantization_stats(ds)
+    got = sorted(zip(out["dim"].to_pylist(), out["mn_e6"].to_pylist(),
+                     out["mx_e6"].to_pylist(), out["q_sum"].to_pylist(),
+                     out["abs_err_e6"].to_pylist()))
+    assert [tuple(r) for r in want] == got
+    # codes of a 254-level quantizer stay in [0, 254]
+    row4 = [g for g in got if g[0] == 5][0]
+    assert row4[1] == row4[2] and row4[4] == 0  # constant dim
+
+
+def test_embedding_quantization_empty():
+    from json_schema_ray.engine.similarity import \
+        embedding_quantization_stats
+
+    e = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+    out = embedding_quantization_stats(_ray().data.from_arrow(e))
+    assert out.num_rows == 0
