@@ -6998,6 +6998,51 @@ def q_transcript_packing(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_events_partitioned_roundtrip(sf_dir: str):
+    """Partitioned-parquet sink/source parity — the resumable-output
+    contract as a first-class query: events write hive-partitioned
+    by event_type (``write_parquet(partition_cols=...)``, one
+    directory per key so a failed 100-TB run skips finished
+    partitions), then ONLY the 'purchase' partition re-ingests (the
+    read touches no other directory) and its daily rollup must
+    hash-match the oracle filtered on the ORIGINAL parquet view —
+    proving both the partitioned write and the partition-pruned
+    read preserve values."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    out_dir = tempfile.mkdtemp(prefix="jsr_part_")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["event_type"])
+        part = os.path.join(out_dir, "event_type=purchase")
+        back = ray.data.read_parquet(part)
+
+        def day(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pc.cast(pc.floor_temporal(
+                    pc.cast(b["ts"], pa.timestamp("us")),
+                    unit="day"), pa.timestamp("us")),
+                "event_id": b["event_id"],
+                "user_id": b["user_id"]})
+
+        out = grouped_aggregate(
+            back.map_batches(day, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            ["day"], [(None, "count"), ("event_id", "sum"),
+                      ("user_id", "max")], driver_merge=True)
+        out = out.rename_columns(
+            ["day", "n_events", "event_id_sum", "user_id_max"])
+        return out.sort_by([("day", "ascending")])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_embedding_quantization(sf_dir: str):
     """int8-style scalar-quantization audit of the embedding corpus
     (engine/similarity.py embedding_quantization_stats): per-dim
@@ -7109,6 +7154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_context_overflow": q_transcript_context_overflow,
         "transcript_packing": q_transcript_packing,
         "embedding_quantization": q_embedding_quantization,
+        "events_partitioned_roundtrip": q_events_partitioned_roundtrip,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -7975,6 +8021,16 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey
+        """,
+        "events_partitioned_roundtrip": """
+            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+                   CAST(max(user_id) AS BIGINT) AS user_id_max
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
         """,
         "embedding_quantization": """
             WITH e AS (

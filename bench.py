@@ -148,6 +148,8 @@ EXTRA_QUERIES = [
     "purchase_attribution",    # first-touch credit via lag + LOCF
     "transcript_context_overflow",  # context-budget truncation point
     "transcript_packing",      # conversation-atomic stream packing
+    "embedding_quantization",  # int8 calibration + error audit
+    "events_partitioned_roundtrip",  # hive sink + pruned-read parity
 ]
 
 
