@@ -6545,70 +6545,161 @@ def q_big_quantity_orders(sf_dir: str):
         [("l_orderkey", "ascending")])
 
 
+def _conv_num_key(col) -> pa.Array:
+    """int64 shuffle key for a transcript conv_id column: the id's
+    digits * 2 + an alt-spelling bit ('conversation-%d' vs
+    'conv-%08d' — a number can appear under BOTH spellings, and the
+    pair is verified unique). Null-safe: NULL ids map to -1 (one
+    group, matching SQL's NULL group)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    num = pc.cast(pc.replace_substring_regex(
+        pc.fill_null(col, "0"), pattern="[^0-9]", replacement=""),
+        pa.int64())
+    alt = pc.cast(pc.starts_with(pc.fill_null(col, ""),
+                                 "conversation-"), pa.int64())
+    cid = pc.add(pc.multiply(num, pa.scalar(2, pa.int64())), alt)
+    return pc.if_else(pc.is_valid(col), cid,
+                      pa.scalar(-1, pa.int64()))
+
+
+def _conv_id_from_key(cid) -> pa.Array:
+    """Inverse of :func:`_conv_num_key`: rebuild the conv_id string
+    from the int64 key ('conv-%08d' for even keys,
+    'conversation-%d' for odd) — vectorized, NULL for the -1
+    null-key group."""
+    if isinstance(cid, pa.ChunkedArray):
+        cid = cid.combine_chunks()
+    num = pc.cast(pc.divide(cid, pa.scalar(2, pa.int64())),
+                  pa.int64())
+    alt = pc.equal(pc.bit_wise_and(cid, pa.scalar(1, pa.int64())),
+                   pa.scalar(1, pa.int64()))
+    digits = pc.cast(num, pa.string())
+    plain = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.utf8_lpad(digits, 8, padding="0"), "")
+    spelled = pc.binary_join_element_wise(
+        pa.scalar("conversation-"), digits, "")
+    out = pc.if_else(alt, spelled, plain)
+    return pc.if_else(pc.greater_equal(cid, pa.scalar(0, pa.int64())),
+                      out, pa.scalar(None, pa.string()))
+
+
 def q_transcript_boilerplate_turns(sf_dir: str):
     """Cross-conversation boilerplate-turn detection over the
     transcript corpus: turn texts appearing in >= 3 DISTINCT
     conversations, with how many conversations and turns carry them —
     the transcript-side analogue of docs_line_dedup (repeated-line
-    boilerplate), feeding a dedup/scrub decision. Two-stage shape,
-    both stages fronted by per-block Arrow combiners so the exchanges
-    ship (text, conv)-grain and text-grain rows, never raw turns:
-    (1) groupby (text, conv_id) summing the per-block pair counts,
-    (2) groupby text counting surviving pairs (= distinct convs) and
-    summing turns. Null texts group like SQL (their own group)."""
+    boilerplate), feeding a dedup/scrub decision.
+
+    Texts never shuffle: the counting pipeline ships only int64
+    (text-hash, conv-number) pairs — hash = 64-bit text hash << 1 |
+    is-null bit (NULL and '' stay distinct groups, like SQL) —
+    through two combiner-fronted integer groupbys; the qualifying
+    (hash -> counts) table is result-sized, broadcasts, and a second
+    scan resolves hashes back to texts with per-block dedup, so the
+    only text-bearing exchange is over the qualifying boilerplate
+    rows themselves. Membership is by text hash (collision odds
+    negligible, the drop_repeated_lines contract)."""
     import ray
     from ray.data.aggregate import Sum
 
     from json_schema_ray.engine.relational import (
-        null_safe_grouped_aggregate, safe_groupby_aggregate)
+        grouped_aggregate, null_safe_grouped_aggregate,
+        safe_groupby_aggregate)
     from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.state.sketches import hash_string_array
 
     path = transcripts_path(_transcript_turns(sf_dir),
                             violation_rate=0.01)
     files = sorted(os.path.join(path, f) for f in os.listdir(path)
                    if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(files, columns=["conv_id", "text"])
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "text"]).materialize()
+
+    def text_key(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_string_array(pc.fill_null(col, ""))
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        h2 = (h.astype(np.uint64) << np.uint64(1)) \
+            | isnull.astype(np.uint64)
+        return pa.array(h2.view(np.int64))
 
     def pair_combine(b: pa.Table) -> pa.Table:
-        t = b.append_column("__n", pa.array(
-            np.ones(b.num_rows, np.int64)))
-        g = safe_groupby_aggregate(t, ["text", "conv_id"],
-                                   [("__n", "sum")])
-        return g.rename_columns(["text", "conv_id", "__n"])
+        t = pa.table({"h": text_key(b["text"]),
+                      "c": _conv_num_key(b["conv_id"]),
+                      "__n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = safe_groupby_aggregate(t, ["h", "c"], [("__n", "sum")])
+        return g.rename_columns(["h", "c", "__n"])
 
     pairs = null_safe_grouped_aggregate(
         ds.map_batches(pair_combine, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["text", "conv_id"], [Sum("__n", alias_name="__n")], ["__n"])
+        ["h", "c"], [Sum("__n", alias_name="__n")], ["__n"])
 
     def conv_combine(b: pa.Table) -> pa.Table:
         t = pa.table({
-            "text": b["text"],
+            "h": b["h"],
             "__c": pa.array(np.ones(b.num_rows, np.int64)),
             "__n": pc.cast(b["__n"], pa.int64())})
-        g = safe_groupby_aggregate(t, ["text"],
+        g = safe_groupby_aggregate(t, ["h"],
                                    [("__c", "sum"), ("__n", "sum")])
-        return g.rename_columns(["text", "__c", "__n"])
+        return g.rename_columns(["h", "__c", "__n"])
 
     per_text = null_safe_grouped_aggregate(
         pairs.map_batches(conv_combine, batch_format="pyarrow",
                           zero_copy_batch=True),
-        ["text"], [Sum("__c", alias_name="__c"),
-                   Sum("__n", alias_name="__n")], ["__c", "__n"])
+        ["h"], [Sum("__c", alias_name="__c"),
+                Sum("__n", alias_name="__n")], ["__c", "__n"])
 
-    def finish(b: pa.Table) -> pa.Table:
-        t = pa.table({
-            "text": b["text"],
-            "n_convs": pc.cast(b["__c"], pa.int64()),
-            "n_turns": pc.cast(b["__n"], pa.int64())})
+    def qualify(b: pa.Table) -> pa.Table:
+        t = pa.table({"h": b["h"],
+                      "n_convs": pc.cast(b["__c"], pa.int64()),
+                      "n_turns": pc.cast(b["__n"], pa.int64())})
         return t.filter(pc.greater_equal(t["n_convs"], 3))
 
-    out = per_text.map_batches(finish, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    schema = pa.schema([("text", pa.string()),
-                        ("n_convs", pa.int64()),
-                        ("n_turns", pa.int64())])
-    return _collect(out, schema)
+    qual = _collect(per_text.map_batches(
+        qualify, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("h", pa.int64()), ("n_convs", pa.int64()),
+                   ("n_turns", pa.int64())]))
+    hs = qual["h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(hs, kind="stable")
+    handle = ray.put((hs[order],
+                      qual["n_convs"].to_numpy(
+                          zero_copy_only=False)[order],
+                      qual["n_turns"].to_numpy(
+                          zero_copy_only=False)[order]))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        hsrt, nc, nt = ray.get(handle)
+        h = text_key(b["text"]).to_numpy(zero_copy_only=False)
+        if len(hsrt) == 0:
+            member = np.zeros(len(h), bool)
+            pos = np.zeros(len(h), np.int64)
+        else:
+            pos = np.searchsorted(hsrt, h)
+            pos[pos == len(hsrt)] = 0
+            member = hsrt[pos] == h        # verified equality probe
+        t = pa.table({
+            "text": b["text"].combine_chunks(),
+            "n_convs": pa.array(nc[pos] if len(hsrt) else pos),
+            "n_turns": pa.array(nt[pos] if len(hsrt) else pos),
+            "__h": pa.array(h)}).filter(pa.array(member))
+        # per-block dedup; the cross-block distinct ships only
+        # qualifying boilerplate rows
+        return safe_groupby_aggregate(
+            t, ["__h", "text", "n_convs", "n_turns"], []) \
+            .select(["text", "n_convs", "n_turns"])
+
+    out = grouped_aggregate(
+        ds.map_batches(resolve, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["text", "n_convs", "n_turns"], [(None, "count")])
+    if out is None:
+        return pa.table({"text": pa.array([], pa.string()),
+                         "n_convs": pa.array([], pa.int64()),
+                         "n_turns": pa.array([], pa.int64())})
+    return out.select(["text", "n_convs", "n_turns"])
 
 
 def q_customer_order_distribution(sf_dir: str):
@@ -6852,7 +6943,10 @@ def q_transcript_context_overflow(sf_dir: str):
     transcript_turn_integrity, not here). Shape: per-block
     (conv, turn_idx) combiner -> one grouped sum (ties collapse so
     the running order is well-defined), one keyed cumulative_sum
-    (O(blocks) carries), one conv-grain count+min aggregate."""
+    (O(blocks) carries), one conv-grain count+min aggregate. Every
+    exchange keys on the int64 conv number (digits*2 + spelling bit,
+    _conv_num_key) — the string id never shuffles and is
+    reconstructed vectorized at the conv-grain finish."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -6873,25 +6967,25 @@ def q_transcript_context_overflow(sf_dir: str):
     def combine(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b["turn_idx"]))
         t = pa.table({
-            "conv_id": b["conv_id"],
+            "cid": _conv_num_key(b["conv_id"]),
             "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
             "__ch": pc.cast(pc.fill_null(
                 pc.utf8_length(b["text"]), 0), pa.int64())})
-        g = safe_groupby_aggregate(t, ["conv_id", "turn_idx"],
+        g = safe_groupby_aggregate(t, ["cid", "turn_idx"],
                                    [("__ch", "sum")])
-        return g.rename_columns(["conv_id", "turn_idx", "__ch"])
+        return g.rename_columns(["cid", "turn_idx", "__ch"])
 
     per_turn = null_safe_grouped_aggregate(
         ds.map_batches(combine, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["conv_id", "turn_idx"], [Sum("__ch", alias_name="__ch")],
+        ["cid", "turn_idx"], [Sum("__ch", alias_name="__ch")],
         ["__ch"])
 
     def to_int(b: pa.Table) -> pa.Table:
         # (conv, turn_idx) is unique after the grouped sum; the
         # machinery still needs a DISTINCT tiebreak column name
         return pa.table({
-            "conv_id": b["conv_id"],
+            "cid": b["cid"],
             "turn_idx": b["turn_idx"],
             "__tb": b["turn_idx"],
             "__ch": pc.cast(b["__ch"], pa.int64())})
@@ -6899,26 +6993,26 @@ def q_transcript_context_overflow(sf_dir: str):
     cum = cumulative_sum(
         per_turn.map_batches(to_int, batch_format="pyarrow",
                              zero_copy_batch=True),
-        "conv_id", "turn_idx", "__ch", "__tb")
+        "cid", "turn_idx", "__ch", "__tb")
 
     def mark(b: pa.Table) -> pa.Table:
         over = pc.greater(b["running_sum"],
                           pa.scalar(float(budget)))
         return pa.table({
-            "conv_id": b["conv_id"],
+            "cid": b["cid"],
             "__over_turn": pc.if_else(over, b["turn_idx"],
                                       pa.scalar(None, pa.int64()))})
 
     t = grouped_aggregate(
         cum.map_batches(mark, batch_format="pyarrow",
                         zero_copy_batch=True),
-        ["conv_id"], [(None, "count"), ("__over_turn", "min")])
+        ["cid"], [(None, "count"), ("__over_turn", "min")])
     if t is None:
         return pa.table({"conv_id": pa.array([], pa.string()),
                          "n_turn_idx": pa.array([], pa.int64()),
                          "first_overflow": pa.array([], pa.int64())})
     return pa.table({
-        "conv_id": t["conv_id"],
+        "conv_id": _conv_id_from_key(t["cid"]),
         "n_turn_idx": pc.cast(t["rows_count"], pa.int64()),
         "first_overflow": pc.cast(t["__over_turn_min"], pa.int64())})
 
