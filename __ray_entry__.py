@@ -7137,6 +7137,94 @@ def q_events_partitioned_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_docs_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio (engine/text.py lexical_diversity):
+    word count, distinct-word count and the exact-integer TTR — the
+    lexical-diversity quality gate (template/spam text scores low).
+    One scan, distinctness by one per-block lexsort over word
+    hashes; NULL texts yield (0, 0, NULL)."""
+    from json_schema_ray.engine.text import lexical_diversity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("n_words", pa.int64()),
+                        ("n_distinct_words", pa.int64()),
+                        ("ttr_e6", pa.int64())])
+    return _collect(lexical_diversity(ds), schema)
+
+
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H Q4-flavored order-priority screen: orders (in one
+    quarter) with at least one lineitem shipped more than 90 days
+    after the order date, counted by priority. The EXISTS realizes
+    join-free on the fact side: per-order MAX(l_shipdate) pre-combines
+    per block and rides one grouped max; the order scan prunes to the
+    window in-batch; ONE sort_merge_join meets the two order-grained
+    sides and a tiny grouped count finishes."""
+    from json_schema_ray.engine.relational import (
+        _int64_us, grouped_aggregate, null_safe_grouped_aggregate,
+        safe_groupby_aggregate, sort_merge_join)
+    from ray.data.aggregate import Max
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+
+    def maxship(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "__ship": _int64_us(b["l_shipdate"])})
+        g = safe_groupby_aggregate(t, ["l_orderkey"],
+                                   [("__ship", "max")])
+        return g.rename_columns(["l_orderkey", "__ship"])
+
+    per_order = null_safe_grouped_aggregate(
+        li.map_batches(maxship, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_orderkey"], [Max("__ship", alias_name="__ship")],
+        ["__ship"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def window(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                        pa.scalar(lo)),
+                       pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "__od": _int64_us(t["o_orderdate"]),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    joined = sort_merge_join(
+        orders.map_batches(window, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        per_order, "o_orderkey", "l_orderkey", ["__ship"],
+        how="inner")
+
+    day_us = 86_400_000_000
+
+    def late(b: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.cast(b["__ship"], pa.int64()),
+            pc.add(b["__od"], pa.scalar(90 * day_us, pa.int64())))
+        return pa.table(
+            {"o_orderpriority": b.filter(keep)["o_orderpriority"]})
+
+    t = grouped_aggregate(
+        joined.map_batches(late, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"], [(None, "count")], driver_merge=True)
+    if t is None:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "order_count": pa.array([], pa.int64())})
+    return pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "order_count": pc.cast(t["rows_count"], pa.int64())}) \
+        .sort_by([("o_orderpriority", "ascending")])
+
+
 def q_embedding_quantization(sf_dir: str):
     """int8-style scalar-quantization audit of the embedding corpus
     (engine/similarity.py embedding_quantization_stats): per-dim
@@ -7249,6 +7337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_packing": q_transcript_packing,
         "embedding_quantization": q_embedding_quantization,
         "events_partitioned_roundtrip": q_events_partitioned_roundtrip,
+        "docs_lexical_diversity": q_docs_lexical_diversity,
+        "late_shipment_priority": q_late_shipment_priority,
         "user_cum_distinct_types": q_user_cum_distinct_types,
         "events_session_assignment": q_events_session_assignment,
         "orders_pareto_frontier": q_orders_pareto_frontier,
@@ -8115,6 +8205,38 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY c_nationkey
+        """,
+        "docs_lexical_diversity": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         coalesce(text, ''), '\\s+'),
+                         x -> x <> '') AS ws
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT)
+                       AS n_distinct_words,
+                   CASE WHEN len(ws) > 0
+                        THEN CAST(CAST(len(list_distinct(ws))
+                                       AS HUGEINT) * 1000000
+                                  // len(ws) AS BIGINT)
+                   END AS ttr_e6
+            FROM w
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+                                     + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "events_partitioned_roundtrip": """
             SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))

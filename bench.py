@@ -150,6 +150,8 @@ EXTRA_QUERIES = [
     "transcript_packing",      # conversation-atomic stream packing
     "embedding_quantization",  # int8 calibration + error audit
     "events_partitioned_roundtrip",  # hive sink + pruned-read parity
+    "docs_lexical_diversity",  # exact per-doc type-token ratio
+    "late_shipment_priority",  # Q4 EXISTS as grouped-max + one join
 ]
 
 

@@ -1344,3 +1344,43 @@ def keyword_search(ds, terms, column: str = "text",
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def lexical_diversity(ds, id_column: str = "doc_id",
+                      text_column: str = "text"):
+    """Per-document type-token ratio (TTR) — the lexical-diversity
+    quality signal (template/spam text scores low): word count,
+    DISTINCT word count and ``distinct * 1e6 // words`` as exact
+    integers. Words are the house whitespace split with empty tokens
+    dropped (:func:`_flat_terms`); distinctness is by 64-bit word
+    hash sorted per document (one ``np.lexsort`` per block, no
+    per-doc Python), collision odds negligible at document word
+    counts. NULL/empty texts yield (0, 0, NULL). One scan, no
+    shuffle — documents never span batches."""
+    from ..state.sketches import hash_string_array
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat, par = _flat_terms(batch, text_column)
+        words = np.bincount(par, minlength=n).astype(np.int64)
+        if len(par):
+            h = hash_string_array(flat).view(np.int64)
+            order = np.lexsort((h, par))
+            ps, hs = par[order], h[order]
+            first = np.concatenate(
+                [[True], (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])])
+            distinct = np.bincount(
+                ps[first], minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, np.int64)
+        ttr = distinct * 1_000_000 // np.maximum(words, 1)
+        return pa.table({
+            id_column: batch[id_column],
+            "n_words": pa.array(words),
+            "n_distinct_words": pa.array(distinct),
+            "ttr_e6": pc.if_else(pa.array(words > 0),
+                                 pa.array(ttr, pa.int64()),
+                                 pa.scalar(None, pa.int64()))})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
