@@ -7241,6 +7241,276 @@ def q_embedding_quantization(sf_dir: str):
         .sort_by([("dim", "ascending")])
 
 
+def q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-flavored market share: NATION_3 suppliers' share of
+    EUROPE customers' PROMO-part revenue, by order year. Composition
+    by side size, the revenue_by_region discipline: the PROMO partkey
+    set and the supplier -> is-target-nation flags broadcast ONCE
+    (ray.put, probed per batch with pc.index_in — never a per-row
+    dict); lineitem fixed-points revenue per row (rev100 BIGINT) and
+    collapses to per-(block, order) partials carrying BOTH measures
+    (target-nation revenue and total revenue) in one shuffle-free
+    combiner; orders tag the customer region through one dimension
+    broadcast and keep EUROPE; the two ORDER-keyed fact sides meet in
+    ONE sort_merge_join; the year-grain rollup driver-merges (<= 7
+    groups) and the share is Python-int exact (== DuckDB HUGEINT //).
+    """
+    import ray
+
+    from json_schema_ray.engine.relational import (
+        broadcast_hash_join, grouped_aggregate, sort_merge_join)
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    promo = part.filter(
+        pc.equal(part["p_type"], "PROMO"))["p_partkey"].combine_chunks()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    target = pc.equal(supp["s_nationkey"], 3)
+    handle = ray.put((promo, supp["s_suppkey"].combine_chunks(),
+                      target.combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        promo_keys, skeys, sflags = ray.get(handle)
+        b = b.filter(pc.is_valid(pc.index_in(b["l_partkey"],
+                                             value_set=promo_keys)))
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        r = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        idx = pc.index_in(b["l_suppkey"].combine_chunks(),
+                          value_set=skeys)
+        is_nat = pc.fill_null(sflags.take(idx), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "nat100": pa.array(np.where(is_nat, r, 0)),
+                      "rev100": pa.array(r)})
+        g = pa.TableGroupBy(t, ["l_orderkey"]).aggregate(
+            [("nat100", "sum"), ("rev100", "sum")])
+        return g.rename_columns(["l_orderkey", "nat100", "rev100"])
+
+    rev_ds = li.map_batches(rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    eur = cust.join(nat, keys=["c_nationkey"],
+                    right_keys=["n_nationkey"], join_type="inner") \
+        .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"],
+              join_type="inner")
+    eur = eur.filter(pc.equal(eur["r_name"], "EUROPE")) \
+        .select(["c_custkey"])
+    eur = eur.append_column("__eur", pa.array(
+        np.ones(eur.num_rows, np.int8)))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ord_t = broadcast_hash_join(orders, eur, "o_custkey", "c_custkey")
+
+    def keep_eur(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["__eur"]))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pc.year(b["o_orderdate"])})
+
+    ord_eur = ord_t.map_batches(keep_eur, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = sort_merge_join(rev_ds, ord_eur, "l_orderkey",
+                             "o_orderkey", ["o_year"])
+    g = grouped_aggregate(joined, ["o_year"],
+                          [("nat100", "sum"), ("rev100", "sum")],
+                          driver_merge=True)
+    yrs = g["o_year"].to_pylist()
+    nat_s = [int(v) for v in g["nat100_sum"].to_pylist()]
+    tot_s = [int(v) for v in g["rev100_sum"].to_pylist()]
+    share = [n * 1_000_000 // t if t else 0
+             for n, t in zip(nat_s, tot_s)]
+    return pa.table({
+        "o_year": pa.array(yrs, pa.int64()),
+        "rev_nation_e2": pa.array(nat_s, pa.int64()),
+        "rev_total_e2": pa.array(tot_s, pa.int64()),
+        "mkt_share_x1m": pa.array(share, pa.int64()),
+    }).sort_by([("o_year", "ascending")])
+
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15-flavored top supplier: the supplier(s) with maximum
+    discounted revenue over one shipdate quarter (1996-Q1), ties
+    kept. Lineitem prunes to the window in-batch, fixed-points
+    revenue per row, and collapses to per-(block, supplier) partials;
+    the supplier-grain rollup driver-merges (supplier dimension is
+    KB-sized by TPC-H's 1:10000 ratio); the max + tie filter + name
+    join run on that dimension-sized result — no second pass over
+    the fact table (the SQL subquery-max shape with one scan)."""
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        b = b.filter(m)
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        r = np.floor(e * (1 - d) * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_suppkey": b["l_suppkey"],
+                      "rev100": pa.array(r)})
+        g = pa.TableGroupBy(t, ["l_suppkey"]).aggregate(
+            [("rev100", "sum")])
+        return g.rename_columns(["l_suppkey", "rev100"])
+
+    g = grouped_aggregate(
+        li.map_batches(rev, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_suppkey"], [("rev100", "sum")], driver_merge=True)
+    if g is None or g.num_rows == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_rev_e2": pa.array([], pa.int64())})
+    best = pc.max(g["rev100_sum"])
+    g = g.filter(pc.equal(g["rev100_sum"], best))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    out = g.join(supp, keys=["l_suppkey"], right_keys=["s_suppkey"],
+                 join_type="inner")
+    return pa.table({
+        "s_suppkey": pc.cast(out["l_suppkey"], pa.int64()),
+        "s_name": out["s_name"],
+        "total_rev_e2": pc.cast(out["rev100_sum"], pa.int64()),
+    }).sort_by([("s_suppkey", "ascending")])
+
+
+def q_disjunctive_part_revenue(sf_dir: str):
+    """TPC-H Q19-flavored disjunctive-predicate revenue: discounted
+    revenue of lineitems matching any of three (brand, size-range,
+    quantity-range) clauses. The part attributes (brand id, size)
+    broadcast ONCE as aligned arrays keyed by partkey (ray.put,
+    pc.index_in + take per batch); the whole three-clause OR
+    evaluates as numpy boolean algebra over the batch — no row loop,
+    no join shuffle; each block ships one (revenue, count) partial
+    row and the driver sum is Python-int exact. Revenue uses the
+    exact e4 integer product (e2 price x e2 discount complement), so
+    the hash compare with DuckDB is float-free."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    # brand -> small int id so the broadcast ships ints, not strings
+    brands = ["Brand#19", "Brand#8", "Brand#2"]
+    bid = pc.index_in(part["p_brand"],
+                      value_set=pa.array(brands, pa.string()))
+    handle = ray.put((part["p_partkey"].combine_chunks(),
+                      bid.combine_chunks(),
+                      part["p_size"].combine_chunks()))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkeys, pbid, psize = ray.get(handle)
+        idx = pc.index_in(b["l_partkey"].combine_chunks(),
+                          value_set=pkeys)
+        bidv = pc.fill_null(pbid.take(idx), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        size = pc.fill_null(psize.take(idx), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hit = (((bidv == 0) & (size >= 1) & (size <= 5)
+                & (q >= 1) & (q <= 11))
+               | ((bidv == 1) & (size >= 1) & (size <= 10)
+                  & (q >= 10) & (q <= 20))
+               | ((bidv == 2) & (size >= 1) & (size <= 15)
+                  & (q >= 20) & (q <= 30)))
+        e = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.floor(e * 100 + 0.5).astype(np.int64)
+               * (100 - np.floor(d * 100 + 0.5).astype(np.int64)))
+        return pa.table({
+            "revenue_e4": pa.array([int(rev[hit].sum())], pa.int64()),
+            "n_items": pa.array([int(hit.sum())], pa.int64())})
+
+    partials = _collect(
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        pa.schema([("revenue_e4", pa.int64()),
+                   ("n_items", pa.int64())]))
+    return pa.table({
+        "revenue_e4": pa.array(
+            [int(pc.sum(partials["revenue_e4"]).as_py() or 0)],
+            pa.int64()),
+        "n_items": pa.array(
+            [int(pc.sum(partials["n_items"]).as_py() or 0)],
+            pa.int64())})
+
+
+def q_part_primary_supplier(sf_dir: str):
+    """TPC-H Q20-flavored dominant-supplier screen: for every part
+    shipped by >= 2 distinct suppliers, the supplier that shipped the
+    largest total quantity (deterministic tiebreak: lowest suppkey),
+    with its exact quantity share. The (part, supplier) rollup rides
+    the engine's pre-agg -> shuffle -> re-agg pipeline (result is
+    pair-grained — bounded by part x supplier dimension sizes, NOT
+    by fact rows); the per-part total, supplier count, argmax and
+    the x1m share (integer //, no float division) then run one
+    Arrow sort + adjacent-first mask over that group-sized table."""
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def q100(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "qty100": pa.array(q)})
+        g = pa.TableGroupBy(t, ["l_partkey", "l_suppkey"]).aggregate(
+            [("qty100", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "qty100"])
+
+    pairs = grouped_aggregate(
+        li.map_batches(q100, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"], [("qty100", "sum")])
+    pairs = pairs.rename_columns(["l_partkey", "l_suppkey", "qty100"])
+
+    tot = pa.TableGroupBy(pairs, ["l_partkey"]).aggregate(
+        [("qty100", "sum"), ([], "count_all")])
+    tot = tot.rename_columns(["l_partkey", "t100", "n_suppliers"])
+    j = pairs.join(tot, keys=["l_partkey"], join_type="inner")
+    j = j.sort_by([("l_partkey", "ascending"),
+                   ("qty100", "descending"),
+                   ("l_suppkey", "ascending")])
+    pk = j["l_partkey"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(pk), bool)
+    first[1:] = pk[1:] != pk[:-1]
+    j = j.filter(pa.array(first))
+    j = j.filter(pc.greater_equal(j["n_suppliers"], 2))
+    qv = j["qty100"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tv = j["t100"].to_numpy(zero_copy_only=False).astype(np.int64)
+    share = qv * 1_000_000 // tv if len(qv) else qv
+    return pa.table({
+        "p_partkey": pc.cast(j["l_partkey"], pa.int64()),
+        "s_suppkey": pc.cast(j["l_suppkey"], pa.int64()),
+        "qty100_supp": pc.cast(j["qty100"], pa.int64()),
+        "qty100_part": pc.cast(j["t100"], pa.int64()),
+        "n_suppliers": pc.cast(j["n_suppliers"], pa.int64()),
+        "share_x1m": pa.array(share, pa.int64()),
+    }).sort_by([("p_partkey", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation / shuffle operators
@@ -7370,6 +7640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_template_clusters": q_docs_template_clusters,
         "parts_multi_supplier": q_parts_multi_supplier,
         "nation_trade_matrix": q_nation_trade_matrix,
+        "nation_market_share": q_nation_market_share,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "disjunctive_part_revenue": q_disjunctive_part_revenue,
+        "part_primary_supplier": q_part_primary_supplier,
         "transcript_turn_stats": q_transcript_turn_stats,
         "transcript_response_latency": q_transcript_response_latency,
         "orders_price_by_date_decile": q_orders_price_by_date_decile,
@@ -8459,6 +8733,87 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
             HAVING count(DISTINCT l_suppkey) >= 4
             ORDER BY l_partkey
+        """,
+        "nation_market_share": """
+            WITH e AS (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 100 + 0.5) AS BIGINT) AS rev100,
+                       CASE WHEN s_nationkey = 3 THEN 1 ELSE 0 END
+                           AS is_nat
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                WHERE p_type = 'PROMO' AND r_name = 'EUROPE')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(sum(is_nat * rev100) AS BIGINT)
+                       AS rev_nation_e2,
+                   CAST(sum(rev100) AS BIGINT) AS rev_total_e2,
+                   CAST(CAST(sum(is_nat * rev100) AS HUGEINT)
+                        * 1000000 // CAST(sum(rev100) AS HUGEINT)
+                        AS BIGINT) AS mkt_share_x1m
+            FROM e GROUP BY o_year ORDER BY o_year
+        """,
+        "top_revenue_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(floor(l_extendedprice
+                            * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS total_rev_e2
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev_e2
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev_e2 = (SELECT max(total_rev_e2) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "disjunctive_part_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(floor(l_extendedprice * 100 + 0.5)
+                            AS BIGINT)
+                       * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                     AS BIGINT))), 0) AS BIGINT)
+                       AS revenue_e4,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "part_primary_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS q100
+                FROM lineitem GROUP BY 1, 2),
+            tot AS (
+                SELECT l_partkey, CAST(sum(q100) AS BIGINT) AS t100,
+                       CAST(count(*) AS BIGINT) AS n_suppliers
+                FROM ps GROUP BY 1),
+            rk AS (
+                SELECT ps.l_partkey, ps.l_suppkey, ps.q100,
+                       tot.t100, tot.n_suppliers,
+                       row_number() OVER (PARTITION BY ps.l_partkey
+                           ORDER BY ps.q100 DESC, ps.l_suppkey)
+                           AS rn
+                FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey)
+            SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                   q100 AS qty100_supp, t100 AS qty100_part,
+                   n_suppliers,
+                   CAST(CAST(q100 AS HUGEINT) * 1000000
+                        // CAST(t100 AS HUGEINT) AS BIGINT)
+                       AS share_x1m
+            FROM rk WHERE rn = 1 AND n_suppliers >= 2
+            ORDER BY p_partkey
         """,
         "nation_trade_matrix": """
             SELECT n1.n_name AS cust_nation,

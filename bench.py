@@ -152,6 +152,10 @@ EXTRA_QUERIES = [
     "events_partitioned_roundtrip",  # hive sink + pruned-read parity
     "docs_lexical_diversity",  # exact per-doc type-token ratio
     "late_shipment_priority",  # Q4 EXISTS as grouped-max + one join
+    "nation_market_share",     # Q8 two-measure star join + int share
+    "top_revenue_supplier",    # Q15 windowed max-tie supplier rollup
+    "disjunctive_part_revenue",  # Q19 3-clause OR as numpy booleans
+    "part_primary_supplier",   # Q20-ish dominant-supplier argmax
 ]
 
 
