@@ -513,6 +513,66 @@ def q_event_markov_probs(sf_dir: str):
                       ("label", "ascending")])
 
 
+def q_user_markov_divergence(sf_dir: str):
+    """Behavioral-anomaly screen: the 20 users whose observed
+    transition kernel deviates most from the corpus kernel, measured
+    as the L1 distance over the user's OBSERVED (prev, label) pairs
+    in e6 fixed point — ALL-INTEGER (p_x1m = n * 1e6 // total on
+    both sides, |a - b| sums), so the SQL lag + three-rollup twin is
+    hash-exact by construction. One lag scan (single null-safe sort,
+    O(blocks) carries) feeds per-(user, prev, label) counts — a
+    key-dimension x alphabet²-sized exchange, never row-sized; the
+    kernel comparison then runs as numpy segment math on that
+    bounded table (code -> bincount -> gather, no Python loop), and
+    ties at rank 20 break deterministically on user_id."""
+    from json_schema_ray.engine.keys import transition_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    out = transition_counts(ds, "user_id", "ts", "event_type",
+                            tiebreak="event_id", per_key=True)
+    schema = pa.schema([("user_id", pa.int64()),
+                        ("prev_label", pa.string()),
+                        ("label", pa.string()),
+                        ("n", pa.int64())])
+    t = _collect(out, schema)
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_transitions": pa.array([], pa.int64()),
+                         "div_x1m": pa.array([], pa.int64())})
+    user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    prev = np.array(["\x00" if p is None else p
+                     for p in t["prev_label"].to_pylist()], object)
+    lab = np.array(["\x00" if v is None else v
+                    for v in t["label"].to_pylist()], object)
+    nu = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pcodes, pcode = np.unique(prev, return_inverse=True)
+    lcodes, lcode = np.unique(lab, return_inverse=True)
+    ucodes, ucode = np.unique(user, return_inverse=True)
+    npv, nlv = len(pcodes), len(lcodes)
+    pair = pcode * nlv + lcode
+    # corpus kernel: n(a,b) and tot(a) by integer accumulation
+    g_n = np.zeros(npv * nlv, np.int64)
+    np.add.at(g_n, pair, nu)
+    g_tot = np.zeros(npv, np.int64)
+    np.add.at(g_tot, pcode, nu)
+    p_corpus = g_n[pair] * 1_000_000 // g_tot[pcode]
+    # user kernel: per-(user, prev) totals
+    u_tot = np.zeros((len(ucodes), npv), np.int64)
+    np.add.at(u_tot, (ucode, pcode), nu)
+    p_user = nu * 1_000_000 // u_tot[ucode, pcode]
+    dev = np.abs(p_user - p_corpus)
+    div = np.zeros(len(ucodes), np.int64)
+    np.add.at(div, ucode, dev)
+    n_tr = np.zeros(len(ucodes), np.int64)
+    np.add.at(n_tr, ucode, nu)
+    order = np.lexsort((ucodes, -div))[:20]
+    return pa.table({
+        "user_id": pa.array(ucodes[order], pa.int64()),
+        "n_transitions": pa.array(n_tr[order], pa.int64()),
+        "div_x1m": pa.array(div[order], pa.int64())})
+
+
 def q_event_type_overlap(sf_dir: str):
     """Audience overlap between event types (engine/relational.py
     category_overlap): distinct (user, type) pairs expand to
@@ -7641,6 +7701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_multi_supplier": q_parts_multi_supplier,
         "nation_trade_matrix": q_nation_trade_matrix,
         "nation_market_share": q_nation_market_share,
+        "user_markov_divergence": q_user_markov_divergence,
         "top_revenue_supplier": q_top_revenue_supplier,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "part_primary_supplier": q_part_primary_supplier,
@@ -8733,6 +8794,42 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
             HAVING count(DISTINCT l_suppkey) >= 4
             ORDER BY l_partkey
+        """,
+        "user_markov_divergence": """
+            WITH lagged AS (
+                SELECT user_id,
+                       coalesce(lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id), chr(0)) AS p,
+                       event_type AS c
+                FROM events),
+            u AS (
+                SELECT user_id, p, c,
+                       CAST(count(*) AS BIGINT) AS nu
+                FROM lagged GROUP BY 1, 2, 3),
+            g AS (
+                SELECT p, c, CAST(sum(nu) AS BIGINT) AS n
+                FROM u GROUP BY 1, 2),
+            gt AS (
+                SELECT p, CAST(sum(n) AS BIGINT) AS tot
+                FROM g GROUP BY 1),
+            ut AS (
+                SELECT user_id, p, CAST(sum(nu) AS BIGINT) AS utot
+                FROM u GROUP BY 1, 2),
+            d AS (
+                SELECT u.user_id, u.nu,
+                       abs(CAST(u.nu AS HUGEINT) * 1000000 // ut.utot
+                           - CAST(g.n AS HUGEINT) * 1000000 // gt.tot)
+                           AS dev
+                FROM u
+                JOIN g ON u.p = g.p AND u.c = g.c
+                JOIN gt ON u.p = gt.p
+                JOIN ut ON u.user_id = ut.user_id AND u.p = ut.p)
+            SELECT user_id,
+                   CAST(sum(nu) AS BIGINT) AS n_transitions,
+                   CAST(sum(dev) AS BIGINT) AS div_x1m
+            FROM d GROUP BY user_id
+            ORDER BY div_x1m DESC, user_id LIMIT 20
         """,
         "nation_market_share": """
             WITH e AS (

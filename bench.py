@@ -156,6 +156,7 @@ EXTRA_QUERIES = [
     "top_revenue_supplier",    # Q15 windowed max-tie supplier rollup
     "disjunctive_part_revenue",  # Q19 3-clause OR as numpy booleans
     "part_primary_supplier",   # Q20-ish dominant-supplier argmax
+    "user_markov_divergence",  # per-user kernel L1 anomaly screen
 ]
 
 

@@ -813,7 +813,7 @@ def accept_state_violations(ds, key, order: str, label: str,
 
 
 def transition_counts(ds, key, order: str, label: str,
-                      tiebreak: str):
+                      tiebreak: str, per_key: bool = False):
     """Empirical Markov transition matrix over ordered per-key
     sequences — the mining twin of :func:`transition_violations`:
     instead of checking ``prev_label -> label`` against a declared
@@ -826,6 +826,10 @@ def transition_counts(ds, key, order: str, label: str,
     BY keeps a NULL group).
 
     Returns a Dataset of (prev_label, label, n) — alphabet²-sized.
+    With ``per_key=True`` the count keeps the sequence key: rows are
+    (key, prev_label, label, n) — key-dimension x alphabet²-sized —
+    the per-entity kernel a divergence screen compares against the
+    corpus kernel.
 
     Scale shape: rides :func:`rank.lag_column` (ONE null-safe sort,
     O(n_blocks) fixed-size carries; a hot key never ships its
@@ -857,6 +861,8 @@ def transition_counts(ds, key, order: str, label: str,
                        zero_copy_batch=True),
         key, order, value="__lab_nn", tiebreak=tiebreak, out="__prev")
 
+    group_cols = ([key] if per_key else []) + ["__p", "__c"]
+
     def pair_counts(batch: pa.Table) -> pa.Table:
         # SQL lag() can't distinguish "no predecessor" from
         # "predecessor's label was NULL" — both are NULL — so both
@@ -866,25 +872,33 @@ def transition_counts(ds, key, order: str, label: str,
         cur = pc.fill_null(pc.cast(batch[label], pa.string()),
                            sentinel)
         prev = pc.fill_null(batch["__prev"], sentinel)
-        t = pa.table({"__p": prev, "__c": cur})
-        g = pa.TableGroupBy(t, ["__p", "__c"]).aggregate(
+        cols = {"__p": prev, "__c": cur}
+        if per_key:
+            cols = {key: batch[key], **cols}
+        t = pa.table(cols)
+        g = pa.TableGroupBy(t, group_cols).aggregate(
             [([], "count_all")])
-        return pa.table({"__p": g["__p"], "__c": g["__c"],
-                         "__n": g["count_all"].cast(pa.int64())})
+        out = {c: g[c] for c in group_cols}
+        out["__n"] = g["count_all"].cast(pa.int64())
+        return pa.table(out)
 
     agg = null_safe_grouped_aggregate(
         lagged.map_batches(pair_counts, batch_format="pyarrow",
                            zero_copy_batch=True),
-        ["__p", "__c"], [Sum("__n", alias_name="__n")], ["__n"])
+        group_cols, [Sum("__n", alias_name="__n")], ["__n"])
 
     def finish(batch: pa.Table) -> pa.Table:
         def dec(col):
             return pc.if_else(pc.equal(col, sentinel),
                               pa.scalar(None, pa.string()), col)
 
-        return pa.table({"prev_label": dec(batch["__p"]),
-                         "label": dec(batch["__c"]),
-                         "n": batch["__n"]})
+        cols = {}
+        if per_key:
+            cols[key] = batch[key]
+        cols["prev_label"] = dec(batch["__p"])
+        cols["label"] = dec(batch["__c"])
+        cols["n"] = batch["__n"]
+        return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)

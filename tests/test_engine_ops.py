@@ -5088,6 +5088,53 @@ def test_transition_counts_matches_duckdb():
         assert got == want, blocks
 
 
+def test_transition_counts_per_key_matches_duckdb():
+    """per_key=True keeps the sequence key: (key, prev, label, n)
+    rows match SQL lag() + GROUP BY (u, p, c), and summing over keys
+    reproduces the global matrix (a consistency differential)."""
+    import duckdb
+
+    from json_schema_ray.engine.keys import transition_counts
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    u = rng.integers(0, 20, n)
+    labs = rng.choice(["a", "b", "c"], n).astype(object)
+    labs[rng.random(n) < 0.05] = None
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "lab": pa.array(labs.tolist(), pa.string()),
+    })
+    want = sorted(duckdb.sql(
+        """WITH l AS (
+               SELECT u, lag(lab) OVER (PARTITION BY u
+                        ORDER BY ts, rid) AS p, lab AS c
+               FROM t)
+           SELECT u, p, c, CAST(count(*) AS BIGINT) FROM l
+           GROUP BY u, p, c""").fetchall(),
+        key=lambda r: (r[0], r[1] is None, r[1] or "",
+                       r[2] is None, r[2] or ""))
+    ds = _ray().data.from_arrow(t).repartition(6)
+    out = transition_counts(ds, "u", "ts", "lab", tiebreak="rid",
+                            per_key=True)
+    rows = out.take_all()
+    got = sorted(((r["u"], r["prev_label"], r["label"], r["n"])
+                  for r in rows),
+                 key=lambda r: (r[0], r[1] is None, r[1] or "",
+                                r[2] is None, r[2] or ""))
+    assert got == want
+    # summing out the key reproduces the global matrix
+    glob = {}
+    for _, p, c, cnt in got:
+        glob[(p, c)] = glob.get((p, c), 0) + cnt
+    out_g = transition_counts(ds, "u", "ts", "lab", tiebreak="rid")
+    got_g = {(r["prev_label"], r["label"]): r["n"]
+             for r in out_g.take_all()}
+    assert got_g == glob
+
+
 def test_transition_counts_single_rows_and_empty():
     from json_schema_ray.engine.keys import transition_counts
 
