@@ -2261,6 +2261,76 @@ def q_docs_source_lang_fd(sf_dir: str):
     return _collect(out, schema).sort_by([("source", "ascending")])
 
 
+def q_user_value_running_max(sf_dir: str):
+    """Per-user running maximum of value — SQL ``max(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING)`` (engine/rank.py cumulative_max, the streaming
+    watermark primitive with a per-key kernel): one null-safe
+    range-partitioned sort, a Hillis-Steele segmented prefix-max
+    scan per block (log2(n) whole-array numpy passes, no per-segment
+    Python), two fixed-size carry rows per block, driver prefix-max
+    offsets broadcast back. The running max SELECTS an input float —
+    no arithmetic — so float parity with the SQL window twin is
+    exact, row for row."""
+    from json_schema_ray.engine.rank import cumulative_max
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    out = cumulative_max(ds, "user_id", "ts", "value",
+                         tiebreak="event_id", out="running_max")
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()), ("value", pa.float64()),
+                        ("running_max", pa.float64())])
+    t = _collect(out.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "value",
+                            "running_max"]),
+        batch_format="pyarrow", zero_copy_batch=True), schema)
+    return t.sort_by([("event_id", "ascending")])
+
+
+def q_events_record_highs(sf_dir: str):
+    """Record-setting events: rows whose value strictly exceeds
+    every earlier value in global (ts, event_id) stream order — the
+    running-record screen (new-high detection over an unbounded
+    stream). Composition of two O(blocks)-carry primitives on ONE
+    constant partition key: cumulative_max gives each row the
+    watermark-with-current (wm), lag_column gives the watermark
+    BEFORE it (pwm); a record is value == wm AND (pwm NULL OR
+    wm > pwm). Both ops select input floats — no arithmetic — so
+    the SQL double-window twin is float-exact."""
+    from json_schema_ray.engine.rank import cumulative_max, lag_column
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "value"])
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__gk", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    cm = cumulative_max(
+        ds.map_batches(const_key, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "__gk", "ts", "value", tiebreak="event_id", out="wm")
+    lg = lag_column(cm, "__gk", "ts", value="wm",
+                    tiebreak="event_id", out="pwm")
+
+    def records(b: pa.Table) -> pa.Table:
+        is_rec = pc.and_(
+            pc.equal(b["value"], b["wm"]),
+            pc.or_(pc.is_null(b["pwm"]),
+                   pc.greater(b["wm"], pc.fill_null(b["pwm"],
+                                                    -np.inf))))
+        b = b.filter(pc.fill_null(is_rec, False))
+        return b.select(["event_id", "ts", "value"])
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("value", pa.float64())])
+    t = _collect(lg.map_batches(records, batch_format="pyarrow",
+                                zero_copy_batch=True), schema)
+    return t.sort_by([("event_id", "ascending")])
+
+
 def q_events_unterminated(sf_dir: str):
     """Terminal-state protocol check (engine/keys.py
     ``accept_state_violations``): a user's event stream must END in
@@ -7702,6 +7772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_matrix": q_nation_trade_matrix,
         "nation_market_share": q_nation_market_share,
         "user_markov_divergence": q_user_markov_divergence,
+        "user_value_running_max": q_user_value_running_max,
+        "events_record_highs": q_events_record_highs,
         "top_revenue_supplier": q_top_revenue_supplier,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "part_primary_supplier": q_part_primary_supplier,
@@ -8794,6 +8866,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
             HAVING count(DISTINCT l_suppkey) >= 4
             ORDER BY l_partkey
+        """,
+        "user_value_running_max": """
+            SELECT event_id, ts, user_id, value,
+                   max(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running_max
+            FROM events ORDER BY event_id
+        """,
+        "events_record_highs": """
+            WITH w AS (
+                SELECT event_id, ts, value,
+                       max(value) OVER (ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS wm
+                FROM events),
+            l AS (
+                SELECT event_id, ts, value, wm,
+                       lag(wm) OVER (ORDER BY ts, event_id) AS pwm
+                FROM w)
+            SELECT event_id, ts, value
+            FROM l WHERE value = wm AND (pwm IS NULL OR wm > pwm)
+            ORDER BY event_id
         """,
         "user_markov_divergence": """
             WITH lagged AS (

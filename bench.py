@@ -157,6 +157,8 @@ EXTRA_QUERIES = [
     "disjunctive_part_revenue",  # Q19 3-clause OR as numpy booleans
     "part_primary_supplier",   # Q20-ish dominant-supplier argmax
     "user_markov_divergence",  # per-user kernel L1 anomaly screen
+    "user_value_running_max",  # watermark primitive, per-key carries
+    "events_record_highs",     # running-record screen, 2 carry ops
 ]
 
 

@@ -269,6 +269,144 @@ def cumulative_sum(ds, key: str, ts: str, value: str,
                          tiebreak)
 
 
+def cumulative_max(ds, key: str, ts: str, value: str,
+                   tiebreak: str, out: str = "running_max"):
+    """Per-key running maximum: every row gains ``out`` = SQL
+    ``max(value) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING)`` — the streaming WATERMARK primitive (with
+    ``value = ts`` the running max IS the event-time watermark over
+    ingestion order, and ``watermark - ts`` is each row's lateness).
+
+    Shape identical to :func:`cumulative_sum` (one null-safe
+    range-partitioned sort, per-segment vectorized prefix max, two
+    fixed-size carry rows per block, driver prefix-max offsets
+    broadcast back); merge is ``max`` instead of ``+``, so the
+    driver carry table holds per-segment maxima and ``pre[i]`` is
+    the max of the first ``i`` carry segments. NULL values don't
+    participate (SQL MAX ignores them); rows before the first
+    non-null value carry NULL. Values travel as float64 — exact for
+    temporal/int columns up to 2**53 ticks (us timestamps are
+    ~2**51)."""
+    from .relational import null_safe_sort
+
+    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
+    NEG = -np.inf
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"running max: order column {c!r} is a string;"
+                    " only numeric/temporal order columns carry"
+                    " across block boundaries")
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("__rt", pa.array([], pa.int8())) \
+                .append_column(out, pa.array([], pa.float64())) \
+                .append_column("__cnt", pa.array([], pa.int64()))
+        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        seg_ids = np.cumsum(newseg) - 1
+        rt = np.zeros(n, np.int8)
+        rt[kk == kk[0]] = 1  # first segment: may continue a prior block
+        varr = pc.cast(batch[value], pa.float64())
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(varr, NEG).to_numpy(zero_copy_only=False).copy()
+        # segmented prefix max, fully vectorized: max has no
+        # cumsum-subtraction trick (unlike _running_sums), so use a
+        # Hillis-Steele doubling scan gated on segment ids — log2(n)
+        # whole-array numpy passes, no per-segment Python loop
+        cm = v.copy()
+        k = 1
+        while k < n:
+            same = seg_ids[k:] == seg_ids[:-k]
+            cm[k:] = np.maximum(cm[k:], np.where(same, cm[:-k], NEG))
+            k <<= 1
+        cn = np.cumsum(valid.astype(np.int64))
+        cn = cn - np.concatenate([[0], cn])[starts][seg_ids]
+        outt = batch.append_column("__rt", pa.array(rt)) \
+            .append_column(out, pa.array(cm, pa.float64())) \
+            .append_column("__cnt", pa.array(cn, pa.int64()))
+        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
+        seg_ends = sorted({first_end, n - 1})
+        ctab = outt.take(pa.array(seg_ends))
+        ctab = ctab.set_column(
+            ctab.column_names.index("__rt"), "__rt",
+            pa.array(np.full(len(seg_ends), 2, np.int8)))
+        return pa.concat_tables([outt, ctab])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, [key]).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        mv = kept[out].to_pylist()
+        cv = kept["__cnt"].to_pylist()
+        for kval, t, tb, m, c in zip(kk, tsv, tbv, mv, cv):
+            carry.setdefault(kval, []).append(
+                (float(t), float(tb), float(m), int(c)))
+
+    offsets = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        last_a = np.array([s[0] for s in segs], dtype=np.float64)
+        last_b = np.array([s[1] for s in segs], dtype=np.float64)
+        pre_m = np.concatenate([[NEG], np.maximum.accumulate(
+            np.array([s[2] for s in segs], dtype=np.float64))])
+        pre_c = np.concatenate([[0], np.cumsum(
+            [s[3] for s in segs])]).astype(np.int64)
+        offsets[kval] = (last_a, last_b, pre_m, pre_c)
+
+    import ray
+
+    handle = ray.put(offsets)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt", "__cnt"])
+        offs = ray.get(handle)
+        kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        runs = kept[out].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        cnts = kept["__cnt"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        pend = np.nonzero(rt == 1)[0]
+        for kval in np.unique(kk[pend]) if len(pend) else []:
+            if kval not in offs:
+                continue
+            last_a, last_b, pre_m, pre_c = offs[kval]
+            rows = pend[kk[pend] == kval]
+            pos = _boundaries_before(last_a, last_b, tsv[rows],
+                                     tbv[rows])
+            runs[rows] = np.maximum(runs[rows], pre_m[pos])
+            cnts[rows] += pre_c[pos]
+        outt = kept.set_column(
+            kept.column_names.index(out), out,
+            pa.array(runs, pa.float64(), mask=(cnts == 0)))
+        return outt.drop_columns(["__rt", "__cnt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
     """Multi-column per-key running totals in ONE sort + scan:
     ``pairs`` is a list of ``(value_col, out_col)``; every row gains

@@ -1912,6 +1912,52 @@ def test_cumulative_sum_matches_duckdb_window():
                                                  abs=1e-9), (blocks, rid)
 
 
+def test_cumulative_max_matches_duckdb_window():
+    """Per-key running max (the watermark primitive) vs the SQL
+    window, with nulls, ties, negative values, and multi-block
+    layouts; exact float equality (max SELECTS an input)."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import cumulative_max
+
+    rng = np.random.default_rng(7)
+    n = 6000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.05 else float(x)
+                       for x in rng.normal(0, 2, n)], pa.float64()),
+    })
+    want = {r[0]: r[1] for r in duckdb.sql("""
+        SELECT rid, max(v) OVER (PARTITION BY k ORDER BY ts, rid
+          ROWS UNBOUNDED PRECEDING) FROM t""").fetchall()}
+    for blocks in (1, 9):
+        ds = _ray().data.from_arrow(t).repartition(blocks)
+        got = {r["rid"]: r["running_max"] for r in
+               cumulative_max(ds, "k", "ts", "v", "rid").take_all()}
+        assert got == want, blocks
+
+
+def test_cumulative_max_one_hot_key_spans_every_block():
+    """One key owning every block: the constant-key watermark shape.
+    Values DECREASE over ts, so every row's running max is the first
+    value — the cross-block carry must win over every local max."""
+    from json_schema_ray.engine.rank import cumulative_max
+
+    n = 50_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(np.arange(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array((n - np.arange(n)).astype(np.float64)),
+    })
+    ds = _ray().data.from_arrow(t).repartition(16)
+    out = cumulative_max(ds, "k", "ts", "v", "rid")
+    mx = [r["running_max"] for r in out.take_all()]
+    assert len(mx) == n and all(m == float(n) for m in mx)
+
+
 def test_cumulative_sum_one_hot_key_spans_every_block():
     from json_schema_ray.engine.rank import cumulative_sum
 
