@@ -2331,6 +2331,37 @@ def q_events_record_highs(sf_dir: str):
     return t.sort_by([("event_id", "ascending")])
 
 
+def q_user_max_drawdown(sf_dir: str):
+    """Per-user maximum drawdown: the most negative ``value -
+    running_max(value)`` over the user's (ts, event_id) stream — the
+    peak-to-trough quant statistic, a one-map composition over the
+    cumulative_max watermark primitive plus a user-grain min
+    aggregate. The subtraction is ONE IEEE double op on values both
+    sides materialize identically (running max selects an input), so
+    the SQL window twin is float-exact with no fixed-point step."""
+    from json_schema_ray.engine.rank import cumulative_max
+    from json_schema_ray.engine.relational import grouped_aggregate
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    cm = cumulative_max(ds, "user_id", "ts", "value",
+                        tiebreak="event_id", out="rm")
+
+    def dd(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "dd": pc.subtract(b["value"], b["rm"])})
+
+    g = grouped_aggregate(
+        cm.map_batches(dd, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["user_id"], [("dd", "min")], driver_merge=True)
+    return pa.table({
+        "user_id": pc.cast(g["user_id"], pa.int64()),
+        "max_drawdown": pc.cast(g["dd_min"], pa.float64()),
+    }).sort_by([("user_id", "ascending")])
+
+
 def q_events_unterminated(sf_dir: str):
     """Terminal-state protocol check (engine/keys.py
     ``accept_state_violations``): a user's event stream must END in
@@ -7774,6 +7805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_markov_divergence": q_user_markov_divergence,
         "user_value_running_max": q_user_value_running_max,
         "events_record_highs": q_events_record_highs,
+        "user_max_drawdown": q_user_max_drawdown,
         "top_revenue_supplier": q_top_revenue_supplier,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "part_primary_supplier": q_part_primary_supplier,
@@ -8873,6 +8905,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM events ORDER BY event_id
+        """,
+        "user_max_drawdown": """
+            WITH w AS (
+                SELECT user_id,
+                       value - max(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS dd
+                FROM events)
+            SELECT user_id, min(dd) AS max_drawdown
+            FROM w GROUP BY user_id ORDER BY user_id
         """,
         "events_record_highs": """
             WITH w AS (

@@ -159,6 +159,7 @@ EXTRA_QUERIES = [
     "user_markov_divergence",  # per-user kernel L1 anomaly screen
     "user_value_running_max",  # watermark primitive, per-key carries
     "events_record_highs",     # running-record screen, 2 carry ops
+    "user_max_drawdown",       # peak-to-trough via watermark + min
 ]
 
 
