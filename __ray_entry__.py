@@ -2356,6 +2356,9 @@ def q_user_max_drawdown(sf_dir: str):
         cm.map_batches(dd, batch_format="pyarrow",
                        zero_copy_batch=True),
         ["user_id"], [("dd", "min")], driver_merge=True)
+    if g is None:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "max_drawdown": pa.array([], pa.float64())})
     return pa.table({
         "user_id": pc.cast(g["user_id"], pa.int64()),
         "max_drawdown": pc.cast(g["dd_min"], pa.float64()),
@@ -7468,25 +7471,29 @@ def q_nation_market_share(sf_dir: str):
               join_type="inner")
     eur = eur.filter(pc.equal(eur["r_name"], "EUROPE")) \
         .select(["c_custkey"])
-    eur = eur.append_column("__eur", pa.array(
-        np.ones(eur.num_rows, np.int8)))
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    # broadcast_hash_join is INNER by default: non-EUROPE orders drop
+    # in the probe itself, no marker column or post-filter needed
     ord_t = broadcast_hash_join(orders, eur, "o_custkey", "c_custkey")
 
-    def keep_eur(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b["__eur"]))
+    def to_year(b: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": b["o_orderkey"],
                          "o_year": pc.year(b["o_orderdate"])})
 
-    ord_eur = ord_t.map_batches(keep_eur, batch_format="pyarrow",
+    ord_eur = ord_t.map_batches(to_year, batch_format="pyarrow",
                                 zero_copy_batch=True)
     joined = sort_merge_join(rev_ds, ord_eur, "l_orderkey",
                              "o_orderkey", ["o_year"])
     g = grouped_aggregate(joined, ["o_year"],
                           [("nat100", "sum"), ("rev100", "sum")],
                           driver_merge=True)
+    if g is None:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "rev_nation_e2": pa.array([], pa.int64()),
+                         "rev_total_e2": pa.array([], pa.int64()),
+                         "mkt_share_x1m": pa.array([], pa.int64())})
     yrs = g["o_year"].to_pylist()
     nat_s = [int(v) for v in g["nat100_sum"].to_pylist()]
     tot_s = [int(v) for v in g["rev100_sum"].to_pylist()]
@@ -7586,8 +7593,11 @@ def q_disjunctive_part_revenue(sf_dir: str):
             .to_numpy(zero_copy_only=False).astype(np.int64)
         size = pc.fill_null(psize.take(idx), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        q = b["l_quantity"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # compare the RAW double (SQL BETWEEN semantics): fractional
+        # quantities must not truncate into range, NULL -> NaN ->
+        # every comparison False, matching SQL three-valued logic
+        q = pc.fill_null(pc.cast(b["l_quantity"], pa.float64()),
+                         np.nan).to_numpy(zero_copy_only=False)
         hit = (((bidv == 0) & (size >= 1) & (size <= 5)
                 & (q >= 1) & (q <= 11))
                | ((bidv == 1) & (size >= 1) & (size <= 10)
@@ -7645,6 +7655,15 @@ def q_part_primary_supplier(sf_dir: str):
         li.map_batches(q100, batch_format="pyarrow",
                        zero_copy_batch=True),
         ["l_partkey", "l_suppkey"], [("qty100", "sum")])
+    empty = pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "s_suppkey": pa.array([], pa.int64()),
+        "qty100_supp": pa.array([], pa.int64()),
+        "qty100_part": pa.array([], pa.int64()),
+        "n_suppliers": pa.array([], pa.int64()),
+        "share_x1m": pa.array([], pa.int64())})
+    if pairs is None:
+        return empty
     pairs = pairs.rename_columns(["l_partkey", "l_suppkey", "qty100"])
 
     tot = pa.TableGroupBy(pairs, ["l_partkey"]).aggregate(
@@ -8936,7 +8955,7 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(lag(event_type) OVER (
                            PARTITION BY user_id
                            ORDER BY ts, event_id), chr(0)) AS p,
-                       event_type AS c
+                       coalesce(event_type, chr(0)) AS c
                 FROM events),
             u AS (
                 SELECT user_id, p, c,

@@ -277,147 +277,36 @@ def cumulative_max(ds, key: str, ts: str, value: str,
     ``value = ts`` the running max IS the event-time watermark over
     ingestion order, and ``watermark - ts`` is each row's lateness).
 
-    Shape identical to :func:`cumulative_sum` (one null-safe
-    range-partitioned sort, per-segment vectorized prefix max, two
-    fixed-size carry rows per block, driver prefix-max offsets
-    broadcast back); merge is ``max`` instead of ``+``, so the
-    driver carry table holds per-segment maxima and ``pre[i]`` is
-    the max of the first ``i`` carry segments. NULL values don't
-    participate (SQL MAX ignores them); rows before the first
+    Shape identical to :func:`cumulative_sum` — it delegates to the
+    same :func:`_running_sums` sort + segmented-scan + O(n_blocks)
+    carry machinery with the ``max`` combine (Hillis-Steele
+    segmented prefix max in-block, prefix-max carry offsets on the
+    driver), so the carry protocol lives in ONE place. NULL values
+    don't participate (SQL MAX ignores them); rows before the first
     non-null value carry NULL. Values travel as float64 — exact for
     temporal/int columns up to 2**53 ticks (us timestamps are
-    ~2**51)."""
-    from .relational import null_safe_sort
-
-    sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
-    NEG = -np.inf
-
-    def scan(batch: pa.Table) -> pa.Table:
-        for c in (ts, tiebreak):
-            if _is_str(batch[c].type):
-                raise ValueError(
-                    f"running max: order column {c!r} is a string;"
-                    " only numeric/temporal order columns carry"
-                    " across block boundaries")
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("__rt", pa.array([], pa.int8())) \
-                .append_column(out, pa.array([], pa.float64())) \
-                .append_column("__cnt", pa.array([], pa.int64()))
-        kk = _group_key_expr(batch, [key]).to_numpy(zero_copy_only=False)
-        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
-        starts = np.nonzero(newseg)[0]
-        seg_ids = np.cumsum(newseg) - 1
-        rt = np.zeros(n, np.int8)
-        rt[kk == kk[0]] = 1  # first segment: may continue a prior block
-        varr = pc.cast(batch[value], pa.float64())
-        if isinstance(varr, pa.ChunkedArray):
-            varr = varr.combine_chunks()
-        valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
-        v = pc.fill_null(varr, NEG).to_numpy(zero_copy_only=False).copy()
-        # segmented prefix max, fully vectorized: max has no
-        # cumsum-subtraction trick (unlike _running_sums), so use a
-        # Hillis-Steele doubling scan gated on segment ids — log2(n)
-        # whole-array numpy passes, no per-segment Python loop
-        cm = v.copy()
-        k = 1
-        while k < n:
-            same = seg_ids[k:] == seg_ids[:-k]
-            cm[k:] = np.maximum(cm[k:], np.where(same, cm[:-k], NEG))
-            k <<= 1
-        cn = np.cumsum(valid.astype(np.int64))
-        cn = cn - np.concatenate([[0], cn])[starts][seg_ids]
-        outt = batch.append_column("__rt", pa.array(rt)) \
-            .append_column(out, pa.array(cm, pa.float64())) \
-            .append_column("__cnt", pa.array(cn, pa.int64()))
-        first_end = int(starts[1]) - 1 if len(starts) > 1 else n - 1
-        seg_ends = sorted({first_end, n - 1})
-        ctab = outt.take(pa.array(seg_ends))
-        ctab = ctab.set_column(
-            ctab.column_names.index("__rt"), "__rt",
-            pa.array(np.full(len(seg_ends), 2, np.int8)))
-        return pa.concat_tables([outt, ctab])
-
-    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
-                                    zero_copy_batch=True).materialize()
-
-    def carry_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["__rt"], 2))
-
-    carry: dict = {}
-    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
-                                    zero_copy_batch=True) \
-            .iter_batches(batch_format="pyarrow"):
-        if not kept.num_rows:
-            continue
-        kk = _group_key_expr(kept, [key]).to_pylist()
-        tsv = _order_np(kept, ts, descending=False)
-        tbv = _order_np(kept, tiebreak, descending=False)
-        mv = kept[out].to_pylist()
-        cv = kept["__cnt"].to_pylist()
-        for kval, t, tb, m, c in zip(kk, tsv, tbv, mv, cv):
-            carry.setdefault(kval, []).append(
-                (float(t), float(tb), float(m), int(c)))
-
-    offsets = {}
-    for kval, segs in carry.items():
-        segs.sort(key=lambda s: (s[0], s[1]))
-        last_a = np.array([s[0] for s in segs], dtype=np.float64)
-        last_b = np.array([s[1] for s in segs], dtype=np.float64)
-        pre_m = np.concatenate([[NEG], np.maximum.accumulate(
-            np.array([s[2] for s in segs], dtype=np.float64))])
-        pre_c = np.concatenate([[0], np.cumsum(
-            [s[3] for s in segs])]).astype(np.int64)
-        offsets[kval] = (last_a, last_b, pre_m, pre_c)
-
-    import ray
-
-    handle = ray.put(offsets)
-
-    def resolve(batch: pa.Table) -> pa.Table:
-        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
-        n = kept.num_rows
-        if n == 0:
-            return kept.drop_columns(["__rt", "__cnt"])
-        offs = ray.get(handle)
-        kk = _group_key_expr(kept, [key]).to_numpy(zero_copy_only=False)
-        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
-        runs = kept[out].combine_chunks() \
-            .to_numpy(zero_copy_only=False).copy()
-        cnts = kept["__cnt"].combine_chunks() \
-            .to_numpy(zero_copy_only=False).copy()
-        tsv = _order_np(kept, ts, descending=False)
-        tbv = _order_np(kept, tiebreak, descending=False)
-        pend = np.nonzero(rt == 1)[0]
-        for kval in np.unique(kk[pend]) if len(pend) else []:
-            if kval not in offs:
-                continue
-            last_a, last_b, pre_m, pre_c = offs[kval]
-            rows = pend[kk[pend] == kval]
-            pos = _boundaries_before(last_a, last_b, tsv[rows],
-                                     tbv[rows])
-            runs[rows] = np.maximum(runs[rows], pre_m[pos])
-            cnts[rows] += pre_c[pos]
-        outt = kept.set_column(
-            kept.column_names.index(out), out,
-            pa.array(runs, pa.float64(), mask=(cnts == 0)))
-        return outt.drop_columns(["__rt", "__cnt"])
-
-    return scanned.map_batches(resolve, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    ~2**51); the running max SELECTS an input, so float parity with
+    a SQL window twin is exact."""
+    return _running_sums(ds, key, ts, [(value, out, "max")], tiebreak)
 
 
 def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
-    """Multi-column per-key running totals in ONE sort + scan:
-    ``pairs`` is a list of ``(value_col, out_col)``; every row gains
-    each ``out_col`` = running sum of its ``value_col`` (NULL until
-    the first non-null value). Carry/resolve machinery identical to
-    the single-column description in :func:`cumulative_sum`."""
+    """Multi-column per-key running aggregates in ONE sort + scan:
+    ``pairs`` is a list of ``(value_col, out_col)`` or ``(value_col,
+    out_col, op)`` with ``op`` in {"sum", "max"} (default "sum");
+    every row gains each ``out_col`` = running sum/max of its
+    ``value_col`` (NULL until the first non-null value). ONE carry
+    protocol serves both combines — the driver offsets are prefix
+    sums for "sum" and prefix maxima for "max" (identity 0 / -inf).
+    Carry/resolve machinery as described in :func:`cumulative_sum`."""
     from .relational import null_safe_sort
 
     sorted_ds = null_safe_sort(ds, [key], [ts, tiebreak])
-    outs = [o for _, o in pairs]
+    pairs = [(p[0], p[1], p[2] if len(p) > 2 else "sum")
+             for p in pairs]
+    outs = [o for _, o, _ in pairs]
     cnt_cols = [f"__cnt{i}" for i in range(len(pairs))]
+    NEG = -np.inf
 
     def scan(batch: pa.Table) -> pa.Table:
         for c in (ts, tiebreak):
@@ -429,7 +318,7 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
         n = batch.num_rows
         if n == 0:
             base = batch.append_column("__rt", pa.array([], pa.int8()))
-            for (v, o), cc in zip(pairs, cnt_cols):
+            for (v, o, _), cc in zip(pairs, cnt_cols):
                 base = base.append_column(o, pa.array([], pa.float64())) \
                     .append_column(cc, pa.array([], pa.int64()))
             return base
@@ -440,19 +329,33 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
         rt = np.zeros(n, np.int8)
         rt[kk == kk[0]] = 1  # first segment: may continue a prior block
         out = batch.append_column("__rt", pa.array(rt))
-        for (value, oname), cc in zip(pairs, cnt_cols):
+        for (value, oname, op), cc in zip(pairs, cnt_cols):
             varr = pc.cast(batch[value], pa.float64())
             if isinstance(varr, pa.ChunkedArray):
                 varr = varr.combine_chunks()
             valid = pc.is_valid(varr).to_numpy(zero_copy_only=False)
-            v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
-            cs = np.cumsum(v)
             cn = np.cumsum(valid.astype(np.int64))
-            seg_cs0 = np.concatenate([[0.0], cs])[starts][seg_ids]
-            seg_cn0 = np.concatenate([[0], cn])[starts][seg_ids]
+            cn = cn - np.concatenate([[0], cn])[starts][seg_ids]
+            if op == "sum":
+                v = pc.fill_null(varr, 0.0).to_numpy(zero_copy_only=False)
+                cs = np.cumsum(v)
+                cs = cs - np.concatenate([[0.0], cs])[starts][seg_ids]
+            else:
+                # segmented prefix max: no cumsum-subtraction trick
+                # exists for max, so run a Hillis-Steele doubling
+                # scan gated on segment ids — log2(n) whole-array
+                # numpy passes, no per-segment Python loop
+                cs = pc.fill_null(varr, NEG) \
+                    .to_numpy(zero_copy_only=False).copy()
+                step = 1
+                while step < n:
+                    same = seg_ids[step:] == seg_ids[:-step]
+                    cs[step:] = np.maximum(
+                        cs[step:], np.where(same, cs[:-step], NEG))
+                    step <<= 1
             out = out.append_column(
-                oname, pa.array(cs - seg_cs0, pa.float64())) \
-                .append_column(cc, pa.array(cn - seg_cn0, pa.int64()))
+                oname, pa.array(cs, pa.float64())) \
+                .append_column(cc, pa.array(cn, pa.int64()))
         # carry-out = the LAST row of the first and last key
         # segments: its in-segment running sums ARE the segment
         # totals and its (ts, tiebreak) is the boundary position
@@ -495,13 +398,21 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
     # sum of the first i carry segments, so a row preceded by i
     # boundaries adds pre[i]
     m = len(pairs)
+    ops = [op for _, _, op in pairs]
     offsets = {}
     for kval, segs in carry.items():
         segs.sort(key=lambda s: (s[0], s[1]))
         last_a = np.array([s[0] for s in segs], dtype=np.float64)
         last_b = np.array([s[1] for s in segs], dtype=np.float64)
-        pre_s = [np.concatenate([[0.0], np.cumsum(
-            [s[2 + i] for s in segs])]) for i in range(m)]
+        pre_s = []
+        for i in range(m):
+            vals = np.array([s[2 + i] for s in segs],
+                            dtype=np.float64)
+            if ops[i] == "sum":
+                pre_s.append(np.concatenate([[0.0], np.cumsum(vals)]))
+            else:
+                pre_s.append(np.concatenate(
+                    [[NEG], np.maximum.accumulate(vals)]))
         pre_c = [np.concatenate([[0], np.cumsum(
             [s[2 + m + i] for s in segs])]).astype(np.int64)
             for i in range(m)]
@@ -535,7 +446,11 @@ def _running_sums(ds, key: str, ts: str, pairs, tiebreak: str):
             pos = _boundaries_before(last_a, last_b, tsv[rows],
                                      tbv[rows])
             for i in range(m):
-                runs[i][rows] += pre_s[i][pos]
+                if ops[i] == "sum":
+                    runs[i][rows] += pre_s[i][pos]
+                else:
+                    runs[i][rows] = np.maximum(runs[i][rows],
+                                               pre_s[i][pos])
                 cnts[i][rows] += pre_c[i][pos]
         out = kept
         for i, o in enumerate(outs):
