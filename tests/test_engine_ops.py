@@ -5509,11 +5509,14 @@ def test_new_stitch_ops_randomized_differential(seed):
     ts[rng.random(n) < 0.03] = None
     labs = rng.choice(["s", "t", "u"], n).astype(object)
     labs[rng.random(n) < 0.08] = None
+    vals = rng.normal(0, 3, n).astype(object)
+    vals[rng.random(n) < 0.07] = None
     t = pa.table({
         "u": pa.array(zipf.astype(np.int64), pa.int64()),
         "ts": pa.array(ts.tolist(), pa.timestamp("us")),
         "rid": pa.array(np.arange(n), pa.int64()),
-        "lab": pa.array(labs.tolist(), pa.string())})
+        "lab": pa.array(labs.tolist(), pa.string()),
+        "v": pa.array(vals.tolist(), pa.float64())})
     blocks = int(rng.integers(2, 11))
     ds = _ray().data.from_arrow(t).repartition(blocks)
 
@@ -5551,6 +5554,17 @@ def test_new_stitch_ops_randomized_differential(seed):
                   CAST(max(tu) AS BIGINT), CAST(count(*) AS BIGINT)
            FROM s GROUP BY u, sid""").fetchall())
     assert got_s == want_s
+
+    from json_schema_ray.engine.rank import cumulative_max
+
+    got_m = {r["rid"]: r["running_max"] for r in
+             cumulative_max(ds, "u", "ts", "v",
+                            tiebreak="rid").take_all()}
+    want_m = {r[0]: r[1] for r in duckdb.sql(
+        """SELECT rid, max(v) OVER (PARTITION BY u
+             ORDER BY ts NULLS LAST, rid
+             ROWS UNBOUNDED PRECEDING) FROM t""").fetchall()}
+    assert got_m == want_m
 
 
 def test_session_ops_null_keys_group_together():
