@@ -2331,6 +2331,45 @@ def q_events_record_highs(sf_dir: str):
     return t.sort_by([("event_id", "ascending")])
 
 
+def q_events_time_rollup(sf_dir: str):
+    """Temporal-hierarchy ROLLUP — GROUP BY ROLLUP (day, hour) over
+    e2-scaled value sums: the calendar drill-down report (period
+    totals at every level plus the grand total in ONE pass). The
+    hierarchy keys derive in-scan via Arrow temporal kernels;
+    engine/relational.py rollup_aggregate shuffles the INPUT exactly
+    once (finest level), coarser levels re-aggregate group-sized
+    rows; sums are integer fixed-point so every level re-aggregates
+    association-free."""
+    from json_schema_ray.engine.relational import rollup_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        v = b["value"].combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        x = pc.fill_null(v, 0.0).to_numpy(zero_copy_only=False)
+        vi = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "dy": pc.day(b["ts"]),
+            "hr": pc.hour(b["ts"]),
+            "v100": pa.array(vi, pa.int64(), mask=~valid)})
+
+    out = rollup_aggregate(
+        ds.map_batches(keys, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["dy", "hr"], "v100", "sum")
+    j = _collect(out, pa.schema([
+        ("dy", pa.int64()), ("hr", pa.int64()),
+        ("agg_value", pa.int64()), ("lvl", pa.int64())]))
+    return pa.table({
+        "dy": pc.cast(j["dy"], pa.int64()),
+        "hr": pc.cast(j["hr"], pa.int64()),
+        "sum_v100": pc.cast(j["agg_value"], pa.int64()),
+        "lvl": pc.cast(j["lvl"], pa.int64()),
+    }).sort_by([("lvl", "ascending"), ("dy", "ascending"),
+                ("hr", "ascending")])
+
+
 def q_user_max_drawdown(sf_dir: str):
     """Per-user maximum drawdown: the most negative ``value -
     running_max(value)`` over the user's (ts, event_id) stream — the
@@ -7825,6 +7864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_running_max": q_user_value_running_max,
         "events_record_highs": q_events_record_highs,
         "user_max_drawdown": q_user_max_drawdown,
+        "events_time_rollup": q_events_time_rollup,
         "top_revenue_supplier": q_top_revenue_supplier,
         "disjunctive_part_revenue": q_disjunctive_part_revenue,
         "part_primary_supplier": q_part_primary_supplier,
@@ -8924,6 +8964,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM events ORDER BY event_id
+        """,
+        "events_time_rollup": """
+            SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS dy,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                   CAST(sum(CAST(floor(value * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS sum_v100,
+                   CAST(CASE grouping(EXTRACT(day FROM ts),
+                                      EXTRACT(hour FROM ts))
+                        WHEN 0 THEN 0 WHEN 1 THEN 1
+                        ELSE 2 END AS BIGINT) AS lvl
+            FROM events
+            GROUP BY ROLLUP (EXTRACT(day FROM ts),
+                             EXTRACT(hour FROM ts))
+            ORDER BY lvl, dy, hr
         """,
         "user_max_drawdown": """
             WITH w AS (

@@ -160,6 +160,7 @@ EXTRA_QUERIES = [
     "user_value_running_max",  # watermark primitive, per-key carries
     "events_record_highs",     # running-record screen, 2 carry ops
     "user_max_drawdown",       # peak-to-trough via watermark + min
+    "events_time_rollup",      # temporal ROLLUP (day, hour), 1 shuffle
 ]
 
 
