@@ -161,6 +161,8 @@ EXTRA_QUERIES = [
     "events_record_highs",     # running-record screen, 2 carry ops
     "user_max_drawdown",       # peak-to-trough via watermark + min
     "events_time_rollup",      # temporal ROLLUP (day, hour), 1 shuffle
+    "multimodal_features",     # REAL PNG decode->resize->featurize
+    "multimodal_audio",        # REAL WAV PCM decode + DSP features
 ]
 
 

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The decode kernels themselves are STUBS — the image/audio libraries
-are not available in this environment — but the Ray-side plumbing is
-real and tested: schema conventions, actor-pool stage shape, bounded
-batch sizes for large payloads, and deterministic fake decoders used
-by the tests. Swap ``decode_fn`` for a real PIL/torchaudio call in a
-full environment.
+Decode is REAL in this sandbox for PNG images and RIFF/WAVE PCM16
+audio via the stdlib-only codecs in :mod:`codecs` (RFC 2083 chunk
+walk + zlib inflate + scanline unfiltering; wave + numpy PCM) — pass
+``codecs.png_image_features`` / ``codecs.wav_audio_features`` /
+``codecs.png_resize`` as the stage kernels. Only formats whose
+codecs genuinely require external libraries (JPEG, MP3, H.264
+containers) keep the declared ``NotImplementedError`` boundary; the
+deterministic fakes below remain for plumbing-only tests. The
+Ray-side shape is unchanged either way: schema conventions,
+actor-pool stages, bounded batch sizes for large payloads.
 """
 
 from __future__ import annotations
