@@ -3272,14 +3272,16 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_multimodal_audio(sf_dir: str):
-    """REAL in-sandbox audio pipeline: one actor-pool stage decodes
-    genuine RIFF/WAVE PCM16 payloads (stdlib wave + numpy,
-    engine/codecs.py) and extracts duration / RMS / zero-crossing
-    rate / 4-band rFFT spectral split. Payloads are deterministic
-    per-doc sine mixes encoded in the scan (distributed build, small
-    batches — payload bytes dominate worker memory). rows-only: SQL
-    cannot parse RIFF; compensating evidence = PCM roundtrip +
-    feature-formula tests."""
+    """REAL in-sandbox audio pipeline WITH a full SQL oracle: one
+    actor-pool stage decodes genuine RIFF/WAVE PCM16 payloads
+    (stdlib wave + numpy, engine/codecs.py) and extracts duration /
+    RMS / zero-crossing rate. Payloads are deterministic INTEGER
+    triangle waves (no trig — every PCM sample is exact integer
+    arithmetic over doc_id), encoded in the scan (distributed build,
+    small batches — payload bytes dominate worker memory), so DuckDB
+    can regenerate the identical samples with generate_series and
+    recompute RMS/ZCR: the entire WAV encode -> RIFF decode -> DSP
+    chain is hash-checked end to end."""
     from json_schema_ray.engine.codecs import (encode_wav,
                                                wav_audio_features)
     from json_schema_ray.engine.multimodal import extract_features
@@ -3289,11 +3291,12 @@ def q_multimodal_audio(sf_dir: str):
     def make_payloads(b: pa.Table) -> pa.Table:
         payloads = []
         for i in b["doc_id"].to_pylist():
-            n = 800 + (int(i) % 5) * 160
-            freq = 200.0 + (int(i) % 40) * 20.0
-            tgrid = np.arange(n) / 8000.0
-            x = (np.sin(2 * np.pi * freq * tgrid) * 18000
-                 + np.sin(2 * np.pi * 3 * freq * tgrid) * 6000)
+            i = int(i)
+            n = 800 + (i % 5) * 160
+            p = 16 + (i % 32)
+            a = 12000 + (i % 7) * 1000
+            m = np.arange(n, dtype=np.int64) % p
+            x = a * (2 * np.abs(2 * m - p) - p) // p
             payloads.append(encode_wav(x.astype(np.int16), 8000))
         return pa.table({"doc_id": b["doc_id"],
                          "payload": pa.array(payloads, pa.binary())})
@@ -9035,6 +9038,40 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM events ORDER BY event_id
+        """,
+        "multimodal_audio": """
+            WITH prm AS (
+                SELECT doc_id,
+                       800 + (doc_id % 5) * 160 AS n,
+                       16 + (doc_id % 32) AS p,
+                       12000 + (doc_id % 7) * 1000 AS a
+                FROM documents),
+            s AS (
+                -- lateral column args to generate_series are not
+                -- supported: cross-join the max grid, filter k < n.
+                -- DuckDB's // truncates toward zero; numpy floors —
+                -- floor explicitly (numerator < 2^21, double-exact)
+                SELECT doc_id, n, g.k AS k,
+                       CAST(floor(CAST(a * (2 * abs(2 * (g.k % p) - p)
+                                            - p) AS DOUBLE) / p)
+                            AS BIGINT) AS x
+                FROM prm, generate_series(0, 1439) AS g(k)
+                WHERE g.k < n),
+            z AS (
+                SELECT doc_id, n, x,
+                       CASE WHEN x < 0 THEN 1 ELSE 0 END AS neg,
+                       lag(CASE WHEN x < 0 THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY k) AS pneg
+                FROM s)
+            SELECT doc_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(floor(sqrt(avg(pow(x / 32768.0, 2)))
+                        * 1e6 + 0.5) AS BIGINT) AS rms_e6,
+                   CAST(floor(CAST(sum(CASE WHEN pneg IS NOT NULL
+                                AND neg <> pneg THEN 1 ELSE 0 END)
+                            AS DOUBLE) / (max(n) - 1) * 1e6 + 0.5)
+                        AS BIGINT) AS zcr_e6
+            FROM z GROUP BY doc_id ORDER BY doc_id
         """,
         "events_time_rollup": """
             SELECT CAST(EXTRACT(day FROM ts) AS BIGINT) AS dy,
