@@ -3264,10 +3264,10 @@ def q_multimodal_features(sf_dir: str):
     feats = t["features"].to_pylist()
     return pa.table({
         "doc_id": t["doc_id"],
-        "lum_mean_e3": pa.array([int(np.floor(f[3] * 1e3 + 0.5))
-                                 for f in feats], pa.int64()),
-        "lum_std_e3": pa.array([int(np.floor(f[4] * 1e3 + 0.5))
+        "px_mean_e3": pa.array([int(np.floor(f[3] * 1e3 + 0.5))
                                 for f in feats], pa.int64()),
+        "px_std_e3": pa.array([int(np.floor(f[4] * 1e3 + 0.5))
+                               for f in feats], pa.int64()),
     }).sort_by("doc_id")
 
 
@@ -9038,6 +9038,38 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM events ORDER BY event_id
+        """,
+        "multimodal_features": """
+            WITH prm AS (
+                SELECT doc_id, 16 + (doc_id % 9) AS side,
+                       (doc_id % 11) + 1 AS k1,
+                       doc_id % 256 AS bch
+                FROM documents),
+            cells AS (
+                -- regenerate the 12x12 nearest-neighbor-resized
+                -- raster: source pixel (y*side//12, x*side//12) of
+                -- the deterministic gradient (integer, nonneg: //
+                -- truncation == floor here)
+                SELECT doc_id,
+                       ((((gy.y * side) // 12)
+                         + ((gx.x * side) // 12)) * k1) % 256 AS r,
+                       bch AS b
+                FROM prm,
+                     generate_series(0, 11) AS gy(y),
+                     generate_series(0, 11) AS gx(x)),
+            ch AS (
+                SELECT doc_id, r, (r * 2) % 256 AS g2, b FROM cells),
+            st AS (
+                SELECT doc_id,
+                       avg((r + g2 + b) / 3.0) AS mu,
+                       avg((r*r + g2*g2 + b*b) / 3.0) AS m2
+                FROM ch GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(floor(mu * 1e3 + 0.5) AS BIGINT)
+                       AS px_mean_e3,
+                   CAST(floor(sqrt(greatest(m2 - mu * mu, 0))
+                        * 1e3 + 0.5) AS BIGINT) AS px_std_e3
+            FROM st ORDER BY doc_id
         """,
         "multimodal_audio": """
             WITH prm AS (
