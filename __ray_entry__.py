@@ -3172,31 +3172,60 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 def q_multimodal_frames(sf_dir: str):
-    """Frame-sampling plumbing over synthetic 'video' payloads: one
-    row per sampled frame (flat-map shape), deterministic fake
-    sampler standing in for a real ffmpeg/PyAV decode."""
-    import ray
+    """REAL video frame-sampling pipeline WITH a full SQL oracle:
+    per-doc YUV4MPEG2 streams (a genuine public interchange format —
+    plain header + raw planar frames; engine/codecs.py encode_y4m /
+    decode_y4m, stdlib-only) are built deterministically in the scan,
+    then the actor-pool FrameSampler stage does a REAL Y4M parse and
+    keeps every 2nd frame's luma plane (flat-map shape: one row per
+    sampled frame); a second vectorized stage sums each kept plane.
+    Luma values are exact integers over (doc_id, frame, y, x), so
+    DuckDB regenerates the identical planes with generate_series and
+    the whole encode -> container parse -> sample -> reduce chain is
+    hash-checked with NO float anywhere."""
+    from json_schema_ray.engine.codecs import (encode_y4m,
+                                               y4m_luma_frames)
+    from json_schema_ray.engine.multimodal import sample_frames
 
-    from json_schema_ray.engine.multimodal import (
-        deterministic_fake_frames, sample_frames)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    SIDE = 16
 
-    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    payload = pa.table({
-        "doc_id": docs["doc_id"],
-        "payload": pa.array([None if t is None else t.encode("utf-8")
-                             for t in docs["text"].to_pylist()],
-                            pa.binary()),
-    })
-    ds = ray.data.from_arrow(payload)
-    frames = sample_frames(ds, every_n=4,
-                           sample_fn=deterministic_fake_frames)
-    t = _collect(frames, pa.schema([
-        ("doc_id", pa.int64()), ("frame_idx", pa.int32()),
-        ("frame", pa.binary())]))
-    g = pa.TableGroupBy(t.select(["doc_id"]), ["doc_id"]) \
-        .aggregate([([], "count_all")])
-    return g.rename_columns(["doc_id", "n_frames"]).sort_by("doc_id")
+    def make_payloads(b: pa.Table) -> pa.Table:
+        payloads = []
+        for i in b["doc_id"].to_pylist():
+            i = int(i)
+            nf = 4 + i % 5
+            k = i % 9 + 1
+            f = np.arange(nf)[:, None, None]
+            y = np.arange(SIDE)[None, :, None]
+            x = np.arange(SIDE)[None, None, :]
+            luma = ((y + x + f * k) % 256).astype(np.uint8)
+            payloads.append(encode_y4m(
+                np.broadcast_to(luma, (nf, SIDE, SIDE)).copy()))
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = docs.map_batches(make_payloads, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    frames = sample_frames(ds, every_n=2, sample_fn=y4m_luma_frames)
+
+    def luma_sums(b: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(f, np.uint8).astype(np.int64).sum())
+                for f in b["frame"].to_pylist()]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+            "luma_sum": pa.array(sums, pa.int64()),
+            "n_px": pa.array([SIDE * SIDE] * len(sums), pa.int64())})
+
+    t = _collect(frames.map_batches(luma_sums, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                 pa.schema([("doc_id", pa.int64()),
+                            ("frame_idx", pa.int64()),
+                            ("luma_sum", pa.int64()),
+                            ("n_px", pa.int64())]))
+    return t.sort_by([("doc_id", "ascending"),
+                      ("frame_idx", "ascending")])
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -9038,6 +9067,28 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS running_max
             FROM events ORDER BY event_id
+        """,
+        "multimodal_frames": """
+            WITH prm AS (
+                SELECT doc_id, 4 + (doc_id % 5) AS nf,
+                       (doc_id % 9) + 1 AS k
+                FROM documents),
+            fr AS (
+                SELECT doc_id, g.f AS f, k
+                FROM prm, generate_series(0, 8) AS g(f)
+                WHERE g.f < nf AND g.f % 2 = 0),
+            px AS (
+                SELECT doc_id, f // 2 AS frame_idx,
+                       (gy.y + gx.x + f * k) % 256 AS v
+                FROM fr,
+                     generate_series(0, 15) AS gy(y),
+                     generate_series(0, 15) AS gx(x))
+            SELECT doc_id,
+                   CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(sum(v) AS BIGINT) AS luma_sum,
+                   CAST(count(*) AS BIGINT) AS n_px
+            FROM px GROUP BY doc_id, frame_idx
+            ORDER BY doc_id, frame_idx
         """,
         "multimodal_features": """
             WITH prm AS (

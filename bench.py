@@ -163,6 +163,7 @@ EXTRA_QUERIES = [
     "events_time_rollup",      # temporal ROLLUP (day, hour), 1 shuffle
     "multimodal_features",     # REAL PNG decode->resize->featurize
     "multimodal_audio",        # REAL WAV PCM decode + DSP features
+    "multimodal_frames",       # REAL Y4M parse + frame sampling
 ]
 
 

@@ -239,6 +239,77 @@ def wav_audio_features(payload: bytes, dim: int = 16) -> np.ndarray:
     return feats[:dim]
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """YUV4MPEG2 (Y4M) encoder for mono/C420 streams from a stack of
+    luma rasters ``frames`` [n, h, w] uint8 — the uncompressed video
+    interchange format ffmpeg/mjpegtools speak; chroma planes are
+    written as neutral 128 (C420, h and w must be even) so any
+    standard tool decodes these streams to gray video."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_y4m expects [n, h, w] uint8 luma")
+    n, h, w = frames.shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    parts = [head]
+    for f in frames:
+        parts.append(b"FRAME\n")
+        parts.append(f.tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 decoder (C420 / Cmono): parses the stream header
+    and per-frame markers, returns the luma planes as [n, h, w]
+    uint8 (chroma is skipped — the luma plane is what the sampling /
+    feature stages consume)."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "replace").split()
+    if not head or head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    fmt = "C420"
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            fmt = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if fmt.startswith("C420"):
+        chroma_len = 2 * ((h // 2) * (w // 2))
+    elif fmt == "Cmono":
+        chroma_len = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma format {fmt}")
+    pos = nl + 1
+    frames = []
+    luma_len = h * w
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fe + 1
+        frames.append(np.frombuffer(
+            payload[pos:pos + luma_len], np.uint8).reshape(h, w))
+        pos += luma_len + chroma_len
+    return (np.stack(frames) if frames
+            else np.zeros((0, h, w), np.uint8))
+
+
+def y4m_luma_frames(payload: bytes, every_n: int) -> list:
+    """REAL frame sampler for the :class:`multimodal.FrameSampler`
+    stage: decode the Y4M stream, keep every n-th frame, return raw
+    luma-plane bytes per kept frame."""
+    frames = decode_y4m(payload)
+    return [f.tobytes() for f in frames[::every_n]]
+
+
 def image_features_for_mime(payload: bytes, dim: int = 16,
                             mime: str = "image/png") -> np.ndarray:
     """Mime dispatcher: PNG decodes for real; formats that need an

@@ -133,6 +133,34 @@ def test_raster_features_formulas():
     assert (png_image_features(encode_png(a), 16) == f).all()
 
 
+def test_y4m_roundtrip_and_sampling():
+    from json_schema_ray.engine.codecs import (decode_y4m, encode_y4m,
+                                               y4m_luma_frames)
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, (7, 10, 12), dtype=np.uint8)
+    payload = encode_y4m(frames, fps=30)
+    assert payload.startswith(b"YUV4MPEG2 W12 H10 F30:1")
+    got = decode_y4m(payload)
+    assert got.shape == (7, 10, 12) and (got == frames).all()
+    sampled = y4m_luma_frames(payload, 3)  # frames 0, 3, 6
+    assert len(sampled) == 3
+    for orig, raw in zip(frames[::3], sampled):
+        assert np.frombuffer(raw, np.uint8).reshape(10, 12).tolist() \
+            == orig.tolist()
+
+
+def test_y4m_error_paths():
+    from json_schema_ray.engine.codecs import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFFnot a y4m\n")
+    with pytest.raises(ValueError):
+        encode_y4m(np.zeros((2, 3, 4), np.uint8))  # odd height
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n....")
+
+
 def test_wav_roundtrip_mono_and_stereo():
     rng = np.random.default_rng(5)
     mono = rng.integers(-30000, 30000, 777).astype(np.int16)
