@@ -3041,6 +3041,24 @@ def q_docs_vocabulary(sf_dir: str):
     return vocabulary(ds, min_count=5, top_k=100)
 
 
+def q_part_typo_pairs(sf_dir: str):
+    """FULL-recall edit-distance-1 term pairs over the part-name
+    vocabulary via FastSS deletion neighborhoods (engine/text.py
+    vocab_edit1_pairs): substitutions AND insert/delete typos, found
+    by bucketing each vocabulary term on its ``{t} ∪ {t minus one
+    codepoint}`` keys (the one-sort + interior-segment + edge-stitch
+    pairing machinery) and a single vectorized UTF-32 verify pass —
+    the insert/delete recall that the equal-(length, prefix)
+    blocked-hamming linkage (customer_name_near_dups) structurally
+    cannot see. The SQL twin states the real predicate: levenshtein
+    = 1 inside the length-banded vocabulary self-join."""
+    from json_schema_ray.engine.text import vocab_edit1_pairs
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    return vocab_edit1_pairs(ds, column="p_name", min_len=3,
+                             min_count=1, top_k=2000)
+
+
 _MIXTURE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1,
                   "zh": 0.05}
 
@@ -8058,6 +8076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_type_concat": q_user_event_type_concat,
         "docs_chunks": q_docs_chunks,
         "docs_vocabulary": q_docs_vocabulary,
+        "part_typo_pairs": q_part_typo_pairs,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_packed": q_docs_packed,
         "knn_lsh_top10": q_knn_lsh_top10,
@@ -11871,6 +11890,28 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY tf DESC, term) AS rank
             FROM tt WHERE tf >= 5
             ORDER BY rank LIMIT 100
+        """,
+        "part_typo_pairs": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(p_name, '\\s+'))
+                       AS term
+                FROM part
+            ), tc AS (
+                SELECT term, count(*) AS tf FROM toks
+                WHERE term <> '' AND length(term) >= 3
+                GROUP BY 1
+            ), v AS (
+                SELECT term, tf,
+                       row_number() OVER (ORDER BY tf DESC, term) AS rn
+                FROM tc QUALIFY rn <= 2000
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   a.tf AS tf_a, b.tf AS tf_b
+            FROM v a JOIN v b
+              ON a.term < b.term
+             AND abs(length(a.term) - length(b.term)) <= 1
+             AND levenshtein(a.term, b.term) = 1
+            ORDER BY term_a, term_b
         """,
         "docs_mixture_sample": _mixture_sample_oracle_sql(),
         "docs_packed": """

@@ -1384,3 +1384,167 @@ def lexical_diversity(ds, id_column: str = "doc_id",
 
     return ds.map_batches(per_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _ed1_verify(a_terms: np.ndarray, b_terms: np.ndarray) -> np.ndarray:
+    """Vectorized ``levenshtein(a, b) == 1`` over candidate pairs.
+
+    Both arrays pack into one fixed-width UTF-32 codepoint matrix
+    (NUL-padded), so the whole candidate set is verified with a
+    handful of numpy kernels — no per-pair Python:
+
+    - equal length: distance 1 iff exactly one mismatching position;
+    - length difference 1: distance 1 iff deleting the longer
+      string's FIRST mismatching codepoint yields the shorter one
+      (checked with a row-wise gather, not a per-row slice);
+    - any other length gap: distance > 1 by definition.
+    """
+    n = len(a_terms)
+    if n == 0:
+        return np.zeros(0, bool)
+    la = np.fromiter((len(t) for t in a_terms), np.int64, n)
+    lb = np.fromiter((len(t) for t in b_terms), np.int64, n)
+    w = int(max(la.max(), lb.max(), 2))
+    A = np.zeros((n, w), np.uint32)
+    B = np.zeros((n, w), np.uint32)
+    A[:] = np.array(a_terms, dtype=f"U{w}")[:, None].view(np.uint32) \
+        .reshape(n, w)
+    B[:] = np.array(b_terms, dtype=f"U{w}")[:, None].view(np.uint32) \
+        .reshape(n, w)
+    diff = A != B
+    out = np.zeros(n, bool)
+    same = la == lb
+    out[same] = diff.sum(axis=1)[same] == 1
+    gap1 = np.abs(la - lb) == 1
+    if gap1.any():
+        a_long = (la >= lb)[:, None]
+        XL = np.where(a_long, A, B)
+        XS = np.where(a_long, B, A)
+        first = np.argmax(XL != XS, axis=1)
+        cols = np.arange(w - 1)[None, :]
+        idx = cols + (cols >= first[:, None])
+        deleted = np.take_along_axis(XL, idx, axis=1)
+        ok = (deleted == XS[:, : w - 1]).all(axis=1)
+        out[gap1] = ok[gap1]
+    return out
+
+
+def vocab_edit1_pairs(ds, column: str = "text", min_len: int = 3,
+                      min_count: int = 1, top_k: int = 2000,
+                      blocks: Optional[int] = None):
+    """All term pairs within edit distance 1 of each other in the
+    corpus vocabulary — FULL Levenshtein-1 recall (substitutions,
+    insertions AND deletions), via FastSS deletion neighborhoods
+    (Bocek et al. 2007): ``ed(a, b) <= 1`` implies ``a`` and ``b``
+    share a member of ``{t} ∪ {t minus one codepoint}``, so bucketing
+    every term by each of its ``len(t) + 1`` neighborhood keys and
+    pairing within buckets is a complete candidate generator. This
+    complements :func:`..dedup.blocked_hamming_pairs`, whose
+    equal-(length, prefix) blocking cannot see insert/delete typos or
+    edits inside the blocking prefix.
+
+    Shape: the vocabulary reduces through
+    :func:`document_frequencies`' single vocabulary-sized shuffle,
+    keeps the ``top_k`` terms of length >= ``min_len`` (ties by term
+    asc — a bounded, model-sized table by construction); variants
+    explode to ~``top_k * avg_len`` (bucket_hash, term_rank) rows and
+    candidate pairing runs through the one-sort + interior-segment +
+    edge-stitch machinery (:func:`..dedup._bucket_candidate_pairs`)
+    — never an all-pairs square. The verify is one vectorized
+    :func:`_ed1_verify` pass over candidates against the broadcast
+    rank->term array. Bucket keys are 64-bit hashes, so a hash
+    collision could only ever ADD a candidate; the exact verify
+    removes it (no false positives, no false negatives).
+
+    Returns a driver-side table (term_a, term_b, tf_a, tf_b) sorted
+    by (term_a, term_b), term_a < term_b codepoint-wise; pair count
+    is output-sized (bounded by top_k^2 but near-linear in practice).
+    """
+    import ray
+
+    from ..state.sketches import hash_strings
+    from .dedup import _bucket_candidate_pairs
+    from .relational import top_k as _top_k
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "term": batch["t"],
+            "tf": pc.cast(batch["sum(tf)"], pa.int64()),
+        })
+        mask = pc.and_(
+            pc.greater_equal(pc.utf8_length(t["term"]), min_len),
+            pc.greater_equal(t["tf"], min_count))
+        mask = pc.and_(mask, pc.not_equal(t["term"], ""))
+        return t.filter(mask)
+
+    agg = document_frequencies(ds, column).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True)
+    vocab = _top_k(agg, ["tf", "term"], descending=[True, False],
+                   k=top_k)
+    empty = pa.table({
+        "term_a": pa.array([], pa.string()),
+        "term_b": pa.array([], pa.string()),
+        "tf_a": pa.array([], pa.int64()),
+        "tf_b": pa.array([], pa.int64())})
+    if vocab.num_rows < 2:
+        return empty
+    terms = np.asarray(vocab["term"].to_pylist(), dtype=object)
+    tfs = vocab["tf"].to_numpy(zero_copy_only=False)
+    handle = ray.put((terms, tfs))
+
+    def variants(batch: pa.Table) -> pa.Table:
+        # the deletion neighborhood of each vocab term; the loop is
+        # over the TOP-K vocabulary (model-sized, never the corpus)
+        ids, keys = [], []
+        rank = batch["rank"].to_pylist()
+        for rid, term in zip(rank, batch["term"].to_pylist()):
+            ids.append(rid)
+            keys.append(term)
+            for i in range(len(term)):
+                ids.append(rid)
+                keys.append(term[:i] + term[i + 1:])
+        h = hash_strings(keys).view(np.int64)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(h)})
+
+    vocab_ds = ray.data.from_arrow(vocab.append_column(
+        "rank", pa.array(np.arange(vocab.num_rows), pa.int64())))
+    # spread variant generation once the vocabulary outgrows one
+    # block (tests pin `blocks` to exercise the edge stitch)
+    n_blocks = blocks or max(1, vocab.num_rows // 1024)
+    if n_blocks > 1:
+        vocab_ds = vocab_ds.repartition(n_blocks)
+    rows = vocab_ds.map_batches(variants, batch_format="pyarrow")
+    cands = _bucket_candidate_pairs(rows, "id", distinct=True,
+                                    unique=True)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        t, f = ray.get(handle)
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        mask = _ed1_verify(t[ia], t[ib])
+        ia, ib = ia[mask], ib[mask]
+        a, b = t[ia], t[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        fa = np.where(swap, f[ib], f[ia])
+        fb = np.where(swap, f[ia], f[ib])
+        return pa.table({
+            "term_a": pa.array(a2.tolist(), pa.string()),
+            "term_b": pa.array(b2.tolist(), pa.string()),
+            "tf_a": pa.array(fa, pa.int64()),
+            "tf_b": pa.array(fb, pa.int64())})
+
+    parts = []
+    for b in cands.map_batches(verify, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts, promote_options="default")
+    return out.sort_by([("term_a", "ascending"),
+                        ("term_b", "ascending")])

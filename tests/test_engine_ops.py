@@ -6816,3 +6816,86 @@ def test_embedding_quantization_empty():
     e = pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
     out = embedding_quantization_stats(_ray().data.from_arrow(e))
     assert out.num_rows == 0
+
+
+def _ref_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_ed1_verify_matches_dp():
+    import random
+
+    from json_schema_ray.engine.text import _ed1_verify
+
+    rng = random.Random(7)
+    alpha = "abcï"
+    pairs = [("naïve", "naive"), ("abc", "bac"), ("cold", "old"),
+             ("abc", "abc"), ("ab", "abcd")]
+    for _ in range(4000):
+        a = "".join(rng.choice(alpha)
+                    for _ in range(rng.randint(1, 6)))
+        b = "".join(rng.choice(alpha)
+                    for _ in range(rng.randint(1, 6)))
+        pairs.append((a, b))
+    av = np.array([p[0] for p in pairs], dtype=object)
+    bv = np.array([p[1] for p in pairs], dtype=object)
+    got = _ed1_verify(av, bv)
+    exp = np.array([_ref_levenshtein(a, b) == 1 for a, b in pairs])
+    assert (got == exp).all()
+
+
+def test_vocab_edit1_pairs_planted_full_recall():
+    import random
+
+    from json_schema_ray.engine.text import vocab_edit1_pairs
+
+    rng = random.Random(13)
+    # collision-prone vocabulary: random 4-8 char words over a tiny
+    # alphabet, plus planted substitution / insert / delete typos,
+    # an ed-2 transposition decoy that SHARES a deletion bucket
+    # ("abcd"/"bacd" both contain variant "bcd"/"acd"...), and a
+    # unicode substitution pair
+    words = {"".join(rng.choice("abcdef")
+                     for _ in range(rng.randint(4, 8)))
+             for _ in range(260)}
+    words |= {"tuning", "tunings", "tunning", "tunerg",
+              "abcd", "bacd", "naïve", "naive"}
+    words = sorted(words)
+    docs = [{"doc_id": i, "text": " ".join(
+        rng.sample(words, 12))} for i in range(240)]
+    ds = _ray().data.from_items(docs).repartition(8)
+    out = vocab_edit1_pairs(ds, min_len=3, min_count=1,
+                            top_k=100_000, blocks=6)
+    got = set(zip(out["term_a"].to_pylist(),
+                  out["term_b"].to_pylist()))
+    seen = set()
+    for d in docs:
+        seen.update(d["text"].split())
+    vocab = sorted(t for t in seen if len(t) >= 3)
+    exp = {(a, b) for i, a in enumerate(vocab)
+           for b in vocab[i + 1:]
+           if abs(len(a) - len(b)) <= 1
+           and _ref_levenshtein(a, b) == 1}
+    assert got == exp
+    assert ("abcd", "bacd") not in got  # decoy rejected by verify
+    assert len(exp) >= 5  # the corpus really contains ed-1 pairs
+    # tf columns carry the true corpus frequencies
+    from collections import Counter
+
+    tf = Counter()
+    for d in docs:
+        tf.update(d["text"].split())
+    for ta, tb, fa, fb in zip(out["term_a"].to_pylist(),
+                              out["term_b"].to_pylist(),
+                              out["tf_a"].to_pylist(),
+                              out["tf_b"].to_pylist()):
+        assert (fa, fb) == (tf[ta], tf[tb])
