@@ -3059,6 +3059,21 @@ def q_part_typo_pairs(sf_dir: str):
                              min_count=1, top_k=2000)
 
 
+def q_docs_span_corruption(sf_dir: str):
+    """T5-style denoising pairs over the document corpus
+    (engine/text.py span_corruption): deterministic splitmix64 span
+    starts/lengths stand in for the RNG, each maximal masked run
+    becomes an ``<extra_id_k>`` sentinel in the encoder input and a
+    ``<extra_id_k> tok ...`` segment in the decoder target — the
+    full output STRINGS are hash-checked against a pure-SQL twin
+    built on relational.splitmix64_sql. One stateless scan, no
+    shuffle; documents never span batches."""
+    from json_schema_ray.engine.text import span_corruption
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_corruption(ds)
+
+
 _MIXTURE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1,
                   "zh": 0.05}
 
@@ -8077,6 +8092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": q_docs_chunks,
         "docs_vocabulary": q_docs_vocabulary,
         "part_typo_pairs": q_part_typo_pairs,
+        "docs_span_corruption": q_docs_span_corruption,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_packed": q_docs_packed,
         "knn_lsh_top10": q_knn_lsh_top10,
@@ -8272,6 +8288,72 @@ def _mixture_sample_oracle_sql() -> str:
         WHERE {splitmix64_sql('doc_id', 11)} <
               CASE lang {whens} ELSE {int(thr[None])}::UBIGINT END
         ORDER BY doc_id
+    """
+
+
+def _span_corruption_oracle_sql() -> str:
+    """docs_span_corruption recomputed in SQL: the same splitmix64
+    span starts/lengths (key = doc_id * 2^20 + token_index), masked
+    runs found with LAG windows, sentinel/target strings rebuilt
+    with ordered string_agg + FILTER — full string-level parity with
+    the engine's one-scan kernel."""
+    from json_schema_ray.engine.relational import splitmix64_sql
+
+    h = splitmix64_sql("t.doc_id * 1048576 + t.j")
+    return f"""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr
+            FROM documents
+        ), tok0 AS (
+            SELECT doc_id, arr[i] AS tok, i
+            FROM w, LATERAL (SELECT unnest(
+                generate_series(1, len(arr))) AS i) g
+            WHERE len(arr) > 0
+        ), t AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY i) - 1 AS j
+            FROM tok0 WHERE tok <> ''
+        ), f AS (
+            SELECT t.doc_id, t.tok, t.j,
+                   ({h}) % 20 = 0 AS strt,
+                   1 + CAST((({h}) >> 8) % 3 AS BIGINT) AS slen
+            FROM t
+        ), m AS (
+            SELECT doc_id, tok, j, strt, slen,
+                   (strt
+                    OR coalesce(lag(strt) OVER w
+                                AND lag(slen) OVER w >= 2, FALSE)
+                    OR coalesce(lag(strt, 2) OVER w
+                                AND lag(slen, 2) OVER w >= 3, FALSE))
+                   AS masked
+            FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+        ), r AS (
+            SELECT *, masked AND NOT coalesce(
+                lag(masked) OVER w, FALSE) AS run_start
+            FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY j)
+        ), k AS (
+            SELECT *, CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                           OVER w AS BIGINT) - 1 AS run_id
+            FROM r WINDOW w AS (PARTITION BY doc_id ORDER BY j
+                                ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN masked THEN 1 END), 0)
+                    AS BIGINT) AS n_masked,
+               CAST(coalesce(sum(CASE WHEN run_start THEN 1 END), 0)
+                    AS BIGINT) AS n_spans,
+               string_agg(CASE WHEN run_start
+                               THEN '<extra_id_' || run_id || '>'
+                               ELSE tok END, ' ' ORDER BY j)
+                 FILTER (WHERE NOT masked OR run_start) AS inputs,
+               string_agg(CASE WHEN run_start
+                               THEN '<extra_id_' || run_id || '> '
+                                    || tok
+                               ELSE tok END, ' ' ORDER BY j)
+                 FILTER (WHERE masked) AS targets
+        FROM k GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -11914,6 +11996,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY term_a, term_b
         """,
         "docs_mixture_sample": _mixture_sample_oracle_sql(),
+        "docs_span_corruption": _span_corruption_oracle_sql(),
         "docs_packed": """
             WITH RECURSIVE c AS (
                 SELECT lang, doc_id,

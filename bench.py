@@ -249,7 +249,11 @@ def run_bench() -> None:
         total += dt
 
     extra = {}
-    for name in EXTRA_QUERIES:
+    # dev loop: GRAFT_HEADLINE_ONLY=1 skips the (much longer) extras
+    # pass; the headline "value" stays like-for-like either way
+    extras_to_run = [] if os.environ.get("GRAFT_HEADLINE_ONLY") \
+        else EXTRA_QUERIES
+    for name in extras_to_run:
         t0 = time.time()
         res = qs[name](SF_DIR)
         if hasattr(res, "iter_batches"):

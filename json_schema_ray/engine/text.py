@@ -1548,3 +1548,114 @@ def vocab_edit1_pairs(ds, column: str = "text", min_len: int = 3,
     out = pa.concat_tables(parts, promote_options="default")
     return out.sort_by([("term_a", "ascending"),
                         ("term_b", "ascending")])
+
+
+def span_corruption(ds, id_column: str = "doc_id",
+                    column: str = "text", start_mod: int = 20,
+                    max_span: int = 3, seed: int = 0):
+    """T5-style span corruption, made DETERMINISTIC so the output
+    strings are hash-checkable: whitespace token ``j`` of document
+    ``d`` STARTS a noise span iff ``splitmix64(d * 2^20 + j + seed)
+    % start_mod == 0``, and that span covers ``1 + ((h >> 8) %
+    max_span)`` tokens. Each maximal masked run is replaced by one
+    ``<extra_id_k>`` sentinel in the encoder input, and the decoder
+    target is the concatenation of ``<extra_id_k>`` + the original
+    masked tokens — the classic denoising objective (Raffel et al.
+    2020), with splitmix64 standing in for the RNG so the same
+    (doc, position) always corrupts identically across runs,
+    retries, and the SQL oracle (``relational.splitmix64_sql``).
+
+    Shape: ONE stateless scan — documents never span batches, so
+    span arithmetic is per-batch segment math (shifted start/length
+    masks, never a Python loop over tokens); sentinel text is built
+    by vectorized ``np.char`` kernels over the ~1/start_mod run-start
+    subset, and per-doc strings reassemble via ``ListArray`` offsets
+    + ``pc.binary_join``. No shuffle, no driver state. Assumes
+    < 2^20 tokens per document (the hash key packs ``j`` into the
+    low 20 bits); raises if violated rather than silently colliding.
+
+    Emits one row per document that has >= 1 token: (id, n_tokens,
+    n_masked, n_spans, inputs, targets); ``targets`` is NULL when no
+    token was masked (SQL ``string_agg`` FILTER parity).
+    """
+    from ..state.sketches import hash_ints
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_column: pa.array([], batch[id_column].type),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_masked": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+            "inputs": pa.array([], pa.string()),
+            "targets": pa.array([], pa.string())})
+        n = batch.num_rows
+        flat, par = _flat_terms(batch, column)
+        m = len(par)
+        if m == 0:
+            return empty
+        counts = np.bincount(par, minlength=n)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offset = first[par]  # flat index of each token's doc start
+        jloc = np.arange(m) - offset
+        if jloc.max() >= (1 << 20):
+            raise ValueError(
+                "span_corruption: document exceeds 2^20 tokens; "
+                "hash key would collide")
+        id_col = batch[id_column]
+        if isinstance(id_col, pa.ChunkedArray):
+            id_col = id_col.combine_chunks()
+        ids_np = pc.cast(id_col, pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = ids_np[par] * (1 << 20) + jloc + seed
+        h = hash_ints(key)
+        start = (h % np.uint64(start_mod)) == 0
+        slen = 1 + ((h >> np.uint64(8)) % np.uint64(max_span)) \
+            .astype(np.int64)
+        masked = start.copy()
+        for d in range(1, max_span):
+            cover = np.zeros(m, bool)
+            cover[d:] = start[:-d] & (slen[:-d] >= d + 1)
+            masked |= cover & (jloc >= d)
+        pm = np.zeros(m, bool)
+        pm[1:] = masked[:-1]
+        pm &= jloc >= 1
+        run_start = masked & ~pm
+        cs = np.cumsum(run_start)
+        before_doc = cs[first] - run_start[first]
+        k = (cs - 1) - before_doc[par]  # 0-based run id per token
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        ks = k[run_start].astype("U20")
+        sent = np.char.add(np.char.add("<extra_id_", ks), ">")
+        in_elem = toks.copy()
+        in_elem[run_start] = sent
+        tg_elem = toks.copy()
+        tg_elem[run_start] = np.char.add(
+            np.char.add(sent, " "),
+            toks[run_start].astype("U"))
+
+        def join_per_doc(elem: np.ndarray, keep: np.ndarray):
+            sel = elem[keep]
+            csel = np.bincount(par[keep], minlength=n)
+            offs = np.concatenate([[0], np.cumsum(csel)]) \
+                .astype(np.int32)
+            larr = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(sel.tolist(), pa.string()))
+            return pc.binary_join(larr, " ")
+
+        inputs = join_per_doc(in_elem, ~masked | run_start)
+        targets = join_per_doc(tg_elem, masked)
+        n_masked = np.bincount(par[masked], minlength=n)
+        n_spans = np.bincount(par[run_start], minlength=n)
+        has_tok = counts > 0
+        t = pa.table({
+            id_column: id_col,
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "inputs": inputs,
+            "targets": pc.if_else(pa.array(n_masked > 0), targets,
+                                  pa.scalar(None, pa.string()))})
+        return t.filter(pa.array(has_tok))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -6899,3 +6899,75 @@ def test_vocab_edit1_pairs_planted_full_recall():
                               out["tf_a"].to_pylist(),
                               out["tf_b"].to_pylist()):
         assert (fa, fb) == (tf[ta], tf[tb])
+
+
+def _ref_span_corruption(doc_id: int, text: str, start_mod=20,
+                         max_span=3, seed=0):
+    """Independent per-doc reference for span_corruption."""
+    from json_schema_ray.state.sketches import hash_ints
+
+    toks = [t for t in (text or "").split() if t]
+    if not toks:
+        return None
+    n = len(toks)
+    hs = hash_ints(np.array(
+        [doc_id * (1 << 20) + j + seed for j in range(n)], np.int64))
+    # NB: int(h) BEFORE %: numpy uint64 % python-int degrades to
+    # float64 and mangles the low bits
+    start = [int(h) % start_mod == 0 for h in hs]
+    slen = [1 + (int(h) >> 8) % max_span for h in hs]
+    masked = [any(start[s] and s + slen[s] > j
+                  for s in range(max(0, j - max_span + 1), j + 1))
+              for j in range(n)]
+    runs, inputs, targets, k = [], [], [], -1
+    for j in range(n):
+        if masked[j] and (j == 0 or not masked[j - 1]):
+            k += 1
+            inputs.append(f"<extra_id_{k}>")
+            targets.append(f"<extra_id_{k}> {toks[j]}")
+        elif masked[j]:
+            targets.append(toks[j])
+        else:
+            inputs.append(toks[j])
+    return {"doc_id": doc_id, "n_tokens": n,
+            "n_masked": sum(masked), "n_spans": k + 1,
+            "inputs": " ".join(inputs),
+            "targets": " ".join(targets) if k >= 0 else None}
+
+
+@pytest.mark.parametrize("start_mod", [20, 1, 2])
+def test_span_corruption_matches_reference(start_mod):
+    import random
+
+    from json_schema_ray.engine.text import span_corruption
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 40)
+        words = " ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"])
+                         for _ in range(n))
+        if i % 13 == 0:
+            words = "  " + words + "   "  # ragged whitespace
+        rows.append({"doc_id": i, "text": words})
+    rows.append({"doc_id": 900, "text": None})
+    rows.append({"doc_id": 901, "text": ""})
+    rows.append({"doc_id": 902, "text": "solo"})
+    ds = _ray().data.from_items(rows).repartition(5)
+    out = span_corruption(ds, start_mod=start_mod)
+    got = sorted((r for b in
+                  out.iter_batches(batch_format="pyarrow")
+                  for r in (b if isinstance(b, pa.Table) else
+                            pa.Table.from_batches([b])).to_pylist()),
+                 key=lambda r: r["doc_id"])
+    exp = [r for r in
+           (_ref_span_corruption(d["doc_id"], d["text"],
+                                 start_mod=start_mod) for d in rows)
+           if r is not None]
+    exp.sort(key=lambda r: r["doc_id"])
+    assert got == exp
+    if start_mod == 1:
+        # every token masked: inputs collapse to one sentinel per doc
+        for r in got:
+            assert r["n_masked"] == r["n_tokens"]
+            assert r["inputs"] == "<extra_id_0>"

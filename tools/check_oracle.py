@@ -23,10 +23,12 @@ def to_arrow(res):
         return res
     if isinstance(res, pd.DataFrame):
         return pa.Table.from_pandas(res, preserve_index=False)
-    # ray Dataset
+    # ray Dataset (iter_batches yields RecordBatch or Table
+    # depending on block layout)
     return pa.concat_tables(
-        [pa.Table.from_batches([b]) for b in
-         res.iter_batches(batch_format="pyarrow")])
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b for b in res.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
 
 
 def canonical(t):
