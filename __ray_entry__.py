@@ -3059,6 +3059,56 @@ def q_part_typo_pairs(sf_dir: str):
                              min_count=1, top_k=2000)
 
 
+def q_sessions_error_overlap(sf_dir: str):
+    """Interval-overlap join: per user session (30-min-gap
+    session_table), how many coalesced error windows (±30 min
+    around each 'error' event, overlapping windows merged) the
+    session intersects, and the first such window. Two new interval
+    primitives (engine/window.py): interval_coalesce_table — per
+    block local island merge, driver merges the island-count-sized
+    partials, no shuffle — and interval_overlap_count — broadcast
+    disjoint windows probed with TWO searchsorted calls per batch
+    (contiguous index range, never a pair expansion). SQL twin:
+    gaps-and-islands window coalesce + LEFT JOIN on the closed
+    overlap predicate."""
+    from json_schema_ray.engine.relational import _int64_us
+    from json_schema_ray.engine.window import (
+        interval_coalesce_table, interval_overlap_count,
+        session_table)
+
+    half_us = 1_800_000_000
+
+    def widen(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.equal(batch["event_type"], "error"),
+            pc.is_valid(batch["ts"])))
+        tu = _int64_us(t["ts"])
+        return pa.table({
+            "ws": pc.subtract(tu, half_us),
+            "we": pc.add(tu, half_us)})
+
+    err = _read(sf_dir, "events", columns=["event_type", "ts"])
+    win = interval_coalesce_table(
+        err.map_batches(widen, batch_format="pyarrow",
+                        zero_copy_batch=True), "ws", "we")
+    sess = session_table(
+        _read(sf_dir, "events", columns=["user_id", "ts"]),
+        "user_id", "ts", gap_seconds=1800.0)
+    out = interval_overlap_count(
+        sess, win, "session_start_us", "session_end_us",
+        n_out="n_windows", first_out="first_window_start_us") \
+        .select_columns(["user_id", "session_start_us",
+                         "session_end_us", "n_windows",
+                         "first_window_start_us"])
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("session_start_us", pa.int64()),
+        ("session_end_us", pa.int64()), ("n_windows", pa.int64()),
+        ("first_window_start_us", pa.int64())])
+    return _collect(out, schema).sort_by(
+        [("user_id", "ascending"),
+         ("session_start_us", "ascending")])
+
+
 def q_docs_span_corruption(sf_dir: str):
     """T5-style denoising pairs over the document corpus
     (engine/text.py span_corruption): deterministic splitmix64 span
@@ -8093,6 +8143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocabulary": q_docs_vocabulary,
         "part_typo_pairs": q_part_typo_pairs,
         "docs_span_corruption": q_docs_span_corruption,
+        "sessions_error_overlap": q_sessions_error_overlap,
         "docs_mixture_sample": q_docs_mixture_sample,
         "docs_packed": q_docs_packed,
         "knn_lsh_top10": q_knn_lsh_top10,
@@ -11997,6 +12048,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_mixture_sample": _mixture_sample_oracle_sql(),
         "docs_span_corruption": _span_corruption_oracle_sql(),
+        "sessions_error_overlap": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS tu,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts) AS prev
+                FROM events WHERE ts IS NOT NULL
+            ), fl AS (
+                SELECT user_id, tu,
+                       CASE WHEN prev IS NULL
+                                 OR tu - prev > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), sg AS (
+                SELECT user_id, tu,
+                       sum(new_s) OVER (PARTITION BY user_id
+                         ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid
+                FROM fl
+            ), sess AS (
+                SELECT user_id,
+                       CAST(min(tu) AS BIGINT) AS session_start_us,
+                       CAST(max(tu) AS BIGINT) AS session_end_us
+                FROM sg GROUP BY user_id, sid
+            ), err AS (
+                SELECT epoch_us(ts) AS tu FROM events
+                WHERE event_type = 'error' AND ts IS NOT NULL
+            ), iv AS (
+                SELECT tu - 1800000000 AS ws, tu + 1800000000 AS we
+                FROM err
+            ), x AS (
+                SELECT ws, we,
+                       max(we) OVER (ORDER BY ws, we
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+                FROM iv
+            ), f AS (
+                SELECT ws, we, CASE WHEN pm IS NULL OR ws > pm
+                                    THEN 1 ELSE 0 END AS ni
+                FROM x
+            ), g AS (
+                SELECT ws, we, sum(ni) OVER (ORDER BY ws, we
+                         ROWS UNBOUNDED PRECEDING) AS iid
+                FROM f
+            ), w AS (
+                SELECT CAST(min(ws) AS BIGINT) AS w_start,
+                       CAST(max(we) AS BIGINT) AS w_end
+                FROM g GROUP BY iid
+            )
+            SELECT s.user_id, s.session_start_us, s.session_end_us,
+                   CAST(count(w.w_start) AS BIGINT) AS n_windows,
+                   CAST(min(w.w_start) AS BIGINT)
+                     AS first_window_start_us
+            FROM sess s LEFT JOIN w
+              ON w.w_start <= s.session_end_us
+             AND w.w_end >= s.session_start_us
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2
+        """,
         "docs_packed": """
             WITH RECURSIVE c AS (
                 SELECT lang, doc_id,

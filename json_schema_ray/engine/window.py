@@ -1312,3 +1312,127 @@ def densify_gaps(ds, key: str, period: str, fill_cols):
             np.zeros(total, np.int64)).cast(ct[c].type)
     return kept.union(
         __import__("ray").data.from_arrow(pa.table(fills)))
+
+
+def _coalesce_np(s: np.ndarray, e: np.ndarray):
+    """Merge overlapping-or-touching [s, e] intervals (int64) into
+    disjoint islands: sort by (s, e), running max of ends, an island
+    opens where a start exceeds every previous end. Vectorized —
+    lexsort + maximum.accumulate + reduceat."""
+    order = np.lexsort((e, s))
+    s, e = s[order], e[order]
+    runmax = np.maximum.accumulate(e)
+    new = np.concatenate([[True], s[1:] > runmax[:-1]])
+    heads = np.nonzero(new)[0]
+    return s[heads], np.maximum.reduceat(e, heads)
+
+
+def interval_coalesce_table(ds, start: str, end: str) -> pa.Table:
+    """Disjoint union of an interval set: merge every group of
+    overlapping-or-touching [start, end] intervals into one window.
+    Returns the driver-side (w_start, w_end) table sorted by
+    w_start — the broadcast side of
+    :func:`interval_overlap_count`, so the result is REQUIRED to be
+    dimension-sized (incident windows, maintenance calendars,
+    blackout lists); that bound is inherent to any broadcast probe,
+    not an implementation shortcut.
+
+    Shape: ONE stateless ``map_batches`` pass pre-coalesces each
+    block to its local islands (:func:`_coalesce_np` — never emits
+    more rows than true local islands), then the driver merges the
+    per-block island lists with the same kernel. No Ray sort, no
+    shuffle; driver input is island-count-sized, not corpus-sized.
+    NULL starts/ends drop.
+    """
+
+    def block_islands(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"w_start": pa.array([], pa.int64()),
+                          "w_end": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        mask = pc.and_(pc.is_valid(batch[start]),
+                       pc.is_valid(batch[end]))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        s = pc.cast(t[start], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        e = pc.cast(t[end], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        ws, we = _coalesce_np(s, e)
+        return pa.table({"w_start": pa.array(ws, pa.int64()),
+                         "w_end": pa.array(we, pa.int64())})
+
+    parts = []
+    for b in ds.map_batches(block_islands, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) \
+            else b
+        if t.num_rows:
+            parts.append(t)
+    if not parts:
+        return pa.table({"w_start": pa.array([], pa.int64()),
+                         "w_end": pa.array([], pa.int64())})
+    allt = pa.concat_tables(parts, promote_options="default")
+    ws, we = _coalesce_np(
+        allt["w_start"].to_numpy(zero_copy_only=False),
+        allt["w_end"].to_numpy(zero_copy_only=False))
+    return pa.table({"w_start": pa.array(ws, pa.int64()),
+                     "w_end": pa.array(we, pa.int64())})
+
+
+def interval_overlap_count(ds, windows: pa.Table, start: str,
+                           end: str, n_out: str = "n_windows",
+                           first_out: str = "first_window_start"):
+    """Interval-interval overlap join against a broadcast DISJOINT
+    window table (:func:`interval_coalesce_table`): every row of
+    ``ds`` (an interval [start, end]) gains the count of windows it
+    overlaps and the first overlapping window's start (NULL when
+    none) — closed-interval semantics, ``w_start <= end AND w_end >=
+    start``.
+
+    Shape: windows ship ONCE via ``ray.put`` as two sorted int64
+    arrays; each probe batch is two ``searchsorted`` calls — because
+    disjoint sorted windows have co-sorted starts AND ends, the
+    overlapping windows of any interval form the contiguous index
+    range [first window ending >= start, last window starting <=
+    end]. Stateless scan, no shuffle, never expands pairs."""
+    import ray
+
+    ws = windows["w_start"].to_numpy(zero_copy_only=False)
+    we = windows["w_end"].to_numpy(zero_copy_only=False)
+    if len(ws) and not (np.all(ws <= we)
+                        and np.all(ws[1:] > we[:-1])):
+        raise ValueError("interval_overlap_count: windows must be "
+                         "disjoint and sorted (interval_coalesce_table"
+                         " output)")
+    handle = ray.put((ws, we))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_n = pa.array(np.zeros(n, np.int64))
+        out_f = pa.nulls(n, pa.int64())
+        if n == 0 or len(ws) == 0:
+            return batch.append_column(n_out, out_n) \
+                .append_column(first_out, out_f)
+        w_s, w_e = ray.get(handle)
+        sc = pc.cast(batch[start], pa.int64())
+        ec = pc.cast(batch[end], pa.int64())
+        ok = pc.and_(pc.is_valid(sc), pc.is_valid(ec)) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.fill_null(sc, 0).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        e = pc.fill_null(ec, -1).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(w_e, s, side="left")
+        hi = np.searchsorted(w_s, e, side="right") - 1
+        cnt = np.where(ok, np.maximum(hi - lo + 1, 0), 0)
+        first = np.where(cnt > 0, w_s[np.minimum(lo, len(w_s) - 1)],
+                         0)
+        return batch.append_column(n_out, pa.array(cnt, pa.int64())) \
+            .append_column(first_out, pa.array(
+                first, pa.int64(), mask=(cnt == 0)))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -6971,3 +6971,75 @@ def test_span_corruption_matches_reference(start_mod):
         for r in got:
             assert r["n_masked"] == r["n_tokens"]
             assert r["inputs"] == "<extra_id_0>"
+
+
+def test_interval_coalesce_matches_bruteforce():
+    import random
+
+    from json_schema_ray.engine.window import interval_coalesce_table
+
+    rng = random.Random(21)
+    rows = []
+    for _ in range(600):
+        s = rng.randint(0, 2000)
+        rows.append({"ws": s, "we": s + rng.randint(0, 60)})
+    rows.append({"ws": None, "we": 5})      # null start drops
+    rows.append({"ws": 5000, "we": None})   # null end drops
+    rows.append({"ws": 100, "we": 100})     # degenerate point
+    rows.append({"ws": 2100, "we": 2200})
+    rows.append({"ws": 2200, "we": 2300})   # touching -> merged
+    ds = _ray().data.from_items(rows).repartition(7)
+    t = interval_coalesce_table(ds, "ws", "we")
+    got = list(zip(t["w_start"].to_pylist(), t["w_end"].to_pylist()))
+    ivs = sorted((r["ws"], r["we"]) for r in rows
+                 if r["ws"] is not None and r["we"] is not None)
+    exp = []
+    for s, e in ivs:
+        if exp and s <= exp[-1][1]:
+            exp[-1][1] = max(exp[-1][1], e)
+        else:
+            exp.append([s, e])
+    assert got == [tuple(x) for x in exp]
+    # disjoint, sorted, non-touching
+    for (s1, e1), (s2, e2) in zip(got, got[1:]):
+        assert s2 > e1 and s1 <= e1 and s2 <= e2
+
+
+def test_interval_overlap_count_matches_bruteforce():
+    import random
+
+    from json_schema_ray.engine.window import (interval_coalesce_table,
+                                               interval_overlap_count)
+
+    rng = random.Random(22)
+    wrows = [{"ws": s, "we": s + rng.randint(5, 40)}
+             for s in rng.sample(range(0, 5000), 60)]
+    win = interval_coalesce_table(
+        _ray().data.from_items(wrows).repartition(3), "ws", "we")
+    probes = []
+    for i in range(400):
+        s = rng.randint(-50, 5100)
+        probes.append({"pid": i, "s": s, "e": s + rng.randint(0, 80)})
+    probes.append({"pid": 900, "s": None, "e": 10})
+    probes.append({"pid": 901, "s": 10, "e": None})
+    ds = _ray().data.from_items(probes).repartition(6)
+    out = interval_overlap_count(ds, win, "s", "e")
+    got = {r["pid"]: (r["n_windows"], r["first_window_start"])
+           for b in out.iter_batches(batch_format="pyarrow")
+           for r in (b if isinstance(b, pa.Table) else
+                     pa.Table.from_batches([b])).to_pylist()}
+    wl = list(zip(win["w_start"].to_pylist(),
+                  win["w_end"].to_pylist()))
+    for p in probes:
+        if p["s"] is None or p["e"] is None:
+            assert got[p["pid"]] == (0, None)
+            continue
+        hits = [ws for ws, we in wl
+                if ws <= p["e"] and we >= p["s"]]
+        assert got[p["pid"]] == (len(hits),
+                                 min(hits) if hits else None), p
+    # malformed (non-disjoint) windows are rejected loudly
+    bad = pa.table({"w_start": pa.array([0, 5], pa.int64()),
+                    "w_end": pa.array([10, 20], pa.int64())})
+    with pytest.raises(ValueError):
+        interval_overlap_count(ds, bad, "s", "e")
