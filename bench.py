@@ -164,6 +164,9 @@ EXTRA_QUERIES = [
     "multimodal_features",     # REAL PNG decode->resize->featurize
     "multimodal_audio",        # REAL WAV PCM decode + DSP features
     "multimodal_frames",       # REAL Y4M parse + frame sampling
+    "part_typo_pairs",         # FastSS deletion-neighborhood ed-1 join
+    "docs_span_corruption",    # deterministic T5 denoising pairs
+    "sessions_error_overlap",  # interval coalesce + overlap probe
 ]
 
 

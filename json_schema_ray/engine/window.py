@@ -1408,12 +1408,13 @@ def interval_overlap_count(ds, windows: pa.Table, start: str,
                          "disjoint and sorted (interval_coalesce_table"
                          " output)")
     handle = ray.put((ws, we))
+    n_windows = len(ws)  # closure ships the COUNT, never the arrays
 
     def probe(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         out_n = pa.array(np.zeros(n, np.int64))
         out_f = pa.nulls(n, pa.int64())
-        if n == 0 or len(ws) == 0:
+        if n == 0 or n_windows == 0:
             return batch.append_column(n_out, out_n) \
                 .append_column(first_out, out_f)
         w_s, w_e = ray.get(handle)
