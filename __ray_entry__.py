@@ -6231,6 +6231,186 @@ def q_transcript_tool_usage(sf_dir: str):
                     schema).sort_by([("conv_id", "ascending")])
 
 
+TOOL_ARGS_SEED = 20260820
+
+# one JSON-schema contract per tool FAMILY — the schema-registry
+# dispatch shape of agent pipelines (every tool's arguments have
+# their own contract; a validator must route each turn to the right
+# compiled plan, not re-compile per row)
+TOOL_ARGS_REGISTRY = {
+    "search": {"type": ["object"], "properties": {"args": {
+        "type": ["object"], "required": ["query", "limit"],
+        "properties": {
+            "query": {"type": ["string"], "minLength": 1},
+            "limit": {"type": ["integer"], "minimum": 1,
+                      "maximum": 100}}}}},
+    "file": {"type": ["object"], "properties": {"args": {
+        "type": ["object"], "required": ["path", "bytes"],
+        "properties": {
+            "path": {"type": ["string"], "pattern": "^/"},
+            "bytes": {"type": ["integer"], "minimum": 0}}}}},
+    "exec": {"type": ["object"], "properties": {"args": {
+        "type": ["object"], "required": ["cmd", "timeout"],
+        "properties": {
+            "cmd": {"type": ["string"], "minLength": 1},
+            "timeout": {"type": ["integer"], "multipleOf": 5}}}}},
+    "net": {"type": ["object"], "properties": {"args": {
+        "type": ["object"], "required": ["url", "retries"],
+        "properties": {
+            "url": {"type": ["string"], "pattern": "^https://"},
+            "retries": {"type": ["integer"], "maximum": 5}}}}},
+}
+
+
+def q_transcript_tool_args(sf_dir: str):
+    """Per-tool-FAMILY JSON-schema validation of tool-call arguments
+    over the transcript corpus — the schema-REGISTRY dispatch stage
+    (engine/validate.py RegistryValidator): four argument contracts
+    (search/file/exec/net), each tool turn routed to its family's
+    pre-compiled plan inside an actor pool (plans compile once per
+    actor, never per batch), violations surfaced with the family
+    tag. Arguments are synthesized DETERMINISTICALLY from the corpus
+    keys (splitmix64 over conv_num*1024+turn_idx, the
+    docs_span_corruption pattern), so the DuckDB oracle re-derives
+    the exact violation set from the same parquet files with
+    relational.splitmix64_sql — every emitted (row, path,
+    error_type) is hash-checked, including rows that violate two
+    checks at once. Reference message semantics per keyword:
+    min_length/max/min/pattern/multiple_of/required (reference
+    lib/json_schema/validator.rb; messages pinned elsewhere by the
+    ported fixtures — this query checks the dispatch routing).
+
+    Scale shape: stateless synth scan -> actor-pool registry
+    validation; no shuffle at all (the final sort is the small
+    violations table); corpus text column never read."""
+    import ray
+
+    from json_schema_ray.engine.validate import validate_by_registry
+    from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.state.sketches import hash_ints
+
+    path = transcripts_path(_transcript_turns(sf_dir),
+                            violation_rate=0.01)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    ds = ray.data.read_parquet(
+        files, columns=["conv_id", "turn_idx", "role", "tool"])
+
+    fam_names = np.array(["search", "file", "exec", "net"],
+                         dtype=object)
+    synth_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("family", pa.string()), ("args", pa.string())])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        tool_nn = pc.fill_null(batch["tool"], "")
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(pc.fill_null(batch["role"], ""), "tool"),
+                pc.match_substring_regex(tool_nn,
+                                         r"^tool-(1?[0-9])$")),
+            pc.and_(
+                pc.match_substring_regex(
+                    pc.fill_null(batch["conv_id"], ""),
+                    r"^conv-[0-9]{8}$"),
+                pc.and_(
+                    pc.greater_equal(pc.fill_null(batch["turn_idx"],
+                                                  -1), 0),
+                    pc.less_equal(pc.fill_null(batch["turn_idx"], -1),
+                                  1023))))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return synth_schema.empty_table()
+        conv = b["conv_id"].combine_chunks()
+        tool = b["tool"].combine_chunks()
+        conv_num = pc.cast(pc.utf8_slice_codeunits(conv, 5, 13),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        turn = pc.cast(b["turn_idx"].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        h = hash_ints(conv_num * 1024 + turn + TOOL_ARGS_SEED)
+        tool_num = pc.cast(pc.utf8_slice_codeunits(tool, 5, 10),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        fam_code = tool_num // 5
+        fam = pa.array(fam_names[fam_code], pa.string())
+
+        def istr(a: np.ndarray) -> pa.Array:
+            return pc.cast(pa.array(a.astype(np.int64)), pa.string())
+
+        # search: {"query": "" | "find <conv>", "limit": 1+(h>>8)%110}
+        # with "limit" OMITTED when h%101 < 4 (required_failed)
+        query = pc.if_else(
+            pa.array(h % np.uint64(97) < np.uint64(5)), pa.scalar(""),
+            pc.binary_join_element_wise("find ", conv, ""))
+        limit = istr((np.uint64(1) + ((h >> np.uint64(8))
+                                      % np.uint64(110))).astype(np.int64))
+        base = pc.binary_join_element_wise('{"query":"', query, '"', "")
+        args_search = pc.if_else(
+            pa.array(h % np.uint64(101) < np.uint64(4)),
+            pc.binary_join_element_wise(base, "}", ""),
+            pc.binary_join_element_wise(base, ',"limit":', limit,
+                                        "}", ""))
+        # file: path misses the leading / when h%89 < 4; bytes goes
+        # negative when h%83 < 3
+        path_v = pc.if_else(
+            pa.array(h % np.uint64(89) < np.uint64(4)),
+            pc.binary_join_element_wise("data/", conv, ""),
+            pc.binary_join_element_wise("/data/", conv, ""))
+        bytes_v = istr(((h >> np.uint64(16)) % np.uint64(1000000))
+                       .astype(np.int64)
+                       - np.where(h % np.uint64(83) < np.uint64(3),
+                                  1000000, 0))
+        args_file = pc.binary_join_element_wise(
+            '{"path":"', path_v, '","bytes":', bytes_v, "}", "")
+        # exec: empty cmd when h%79 < 4; timeout off the 5-grid when
+        # h%73 < 6
+        cmd = pc.if_else(
+            pa.array(h % np.uint64(79) < np.uint64(4)), pa.scalar(""),
+            pc.binary_join_element_wise("run ", tool, ""))
+        timeout = istr((np.uint64(5) * ((h >> np.uint64(8))
+                                        % np.uint64(12))
+                        + np.where(h % np.uint64(73) < np.uint64(6),
+                                   np.uint64(1), np.uint64(0)))
+                       .astype(np.int64))
+        args_exec = pc.binary_join_element_wise(
+            '{"cmd":"', cmd, '","timeout":', timeout, "}", "")
+        # net: http:// (pattern fail) when h%71 < 5; retries 0..7
+        # (maximum 5)
+        url = pc.binary_join_element_wise(
+            pc.if_else(pa.array(h % np.uint64(71) < np.uint64(5)),
+                       pa.scalar("http://"), pa.scalar("https://")),
+            "api.example.com/", conv, "")
+        retries = istr(((h >> np.uint64(8)) % np.uint64(8))
+                       .astype(np.int64))
+        args_net = pc.binary_join_element_wise(
+            '{"url":"', url, '","retries":', retries, "}", "")
+
+        f0 = pa.array(fam_code == 0)
+        f1 = pa.array(fam_code == 1)
+        f2 = pa.array(fam_code == 2)
+        args = pc.if_else(f0, args_search,
+                          pc.if_else(f1, args_file,
+                                     pc.if_else(f2, args_exec,
+                                                args_net)))
+        return pa.table({"conv_id": conv, "turn_idx": b["turn_idx"],
+                         "family": fam, "args": args})
+
+    v = validate_by_registry(
+        ds.map_batches(synth, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        TOOL_ARGS_REGISTRY, synth_schema, dispatch="family",
+        key_columns=["conv_id", "turn_idx"], json_columns={"args"})
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("path", pa.string()), ("schema_pointer", pa.string()),
+        ("error_type", pa.string()), ("message", pa.string()),
+        ("data_json", pa.string()), ("family", pa.string())])
+    out = _collect(v, out_schema)
+    return out.select(["conv_id", "turn_idx", "family", "path",
+                       "error_type"]) \
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending"),
+                  ("path", "ascending")])
+
+
 def q_shipping_priority(sf_dir: str):
     """TPC-H Q3-flavored shipping priority: top-10 unshipped orders
     by open revenue for one customer segment. Composition by side
@@ -7985,6 +8165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": q_user_activity_gini,
         "corpus_zipf_slope": q_corpus_zipf_slope,
         "transcript_tool_usage": q_transcript_tool_usage,
+        "transcript_tool_args": q_transcript_tool_args,
         "shipping_priority": q_shipping_priority,
         "lang_mixture_allocation": q_lang_mixture_allocation,
         "events_csv_roundtrip": q_events_csv_roundtrip,
@@ -10213,6 +10394,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'turn_idx', CAST(count(*) AS BIGINT),
                    CAST(count(*) - count(turn_idx) AS BIGINT) FROM t
             ORDER BY "column"
+        """,
+        "transcript_tool_args": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx,
+                       CAST(substr(conv_id, 6) AS BIGINT) AS cnum,
+                       CAST(substr(tool, 6) AS BIGINT) AS tnum
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                WHERE role = 'tool' AND tool IS NOT NULL
+                  AND regexp_matches(tool, '^tool-(1?[0-9])$')
+                  AND regexp_matches(conv_id, '^conv-[0-9]{{8}}$')
+                  AND turn_idx BETWEEN 0 AND 1023
+            ), hh AS (
+                SELECT conv_id, turn_idx, tnum // 5 AS fam,
+                       {splitmix64_sql('cnum * 1024 + turn_idx',
+                                       TOOL_ARGS_SEED)} AS h
+                FROM t
+            ), v AS (
+                SELECT conv_id, turn_idx, 'search' AS family,
+                       '#/args/query' AS path,
+                       'min_length_failed' AS error_type
+                FROM hh WHERE fam = 0 AND h % 97 < 5
+                UNION ALL
+                SELECT conv_id, turn_idx, 'search', '#/args/limit',
+                       'max_failed'
+                FROM hh WHERE fam = 0 AND h % 101 >= 4
+                  AND (h >> 8) % 110 >= 100
+                UNION ALL
+                SELECT conv_id, turn_idx, 'search', '#/args',
+                       'required_failed'
+                FROM hh WHERE fam = 0 AND h % 101 < 4
+                UNION ALL
+                SELECT conv_id, turn_idx, 'file', '#/args/path',
+                       'pattern_failed'
+                FROM hh WHERE fam = 1 AND h % 89 < 4
+                UNION ALL
+                SELECT conv_id, turn_idx, 'file', '#/args/bytes',
+                       'min_failed'
+                FROM hh WHERE fam = 1 AND h % 83 < 3
+                UNION ALL
+                SELECT conv_id, turn_idx, 'exec', '#/args/cmd',
+                       'min_length_failed'
+                FROM hh WHERE fam = 2 AND h % 79 < 4
+                UNION ALL
+                SELECT conv_id, turn_idx, 'exec', '#/args/timeout',
+                       'multiple_of_failed'
+                FROM hh WHERE fam = 2 AND h % 73 < 6
+                UNION ALL
+                SELECT conv_id, turn_idx, 'net', '#/args/url',
+                       'pattern_failed'
+                FROM hh WHERE fam = 3 AND h % 71 < 5
+                UNION ALL
+                SELECT conv_id, turn_idx, 'net', '#/args/retries',
+                       'max_failed'
+                FROM hh WHERE fam = 3 AND (h >> 8) % 8 > 5
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   family, path, error_type
+            FROM v ORDER BY conv_id, turn_idx, path
         """,
         "transcript_tool_usage": f"""
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -56,6 +56,116 @@ def violations_dataset(ds, plan: TablePlan):
                           zero_copy_batch=True)
 
 
+class RegistryValidator:
+    """Actor-pool stage: validate each row against the schema chosen
+    by its ``dispatch`` column — the tool-call-arguments shape, where
+    an agent transcript carries N tool families each with its own
+    JSON-schema contract (reference semantics per schema: the same
+    compile -> TablePlan path as every other validator; reference
+    message strings via lib/json_schema/validator.rb fixtures).
+
+    Scale shape: the registry's plans compile ONCE PER ACTOR in
+    ``__init__`` (parse + $ref-expand + Arrow lowering for every
+    family) — never per batch; ``__call__`` splits a batch by the
+    small set of distinct dispatch values present (dictionary-encode,
+    one ``filter`` per family actually present — O(families-in-batch)
+    masks, each sub-batch validated fully vectorized) and emits the
+    union of violation rows with a ``family`` column appended. Rows
+    whose dispatch value has no registry entry (or is null) surface
+    as one ``unknown_schema`` violation row each rather than
+    vanishing. No shuffle; stateless between batches; the registry
+    (a dict of plain schema dicts) ships to each actor once."""
+
+    def __init__(self, registry: dict, arrow_schema: pa.Schema,
+                 dispatch: str, key_columns: Optional[List[str]] = None,
+                 json_columns: Optional[set] = None,
+                 family_col: str = "family"):
+        body = arrow_schema.remove(arrow_schema.get_field_index(dispatch))
+        self.plans = {
+            name: compile_plan_for(schema_json, body,
+                                   key_columns=key_columns,
+                                   json_columns=json_columns)
+            for name, schema_json in registry.items()
+        }
+        self.dispatch = dispatch
+        self.key_columns = list(key_columns or [])
+        self.family_col = family_col
+        any_plan = next(iter(self.plans.values()))
+        self.out_schema = any_plan.violation_schema().append(
+            pa.field(family_col, pa.string()))
+
+    def _empty(self) -> pa.Table:
+        return self.out_schema.empty_table()
+
+    def _unknown_rows(self, sub: pa.Table, value) -> pa.Table:
+        n = sub.num_rows
+        cols, names = [], []
+        for k in self.key_columns:
+            cols.append(sub[k]); names.append(k)
+        label = "" if value is None else str(value)
+        fill = {
+            "path": "#", "schema_pointer": "#",
+            "error_type": "unknown_schema",
+            "message": f"no schema registered for {label!r}.",
+            "data_json": "null",
+        }
+        for f in self.out_schema:
+            if f.name in self.key_columns or f.name == self.family_col:
+                continue
+            cols.append(pa.array([fill.get(f.name, "")] * n, f.type))
+            names.append(f.name)
+        cols.append(pa.array([label] * n, pa.string()))
+        names.append(self.family_col)
+        return pa.table(dict(zip(names, cols))).select(
+            [f.name for f in self.out_schema])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:
+            return self._empty()
+        d = batch[self.dispatch].combine_chunks().dictionary_encode()
+        body = batch.drop_columns([self.dispatch])
+        outs = []
+        null_mask = pc.is_null(d)
+        if pc.any(null_mask).as_py():
+            outs.append(self._unknown_rows(body.filter(null_mask), None))
+        for i, value in enumerate(d.dictionary.to_pylist()):
+            mask = pc.equal(d.indices, i)
+            sub = body.filter(pc.fill_null(mask, False))
+            plan = self.plans.get(value)
+            if plan is None:
+                outs.append(self._unknown_rows(sub, value))
+                continue
+            v = validate_batch(sub, plan)
+            outs.append(v.append_column(
+                self.family_col, pa.array([value] * v.num_rows,
+                                          pa.string())))
+        outs = [t for t in outs if t.num_rows] or [self._empty()]
+        return pa.concat_tables(outs).select(
+            [f.name for f in self.out_schema])
+
+
+def validate_by_registry(ds, registry: dict, arrow_schema: pa.Schema,
+                         dispatch: str,
+                         key_columns: Optional[List[str]] = None,
+                         json_columns: Optional[set] = None,
+                         family_col: str = "family",
+                         concurrency: Optional[int] = None):
+    """Dataset of violation rows where each row was validated against
+    ``registry[row[dispatch]]`` (see :class:`RegistryValidator`).
+    The stage is an ACTOR POOL precisely because the per-family
+    compile is real setup work multiplied by len(registry)."""
+    # class-based map_batches requires an actor pool size
+    extra = {"concurrency": concurrency or 4}
+    return ds.map_batches(
+        RegistryValidator,
+        fn_constructor_kwargs=dict(
+            registry=registry, arrow_schema=arrow_schema,
+            dispatch=dispatch, key_columns=key_columns,
+            json_columns=json_columns, family_col=family_col),
+        batch_format="pyarrow", zero_copy_batch=True, **extra)
+
+
 def verdicts_dataset(ds, plan: TablePlan):
     """Input dataset with an appended boolean ``valid`` column (the
     fail_fast analogue: masks only, no message materialization)."""

@@ -758,3 +758,103 @@ def test_invalid_count_matches_verdict_mask():
     viol, n_invalid = validate_batch(t, plan, with_invalid_count=True)
     assert n_invalid == int((~ok).sum())
     assert viol.num_rows >= n_invalid > 0
+
+
+# ---------------------------------------------------------------------------
+# schema-registry dispatch (RegistryValidator)
+# ---------------------------------------------------------------------------
+
+_REG = {
+    "search": {"type": ["object"], "properties": {"args": {
+        "type": ["object"], "required": ["query", "limit"],
+        "properties": {
+            "query": {"type": ["string"], "minLength": 1},
+            "limit": {"type": ["integer"], "minimum": 1,
+                      "maximum": 100}}}}},
+    "net": {"type": ["object"], "properties": {"args": {
+        "type": ["object"],
+        "properties": {
+            "url": {"type": ["string"], "pattern": "^https://"},
+            "retries": {"type": ["integer"], "maximum": 5}}}}},
+}
+
+_REG_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("family", pa.string()), ("args", pa.string())])
+
+
+def _reg_batch():
+    return pa.table({
+        "conv_id": ["c1", "c2", "c3", "c4", "c5"],
+        "turn_idx": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        "family": ["search", "net", "search", "mystery", None],
+        "args": ['{"query":"","limit":101}',
+                 '{"url":"http://x","retries":7}',
+                 '{"query":"ok","limit":5}', '{}', '{}'],
+    })
+
+
+def test_registry_validator_routes_by_family():
+    """Each row is validated against ITS family's schema: the same
+    args string produces different verdicts under different
+    families, and both violations of a doubly-bad row surface."""
+    from json_schema_ray.engine.validate import RegistryValidator
+
+    rv = RegistryValidator(_REG, _REG_SCHEMA, dispatch="family",
+                           key_columns=["conv_id", "turn_idx"],
+                           json_columns={"args"})
+    out = rv(_reg_batch())
+    rows = {(r["conv_id"], r["path"], r["error_type"], r["family"])
+            for r in out.to_pylist()}
+    assert ("c1", "#/args/query", "min_length_failed",
+            "search") in rows
+    assert ("c1", "#/args/limit", "max_failed", "search") in rows
+    assert ("c2", "#/args/url", "pattern_failed", "net") in rows
+    assert ("c2", "#/args/retries", "max_failed", "net") in rows
+    # the valid search row emits nothing
+    assert not any(r[0] == "c3" for r in rows)
+
+
+def test_registry_validator_unknown_and_null_families_surface():
+    """A dispatch value with no registry entry (or null) must emit an
+    unknown_schema row per input row, never silently vanish."""
+    from json_schema_ray.engine.validate import RegistryValidator
+
+    rv = RegistryValidator(_REG, _REG_SCHEMA, dispatch="family",
+                           key_columns=["conv_id", "turn_idx"],
+                           json_columns={"args"})
+    out = rv(_reg_batch())
+    unk = {(r["conv_id"], r["family"]) for r in out.to_pylist()
+           if r["error_type"] == "unknown_schema"}
+    assert unk == {("c4", "mystery"), ("c5", "")}
+
+
+def test_registry_validator_empty_batch_and_dataset(ray_session):
+    """Zero-row batches return the typed empty violation table; the
+    actor-pool dataset wrapper streams and preserves the schema."""
+    import ray as ray_mod
+
+    from json_schema_ray.engine.validate import (
+        RegistryValidator, validate_by_registry)
+
+    rv = RegistryValidator(_REG, _REG_SCHEMA, dispatch="family",
+                           key_columns=["conv_id", "turn_idx"],
+                           json_columns={"args"})
+    empty = rv(_reg_batch().slice(0, 0))
+    assert empty.num_rows == 0
+    assert empty.schema.names[-1] == "family"
+
+    ds = ray_mod.data.from_arrow(_reg_batch()).repartition(3)
+    out = pa.concat_tables(
+        [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+         else b
+         for b in validate_by_registry(
+             ds, _REG, _REG_SCHEMA, dispatch="family",
+             key_columns=["conv_id", "turn_idx"],
+             json_columns={"args"},
+             concurrency=2).iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    assert out.num_rows == 6
+    assert set(out["error_type"].to_pylist()) == {
+        "min_length_failed", "max_failed", "pattern_failed",
+        "unknown_schema"}
