@@ -7169,11 +7169,9 @@ def q_transcript_boilerplate_turns(sf_dir: str):
     rows themselves. Membership is by text hash (collision odds
     negligible, the drop_repeated_lines contract)."""
     import ray
-    from ray.data.aggregate import Sum
 
     from json_schema_ray.engine.relational import (
-        grouped_aggregate, null_safe_grouped_aggregate,
-        safe_groupby_aggregate)
+        grouped_distinct_sum_sorted, safe_groupby_aggregate)
     from json_schema_ray.pipelines.flagship import transcripts_path
     from json_schema_ray.state.sketches import hash_string_array
 
@@ -7193,41 +7191,21 @@ def q_transcript_boilerplate_turns(sf_dir: str):
             | isnull.astype(np.uint64)
         return pa.array(h2.view(np.int64))
 
-    def pair_combine(b: pa.Table) -> pa.Table:
-        t = pa.table({"h": text_key(b["text"]),
-                      "c": _conv_num_key(b["conv_id"]),
-                      "__n": pa.array(np.ones(b.num_rows, np.int64))})
-        g = safe_groupby_aggregate(t, ["h", "c"], [("__n", "sum")])
-        return g.rename_columns(["h", "c", "__n"])
+    def pair_cols(b: pa.Table) -> pa.Table:
+        return pa.table({"h": text_key(b["text"]),
+                         "c": _conv_num_key(b["conv_id"])})
 
-    pairs = null_safe_grouped_aggregate(
-        ds.map_batches(pair_combine, batch_format="pyarrow",
+    # per-text (distinct convs, turn count) in ONE sort — Ray's
+    # groupby().aggregate() pays per-GROUP Python and this corpus has
+    # ~one group per row (599k), which cost 3 chained Aggregates and
+    # 14s before; the sorted-scan helper does it in one exchange
+    per_text = grouped_distinct_sum_sorted(
+        ds.map_batches(pair_cols, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["h", "c"], [Sum("__n", alias_name="__n")], ["__n"])
+        key="h", sub="c", having_min_distinct=3,
+        out_distinct="n_convs", out_sum="n_turns")
 
-    def conv_combine(b: pa.Table) -> pa.Table:
-        t = pa.table({
-            "h": b["h"],
-            "__c": pa.array(np.ones(b.num_rows, np.int64)),
-            "__n": pc.cast(b["__n"], pa.int64())})
-        g = safe_groupby_aggregate(t, ["h"],
-                                   [("__c", "sum"), ("__n", "sum")])
-        return g.rename_columns(["h", "__c", "__n"])
-
-    per_text = null_safe_grouped_aggregate(
-        pairs.map_batches(conv_combine, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        ["h"], [Sum("__c", alias_name="__c"),
-                Sum("__n", alias_name="__n")], ["__c", "__n"])
-
-    def qualify(b: pa.Table) -> pa.Table:
-        t = pa.table({"h": b["h"],
-                      "n_convs": pc.cast(b["__c"], pa.int64()),
-                      "n_turns": pc.cast(b["__n"], pa.int64())})
-        return t.filter(pc.greater_equal(t["n_convs"], 3))
-
-    qual = _collect(per_text.map_batches(
-        qualify, batch_format="pyarrow", zero_copy_batch=True),
+    qual = _collect(per_text,
         pa.schema([("h", pa.int64()), ("n_convs", pa.int64()),
                    ("n_turns", pa.int64())]))
     hs = qual["h"].to_numpy(zero_copy_only=False)
@@ -7257,17 +7235,25 @@ def q_transcript_boilerplate_turns(sf_dir: str):
         # qualifying boilerplate rows
         return safe_groupby_aggregate(
             t, ["__h", "text", "n_convs", "n_turns"], []) \
-            .select(["text", "n_convs", "n_turns"])
+            .select(["__h", "text", "n_convs", "n_turns"])
 
-    out = grouped_aggregate(
+    # cross-block dedup happens driver-side: the collected rows are
+    # <= blocks x qualifying texts and the RESULT is qualifying-sized
+    # by definition (it's what the query returns) — a distributed
+    # re-aggregate here would shuffle result-sized data for nothing
+    got = _collect(
         ds.map_batches(resolve, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["text", "n_convs", "n_turns"], [(None, "count")])
-    if out is None:
+        pa.schema([("__h", pa.int64()), ("text", pa.string()),
+                   ("n_convs", pa.int64()), ("n_turns", pa.int64())]))
+    if got.num_rows == 0:
         return pa.table({"text": pa.array([], pa.string()),
                          "n_convs": pa.array([], pa.int64()),
                          "n_turns": pa.array([], pa.int64())})
-    return out.select(["text", "n_convs", "n_turns"])
+    hcol = got["__h"].to_numpy(zero_copy_only=False)
+    _, first = np.unique(hcol, return_index=True)
+    return got.take(pa.array(np.sort(first))) \
+        .select(["text", "n_convs", "n_turns"])
 
 
 def q_customer_order_distribution(sf_dir: str):
@@ -7730,27 +7716,26 @@ def q_late_shipment_priority(sf_dir: str):
     window in-batch; ONE sort_merge_join meets the two order-grained
     sides and a tiny grouped count finishes."""
     from json_schema_ray.engine.relational import (
-        _int64_us, grouped_aggregate, null_safe_grouped_aggregate,
-        safe_groupby_aggregate, sort_merge_join)
-    from ray.data.aggregate import Max
+        _int64_us, grouped_agg_sorted, grouped_aggregate,
+        sort_merge_join)
 
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 4, 1)
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_shipdate"])
 
-    def maxship(b: pa.Table) -> pa.Table:
-        t = pa.table({"l_orderkey": b["l_orderkey"],
-                      "__ship": _int64_us(b["l_shipdate"])})
-        g = safe_groupby_aggregate(t, ["l_orderkey"],
-                                   [("__ship", "max")])
-        return g.rename_columns(["l_orderkey", "__ship"])
+    def shipcols(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "__ship": _int64_us(b["l_shipdate"])})
 
-    per_order = null_safe_grouped_aggregate(
-        li.map_batches(maxship, batch_format="pyarrow",
+    # per-order MAX over ~1.5M order groups: the sorted-scan grouped
+    # max (one exchange, reduceat interiors, O(blocks) edge stitch) —
+    # Ray's groupby().aggregate() pays per-group Python at this
+    # cardinality (was 8s; this path ~3s)
+    per_order = grouped_agg_sorted(
+        li.map_batches(shipcols, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["l_orderkey"], [Max("__ship", alias_name="__ship")],
-        ["__ship"])
+        key="l_orderkey", value="__ship", agg="max", out="__ship")
 
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate",

@@ -2828,3 +2828,140 @@ def grouped_agg_sorted(ds, key: str, value: str, agg: str = "sum",
         key: pa.array([r[0] for r in rows], ktype),
         out: pa.array([r[1] for r in rows], pa.int64())})
     return interior_ds.union(ray.data.from_arrow(extra))
+
+
+def grouped_distinct_sum_sorted(ds, key: str, sub: str,
+                                value: Optional[str] = None,
+                                having_min_distinct: Optional[int] = None,
+                                out_distinct: str = "n_distinct",
+                                out_sum: str = "n_rows"):
+    """Exact per-key ``(COUNT(DISTINCT sub), SUM(value|COUNT(*)))``
+    — SQL ``GROUP BY key`` with a distinct sub-count — WITHOUT the
+    per-group Python cost of Ray's ``groupby().aggregate()``, which
+    collapses at high group cardinality (~600k groups cost seconds
+    of per-group interpreter work; the same pathology
+    ``grouped_agg_sorted`` exists for).
+
+    Scale shape: per-block ``(key, sub)`` combiners first (a hot
+    pair ships <= 1 row per block), ONE range-partitioned sort on
+    ``(key, sub)`` co-locates each key's pairs in sub order,
+    interior key segments finalize vectorized in-block (np
+    ``reduceat`` over pair-change markers), and only each block's
+    first/last segment — O(blocks) fixed-size carry rows, each
+    carrying its first/last sub so a pair straddling blocks is never
+    double-counted — stitches driver-side. ``HAVING n_distinct >=
+    having_min_distinct`` applies only AFTER full aggregation
+    (interior segments are complete by construction; edges filter
+    post-stitch). Requires NON-NULL integer ``key``/``sub`` columns
+    (raise otherwise — callers hash/encode first, the house int64
+    discipline); ``value`` (optional) must be integer, summed
+    exactly; absent means COUNT(*). Returns a Dataset of
+    ``(key, out_distinct, out_sum)``, group-sized post-HAVING."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [key, sub] + ([value] if value else [])
+        t = batch.select(cols)
+        for c in (key, sub):
+            f = t.schema.field(c)
+            if not pa.types.is_integer(f.type):
+                raise ValueError(
+                    f"grouped_distinct_sum_sorted: {c} must be an "
+                    f"integer column, got {f.type}")
+            if t[c].null_count:
+                raise ValueError(
+                    f"grouped_distinct_sum_sorted: {c} contains "
+                    "nulls; encode them to a sentinel first")
+        if value is None:
+            t = t.append_column("__v", pa.array(
+                np.ones(t.num_rows, np.int64)))
+            vcol = "__v"
+        else:
+            if not pa.types.is_integer(t.schema.field(value).type):
+                raise ValueError(
+                    "grouped_distinct_sum_sorted: value must be "
+                    f"integer fixed-point, got {t.schema.field(value).type}")
+            vcol = value
+        g = safe_groupby_aggregate(t.select([key, sub, vcol]),
+                                   [key, sub], [(vcol, "sum")])
+        return pa.table({key: pc.cast(g[key], pa.int64()),
+                         sub: pc.cast(g[sub], pa.int64()),
+                         "__v": pc.cast(g[f"{vcol}_sum"], pa.int64())})
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+        .sort([key, sub])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key: pa.array([], pa.int64()),
+            out_distinct: pa.array([], pa.int64()),
+            out_sum: pa.array([], pa.int64()),
+            "__fs": pa.array([], pa.int64()),
+            "__ls": pa.array([], pa.int64()),
+            "__edge": pa.array([], pa.bool_())})
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        k = batch[key].combine_chunks().to_numpy(zero_copy_only=False)
+        s = batch[sub].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["__v"].combine_chunks().to_numpy(zero_copy_only=False)
+        newk = np.concatenate([[True], k[1:] != k[:-1]])
+        newpair = np.concatenate(
+            [[True], (k[1:] != k[:-1]) | (s[1:] != s[:-1])])
+        kstarts = np.nonzero(newk)[0]
+        nd = np.add.reduceat(newpair.astype(np.int64), kstarts)
+        ns = np.add.reduceat(v, kstarts)
+        g = len(kstarts)
+        kends = np.concatenate([kstarts[1:] - 1, [n - 1]])
+        edge = np.zeros(g, dtype=bool)
+        edge[0] = edge[g - 1] = True
+        return pa.table({
+            key: pa.array(k[kstarts]),
+            out_distinct: pa.array(nd),
+            out_sum: pa.array(ns),
+            "__fs": pa.array(s[kstarts]),
+            "__ls": pa.array(s[kends]),
+            "__edge": pa.array(edge)})
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def interior(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch["__edge"]))
+        if having_min_distinct is not None:
+            t = t.filter(pc.greater_equal(
+                t[out_distinct], pa.scalar(int(having_min_distinct))))
+        return t.select([key, out_distinct, out_sum])
+
+    interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    edge: dict = {}
+    for kept in scanned.map_batches(
+            lambda b: b.filter(b["__edge"]), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([kept]) \
+            if isinstance(kept, pa.RecordBatch) else kept
+        for r in t.to_pylist():
+            edge.setdefault(r[key], []).append(
+                (r["__fs"], r["__ls"], r[out_distinct], r[out_sum]))
+
+    rows = []
+    for kv, parts in edge.items():
+        # sub ranges are globally sorted within a key, so block order
+        # == (first_sub, last_sub) order; a pair straddling B blocks
+        # appears as B adjacent partials sharing boundary subs
+        parts.sort(key=lambda p: (p[0], p[1]))
+        nd = sum(p[2] for p in parts) - sum(
+            1 for a, b in zip(parts, parts[1:]) if a[1] == b[0])
+        ns = sum(p[3] for p in parts)
+        if having_min_distinct is None or nd >= int(having_min_distinct):
+            rows.append((kv, nd, ns))
+    if not rows:
+        return interior_ds
+    extra = pa.table({
+        key: pa.array([r[0] for r in rows], pa.int64()),
+        out_distinct: pa.array([r[1] for r in rows], pa.int64()),
+        out_sum: pa.array([r[2] for r in rows], pa.int64())})
+    return interior_ds.union(ray.data.from_arrow(extra))

@@ -7043,3 +7043,67 @@ def test_interval_overlap_count_matches_bruteforce():
                     "w_end": pa.array([10, 20], pa.int64())})
     with pytest.raises(ValueError):
         interval_overlap_count(ds, bad, "s", "e")
+
+
+def test_grouped_distinct_sum_sorted_matches_duckdb():
+    import duckdb
+    import pyarrow.compute as pc  # noqa: F401
+
+    from json_schema_ray.engine.relational import (
+        grouped_distinct_sum_sorted)
+
+    rng = np.random.default_rng(11)
+    n = 30000
+    keys = rng.integers(0, 500, n)
+    # ONE hot key owning a third of the corpus (spans many blocks)
+    keys[: n // 3] = 77
+    subs = rng.integers(0, 40, n)
+    vals = rng.integers(1, 100, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "s": pa.array(subs, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    ds = _ray().data.from_arrow(t).repartition(17)
+
+    want = {r["k"]: (r["nd"], r["ns"]) for r in duckdb.sql(
+        "SELECT k, count(DISTINCT s) AS nd, sum(v)::BIGINT AS ns "
+        "FROM t GROUP BY k").arrow().to_pylist()}
+
+    def collect(res):
+        got = {}
+        for b in res.iter_batches(batch_format="pyarrow"):
+            tb = pa.Table.from_batches([b]) if isinstance(
+                b, pa.RecordBatch) else b
+            for r in tb.to_pylist():
+                assert r["k"] not in got, "duplicate group emitted"
+                got[r["k"]] = (r["n_distinct"], r["n_rows"])
+        return got
+
+    got = collect(grouped_distinct_sum_sorted(ds, "k", "s", value="v"))
+    assert got == want
+
+    # COUNT(*) flavor + HAVING on the DISTINCT count applied only
+    # after full aggregation (block partials of the hot key would
+    # individually miss a high threshold)
+    want_cnt = {r["k"]: (r["nd"], r["ns"]) for r in duckdb.sql(
+        "SELECT k, count(DISTINCT s) AS nd, count(*)::BIGINT AS ns "
+        "FROM t GROUP BY k HAVING count(DISTINCT s) >= 35").arrow()
+        .to_pylist()}
+    got_cnt = collect(grouped_distinct_sum_sorted(
+        ds, "k", "s", having_min_distinct=35))
+    assert got_cnt == want_cnt
+
+    # single giant key in ONE sub (degenerate straddle chain)
+    t1 = pa.table({"k": pa.array(np.zeros(5000, np.int64)),
+                   "s": pa.array(np.zeros(5000, np.int64))})
+    got1 = collect(grouped_distinct_sum_sorted(
+        _ray().data.from_arrow(t1).repartition(9), "k", "s"))
+    assert got1 == {0: (1, 5000)}
+
+    # nulls and float keys are rejected loudly
+    bad = _ray().data.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "s": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception):
+        bad2 = grouped_distinct_sum_sorted(bad, "k", "s")
+        for _ in bad2.iter_batches(batch_format="pyarrow"):
+            pass
