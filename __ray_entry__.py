@@ -31,6 +31,26 @@ def _read(sf_dir: str, table: str, columns=None):
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _read_transcripts(sf_dir: str, columns=None, **gen_kwargs):
+    """Read the cached synthetic transcript corpus with blocks sized
+    for its actual row count: the default parquet splitter shards
+    this corpus into ~120 five-k-row blocks, and every downstream
+    sort/scan then pays hundreds of tiny-task launches (measured
+    ~3s of pure overhead per pipeline at sf0.1). One block per CPU
+    is right for a corpus this size; a real 10^12-turn corpus gets
+    real-sized row groups and the default splitter back."""
+    import ray
+
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    gen_kwargs.setdefault("violation_rate", 0.01)
+    path = transcripts_path(_transcript_turns(sf_dir), **gen_kwargs)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    return ray.data.read_parquet(files, columns=columns,
+                                 override_num_blocks=32)
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -600,12 +620,7 @@ def q_transcript_role_protocol(sf_dir: str):
     from json_schema_ray.engine.keys import transition_violations
     from json_schema_ray.pipelines.flagship import transcripts_path
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "turn_idx", "role"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"])
     out = transition_violations(
         ds, "conv_id", "turn_idx", "role",
         allowed={"user": {"assistant"}, "assistant": {"tool"},
@@ -634,12 +649,7 @@ def q_transcript_turn_stats(sf_dir: str):
     from json_schema_ray.pipelines.flagship import transcripts_path
     from ray.data.aggregate import Sum
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(files,
-                               columns=["conv_id", "role", "text"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "role", "text"])
 
     def counters(batch: pa.Table) -> pa.Table:
         role = batch["role"]
@@ -702,12 +712,7 @@ def q_transcript_response_latency(sf_dir: str):
     from json_schema_ray.pipelines.flagship import transcripts_path
     from ray.data.aggregate import Count, Sum
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "turn_idx", "role", "ts"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "ts"])
     roles = {"user": 0, "assistant": 1, "tool": 2, "system": 3}
 
     def encode(batch: pa.Table) -> pa.Table:
@@ -1372,12 +1377,9 @@ def q_transcript_verdicts(sf_dir: str):
     from json_schema_ray.sources.transcripts import (
         TRANSCRIPT_SCHEMA, VALIDATION_SCHEMA)
 
-    path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
     plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
                             key_columns=["conv_id", "turn_idx"])
-    counts = verdict_counts(ray.data.read_parquet(files), plan)
+    counts = verdict_counts(_read_transcripts(sf_dir), plan)
     return pa.table({k: pa.array([v], pa.int64())
                      for k, v in sorted(counts.items())})
 
@@ -1394,8 +1396,7 @@ def q_transcript_stats(sf_dir: str):
     from json_schema_ray.engine.stats import column_stats
     from json_schema_ray.pipelines.flagship import transcripts_path
 
-    path = transcripts_path(_transcript_turns(sf_dir), violation_rate=0.01)
-    ds = ray.data.read_parquet(path)
+    ds = _read_transcripts(sf_dir)
     stats = column_stats(ds)
     return stats.select(["column", "count", "null_count"]) \
         .rename_columns(["column", "cnt", "nulls"]) \
@@ -6126,95 +6127,88 @@ def q_transcript_tool_usage(sf_dir: str):
     """Per-conversation tool-usage profile over the transcript
     corpus: turn count, tool-role turn count, DISTINCT tools used,
     and the conversation's time span — the agent-trace diagnostics a
-    tool-use training pipeline gates on. JOIN-FREE two-shuffle
-    shape: counter rows (pipeline A) and the (conv, tool) distinct
-    pairs (pipeline B, per-block pair combiner then one dedupe
-    groupby mapped to n_tools=1 rows) UNION into ONE final grouped
-    Sum/Min/Max — no conv-sized driver join anywhere, so conversation
-    cardinality never lands on one node. Oracle reads the SAME cached
-    corpus by parquet path (transcript_role_protocol pattern)."""
+    tool-use training pipeline gates on. JOIN-FREE two-sort shape:
+    distinct tools per conv ride grouped_distinct_sum_sorted (one
+    sort of the (conv, tool-hash) block-deduped pairs), its n_tools
+    rows UNION with the per-block counter partials into ONE final
+    grouped_multi_agg_sorted — both exchanges key on the int64 conv
+    number, the conv_id string never shuffles, and no per-group
+    Python runs at conversation cardinality (Ray's
+    groupby().aggregate() pathology; this query cost 4.8s on two
+    Aggregates before). Oracle reads the SAME cached corpus by
+    parquet path (transcript_role_protocol pattern)."""
     import ray
-    from ray.data.aggregate import Max, Min, Sum
 
     from json_schema_ray.engine.relational import (
-        _int64_us, null_safe_grouped_aggregate, safe_groupby_aggregate)
+        _int64_us, grouped_distinct_sum_sorted,
+        grouped_multi_agg_sorted, safe_groupby_aggregate)
     from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.state.sketches import hash_string_array
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
     # both branches (counters + distinct pairs) consume the same
     # 4-column read: materialize it once so the union does not scan
     # the corpus twice
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "role", "tool", "ts"]).materialize()
+    ds = _read_transcripts(
+        sf_dir, columns=["conv_id", "role", "tool", "ts"]).materialize()
 
     def counters(b: pa.Table) -> pa.Table:
-        # per-block combiner: the shuffle ships one row per
+        # per-block combiner: the exchange ships one row per
         # (conversation, block), never per turn
         t = pa.table({
-            "conv_id": b["conv_id"],
+            "cid": _conv_num_key(b["conv_id"]),
             "__n": pa.array(np.ones(b.num_rows, np.int64)),
             "__tt": pc.cast(pc.fill_null(
                 pc.equal(b["role"], "tool"), False), pa.int64()),
             "__ts": _int64_us(b["ts"])})
         g = safe_groupby_aggregate(
-            t, ["conv_id"],
+            t, ["cid"],
             [("__n", "sum"), ("__tt", "sum"), ("__ts", "min"),
              ("__ts", "max")])
         n = g.num_rows
         return pa.table({
-            "conv_id": g["conv_id"],
+            "cid": pc.cast(g["cid"], pa.int64()),
             "__n": g["__n_sum"], "__tt": g["__tt_sum"],
             "__dt": pa.array(np.zeros(n, np.int64)),
             "__t0": g["__ts_min"], "__t1": g["__ts_max"]})
 
-    def pairs(b: pa.Table) -> pa.Table:
+    def pair_cols(b: pa.Table) -> pa.Table:
         t = b.select(["conv_id", "tool"]).filter(
             pc.is_valid(b["tool"]))
-        return safe_groupby_aggregate(t, ["conv_id", "tool"], [])
+        th = hash_string_array(t["tool"].combine_chunks())
+        return pa.table({"cid": _conv_num_key(t["conv_id"]),
+                         "toolh": pa.array(th.view(np.int64))})
 
-    # (conv, tool) global dedupe: per-block pair combiner -> ONE
-    # Max-merge groupby, then each surviving pair becomes one
-    # n_tools = 1 counter row
-    def pairs_tagged(b: pa.Table) -> pa.Table:
-        p = pairs(b)
-        return p.append_column(
-            "__one", pa.array(np.ones(p.num_rows, np.int8)))
-
-    deduped = null_safe_grouped_aggregate(
-        ds.map_batches(pairs_tagged, batch_format="pyarrow",
+    ntools = grouped_distinct_sum_sorted(
+        ds.map_batches(pair_cols, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["conv_id", "tool"], [Max("__one", alias_name="__one")],
-        ["__one"])
+        key="cid", sub="toolh", out_distinct="__dt",
+        out_sum="__ignored")
 
     def tool_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table({
-            "conv_id": b["conv_id"],
+            "cid": pc.cast(b["cid"], pa.int64()),
             "__n": pa.array(np.zeros(n, np.int64)),
             "__tt": pa.array(np.zeros(n, np.int64)),
-            "__dt": pa.array(np.ones(n, np.int64)),
+            "__dt": pc.cast(b["__dt"], pa.int64()),
             "__t0": pa.nulls(n, pa.int64()),
             "__t1": pa.nulls(n, pa.int64())})
 
     unioned = ds.map_batches(counters, batch_format="pyarrow",
                              zero_copy_batch=True) \
-        .union(deduped.map_batches(tool_rows, batch_format="pyarrow",
-                                   zero_copy_batch=True))
-    agg = null_safe_grouped_aggregate(
-        unioned, ["conv_id"],
-        [Sum("__n", alias_name="n_turns"),
-         Sum("__tt", alias_name="n_tool_turns"),
-         Sum("__dt", alias_name="n_tools"),
-         Min("__t0", alias_name="__t0", ignore_nulls=True),
-         Max("__t1", alias_name="__t1", ignore_nulls=True)],
-        ["n_turns", "n_tool_turns", "n_tools", "__t0", "__t1"])
+        .union(ntools.map_batches(tool_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    agg = grouped_multi_agg_sorted(
+        unioned, "cid",
+        [("__n", "sum", "n_turns"),
+         ("__tt", "sum", "n_tool_turns"),
+         ("__dt", "sum", "n_tools"),
+         ("__t0", "min", "__t0"),
+         ("__t1", "max", "__t1")])
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
-            "conv_id": b["conv_id"],
+            "conv_id": _conv_id_from_key(b["cid"]),
             "n_turns": pc.cast(b["n_turns"], pa.int64()),
             "n_tool_turns": pc.cast(b["n_tool_turns"], pa.int64()),
             "n_tools": pc.cast(b["n_tools"], pa.int64()),
@@ -6289,12 +6283,8 @@ def q_transcript_tool_args(sf_dir: str):
     from json_schema_ray.pipelines.flagship import transcripts_path
     from json_schema_ray.state.sketches import hash_ints
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "turn_idx", "role", "tool"])
+    ds = _read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "tool"])
 
     fam_names = np.array(["search", "file", "exec", "net"],
                          dtype=object)
@@ -7068,12 +7058,7 @@ def q_transcript_turn_integrity(sf_dir: str):
     from json_schema_ray.engine.keys import turn_ordering_violations
     from json_schema_ray.pipelines.flagship import transcripts_path
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "turn_idx", "ts"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
     out = turn_ordering_violations(ds)
     schema = pa.schema([("conv_id", pa.string()),
                         ("error_type", pa.string()),
@@ -7175,12 +7160,7 @@ def q_transcript_boilerplate_turns(sf_dir: str):
     from json_schema_ray.pipelines.flagship import transcripts_path
     from json_schema_ray.state.sketches import hash_string_array
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "text"]).materialize()
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "text"]).materialize()
 
     def text_key(col) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
@@ -7502,46 +7482,49 @@ def q_transcript_context_overflow(sf_dir: str):
     _conv_num_key) — the string id never shuffles and is
     reconstructed vectorized at the conv-grain finish."""
     import ray
-    from ray.data.aggregate import Sum
 
     from json_schema_ray.engine.rank import cumulative_sum
     from json_schema_ray.engine.relational import (
-        grouped_aggregate, null_safe_grouped_aggregate,
-        safe_groupby_aggregate)
+        grouped_agg_sorted, grouped_aggregate)
     from json_schema_ray.pipelines.flagship import transcripts_path
 
     budget = 2000
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(
-        files, columns=["conv_id", "turn_idx", "text"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "text"])
 
+    # the (conv, turn) grain has ~one group per row, where Ray's
+    # groupby().aggregate() pays per-group Python (this stage alone
+    # cost ~5s); pack the pair into ONE int64 key — turn_idx is
+    # int32 and biased by 2^31 so negatives (injected min_failed
+    # turns) stay order-correct — and ride the sorted-scan sum
     def combine(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b["turn_idx"]))
-        t = pa.table({
-            "cid": _conv_num_key(b["conv_id"]),
-            "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+        cid = _conv_num_key(b["conv_id"]) \
+            .to_numpy(zero_copy_only=False)
+        if len(cid) and int(cid.max()) >= (1 << 31):
+            raise ValueError("context_overflow ckey packing needs "
+                             "conv number < 2^31; re-key the corpus")
+        ti = pc.cast(b["turn_idx"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ckey": pa.array((cid << np.int64(32))
+                             | (ti + np.int64(1 << 31))),
             "__ch": pc.cast(pc.fill_null(
                 pc.utf8_length(b["text"]), 0), pa.int64())})
-        g = safe_groupby_aggregate(t, ["cid", "turn_idx"],
-                                   [("__ch", "sum")])
-        return g.rename_columns(["cid", "turn_idx", "__ch"])
 
-    per_turn = null_safe_grouped_aggregate(
+    per_turn = grouped_agg_sorted(
         ds.map_batches(combine, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["cid", "turn_idx"], [Sum("__ch", alias_name="__ch")],
-        ["__ch"])
+        key="ckey", value="__ch", agg="sum", out="__ch")
 
     def to_int(b: pa.Table) -> pa.Table:
+        ck = b["ckey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ti = (ck & np.int64(0xFFFFFFFF)) - np.int64(1 << 31)
         # (conv, turn_idx) is unique after the grouped sum; the
         # machinery still needs a DISTINCT tiebreak column name
         return pa.table({
-            "cid": b["cid"],
-            "turn_idx": b["turn_idx"],
-            "__tb": b["turn_idx"],
+            "cid": pa.array(ck >> np.int64(32)),
+            "turn_idx": pa.array(ti),
+            "__tb": pa.array(ti),
             "__ch": pc.cast(b["__ch"], pa.int64())})
 
     cum = cumulative_sum(
@@ -7589,11 +7572,7 @@ def q_transcript_packing(sf_dir: str):
     from json_schema_ray.engine.window import pack_contiguous
     from json_schema_ray.pipelines.flagship import transcripts_path
 
-    path = transcripts_path(_transcript_turns(sf_dir),
-                            violation_rate=0.01)
-    files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                   if f.endswith(".parquet"))
-    ds = ray.data.read_parquet(files, columns=["conv_id", "text"])
+    ds = _read_transcripts(sf_dir, columns=["conv_id", "text"])
 
     def combine(b: pa.Table) -> pa.Table:
         t = pa.table({

@@ -2965,3 +2965,138 @@ def grouped_distinct_sum_sorted(ds, key: str, sub: str,
         out_distinct: pa.array([r[1] for r in rows], pa.int64()),
         out_sum: pa.array([r[2] for r in rows], pa.int64())})
     return interior_ds.union(ray.data.from_arrow(extra))
+
+
+def grouped_multi_agg_sorted(ds, key: str, specs,
+                             key_out: Optional[str] = None):
+    """Several exact aggregates ``GROUP BY key`` in ONE sorted scan —
+    ``specs`` is a list of ``(value_col, agg, out_col)`` with agg in
+    sum|min|max — for the high-group-cardinality regime where Ray's
+    ``groupby().aggregate()`` pays per-group Python
+    (``grouped_agg_sorted``'s pathology, lifted to multi-measure
+    shapes like per-conversation turn/tool/span profiles).
+
+    Scale shape: identical to :func:`grouped_agg_sorted` — per-block
+    combiners, ONE range-partitioned sort on ``key``, ``reduceat``
+    interiors, O(blocks) first/last-segment carry rows stitched
+    driver-side — but every measure rides the same sort. Values may
+    be NULL (SQL semantics: ignored; an all-null group yields NULL —
+    per-measure valid counts travel with the partials). ``key`` must
+    be NON-NULL integer (callers encode strings/nulls first);
+    values must be integer columns. Returns a Dataset of
+    ``(key_out or key, *outs)``, group-sized."""
+    import ray
+
+    _identity = {"sum": 0,
+                 "min": (1 << 63) - 1,
+                 "max": -(1 << 63)}
+    _reducer = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+    for _, agg, _o in specs:
+        if agg not in _identity:
+            raise ValueError(f"agg must be sum|min|max, got {agg!r}")
+    key_out = key_out or key
+    outs = [o for _, _, o in specs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.schema.field(key)
+        if not pa.types.is_integer(f.type):
+            raise ValueError("grouped_multi_agg_sorted: key must be "
+                             f"an integer column, got {f.type}")
+        if batch[key].null_count:
+            raise ValueError("grouped_multi_agg_sorted: key contains"
+                             " nulls; encode them to a sentinel first")
+        aggs = []
+        t_cols = {key: pc.cast(batch[key], pa.int64())}
+        for col, agg, out in specs:
+            cf = batch.schema.field(col)
+            if not pa.types.is_integer(cf.type):
+                raise ValueError(
+                    f"grouped_multi_agg_sorted: {col} must be integer"
+                    f" fixed-point, got {cf.type}")
+            t_cols[f"__v_{out}"] = pc.cast(batch[col], pa.int64())
+            t_cols[f"__c_{out}"] = pc.cast(
+                pc.is_valid(batch[col]), pa.int64())
+            aggs += [(f"__v_{out}", agg), (f"__c_{out}", "sum")]
+        g = safe_groupby_aggregate(pa.table(t_cols), [key], aggs)
+        cols = {key: pc.cast(g[key], pa.int64())}
+        for col, agg, out in specs:
+            cols[f"__v_{out}"] = pc.cast(
+                g[f"__v_{out}_{agg}"], pa.int64())
+            cols[f"__c_{out}"] = pc.cast(
+                g[f"__c_{out}_sum"], pa.int64())
+        return pa.table(cols)
+
+    sorted_ds = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).sort(key)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        cols = {key: pa.array([], pa.int64())}
+        for _c, _a, out in specs:
+            cols[f"__v_{out}"] = pa.array([], pa.int64())
+            cols[f"__c_{out}"] = pa.array([], pa.int64())
+        cols["__edge"] = pa.array([], pa.bool_())
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(cols)
+        k = batch[key].combine_chunks().to_numpy(zero_copy_only=False)
+        newk = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.nonzero(newk)[0]
+        g = len(starts)
+        edge = np.zeros(g, dtype=bool)
+        edge[0] = edge[g - 1] = True
+        cols = {key: pa.array(k[starts])}
+        for col, agg, out in specs:
+            v = batch[f"__v_{out}"].combine_chunks()
+            vc = batch[f"__c_{out}"].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            filled = pc.fill_null(v, _identity[agg]) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"__v_{out}"] = pa.array(
+                _reducer[agg].reduceat(filled, starts))
+            cols[f"__c_{out}"] = pa.array(np.add.reduceat(vc, starts))
+        cols["__edge"] = pa.array(edge)
+        return pa.table(cols)
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {key_out: t[key]}
+        for _c, _a, out in specs:
+            cols[out] = pc.if_else(
+                pc.greater(t[f"__c_{out}"], 0),
+                t[f"__v_{out}"], pa.scalar(None, pa.int64()))
+        return pa.table(cols)
+
+    def interior(batch: pa.Table) -> pa.Table:
+        return finish(batch.filter(pc.invert(batch["__edge"])))
+
+    interior_ds = scanned.map_batches(interior, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    edge: dict = {}
+    for kept in scanned.map_batches(
+            lambda b: b.filter(b["__edge"]), batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([kept]) \
+            if isinstance(kept, pa.RecordBatch) else kept
+        for r in t.to_pylist():
+            acc = edge.get(r[key])
+            if acc is None:
+                edge[r[key]] = acc = {}
+            for _c, agg, out in specs:
+                v, c = r[f"__v_{out}"], r[f"__c_{out}"]
+                pv, pcnt = acc.get(out, (_identity[agg], 0))
+                merge = {"sum": lambda a, b: a + b,
+                         "min": min, "max": max}[agg]
+                acc[out] = (merge(pv, v), pcnt + c)
+
+    if not edge:
+        return interior_ds
+    rows = sorted(edge.items())
+    extra_cols = {key_out: pa.array([k for k, _ in rows], pa.int64())}
+    for _c, _a, out in specs:
+        extra_cols[out] = pa.array(
+            [acc[out][0] if acc[out][1] > 0 else None
+             for _, acc in rows], pa.int64())
+    return interior_ds.union(ray.data.from_arrow(pa.table(extra_cols)))

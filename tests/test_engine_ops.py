@@ -7107,3 +7107,54 @@ def test_grouped_distinct_sum_sorted_matches_duckdb():
         bad2 = grouped_distinct_sum_sorted(bad, "k", "s")
         for _ in bad2.iter_batches(batch_format="pyarrow"):
             pass
+
+
+def test_grouped_multi_agg_sorted_matches_duckdb():
+    import duckdb
+    import pyarrow.compute as pc
+
+    from json_schema_ray.engine.relational import grouped_multi_agg_sorted
+
+    rng = np.random.default_rng(23)
+    n = 25000
+    keys = rng.integers(0, 300, n)
+    keys[: n // 3] = 9  # hot key spanning many blocks
+    a = rng.integers(-50, 50, n)
+    b = rng.integers(0, 1000, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    # sprinkle nulls into one value column; key 299 gets ONLY nulls
+    amask = rng.random(n) < 0.05
+    amask |= keys == 299
+    t = t.set_column(1, "a", pc.if_else(pa.array(amask),
+                                        pa.nulls(n, pa.int64()),
+                                        t["a"]))
+    ds = _ray().data.from_arrow(t).repartition(19)
+
+    want = {r["k"]: (r["sa"], r["mna"], r["mxb"]) for r in duckdb.sql(
+        "SELECT k, sum(a)::BIGINT AS sa, min(a)::BIGINT AS mna, "
+        "max(b)::BIGINT AS mxb FROM t GROUP BY k").arrow().to_pylist()}
+
+    got = {}
+    res = grouped_multi_agg_sorted(
+        ds, "k", [("a", "sum", "sa"), ("a", "min", "mna"),
+                  ("b", "max", "mxb")])
+    for bt in res.iter_batches(batch_format="pyarrow"):
+        tb = pa.Table.from_batches([bt]) if isinstance(
+            bt, pa.RecordBatch) else bt
+        for r in tb.to_pylist():
+            assert r["k"] not in got, "duplicate group emitted"
+            got[r["k"]] = (r["sa"], r["mna"], r["mxb"])
+    assert got == want
+    # the all-null-value group must surface as NULL, not identity
+    assert got[299][0] is None and got[299][1] is None
+
+    # null keys are rejected loudly
+    bad = _ray().data.from_arrow(pa.table({
+        "k": pa.array([1, None], pa.int64()),
+        "v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception):
+        r = grouped_multi_agg_sorted(bad, "k", [("v", "sum", "s")])
+        for _ in r.iter_batches(batch_format="pyarrow"):
+            pass
