@@ -6408,11 +6408,15 @@ def q_shipping_priority(sf_dir: str):
     orders prune to the date window in-scan; lineitem filters
     l_shipdate in-batch and fixed-points revenue per row before a
     per-(block, order) combiner; the two fact sides meet in ONE
-    sort_merge_join; the final order-grained regroup + top-10 rides
-    the partial top-k merge with full deterministic tiebreak."""
+    sort_merge_join; the order-grained regroup is a sorted-scan
+    multi-aggregate (order cardinality is too high for Ray's
+    per-group-Python Aggregate), the top-10 rides the partial top-k
+    merge with full deterministic tiebreak, and the 10 winners'
+    priority strings resolve in one broadcast-filtered orders scan
+    (strings never shuffle)."""
     from json_schema_ray.engine.relational import (
-        broadcast_hash_join, grouped_aggregate, sort_merge_join,
-        top_k)
+        broadcast_hash_join, grouped_multi_agg_sorted,
+        sort_merge_join, top_k)
 
     cutoff = datetime.datetime(1996, 3, 15)
     li = _read(sf_dir, "lineitem",
@@ -6439,8 +6443,7 @@ def q_shipping_priority(sf_dir: str):
     bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")) \
         .select(["c_custkey"])
     orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate",
-                            "o_orderpriority"])
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def window(b: pa.Table) -> pa.Table:
         return b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
@@ -6453,29 +6456,48 @@ def q_shipping_priority(sf_dir: str):
         "o_custkey", "c_custkey")
 
     def keep_bld(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_valid(b["__bld"])) \
-            .select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        from json_schema_ray.engine.relational import _int64_us
+        t = b.filter(pc.is_valid(b["__bld"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "__od": _int64_us(t["o_orderdate"])})
 
     ord_b = ord_w.map_batches(keep_bld, batch_format="pyarrow",
                               zero_copy_batch=True)
     joined = sort_merge_join(
         rev_ds, ord_b, "l_orderkey", "o_orderkey",
-        ["o_orderdate", "o_orderpriority"], how="inner")
-    per_order = grouped_aggregate(
-        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
-        [("rev_e4", "sum")])
-    per_order = per_order.rename_columns(
-        ["l_orderkey", "o_orderdate", "o_orderpriority", "rev_e4"])
-    import ray
-    top = top_k(ray.data.from_arrow(per_order),
-                ["rev_e4", "o_orderdate", "l_orderkey"],
+        ["__od"], how="inner")
+    # __od is functionally dependent on the order key, so max == the
+    # value and it rides the same sorted scan as the revenue sum
+    per_order = grouped_multi_agg_sorted(
+        joined, "l_orderkey",
+        [("rev_e4", "sum", "rev_e4"), ("__od", "max", "__od")])
+    top = top_k(per_order,
+                ["rev_e4", "__od", "l_orderkey"],
                 [True, False, False], 10)
+    # resolve the 10 winners' priority strings: one broadcast-
+    # filtered scan of orders; priority never shuffles
+    keyset = pa.array(top["l_orderkey"].to_pylist(), pa.int64())
+    pri_scan = _read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderpriority"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(pc.cast(b["o_orderkey"], pa.int64()),
+                     value_set=keyset)
+        return b.filter(pc.fill_null(m, False))
+
+    pri = _collect(pri_scan.map_batches(pick, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                   pa.schema([("o_orderkey", pa.int64()),
+                              ("o_orderpriority", pa.string())]))
+    pri_map = dict(zip(pri["o_orderkey"].to_pylist(),
+                       pri["o_orderpriority"].to_pylist()))
     return pa.table({
         "l_orderkey": top["l_orderkey"],
         "revenue_e4": pc.cast(top["rev_e4"], pa.int64()),
-        "o_orderdate": pc.cast(top["o_orderdate"],
-                               pa.timestamp("us")),
-        "o_orderpriority": top["o_orderpriority"]})
+        "o_orderdate": pc.cast(top["__od"], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [pri_map[k] for k in top["l_orderkey"].to_pylist()],
+            pa.string())})
 
 
 def q_lang_mixture_allocation(sf_dir: str):
