@@ -694,6 +694,47 @@ def q_transcript_turn_stats(sf_dir: str):
                     schema).sort_by([("conv_id", "ascending")])
 
 
+def q_transcript_trailing_context(sf_dir: str):
+    """(context, target) training-example construction over the
+    transcript corpus: for every assistant turn, the concatenation
+    of the preceding 4 turns' text within its conversation in time
+    order — SQL ``string_agg(text) OVER (PARTITION BY conv_id ORDER
+    BY ts, turn_idx ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)`` —
+    plus the frame's row count and the turn's own text as target.
+    Runs the trailing_concat primitive: ONE range-partitioned sort,
+    then each block gathers EVERY row's window vectorized (one flat
+    take into a list-array + binary_join) and emits k carry rows, so
+    the driver stitch state is k x n_blocks regardless of how many
+    blocks a hot conversation spans. The assistant-only projection
+    happens AFTER the window (frames count every role). Oracle reads
+    the SAME cached corpus by path (transcript_role_protocol
+    pattern). NULL text rides as '' on both sides."""
+    from json_schema_ray.engine.rank import trailing_concat
+
+    ds = _read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    out = trailing_concat(ds, "conv_id", "ts", "text", "turn_idx",
+                          4, sep="\n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.fill_null(
+            pc.equal(batch["role"], "assistant"), False))
+        return pa.table({
+            "conv_id": kept["conv_id"],
+            "turn_idx": kept["turn_idx"],
+            "ctx": kept["ctx"],
+            "n_ctx": kept["n_ctx"],
+            "target": pc.fill_null(kept["text"], "")})
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("ctx", pa.string()),
+                        ("n_ctx", pa.int64()),
+                        ("target", pa.string())])
+    return _collect(out.map_batches(finish, batch_format="pyarrow",
+                                    zero_copy_batch=True), schema)
+
+
 def q_transcript_response_latency(sf_dir: str):
     """Assistant response latency per conversation — the serving/
     agent-quality signal: for every user -> assistant adjacent turn
@@ -8113,6 +8154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_budget": q_docs_quality_budget,
         "user_weekly_type_diversity": q_user_weekly_type_diversity,
         "transcript_role_protocol": q_transcript_role_protocol,
+        "transcript_trailing_context": q_transcript_trailing_context,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
@@ -11247,6 +11289,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_null_text
             FROM read_parquet('{_protocol_corpus_glob()}')
             GROUP BY conv_id ORDER BY conv_id
+        """,
+        "transcript_trailing_context": f"""
+            WITH win AS (
+                SELECT conv_id, turn_idx, role,
+                       coalesce(text, '') AS target,
+                       string_agg(coalesce(text, ''), chr(10))
+                           OVER w AS ctx,
+                       CAST(count(*) OVER w AS BIGINT) AS n_ctx
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY ts, turn_idx
+                             ROWS BETWEEN 4 PRECEDING
+                             AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, ctx, n_ctx, target
+            FROM win WHERE role = 'assistant'
         """,
         "transcript_role_protocol": f"""
             WITH lagged AS (

@@ -167,6 +167,8 @@ EXTRA_QUERIES = [
     "part_typo_pairs",         # FastSS deletion-neighborhood ed-1 join
     "docs_span_corruption",    # deterministic T5 denoising pairs
     "sessions_error_overlap",  # interval coalesce + overlap probe
+    "transcript_trailing_context",  # (context, target) example build
+    "transcript_tool_args",    # schema-registry tool-arg dispatch
 ]
 
 

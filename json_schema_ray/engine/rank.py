@@ -1927,6 +1927,173 @@ def grouped_string_agg(ds, key: str, ord_col: str, val_col: str,
                                zero_copy_batch=True)
 
 
+def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
+                    k: int, sep: str = "\n",
+                    out: str = "ctx", out_n: str = "n_ctx"):
+    """SQL ``string_agg(value, sep) OVER (PARTITION BY key ORDER BY
+    ts, tiebreak ROWS BETWEEN k PRECEDING AND 1 PRECEDING)`` plus the
+    frame's row count — the trailing-context window that turns an
+    ordered transcript into (context, target) training examples.
+    NULL ``value`` strings participate as ``''`` (callers coalesce
+    first; SQL parity then needs the same coalesce). Rows whose frame
+    is empty get a NULL ``out`` and ``out_n = 0`` (SQL: string_agg
+    over an empty frame is NULL). ``(key, ts, tiebreak)`` must be
+    unique per row; ``ts``/``tiebreak`` must be numeric/temporal
+    (their values stitch windows across block boundaries).
+
+    Shape: ONE null-safe range-partitioned sort on ``(key, ts,
+    tiebreak)``. Each block builds every row's window VECTORIZED — a
+    flat gather of at most ``k * n`` child indices into one
+    list-array ``pc.binary_join`` — and only rows in the block's
+    FIRST key segment with fewer than ``k`` in-block predecessors
+    are pended. Each block also emits its LAST ``k`` rows as carry
+    rows, so the driver stitch state is ``k * n_blocks`` rows
+    regardless of key skew (the hot-conversation bound: one
+    conversation owning the corpus still carries k rows per block,
+    never its rows)."""
+    from .relational import null_safe_sort
+
+    keys = [key] if isinstance(key, str) else list(key)
+    sorted_ds = null_safe_sort(ds, keys, [ts, tiebreak])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        for c in (ts, tiebreak):
+            if _is_str(batch[c].type):
+                raise ValueError(
+                    f"trailing_concat: order column {c!r} is a"
+                    " string; only numeric/temporal order columns"
+                    " carry across block boundaries")
+        n = batch.num_rows
+        vals = batch[value]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.fill_null(vals, "")
+        if n == 0:
+            return batch.append_column(out, pa.nulls(0, pa.string())) \
+                .append_column(out_n, pa.array([], pa.int64())) \
+                .append_column("__rt", pa.array([], pa.int8()))
+        kk = _group_key_expr(batch, keys).to_numpy(zero_copy_only=False)
+        newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        seg_first = np.nonzero(newseg)[0][np.cumsum(newseg) - 1]
+        i = np.arange(n)
+        start = np.maximum(i - k, seg_first)
+        win_len = (i - start).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(win_len)])
+        flat = np.arange(csum[-1], dtype=np.int64) \
+            - np.repeat(csum[:-1], win_len) \
+            + np.repeat(start, win_len)
+        child = vals.take(pa.array(flat, pa.int64()))
+        if pa.types.is_large_string(child.type) or csum[-1] > 2**31 - 8:
+            la = pa.LargeListArray.from_arrays(
+                csum.astype(np.int64), pc.cast(child, pa.large_string()))
+        else:
+            la = pa.ListArray.from_arrays(csum.astype(np.int32), child)
+        ctx = pc.cast(pc.binary_join(la, sep), pa.string())
+        # empty in-block frame: NULL unless the stitch fills it
+        ctx = pc.if_else(pa.array(win_len > 0), ctx,
+                         pa.scalar(None, pa.string()))
+        pend = (np.cumsum(newseg) == 1) & (win_len < k)
+        rt = np.zeros(n, np.int8)
+        rt[pend] = 1
+        out_t = batch.append_column(out, ctx) \
+            .append_column(out_n, pa.array(win_len)) \
+            .append_column("__rt", pa.array(rt))
+        m = min(k, n)
+        carry = batch.slice(n - m, m) \
+            .append_column(out, pc.cast(vals.slice(n - m, m),
+                                        pa.string())) \
+            .append_column(out_n, pa.array(np.zeros(m, np.int64))) \
+            .append_column("__rt", pa.array(np.full(m, 2, np.int8)))
+        return pa.concat_tables([out_t, carry])
+
+    scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+
+    def carry_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["__rt"], 2))
+
+    carry: dict = {}
+    for kept in scanned.map_batches(carry_only, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        if not kept.num_rows:
+            continue
+        kk = _group_key_expr(kept, keys).to_pylist()
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        vals = kept[out].to_pylist()
+        for kval, t, tb, v in zip(kk, tsv, tbv, vals):
+            carry.setdefault(kval, []).append((float(t), float(tb), v))
+
+    hist = {}
+    for kval, segs in carry.items():
+        segs.sort(key=lambda s: (s[0], s[1]))
+        hist[kval] = (
+            np.array([s[0] for s in segs], dtype=np.float64),
+            np.array([s[1] for s in segs], dtype=np.float64),
+            [s[2] for s in segs])
+
+    import ray
+
+    handle = ray.put(hist)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.not_equal(batch["__rt"], 2))
+        n = kept.num_rows
+        if n == 0:
+            return kept.drop_columns(["__rt"])
+        offs = ray.get(handle)
+        rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
+        pend = np.nonzero(rt == 1)[0]
+        if not len(pend):
+            return kept.drop_columns(["__rt"])
+        kk = _group_key_expr(kept, keys).to_numpy(zero_copy_only=False)
+        tsv = _order_np(kept, ts, descending=False)
+        tbv = _order_np(kept, tiebreak, descending=False)
+        ctx = kept[out]
+        if isinstance(ctx, pa.ChunkedArray):
+            ctx = ctx.combine_chunks()
+        cnt = kept[out_n].combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        new_ctx = ctx.to_pylist()
+        # a pending row's out-of-block predecessors are the carries
+        # strictly before its EARLIEST in-block window row (the
+        # cnt[i] in-block predecessors are the rows immediately
+        # before it — filtering carries preserves that contiguity
+        # even when Ray coalesces scan blocks), so anchoring each
+        # row at index i - cnt[i] never double-counts a row that is
+        # both in-block context and some block's carry
+        changed = False
+        for i in pend:
+            kval = kk[i]
+            if kval not in offs:
+                continue
+            la, lb, vv = offs[kval]
+            j = int(i) - int(cnt[i])
+            pos = int(_boundaries_before(
+                la, lb, np.array([tsv[j]]), np.array([tbv[j]]))[0])
+            need = k - int(cnt[i])
+            take = min(need, pos)
+            if take <= 0:
+                continue
+            pieces = vv[pos - take:pos]
+            tail = new_ctx[i]
+            new_ctx[i] = sep.join(
+                pieces + ([tail] if tail is not None else []))
+            cnt[i] += take
+            changed = True
+        if not changed:
+            return kept.drop_columns(["__rt"])
+        oi = kept.column_names.index(out)
+        kept = kept.set_column(oi, out, pa.array(new_ctx, pa.string()))
+        ni = kept.column_names.index(out_n)
+        kept = kept.set_column(ni, out_n, pa.array(cnt))
+        return kept.drop_columns(["__rt"])
+
+    return scanned.map_batches(resolve, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def cap_per_group(ds, keys: List[str], id_column: str, k: int,
                   seed: int = 0):
     """Keep at most ``k`` rows per group, chosen by a deterministic

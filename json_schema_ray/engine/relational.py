@@ -1512,32 +1512,35 @@ def null_safe_grouped_aggregate(partial_ds, keys: List[str], agg_objs,
 def _zero_scalar(t: pa.DataType):
     if pa.types.is_boolean(t):
         return pa.scalar(False, t)
+    if _is_string_type(t):
+        return pa.scalar("", t)
     return pa.scalar(0, t)
 
 
 def null_safe_sort(ds, keys: List[str], tail: List[str]):
-    """Range-partitioned sort tolerating null KEY values of any type.
-    String keys travel as the invertible prefixed encoding; every
-    other key type gains an ``__gs{i}f`` is-null flag (int8, sorted
+    """Range-partitioned sort tolerating null values in ANY sort
+    column. String keys travel as the invertible prefixed encoding;
+    every other key gains an ``__gs{i}f`` is-null flag (int8, sorted
     BEFORE the value at that key level) and its nulls filled with a
     type-zero — Ray's range-partitioned sort DUPLICATES rows
-    nondeterministically when a primary sort column contains nulls
-    (observed on nullable int64 and timestamp keys: 800-row inputs
-    returned 830-930 rows, varying run to run), so NO key column may
-    reach the exchange nullable. The flag makes null keys one
-    CONTIGUOUS segment sorted after that level's non-null values
-    (position across groups is semantically irrelevant to the
-    partition-style callers); ``tail`` columns sort as-is (nullable
-    tails are unaffected by the Ray defect — verified empirically —
-    and rank callers rely on Ray's NULLS-LAST tail order)."""
+    nondeterministically when a sort column contains nulls (observed
+    on nullable int64 and timestamp KEYS: 800-row inputs returned
+    830-930 rows varying run to run, and — round 4 — on a nullable
+    timestamp TAIL: 2,245-row inputs returned 2,462/2,631/2,510 rows
+    on 3 of 12 trials), so NO sort column may reach the exchange
+    nullable. Tail columns therefore get the same ``__gt{i}f``
+    flag + type-zero fill treatment, sorted (flag, value) so nulls
+    rank LAST within equal keys — exactly the NULLS-LAST tail order
+    rank callers rely on — and ``decode`` restores the original
+    nullable tail values."""
     group_cols = [f"__gs{i}" for i in range(len(keys))]
 
     def encode(batch: pa.Table) -> pa.Table:
         out = encode_null_safe_keys(batch, keys)
-        # EVERY key gains a flag so the sort-column list is static
-        # (no lazy schema() peek, which would execute the upstream);
-        # for string keys the prefixed encoding is already non-null,
-        # so its flag is constant 0 and order is unchanged
+        # EVERY key/tail gains a flag so the sort-column list is
+        # static (no lazy schema() peek, which would execute the
+        # upstream); for string keys the prefixed encoding is already
+        # non-null, so its flag is constant 0 and order is unchanged
         for i in range(len(keys)):
             c = f"__gs{i}"
             col = out[c]
@@ -1547,12 +1550,20 @@ def null_safe_sort(ds, keys: List[str], tail: List[str]):
             out = out.set_column(out.column_names.index(c), c,
                                  filled) \
                 .append_column(f"__gs{i}f", flag)
+        for i, c in enumerate(tail):
+            col = out[c]
+            flag = pc.cast(pc.is_null(col), pa.int8())
+            out = out.set_column(
+                out.column_names.index(c), c,
+                pc.fill_null(col, _zero_scalar(col.type))) \
+                .append_column(f"__gt{i}f", flag)
         return out
 
     sort_cols: List[str] = []
     for i in range(len(keys)):
         sort_cols += [f"__gs{i}f", f"__gs{i}"]
-    sort_cols += list(tail)
+    for i, c in enumerate(tail):
+        sort_cols += [f"__gt{i}f", c]
 
     def decode(batch: pa.Table) -> pa.Table:
         out = batch
@@ -1567,6 +1578,15 @@ def null_safe_sort(ds, keys: List[str], tail: List[str]):
                 out = out.set_column(out.column_names.index(c), c,
                                      restored)
             out = out.drop_columns([f])
+        for i, c in enumerate(tail):
+            f = f"__gt{i}f"
+            col = out[c]
+            restored = pc.if_else(
+                pc.equal(out[f], pa.scalar(1, pa.int8())),
+                pa.scalar(None, col.type), col)
+            out = out.set_column(out.column_names.index(c), c,
+                                 restored) \
+                .drop_columns([f])
         others = [c for c in out.column_names
                   if c not in group_cols]
         return decode_null_safe_keys(out, keys, others)

@@ -5654,6 +5654,43 @@ def test_null_safe_sort_nullable_int_key_no_duplication():
         assert nn == sorted(nn), trial
 
 
+def test_null_safe_sort_nullable_tail_no_duplication():
+    """Round-4 regression: the Ray nullable-sort-column duplication
+    defect ALSO fires on nullable TAIL columns (a nullable timestamp
+    tail: 2,245-row inputs nondeterministically returned 2,462/2,631
+    rows on ~1/4 of trials). null_safe_sort must flag+fill tails the
+    same way as keys, keep NULLS LAST within equal keys, and restore
+    the original nullable tail values."""
+    from json_schema_ray.engine.relational import null_safe_sort
+
+    rng = np.random.default_rng(33)
+    n = 2000
+    u = (rng.zipf(1.4, n) % 13).astype(object)
+    u[rng.random(n) < 0.05] = None
+    ts = (rng.integers(0, 3 * 86400, n) * 1_000_000).astype(object)
+    ts[rng.random(n) < 0.05] = None
+    t = pa.table({
+        "u": pa.array(u.tolist(), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        "rid": pa.array(np.arange(n), pa.int64())})
+    n_null_ts = sum(1 for v in ts.tolist() if v is None)
+    for trial in range(6):
+        ds = _ray().data.from_arrow(t).repartition(7)
+        s = null_safe_sort(ds, ["u"], ["ts", "rid"])
+        rids, tss = [], []
+        for b in s.iter_batches(batch_format="pyarrow"):
+            rids.extend(b["rid"].to_pylist())
+            tss.extend(b["ts"].to_pylist())
+        assert len(rids) == n, (trial, len(rids))
+        assert len(set(rids)) == n, trial
+        # tail nulls restored, and NULLS LAST within each key run
+        assert sum(1 for v in tss if v is None) == n_null_ts, trial
+        by_rid = {rid: v for rid, v in zip(rids, tss)}
+        orig = {rid: v for rid, v in
+                zip(range(n), t["ts"].to_pylist())}
+        assert by_rid == orig, trial
+
+
 def test_snapshot_diff_nullable_int_keys():
     """snapshot_diff over a nullable INT key: the distributed sort
     must not duplicate rows (Ray nullable-primary-key sort defect)
@@ -7158,3 +7195,45 @@ def test_grouped_multi_agg_sorted_matches_duckdb():
         r = grouped_multi_agg_sorted(bad, "k", [("v", "sum", "s")])
         for _ in r.iter_batches(batch_format="pyarrow"):
             pass
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_trailing_concat_randomized_differential(seed):
+    """trailing_concat vs DuckDB windowed string_agg with a ROWS
+    (k PRECEDING .. 1 PRECEDING) frame: random key skew (incl. one
+    hot key), NULL values, NULL keys, NULL timestamps, random block
+    counts. NULL values ride as '' (callers coalesce); empty frames
+    are NULL in both engines."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import trailing_concat
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(400, 2500))
+    keys = (rng.zipf(1.4, n) % 13).astype(object)
+    keys[rng.random(n) < 0.05] = None
+    ts = (rng.integers(0, 3 * 86400, n) * 1_000_000).astype(object)
+    ts[rng.random(n) < 0.03] = None
+    vals = np.array(["w%d" % v for v in rng.integers(0, 50, n)],
+                    dtype=object)
+    vals[rng.random(n) < 0.1] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals.tolist(), pa.string())})
+    k = int(rng.integers(1, 6))
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        f"""SELECT rid,
+                  string_agg(coalesce(v, ''), chr(10)) OVER w AS ctx,
+                  CAST(count(*) OVER w AS BIGINT) AS n_ctx
+            FROM t
+            WINDOW w AS (PARTITION BY u ORDER BY ts, rid
+                         ROWS BETWEEN {k} PRECEDING
+                         AND 1 PRECEDING)""").fetchall()}
+    blocks = int(rng.integers(2, 11))
+    ds = _ray().data.from_arrow(t).repartition(blocks)
+    out = trailing_concat(ds, "u", "ts", "v", "rid", k, sep="\n")
+    got = {r["rid"]: (r["ctx"], r["n_ctx"]) for r in out.take_all()}
+    assert len(got) == n
+    assert got == want
