@@ -735,6 +735,70 @@ def q_transcript_trailing_context(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_transcript_near_dup_convs(sf_dir: str):
+    """Conversation-LEVEL near-duplicate detection — the dedup
+    granularity a dialogue-training pipeline actually needs (two
+    conversations that repeat the same exchange are one training
+    example, however their turns are rowed). Two proven primitives
+    composed: (1) grouped_string_agg assembles each conversation
+    into ONE document (non-null turn text joined in turn order;
+    groups ship as n_blocks+1 partials, never their rows), then
+    (2) exact word-5-gram Jaccard pairs >= 0.5 via the
+    shingle-inverted-index + sort-based candidate machinery (exact
+    recall: any qualifying pair shares a shingle). The synthetic
+    corpus draws turn text from a bounded pool, so short
+    conversations genuinely collide — the planted near-dup shape.
+    Jaccard ships as floor(x*1e6+0.5) BIGINT for float-safe hash
+    compare; oracle rebuilds the same conversation documents with
+    windowed string_agg over the cached corpus parquet."""
+    import math
+
+    from json_schema_ray.engine.dedup import ngram_jaccard_dedup_pairs
+    from json_schema_ray.engine.rank import grouped_string_agg
+
+    ds = _read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "text"])
+    convs = grouped_string_agg(ds, "conv_id", "turn_idx", "text",
+                               sep="\n")
+
+    # candidate exchange keys on the injective int64 conv number
+    # (_conv_num_key: digits*2 + alt-spelling bit — the corpus's
+    # injected bad_conv_format rows spell 'conversation-%d');
+    # pairs are report-sized, format back on the driver
+    def to_int_id(batch: pa.Table) -> pa.Table:
+        return pa.table({"cid": _conv_num_key(batch["conv_id"]),
+                         "agg": batch["agg"]})
+
+    # materialize the assembled conversation docs ONCE: the dedup's
+    # verify pass re-reads its input dataset, and a lazy convs would
+    # re-run the whole 3-execution string_agg pipeline (measured
+    # 23.8s -> 12.9s at sf0.01); object-store-resident conv docs are
+    # corpus-text-sized and spillable, the same bound the docs
+    # variant carries via its parquet re-read
+    conv_docs = convs.map_batches(to_int_id, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    t = ngram_jaccard_dedup_pairs(conv_docs, "cid",
+                                  text_column="agg", threshold=0.5)
+
+    def fmt(v: int) -> str:
+        return ("conversation-%d" % (v // 2)) if v % 2 \
+            else ("conv-%08d" % (v // 2))
+
+    # re-orient on the STRING ids (SQL's a.conv_id < b.conv_id):
+    # int-key order and lexicographic order disagree across the two
+    # spellings; jaccard is symmetric so swapping is sound
+    pairs = sorted(
+        tuple(sorted((fmt(a), fmt(b)))) + (int(math.floor(j * 1e6 + 0.5)),)
+        for a, b, j in zip(t["id_a"].to_pylist(),
+                           t["id_b"].to_pylist(),
+                           t["jaccard"].to_pylist()))
+    return pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.string()),
+        "id_b": pa.array([p[1] for p in pairs], pa.string()),
+        "jaccard_e6": pa.array([p[2] for p in pairs], pa.int64()),
+    })
+
+
 def q_transcript_response_latency(sf_dir: str):
     """Assistant response latency per conversation — the serving/
     agent-quality signal: for every user -> assistant adjacent turn
@@ -8155,6 +8219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_weekly_type_diversity": q_user_weekly_type_diversity,
         "transcript_role_protocol": q_transcript_role_protocol,
         "transcript_trailing_context": q_transcript_trailing_context,
+        "transcript_near_dup_convs": q_transcript_near_dup_convs,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
@@ -11305,6 +11370,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, ctx, n_ctx, target
             FROM win WHERE role = 'assistant'
+        """,
+        "transcript_near_dup_convs": f"""
+            WITH conv AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx)
+                           AS text
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                GROUP BY conv_id
+            ), words AS (
+                SELECT conv_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS arr
+                FROM conv WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT DISTINCT conv_id,
+                       CASE WHEN len(arr) < 5
+                            THEN array_to_string(arr, ' ')
+                            ELSE array_to_string(
+                                list_slice(arr, i, i + 4), ' ')
+                       END AS shingle
+                FROM words,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(arr) - 4, 1))) AS i) g
+                WHERE len(arr) > 0
+            ), cnt AS (
+                SELECT conv_id, count(*) AS c FROM sh
+                GROUP BY conv_id
+            ), inter AS (
+                SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+                       count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                    AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(floor(CAST(i AS DOUBLE) / (ca.c + cb.c - i)
+                              * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM inter
+            JOIN cnt ca ON ca.conv_id = id_a
+            JOIN cnt cb ON cb.conv_id = id_b
+            WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "transcript_role_protocol": f"""
             WITH lagged AS (

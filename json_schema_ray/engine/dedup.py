@@ -762,11 +762,24 @@ def _jaccard_verify(candidates, ds, id_column: str, text_column: str,
             pos = np.minimum(pos, len(ids_np) - 1)
             return np.where(ids_np[pos] == q, pos, -1)
 
+        ia = locate(batch["id_a"])
+        ib = locate(batch["id_b"])
+        sizes = np.diff(offsets)
+        ca = np.where(ia >= 0, sizes[np.maximum(ia, 0)], 0)
+        cb = np.where(ib >= 0, sizes[np.maximum(ib, 0)], 0)
+        # EXACT size-ratio prefilter: jaccard <= min(|A|,|B|) /
+        # max(|A|,|B|) (intersection <= smaller set, union >= larger
+        # set), so a pair failing min >= threshold*max can never
+        # qualify. Gathering both shingle sets is the verify cost;
+        # skewed corpora (short-vs-long conversation pairs) shed most
+        # candidates here with recall untouched.
+        keep = np.minimum(ca, cb) >= threshold * np.maximum(ca, cb)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            ia, ib = ia[keep], ib[keep]
         npairs = batch.num_rows
-        va, tag_a, cnt_a = _gather_segments(offsets, values,
-                                            locate(batch["id_a"]))
-        vb, tag_b, cnt_b = _gather_segments(offsets, values,
-                                            locate(batch["id_b"]))
+        va, tag_a, cnt_a = _gather_segments(offsets, values, ia)
+        vb, tag_b, cnt_b = _gather_segments(offsets, values, ib)
         # tagged merge: within a pair each side's hashes are unique,
         # so an adjacent-equal (tag, value) run of length 2 is
         # exactly one intersection element
