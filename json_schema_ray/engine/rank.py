@@ -1971,13 +1971,23 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
         if n == 0:
             return batch.append_column(out, pa.nulls(0, pa.string())) \
                 .append_column(out_n, pa.array([], pa.int64())) \
-                .append_column("__rt", pa.array([], pa.int8()))
+                .append_column("__rt", pa.array([], pa.int8())) \
+                .append_column("__aa", pa.array([], pa.float64())) \
+                .append_column("__ab", pa.array([], pa.float64()))
         kk = _group_key_expr(batch, keys).to_numpy(zero_copy_only=False)
         newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
         seg_first = np.nonzero(newseg)[0][np.cumsum(newseg) - 1]
         i = np.arange(n)
         start = np.maximum(i - k, seg_first)
         win_len = (i - start).astype(np.int64)
+        # each row's stitch anchor — the (ts, tiebreak) of its
+        # EARLIEST in-block window row — travels WITH the row, so
+        # resolve never does batch-relative index arithmetic (Ray
+        # may re-split scanned blocks at arbitrary row offsets)
+        ots = _order_np(batch, ts, descending=False)
+        otb = _order_np(batch, tiebreak, descending=False)
+        aa = ots[start]
+        ab = otb[start]
         csum = np.concatenate([[0], np.cumsum(win_len)])
         flat = np.arange(csum[-1], dtype=np.int64) \
             - np.repeat(csum[:-1], win_len) \
@@ -1997,13 +2007,17 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
         rt[pend] = 1
         out_t = batch.append_column(out, ctx) \
             .append_column(out_n, pa.array(win_len)) \
-            .append_column("__rt", pa.array(rt))
+            .append_column("__rt", pa.array(rt)) \
+            .append_column("__aa", pa.array(aa)) \
+            .append_column("__ab", pa.array(ab))
         m = min(k, n)
         carry = batch.slice(n - m, m) \
             .append_column(out, pc.cast(vals.slice(n - m, m),
                                         pa.string())) \
             .append_column(out_n, pa.array(np.zeros(m, np.int64))) \
-            .append_column("__rt", pa.array(np.full(m, 2, np.int8)))
+            .append_column("__rt", pa.array(np.full(m, 2, np.int8))) \
+            .append_column("__aa", pa.array(ots[n - m:])) \
+            .append_column("__ab", pa.array(otb[n - m:]))
         return pa.concat_tables([out_t, carry])
 
     scanned = sorted_ds.map_batches(scan, batch_format="pyarrow",
@@ -2019,8 +2033,8 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
         if not kept.num_rows:
             continue
         kk = _group_key_expr(kept, keys).to_pylist()
-        tsv = _order_np(kept, ts, descending=False)
-        tbv = _order_np(kept, tiebreak, descending=False)
+        tsv = kept["__aa"].to_pylist()
+        tbv = kept["__ab"].to_pylist()
         vals = kept[out].to_pylist()
         for kval, t, tb, v in zip(kk, tsv, tbv, vals):
             carry.setdefault(kval, []).append((float(t), float(tb), v))
@@ -2037,41 +2051,41 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
 
     handle = ray.put(hist)
 
+    aux = ["__rt", "__aa", "__ab"]
+
     def resolve(batch: pa.Table) -> pa.Table:
         kept = batch.filter(pc.not_equal(batch["__rt"], 2))
         n = kept.num_rows
         if n == 0:
-            return kept.drop_columns(["__rt"])
+            return kept.drop_columns(aux)
         offs = ray.get(handle)
         rt = kept["__rt"].combine_chunks().to_numpy(zero_copy_only=False)
         pend = np.nonzero(rt == 1)[0]
         if not len(pend):
-            return kept.drop_columns(["__rt"])
+            return kept.drop_columns(aux)
         kk = _group_key_expr(kept, keys).to_numpy(zero_copy_only=False)
-        tsv = _order_np(kept, ts, descending=False)
-        tbv = _order_np(kept, tiebreak, descending=False)
+        # a pending row's out-of-block predecessors are the carries
+        # strictly before its EARLIEST in-block window row — the
+        # row's own __aa/__ab anchor, stamped by the scan, so no
+        # batch-relative index arithmetic survives Ray re-batching
+        aav = kept["__aa"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        abv = kept["__ab"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
         ctx = kept[out]
         if isinstance(ctx, pa.ChunkedArray):
             ctx = ctx.combine_chunks()
         cnt = kept[out_n].combine_chunks() \
             .to_numpy(zero_copy_only=False).copy()
         new_ctx = ctx.to_pylist()
-        # a pending row's out-of-block predecessors are the carries
-        # strictly before its EARLIEST in-block window row (the
-        # cnt[i] in-block predecessors are the rows immediately
-        # before it — filtering carries preserves that contiguity
-        # even when Ray coalesces scan blocks), so anchoring each
-        # row at index i - cnt[i] never double-counts a row that is
-        # both in-block context and some block's carry
         changed = False
         for i in pend:
             kval = kk[i]
             if kval not in offs:
                 continue
             la, lb, vv = offs[kval]
-            j = int(i) - int(cnt[i])
             pos = int(_boundaries_before(
-                la, lb, np.array([tsv[j]]), np.array([tbv[j]]))[0])
+                la, lb, np.array([aav[i]]), np.array([abv[i]]))[0])
             need = k - int(cnt[i])
             take = min(need, pos)
             if take <= 0:
@@ -2083,12 +2097,12 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
             cnt[i] += take
             changed = True
         if not changed:
-            return kept.drop_columns(["__rt"])
+            return kept.drop_columns(aux)
         oi = kept.column_names.index(out)
         kept = kept.set_column(oi, out, pa.array(new_ctx, pa.string()))
         ni = kept.column_names.index(out_n)
         kept = kept.set_column(ni, out_n, pa.array(cnt))
-        return kept.drop_columns(["__rt"])
+        return kept.drop_columns(aux)
 
     return scanned.map_batches(resolve, batch_format="pyarrow",
                                zero_copy_batch=True)
