@@ -7197,6 +7197,40 @@ def test_grouped_multi_agg_sorted_matches_duckdb():
             pass
 
 
+def test_trailing_concat_window_spans_many_blocks():
+    """k LARGER than the block size: every row's frame reaches 3+
+    blocks back. Blocks smaller than k carry ALL their rows (m =
+    min(k, n)), so the carry sequence is gap-free and the stitch
+    reconstructs deep windows exactly. One hot key plus a second key
+    to exercise the per-key carry split; empty input sanity too."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import trailing_concat
+
+    n = 400
+    u = np.where(np.arange(n) % 10 == 0, 2, 1)
+    t = pa.table({
+        "u": pa.array(u, pa.int64()),
+        "ts": pa.array(np.arange(n) * 1_000_000, pa.timestamp("us")),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(["t%d" % i for i in range(n)], pa.string())})
+    k = 50
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        f"""SELECT rid, string_agg(v, '|') OVER w AS ctx,
+                  CAST(count(*) OVER w AS BIGINT) AS n_ctx
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY ts, rid
+                   ROWS BETWEEN {k} PRECEDING
+                   AND 1 PRECEDING)""").fetchall()}
+    ds = _ray().data.from_arrow(t).repartition(20)
+    out = trailing_concat(ds, "u", "ts", "v", "rid", k, sep="|")
+    got = {r["rid"]: (r["ctx"], r["n_ctx"]) for r in out.take_all()}
+    assert got == want
+    # empty input keeps the output schema
+    empty = _ray().data.from_arrow(t.slice(0, 0))
+    res = trailing_concat(empty, "u", "ts", "v", "rid", 3)
+    assert res.count() == 0
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33])
 def test_trailing_concat_randomized_differential(seed):
     """trailing_concat vs DuckDB windowed string_agg with a ROWS
