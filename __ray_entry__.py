@@ -735,6 +735,52 @@ def q_transcript_trailing_context(sf_dir: str):
                                     zero_copy_batch=True), schema)
 
 
+def q_transcript_eval_examples(sf_dir: str):
+    """Eval-set extraction: ONE example per conversation — the LAST
+    assistant turn (by timestamp; the corpus's negative_turn
+    corruption makes turn_idx non-unique, ts stays unique) as the
+    target, with its 4-turn trailing context. Composition of two
+    mergeable primitives: trailing_concat builds every turn's
+    context in one carry-stitched sort, grouped_top_k(k=1, ts DESC)
+    arg-maxes per conversation with per-block reduction first, so a
+    hot conversation ships <= k rows per block into the exchange.
+    Oracle: the same window + row_number() OVER (ORDER BY ts DESC)
+    on the cached corpus parquet."""
+    from json_schema_ray.engine.rank import grouped_top_k, trailing_concat
+
+    ds = _read_transcripts(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    win = trailing_concat(ds, "conv_id", "ts", "text", "turn_idx",
+                          4, sep="\n")
+
+    def asst(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.fill_null(
+            pc.equal(batch["role"], "assistant"), False))
+        return pa.table({
+            "conv_id": kept["conv_id"],
+            "turn_idx": kept["turn_idx"],
+            "ts": kept["ts"],
+            "ctx": kept["ctx"],
+            "n_ctx": kept["n_ctx"],
+            "target": pc.fill_null(kept["text"], "")})
+
+    last = grouped_top_k(
+        win.map_batches(asst, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["conv_id"], "ts", 1, descending=True, tiebreak="turn_idx")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["ts", "rn"])
+
+    schema = pa.schema([("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("ctx", pa.string()),
+                        ("n_ctx", pa.int64()),
+                        ("target", pa.string())])
+    return _collect(last.map_batches(fin, batch_format="pyarrow",
+                                     zero_copy_batch=True), schema)
+
+
 def q_transcript_near_dup_convs(sf_dir: str):
     """Conversation-LEVEL near-duplicate detection — the dedup
     granularity a dialogue-training pipeline actually needs (two
@@ -8220,6 +8266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_role_protocol": q_transcript_role_protocol,
         "transcript_trailing_context": q_transcript_trailing_context,
         "transcript_near_dup_convs": q_transcript_near_dup_convs,
+        "transcript_eval_examples": q_transcript_eval_examples,
         "events_next_value": q_events_next_value,
         "docs_repetition": q_docs_repetition,
         "user_value_ranks": q_user_value_ranks,
@@ -11370,6 +11417,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, ctx, n_ctx, target
             FROM win WHERE role = 'assistant'
+        """,
+        "transcript_eval_examples": f"""
+            WITH win AS (
+                SELECT conv_id, turn_idx, ts, role,
+                       coalesce(text, '') AS target,
+                       string_agg(coalesce(text, ''), chr(10))
+                           OVER w AS ctx,
+                       CAST(count(*) OVER w AS BIGINT) AS n_ctx
+                FROM read_parquet('{_protocol_corpus_glob()}')
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY ts, turn_idx
+                             ROWS BETWEEN 4 PRECEDING
+                             AND 1 PRECEDING)
+            ), a AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY conv_id
+                           ORDER BY ts DESC, turn_idx DESC) AS rn
+                FROM win WHERE role = 'assistant'
+            )
+            SELECT conv_id, turn_idx, ctx, n_ctx, target
+            FROM a WHERE rn = 1
         """,
         "transcript_near_dup_convs": f"""
             WITH conv AS (

@@ -169,6 +169,7 @@ EXTRA_QUERIES = [
     "sessions_error_overlap",  # interval coalesce + overlap probe
     "transcript_trailing_context",  # (context, target) example build
     "transcript_tool_args",    # schema-registry tool-arg dispatch
+    "transcript_eval_examples",  # last-assistant-turn eval extraction
 ]
 
 
