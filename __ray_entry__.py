@@ -767,7 +767,8 @@ def q_transcript_eval_examples(sf_dir: str):
     last = grouped_top_k(
         win.map_batches(asst, batch_format="pyarrow",
                         zero_copy_batch=True),
-        ["conv_id"], "ts", 1, descending=True, tiebreak="turn_idx")
+        ["conv_id"], "ts", 1, descending=True, tiebreak="turn_idx",
+        tiebreak_descending=True)
 
     def fin(batch: pa.Table) -> pa.Table:
         return batch.drop_columns(["ts", "rn"])
@@ -787,8 +788,11 @@ def q_transcript_near_dup_convs(sf_dir: str):
     conversations that repeat the same exchange are one training
     example, however their turns are rowed). Two proven primitives
     composed: (1) grouped_string_agg assembles each conversation
-    into ONE document (non-null turn text joined in turn order;
-    groups ship as n_blocks+1 partials, never their rows), then
+    into ONE document (non-null turn text joined in ts order — ts is
+    unique within a conversation, while the corpus's negative_turn
+    injection makes turn_idx non-unique, so a turn_idx ordering
+    would leave tied rows to assemble in either order; groups ship
+    as n_blocks+1 partials, never their rows), then
     (2) exact word-5-gram Jaccard pairs >= 0.5 via the
     shingle-inverted-index + sort-based candidate machinery (exact
     recall: any qualifying pair shares a shingle). The synthetic
@@ -803,8 +807,8 @@ def q_transcript_near_dup_convs(sf_dir: str):
     from json_schema_ray.engine.rank import grouped_string_agg
 
     ds = _read_transcripts(
-        sf_dir, columns=["conv_id", "turn_idx", "text"])
-    convs = grouped_string_agg(ds, "conv_id", "turn_idx", "text",
+        sf_dir, columns=["conv_id", "ts", "text"])
+    convs = grouped_string_agg(ds, "conv_id", "ts", "text",
                                sep="\n")
 
     # candidate exchange keys on the injective int64 conv number
@@ -11442,7 +11446,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_near_dup_convs": f"""
             WITH conv AS (
                 SELECT conv_id,
-                       string_agg(text, chr(10) ORDER BY turn_idx)
+                       string_agg(text, chr(10) ORDER BY ts)
                            AS text
                 FROM read_parquet('{_protocol_corpus_glob()}')
                 GROUP BY conv_id

@@ -96,6 +96,42 @@ def _order_np(batch: pa.Table, col: str, descending: bool) -> np.ndarray:
     return v
 
 
+_I64_MAX = (1 << 63) - 1
+
+
+def _anchor_pa_type(t: pa.DataType) -> pa.DataType:
+    """Arrow type of the carry-anchor column for an order column of
+    type ``t`` — int64 for integer/temporal (exact), float64
+    otherwise. Keeps empty blocks schema-identical to full ones."""
+    if pa.types.is_temporal(t) or pa.types.is_integer(t):
+        return pa.int64()
+    return pa.float64()
+
+
+def _anchor_np(batch: pa.Table, col: str) -> np.ndarray:
+    """Order column as an EXACT ascending-sortable carry anchor.
+    Integer/temporal columns stay int64 (nulls -> INT64_MAX so they
+    rank last, matching the null-safe sort) rather than riding the
+    float64 :func:`_order_np` encoding, whose 2^53 mantissa collapses
+    distinct nanosecond-epoch timestamps / large int64 keys to the
+    same float and would let carry stitching miscount boundaries.
+    Raises if a real value collides with the INT64_MAX sentinel.
+    Float columns keep the float64 path (already exact for them)."""
+    src = batch[col]
+    t = src.type
+    if pa.types.is_temporal(t) or pa.types.is_integer(t):
+        arr = pc.cast(src, pa.int64())
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) and pc.max(arr).as_py() == _I64_MAX:
+            raise ValueError(
+                f"order column {col!r} contains INT64_MAX, which is"
+                " reserved as the nulls-last carry sentinel")
+        return pc.fill_null(arr, _I64_MAX).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+    return _order_np(batch, col, descending=False)
+
+
 def _segment_topk(kk: np.ndarray, sort_key: np.ndarray,
                   tb: np.ndarray, k: int):
     """Indices of the <= k best rows of every key group in one batch
@@ -140,7 +176,8 @@ def _boundaries_before(last_a: np.ndarray, last_b: np.ndarray,
 
 def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
                   descending: bool = True,
-                  tiebreak: Optional[str] = None):
+                  tiebreak: Optional[str] = None,
+                  tiebreak_descending: bool = False):
     """Top-k rows PER GROUP (SQL ``row_number() OVER (PARTITION BY
     keys ORDER BY order_col [DESC] [, tiebreak]) <= k``), with the
     1-based rank appended as ``rn``.
@@ -156,8 +193,13 @@ def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
     all ties when it is None) are broken arbitrarily but
     deterministically within a run — pass a unique ``tiebreak`` for
     reproducible results, exactly as SQL ``row_number`` requires a
-    total order. NULL group keys form their own group (SQL PARTITION
-    BY semantics); NULL order values rank last.
+    total order. The tiebreak direction is INDEPENDENT of the order
+    column's: it defaults to ascending (SQL ``ORDER BY order_col
+    DESC, tiebreak ASC``); pass ``tiebreak_descending=True`` for
+    ``tiebreak DESC`` — match whichever direction the comparison
+    oracle's ORDER BY uses, since a tied ``order_col`` otherwise
+    silently picks a different row. NULL group keys form their own
+    group (SQL PARTITION BY semantics); NULL order values rank last.
     """
     out_names = None  # closed over lazily: original column order
 
@@ -167,7 +209,8 @@ def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
     def tb_np(batch: pa.Table) -> np.ndarray:
         if tiebreak is None:
             return np.arange(batch.num_rows, dtype=np.float64)
-        return _order_np(batch, tiebreak, descending=False)
+        return _order_np(batch, tiebreak,
+                         descending=tiebreak_descending)
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1929,7 +1972,8 @@ def grouped_string_agg(ds, key: str, ord_col: str, val_col: str,
 
 def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
                     k: int, sep: str = "\n",
-                    out: str = "ctx", out_n: str = "n_ctx"):
+                    out: str = "ctx", out_n: str = "n_ctx",
+                    _build_budget: int = 1 << 30):
     """SQL ``string_agg(value, sep) OVER (PARTITION BY key ORDER BY
     ts, tiebreak ROWS BETWEEN k PRECEDING AND 1 PRECEDING)`` plus the
     frame's row count — the trailing-context window that turns an
@@ -1939,7 +1983,10 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
     is empty get a NULL ``out`` and ``out_n = 0`` (SQL: string_agg
     over an empty frame is NULL). ``(key, ts, tiebreak)`` must be
     unique per row; ``ts``/``tiebreak`` must be numeric/temporal
-    (their values stitch windows across block boundaries).
+    (their values stitch windows across block boundaries — carried
+    EXACTLY: integer/temporal anchors travel as int64, so
+    nanosecond-epoch timestamps above 2^53 never collapse in a
+    float64 round-trip).
 
     Shape: ONE null-safe range-partitioned sort on ``(key, ts,
     tiebreak)``. Each block builds every row's window VECTORIZED — a
@@ -1972,8 +2019,10 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
             return batch.append_column(out, pa.nulls(0, pa.string())) \
                 .append_column(out_n, pa.array([], pa.int64())) \
                 .append_column("__rt", pa.array([], pa.int8())) \
-                .append_column("__aa", pa.array([], pa.float64())) \
-                .append_column("__ab", pa.array([], pa.float64()))
+                .append_column("__aa", pa.array(
+                    [], _anchor_pa_type(batch[ts].type))) \
+                .append_column("__ab", pa.array(
+                    [], _anchor_pa_type(batch[tiebreak].type)))
         kk = _group_key_expr(batch, keys).to_numpy(zero_copy_only=False)
         newseg = np.concatenate([[True], kk[1:] != kk[:-1]])
         seg_first = np.nonzero(newseg)[0][np.cumsum(newseg) - 1]
@@ -1984,24 +2033,58 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
         # EARLIEST in-block window row — travels WITH the row, so
         # resolve never does batch-relative index arithmetic (Ray
         # may re-split scanned blocks at arbitrary row offsets)
-        ots = _order_np(batch, ts, descending=False)
-        otb = _order_np(batch, tiebreak, descending=False)
+        ots = _anchor_np(batch, ts)
+        otb = _anchor_np(batch, tiebreak)
         aa = ots[start]
         ab = otb[start]
-        csum = np.concatenate([[0], np.cumsum(win_len)])
-        flat = np.arange(csum[-1], dtype=np.int64) \
-            - np.repeat(csum[:-1], win_len) \
-            + np.repeat(start, win_len)
-        child = vals.take(pa.array(flat, pa.int64()))
-        if pa.types.is_large_string(child.type) or csum[-1] > 2**31 - 8:
-            la = pa.LargeListArray.from_arrays(
-                csum.astype(np.int64), pc.cast(child, pa.large_string()))
+
+        def build(lo: int, hi: int) -> pa.Array:
+            wl = win_len[lo:hi]
+            cs = np.concatenate([[0], np.cumsum(wl)])
+            fl = np.arange(cs[-1], dtype=np.int64) \
+                - np.repeat(cs[:-1], wl) \
+                + np.repeat(start[lo:hi], wl)
+            child = vals.take(pa.array(fl, pa.int64()))
+            if pa.types.is_large_string(child.type):
+                la = pa.LargeListArray.from_arrays(
+                    cs.astype(np.int64), child)
+            else:
+                la = pa.ListArray.from_arrays(cs.astype(np.int32),
+                                              child)
+            j = pc.cast(pc.binary_join(la, sep), pa.string())
+            # empty in-block frame: NULL unless the stitch fills it
+            return pc.if_else(pa.array(wl > 0), j,
+                              pa.scalar(None, pa.string()))
+
+        # int32 string offsets overflow on the gathered child's total
+        # BYTES, not its element count: the window gather duplicates
+        # each row's text up to k times, so a ~150MB-text block with
+        # k >= 15 exceeds 2GB of child bytes while staying far below
+        # 2^31 elements. Budget on bytes AND elements and build the
+        # windows in slices whose gathered cost stays under 1GB each
+        # — the output column becomes a chunked string array, every
+        # chunk safely inside int32 offsets.
+        bl = pc.cast(pc.binary_length(vals), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pfx = np.concatenate([[0], np.cumsum(bl)])
+        i64 = np.arange(n, dtype=np.int64)
+        cost = (pfx[i64] - pfx[start]) + win_len + 1
+        cum = np.cumsum(cost)
+        budget = _build_budget
+        if cum[-1] <= budget:
+            ctx = build(0, n)
         else:
-            la = pa.ListArray.from_arrays(csum.astype(np.int32), child)
-        ctx = pc.cast(pc.binary_join(la, sep), pa.string())
-        # empty in-block frame: NULL unless the stitch fills it
-        ctx = pc.if_else(pa.array(win_len > 0), ctx,
-                         pa.scalar(None, pa.string()))
+            cuts = np.searchsorted(
+                cum, np.arange(budget, cum[-1], budget), side="left")
+            # a budget-crossing row becomes its OWN slice (both cut
+            # and cut+1 are bounds), so no slice ever holds a
+            # near-budget prefix plus an oversized row
+            bounds = np.unique(np.clip(np.concatenate(
+                [[0], cuts, cuts + 1, [n]]), 0, n))
+            ctx = pa.chunked_array(
+                [build(int(lo), int(hi))
+                 for lo, hi in zip(bounds[:-1], bounds[1:])
+                 if hi > lo])
         pend = (np.cumsum(newseg) == 1) & (win_len < k)
         rt = np.zeros(n, np.int8)
         rt[pend] = 1
@@ -2033,18 +2116,20 @@ def trailing_concat(ds, key, ts: str, value: str, tiebreak: str,
         if not kept.num_rows:
             continue
         kk = _group_key_expr(kept, keys).to_pylist()
+        # anchors stay in their EXACT dtype (int64 for
+        # integer/temporal order columns) — no float() round-trip
         tsv = kept["__aa"].to_pylist()
         tbv = kept["__ab"].to_pylist()
         vals = kept[out].to_pylist()
         for kval, t, tb, v in zip(kk, tsv, tbv, vals):
-            carry.setdefault(kval, []).append((float(t), float(tb), v))
+            carry.setdefault(kval, []).append((t, tb, v))
 
     hist = {}
     for kval, segs in carry.items():
         segs.sort(key=lambda s: (s[0], s[1]))
         hist[kval] = (
-            np.array([s[0] for s in segs], dtype=np.float64),
-            np.array([s[1] for s in segs], dtype=np.float64),
+            np.asarray([s[0] for s in segs]),
+            np.asarray([s[1] for s in segs]),
             [s[2] for s in segs])
 
     import ray

@@ -7271,3 +7271,94 @@ def test_trailing_concat_randomized_differential(seed):
     got = {r["rid"]: (r["ctx"], r["n_ctx"]) for r in out.take_all()}
     assert len(got) == n
     assert got == want
+
+
+def test_trailing_concat_ns_epoch_anchors_exact():
+    """Carry anchors must be EXACT: nanosecond-epoch timestamps sit
+    above 2^53, where float64 spacing is ~256ns, so 1ns-apart rows
+    collapse to the same float and a float-encoded anchor stitches
+    the wrong out-of-block context. rid is deliberately DEcorrelated
+    from ts so any collapse actually reorders the window."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import trailing_concat
+
+    n = 300
+    base = 1_600_000_000_000_000_000  # ~2020 in ns, >> 2^53
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    t = pa.table({
+        "u": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(base + perm, pa.timestamp("ns")),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(["t%d" % i for i in range(n)], pa.string())})
+    k = 4
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        f"""SELECT rid, string_agg(v, '|') OVER w AS ctx,
+                  CAST(count(*) OVER w AS BIGINT) AS n_ctx
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY ts, rid
+                   ROWS BETWEEN {k} PRECEDING
+                   AND 1 PRECEDING)""").fetchall()}
+    ds = _ray().data.from_arrow(t).repartition(12)
+    out = trailing_concat(ds, "u", "ts", "v", "rid", k, sep="|")
+    got = {r["rid"]: (r["ctx"], r["n_ctx"]) for r in out.take_all()}
+    assert got == want
+
+
+def test_trailing_concat_sliced_build_matches_single():
+    """The byte-budgeted multi-slice window build (chunked output
+    column) is value-identical to the single-gather path: a tiny
+    _build_budget forces a slice boundary every few rows, including
+    rows whose own window exceeds the budget (their own slice)."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import trailing_concat
+
+    n = 240
+    rng = np.random.default_rng(3)
+    texts = ["x" * int(rng.integers(1, 40)) + str(i) for i in range(n)]
+    t = pa.table({
+        "u": pa.array((np.arange(n) % 3).astype(np.int64)),
+        "ts": pa.array(np.arange(n) * 1000, pa.timestamp("us")),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(texts, pa.string())})
+    k = 6
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        f"""SELECT rid, string_agg(v, '#') OVER w AS ctx,
+                  CAST(count(*) OVER w AS BIGINT) AS n_ctx
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY ts, rid
+                   ROWS BETWEEN {k} PRECEDING
+                   AND 1 PRECEDING)""").fetchall()}
+    ds = _ray().data.from_arrow(t).repartition(4)
+    out = trailing_concat(ds, "u", "ts", "v", "rid", k, sep="#",
+                          _build_budget=64)
+    got = {r["rid"]: (r["ctx"], r["n_ctx"]) for r in out.take_all()}
+    assert got == want
+
+
+def test_grouped_top_k_tiebreak_direction():
+    """tiebreak_descending resolves TIED order values the way the
+    caller's SQL ORDER BY does — ascending by default, descending on
+    request — instead of silently always-ascending."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "s": pa.array([5, 5, 3, 9, 9], pa.int64()),
+        "tb": pa.array([10, 20, 30, 1, 2], pa.int64()),
+        "v": pa.array(["a", "b", "c", "d", "e"], pa.string())})
+    for desc_tb in (False, True):
+        direction = "DESC" if desc_tb else "ASC"
+        want = sorted(r[0] for r in duckdb.sql(
+            f"""SELECT v FROM (
+                  SELECT v, row_number() OVER (
+                      PARTITION BY g ORDER BY s DESC, tb {direction})
+                      AS rn FROM t) WHERE rn = 1""").fetchall())
+        out = grouped_top_k(
+            _ray().data.from_arrow(t).repartition(2),
+            ["g"], "s", 1, descending=True, tiebreak="tb",
+            tiebreak_descending=desc_tb)
+        got = sorted(r["v"] for r in out.take_all())
+        assert got == want, direction
