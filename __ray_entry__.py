@@ -1467,18 +1467,27 @@ def q_text_equality(sf_dir: str):
 # ---- rows-only queries (no SQL equivalent) ----
 
 
-def q_text_equality_aligned(sf_dir: str):
-    """Zero-shuffle co-partitioned compare (the 10^12-turn path): the
-    candidate transcript corpus vs a reference output sharing its
-    partition layout, diverging at deterministic rows. Returns
-    mismatch counts by error_type."""
-    import shutil
-    import tempfile
-
-    from json_schema_ray.engine.compare import aligned_text_compare
+def _aligned_cmp_dir(sf_dir: str = None) -> str:
+    """Cached candidate/reference ALIGNED-PARTITION corpus pair for
+    the zero-shuffle compare and its oracle: the clean seed-42
+    transcript corpus as 8 candidate shards plus a reference output
+    sharing the partition layout and diverging deterministically
+    (every idx%97==13 text edited, every idx%1009==5 row missing).
+    Same on-demand + cached generation contract as
+    :func:`_protocol_corpus_glob` — pure numpy/pyarrow, no Ray — so
+    the DuckDB oracle can run whether or not the query ran first."""
     from json_schema_ray.sources.transcripts import generate_transcripts
 
-    t = generate_transcripts(_transcript_turns(sf_dir), seed=42)
+    if sf_dir is None:
+        sf_dir = os.environ.get("JSR_PROTOCOL_SF_DIR",
+                                "/root/testdata/sf0.01")
+    n_turns = _transcript_turns(sf_dir)
+    path = f"/tmp/json_schema_ray/aligned_cmp_n{n_turns}"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    t = generate_transcripts(n_turns, seed=42)
     n = t.num_rows
     idx = np.arange(n)
     edited = pa.array(
@@ -1487,34 +1496,47 @@ def q_text_equality_aligned(sf_dir: str):
                                            edited, "")
     ref = pa.table({"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
                     "text": ref_text}).filter(pa.array(idx % 1009 != 5))
+    n_files = 8
+    step = (n + n_files - 1) // n_files
+    ref_off = 0
+    for f in range(n_files):
+        ca = t.slice(f * step, step)
+        dropped = int(np.count_nonzero(
+            (idx[f * step:(f + 1) * step] % 1009) == 5))
+        cb = ref.slice(ref_off, ca.num_rows - dropped)
+        ref_off += ca.num_rows - dropped
+        pq.write_table(ca.select(["conv_id", "turn_idx", "text"]),
+                       os.path.join(path, f"cand-{f}.parquet"))
+        pq.write_table(cb, os.path.join(path, f"ref-{f}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
 
-    tmp = tempfile.mkdtemp(prefix="jsr_cmp_")
-    try:
-        pairs = []
-        n_files = 8
-        step = (n + n_files - 1) // n_files
-        ref_off = 0
-        for f in range(n_files):
-            ca = t.slice(f * step, step)
-            dropped = int(np.count_nonzero(
-                (idx[f * step:(f + 1) * step] % 1009) == 5))
-            cb = ref.slice(ref_off, ca.num_rows - dropped)
-            ref_off += ca.num_rows - dropped
-            fa = os.path.join(tmp, f"cand-{f}.parquet")
-            fb = os.path.join(tmp, f"ref-{f}.parquet")
-            pq.write_table(ca.select(["conv_id", "turn_idx", "text"]), fa)
-            pq.write_table(cb, fb)
-            pairs.append((fa, fb))
-        out = _collect(
-            aligned_text_compare(pairs, ["conv_id", "turn_idx"]),
-            pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
-                       ("error_type", pa.string()),
-                       ("text_a", pa.string()), ("text_b", pa.string())]))
-        g = pa.TableGroupBy(out.select(["error_type"]), ["error_type"]) \
-            .aggregate([([], "count_all")])
-        return g.rename_columns(["error_type", "cnt"]).sort_by("error_type")
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+
+def q_text_equality_aligned(sf_dir: str):
+    """Zero-shuffle co-partitioned compare (the 10^12-turn path): the
+    candidate transcript corpus vs a reference output sharing its
+    partition layout, diverging at deterministic rows. Each task
+    streams ONE partition pair — no shuffle, nothing row-sized
+    crosses the wire except actual mismatches. Returns mismatch
+    counts by error_type; the oracle reads the SAME cached shard
+    pair by path and reproduces the counts with a FULL OUTER JOIN +
+    IS DISTINCT FROM (the keyed realization text_equality proves
+    row-exactly in registered SQL)."""
+    from json_schema_ray.engine.compare import aligned_text_compare
+
+    path = _aligned_cmp_dir(sf_dir)
+    pairs = [(os.path.join(path, f"cand-{f}.parquet"),
+              os.path.join(path, f"ref-{f}.parquet"))
+             for f in range(8)]
+    out = _collect(
+        aligned_text_compare(pairs, ["conv_id", "turn_idx"]),
+        pa.schema([("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                   ("error_type", pa.string()),
+                   ("text_a", pa.string()), ("text_b", pa.string())]))
+    g = pa.TableGroupBy(out.select(["error_type"]), ["error_type"]) \
+        .aggregate([([], "count_all")])
+    return g.rename_columns(["error_type", "cnt"]).sort_by("error_type")
 
 def q_transcript_validation(sf_dir: str):
     from json_schema_ray.pipelines.flagship import run_flagship
@@ -3633,22 +3655,45 @@ def q_lineitem_price_regression(sf_dir: str):
 
 
 def q_drift_roles(sf_dir: str):
+    """Stored-profile drift over the transcript corpus — the north
+    rule's distribution-drift stage on its own input. A
+    ReferenceProfile (role histogram + EXACT text-length histogram)
+    is built from the clean seed-42 corpus, round-tripped through
+    its JSON serialization (the stored-artifact flow a nightly job
+    uses), then compared against the seed-43 corpus: PSI on role
+    (floor e6, the drift_events_psi contract) and the INTEGER-EXACT
+    two-sample KS on text length (``ks_exact_e6``: cum-count
+    cross-products in arbitrary-precision ints — a HUGEINT SQL
+    oracle reproduces it bit-for-bit, which the t-digest KS, being
+    approximate by construction, never could). Both corpora are
+    cached deterministic parquet, so the oracle reads the SAME
+    inputs by path."""
+    import math
+
     import ray
 
-    from json_schema_ray.engine.drift import ReferenceProfile
-    from json_schema_ray.pipelines.flagship import transcripts_path
+    from json_schema_ray.engine.drift import (ReferenceProfile,
+                                              categorical_histogram,
+                                              ks_exact_e6,
+                                              length_histogram, psi)
 
-    n = _transcript_turns(sf_dir)
-    ref_path = transcripts_path(n, seed=42, violation_rate=0.0)
-    new_path = transcripts_path(n, seed=43, violation_rate=0.01)
-    ref = ReferenceProfile.build(ray.data.read_parquet(ref_path),
-                                 categorical=["role"],
-                                 numeric_or_text=["text"])
-    report = ref.compare(ray.data.read_parquet(new_path))
-    vals = pa.array([round(v, 3) for v in report["value"].to_pylist()],
-                    pa.float64())
-    return pa.table({"column": report["column"],
-                     "metric": report["metric"], "value": vals})
+    ref_glob, new_glob = _drift_corpus_globs(sf_dir)
+    ref = ReferenceProfile.build(
+        ray.data.read_parquet(os.path.dirname(ref_glob),
+                              columns=["role", "text"]),
+        categorical=["role"], exact_lengths=["text"])
+    ref = ReferenceProfile.from_json(ref.to_json())
+    new_ds = ray.data.read_parquet(os.path.dirname(new_glob),
+                                   columns=["role", "text"])
+    psi_e6 = int(math.floor(
+        psi(ref.histograms["role"],
+            categorical_histogram(new_ds, "role")) * 1e6 + 0.5))
+    ks_e6 = ks_exact_e6(ref.length_hists["text"],
+                        length_histogram(new_ds, "text"))
+    return pa.table({
+        "column": pa.array(["role", "text_len"], pa.string()),
+        "metric": pa.array(["psi", "ks"], pa.string()),
+        "value_e6": pa.array([psi_e6, ks_e6], pa.int64())})
 
 
 def q_orders_segment_join_sorted(sf_dir: str):
@@ -8175,31 +8220,88 @@ def q_part_primary_supplier(sf_dir: str):
     """TPC-H Q20-flavored dominant-supplier screen: for every part
     shipped by >= 2 distinct suppliers, the supplier that shipped the
     largest total quantity (deterministic tiebreak: lowest suppkey),
-    with its exact quantity share. The (part, supplier) rollup rides
-    the engine's pre-agg -> shuffle -> re-agg pipeline (result is
-    pair-grained — bounded by part x supplier dimension sizes, NOT
-    by fact rows); the per-part total, supplier count, argmax and
-    the x1m share (integer //, no float division) then run one
-    Arrow sort + adjacent-first mask over that group-sized table."""
-    from json_schema_ray.engine.relational import grouped_aggregate
+    with its exact quantity share. EVERYTHING pair-grained stays
+    distributed: the (part, supplier) rollup rides the engine's
+    pre-agg -> shuffle -> re-agg pipeline with ``as_dataset=True``
+    (pair cardinality is fact-derived — ~4x parts at TPC-H scale,
+    never driver-sized), then ONE null-safe range-partitioned sort
+    on l_partkey co-locates each part's pair rows and every block
+    reduces its part segments to combinable partials — (sum qty,
+    pair count, max qty, min suppkey among max-qty rows), all
+    reduceat kernels. A part's rows are contiguous after the sort,
+    so the driver merge state is O(parts + blocks) rows — the same
+    result grain the query returns — and the final argmax/tie
+    resolution (min suppkey among partials matching the global max)
+    plus the x1m integer share run vectorized over that table. No
+    pair-grained table ever materializes on the driver."""
+    from json_schema_ray.engine.relational import (grouped_aggregate,
+                                                   null_safe_sort)
 
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_suppkey", "l_quantity"])
 
     def q100(b: pa.Table) -> pa.Table:
+        # projection only — grouped_aggregate's pre-agg stage does
+        # the one per-block groupby
         q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
                      * 100 + 0.5).astype(np.int64)
-        t = pa.table({"l_partkey": b["l_partkey"],
-                      "l_suppkey": b["l_suppkey"],
-                      "qty100": pa.array(q)})
-        g = pa.TableGroupBy(t, ["l_partkey", "l_suppkey"]).aggregate(
-            [("qty100", "sum")])
-        return g.rename_columns(["l_partkey", "l_suppkey", "qty100"])
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "qty100": pa.array(q)})
 
-    pairs = grouped_aggregate(
+    pairs_ds = grouped_aggregate(
         li.map_batches(q100, batch_format="pyarrow",
                        zero_copy_batch=True),
-        ["l_partkey", "l_suppkey"], [("qty100", "sum")])
+        ["l_partkey", "l_suppkey"], [("qty100", "sum")],
+        as_dataset=True)
+
+    def rn(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "qty100": pc.cast(b["qty100_sum"], pa.int64())})
+
+    sorted_pairs = null_safe_sort(
+        pairs_ds.map_batches(rn, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["l_partkey"], ["l_suppkey"])
+
+    def part_partials(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return pa.table({
+                "l_partkey": pa.array([], pa.int64()),
+                "s100": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "bq": pa.array([], pa.int64()),
+                "bs": pa.array([], pa.int64())})
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qv = b["qty100"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = b["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        newseg = np.concatenate([[True], pk[1:] != pk[:-1]])
+        starts = np.nonzero(newseg)[0]
+        seg_ids = np.cumsum(newseg) - 1
+        sums = np.add.reduceat(qv, starts)
+        cnts = np.diff(np.append(starts, n)).astype(np.int64)
+        mx = np.maximum.reduceat(qv, starts)
+        sv_m = np.where(qv == mx[seg_ids], sv,
+                        np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(sv_m, starts)
+        return pa.table({
+            "l_partkey": pa.array(pk[starts].astype(np.int64)),
+            "s100": pa.array(sums), "cnt": pa.array(cnts),
+            "bq": pa.array(mx), "bs": pa.array(best)})
+
+    partials = _collect(
+        sorted_pairs.map_batches(part_partials,
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True),
+        pa.schema([("l_partkey", pa.int64()), ("s100", pa.int64()),
+                   ("cnt", pa.int64()), ("bq", pa.int64()),
+                   ("bs", pa.int64())]))
+    partials = partials.sort_by([("l_partkey", "ascending")])
+    n = partials.num_rows
     empty = pa.table({
         "p_partkey": pa.array([], pa.int64()),
         "s_suppkey": pa.array([], pa.int64()),
@@ -8207,31 +8309,31 @@ def q_part_primary_supplier(sf_dir: str):
         "qty100_part": pa.array([], pa.int64()),
         "n_suppliers": pa.array([], pa.int64()),
         "share_x1m": pa.array([], pa.int64())})
-    if pairs is None:
+    if n == 0:
         return empty
-    pairs = pairs.rename_columns(["l_partkey", "l_suppkey", "qty100"])
-
-    tot = pa.TableGroupBy(pairs, ["l_partkey"]).aggregate(
-        [("qty100", "sum"), ([], "count_all")])
-    tot = tot.rename_columns(["l_partkey", "t100", "n_suppliers"])
-    j = pairs.join(tot, keys=["l_partkey"], join_type="inner")
-    j = j.sort_by([("l_partkey", "ascending"),
-                   ("qty100", "descending"),
-                   ("l_suppkey", "ascending")])
-    pk = j["l_partkey"].to_numpy(zero_copy_only=False)
-    first = np.ones(len(pk), bool)
-    first[1:] = pk[1:] != pk[:-1]
-    j = j.filter(pa.array(first))
-    j = j.filter(pc.greater_equal(j["n_suppliers"], 2))
-    qv = j["qty100"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = j["t100"].to_numpy(zero_copy_only=False).astype(np.int64)
-    share = qv * 1_000_000 // tv if len(qv) else qv
+    pk = partials["l_partkey"].to_numpy(zero_copy_only=False)
+    s100 = partials["s100"].to_numpy(zero_copy_only=False)
+    cnt = partials["cnt"].to_numpy(zero_copy_only=False)
+    bq = partials["bq"].to_numpy(zero_copy_only=False)
+    bs = partials["bs"].to_numpy(zero_copy_only=False)
+    newseg = np.concatenate([[True], pk[1:] != pk[:-1]])
+    starts = np.nonzero(newseg)[0]
+    seg_ids = np.cumsum(newseg) - 1
+    tot = np.add.reduceat(s100, starts)
+    nsupp = np.add.reduceat(cnt, starts)
+    gmx = np.maximum.reduceat(bq, starts)
+    bs_m = np.where(bq == gmx[seg_ids], bs, np.iinfo(np.int64).max)
+    gbest = np.minimum.reduceat(bs_m, starts)
+    keep = nsupp >= 2
+    if not keep.any():
+        return empty
+    share = gmx[keep] * 1_000_000 // tot[keep]
     return pa.table({
-        "p_partkey": pc.cast(j["l_partkey"], pa.int64()),
-        "s_suppkey": pc.cast(j["l_suppkey"], pa.int64()),
-        "qty100_supp": pc.cast(j["qty100"], pa.int64()),
-        "qty100_part": pc.cast(j["t100"], pa.int64()),
-        "n_suppliers": pc.cast(j["n_suppliers"], pa.int64()),
+        "p_partkey": pa.array(pk[starts][keep]),
+        "s_suppkey": pa.array(gbest[keep]),
+        "qty100_supp": pa.array(gmx[keep]),
+        "qty100_part": pa.array(tot[keep]),
+        "n_suppliers": pa.array(nsupp[keep]),
         "share_x1m": pa.array(share, pa.int64()),
     }).sort_by([("p_partkey", "ascending")])
 
@@ -8995,11 +9097,109 @@ def _protocol_corpus_glob() -> str:
     return os.path.join(path, "*.parquet")
 
 
+def _drift_corpus_globs(sf_dir: str = None) -> tuple:
+    """(reference, new) parquet globs for the drift_roles pair: the
+    clean seed-42 corpus the stored profile is built from and the
+    seed-43 corpus it is compared against. Same on-demand + cached
+    generation contract as :func:`_protocol_corpus_glob` so the
+    DuckDB oracle can run whether or not the query ran first."""
+    from json_schema_ray.pipelines.flagship import transcripts_path
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("JSR_PROTOCOL_SF_DIR",
+                                "/root/testdata/sf0.01")
+    n = _transcript_turns(sf_dir)
+    ref = transcripts_path(n, seed=42, violation_rate=0.0)
+    new = transcripts_path(n, seed=43, violation_rate=0.01)
+    return (os.path.join(ref, "*.parquet"),
+            os.path.join(new, "*.parquet"))
+
+
 def oracle_sql() -> dict[str, str]:
     from json_schema_ray.engine.relational import splitmix64_sql
 
     sample_thr = int(0.05 * float(1 << 64))
+    drift_ref, drift_new = _drift_corpus_globs()
+    aligned_dir = _aligned_cmp_dir()
     return {
+        "text_equality_aligned": f"""
+            WITH a AS (
+                SELECT conv_id, turn_idx, text, 1 AS ina
+                FROM read_parquet('{aligned_dir}/cand-*.parquet')
+            ), b AS (
+                SELECT conv_id, turn_idx, text, 1 AS inb
+                FROM read_parquet('{aligned_dir}/ref-*.parquet')
+            ), j AS (
+                SELECT CASE WHEN b.inb IS NULL THEN 'missing_in_b'
+                            WHEN a.ina IS NULL THEN 'missing_in_a'
+                            ELSE 'text_mismatch' END AS error_type
+                FROM a FULL JOIN b
+                    ON a.conv_id = b.conv_id
+                   AND a.turn_idx = b.turn_idx
+                WHERE a.ina IS NULL OR b.inb IS NULL
+                   OR a.text IS DISTINCT FROM b.text
+            )
+            SELECT error_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM j GROUP BY error_type ORDER BY error_type
+        """,
+        "drift_roles": f"""
+            WITH ref AS (
+                SELECT role, count(*) AS c
+                FROM read_parquet('{drift_ref}') GROUP BY role
+            ), act AS (
+                SELECT role, count(*) AS c
+                FROM read_parquet('{drift_new}') GROUP BY role
+            ), keys AS (
+                SELECT role FROM ref UNION SELECT role FROM act
+            ), parts AS (
+                SELECT greatest(CAST(COALESCE(r.c, 0) AS DOUBLE)
+                           / greatest((SELECT sum(c) FROM ref), 1),
+                           1e-6) AS pe,
+                       greatest(CAST(COALESCE(a.c, 0) AS DOUBLE)
+                           / greatest((SELECT sum(c) FROM act), 1),
+                           1e-6) AS pa
+                FROM keys k
+                LEFT JOIN ref r
+                    ON r.role IS NOT DISTINCT FROM k.role
+                LEFT JOIN act a
+                    ON a.role IS NOT DISTINCT FROM k.role
+            ), rl AS (
+                SELECT length(text) AS v, count(*) AS c
+                FROM read_parquet('{drift_ref}')
+                WHERE text IS NOT NULL GROUP BY 1
+            ), al AS (
+                SELECT length(text) AS v, count(*) AS c
+                FROM read_parquet('{drift_new}')
+                WHERE text IS NOT NULL GROUP BY 1
+            ), m AS (
+                SELECT v, sum(rc) AS rc, sum(ac) AS ac FROM (
+                    SELECT v, c AS rc, 0 AS ac FROM rl
+                    UNION ALL
+                    SELECT v, 0, c FROM al) GROUP BY v
+            ), cum AS (
+                SELECT sum(rc) OVER (ORDER BY v) AS cr,
+                       sum(ac) OVER (ORDER BY v) AS ca
+                FROM m
+            ), ks AS (
+                SELECT max(abs(
+                    CAST(cr AS HUGEINT) * (SELECT sum(c) FROM al)
+                  - CAST(ca AS HUGEINT) * (SELECT sum(c) FROM rl)))
+                    AS d
+                FROM cum
+            )
+            SELECT * FROM (
+                SELECT 'role' AS "column", 'psi' AS metric,
+                       CAST(floor((SELECT SUM((pa - pe) * ln(pa / pe))
+                                   FROM parts) * 1e6 + 0.5)
+                            AS BIGINT) AS value_e6
+                UNION ALL
+                SELECT 'text_len', 'ks',
+                       CAST((SELECT d FROM ks) * 1000000
+                            // ((SELECT sum(c) FROM rl)
+                                * (SELECT sum(c) FROM al))
+                            AS BIGINT)
+            ) ORDER BY "column"
+        """,
         "lineitem_weighted_price_quartiles": """
             WITH e AS (
                 SELECT l_returnflag,

@@ -64,6 +64,62 @@ def length_digest(ds, column: str, compression: int = 100) -> TDigest:
     return merged if merged is not None else TDigest(compression)
 
 
+def length_histogram(ds, column: str) -> Dict[int, int]:
+    """EXACT value -> count histogram of utf8 lengths (string
+    columns) or integer values (numeric columns), null rows dropped.
+    The mergeable-exact alternative to :func:`length_digest` when
+    the value domain is bounded (text lengths, categorical codes):
+    per-block pre-aggregation reduces each block to its distinct
+    lengths, the merge shuffle moves O(distinct x blocks) rows, and
+    the result supports an integer-exact KS statistic
+    (:func:`ks_exact_e6`) a SQL oracle can reproduce bit-for-bit."""
+
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if pa.types.is_string(col.type) or \
+                pa.types.is_large_string(col.type):
+            v = pc.utf8_length(col)
+        else:
+            v = col
+        v = pc.cast(v, pa.int64())
+        t = pa.table({"v": v}).filter(pc.is_valid(v))
+        g = pa.TableGroupBy(t, ["v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["v", "cnt"])
+
+    partial = ds.map_batches(pre_agg, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out: Dict[int, int] = {}
+    for batch in partial.groupby("v").sum("cnt") \
+            .iter_batches(batch_format="pyarrow"):
+        batch = pa.Table.from_batches([batch]) \
+            if isinstance(batch, pa.RecordBatch) else batch
+        batch = batch.rename_columns(["v", "cnt"])
+        for v, c in zip(batch["v"].to_pylist(),
+                        batch["cnt"].to_pylist()):
+            out[int(v)] = out.get(int(v), 0) + int(c)
+    return out
+
+
+def ks_exact_e6(h1: Dict[int, int], h2: Dict[int, int]) -> int:
+    """EXACT two-sample KS statistic from two exact histograms,
+    returned as ``floor(KS * 1e6)`` computed entirely in integers:
+    ``D = max_v |cum1(v) * N2 - cum2(v) * N1|`` over the union of
+    values, then ``D * 1e6 // (N1 * N2)``. Python ints are
+    arbitrary-precision, so 10^12-row corpora cannot overflow; a SQL
+    oracle matches with HUGEINT arithmetic. Empty sides -> 0."""
+    n1 = sum(h1.values())
+    n2 = sum(h2.values())
+    if not n1 or not n2:
+        return 0
+    vals = sorted(set(h1) | set(h2))
+    d = c1 = c2 = 0
+    for v in vals:
+        c1 += h1.get(v, 0)
+        c2 += h2.get(v, 0)
+        d = max(d, abs(c1 * n2 - c2 * n1))
+    return d * 1_000_000 // (n1 * n2)
+
+
 def psi(expected: Dict[str, int], actual: Dict[str, int],
         epsilon: float = 1e-6) -> float:
     """Population Stability Index over categorical histograms."""
@@ -109,21 +165,31 @@ class ReferenceProfile:
     baseline profile."""
 
     def __init__(self, histograms: Dict[str, Dict[str, int]] = None,
-                 digests: Dict[str, TDigest] = None):
+                 digests: Dict[str, TDigest] = None,
+                 length_hists: Dict[str, Dict[int, int]] = None):
         self.histograms = histograms or {}
         self.digests = digests or {}
+        self.length_hists = length_hists or {}
 
     @classmethod
     def build(cls, ds, categorical: List[str],
-              numeric_or_text: List[str]) -> "ReferenceProfile":
+              numeric_or_text: List[str] = (),
+              exact_lengths: List[str] = ()) -> "ReferenceProfile":
+        """``numeric_or_text`` columns store mergeable t-digests
+        (approximate KS, unbounded domains); ``exact_lengths``
+        columns store EXACT length histograms (integer-exact KS via
+        :func:`ks_exact_e6`, bounded domains like text lengths)."""
         return cls(
             histograms={c: categorical_histogram(ds, c) for c in categorical},
             digests={c: length_digest(ds, c) for c in numeric_or_text},
+            length_hists={c: length_histogram(ds, c)
+                          for c in exact_lengths},
         )
 
     def compare(self, ds) -> pa.Table:
         """Drift report vs a new dataset: PSI per categorical column,
-        KS per numeric/text column."""
+        KS per numeric/text column (t-digest approximate for digest
+        columns, exact for length-histogram columns)."""
         rows = []
         for col, hist in self.histograms.items():
             actual = categorical_histogram(ds, col)
@@ -133,12 +199,18 @@ class ReferenceProfile:
             actual = length_digest(ds, col)
             rows.append({"column": col, "metric": "ks",
                          "value": ks_statistic(digest, actual)})
+        for col, hist in self.length_hists.items():
+            actual = length_histogram(ds, col)
+            rows.append({"column": col, "metric": "ks",
+                         "value": ks_exact_e6(hist, actual) / 1e6})
         return pa.Table.from_pylist(rows)
 
     def to_json(self) -> str:
         return json.dumps({
             "histograms": self.histograms,
             "digests": {k: v.serialize().hex() for k, v in self.digests.items()},
+            "length_hists": {k: {str(v): c for v, c in h.items()}
+                             for k, h in self.length_hists.items()},
         })
 
     @classmethod
@@ -148,6 +220,9 @@ class ReferenceProfile:
             histograms=data["histograms"],
             digests={k: TDigest.deserialize(bytes.fromhex(v))
                      for k, v in data["digests"].items()},
+            length_hists={k: {int(v): int(c) for v, c in h.items()}
+                          for k, h in data.get("length_hists",
+                                               {}).items()},
         )
 
 

@@ -91,9 +91,22 @@ def pre_aggregate(ds, keys: List[str],
 
 def grouped_aggregate(ds, keys: List[str],
                       aggs: Sequence[Tuple[str, str]],
-                      driver_merge: bool = False) -> "pa.Table":
-    """Full pre-agg -> shuffle -> re-agg pipeline, materialized
-    (results are group-sized, small by construction).
+                      driver_merge: bool = False,
+                      as_dataset: bool = False):
+    """Full pre-agg -> shuffle -> re-agg pipeline.
+
+    CARDINALITY CONTRACT: the default return is a driver-side
+    ``pa.Table``, so it is only correct when the GROUP COUNT is
+    driver-sized — dimension-grained keys (event types, languages,
+    users at report grain, calendar buckets), where "group-sized,
+    small by construction" genuinely holds. A FACT-DERIVED key — any
+    pair/cross grain like (part, supplier), (user, url), (doc,
+    shingle) — grows with the corpus and MUST pass
+    ``as_dataset=True``, which returns the re-aggregated ``Dataset``
+    (one exact row per group, still distributed) for further
+    distributed stages; only a final result-sized table may then
+    land on the driver. ``as_dataset`` is incompatible with
+    ``driver_merge``.
 
     ``driver_merge=True`` is the LOW-CARDINALITY fast path: the
     per-block partials (groups x blocks rows) stream to the driver
@@ -104,6 +117,10 @@ def grouped_aggregate(ds, keys: List[str],
     blocks the default shuffle path is the correct one. Results are
     dtype-identical to the shuffle path (int64 sums/counts,
     type-preserving min/max, NULL keys form their own group)."""
+    if as_dataset and driver_merge:
+        raise ValueError(
+            "grouped_aggregate: as_dataset and driver_merge are"
+            " mutually exclusive")
     partial = pre_aggregate(ds, keys, aggs)
     if driver_merge:
         tables = [pa.Table.from_batches([b])
@@ -142,6 +159,8 @@ def grouped_aggregate(ds, keys: List[str],
         elif fn == "max":
             agg_objs.append(Max(src, alias_name=src))
     result = null_safe_grouped_aggregate(partial, keys, agg_objs, out_cols)
+    if as_dataset:
+        return result
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
               for b in result.iter_batches(batch_format="pyarrow")]
     if not tables:

@@ -7362,3 +7362,96 @@ def test_grouped_top_k_tiebreak_direction():
             tiebreak_descending=desc_tb)
         got = sorted(r["v"] for r in out.take_all())
         assert got == want, direction
+
+
+def test_part_primary_supplier_many_parts_distributed(tmp_path):
+    """Dominant-supplier screen at HIGH part cardinality: the
+    pair-grained rollup, the part-keyed sort and the per-block
+    combinable partials (sum/count/argmax-with-tiebreak) all stay
+    distributed — driver merge state is O(parts + blocks), never the
+    pair table — and tied max quantities resolve to the LOWEST
+    suppkey exactly as the oracle's ORDER BY does. Planted ties and
+    single-supplier parts included."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    rng = np.random.default_rng(17)
+    n = 60_000
+    pk = rng.integers(1, 8_000, n)          # ~8k parts
+    sk = rng.integers(1, 40, n)             # dense supplier reuse -> ties
+    qty = rng.integers(1, 8, n).astype(np.float64)
+    t = pa.table({
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array(sk, pa.int64()),
+        "l_quantity": pa.array(qty, pa.float64())})
+    import pyarrow.parquet as pq
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = entry.q_part_primary_supplier(str(tmp_path))
+    want = duckdb.sql("""
+        WITH pairs AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_quantity*100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS qty100
+            FROM t GROUP BY 1, 2
+        ), tot AS (
+            SELECT l_partkey, sum(qty100) AS t100,
+                   count(*) AS n_suppliers
+            FROM pairs GROUP BY 1
+        ), r AS (
+            SELECT p.*, t.t100, t.n_suppliers,
+                   row_number() OVER (PARTITION BY p.l_partkey
+                       ORDER BY p.qty100 DESC, p.l_suppkey) AS rn
+            FROM pairs p JOIN tot t USING (l_partkey)
+        )
+        SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+               CAST(qty100 AS BIGINT) AS qty100_supp,
+               CAST(t100 AS BIGINT) AS qty100_part,
+               CAST(n_suppliers AS BIGINT) AS n_suppliers,
+               CAST(qty100 * 1000000 // t100 AS BIGINT) AS share_x1m
+        FROM r WHERE rn = 1 AND n_suppliers >= 2
+        ORDER BY p_partkey""").arrow()
+    assert got.num_rows == want.num_rows
+    for c in want.column_names:
+        assert got[c].to_pylist() == want[c].to_pylist(), c
+
+
+def test_exact_length_histogram_and_ks():
+    """length_histogram is exact (nulls dropped, codepoint lengths)
+    and ks_exact_e6 equals the brute-force two-sample KS in integer
+    e6 — including the identical-distribution zero and a planted
+    shift; profile JSON roundtrip preserves the exact histograms."""
+    from json_schema_ray.engine.drift import (ReferenceProfile,
+                                              ks_exact_e6,
+                                              length_histogram)
+
+    texts = ["a", "bb", "bb", None, "cccc", "ééé"]  # é: 3 codepoints
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    h = length_histogram(_ray().data.from_arrow(t).repartition(2),
+                         "text")
+    assert h == {1: 1, 2: 2, 3: 1, 4: 1}
+
+    assert ks_exact_e6(h, h) == 0
+    assert ks_exact_e6({}, h) == 0
+    # planted shift: {1:1} vs {2:1} -> KS = 1.0
+    assert ks_exact_e6({1: 1}, {2: 1}) == 1_000_000
+    # brute force on a random pair
+    rng = np.random.default_rng(5)
+    h1 = {int(v): int(c) for v, c in
+          zip(rng.integers(0, 30, 12), rng.integers(1, 9, 12))}
+    h2 = {int(v): int(c) for v, c in
+          zip(rng.integers(0, 30, 12), rng.integers(1, 9, 12))}
+    n1, n2 = sum(h1.values()), sum(h2.values())
+    vals = sorted(set(h1) | set(h2))
+    c1 = np.cumsum([h1.get(v, 0) for v in vals])
+    c2 = np.cumsum([h2.get(v, 0) for v in vals])
+    want = int(np.max(np.abs(c1 * n2 - c2 * n1))) * 1_000_000 \
+        // (n1 * n2)
+    assert ks_exact_e6(h1, h2) == want
+
+    prof = ReferenceProfile(length_hists={"text": h})
+    rt = ReferenceProfile.from_json(prof.to_json())
+    assert rt.length_hists == {"text": h}
+    rep = {r["metric"]: r["value"] for r in
+           rt.compare(_ray().data.from_arrow(t)).to_pylist()}
+    assert rep["ks"] == 0.0
