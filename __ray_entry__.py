@@ -6327,84 +6327,52 @@ def q_transcript_tool_usage(sf_dir: str):
     """Per-conversation tool-usage profile over the transcript
     corpus: turn count, tool-role turn count, DISTINCT tools used,
     and the conversation's time span — the agent-trace diagnostics a
-    tool-use training pipeline gates on. JOIN-FREE two-sort shape:
-    distinct tools per conv ride grouped_distinct_sum_sorted (one
-    sort of the (conv, tool-hash) block-deduped pairs), its n_tools
-    rows UNION with the per-block counter partials into ONE final
-    grouped_multi_agg_sorted — both exchanges key on the int64 conv
-    number, the conv_id string never shuffles, and no per-group
-    Python runs at conversation cardinality (Ray's
-    groupby().aggregate() pathology; this query cost 4.8s on two
-    Aggregates before). Oracle reads the SAME cached corpus by
-    parquet path (transcript_role_protocol pattern)."""
+    tool-use training pipeline gates on. ONE-sort shape (round-5
+    execution fold; was a two-sort union): every turn row carries
+    its counters plus the tool hash (NULL tool -> INT64_MIN
+    sentinel), and grouped_multi_agg_sorted's ``distinct_sub``
+    folds the exact COUNT(DISTINCT tool) into the SAME (conv,
+    toolh) sort the measures ride — per-block (conv, toolh)
+    combiners, reduceat interiors, O(blocks) edge carries with
+    first/last-sub stitch. Both exchange and sort key on the int64
+    conv number; the conv_id string never shuffles; no per-group
+    Python at conversation cardinality. Oracle reads the SAME
+    cached corpus by parquet path (transcript_role_protocol
+    pattern)."""
     import ray
 
     from json_schema_ray.engine.relational import (
-        _int64_us, grouped_distinct_sum_sorted,
-        grouped_multi_agg_sorted, safe_groupby_aggregate)
+        _int64_us, grouped_multi_agg_sorted)
     from json_schema_ray.pipelines.flagship import transcripts_path
     from json_schema_ray.state.sketches import hash_string_array
 
-    # both branches (counters + distinct pairs) consume the same
-    # 4-column read: materialize it once so the union does not scan
-    # the corpus twice
     ds = _read_transcripts(
-        sf_dir, columns=["conv_id", "role", "tool", "ts"]).materialize()
+        sf_dir, columns=["conv_id", "role", "tool", "ts"])
 
-    def counters(b: pa.Table) -> pa.Table:
-        # per-block combiner: the exchange ships one row per
-        # (conversation, block), never per turn
-        t = pa.table({
+    SENT = -(1 << 63)
+
+    def prep(b: pa.Table) -> pa.Table:
+        tool = b["tool"].combine_chunks()
+        th = hash_string_array(tool).view(np.int64).copy()
+        th[pc.is_null(tool).to_numpy(zero_copy_only=False)] = SENT
+        return pa.table({
             "cid": _conv_num_key(b["conv_id"]),
+            "toolh": pa.array(th),
             "__n": pa.array(np.ones(b.num_rows, np.int64)),
             "__tt": pc.cast(pc.fill_null(
                 pc.equal(b["role"], "tool"), False), pa.int64()),
             "__ts": _int64_us(b["ts"])})
-        g = safe_groupby_aggregate(
-            t, ["cid"],
-            [("__n", "sum"), ("__tt", "sum"), ("__ts", "min"),
-             ("__ts", "max")])
-        n = g.num_rows
-        return pa.table({
-            "cid": pc.cast(g["cid"], pa.int64()),
-            "__n": g["__n_sum"], "__tt": g["__tt_sum"],
-            "__dt": pa.array(np.zeros(n, np.int64)),
-            "__t0": g["__ts_min"], "__t1": g["__ts_max"]})
 
-    def pair_cols(b: pa.Table) -> pa.Table:
-        t = b.select(["conv_id", "tool"]).filter(
-            pc.is_valid(b["tool"]))
-        th = hash_string_array(t["tool"].combine_chunks())
-        return pa.table({"cid": _conv_num_key(t["conv_id"]),
-                         "toolh": pa.array(th.view(np.int64))})
-
-    ntools = grouped_distinct_sum_sorted(
-        ds.map_batches(pair_cols, batch_format="pyarrow",
-                       zero_copy_batch=True),
-        key="cid", sub="toolh", out_distinct="__dt",
-        out_sum="__ignored")
-
-    def tool_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table({
-            "cid": pc.cast(b["cid"], pa.int64()),
-            "__n": pa.array(np.zeros(n, np.int64)),
-            "__tt": pa.array(np.zeros(n, np.int64)),
-            "__dt": pc.cast(b["__dt"], pa.int64()),
-            "__t0": pa.nulls(n, pa.int64()),
-            "__t1": pa.nulls(n, pa.int64())})
-
-    unioned = ds.map_batches(counters, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .union(ntools.map_batches(tool_rows, batch_format="pyarrow",
-                                  zero_copy_batch=True))
     agg = grouped_multi_agg_sorted(
-        unioned, "cid",
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "cid",
         [("__n", "sum", "n_turns"),
          ("__tt", "sum", "n_tool_turns"),
-         ("__dt", "sum", "n_tools"),
-         ("__t0", "min", "__t0"),
-         ("__t1", "max", "__t1")])
+         ("__ts", "min", "__t0"),
+         ("__ts", "max", "__t1")],
+        distinct_sub="toolh", distinct_ignore=SENT,
+        out_distinct="n_tools")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({

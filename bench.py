@@ -297,6 +297,194 @@ def run_bench() -> None:
     ray.shutdown()
 
 
+def run_diskpath() -> None:
+    """100-TB READ-PATH demo (SURVEY §4 'explicit design needed'):
+    write the transcript corpus as hive-partitioned parquet laid out
+    by ``hash(conv_num) % P`` buckets — each bucket ONE file, rows
+    sorted by (conv, ts), the layout a 10^12-turn ingest writes per
+    shard — then run, straight from DISK with streaming execution
+    (no corpus materialize):
+
+    1. the fused validation scan (verdicts + violations + stats +
+       ordering partials in ONE map_batches), and
+    2. a conv-keyed aggregate TWO ways: the layout-agnostic global
+       path (grouped_multi_agg_sorted — pays one range-partitioned
+       all-to-all on conv) vs the PARTITION-AWARE path (block ==
+       bucket file, so every conversation is complete inside its
+       block and a per-block Arrow groupby emits FINAL rows with
+       ZERO exchange). Results are checksum-compared; both times,
+       the fused-scan disk throughput, and a ds.stats() excerpt
+       print as one JSON line and are recorded in BASELINE.md.
+
+    Scale note: at a real 10^12 turns the same layout is written
+    per input shard (bucket dirs, many files per bucket, conv ranges
+    never straddling a bucket), and every conv-keyed stage —
+    ordering checks, sessionization, trailing-context windows —
+    drops its all-to-all exactly as path 2 does here.
+    ``JSR_DISK_TURNS`` (default 12M) / ``JSR_DISK_BUCKETS``
+    (default 32) scale the demo."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from json_schema_ray.engine.relational import (
+        grouped_multi_agg_sorted, safe_groupby_aggregate)
+    from json_schema_ray.engine.validate import (
+        compile_plan_for, full_validation_pass)
+    from json_schema_ray.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, VALIDATION_SCHEMA, generate_transcripts)
+    from json_schema_ray.state.sketches import hash_ints
+
+    n_turns = int(os.environ.get("JSR_DISK_TURNS", "12000000"))
+    n_buckets = int(os.environ.get("JSR_DISK_BUCKETS", "32"))
+    root = f"/tmp/json_schema_ray/hive_n{n_turns}_p{n_buckets}"
+    marker = os.path.join(root, "_DONE")
+    write_sec = None
+    if not os.path.exists(marker):
+        t0 = time.time()
+        t = generate_transcripts(n_turns, seed=42,
+                                 violation_rate=0.01)
+        cid = entrymod._conv_num_key(t["conv_id"]) \
+            .to_numpy(zero_copy_only=False)
+        buck = (hash_ints(cid) % np.uint64(n_buckets)) \
+            .astype(np.int64)
+        tsv = pc.cast(t["ts"], pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        # filter + sort PER BUCKET: any whole-corpus gather
+        # (take/concat) overflows int32 string offsets past ~2GB of
+        # text; filter preserves chunking and each bucket is
+        # corpus/P-sized
+        for i in range(n_buckets):
+            d = os.path.join(root, f"bucket={i}")
+            os.makedirs(d, exist_ok=True)
+            mask = buck == i
+            part = t.filter(pa.array(mask))
+            o = np.lexsort((tsv[mask], cid[mask]))
+            pq.write_table(part.take(pa.array(o)),
+                           os.path.join(d, "part-0.parquet"))
+        del t
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        write_sec = round(time.time() - t0, 2)
+
+    files = [os.path.join(root, f"bucket={i}", "part-0.parquet")
+             for i in range(n_buckets)]
+    plan = compile_plan_for(VALIDATION_SCHEMA, TRANSCRIPT_SCHEMA,
+                            key_columns=["conv_id", "turn_idx"])
+
+    # 1) fused scan, streaming from disk (read -> one map_batches;
+    # backpressure keeps the corpus out of driver/object-store
+    # residency beyond in-flight blocks)
+    t0 = time.time()
+    summary = full_validation_pass(
+        ray.data.read_parquet(files), plan, presorted=True)
+    scan_sec = time.time() - t0
+    turns = summary["total_rows"]
+
+    def conv_measures(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cid": entrymod._conv_num_key(b["conv_id"]),
+            "__n": pa.array(np.ones(b.num_rows, np.int64)),
+            "__tt": pc.cast(pc.fill_null(
+                pc.equal(b["role"], "tool"), False), pa.int64()),
+            "__ts": pc.cast(b["ts"], pa.int64())})
+
+    def read_cols():
+        return ray.data.read_parquet(
+            files, columns=["conv_id", "role", "ts"])
+
+    # 2a) layout-agnostic conv-keyed aggregate: global sorted path
+    t0 = time.time()
+    global_ds = grouped_multi_agg_sorted(
+        read_cols().map_batches(conv_measures,
+                                batch_format="pyarrow",
+                                zero_copy_batch=True),
+        "cid",
+        [("__n", "sum", "n_turns"), ("__tt", "sum", "n_tool"),
+         ("__ts", "min", "t0"), ("__ts", "max", "t1")])
+    g_count, g_sums = 0, np.zeros(5, dtype=object)
+    for b in global_ds.iter_batches(batch_format="pyarrow"):
+        bt = pa.Table.from_batches([b]) \
+            if isinstance(b, pa.RecordBatch) else b
+        g_count += bt.num_rows
+        for j, c in enumerate(["cid", "n_turns", "n_tool",
+                               "t0", "t1"]):
+            g_sums[j] += int(pc.sum(bt[c]).as_py() or 0)
+    global_sec = round(time.time() - t0, 2)
+
+    # 2b) partition-aware: one task per BUCKET FILE (the
+    # aligned_text_compare pattern — the task streams its own
+    # partition), so every conversation is complete inside its task
+    # and ONE Arrow groupby emits FINAL rows, zero exchange
+    def per_bucket_final(b: pa.Table) -> pa.Table:
+        outs = []
+        for path in b["path"].to_pylist():
+            t = pq.read_table(path,
+                              columns=["conv_id", "role", "ts"])
+            m = conv_measures(t)
+            g = safe_groupby_aggregate(
+                m, ["cid"], [("__n", "sum"), ("__tt", "sum"),
+                             ("__ts", "min"), ("__ts", "max")])
+            outs.append(g.rename_columns(
+                ["cid", "n_turns", "n_tool", "t0", "t1"]))
+        return pa.concat_tables(outs)
+
+    t0 = time.time()
+    part_ds = ray.data.from_items(
+        [{"path": f} for f in files]) \
+        .map_batches(per_bucket_final, batch_format="pyarrow",
+                     batch_size=1, zero_copy_batch=True)
+    p_count, p_sums = 0, np.zeros(5, dtype=object)
+    for b in part_ds.iter_batches(batch_format="pyarrow"):
+        bt = pa.Table.from_batches([b]) \
+            if isinstance(b, pa.RecordBatch) else b
+        p_count += bt.num_rows
+        for j, c in enumerate(["cid", "n_turns", "n_tool",
+                               "t0", "t1"]):
+            p_sums[j] += int(pc.sum(bt[c]).as_py() or 0)
+    part_sec = round(time.time() - t0, 2)
+    stats_txt = part_ds.stats()
+
+    match = bool(g_count == p_count
+                 and all(int(a) == int(b)
+                         for a, b in zip(g_sums, p_sums)))
+    print(json.dumps({
+        "metric": "100TB read path: hive hash(conv)%P layout, "
+                  "from-disk streaming",
+        "value": round(turns / scan_sec, 1),
+        "unit": "validated turns/sec from disk",
+        "queries": {
+            "write_sec": write_sec,
+            "fused_scan_sec": round(scan_sec, 2),
+            "conv_agg_global_sec": global_sec,
+            "conv_agg_partition_aware_sec": part_sec,
+            "conv_agg_speedup": round(global_sec / part_sec, 2)
+            if part_sec else None,
+            "convs": p_count,
+            "results_match": match,
+        },
+        "sf": n_turns / 6_000_000,
+        "num_cpus": NUM_CPUS,
+        "turns": turns,
+        "buckets": n_buckets,
+    }))
+    sys.stdout.flush()
+    # ds.stats() audit excerpt for the zero-shuffle path: the
+    # per-bucket operator's section (wall/UDF time, rows, tasks)
+    lines = stats_txt.splitlines()
+    start = next((i for i, ln in enumerate(lines)
+                  if "per_bucket_final" in ln), 0)
+    print("\n".join(lines[start:start + 13]))
+    ray.shutdown()
+
+
 SCALING_MULTIPLIER = int(os.environ.get("GRAFT_SCALING_MULTIPLIER", "80"))
 
 
@@ -396,5 +584,7 @@ if __name__ == "__main__":
         run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--diskpath" in sys.argv:
+        run_diskpath()
     else:
         run_bench()

@@ -2679,13 +2679,21 @@ def category_overlap(ds, entity: str, category: str):
 
     Scale shape: the corpus reduces to DISTINCT (entity, category)
     rows via per-block dedupe + one pair-cardinality groupby BEFORE
-    anything quadratic; per-entity pair expansion rides
-    :func:`dedup._bucket_candidate_pairs` (ONE sort on entity,
-    vectorized upper-triangle interior segments, O(blocks) edge
-    stitch — a hot entity expands in a worker, bounded by alphabet²,
-    never on the driver); the final count exchange is
-    alphabet²-sized. The only driver state is the category alphabet
-    and the per-category totals (alphabet-sized).
+    anything quadratic. For alphabets of <= 63 categories (the
+    stated contract) the pair expansion is BITMASK-free of sorts
+    and quadratic work entirely: each distinct pair contributes
+    ``1 << code`` and, because the pair set is globally unique,
+    per-entity bitmasks are SUM-mergeable — one entity-keyed
+    aggregate yields each entity's category set as an int64, blocks
+    then count entities per MASK locally, and the driver folds the
+    <= 2^alphabet (in practice alphabet²-ish) mask counts into pair
+    co-occurrence counts with popcount combinatorics. Wider
+    alphabets fall back to :func:`dedup._bucket_candidate_pairs`
+    (ONE sort on entity, vectorized upper-triangle interior
+    segments, O(blocks) edge stitch — a hot entity expands in a
+    worker, never on the driver) with an alphabet²-sized count
+    exchange. Driver state either way: the category alphabet,
+    per-category totals, and mask/pair counts — alphabet-bounded.
     """
     from ray.data.aggregate import Sum
 
@@ -2729,31 +2737,89 @@ def category_overlap(ds, entity: str, category: str):
         .astype(np.int64)
     cat_arr = pa.array(cats, pa.string())
 
-    def encode(batch: pa.Table) -> pa.Table:
-        code = pc.cast(pc.index_in(batch[category],
-                                   value_set=cat_arr), pa.int64())
-        return pa.table({"bucket": pc.cast(batch[entity], pa.int64()),
-                         "id": code})
+    if len(cats) <= 63:
+        # bitmask path: pairs are globally DISTINCT, so each
+        # entity's category-set mask is the SUM of its pairs' bits —
+        # sum-mergeable through one entity-keyed aggregate; no sort,
+        # no quadratic expansion
+        from ray.data.aggregate import Sum as _Sum
 
-    coded = pairs.map_batches(encode, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    both = _bucket_candidate_pairs(coded, "id", distinct=False) \
-        .groupby(["id_a", "id_b"]).count()
+        def bit_partial(batch: pa.Table) -> pa.Table:
+            code = pc.cast(pc.index_in(batch[category],
+                                       value_set=cat_arr),
+                           pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            t = pa.table({
+                entity: pc.cast(batch[entity], pa.int64()),
+                "__bit": pa.array(np.int64(1) << code)})
+            g = safe_groupby_aggregate(t, [entity],
+                                       [("__bit", "sum")])
+            return pa.table({entity: g[entity],
+                             "__bit": g["__bit_sum"]})
 
-    tables = [pa.Table.from_batches([b])
-              if isinstance(b, pa.RecordBatch) else b
-              for b in both.iter_batches(batch_format="pyarrow")]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        merged = pa.table({"id_a": pa.array([], pa.int64()),
-                           "id_b": pa.array([], pa.int64()),
-                           "count()": pa.array([], pa.int64())})
+        masks = null_safe_grouped_aggregate(
+            pairs.map_batches(bit_partial, batch_format="pyarrow",
+                              zero_copy_batch=True),
+            [entity], [_Sum("__bit", alias_name="__m")], ["__m"])
+
+        def mask_counts(batch: pa.Table) -> pa.Table:
+            g = safe_groupby_aggregate(
+                batch.select(["__m"]), ["__m"], [([], "count_all")])
+            return g.rename_columns(["__m", "__c"])
+
+        counts: dict = {}
+        for b in masks.map_batches(mask_counts,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+                .iter_batches(batch_format="pyarrow"):
+            for m, c in zip(b["__m"].to_pylist(),
+                            b["__c"].to_pylist()):
+                counts[m] = counts.get(m, 0) + c
+        mk = np.array(list(counts.keys()), np.int64)
+        mc = np.array(list(counts.values()), np.int64)
+        ia_l, ib_l, nb_l = [], [], []
+        for a in range(len(cats)):
+            in_a = (mk >> a) & 1
+            for bb in range(a + 1, len(cats)):
+                nb = int(mc[(in_a & ((mk >> bb) & 1)) == 1].sum()) \
+                    if len(mk) else 0
+                if nb > 0:
+                    ia_l.append(a)
+                    ib_l.append(bb)
+                    nb_l.append(nb)
+        ia = np.array(ia_l, np.int64)
+        ib = np.array(ib_l, np.int64)
+        nboth = np.array(nb_l, np.int64)
     else:
-        merged = pa.concat_tables(tables, promote_options="default")
-    ia = merged["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ib = merged["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nboth = merged.column(2).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+        def encode(batch: pa.Table) -> pa.Table:
+            code = pc.cast(pc.index_in(batch[category],
+                                       value_set=cat_arr), pa.int64())
+            return pa.table({"bucket": pc.cast(batch[entity],
+                                               pa.int64()),
+                             "id": code})
+
+        coded = pairs.map_batches(encode, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        both = _bucket_candidate_pairs(coded, "id", distinct=False) \
+            .groupby(["id_a", "id_b"]).count()
+
+        tables = [pa.Table.from_batches([b])
+                  if isinstance(b, pa.RecordBatch) else b
+                  for b in both.iter_batches(batch_format="pyarrow")]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            merged = pa.table({"id_a": pa.array([], pa.int64()),
+                               "id_b": pa.array([], pa.int64()),
+                               "count()": pa.array([], pa.int64())})
+        else:
+            merged = pa.concat_tables(tables,
+                                      promote_options="default")
+        ia = merged["id_a"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ib = merged["id_b"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nboth = merged.column(2).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
     na, nb = totals[ia], totals[ib]
     union = na + nb - nboth
     jac = np.where(union > 0, nboth * 1000000 // np.maximum(union, 1),
@@ -3007,13 +3073,28 @@ def grouped_distinct_sum_sorted(ds, key: str, sub: str,
 
 
 def grouped_multi_agg_sorted(ds, key: str, specs,
-                             key_out: Optional[str] = None):
+                             key_out: Optional[str] = None,
+                             distinct_sub: Optional[str] = None,
+                             distinct_ignore: Optional[int] = None,
+                             out_distinct: str = "n_distinct"):
     """Several exact aggregates ``GROUP BY key`` in ONE sorted scan —
     ``specs`` is a list of ``(value_col, agg, out_col)`` with agg in
     sum|min|max — for the high-group-cardinality regime where Ray's
     ``groupby().aggregate()`` pays per-group Python
     (``grouped_agg_sorted``'s pathology, lifted to multi-measure
     shapes like per-conversation turn/tool/span profiles).
+
+    ``distinct_sub`` additionally computes an exact
+    ``COUNT(DISTINCT sub)`` per key ON THE SAME SORT (the sort key
+    becomes ``(key, sub)``, per-block partials combine on the pair,
+    pair-boundary rows count vectorized, and each edge segment
+    carries its first/last sub so a pair straddling blocks is never
+    double-counted — the :func:`grouped_distinct_sum_sorted`
+    machinery folded in, saving that primitive's second sort when a
+    query needs both). ``sub`` must be NON-NULL integer; rows whose
+    sub equals ``distinct_ignore`` (the caller's null sentinel)
+    still aggregate their measures but are excluded from the
+    distinct count. The result gains an ``out_distinct`` column.
 
     Scale shape: identical to :func:`grouped_agg_sorted` — per-block
     combiners, ONE range-partitioned sort on ``key``, ``reduceat``
@@ -3023,7 +3104,7 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
     per-measure valid counts travel with the partials). ``key`` must
     be NON-NULL integer (callers encode strings/nulls first);
     values must be integer columns. Returns a Dataset of
-    ``(key_out or key, *outs)``, group-sized."""
+    ``(key_out or key, *outs[, out_distinct])``, group-sized."""
     import ray
 
     _identity = {"sum": 0,
@@ -3035,17 +3116,22 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
             raise ValueError(f"agg must be sum|min|max, got {agg!r}")
     key_out = key_out or key
     outs = [o for _, _, o in specs]
+    group_cols = [key] + ([distinct_sub] if distinct_sub else [])
 
     def partial(batch: pa.Table) -> pa.Table:
-        f = batch.schema.field(key)
-        if not pa.types.is_integer(f.type):
-            raise ValueError("grouped_multi_agg_sorted: key must be "
-                             f"an integer column, got {f.type}")
-        if batch[key].null_count:
-            raise ValueError("grouped_multi_agg_sorted: key contains"
-                             " nulls; encode them to a sentinel first")
+        for c in group_cols:
+            f = batch.schema.field(c)
+            if not pa.types.is_integer(f.type):
+                raise ValueError(
+                    f"grouped_multi_agg_sorted: {c} must be "
+                    f"an integer column, got {f.type}")
+            if batch[c].null_count:
+                raise ValueError(
+                    f"grouped_multi_agg_sorted: {c} contains"
+                    " nulls; encode them to a sentinel first")
         aggs = []
-        t_cols = {key: pc.cast(batch[key], pa.int64())}
+        t_cols = {c: pc.cast(batch[c], pa.int64())
+                  for c in group_cols}
         for col, agg, out in specs:
             cf = batch.schema.field(col)
             if not pa.types.is_integer(cf.type):
@@ -3056,8 +3142,8 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
             t_cols[f"__c_{out}"] = pc.cast(
                 pc.is_valid(batch[col]), pa.int64())
             aggs += [(f"__v_{out}", agg), (f"__c_{out}", "sum")]
-        g = safe_groupby_aggregate(pa.table(t_cols), [key], aggs)
-        cols = {key: pc.cast(g[key], pa.int64())}
+        g = safe_groupby_aggregate(pa.table(t_cols), group_cols, aggs)
+        cols = {c: pc.cast(g[c], pa.int64()) for c in group_cols}
         for col, agg, out in specs:
             cols[f"__v_{out}"] = pc.cast(
                 g[f"__v_{out}_{agg}"], pa.int64())
@@ -3066,13 +3152,17 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
         return pa.table(cols)
 
     sorted_ds = ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True).sort(key)
+                               zero_copy_batch=True).sort(group_cols)
 
     def scan(batch: pa.Table) -> pa.Table:
         cols = {key: pa.array([], pa.int64())}
         for _c, _a, out in specs:
             cols[f"__v_{out}"] = pa.array([], pa.int64())
             cols[f"__c_{out}"] = pa.array([], pa.int64())
+        if distinct_sub:
+            cols[out_distinct] = pa.array([], pa.int64())
+            cols["__fs"] = pa.array([], pa.int64())
+            cols["__ls"] = pa.array([], pa.int64())
         cols["__edge"] = pa.array([], pa.bool_())
         n = batch.num_rows
         if n == 0:
@@ -3093,6 +3183,19 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
             cols[f"__v_{out}"] = pa.array(
                 _reducer[agg].reduceat(filled, starts))
             cols[f"__c_{out}"] = pa.array(np.add.reduceat(vc, starts))
+        if distinct_sub:
+            s = batch[distinct_sub].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            newpair = np.concatenate(
+                [[True], (k[1:] != k[:-1]) | (s[1:] != s[:-1])])
+            counted = newpair.astype(np.int64)
+            if distinct_ignore is not None:
+                counted = counted * (s != distinct_ignore)
+            kends = np.concatenate([starts[1:] - 1, [n - 1]])
+            cols[out_distinct] = pa.array(
+                np.add.reduceat(counted, starts))
+            cols["__fs"] = pa.array(s[starts].astype(np.int64))
+            cols["__ls"] = pa.array(s[kends].astype(np.int64))
         cols["__edge"] = pa.array(edge)
         return pa.table(cols)
 
@@ -3105,6 +3208,8 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
             cols[out] = pc.if_else(
                 pc.greater(t[f"__c_{out}"], 0),
                 t[f"__v_{out}"], pa.scalar(None, pa.int64()))
+        if distinct_sub:
+            cols[out_distinct] = pc.cast(t[out_distinct], pa.int64())
         return pa.table(cols)
 
     def interior(batch: pa.Table) -> pa.Table:
@@ -3120,22 +3225,43 @@ def grouped_multi_agg_sorted(ds, key: str, specs,
         t = pa.Table.from_batches([kept]) \
             if isinstance(kept, pa.RecordBatch) else kept
         for r in t.to_pylist():
-            acc = edge.get(r[key])
-            if acc is None:
-                edge[r[key]] = acc = {}
-            for _c, agg, out in specs:
-                v, c = r[f"__v_{out}"], r[f"__c_{out}"]
-                pv, pcnt = acc.get(out, (_identity[agg], 0))
-                merge = {"sum": lambda a, b: a + b,
-                         "min": min, "max": max}[agg]
-                acc[out] = (merge(pv, v), pcnt + c)
+            edge.setdefault(r[key], []).append(r)
 
     if not edge:
         return interior_ds
-    rows = sorted(edge.items())
-    extra_cols = {key_out: pa.array([k for k, _ in rows], pa.int64())}
+    merge_fn = {"sum": lambda a, b: a + b, "min": min, "max": max}
+    rows = []
+    for kv in sorted(edge):
+        parts = edge[kv]
+        acc = {}
+        for r in parts:
+            for _c, agg, out in specs:
+                v, c = r[f"__v_{out}"], r[f"__c_{out}"]
+                pv, pcnt = acc.get(out, (_identity[agg], 0))
+                acc[out] = (merge_fn[agg](pv, v), pcnt + c)
+        row = {key_out: kv}
+        for _c, _a, out in specs:
+            row[out] = acc[out][0] if acc[out][1] > 0 else None
+        if distinct_sub:
+            # sub ranges are globally sorted within a key, so block
+            # order == (first_sub, last_sub) order; a pair straddling
+            # B blocks appears as B adjacent partials sharing
+            # boundary subs (grouped_distinct_sum_sorted's stitch) —
+            # an ignored-sentinel boundary was counted by neither
+            # side, so it never subtracts
+            parts.sort(key=lambda p: (p["__fs"], p["__ls"]))
+            nd = sum(p[out_distinct] for p in parts) - sum(
+                1 for a, b in zip(parts, parts[1:])
+                if a["__ls"] == b["__fs"]
+                and (distinct_ignore is None
+                     or a["__ls"] != distinct_ignore))
+            row[out_distinct] = nd
+        rows.append(row)
+    extra_cols = {key_out: pa.array([r[key_out] for r in rows],
+                                    pa.int64())}
     for _c, _a, out in specs:
-        extra_cols[out] = pa.array(
-            [acc[out][0] if acc[out][1] > 0 else None
-             for _, acc in rows], pa.int64())
+        extra_cols[out] = pa.array([r[out] for r in rows], pa.int64())
+    if distinct_sub:
+        extra_cols[out_distinct] = pa.array(
+            [r[out_distinct] for r in rows], pa.int64())
     return interior_ds.union(ray.data.from_arrow(pa.table(extra_cols)))

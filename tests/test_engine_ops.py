@@ -7455,3 +7455,42 @@ def test_exact_length_histogram_and_ks():
     rep = {r["metric"]: r["value"] for r in
            rt.compare(_ray().data.from_arrow(t)).to_pylist()}
     assert rep["ks"] == 0.0
+
+
+def test_grouped_multi_agg_sorted_distinct_sub():
+    """distinct_sub folds COUNT(DISTINCT sub) into the same sorted
+    scan as the measures: cross-block pair straddles never double
+    count, the ignore sentinel aggregates its measures but never its
+    sub, and results match DuckDB across block counts."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import (
+        grouped_multi_agg_sorted)
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    SENT = -(1 << 63)
+    k = rng.zipf(1.3, n) % 37          # hot keys
+    s = rng.integers(0, 9, n)
+    s[rng.random(n) < 0.2] = SENT      # "null" subs
+    v = rng.integers(-50, 50, n)
+    t = pa.table({
+        "k": pa.array(k.astype(np.int64)),
+        "s": pa.array(s.astype(np.int64)),
+        "v": pa.array(v.astype(np.int64))})
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in duckdb.sql(f"""
+        SELECT k, CAST(sum(v) AS BIGINT),
+               CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN s <> {SENT} THEN s END)
+                    AS BIGINT)
+        FROM t GROUP BY k""").fetchall()}
+    for blocks in (1, 3, 8):
+        out = grouped_multi_agg_sorted(
+            _ray().data.from_arrow(t).repartition(blocks), "k",
+            [("v", "sum", "sv"), ("v", "min", "mn"),
+             ("v", "max", "mx")],
+            distinct_sub="s", distinct_ignore=SENT,
+            out_distinct="nd")
+        got = {r["k"]: (r["sv"], r["mn"], r["mx"], r["nd"])
+               for r in out.take_all()}
+        assert got == want, blocks
