@@ -5655,19 +5655,21 @@ def q_session_concurrency(sf_dir: str):
     every session-start instant — the classic sweep-line interval
     overlap count, distributed: sessions (engine/window.py
     session_table, closed intervals [start, end]) emit +1 at start
-    and -1 at end+1us; a groupby collapses deltas to UNIQUE
-    timestamps (making the global running sum order-free and the
-    timeline key-safe for carries), then ONE prefix scan
-    (engine/rank.py _running_sums, O(blocks) driver state on the
-    single global timeline) yields starts-minus-ends; rows with at
-    least one start are the answer. Equal-time starts count each
-    other (RANGE-peer semantics), a start exactly at another
-    session's end+1us does not."""
+    and -1 at end+1us; grouped_multi_agg_sorted collapses deltas to
+    UNIQUE timestamps (making the global running sum order-free and
+    the timeline key-safe for carries — the SORTED realization,
+    because a Ray groupby().aggregate() here pays per-group Python
+    at unique-timestamp cardinality, the engine's documented
+    pathology; round-5 fold, ~1s off the warm time), then ONE
+    prefix scan (engine/rank.py _running_sums, O(blocks) driver
+    state on the single global timeline) yields starts-minus-ends;
+    rows with at least one start are the answer. Equal-time starts
+    count each other (RANGE-peer semantics), a start exactly at
+    another session's end+1us does not."""
     from json_schema_ray.engine.rank import _running_sums
     from json_schema_ray.engine.relational import (
-        null_safe_grouped_aggregate)
+        grouped_multi_agg_sorted)
     from json_schema_ray.engine.window import session_table
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     sessions = session_table(ds, "user_id", "ts", 1800.0)
@@ -5685,13 +5687,11 @@ def q_session_concurrency(sf_dir: str):
             "__s": pa.array(np.concatenate([one, zero])),
             "__e": pa.array(np.concatenate([zero, one]))})
 
-    uniq = null_safe_grouped_aggregate(
+    uniq = grouped_multi_agg_sorted(
         sessions.map_batches(deltas, batch_format="pyarrow",
                              zero_copy_batch=True),
-        ["t"],
-        [Sum("__s", alias_name="__ns", ignore_nulls=True),
-         Sum("__e", alias_name="__ne", ignore_nulls=True)],
-        ["__ns", "__ne"])
+        "t",
+        [("__s", "sum", "__ns"), ("__e", "sum", "__ne")])
 
     def prep(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
