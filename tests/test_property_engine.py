@@ -244,3 +244,48 @@ def test_reconcile_aggregate_property(sch, tol):
         if kk not in p_map:
             want.append((kk, None, act, "orphan_children"))
     assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(sch=schedule)
+def test_max_drawdown_composition_property(sch):
+    """The drawdown composition over the watermark primitive
+    (value - running_max, then per-key MIN) matches DuckDB's window
+    twin exactly — running max SELECTS an input, so the subtraction
+    is one identical IEEE op on both sides."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    from json_schema_ray.engine.rank import cumulative_max
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], 0.0)
+    ts = rng.permutation(n)
+    vals = rng.integers(-500, 500, n)
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals, pa.int64())})
+    want = {r[0]: r[1] for r in duckdb.sql(
+        """SELECT u, min(v - rm) FROM (
+               SELECT u, v, max(v) OVER (PARTITION BY u
+                   ORDER BY ts, rid ROWS UNBOUNDED PRECEDING) AS rm
+               FROM t) GROUP BY u""").fetchall()}
+    cm = cumulative_max(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "ts", "v", tiebreak="rid", out="rm")
+
+    def dd(b):
+        return pa.table({"u": b["u"],
+                         "dd": pc.subtract(
+                             pc.cast(b["v"], pa.float64()),
+                             pc.cast(b["rm"], pa.float64()))})
+
+    got: dict = {}
+    for r in cm.map_batches(dd, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all():
+        k = r["u"]
+        got[k] = min(got.get(k, float("inf")), r["dd"])
+    assert got == {k: float(v) for k, v in want.items()}
