@@ -9,12 +9,23 @@ extend that discipline to trailing_concat, cumulative_max (the
 _running_sums max combine), interval coalesce/overlap,
 densify_gaps and reconcile_aggregate."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
 from hypothesis import given, settings, strategies as st
 
 pytestmark = pytest.mark.usefixtures("ray_session")
+
+# deep-fuzz override: HYPOTHESIS_MAX_EXAMPLES=60 multiplies every
+# test's example budget by 60/12; the committed default stays small
+# so the suite remains fast
+_SCALE = int(os.environ.get("HYPOTHESIS_MAX_EXAMPLES", "12")) / 12.0
+
+
+def _n(base: int) -> int:
+    return max(int(base * _SCALE), 2)
 
 
 def _ray():
@@ -42,7 +53,7 @@ def _keys(rng, n, n_keys, hot, null_rate):
     return k
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_n(12), deadline=None)
 @given(sch=schedule, k=st.integers(1, 6))
 def test_trailing_concat_property(sch, k):
     import duckdb
@@ -77,7 +88,7 @@ def test_trailing_concat_property(sch, k):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_n(12), deadline=None)
 @given(sch=schedule)
 def test_cumulative_max_property(sch):
     import duckdb
@@ -107,7 +118,7 @@ def test_cumulative_max_property(sch):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_n(12), deadline=None)
 @given(sch=schedule, width=st.integers(1, 40))
 def test_interval_coalesce_and_overlap_property(sch, width):
     from json_schema_ray.engine.window import (interval_coalesce_table,
@@ -158,7 +169,7 @@ def test_interval_coalesce_and_overlap_property(sch, width):
         assert got[i] == (len(hits), hits[0] if hits else None), i
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_n(12), deadline=None)
 @given(sch=schedule)
 def test_densify_gaps_property(sch):
     from json_schema_ray.engine.window import densify_gaps
@@ -198,7 +209,7 @@ def test_densify_gaps_property(sch):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_n(12), deadline=None)
 @given(sch=schedule, tol=st.integers(0, 3))
 def test_reconcile_aggregate_property(sch, tol):
     from json_schema_ray.engine.keys import reconcile_aggregate
@@ -246,7 +257,7 @@ def test_reconcile_aggregate_property(sch, tol):
     assert got == sorted(want)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_n(10), deadline=None)
 @given(sch=schedule)
 def test_max_drawdown_composition_property(sch):
     """The drawdown composition over the watermark primitive
