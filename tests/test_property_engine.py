@@ -300,3 +300,146 @@ def test_max_drawdown_composition_property(sch):
         k = r["u"]
         got[k] = min(got.get(k, float("inf")), r["dd"])
     assert got == {k: float(v) for k, v in want.items()}
+
+
+@settings(max_examples=_n(12), deadline=None)
+@given(sch=schedule, desc=st.booleans(), tb_desc=st.booleans(),
+       k=st.integers(1, 4))
+def test_grouped_top_k_property(sch, desc, tb_desc, k):
+    """grouped_top_k vs DuckDB row_number in all four direction
+    combinations, with TIED order values (small score domain forces
+    ties so the tiebreak path actually decides) and null keys."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_top_k
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], sch["null_rate"])
+    score = rng.integers(0, 5, n)          # heavy ties
+    t = pa.table({
+        "g": pa.array(keys.tolist(), pa.int64()),
+        "s": pa.array(score, pa.int64()),
+        "tb": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64())})
+    d1 = "DESC" if desc else "ASC"
+    d2 = "DESC" if tb_desc else "ASC"
+    want = sorted(r[0] for r in duckdb.sql(f"""
+        SELECT rid FROM (
+            SELECT rid, row_number() OVER (
+                PARTITION BY g ORDER BY s {d1}, tb {d2}) AS rn
+            FROM t) WHERE rn <= {k}""").fetchall())
+    out = grouped_top_k(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        ["g"], "s", k, descending=desc, tiebreak="tb",
+        tiebreak_descending=tb_desc)
+    got = sorted(r["rid"] for r in out.take_all())
+    assert got == want
+
+
+@settings(max_examples=_n(12), deadline=None)
+@given(sch=schedule)
+def test_grouped_string_agg_property(sch):
+    """grouped_string_agg vs DuckDB string_agg(... ORDER BY ord):
+    unique ord per key, NULL values skipped, all-null keys absent
+    (the documented filter-side contract)."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_string_agg
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], sch["null_rate"])
+    vals = np.array(["v%d" % v for v in rng.integers(0, 30, n)],
+                    dtype=object)
+    vals[rng.random(n) < sch["null_rate"]] = None
+    t = pa.table({
+        "k": pa.array(keys.tolist(), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(vals.tolist(), pa.string())})
+    want = {r[0]: r[1] for r in duckdb.sql(
+        """SELECT k, string_agg(v, '|' ORDER BY o) FROM t
+           GROUP BY k""").fetchall() if r[1] is not None}
+    out = grouped_string_agg(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "k", "o", "v", sep="|")
+    got = {r["k"]: r["agg"] for r in out.take_all()}
+    assert got == want
+
+
+@settings(max_examples=_n(12), deadline=None)
+@given(sch=schedule)
+def test_lag_and_cumsum_property(sch):
+    """lag_column + cumulative_sum vs their DuckDB windows on one
+    drawn schedule (shared sort contract: unique (ts, tiebreak) per
+    key, NULL values pass through lag / don't contribute to sum)."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import cumulative_sum, lag_column
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], sch["null_rate"])
+    vals = rng.integers(-100, 100, n).astype(object)
+    vals[rng.random(n) < sch["null_rate"]] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "ts": pa.array(rng.permutation(n), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(vals.tolist(), pa.int64())})
+    want_lag = {r[0]: r[1] for r in duckdb.sql(
+        """SELECT rid, lag(v) OVER (PARTITION BY u
+               ORDER BY ts, rid) FROM t""").fetchall()}
+    lagged = lag_column(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "ts", "v", "rid", out="lv")
+    got_lag = {r["rid"]: r["lv"] for r in lagged.take_all()}
+    assert got_lag == want_lag
+
+    want_cs = {r[0]: r[1] for r in duckdb.sql(
+        """SELECT rid, sum(v) OVER (PARTITION BY u ORDER BY ts, rid
+               ROWS UNBOUNDED PRECEDING) FROM t""").fetchall()}
+    cs = cumulative_sum(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "ts", "v", "rid")
+    got_cs = {r["rid"]: (None if r["running_sum"] is None
+                         else int(r["running_sum"]))
+              for r in cs.take_all()}
+    assert got_cs == {k: (None if v is None else int(v))
+                      for k, v in want_cs.items()}
+
+
+@settings(max_examples=_n(10), deadline=None)
+@given(sch=schedule)
+def test_multi_agg_distinct_sub_property(sch):
+    """grouped_multi_agg_sorted + distinct_sub under drawn schedules
+    (the fixed-seed differential's property twin): null-sentinel
+    subs aggregate measures but never count."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import (
+        grouped_multi_agg_sorted)
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    SENT = -(1 << 63)
+    k = rng.integers(0, max(sch["n_keys"], 1), n)
+    if sch["hot"]:
+        k[rng.random(n) < 0.5] = 0
+    s = rng.integers(0, 7, n)
+    s[rng.random(n) < sch["null_rate"]] = SENT
+    v = rng.integers(-30, 30, n)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "s": pa.array(s.astype(np.int64)),
+                  "v": pa.array(v.astype(np.int64))})
+    want = {r[0]: (r[1], r[2]) for r in duckdb.sql(f"""
+        SELECT k, CAST(sum(v) AS BIGINT),
+               CAST(count(DISTINCT CASE WHEN s <> {SENT} THEN s END)
+                    AS BIGINT)
+        FROM t GROUP BY k""").fetchall()}
+    out = grouped_multi_agg_sorted(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]), "k",
+        [("v", "sum", "sv")], distinct_sub="s",
+        distinct_ignore=SENT, out_distinct="nd")
+    got = {r["k"]: (r["sv"], r["nd"]) for r in out.take_all()}
+    assert got == want
