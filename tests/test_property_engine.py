@@ -443,3 +443,129 @@ def test_multi_agg_distinct_sub_property(sch):
         distinct_ignore=SENT, out_distinct="nd")
     got = {r["k"]: (r["sv"], r["nd"]) for r in out.take_all()}
     assert got == want
+
+
+@settings(max_examples=_n(10), deadline=None)
+@given(sch=schedule, gap=st.integers(1, 30))
+def test_session_table_property(sch, gap):
+    """session_table vs DuckDB gaps-and-islands (strict > gap opens
+    a session): per-session (start, end, n_events) row sets match
+    under drawn skew/null/block schedules."""
+    import duckdb
+
+    from json_schema_ray.engine.window import session_table
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], sch["null_rate"])
+    # duplicate timestamps allowed within a key: gap 0 <= gap
+    ts = (rng.integers(0, 5 * n, n) * 1_000_000).astype(object)
+    ts[rng.random(n) < sch["null_rate"] / 3] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us"))})
+    want = sorted((r[0], r[1], r[2], r[3]) for r in duckdb.sql(f"""
+        WITH s AS (
+            SELECT u, ts,
+                   CASE WHEN epoch_us(ts)
+                          - lag(epoch_us(ts)) OVER (PARTITION BY u
+                                                    ORDER BY ts)
+                        > {gap * 1_000_000} THEN 1 ELSE 0 END AS brk
+            FROM t WHERE u IS NOT NULL AND ts IS NOT NULL
+        ), g AS (
+            SELECT u, ts, sum(brk) OVER (PARTITION BY u ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+        )
+        SELECT u, CAST(min(epoch_us(ts)) AS BIGINT),
+               CAST(max(epoch_us(ts)) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM g GROUP BY u, sid""").fetchall())
+    out = session_table(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "ts", float(gap))
+    got = sorted((r["u"], r["session_start_us"], r["session_end_us"],
+                  r["n_events"]) for r in out.take_all()
+                 if r["u"] is not None)
+    assert got == want
+
+
+@settings(max_examples=_n(10), deadline=None)
+@given(sch=schedule,
+       qs=st.lists(st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9,
+                                    1.0]),
+                   min_size=1, max_size=4, unique=True))
+def test_grouped_exact_quantiles_property(sch, qs):
+    """grouped_exact_quantiles vs DuckDB quantile_disc under drawn
+    schedules — tied values, hot keys, null values, random blocks."""
+    import duckdb
+
+    from json_schema_ray.engine.rank import grouped_exact_quantiles
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], 0.0)
+    vals = rng.integers(0, 40, n).astype(object)   # ties guaranteed
+    vals[rng.random(n) < sch["null_rate"]] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "v": pa.array(vals.tolist(), pa.int64()),
+        "rid": pa.array(np.arange(n), pa.int64())})
+    want = {}
+    for q in qs:
+        for r in duckdb.sql(
+                f"""SELECT u, quantile_disc(v, {q}) FROM t
+                    WHERE v IS NOT NULL GROUP BY u""").fetchall():
+            want[(r[0], float(q))] = r[1]
+    out = grouped_exact_quantiles(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "v", qs, tiebreak="rid")
+    got = {(r["u"], float(r["q"])): r["value"]
+           for r in out.take_all()}
+    assert got == want
+
+
+@settings(max_examples=_n(10), deadline=None)
+@given(sch=schedule)
+def test_transition_violations_property(sch):
+    """transition_violations vs a brute-force state machine: random
+    label streams (with NULL labels), open-world from-states, a
+    start set, drawn skew/blocks."""
+    from json_schema_ray.engine.keys import transition_violations
+
+    allowed = {"a": {"b"}, "b": {"c", "a"}, "c": {"a"}}
+    start = {"a"}
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], 0.0)
+    labels = np.array(list("abcd"))[rng.integers(0, 4, n)] \
+        .astype(object)
+    labels[rng.random(n) < sch["null_rate"]] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "lab": pa.array(labels.tolist(), pa.string()),
+        "rid": pa.array(np.arange(n), pa.int64())})
+    out = transition_violations(
+        _ray().data.from_arrow(t).repartition(sch["blocks"]),
+        "u", "o", "lab", allowed, tiebreak="rid", start=start)
+    got = sorted((r["u"], r["o"], r["prev_label"], r["lab"])
+                 for r in out.take_all())
+    # brute force
+    per_key: dict = {}
+    for u, o, lab, rid in zip(keys, t["o"].to_pylist(),
+                              labels, range(n)):
+        per_key.setdefault(u, []).append((o, rid, lab))
+    want = []
+    for u, rows in per_key.items():
+        rows.sort(key=lambda r: (r[0], r[1]))
+        prev = "__none__"
+        for o, rid, lab in rows:
+            if prev == "__none__":
+                if start is not None and lab not in start:
+                    want.append((u, o, None, lab))
+            elif prev is not None and prev in allowed \
+                    and lab not in allowed[prev]:
+                want.append((u, o, prev, lab))
+            prev = lab
+    assert got == sorted(want)
