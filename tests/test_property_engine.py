@@ -569,3 +569,94 @@ def test_transition_violations_property(sch):
                 want.append((u, o, prev, lab))
             prev = lab
     assert got == sorted(want)
+
+
+@settings(max_examples=_n(10), deadline=None)
+@given(sch=schedule,
+       how=st.sampled_from(["inner", "left", "right", "full"]))
+def test_sort_merge_join_property(sch, how):
+    """sort_merge_join vs DuckDB across all four join types under
+    drawn schedules: hot keys (cross-product fan-out), NULL keys
+    (never match; emitted once by the outer sides), disjoint tails
+    on both sides."""
+    import duckdb
+
+    from json_schema_ray.engine.relational import sort_merge_join
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    m = max(n // 2, 5)
+    lk = _keys(rng, n, sch["n_keys"] + 3, sch["hot"],
+               sch["null_rate"])
+    rk = _keys(rng, m, sch["n_keys"] + 3, False, sch["null_rate"])
+    lt = pa.table({
+        "k": pa.array(lk.tolist(), pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, n), pa.int64())})
+    rt = pa.table({
+        "k2": pa.array(rk.tolist(), pa.int64()),
+        "rv": pa.array(rng.integers(0, 1000, m), pa.int64())})
+    sql_how = {"inner": "JOIN", "left": "LEFT JOIN",
+               "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+    want = sorted(
+        tuple(-1 if x is None else x for x in r)
+        for r in duckdb.sql(f"""
+            SELECT l.k, l.lv, r.rv
+            FROM lt l {sql_how} rt r ON l.k = r.k2
+        """).fetchall())
+    out = sort_merge_join(
+        _ray().data.from_arrow(lt).repartition(sch["blocks"]),
+        _ray().data.from_arrow(rt).repartition(
+            max(sch["blocks"] - 1, 1)),
+        "k", "k2", ["rv"], how=how)
+    got = sorted(
+        tuple(-1 if x is None else x
+              for x in (r["k"], r["lv"], r["rv"]))
+        for r in out.take_all())
+    assert got == want
+
+
+@settings(max_examples=_n(8), deadline=None)
+@given(sch=schedule, win_s=st.integers(1, 60))
+def test_range_windowed_sum_property(sch, win_s):
+    """range_windowed_sum vs DuckDB's RANGE frame under drawn
+    schedules: duplicate (key, ts) peers share one output row, NULL
+    values don't contribute, empty windows are NULL."""
+    import datetime
+
+    import duckdb
+
+    from json_schema_ray.engine.window import range_windowed_sum
+
+    rng = np.random.default_rng(sch["seed"])
+    n = sch["n"]
+    keys = _keys(rng, n, sch["n_keys"], sch["hot"], 0.0)
+    # coarse second grid -> guaranteed RANGE peers and window hits
+    ts = (rng.integers(0, 120, n) * 1_000_000).astype(object)
+    vals = (rng.integers(0, 500, n) / 10.0).astype(object)
+    vals[rng.random(n) < sch["null_rate"]] = None
+    t = pa.table({
+        "u": pa.array(keys.tolist(), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        "v": pa.array(vals.tolist(), pa.float64())})
+    want = {(r[0], r[1]): (r[2], r[3]) for r in duckdb.sql(f"""
+        SELECT DISTINCT u, CAST(epoch_us(ts) AS BIGINT),
+               CAST(sum(CAST(floor(v * 10 + 0.5) AS BIGINT))
+                   OVER w AS BIGINT),
+               CAST(count(v) OVER w AS BIGINT)
+        FROM t WHERE u IS NOT NULL
+        WINDOW w AS (PARTITION BY u ORDER BY ts
+                     RANGE BETWEEN INTERVAL {win_s} SECOND PRECEDING
+                     AND CURRENT ROW)""").fetchall()}
+    out = range_windowed_sum(
+        _ray().data.from_arrow(
+            t.filter(pa.compute.is_valid(t["u"]))).repartition(
+                sch["blocks"]),
+        "u", "ts", "v", datetime.timedelta(seconds=win_s),
+        out="s", scale=10)
+    got = {}
+    for r in out.take_all():
+        tsv = r["ts"]
+        us = int(tsv.timestamp() * 1_000_000) \
+            if hasattr(tsv, "timestamp") else int(tsv)
+        got[(r["u"], us)] = (r["s"], r["range_cnt"])
+    assert got == want
