@@ -455,6 +455,34 @@ def run_diskpath() -> None:
     match = bool(g_count == p_count
                  and all(int(a) == int(b)
                          for a, b in zip(g_sums, p_sums)))
+
+    # 3) bucket-PRUNED point lookup: re-validating one conversation
+    # reads exactly its bucket file (1/P of the corpus) — the
+    # prune-at-the-read path a targeted 100TB re-check takes.
+    # Same hash the writer used picks the bucket; full-scan twin
+    # for contrast.
+    probe_conv = "conv-00000042"
+    pc_cid = entrymod._conv_num_key(
+        pa.array([probe_conv], pa.string())).to_numpy(
+            zero_copy_only=False)
+    b_idx = int(hash_ints(pc_cid)[0] % np.uint64(n_buckets))
+
+    def count_conv(files_subset):
+        dsx = ray.data.read_parquet(files_subset,
+                                    columns=["conv_id"])
+        return dsx.map_batches(
+            lambda b: pa.table({"n": pa.array([int(pc.sum(
+                pc.cast(pc.equal(b["conv_id"], probe_conv),
+                        pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True) \
+            .sum("n")
+
+    t0 = time.time()
+    n_pruned = count_conv([files[b_idx]])
+    pruned_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_full = count_conv(files)
+    full_sec = round(time.time() - t0, 3)
     print(json.dumps({
         "metric": "100TB read path: hive hash(conv)%P layout, "
                   "from-disk streaming",
@@ -469,6 +497,9 @@ def run_diskpath() -> None:
             if part_sec else None,
             "convs": p_count,
             "results_match": match,
+            "point_lookup_pruned_sec": pruned_sec,
+            "point_lookup_fullscan_sec": full_sec,
+            "point_lookup_rows_agree": bool(n_pruned == n_full),
         },
         "sf": n_turns / 6_000_000,
         "num_cpus": NUM_CPUS,
