@@ -22,6 +22,15 @@ import json
 import os
 import sys
 
+# invoked as a script (`python jobs/validate_transcripts.py` or via
+# `ray job submit`), sys.path[0] is jobs/ — put the repo root first
+# so the package imports without a PYTHONPATH; Ray workers inherit
+# the driver's working_dir, and the engine ships its functions by
+# closure, so this one insert covers the whole job
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
@@ -42,7 +51,16 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        init_kwargs = dict(include_dashboard=False)
+        # workers do NOT inherit the driver's sys.path — without
+        # this, every map_batches task dies with
+        # ModuleNotFoundError when the job runs from outside the
+        # repo (a real `ray job submit --working-dir` covers it,
+        # plain `python jobs/...` does not)
+        init_kwargs = dict(
+            include_dashboard=False,
+            runtime_env={"env_vars": {
+                "PYTHONPATH": _REPO_ROOT + os.pathsep
+                + os.environ.get("PYTHONPATH", "")}})
         if args.num_cpus:
             init_kwargs.update(address="local", num_cpus=args.num_cpus)
         ray.init(**init_kwargs)
