@@ -123,7 +123,11 @@ def ks_exact_e6(h1: Dict[int, int], h2: Dict[int, int]) -> int:
 def psi(expected: Dict[str, int], actual: Dict[str, int],
         epsilon: float = 1e-6) -> float:
     """Population Stability Index over categorical histograms."""
-    keys = set(expected) | set(actual)
+    # sorted: set iteration order of string keys varies with
+    # PYTHONHASHSEED, and float addition is order-sensitive — a
+    # fixed summation order keeps the e6-floored value identical
+    # across processes/machines
+    keys = sorted(set(expected) | set(actual), key=str)
     e_total = max(sum(expected.values()), 1)
     a_total = max(sum(actual.values()), 1)
     out = 0.0
