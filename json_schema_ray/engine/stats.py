@@ -165,8 +165,13 @@ def column_stats(
 
 
 def _finalize_stats(merged: dict) -> pa.Table:
+    import math
+
     out_rows = []
     for name, m in merged.items():
+        if m.get("_num_sum_parts"):
+            m["num_sum"] = math.fsum(m["_num_sum_parts"])
+            m["num_sum_sq"] = math.fsum(m["_num_sq_parts"])
         cnt, nulls = m["cnt"], m["nulls"]
         non_null = cnt - nulls
         row = {
@@ -218,8 +223,14 @@ def _merge_partial(merged: dict, row: dict) -> None:
     m["nulls"] += row["nulls"]
     m["num_min"] = _opt(min, m["num_min"], row["num_min"])
     m["num_max"] = _opt(max, m["num_max"], row["num_max"])
-    m["num_sum"] = _opt(lambda a, b: a + b, m["num_sum"], row["num_sum"])
-    m["num_sum_sq"] = _opt(lambda a, b: a + b, m["num_sum_sq"], row["num_sum_sq"])
+    # float partials accumulate into LISTS and fold with math.fsum
+    # at finalize: fsum is correctly rounded, hence PERMUTATION-
+    # INVARIANT — Ray delivers blocks in nondeterministic order, and
+    # naive left-to-right float addition would make mean/std wobble
+    # in the last ulp run to run (len_sum is int64: order-free)
+    if row["num_sum"] is not None:
+        m.setdefault("_num_sum_parts", []).append(row["num_sum"])
+        m.setdefault("_num_sq_parts", []).append(row["num_sum_sq"])
     m["len_sum"] = _opt(lambda a, b: a + b, m["len_sum"], row["len_sum"])
     m["len_min"] = _opt(min, m["len_min"], row["len_min"])
     m["len_max"] = _opt(max, m["len_max"], row["len_max"])
