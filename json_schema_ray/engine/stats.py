@@ -266,14 +266,20 @@ def corr_stats(ds, x: str, y: str) -> pa.Table:
             "sxy": pa.array([float((a * b).sum())], pa.float64()),
         })
 
-    tot = {"n": 0, "sx": 0.0, "sy": 0.0, "sxx": 0.0, "syy": 0.0,
-           "sxy": 0.0}
+    import math
+
+    # fold with fsum: correctly rounded and permutation-invariant,
+    # so block arrival order can't wobble corr/cov in the last ulp
+    parts: dict = {"n": [], "sx": [], "sy": [], "sxx": [],
+                   "syy": [], "sxy": []}
     for batch in ds.map_batches(partial, batch_format="pyarrow",
                                 zero_copy_batch=True) \
             .iter_batches(batch_format="pyarrow"):
         for row in batch.to_pylist():
-            for k in tot:
-                tot[k] += row[k]
+            for k in parts:
+                parts[k].append(row[k])
+    tot = {k: (sum(v) if k == "n" else math.fsum(v))
+           for k, v in parts.items()}
     n = tot["n"]
     if n < 2:
         return pa.table({"n": pa.array([n], pa.int64()),
