@@ -796,7 +796,15 @@ def _jaccard_verify(candidates, ds, id_column: str, text_column: str,
                         "jaccard": pa.array(ja, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
+    # bounded batches: a hot-bucket expansion can hand verify ONE
+    # multi-million-pair block, and the per-pair set gather is
+    # pairs x (|A|+|B|) hashes — unbounded blocks OOM-killed workers
+    # at sf0.1 conversation scale (observed: 12M-pair blocks x ~300
+    # hashes x 8B x worker fan-out exhausted 125GB). 16k pairs/batch
+    # keeps each task's gather tens of MB; small corpora see a few
+    # extra trivially-cheap batches
     verified = candidates.map_batches(verify, batch_format="pyarrow",
+                                      batch_size=16384,
                                       zero_copy_batch=True)
     tables = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
               else b
