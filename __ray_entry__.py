@@ -11424,12 +11424,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM q GROUP BY l_returnflag
             )
             SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                   CASE WHEN n < 2 OR (n*sxx - sx*sx) * (n*syy - sy*sy)
-                             <= 0 THEN NULL
+                   CASE WHEN n < 2 OR n*sxx - sx*sx <= 0
+                             OR n*syy - sy*sy <= 0 THEN NULL
                         ELSE CAST(floor(
                           CAST(n*sxy - sx*sy AS DOUBLE)
-                          / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy)
-                                      AS DOUBLE))
+                          / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                 * CAST(n*syy - sy*sy AS DOUBLE))
                           * 1e6 + 0.5) AS BIGINT)
                    END AS corr_e6
             FROM s

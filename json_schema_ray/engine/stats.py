@@ -733,11 +733,18 @@ def grouped_corr(ds, key: str, x: str, y: str, scale: int = 100,
             syy = (r["__syyh"] << 32) + r["__syyl"]
             sxy = (r["__sxyh"] << 32) + r["__sxyl"]
             num = n * sxy - sx * sy          # exact (python int)
-            d = (n * sxx - sx * sx) * (n * syy - sy * sy)
-            if d <= 0:
+            d1 = n * sxx - sx * sx
+            d2 = n * syy - sy * sy
+            if d1 <= 0 or d2 <= 0:
                 out_c.append(None)
                 continue
-            corr = float(num) / math.sqrt(float(d))
+            # each variance factor converts to double EXACTLY like
+            # the oracle's CAST(... AS DOUBLE), then ONE IEEE
+            # multiply — the exact-int product would overflow the
+            # oracle's INT128 at sf0.1 magnitudes (observed:
+            # 8.4e16 * 3.6e23), while the factors themselves stay
+            # far inside both int128 and the double range
+            corr = float(num) / math.sqrt(float(d1) * float(d2))
             out_c.append(int(math.floor(corr * 1e6 + 0.5)))
         return pa.table({key: batch[key],
                          "n": pa.array(out_n, pa.int64()),
